@@ -1,0 +1,26 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver corpus (/root/repo/TESTDATA.md). Plain parquet
+  * scans — Catalyst pushes filters/pruning into them for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = apply(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = apply(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = apply(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = apply(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = apply(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = apply(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = apply(s, dir, "region")
+  def events(s: SparkSession, dir: String): DataFrame = apply(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
+}
