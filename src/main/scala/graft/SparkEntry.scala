@@ -12,7 +12,13 @@ object SparkEntry {
 
   /** Every query catalog in the engine, in SURVEY.md §2 order. */
   private val catalogs: Seq[QueryCatalog] = Seq(
-    rel.AggQueries)
+    rel.ScanFilterQueries,
+    rel.JoinQueries,
+    rel.AggQueries,
+    rel.SortSetQueries,
+    rel.FuncQueries,
+    rel.WindowQueries,
+    streaming.StreamBatchQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = catalogs.flatMap(_.all)

@@ -49,5 +49,114 @@ object AggQueries extends QueryCatalog {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  override def all: Seq[Q] = Seq(pricingSummary)
+  /** A2: MIN/MAX per group (ref file_summary_utils.py:132-139 MIN pair). */
+  private val minMax = Q(
+    "q_agg_minmax",
+    """SELECT l_suppkey,
+      |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+        count(lit(1)).as("n"))
+      .orderBy("l_suppkey")
+  }
+
+  /** A3: ungrouped scalar count (ref demo.py:215 `.count()`). */
+  private val scalarCount = Q(
+    "q_agg_scalar_count",
+    "SELECT count(*) AS n_rows FROM lineitem"
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** A4: grouped sum + first (diff_utils.py:35-49) — `first` made
+    * deterministic as MIN (pandas `first` there is order-dependent;
+    * the column is functionally dependent on the key anyway). */
+  private val groupSummary = Q(
+    "q_agg_group_summary",
+    """SELECT o_orderstatus,
+      |  round(sum(o_totalprice), 2) AS total_price,
+      |  min(o_orderpriority) AS first_priority,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+        min(col("o_orderpriority")).as("first_priority"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A5: COUNT(DISTINCT) — exact distinct forces a two-phase agg; Spark
+    * plans partial distinct before the shuffle (expand + two exchanges). */
+  private val countDistinctQ = Q(
+    "q_agg_count_distinct",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A5: approx_count_distinct (HLL++). Sketch internals differ across
+    * engines, so no SQL oracle — driver does the rows-only check; the
+    * exact-vs-approx sanity bound lives in the ScalaTest spec. */
+  private val approxDistinct = Q.noOracle("q_agg_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A6: ROLLUP — multi-level summaries. Group keys are COALESCEd to a
+    * sentinel so Spark/DuckDB NULL-ordering differences can't bite. */
+  private val rollupQ = Q(
+    "q_agg_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** A6: CUBE — all grouping-set combinations. */
+  private val cubeQ = Q(
+    "q_agg_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(round(sum(col("o_totalprice")), 2).as("total"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+      .orderBy("status", "priority")
+  }
+
+  override def all: Seq[Q] = Seq(
+    pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
+    approxDistinct, rollupQ, cubeQ)
 }

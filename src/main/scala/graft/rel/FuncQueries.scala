@@ -1,0 +1,168 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+
+/** SURVEY.md §2g scalar functions — date/time, conditional, string,
+  * regex, JSON, and array/vector math (F1–F16).
+  *
+  * Everything here is a built-in (codegen'd) function over a single
+  * scan + one hash aggregate at most — no UDFs, so the whole pipeline
+  * stays inside WholeStageCodegen.
+  */
+object FuncQueries extends QueryCatalog {
+
+  /** F1+A1: date_trunc-bucketed counts — the summarize_files shape
+    * (ref file_summary_utils.py:91-104 GROUP BY date_trunc minute). */
+  private val dateTrunc = Q(
+    "q_func_date_trunc",
+    """SELECT date_trunc('hour', ts) AS created_hour, event_type,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY created_hour, event_type""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("created_hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("created_hour", "event_type")
+  }
+
+  /** F2+F3+F4+F11+F12: LEAST, CASE WHEN, CONCAT w/ implicit cast,
+    * arithmetic (ref file_summary_utils.py:74,119-120,143-148;
+    * diff_utils.py:54-55). */
+  private val condExpr = Q(
+    "q_func_conditional",
+    """SELECT l_orderkey, l_linenumber,
+      |  least(l_discount, l_tax) AS min_rate,
+      |  CASE WHEN l_returnflag = 'A' THEN 'ACCEPTED'
+      |       WHEN l_returnflag = 'R' THEN 'RETURNED'
+      |       ELSE concat('UNKNOWN(', CAST(l_linenumber AS VARCHAR), ')')
+      |  END AS flag_desc,
+      |  round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+      |  CASE WHEN l_discount = 0 THEN 'UNCHANGED' ELSE 'CHANGED' END AS disc_flag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"),
+        when(col("l_returnflag") === "A", "ACCEPTED")
+          .when(col("l_returnflag") === "R", "RETURNED")
+          .otherwise(concat(lit("UNKNOWN("),
+            col("l_linenumber").cast("string"), lit(")"))).as("flag_desc"),
+        // 4 digits, not 2: the exact decimal product has <=4 digits, so
+        // both engines recover it exactly; rounding at 2 hits .xx5 ties
+        // where Spark (HALF_UP on binary) and DuckDB disagree
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("net_price"),
+        when(col("l_discount") === 0, "UNCHANGED").otherwise("CHANGED")
+          .as("disc_flag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F6+F9: date parts + formatting + cast (ref diff_utils.py:22-27,75). */
+  private val dateParts = Q(
+    "q_func_date_parts",
+    """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("yr", "mo")
+  }
+
+  /** F10: null-safe group key via COALESCE sentinel (diff_utils.py:25
+    * fillna("__NULL__")). NULLIF manufactures the nulls first. */
+  private val coalesceKey = Q(
+    "q_func_coalesce",
+    """SELECT coalesce(NULLIF(o_orderstatus, 'P'), '__NULL__') AS status_key,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY status_key""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(coalesce(nullif(col("o_orderstatus"), lit("P")),
+        lit("__NULL__")).as("status_key"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status_key")
+  }
+
+  /** F13: regexp_extract classification
+    * (ref file_summary_utils.py:11-15 exception-message regex). */
+  private val regexpQ = Q(
+    "q_func_regexp",
+    """SELECT CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS src_num,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY src_num""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+        .as("src_num"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("src_num")
+  }
+
+  /** F14 [EXT]: JSON field access on events.props. */
+  private val jsonQ = Q(
+    "q_func_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |  count(*) AS n
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90
+      |GROUP BY 1 ORDER BY k""".stripMargin
+  ) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, dir)
+      .filter(k >= 90)
+      .groupBy(k.as("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
+  /** F15 [EXT]: string ops + explode generator — token frequencies. */
+  private val tokensQ = Q(
+    "q_func_tokens",
+    """SELECT t.token, count(*) AS freq
+      |FROM documents, unnest(string_split(lower(text), ' ')) AS t(token)
+      |GROUP BY t.token
+      |ORDER BY freq DESC, t.token LIMIT 25""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(25)
+  }
+
+  /** F16 [EXT]: array/vector math with higher-order functions — L2 norm
+    * of each embedding (aggregate lambda = fold, no UDF). */
+  private val arrayMath = Q(
+    "q_func_array_norm",
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  len(embedding) AS dim
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+          .as("l2_norm"),
+        size(col("embedding")).cast("long").as("dim"))
+      .orderBy("vec_id")
+  }
+
+  override def all: Seq[Q] = Seq(
+    dateTrunc, condExpr, dateParts, coalesceKey, regexpQ, jsonQ, tokensQ,
+    arrayMath)
+}

@@ -1,0 +1,195 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryCatalog}
+
+/** SURVEY.md §2c join operators (J1–J9) plus the diff_utils.py port.
+  *
+  * Scale notes: dimension sides (region/nation/customer/supplier) are
+  * explicitly `broadcast()` — at 100 TB the fact side never shuffles for
+  * these joins. The self-joins on `events` key on user_id, so the
+  * shuffle is co-partitioned on the join key; AQE handles skew.
+  */
+object JoinQueries extends QueryCatalog {
+
+  /** J1: chained LEFT joins onto dimensions
+    * (ref file_summary_utils.py:64-68, two LEFT JOINs). */
+  private val leftChain = Q(
+    "q_join_left_chain",
+    """SELECT o.o_orderkey, c.c_name, n.n_name
+      |FROM orders o
+      |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY o.o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .select(o("o_orderkey"), c("c_name"), n("n_name"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J2: inner join USING(key) (ref file_summary_utils.py:122-123). */
+  private val innerUsing = Q(
+    "q_join_inner_using",
+    """SELECT c_custkey, c_name, n_name
+      |FROM customer JOIN nation ON customer.c_nationkey = nation.n_nationkey
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    // USING-style: Tables share no column name, so rename to align.
+    val c = Tables.customer(s, dir).withColumnRenamed("c_nationkey", "nationkey")
+    val n = Tables.nation(s, dir).withColumnRenamed("n_nationkey", "nationkey")
+    c.join(broadcast(n), Seq("nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J9: left-semi — customers having at least one open order. */
+  private val semi = Q(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J5: left-anti (ref diff_utils.py:58-71 indicator-trick, native here) —
+    * parts never shipped. */
+  private val anti = Q(
+    "q_join_anti",
+    """SELECT p_partkey, p_name FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    val p = Tables.part(s, dir)
+    val l = Tables.lineitem(s, dir)
+    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
+  /** J8: interval/theta join — events within 1 hour after a purchase by
+    * the same user (equi part on user_id keeps the shuffle keyed). */
+  private val interval = Q(
+    "q_join_interval",
+    """SELECT p.event_id AS purchase_id, count(*) AS events_within_hour
+      |FROM events p JOIN events e
+      |  ON p.user_id = e.user_id
+      | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.event_id
+      |ORDER BY p.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val e = ev.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    p.join(e, col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts")
+        && col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("events_within_hour"))
+      .orderBy("purchase_id")
+  }
+
+  /** J7: as-of join — each event enriched with the most recent prior (or
+    * simultaneous) purchase of the same user. Equi-join on user_id +
+    * row_number keeps it a keyed shuffle; at scale this is the standard
+    * "join then latest-wins" pattern (a range-partitioned merge would be
+    * the next step if purchase cardinality per user exploded). */
+  private val asof = Q(
+    "q_join_asof",
+    """SELECT e.event_id, p.purchase_id AS last_purchase_id
+      |FROM events e
+      |LEFT JOIN LATERAL (
+      |  SELECT p.event_id AS purchase_id
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |    AND p.ts <= e.ts
+      |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+      |) p ON true
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val e = ev.select(col("event_id"), col("user_id").as("e_user"),
+      col("ts").as("e_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val joined = e.join(p,
+      col("e_user") === col("p_user") && col("p_ts") <= col("e_ts"), "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("p_ts").desc_nulls_last, col("purchase_id").desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("purchase_id").as("last_purchase_id"))
+      .orderBy("event_id")
+  }
+
+  /** J4+J5+A4+U3+F10-F12: the diff_utils.py pipeline, lifted from pandas
+    * to Spark — diff two grouped summaries into
+    * ADDED / REMOVED / CHANGED / UNCHANGED rows (diff_utils.py:35-79).
+    * "old" = orders before 1998, "new" = all orders. */
+  private val summaryDiff = Q(
+    "q_summary_diff",
+    """WITH old AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |         count(*) AS old_count
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2),
+      |new AS (
+      |  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |         count(*) AS new_count
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT coalesce(o.status, n.status) AS status,
+      |       coalesce(o.priority, n.priority) AS priority,
+      |       coalesce(o.old_count, 0) AS old_count,
+      |       coalesce(n.new_count, 0) AS new_count,
+      |       coalesce(n.new_count, 0) - coalesce(o.old_count, 0) AS delta,
+      |       CASE WHEN o.status IS NULL THEN 'ADDED'
+      |            WHEN n.status IS NULL THEN 'REMOVED'
+      |            WHEN n.new_count != o.old_count THEN 'CHANGED'
+      |            ELSE 'UNCHANGED' END AS status_flag
+      |FROM old o FULL JOIN new n
+      |  ON o.status = n.status AND o.priority = n.priority
+      |ORDER BY status, priority""".stripMargin
+  ) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val old = orders
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .groupBy(col("o_orderstatus").as("o_status"),
+        col("o_orderpriority").as("o_priority"))
+      .agg(count(lit(1)).as("old_count"))
+    val neu = orders
+      .groupBy(col("o_orderstatus").as("n_status"),
+        col("o_orderpriority").as("n_priority"))
+      .agg(count(lit(1)).as("new_count"))
+    old.join(neu, col("o_status") === col("n_status")
+        && col("o_priority") === col("n_priority"), "full_outer")
+      .select(
+        coalesce(col("o_status"), col("n_status")).as("status"),
+        coalesce(col("o_priority"), col("n_priority")).as("priority"),
+        coalesce(col("old_count"), lit(0L)).as("old_count"),
+        coalesce(col("new_count"), lit(0L)).as("new_count"),
+        (coalesce(col("new_count"), lit(0L))
+          - coalesce(col("old_count"), lit(0L))).as("delta"),
+        when(col("o_status").isNull, "ADDED")
+          .when(col("n_status").isNull, "REMOVED")
+          .when(col("new_count") =!= col("old_count"), "CHANGED")
+          .otherwise("UNCHANGED").as("status_flag"))
+      .orderBy("status", "priority")
+  }
+
+  override def all: Seq[Q] = Seq(
+    leftChain, innerUsing, semi, anti, interval, asof, summaryDiff)
+}

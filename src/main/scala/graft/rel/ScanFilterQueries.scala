@@ -1,0 +1,113 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+
+/** SURVEY.md §2b projection / filter / predicate operators (P1–P7).
+  *
+  * Scale notes: all of these compile to a single parquet scan with the
+  * filter and projection pushed into the reader (`PushedFilters` /
+  * `ReadSchema` in explain) — no shuffle except the final presentation
+  * sort, which only the driver-facing dump needs.
+  */
+object ScanFilterQueries extends QueryCatalog {
+
+  /** P1: column projection (ref demo.py:207,211). */
+  private val projection = Q(
+    "q_scan_projection",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P2: IN-list filter (ref demo.py:210 `content IN (1,2)`). */
+  private val filterIn = Q(
+    "q_filter_in",
+    """SELECT event_id, event_type
+      |FROM events
+      |WHERE event_type IN ('purchase', 'signup')
+      |ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** P3: equality predicate (ref demo.py:179 `case_id = 'case-2'`). */
+  private val filterEq = Q(
+    "q_filter_eq",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === lit("F")
+        && col("o_orderpriority") === lit("1-URGENT"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** P4: null predicates (ref file_summary_utils.py:55,89 IS NOT NULL).
+    * Corpus has no nulls, so NULLIF manufactures them first. */
+  private val filterNotNull = Q(
+    "q_filter_notnull",
+    """SELECT l_orderkey, l_linenumber, l_discount
+      |FROM lineitem
+      |WHERE NULLIF(l_discount, 0.0) IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(nullif(col("l_discount"), lit(0.0)).isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P5: inequality (ref file_summary_utils.py:138 `e.status != 2`). */
+  private val filterNeq = Q(
+    "q_filter_neq",
+    """SELECT l_orderkey, l_linenumber, l_returnflag
+      |FROM lineitem
+      |WHERE l_returnflag != 'N'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") =!= lit("N"))
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P6: literal tag column (ref file_summary_utils.py:107 withColumn lit). */
+  private val litColumn = Q(
+    "q_lit_column",
+    """SELECT r_regionkey, r_name, 'run-1' AS run_id
+      |FROM region
+      |ORDER BY r_regionkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.region(s, dir)
+      .withColumn("run_id", lit("run-1"))
+      .orderBy("r_regionkey")
+  }
+
+  /** P7: distinct projection (ref cleanup_utils.py:184). */
+  private val distinctProj = Q(
+    "q_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  override def all: Seq[Q] = Seq(
+    projection, filterIn, filterEq, filterNotNull, filterNeq, litColumn,
+    distinctProj)
+}

@@ -1,0 +1,115 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, QueryCatalog}
+
+/** SURVEY.md §2h window functions on the events table — ranking,
+  * analytic (lag/lead), frame-spec aggregates, top-k per group.
+  *
+  * Scale notes: every window below partitions by user_id, so execution
+  * is one hash-partitioned shuffle + per-partition sort; no single-
+  * partition (`Window.orderBy` without partitionBy) windows anywhere —
+  * those serialize the whole dataset through one task at 100 TB.
+  */
+object WindowQueries extends QueryCatalog {
+
+  private def w = Window.partitionBy("user_id")
+    .orderBy(col("ts"), col("event_id"))
+
+  /** Ranking trio over user sessions ordered by time. */
+  private val ranks = Q(
+    "q_window_ranks",
+    """SELECT event_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+      |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    val we = Window.partitionBy("user_id").orderBy("event_type")
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        row_number().over(w).as("rn"),
+        rank().over(we).as("rnk"),
+        dense_rank().over(we).as("drnk"))
+      .orderBy("event_id")
+  }
+
+  /** lag/lead analytics — previous/next event value per user. */
+  private val lagLead = Q(
+    "q_window_lag_lead",
+    """SELECT event_id,
+      |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  /** Running sum — ROWS UNBOUNDED PRECEDING..CURRENT ROW frame. Both
+    * engines fold the frame in the same order, so the double sum is
+    * reproducible; rounded anyway. */
+  private val runningSum = Q(
+    "q_window_running_sum",
+    """SELECT event_id,
+      |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy("event_id")
+  }
+
+  /** Sliding mean over a 1-hour RANGE frame keyed on the timestamp. */
+  private val slidingAvg = Q(
+    "q_window_sliding_avg",
+    """SELECT event_id,
+      |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+      |    AS avg_1h,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h
+      |FROM events ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    // interval RANGE frames have no Column-typed rangeBetween in the
+    // Scala DSL — the SQL expression form is the supported spelling
+    val frame = "OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        round(expr(s"avg(value) $frame"), 4).as("avg_1h"),
+        expr(s"count(*) $frame").as("n_1h"))
+      .orderBy("event_id")
+  }
+
+  /** Top-k per group — row_number <= k filter; also the "latest snapshot
+    * per table" idiom generalizing SURVEY §2e O4. */
+  private val topKPerGroup = Q(
+    "q_window_topk_group",
+    """SELECT user_id, event_id, value FROM (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, value DESC, event_id""".stripMargin
+  ) { (s, dir) =>
+    val wv = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "value")
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+  }
+
+  override def all: Seq[Q] = Seq(
+    ranks, lagLead, runningSum, slidingAvg, topKPerGroup)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2j streaming surface, evaluated batch-first: the same
+  * `window()` / `session_window()` expressions run over the static
+  * events table so the DuckDB oracle can check them; StreamingSpec
+  * drives the identical expressions through readStream/writeStream.
+  *
+  * Scale notes: time-windowed aggregation shuffles on (window, keys) —
+  * bounded state per window; session windows shuffle on user_id then
+  * merge sessions per key, the same plan Structured Streaming uses with
+  * watermark-based state eviction.
+  */
+object StreamBatchQueries extends QueryCatalog {
+
+  /** Tumbling 1-day windows. DuckDB oracle uses time_bucket (both align
+    * to the epoch for day/hour granularities). */
+  private val tumbling = Q(
+    "q_stream_tumbling",
+    """SELECT time_bucket(INTERVAL '1 day', ts) AS wstart, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("wstart", "event_type")
+  }
+
+  /** Sliding windows: 1 day long, every 12 hours — each event lands in
+    * two windows. Oracle expands the two candidate buckets per event. */
+  private val sliding = Q(
+    "q_stream_sliding",
+    """WITH expanded AS (
+      |  -- window length = 2 x slide, so each event is in exactly the
+      |  -- bucket containing it and the one starting 12h earlier
+      |  SELECT time_bucket(INTERVAL '12 hours', ts)
+      |           - g.k * INTERVAL '12 hours' AS wstart, value
+      |  FROM events, (VALUES (0), (1)) AS g(k))
+      |SELECT wstart, count(*) AS n, round(sum(value), 2) AS total
+      |FROM expanded GROUP BY wstart ORDER BY wstart""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("wstart"), col("n"), col("total"))
+      .orderBy("wstart")
+  }
+
+  /** Session windows with a 30-minute gap per user. Spark's
+    * session_window end = last event + gap; the oracle reconstructs
+    * sessions with the classic lag/cumsum idiom. */
+  private val session = Q(
+    "q_stream_session",
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL '30 minutes' OR
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL '30 minutes' AS session_end,
+      |  count(*) AS n_events, round(sum(value), 2) AS total
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total"))
+      .orderBy("user_id", "session_start")
+  }
+
+  override def all: Seq[Q] = Seq(tumbling, sliding, session)
+}
