@@ -18,7 +18,8 @@ object SparkEntry {
     rel.SortSetQueries,
     rel.FuncQueries,
     rel.WindowQueries,
-    streaming.StreamBatchQueries)
+    streaming.StreamBatchQueries,
+    lake.LakeQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = catalogs.flatMap(_.all)

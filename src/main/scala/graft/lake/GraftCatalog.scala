@@ -1,0 +1,74 @@
+package graft.lake
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Namespace + table registry over a warehouse directory — the
+  * Spark-native stand-in for the reference's REST catalog
+  * (/root/reference/docker-compose.yml:28-29) with the DDL surface the
+  * demo uses (D1–D5, demo.py:67-85,166-171; .ipynb SHOW TBLPROPERTIES).
+  *
+  * Layout: <warehouse>/<namespace>/<table>/{data,metadata}.
+  */
+class GraftCatalog(spark: SparkSession, val warehouse: Path) {
+
+  private def nsDir(ns: String): Path = warehouse.resolve(ns)
+  private def tableDir(ns: String, t: String): Path = nsDir(ns).resolve(t)
+
+  /** D1: CREATE NAMESPACE IF NOT EXISTS (demo.py:71). */
+  def createNamespace(ns: String): Unit =
+    Files.createDirectories(nsDir(ns))
+
+  def namespaceExists(ns: String): Boolean = Files.isDirectory(nsDir(ns))
+
+  /** D2: CREATE TABLE [IF NOT EXISTS] (demo.py:74-85). */
+  def createTable(ns: String, name: String, schema: StructType,
+      properties: Map[String, String] = Map.empty,
+      ifNotExists: Boolean = true): GraftTable = {
+    require(namespaceExists(ns), s"namespace $ns does not exist")
+    if (tableExists(ns, name)) {
+      if (ifNotExists) return loadTable(ns, name)
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
+    }
+    GraftTable.create(spark, tableDir(ns, name), s"$ns.$name", schema,
+      properties)
+  }
+
+  def tableExists(ns: String, name: String): Boolean =
+    Files.exists(tableDir(ns, name).resolve("metadata/version-hint.text"))
+
+  def loadTable(ns: String, name: String): GraftTable =
+    GraftTable.load(spark, tableDir(ns, name))
+
+  /** D3: DROP TABLE IF EXISTS (demo.py:70) — recursive delete, like the
+    * demo's REST purge (demo.py:67). */
+  def dropTable(ns: String, name: String): Boolean = {
+    val dir = tableDir(ns, name)
+    if (!Files.exists(dir)) return false
+    val all = Files.walk(dir)
+    try all.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally all.close()
+    true
+  }
+
+  def listTables(ns: String): Seq[String] =
+    if (!namespaceExists(ns)) Nil
+    else Files.list(nsDir(ns)).iterator().asScala
+      .filter(p => Files.exists(p.resolve("metadata/version-hint.text")))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  /** D4: ALTER TABLE SET TBLPROPERTIES (demo.py:166-171). */
+  def setTableProperties(ns: String, name: String,
+      props: Map[String, String]): Unit =
+    loadTable(ns, name).setProperties(props)
+
+  /** D5: SHOW TBLPROPERTIES as a relation (.ipynb:214,393). */
+  def showTableProperties(ns: String, name: String): DataFrame = {
+    import spark.implicits._
+    loadTable(ns, name).properties.toSeq.sortBy(_._1).toDF("key", "value")
+  }
+}

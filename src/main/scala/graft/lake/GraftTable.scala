@@ -1,0 +1,670 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical
+
+/** A GraftLake table: snapshot-versioned Parquet + JSON metadata log.
+  *
+  * Re-expresses the Iceberg table lifecycle the reference demo drives
+  * (/root/reference/notebooks/iceberg_pii_deletion_demo.py) Spark-first:
+  *   - append             → D6 INSERT (demo.py:105-110)
+  *   - delete             → D8 MOR position deletes (demo.py:177-180) or
+  *                          D9 COW, per `write.delete.mode` (demo.py:166-171)
+  *   - update             → D7 COW UPDATE (demo.py:228-235) or MOR
+  *   - readAt             → S2 time travel (demo.py:261)
+  *   - expireSnapshots    → D10 (demo.py:289-296)
+  *   - removeOrphanFiles  → D11/D12 w/ safety window (demo.py:341-369)
+  *   - rewriteDataFiles   → D13 compaction (demo.py:419-433)
+  *   - rewritePositionDeleteFiles → D14 (demo.py:437-447)
+  *   - metadata tables    → S3/D15 (demo.py:120,205; file_summary_utils.py)
+  *
+  * MOR reads apply position deletes with an anti-join on the Parquet
+  * source's (_metadata.file_path, _metadata.row_index) — positions are
+  * captured from the same metadata columns at delete time, so they
+  * stay consistent (SURVEY.md §7 "hard parts").
+  *
+  * Scale design: file pruning happens BEFORE plan construction — the
+  * manifest's per-file min/max stats select the Parquet file list, then
+  * Catalyst handles pushdown inside the scan. Delete sides of anti-joins
+  * are broadcast when small. All data movement is DataFrame jobs; the
+  * only driver-side state is the manifest (O(files), the same scaling
+  * assumption Iceberg's planner makes).
+  */
+class GraftTable(val spark: SparkSession, val root: Path) {
+  import GraftTable._
+
+  private def metadataDir = root.resolve("metadata")
+  private def dataDir = root.resolve("data")
+  private def hintFile = metadataDir.resolve("version-hint.text")
+
+  // ---- metadata log ----
+
+  def version: Int = Files.readString(hintFile).trim.toInt
+
+  def meta: TableMeta = Json.readTableMeta(
+    Files.readString(metadataDir.resolve(s"v$version.metadata.json")))
+
+  def schema: StructType = StructType.fromDDL(meta.schemaDdl)
+  def properties: Map[String, String] = meta.properties
+  def name: String = meta.name
+
+  def setProperties(props: Map[String, String]): Unit = {
+    val m = meta
+    commitMeta(m.copy(properties = m.properties ++ props))
+  }
+
+  def currentSnapshot: Option[SnapshotMeta] =
+    meta.currentSnapshotId.flatMap(id => meta.snapshots.find(_.snapshotId == id))
+
+  def snapshotOrFail(id: Long): SnapshotMeta =
+    meta.snapshots.find(_.snapshotId == id).getOrElse(
+      throw new IllegalArgumentException(
+        s"Cannot find snapshot with ID $id (expired or never existed)"))
+
+  def manifestOf(s: SnapshotMeta): Seq[ManifestEntry] =
+    Json.readManifest(Files.readString(root.resolve(s.manifestList)))
+
+  private def currentEntries: Seq[ManifestEntry] =
+    currentSnapshot.map(manifestOf).getOrElse(Nil)
+
+  private def abs(entry: ManifestEntry): String =
+    root.resolve(entry.path).toAbsolutePath.toString
+
+  /** Publish a new metadata version (atomic pointer swap). */
+  private def commitMeta(m: TableMeta): Unit = {
+    val v = version + 1
+    val file = s"v$v.metadata.json"
+    val logged = m.copy(metadataLog = m.metadataLog :+
+      MetadataLogEntry(now(), s"metadata/$file"))
+    Io.atomicWrite(metadataDir.resolve(file), Json.write(logged))
+    Io.atomicWrite(hintFile, v.toString)
+  }
+
+  /** Commit a new snapshot: write its manifest list, then the metadata. */
+  private def commitSnapshot(operation: String, entries: Seq[ManifestEntry],
+      summary: Map[String, String]): SnapshotMeta = {
+    val m = meta
+    val id = now() * 1000 + m.snapshots.size % 1000 // unique, time-ordered
+    val manifestRel = s"metadata/snap-$id.json"
+    Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
+    val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
+      manifestRel, summary)
+    commitMeta(m.copy(snapshots = m.snapshots :+ snap,
+      currentSnapshotId = Some(id)))
+    snap
+  }
+
+  // ---- reads ----
+
+  /** Current-snapshot read (ref demo.py:114 `SELECT * FROM pii_data`). */
+  def read(): DataFrame = readEntries(currentEntries)
+
+  /** Time travel (ref demo.py:261 option("snapshot-id", id)); throws for
+    * expired snapshots exactly like the demo shows (demo.py:300-306). */
+  def readAt(snapshotId: Long): DataFrame =
+    readEntries(manifestOf(snapshotOrFail(snapshotId)))
+
+  /** Stats-pruned read: min/max manifest stats choose the file list
+    * before the scan (the Iceberg manifest-pruning analog, SURVEY §4);
+    * the predicate is then applied in full inside the scan. */
+  def readWhere(pred: Column): DataFrame = {
+    val entries = currentEntries
+    val conjuncts = analyzeConjuncts(pred)
+    val pruned = entries.filter { e =>
+      e.content != 0 || conjuncts.forall(c => mayMatch(e, c))
+    }
+    readEntries(pruned).filter(pred)
+  }
+
+  private def emptyDf: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+
+  private def readEntries(entries: Seq[ManifestEntry]): DataFrame = {
+    val data = entries.filter(_.content == 0)
+    if (data.isEmpty) return emptyDf
+    val withLineage = readWithLineage(entries)
+    withLineage.drop(FileCol, PosCol)
+  }
+
+  /** Live rows plus (file, position) lineage columns — the MOR read
+    * path; also what delete capture uses so positions always round-trip
+    * through the same _metadata columns. */
+  private[lake] def readWithLineage(entries: Seq[ManifestEntry]): DataFrame = {
+    val data = entries.filter(_.content == 0)
+    val posDel = entries.filter(_.content == 1)
+    val eqDel = entries.filter(_.content == 2)
+    if (data.isEmpty)
+      return emptyDf
+        .withColumn(FileCol, lit(null).cast("string"))
+        .withColumn(PosCol, lit(null).cast("long"))
+    var df = spark.read.schema(schema).parquet(data.map(abs): _*)
+      .select(col("*"),
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+    if (posDel.nonEmpty) {
+      val delDf = spark.read.parquet(posDel.map(abs): _*)
+      val small = posDel.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
+      val d = if (small) broadcast(delDf) else delDf
+      df = df.join(d,
+        df(FileCol) === d("file_path") && df(PosCol) === d("pos"),
+        "left_anti")
+    }
+    // equality deletes: anti-join on the identity columns
+    for ((cols, files) <- eqDel.groupBy(_.equalityColumns)) {
+      val keys = spark.read.parquet(files.map(abs): _*).select(
+        cols.map(col): _*).distinct()
+      val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
+      df = df.join(if (small) broadcast(keys) else keys, cols, "left_anti")
+    }
+    df
+  }
+
+  // ---- writes ----
+
+  /** D6 append (ref demo.py:105-110 INSERT INTO VALUES). */
+  def append(df: DataFrame): SnapshotMeta = {
+    val moved = writeDataFiles(df)
+    val newEntries = statEntries(moved, content = 0, nextSnapshotHint)
+    commitSnapshot("append", currentEntries ++ newEntries,
+      Map("added-data-files" -> newEntries.size.toString,
+        "added-records" -> newEntries.map(_.recordCount).sum.toString))
+  }
+
+  /** D8/D9 DELETE WHERE — honors `write.delete.mode` like the demo's
+    * ALTER TABLE (demo.py:166-171): merge-on-read emits position-delete
+    * files; copy-on-write rewrites the affected data files. */
+  def delete(pred: Column): Option[SnapshotMeta] =
+    if (properties.getOrElse("write.delete.mode", "copy-on-write")
+        == "merge-on-read") morDelete(pred)
+    else cowRewrite(pred, rows => rows.filter(!pred), "delete")
+
+  /** D7 UPDATE ... SET — honors `write.update.mode` (demo.py:228-235
+    * runs copy-on-write). `set` maps column name → new value expression
+    * applied only where `pred` holds. */
+  def update(pred: Column, set: Map[String, Column]): Option[SnapshotMeta] = {
+    require(set.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown columns: ${set.keySet -- schema.fieldNames}")
+    def transform(rows: DataFrame): DataFrame = {
+      val cols = schema.fieldNames.map { f =>
+        set.get(f) match {
+          case Some(v) => when(pred, v.cast(schema(f).dataType))
+            .otherwise(col(f)).as(f)
+          case None => col(f)
+        }
+      }
+      rows.select(cols.toSeq: _*)
+    }
+    if (properties.getOrElse("write.update.mode", "copy-on-write")
+        == "merge-on-read") morUpdate(pred, transform)
+    else cowRewrite(pred, transform, "overwrite")
+  }
+
+  /** MOR position-delete write (D8): capture (file, pos) of matching
+    * live rows, write them as content=1 Parquet, commit op=delete. */
+  private def morDelete(pred: Column): Option[SnapshotMeta] = {
+    val entries = currentEntries
+    val hits = readWithLineage(entries).filter(pred)
+      .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+    val staged = stageDir()
+    // sort by (file_path, pos): delete application scans sequentially
+    hits.repartitionByRange(1, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(staged.toString)
+    val moved = moveStaged(staged, "delete")
+    val n = if (moved.isEmpty) 0L
+      else spark.read.parquet(moved: _*).count() // footer-only count
+    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
+    val delEntries = statEntries(moved, content = 1, nextSnapshotHint)
+    Some(commitSnapshot("delete", entries ++ delEntries,
+      Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")))
+  }
+
+  /** MOR update: position-deletes for the old rows + append of the
+    * transformed rows, in one snapshot. */
+  private def morUpdate(pred: Column,
+      transform: DataFrame => DataFrame): Option[SnapshotMeta] = {
+    val entries = currentEntries
+    val hits = readWithLineage(entries).filter(pred).cache()
+    try {
+      if (hits.isEmpty) return None
+      val delStaged = stageDir()
+      hits.select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+        .repartitionByRange(1, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(delStaged.toString)
+      val delMoved = moveStaged(delStaged, "delete")
+      val newMoved = writeDataFiles(transform(hits.drop(FileCol, PosCol)))
+      val snapId = nextSnapshotHint
+      val delEntries = statEntries(delMoved, content = 1, snapId)
+      val dataEntries = statEntries(newMoved, content = 0, snapId)
+      Some(commitSnapshot("overwrite", entries ++ delEntries ++ dataEntries,
+        Map("mode" -> "merge-on-read")))
+    } finally hits.unpersist()
+  }
+
+  /** Equality delete (content=2): any live row matching a key tuple in
+    * `keys` (schema must be a subset of the table's) is masked at read. */
+  def equalityDelete(keys: DataFrame): Option[SnapshotMeta] = {
+    val cols = keys.schema.fieldNames.toSeq
+    require(cols.toSet.subsetOf(schema.fieldNames.toSet),
+      s"equality-delete columns $cols not in table schema")
+    val staged = stageDir()
+    keys.distinct().coalesce(1).write.parquet(staged.toString)
+    val moved = moveStaged(staged, "eqdelete")
+    val n = if (moved.isEmpty) 0L else spark.read.parquet(moved: _*).count()
+    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
+    val entries = statEntries(moved, content = 2, nextSnapshotHint)
+      .map(_.copy(equalityColumns = cols))
+    Some(commitSnapshot("delete", currentEntries ++ entries,
+      Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))))
+  }
+
+  /** COW rewrite shared by delete/update: replace exactly the data files
+    * holding matching live rows. */
+  private def cowRewrite(pred: Column, transform: DataFrame => DataFrame,
+      operation: String): Option[SnapshotMeta] = {
+    val entries = currentEntries
+    val live = readWithLineage(entries)
+    val affected = live.filter(pred).select(FileCol).distinct()
+      .collect().map(r => Io.normalize(r.getString(0))).toSet
+    if (affected.isEmpty) return None
+    val keep = entries.filter(e =>
+      e.content != 0 || !affected.contains(abs(e)))
+    val victimRows = live
+      .filter(udfNormalize(col(FileCol)).isin(affected.toSeq: _*))
+      .drop(FileCol, PosCol)
+    val replaced = transform(victimRows)
+    val moved = writeDataFiles(replaced)
+    val newEntries = statEntries(moved, content = 0, nextSnapshotHint)
+    Some(commitSnapshot(operation, keep ++ newEntries,
+      Map("rewritten-files" -> affected.size.toString,
+        "mode" -> "copy-on-write")))
+  }
+
+  // ---- maintenance ----
+
+  /** D10 expire_snapshots (ref demo.py:289-296): drop snapshots older
+    * than the cutoff (always keeping the current one and the newest
+    * `retainLast`), delete files only they referenced. Time travel to
+    * an expired snapshot then fails, as demo.py:300-306 demonstrates. */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Seq[Long] = {
+    val m = meta
+    val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)
+      .map(_.snapshotId)
+      ++ m.currentSnapshotId.toSeq
+      ++ m.snapshots.sortBy(_.timestampMs).takeRight(retainLast)
+        .map(_.snapshotId)).toSet
+    val (retained, removed) = m.snapshots.partition(s => keepIds(s.snapshotId))
+    if (removed.isEmpty) return Nil
+    val reachable = retained.flatMap(manifestOf).map(abs).toSet
+    for (s <- removed) {
+      for (e <- manifestOf(s) if !reachable(abs(e)))
+        Files.deleteIfExists(Path.of(abs(e)))
+      Files.deleteIfExists(root.resolve(s.manifestList))
+    }
+    commitMeta(m.copy(snapshots = retained))
+    removed.map(_.snapshotId)
+  }
+
+  /** D11/D12 remove_orphan_files: delete files under data/ that no
+    * snapshot references and that are older than the cutoff. Mirrors
+    * the reference's two paths: the SQL CALL refuses cutoffs inside the
+    * 3-day safety window (demonstrated failing, demo.py:341-358); the
+    * Action API bypasses it (`force`, cleanup_utils.py:49-67). */
+  def removeOrphanFiles(olderThanMs: Long, force: Boolean = false,
+      location: Option[Path] = None): Seq[String] = {
+    val safetyMs = 3L * 24 * 3600 * 1000
+    if (!force && olderThanMs > now() - safetyMs)
+      throw new IllegalArgumentException(
+        "Cannot remove orphan files with an interval less than 3 days " +
+        "(pass force=true to override, matching the reference's " +
+        "Action-API bypass)")
+    val referenced = meta.snapshots.flatMap(manifestOf).map(abs).toSet
+    val dir = location.getOrElse(dataDir)
+    val orphans = Io.listRecursive(dir).filter { p =>
+      val a = p.toAbsolutePath.toString
+      !referenced(a) && Files.getLastModifiedTime(p).toMillis < olderThanMs
+    }
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.map(_.toAbsolutePath.toString)
+  }
+
+  /** D13 rewrite_data_files (ref demo.py:419-433): compact to the
+    * target file size, applying accumulated deletes. rewrite-all=true
+    * (the demo's setting) rewrites everything and drops all delete
+    * files; otherwise only undersized or delete-carrying files move. */
+  def rewriteDataFiles(options: Map[String, String] = Map.empty)
+      : Option[SnapshotMeta] = {
+    val entries = currentEntries
+    val data = entries.filter(_.content == 0)
+    if (data.isEmpty) return None
+    val rewriteAll = options.getOrElse("rewrite-all", "false").toBoolean
+    val target = options.getOrElse("target-file-size-bytes",
+      (128L * 1024 * 1024).toString).toLong
+    val hasDeletes = entries.exists(_.content != 0)
+    val candidates =
+      if (rewriteAll || hasDeletes) data // deletes may touch any file
+      else data.filter(_.fileSizeBytes < target / 2)
+    if (candidates.isEmpty) return None
+    val candidateSet = candidates.map(abs).toSet
+    val rows = readWithLineage(entries)
+      .filter(udfNormalize(col(FileCol)).isin(candidateSet.toSeq: _*))
+      .drop(FileCol, PosCol)
+    val nParts = math.max(1,
+      math.ceil(candidates.map(_.fileSizeBytes).sum.toDouble / target).toInt)
+    val moved = writeDataFiles(rows.repartition(nParts))
+    val keep = entries.filter(e => e.content == 0 && !candidateSet(abs(e)))
+    // all deletes were applied while reading the candidates
+    val dropDeletes = rewriteAll || hasDeletes
+    val keptDeletes = if (dropDeletes) Nil else entries.filter(_.content != 0)
+    val newEntries = statEntries(moved, content = 0, nextSnapshotHint)
+    Some(commitSnapshot("replace", keep ++ keptDeletes ++ newEntries,
+      Map("rewritten-data-files" -> candidates.size.toString,
+        "target-file-size-bytes" -> target.toString)))
+  }
+
+  /** D14 rewrite_position_delete_files (ref demo.py:437-447): drop
+    * delete files whose referenced data files left the manifest; compact
+    * what survives. */
+  def rewritePositionDeleteFiles(options: Map[String, String] = Map.empty)
+      : Option[SnapshotMeta] = {
+    val entries = currentEntries
+    val posDel = entries.filter(_.content == 1)
+    if (posDel.isEmpty) return None
+    val livePaths = entries.filter(_.content == 0).map(abs)
+    val liveDf = spark.createDataFrame(
+      livePaths.map(Row(_)).asJava,
+      StructType(Seq(StructField("live_path", StringType))))
+    val delRows = spark.read.parquet(posDel.map(abs): _*)
+    val stillValid = delRows.join(broadcast(liveDf),
+      udfNormalize(col("file_path")) === col("live_path"), "left_semi")
+    val keep = entries.filter(_.content != 1)
+    val n = stillValid.count()
+    val newEntries = if (n == 0) Nil else {
+      val staged = stageDir()
+      stillValid.repartitionByRange(1, col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(staged.toString)
+      statEntries(moveStaged(staged, "delete"), content = 1, nextSnapshotHint)
+    }
+    Some(commitSnapshot("replace", keep ++ newEntries,
+      Map("removed-delete-files" -> posDel.size.toString,
+        "surviving-delete-records" -> n.toString)))
+  }
+
+  // ---- metadata tables (S3/D15) ----
+
+  def history: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val ancestors = Iterator.iterate(currentSnapshot)(s =>
+      s.flatMap(_.parentId).flatMap(id => m.snapshots.find(_.snapshotId == id)))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
+    m.snapshots.map(s => (tsMs(s.timestampMs), s.snapshotId, s.parentId,
+      ancestors(s.snapshotId)))
+      .toDF("made_current_at", "snapshot_id", "parent_id",
+        "is_current_ancestor")
+  }
+
+  def snapshots: DataFrame = {
+    import spark.implicits._
+    meta.snapshots.map(s => (tsMs(s.timestampMs), s.snapshotId, s.parentId,
+      s.operation, root.resolve(s.manifestList).toString, s.summary))
+      .toDF("committed_at", "snapshot_id", "parent_id", "operation",
+        "manifest_list", "summary")
+  }
+
+  def files: DataFrame = filesOf(currentEntries)
+
+  private def filesOf(entries: Seq[ManifestEntry]): DataFrame = {
+    import spark.implicits._
+    entries.map(e => (e.content, abs(e), "PARQUET", e.recordCount,
+      e.fileSizeBytes))
+      .toDF("content", "file_path", "file_format", "record_count",
+        "file_size_in_bytes")
+  }
+
+  def allManifests: DataFrame = {
+    import spark.implicits._
+    meta.snapshots.map(s => (root.resolve(s.manifestList).toString,
+      s.snapshotId))
+      .toDF("path", "added_snapshot_id")
+  }
+
+  def metadataLogEntries: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    m.metadataLog.map(e => (tsMs(e.timestampMs),
+      root.resolve(e.file).toString, m.currentSnapshotId))
+      .toDF("timestamp", "file", "latest_snapshot_id")
+  }
+
+  /** all_entries: per snapshot, each file with status
+    * 1=ADDED / 2=DELETED / 3=EXISTING (FIXTURES.md encoding) and the
+    * nested data_file struct accessed with dotted paths in the reference
+    * (file_summary_utils.py:118,133-135). */
+  def allEntries: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    val rows = m.snapshots.flatMap { s =>
+      val cur = manifestOf(s)
+      val parent = s.parentId.flatMap(byId.get).map(manifestOf).getOrElse(Nil)
+      val curPaths = cur.map(_.path).toSet
+      val addedOrExisting = cur.map { e =>
+        val status = if (e.addedSnapshotId == s.snapshotId) 1 else 3
+        (status, s.snapshotId, DataFileInfo(abs(e), e.content, e.recordCount,
+          e.fileSizeBytes))
+      }
+      val deleted = parent.filterNot(e => curPaths(e.path)).map(e =>
+        (2, s.snapshotId, DataFileInfo(abs(e), e.content, e.recordCount,
+          e.fileSizeBytes)))
+      addedOrExisting ++ deleted
+    }
+    rows.toDF("status", "snapshot_id", "data_file")
+  }
+
+  // ---- internals ----
+
+  private def now(): Long = System.currentTimeMillis()
+  private def tsMs(ms: Long) = new java.sql.Timestamp(ms)
+  private def nextSnapshotHint: Long = now() * 1000 + meta.snapshots.size % 1000
+
+  // not pre-created: DataFrameWriter insists on creating the dir itself
+  private def stageDir(): Path = root.resolve(s"stage-${UUID.randomUUID()}")
+
+  /** Write `df` as parquet via a staging dir, move the part files into
+    * data/ under fresh UUID names, return their absolute paths. */
+  private def writeDataFiles(df: DataFrame): Seq[String] = {
+    val staged = stageDir()
+    df.write.parquet(staged.toString)
+    moveStaged(staged, "data")
+  }
+
+  private def moveStaged(staged: Path, prefix: String): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val parts = Io.listRecursive(staged)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+    val moved = parts.map { p =>
+      val target = dataDir.resolve(s"$prefix-${UUID.randomUUID()}.parquet")
+      Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      target.toAbsolutePath.toString
+    }
+    // best-effort staging cleanup (left-over dirs become orphan fodder)
+    Io.listRecursive(staged).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(staged)
+    moved
+  }
+
+  /** One distributed pass computing per-file record counts and per-column
+    * min/max/null stats for freshly written files. */
+  private def statEntries(absPaths: Seq[String], content: Int,
+      snapshotId: Long): Seq[ManifestEntry] = {
+    if (absPaths.isEmpty) return Nil
+    val fileSchema =
+      if (content == 0) schema
+      else spark.read.parquet(absPaths: _*).schema
+    val statCols = fileSchema.fields.toSeq.flatMap { f =>
+      statExpr(f).toSeq.flatMap { c => Seq(
+        min(c).cast("string").as(s"min::${f.name}"),
+        max(c).cast("string").as(s"max::${f.name}"),
+        sum(when(col(quoted(f.name)).isNull, 1L).otherwise(0L))
+          .as(s"nulls::${f.name}"))
+      }
+    }
+    val agged = spark.read.schema(fileSchema).parquet(absPaths: _*)
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(count(lit(1)).as("__cnt"), statCols: _*)
+      .collect()
+    val byFile = agged.map { r =>
+      val present = r.schema.fieldNames.toSet
+      val stats = fileSchema.fields.flatMap { f =>
+        if (!present(s"min::${f.name}")) None
+        else {
+          val mi = Option(r.getAs[String](s"min::${f.name}"))
+          val ma = Option(r.getAs[String](s"max::${f.name}"))
+          val nu = r.getAs[Long](s"nulls::${f.name}")
+          (mi, ma) match {
+            case (Some(a), Some(b)) => Some(f.name -> ColStat(a, b, nu))
+            case _ => None
+          }
+        }
+      }.toMap
+      Io.normalize(r.getAs[String]("__file")) ->
+        (r.getAs[Long]("__cnt"), stats)
+    }.toMap
+    absPaths.map { p =>
+      val (cnt, stats) = byFile.getOrElse(Io.normalize(p), (0L, Map.empty[String, ColStat]))
+      ManifestEntry(
+        path = root.relativize(Path.of(p)).toString,
+        content = content,
+        recordCount = cnt,
+        fileSizeBytes = Files.size(Path.of(p)),
+        addedSnapshotId = snapshotId,
+        stats = stats)
+    }
+  }
+
+  private def quoted(name: String): String = s"`$name`"
+
+  /** Canonical orderable value per type for stats (numbers → long/double
+    * space, timestamps → epoch micros, dates → epoch days). */
+  private def statExpr(f: StructField): Option[Column] = f.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(col(quoted(f.name)).cast("long"))
+    case FloatType | DoubleType => Some(col(quoted(f.name)).cast("double"))
+    case StringType => Some(col(quoted(f.name)))
+    case BooleanType => Some(col(quoted(f.name)).cast("int").cast("long"))
+    case DateType => Some(unix_date(col(quoted(f.name))).cast("long"))
+    case TimestampType => Some(unix_micros(col(quoted(f.name))))
+    case TimestampNTZType =>
+      Some(unix_micros(col(quoted(f.name)).cast("timestamp")))
+    case _ => None
+  }
+
+  private def isNumericStat(dt: DataType): Boolean = dt match {
+    case StringType => false
+    case _ => true
+  }
+
+  /** Resolve the predicate against the table schema (via an empty local
+    * relation) and split the analyzed condition into conjuncts. */
+  private def analyzeConjuncts(pred: Column): Seq[Expression] = {
+    val analyzed = emptyDf.filter(pred).queryExecution.analyzed
+    val conds = analyzed.collect { case f: logical.Filter => f.condition }
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    conds.flatMap(split)
+  }
+
+  /** Conservative overlap test: only prunes when the conjunct is a
+    * simple comparison on a stats-tracked column; anything else keeps
+    * the file. */
+  private def mayMatch(e: ManifestEntry, conjunct: Expression): Boolean = {
+    def key(name: String): Option[(ColStat, DataType)] = for {
+      f <- schema.fields.find(_.name.equalsIgnoreCase(name))
+      st <- e.stats.get(f.name)
+    } yield (st, f.dataType)
+    def cmp(statVal: String, v: Any, dt: DataType): Int =
+      if (isNumericStat(dt)) BigDecimal(statVal).compare(BigDecimal(v.toString))
+      else statVal.compareTo(v.toString)
+    def bound(name: String, v: Any, test: (Int, Int) => Boolean): Boolean =
+      key(name) match {
+        case Some((st, dt)) if v != null =>
+          try test(cmp(st.min, v, dt), cmp(st.max, v, dt))
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    conjunct match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0)
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0)
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        bound(a.name, litExternal(v), (lo, _) => lo < 0)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        bound(a.name, litExternal(v), (lo, _) => lo <= 0)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        bound(a.name, litExternal(v), (_, hi) => hi > 0)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        bound(a.name, litExternal(v), (_, hi) => hi >= 0)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map { case Literal(v, _) => litExternal(v) }.exists(v =>
+          bound(a.name, v, (lo, hi) => lo <= 0 && hi >= 0))
+      case _ => true
+    }
+  }
+
+  /** Catalyst internal literal → comparable external value (UTF8String
+    * → String; numerics stay numeric — stat space already matches:
+    * micros for timestamps, days for dates). */
+  private def litExternal(v: Any): Any = v match {
+    case null => null
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+    case other => other
+  }
+}
+
+object GraftTable {
+  val FileCol = "__graft_file"
+  val PosCol = "__graft_pos"
+
+  private val udfNormalize =
+    udf((s: String) => if (s == null) null else Io.normalize(s))
+
+  /** Create a new table directory with v0 metadata (no snapshot). */
+  def create(spark: SparkSession, root: Path, name: String,
+      schema: StructType, properties: Map[String, String] = Map.empty)
+      : GraftTable = {
+    require(!Files.exists(root.resolve("metadata/version-hint.text")),
+      s"table already exists at $root")
+    val meta = TableMeta(name, schema.toDDL, properties, Nil, None)
+    Io.atomicWrite(root.resolve("metadata/v0.metadata.json"), Json.write(meta))
+    Io.atomicWrite(root.resolve("metadata/version-hint.text"), "0")
+    Files.createDirectories(root.resolve("data"))
+    new GraftTable(spark, root)
+  }
+
+  def load(spark: SparkSession, root: Path): GraftTable = {
+    require(Files.exists(root.resolve("metadata/version-hint.text")),
+      s"no GraftLake table at $root")
+    new GraftTable(spark, root)
+  }
+}
+
+/** Nested struct for all_entries.data_file — dotted access like
+  * `data_file.file_path` works as in the reference
+  * (file_summary_utils.py:133-135). */
+final case class DataFileInfo(file_path: String, content: Int,
+    record_count: Long, file_size_in_bytes: Long)

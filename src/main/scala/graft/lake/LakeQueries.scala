@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.{Q, QueryCatalog}
+
+/** SURVEY.md §2i table-lifecycle operators (D1–D17) exposed as driver
+  * queries. No SQL oracle exists for runtime-created tables, so these
+  * are rows-only checks (the hard assertions live in GraftTableSpec);
+  * each query replays a deterministic slice of the reference demo's
+  * lifecycle in a temp warehouse and returns data whose VALUES are
+  * deterministic (metadata timestamps never leak into the output).
+  */
+object LakeQueries extends QueryCatalog {
+
+  private val piiSchema = StructType.fromDDL(
+    "case_id STRING, first_name STRING, email_address STRING, " +
+    "key_nm STRING, secure_txt STRING, secure_key STRING, " +
+    "update_date DATE")
+
+  private def seedRows = Seq(
+    Row("case-1", "John", "john.doe@example.com", "key1", "secret text 1",
+      "secret_key_1", java.sql.Date.valueOf("2023-01-01")),
+    Row("case-2", "Jane", "jane.roe@example.com", "key2", "secret text 2",
+      "secret_key_2", java.sql.Date.valueOf("2023-01-02")),
+    Row("case-3", "Alice", "alice@example.com", "key3", "secret text 3",
+      "secret_key_3", java.sql.Date.valueOf("2023-01-03")))
+
+  private def newTable(s: SparkSession): GraftTable = {
+    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "copy-on-write"))
+    t.append(s.createDataFrame(seedRows.asJava, piiSchema))
+    t
+  }
+
+  /** D6+D8+D7: the demo's core walk — insert, MOR delete case-2, COW
+    * nullify case-1 — returning the final visible table. */
+  private val lifecycle = Q.noOracle("q_lake_lifecycle") { (s, _) =>
+    val t = newTable(s)
+    t.delete(col("case_id") === "case-2")
+    t.update(col("case_id") === "case-1",
+      Map("first_name" -> lit(null), "email_address" -> lit(null),
+        "secure_txt" -> lit(null)))
+    t.read().orderBy("case_id")
+  }
+
+  /** S2: time travel to the pre-delete snapshot (demo.py:254-262). */
+  private val timeTravel = Q.noOracle("q_lake_time_travel") { (s, _) =>
+    val t = newTable(s)
+    val s0 = t.currentSnapshot.get.snapshotId
+    t.delete(col("case_id") === "case-2")
+    t.readAt(s0).orderBy("case_id") // 3 rows incl. the deleted one
+  }
+
+  /** D15/S3: files metadata table through the MOR-delete transition —
+    * content domain {0,1} exactly as demo.py:204-216. */
+  private val metadataFiles = Q.noOracle("q_lake_metadata_files") { (s, _) =>
+    val t = newTable(s)
+    t.delete(col("case_id") === "case-2")
+    t.files
+      .groupBy("content", "file_format")
+      .agg(count(lit(1)).as("n_files"),
+        sum("record_count").as("records"))
+      .orderBy("content", "file_format")
+  }
+
+  /** D13+D14: rewrite applies deletes; delete-file count drops to zero
+    * (demo.py:419-466). Returns the post-compaction file inventory. */
+  private val rewrite = Q.noOracle("q_lake_rewrite") { (s, _) =>
+    val t = newTable(s)
+    t.delete(col("case_id") === "case-2")
+    t.rewriteDataFiles(Map("rewrite-all" -> "true"))
+    t.rewritePositionDeleteFiles()
+    t.files.groupBy("content").agg(count(lit(1)).as("n_files"),
+      sum("record_count").as("records")).orderBy("content")
+  }
+
+  /** D17: permanent PII erasure end-to-end (README.md:49-59). */
+  private val erase = Q.noOracle("q_lake_erase_pii") { (s, _) =>
+    val t = newTable(s)
+    ErasePii.run(t, "case_id", "case-2", ErasePii.DeleteRow)
+    ErasePii.run(t, "case_id", "case-1",
+      ErasePii.NullifyColumns(Seq("first_name", "email_address",
+        "secure_txt")))
+    t.read().orderBy("case_id")
+  }
+
+  /** E2: summarize_files + diff port over live metadata tables —
+    * returns the diff with volatile columns projected away. */
+  private val summaryDiff = Q.noOracle("q_lake_file_summary_diff") { (s, _) =>
+    val t = newTable(s)
+    val before = FileSummary.fullSummary(t, "run-1", "append")
+    t.delete(col("case_id") === "case-2")
+    val after = FileSummary.fullSummary(t, "run-2", "delete")
+    FileSummary.diff(before, after)
+      .groupBy("file_type", "status")
+      .agg(sum("delta").as("delta"))
+      .orderBy("file_type", "status")
+  }
+
+  /** Stats-based file pruning (SURVEY §4): two appends with disjoint key
+    * ranges, predicate selects one file's range. */
+  private val prunedRead = Q.noOracle("q_lake_pruned_read") { (s, _) =>
+    val t = newTable(s)
+    val extra = Seq(Row("case-8", "Zed", "z@example.com", "key8", "s8",
+      "sk8", java.sql.Date.valueOf("2024-05-01")))
+    t.append(s.createDataFrame(extra.asJava, piiSchema))
+    t.readWhere(col("case_id") >= "case-8").orderBy("case_id")
+  }
+
+  override def all: Seq[Q] = Seq(
+    lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
+    prunedRead)
+}

@@ -1,0 +1,97 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import scala.jdk.CollectionConverters._
+
+/** GraftLake metadata model — a hand-rolled, Iceberg-shaped snapshot log
+  * on local/HDFS-style storage. Re-expresses the table format the
+  * reference demo relies on (Iceberg REST catalog + Avro manifests,
+  * /root/reference/docker-compose.yml:26-30) as plain JSON:
+  *
+  *   table/
+  *     data/      *.parquet          data (content=0) + delete files (1,2)
+  *     metadata/  vN.metadata.json   table metadata (snapshot headers)
+  *                snap-<id>.json     manifest list: Seq[ManifestEntry]
+  *                version-hint.text  pointer to current N (atomic rename)
+  *
+  * Scale note: the snapshot header log stays O(snapshots); each
+  * snapshot's file inventory lives in its own manifest file (the
+  * Iceberg manifest-list analog), so commits don't rewrite file lists
+  * of other snapshots. Per-file min/max column stats ride on the
+  * manifest entries and drive pre-plan file pruning (SURVEY.md §4).
+  */
+final case class ColStat(min: String, max: String, nullCount: Long)
+
+/** content: 0=data, 1=position delete, 2=equality delete (matches the
+  * domain queried at /root/reference/notebooks/iceberg_pii_deletion_demo.py:204-216). */
+final case class ManifestEntry(
+    path: String, // relative to table root
+    content: Int,
+    recordCount: Long,
+    fileSizeBytes: Long,
+    addedSnapshotId: Long,
+    stats: Map[String, ColStat] = Map.empty,
+    // equality deletes: the identity columns the delete file matches on
+    equalityColumns: Seq[String] = Nil)
+
+final case class SnapshotMeta(
+    snapshotId: Long,
+    parentId: Option[Long],
+    timestampMs: Long,
+    operation: String, // append | delete | overwrite | replace
+    manifestList: String, // metadata/snap-<id>.json, relative to root
+    summary: Map[String, String] = Map.empty)
+
+final case class MetadataLogEntry(timestampMs: Long, file: String)
+
+final case class TableMeta(
+    name: String,
+    schemaDdl: String,
+    properties: Map[String, String],
+    snapshots: Seq[SnapshotMeta],
+    currentSnapshotId: Option[Long],
+    metadataLog: Seq[MetadataLogEntry] = Nil,
+    formatVersion: Int = 1)
+
+object Json {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def write(v: Any): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(v)
+  def readTableMeta(s: String): TableMeta =
+    mapper.readValue(s, classOf[TableMeta])
+  def readManifest(s: String): Seq[ManifestEntry] =
+    mapper.readValue(s, classOf[Array[ManifestEntry]]).toSeq
+}
+
+object Io {
+  /** Durable-enough atomic publish for a single-writer local log: write
+    * a temp sibling, then ATOMIC_MOVE over the target. */
+  def atomicWrite(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def listRecursive(dir: Path): Seq[Path] = {
+    if (!Files.exists(dir)) return Nil
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+    finally s.close()
+  }
+
+  /** Normalize a path or file URI ("file:///x", "file:/x", "/x") to a
+    * plain filesystem path string — Spark's _metadata.file_path and
+    * java.nio paths must compare equal. */
+  def normalize(pathOrUri: String): String =
+    if (pathOrUri.startsWith("file:")) new java.net.URI(pathOrUri).getPath
+    else pathOrUri
+}

@@ -1,0 +1,269 @@
+package graft.lake
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Replays the reference notebook's lifecycle and its inline assertions
+  * (SURVEY.md §5 / FIXTURES.md §A) against GraftLake.
+  */
+class GraftTableSpec extends SparkSuite {
+
+  private def freshWarehouse(): Path =
+    Files.createTempDirectory("graft-wh-")
+
+  private val piiSchema = StructType.fromDDL(
+    "case_id STRING, first_name STRING, email_address STRING, " +
+    "key_nm STRING, secure_txt STRING, secure_key STRING, " +
+    "update_date DATE")
+
+  private def seedRows = Seq(
+    Row("case-1", "John", "john.doe@example.com", "key1", "secret text 1",
+      "secret_key_1", java.sql.Date.valueOf("2023-01-01")),
+    Row("case-2", "Jane", "jane.roe@example.com", "key2", "secret text 2",
+      "secret_key_2", java.sql.Date.valueOf("2023-01-02")),
+    Row("case-3", "Alice", "alice@example.com", "key3", "secret text 3",
+      "secret_key_3", java.sql.Date.valueOf("2023-01-03")))
+
+  private def seedDf = spark.createDataFrame(seedRows.asJava, piiSchema)
+
+  private def newTable(): GraftTable = {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    cat.createTable("default", "pii_data", piiSchema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "copy-on-write"))
+  }
+
+  test("D6 append + S1 read round-trips the demo rows") {
+    val t = newTable()
+    t.append(seedDf)
+    val got = t.read().orderBy("case_id").collect()
+    assert(got.length === 3)
+    assert(got.map(_.getString(0)).toSeq === Seq("case-1", "case-2", "case-3"))
+    assert(t.currentSnapshot.get.operation === "append")
+  }
+
+  test("D8 MOR delete masks rows at read while file stays on disk " +
+      "(demo.py:183-186)") {
+    val t = newTable()
+    t.append(seedDf)
+    val before = t.files.filter("content = 0").collect()
+      .map(_.getAs[String]("file_path"))
+    t.delete(col("case_id") === "case-2")
+    // current read excludes case-2
+    val ids = t.read().select("case_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("case-1", "case-3"))
+    // data file untouched on disk; a content=1 delete file appeared
+    before.foreach(p => assert(Files.exists(Path.of(p))))
+    assert(t.files.filter("content = 1").count() === 1)
+    // forensics: the position-delete file is readable as a relation
+    val delPath = t.files.filter("content = 1").head.getAs[String]("file_path")
+    val delRows = spark.read.parquet(delPath)
+    assert(delRows.columns.toSeq === Seq("file_path", "pos"))
+    assert(delRows.count() === 1)
+  }
+
+  test("S2 time travel sees pre-delete state; D10 expire makes it fail " +
+      "(demo.py:254-262,300-306)") {
+    val t = newTable()
+    val s0 = t.append(seedDf)
+    t.delete(col("case_id") === "case-2")
+    // pre-delete snapshot still shows the PII
+    assert(t.readAt(s0.snapshotId).count() === 3)
+    // expire everything but current
+    val removed = t.expireSnapshots(System.currentTimeMillis() + 1)
+    assert(removed.contains(s0.snapshotId))
+    val e = intercept[IllegalArgumentException](t.readAt(s0.snapshotId))
+    assert(e.getMessage.contains("snapshot"))
+    // current read unchanged by expiration
+    assert(t.read().count() === 2)
+  }
+
+  test("D7 COW update nullifies PII columns in place (demo.py:228-235)") {
+    val t = newTable()
+    t.append(seedDf)
+    t.update(col("case_id") === "case-1",
+      Map("first_name" -> lit(null), "email_address" -> lit(null),
+        "secure_txt" -> lit(null)))
+    val case1 = t.read().filter("case_id = 'case-1'").head
+    assert(case1.isNullAt(case1.fieldIndex("first_name")))
+    assert(case1.isNullAt(case1.fieldIndex("email_address")))
+    assert(case1.isNullAt(case1.fieldIndex("secure_txt")))
+    assert(case1.getAs[String]("key_nm") === "key1") // untouched column
+    // other rows intact
+    assert(t.read().filter("case_id = 'case-3'")
+      .head.getAs[String]("first_name") === "Alice")
+    assert(t.currentSnapshot.get.operation === "overwrite")
+  }
+
+  test("D13/D14 rewrite applies deletes and drops delete files " +
+      "(demo.py:419-452)") {
+    val t = newTable()
+    t.append(seedDf)
+    t.delete(col("case_id") === "case-2")
+    assert(t.files.filter("content IN (1,2)").count() === 1)
+    t.rewriteDataFiles(Map("rewrite-all" -> "true"))
+    t.rewritePositionDeleteFiles()
+    assert(t.files.filter("content IN (1,2)").count() === 0)
+    val ids = t.read().select("case_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("case-1", "case-3"))
+  }
+
+  test("D11 orphan cleanup: unsafe cutoff rejected; force removes " +
+      "exactly the planted orphan (demo.py:335-369)") {
+    val t = newTable()
+    t.append(seedDf)
+    // plant an orphan like cleanup_utils.py:73-98
+    val orphan = t.root.resolve("data/orphan-plant.parquet")
+    seedDf.limit(1).coalesce(1).write.mode("overwrite")
+      .parquet(t.root.resolve("stage-orphan").toString)
+    val part = Files.list(t.root.resolve("stage-orphan")).iterator()
+    var planted: Path = null
+    part.forEachRemaining { p =>
+      if (p.toString.endsWith(".parquet")) {
+        Files.move(p, orphan); planted = orphan
+      } else Files.deleteIfExists(p)
+    }
+    Files.deleteIfExists(t.root.resolve("stage-orphan"))
+    assert(planted != null && Files.exists(orphan))
+    // safety: future cutoff without force → refuse (demo.py:343-358)
+    intercept[IllegalArgumentException] {
+      t.removeOrphanFiles(System.currentTimeMillis() + 1000)
+    }
+    assert(Files.exists(orphan))
+    // force path (the Action-API analog, cleanup_utils.py:49-67)
+    val deleted = t.removeOrphanFiles(System.currentTimeMillis() + 1000,
+      force = true)
+    assert(deleted.map(Path.of(_).getFileName.toString)
+      === Seq("orphan-plant.parquet"))
+    assert(!Files.exists(orphan))
+    // live data intact
+    assert(t.read().count() === 3)
+  }
+
+  test("no delete files => forensics finds nothing to apply " +
+      "(cleanup_utils.py:148-150)") {
+    val t = newTable()
+    t.append(seedDf)
+    assert(t.files.filter("content IN (1,2)").count() === 0)
+  }
+
+  test("D17 ErasePii DeleteRow permanently erases: row gone, history " +
+      "gone, zero delete files (README.md:49-59)") {
+    val t = newTable()
+    val s0 = t.append(seedDf)
+    ErasePii.run(t, "case_id", "case-2", ErasePii.DeleteRow)
+    assert(t.read().filter("case_id = 'case-2'").count() === 0)
+    assert(t.read().count() === 2)
+    intercept[IllegalArgumentException](t.readAt(s0.snapshotId))
+    assert(t.files.filter("content IN (1,2)").count() === 0)
+    // nothing in the data dir references case-2 anymore
+    val texts = Io.listRecursive(t.root.resolve("data")).map { p =>
+      spark.read.parquet(p.toString).filter("case_id = 'case-2'").count()
+    }
+    assert(texts.sum === 0)
+  }
+
+  test("D17 ErasePii NullifyColumns keeps the row, erases the values") {
+    val t = newTable()
+    t.append(seedDf)
+    ErasePii.run(t, "case_id", "case-1",
+      ErasePii.NullifyColumns(Seq("first_name", "email_address",
+        "secure_txt")))
+    val r = t.read().filter("case_id = 'case-1'").head
+    assert(r.isNullAt(r.fieldIndex("first_name")))
+    assert(t.read().count() === 3)
+  }
+
+  test("equality delete (content=2) masks by key columns") {
+    val t = newTable()
+    t.append(seedDf)
+    import spark.implicits._
+    t.equalityDelete(Seq("case-3").toDF("case_id"))
+    val ids = t.read().select("case_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("case-1", "case-2"))
+    assert(t.files.filter("content = 2").count() === 1)
+  }
+
+  test("metadata tables: history/snapshots/files/all_entries/" +
+      "all_manifests/metadata_log_entries have the queried columns") {
+    val t = newTable()
+    t.append(seedDf)
+    t.delete(col("case_id") === "case-2")
+    assert(t.history.columns.toSeq ===
+      Seq("made_current_at", "snapshot_id", "parent_id",
+        "is_current_ancestor"))
+    assert(t.history.count() === 2)
+    assert(t.snapshots.select("snapshot_id", "committed_at", "manifest_list")
+      .count() === 2)
+    // files.content domain exactly as demo.py:204-216
+    val contents = t.files.select("content").distinct().collect()
+      .map(_.getInt(0)).sorted
+    assert(contents.toSeq === Seq(0, 1))
+    // all_entries dotted struct access (file_summary_utils.py:133-135)
+    val added = t.allEntries
+      .filter("status != 2")
+      .groupBy("data_file.file_path")
+      .agg(min("data_file.content").as("content"))
+    assert(added.count() === t.files.count())
+    assert(t.allManifests.count() === 2)
+    assert(t.metadataLogEntries.count() >= 2)
+  }
+
+  test("stats-pruned readWhere returns the same rows as a plain filter") {
+    val t = newTable()
+    // two appends → two+ files with disjoint case_id ranges
+    t.append(seedDf)
+    val extra = Seq(
+      Row("case-8", "Zed", "z@example.com", "key8", "s8", "sk8",
+        java.sql.Date.valueOf("2024-05-01")))
+    t.append(spark.createDataFrame(extra.asJava, piiSchema))
+    val pred = col("case_id") === "case-8"
+    val viaPruned = t.readWhere(pred).collect()
+    val viaPlain = t.read().filter(pred).collect()
+    assert(viaPruned.toSeq === viaPlain.toSeq)
+    assert(viaPruned.length === 1)
+  }
+
+  test("FileSummary full summary + diff statuses " +
+      "(file_summary_utils.py / diff_utils.py)") {
+    val t = newTable()
+    t.append(seedDf)
+    val before = FileSummary.fullSummary(t, "run-1", "append")
+    assert(before.columns.toSeq === Seq("prefix", "file_type", "file_format",
+      "created_minute", "files_in_catalog", "run_id", "operation"))
+    assert(before.filter("file_type = 'data'").count() >= 1)
+    t.delete(col("case_id") === "case-2")
+    val after = FileSummary.fullSummary(t, "run-2", "delete")
+    assert(after.filter("file_type = 'position-deletes'").count() >= 1)
+    val d = FileSummary.diff(before, after)
+    val statuses = d.select("status").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(statuses.contains("ADDED")) // new delete + manifest files
+    assert(d.columns.contains("delta"))
+  }
+
+  test("D2-D5 catalog DDL: create/load/props/drop") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema)
+    assert(cat.tableExists("default", "pii_data"))
+    assert(cat.listTables("default") === Seq("pii_data"))
+    cat.setTableProperties("default", "pii_data",
+      Map("write.delete.mode" -> "merge-on-read"))
+    val props = cat.showTableProperties("default", "pii_data").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.delete.mode") === "merge-on-read")
+    // idempotent create-if-not-exists returns the same table
+    val again = cat.createTable("default", "pii_data", piiSchema)
+    assert(again.root === t.root)
+    assert(cat.dropTable("default", "pii_data"))
+    assert(!cat.tableExists("default", "pii_data"))
+  }
+}
