@@ -19,7 +19,11 @@ object SparkEntry {
     rel.FuncQueries,
     rel.WindowQueries,
     streaming.StreamBatchQueries,
-    lake.LakeQueries)
+    lake.LakeQueries,
+    llm.DedupQueries,
+    llm.SimilarityQueries,
+    llm.TextQueries,
+    llm.MultimodalQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = catalogs.flatMap(_.all)

@@ -1,0 +1,272 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2l [EXT] deduplication family on the `documents` table:
+  * exact, n-gram Jaccard (n=1 and n=3), MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB): the only O(n²) formulation here is the
+  * unigram-Jaccard query, which is deliberately restricted to a blocking
+  * key (source) because with a small shared vocabulary an all-pairs
+  * token join degenerates to n² candidate pairs. The production-scale
+  * paths are:
+  *  - trigram shingles: shingle space is |V|³, so the shingle equi-join
+  *    only materializes pairs that actually share a shingle (sparse);
+  *  - MinHash+LSH: candidate generation is an equi-join on (band,
+  *    signature) buckets — shuffle keyed on the bucket, never all-pairs;
+  *  - embedding near-dup blocks on `label` (an equi-join key), the
+  *    stand-in for an LSH/IVF bucket id at real scale.
+  * Every pipeline is partial-agg-friendly (groupBy over exploded rows)
+  * and joins dimension-sized sides with `broadcast`.
+  */
+object DedupQueries extends QueryCatalog {
+
+  /** Distinct (doc_id, token) pairs — the unigram set representation. */
+  private def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+
+  /** Distinct (doc_id, shingle) pairs — word-trigram shingles built with
+    * one pass of higher-order functions (no self-join on positions).
+    * All docs have >= 10 tokens (FIXTURES.md) so sequence(0, size-3) is
+    * never descending.
+    */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+      .distinct()
+
+  /** Jaccard over any (doc_id, item) set table: equi-join on the item,
+    * count intersections, divide by union size. Integer counts + one
+    * double division keep the result bit-identical across engines.
+    */
+  private def jaccardPairs(sets: DataFrame, item: String): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col(s"a.$item") === col(s"b.$item") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * At 100 TB the group key would be xxhash64(text) (fixed-width
+    * shuffle key) with an equality re-check inside the group; here the
+    * text itself is the key so the oracle can express it.
+    */
+  private val exact = Q(
+    "q_dedup_exact",
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  /** Unigram (token-set) Jaccard >= 0.9 within a blocking key. The
+    * source filter is the blocking strategy, not a test convenience:
+    * the corpus vocabulary is ~31 tokens, so unblocked unigram joins
+    * are quadratic by construction.
+    */
+  private val unigramJaccard = Q(
+    "q_dedup_unigram_jaccard",
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE source IN ('src0','src1')
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM docs
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+    jaccardPairs(tokenSets(docs), "tok")
+      .filter(col("jac") >= 0.9)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Word-trigram shingle Jaccard >= 0.5 over the FULL table — no
+    * blocking needed because the shingle join is sparse (only docs
+    * sharing an exact 3-token sequence pair up).
+    */
+  private val ngramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    jaccardPairs(shingleSets(Tables.documents(s, dir)), "sh")
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signature length and LSH banding: 16 bands x 4 rows gives
+    * ~64% candidate recall at j=0.5 and >99.9% at j=0.8. */
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash+LSH near-dup detection, the scale path for shingle
+    * similarity. Signature = 64 independent min-hashes (xxhash64 salted
+    * by index), banded into 16 buckets; candidate pairs come from an
+    * equi-join on (band, signature); candidates are then verified with
+    * exact shingle Jaccard (so false positives are filtered, and the
+    * output is a subset of q_dedup_ngram_jaccard's by construction —
+    * asserted in LlmSpec). No oracle: xxhash64 has no DuckDB twin; the
+    * ScalaTest spec checks recall against the exact query instead.
+    */
+  private val minhashLsh = Q.noOracle("q_dedup_minhash_lsh") { (s, dir) =>
+    val sets = shingleSets(Tables.documents(s, dir)).cache()
+    // one shuffle: 64 partial-aggregated min-hashes per doc
+    val sig = sets.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("sh"))).as("h0"),
+      (1 until NumHashes).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+    val bandCols: Seq[Column] = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+          .as("sig"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val cand = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    // exact verification of the (small) candidate set
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sets.as("sb"),
+        col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .join(broadcast(sizes).as("za"), col("id_a") === col("za.doc_id"))
+      .join(broadcast(sizes).as("zb"), col("id_b") === col("zb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("za.n") + col("zb.n") - col("i"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash: 64-bit fingerprint where bit i is the sign of the sum of
+    * (+1/-1) contributions of each token's hash bit i. Hamming-near
+    * fingerprints ~ similar token sets. Fully relational: explode
+    * (doc x token x bit), two partial-aggregated groupBys, bit_or
+    * reassembly — 64x row inflation on a compact projection, shuffled
+    * on (doc_id) only. No oracle (xxhash64); spec checks that
+    * high-Jaccard pairs land at low Hamming distance.
+    */
+  private val simhash = Q.noOracle("q_dedup_simhash") { (s, dir) =>
+    val toks = tokenSets(Tables.documents(s, dir))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val contrib = toks
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 63)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("CASE WHEN (shiftright(h, cast(i AS int)) & 1) = 1 " +
+          "THEN 1 ELSE -1 END").as("sgn"))
+    contrib
+      .groupBy("doc_id", "i").agg(sum(col("sgn")).as("s"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS int)) " +
+          "ELSE CAST(0 AS BIGINT) END").as("bit"))
+      .groupBy("doc_id").agg(expr("bit_or(bit)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup: top-100 same-label pairs by cosine.
+    * `label` is the blocking key (stand-in for an LSH/IVF bucket at
+    * scale) making this an equi-join, not a cross join. Vectors are
+    * cast to double BEFORE the pairwise fold so Spark and DuckDB run
+    * the identical IEEE operation sequence; LIMIT is applied on the
+    * unrounded cosine with id tiebreaks.
+    */
+  private val embeddingNearDup = Q(
+    "q_dedup_embedding_cosine",
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosd
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, label, round(cosd, 4) AS cos_sim
+      |FROM p ORDER BY cosd DESC, id_a, id_b LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("label"), expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)" +
+          " / (na * nb)").as("cosd"))
+      .orderBy(desc("cosd"), col("id_a"), col("id_b"))
+      .limit(100)
+      .select(col("id_a"), col("id_b"), col("label"),
+        round(col("cosd"), 4).as("cos_sim"))
+  }
+
+  override def all: Seq[Q] = Seq(
+    exact, unigramJaccard, ngramJaccard, minhashLsh, simhash,
+    embeddingNearDup)
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2l [EXT] multimodal queries: array columns carried
+  * through joins/aggregates, plus the binary media pipeline from
+  * [[Media]] (decode stubbed, plumbing real).
+  */
+object MultimodalQueries extends QueryCatalog {
+
+  /** Docs ⋈ embeddings by id with the vector column flowing through the
+    * join into an aggregate — the "modalities joined by key" shape. The
+    * embeddings side would be bucketed on vec_id at scale; here both
+    * sides shuffle on the equi-key.
+    */
+  private val mmJoin = Q(
+    "q_mm_join",
+    """SELECT d.lang, e.label, count(*) AS n,
+      |  round(avg(CAST(e.embedding[1] AS DOUBLE)), 4) AS avg_dim0
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY d.lang, e.label ORDER BY d.lang, e.label""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir).as("d")
+      .join(Tables.embeddings(s, dir).as("e"),
+        col("d.doc_id") === col("e.vec_id"))
+      .groupBy(col("d.lang"), col("e.label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("e.embedding"), 1).cast("double")), 4)
+          .as("avg_dim0"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  /** Binary decode + feature extraction, aggregated per source. The
+    * payload is dropped before the shuffle (only numeric features move).
+    * No oracle: byte-level decode has no DuckDB analog; LlmSpec pins
+    * the stub's outputs.
+    */
+  private val mmDecode = Q.noOracle("q_mm_decode") { (s, dir) =>
+    val feats = Media.decodeFeatures(Media.attach(Tables.documents(s, dir)))
+    feats.toDF()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        max(col("max_byte")).as("max_byte"))
+      .orderBy("source")
+  }
+
+  /** Frame sampling through the real binary path (16-byte frames,
+    * every 4th kept), with counts oracle-checked against pure length
+    * arithmetic in DuckDB — the ascii corpus guarantees
+    * octet_length(media) == length(text).
+    */
+  private val mmFrames = Q(
+    "q_mm_frame_sample",
+    """SELECT doc_id, length(text) AS n_bytes,
+      |  CAST(ceil(length(text) / 16.0) AS BIGINT) AS n_frames,
+      |  CAST(ceil(ceil(length(text) / 16.0) / 4.0) AS BIGINT) AS n_sampled
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val media = Media.attach(Tables.documents(s, dir))
+    val sampled = Media.sampleFrames(media, frameSize = 16, stride = 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+    val all = Media.sampleFrames(media, frameSize = 16, stride = 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    media.toDF().select(col("doc_id"),
+        octet_length(col("media")).cast("bigint").as("n_bytes"))
+      .join(all, Seq("doc_id"))
+      .join(sampled, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"), col("n_sampled"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] = Seq(mmJoin, mmDecode, mmFrames)
+}

@@ -1,0 +1,182 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2l [EXT] similarity search over `embeddings.embedding`
+  * (64-dim float): brute-force cosine top-k as the exact baseline, an
+  * IVF (inverted-file) probe as the scale path, and per-label centroids
+  * both relationally (oracle-checked) and via a typed custom
+  * `Aggregator` (SURVEY §2d A7).
+  *
+  * Scale design (100 TB): top-k against ONE query vector is a single
+  * map + TakeOrderedAndProject — embarrassingly parallel, no shuffle of
+  * vector data. The IVF variant is how k-NN survives scale: a tiny
+  * centroid table is broadcast, each vector is assigned to a cell
+  * map-side, and the probe touches only nprobe/ncells of the data —
+  * the scan is pruned BEFORE any pairwise math. Centroid computation is
+  * a partial-aggregated groupBy on (label, dim) — 640 groups at any SF.
+  */
+object SimilarityQueries extends QueryCatalog {
+
+  /** Embeddings with a double-cast vector and precomputed L2 norm —
+    * norms are computed once per row, never per pair. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)" +
+      " / (nrm * qn)"
+
+  /** Brute-force cosine top-10 for query = vector of vec_id 0. The
+    * single-row query side is broadcast; LIMIT orders on the unrounded
+    * cosine with vec_id tiebreak.
+    */
+  private val topkBrute = Q(
+    "q_sim_topk_brute",
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+      |), p AS (
+      |  SELECT e.vec_id, e.label,
+      |    list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS cosd
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      |)
+      |SELECT vec_id, label, round(cosd, 4) AS cos_sim
+      |FROM p ORDER BY cosd DESC, vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), expr(cosExpr).as("cosd"))
+      .orderBy(desc("cosd"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), round(col("cosd"), 4).as("cos_sim"))
+  }
+
+  /** IVF-style approximate top-10: cells = per-label centroids, each
+    * vector assigned to its nearest centroid (broadcast join, map-side),
+    * query probes the 3 nearest cells, exact search inside the probed
+    * cells only. No oracle (multi-stage argmin over doubles is not
+    * robustly SQL-portable); LlmSpec checks the result is internally
+    * exact for the probed cells and measures recall vs q_sim_topk_brute.
+    */
+  private val topkIvf = Q.noOracle("q_sim_topk_ivf") { (s, dir) =>
+    val e = emb(s, dir).cache()
+    val cents = centroids(e)
+      .withColumn("cnrm",
+        expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"))
+    // map-side cell assignment: nearest centroid by cosine
+    val byCos = Window.partitionBy("vec_id")
+      .orderBy(desc("ccos"), col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"),
+        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D," +
+          " (acc, x) -> acc + x) / (nrm * cnrm)").as("ccos"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") === 1)
+      .drop("rk", "ccos")
+    val probed = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents))
+      .select(col("cell"), col("qv"), col("qn"),
+        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D," +
+          " (acc, x) -> acc + x) / (qn * cnrm)").as("qcos"))
+      .orderBy(desc("qcos"), col("cell"))
+      .limit(3)
+      .select(col("cell"), col("qv"), col("qn"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("vec_id"), col("cell"), expr(cosExpr).as("cosd"))
+      .orderBy(desc("cosd"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("cell"), round(col("cosd"), 4).as("cos_sim"))
+  }
+
+  /** Per-label centroid vectors via posexplode + (label, dim) groupBy,
+    * reassembled with sort_array(collect_list). 640 groups at any SF. */
+  private def centroids(e: DataFrame): DataFrame =
+    e.select(col("label").as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim").agg(avg(col("x")).as("cx"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cx)))," +
+        " p -> p.cx)").as("cv"))
+
+  /** Relational centroid, oracle-checked: mean per (label, dimension).
+    * avg() group order differs between engines only in the last float
+    * bits; round(4) absorbs it.
+    */
+  private val centroidByLabel = Q(
+    "q_sim_centroid",
+    """SELECT label, dim, round(avg(val), 4) AS mean_val
+      |FROM (
+      |  SELECT label,
+      |    unnest(range(0, len(embedding))) AS dim,
+      |    unnest(embedding::DOUBLE[]) AS val
+      |  FROM embeddings
+      |)
+      |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim", "val")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("val")), 4).as("mean_val"))
+      .orderBy("label", "dim")
+  }
+
+  /** SURVEY §2d A7: typed custom aggregation via `Aggregator` — the
+    * element-wise vector-sum buffer is exactly the shape a built-in
+    * can't express. Output is the centroid's L2 norm per label; LlmSpec
+    * cross-checks it against the relational q_sim_centroid. No oracle
+    * (custom agg internals have no DuckDB twin).
+    */
+  private val centroidUdaf = Q.noOracle("q_sim_centroid_udaf") { (s, dir) =>
+    val fn = udaf(CentroidNormAgg)
+    emb(s, dir)
+      .groupBy("label")
+      .agg(round(fn(col("v")), 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  override def all: Seq[Q] = Seq(topkBrute, topkIvf, centroidByLabel, centroidUdaf)
+}
+
+/** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
+  * mean vector. Merge is associative/commutative so Spark can partial-
+  * aggregate map-side before the (label)-keyed shuffle.
+  */
+object CentroidNormAgg extends Aggregator[Seq[Double], (Array[Double], Long), Double] {
+  private val Dim = 64
+  def zero: (Array[Double], Long) = (Array.fill(Dim)(0.0), 0L)
+  def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    var i = 0
+    while (i < Dim && i < v.length) { b._1(i) += v(i); i += 1 }
+    (b._1, b._2 + 1)
+  }
+  def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    var i = 0
+    while (i < Dim) { a._1(i) += b._1(i); i += 1 }
+    (a._1, a._2 + b._2)
+  }
+  def finish(b: (Array[Double], Long)): Double =
+    if (b._2 == 0L) 0.0
+    else math.sqrt(b._1.map(s => (s / b._2) * (s / b._2)).sum)
+  def bufferEncoder: org.apache.spark.sql.Encoder[(Array[Double], Long)] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+    org.apache.spark.sql.Encoders.scalaDouble
+}

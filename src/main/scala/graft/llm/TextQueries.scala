@@ -1,0 +1,188 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2l [EXT] text analysis over `documents`: corpus stats,
+  * quality scoring, token counting (whitespace + BPE-ish subword
+  * estimate), naive-Bayes-style language ID, and document
+  * fingerprinting.
+  *
+  * Scale design (100 TB): everything per-doc is a map-side projection of
+  * built-in / higher-order functions (no UDFs — stays codegen-adjacent,
+  * no serialization wall). The only shuffles are the final per-lang /
+  * per-source aggregates (tiny key spaces) and, for language ID, a
+  * token-profile aggregate whose result (5 langs x 5 tokens) is
+  * broadcast back — the per-doc scoring join never shuffles the corpus.
+  */
+object TextQueries extends QueryCatalog {
+
+  /** Corpus stats per language: doc counts plus average size measures.
+    * n_chars is a stored column; token counts are derived identically
+    * in both engines (split on single space, no empty-token edge cases
+    * in this corpus: no leading/trailing/double spaces).
+    */
+  private val stats = Q(
+    "q_text_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(n_chars), 2) AS avg_chars,
+      |  round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+      |  round(avg(len(list_distinct(string_split(text, ' ')))), 2) AS avg_distinct
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(size(split(col("text"), " "))), 2).as("avg_tokens"),
+        round(avg(size(array_distinct(split(col("text"), " ")))), 2)
+          .as("avg_distinct"))
+      .orderBy("lang")
+  }
+
+  /** Per-doc quality signals + a bucketed verdict — the filter stage of
+    * a training-data pipeline. All integer/ratio math, deterministic
+    * across engines.
+    */
+  private val quality = Q(
+    "q_text_quality",
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens,
+      |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+      |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 4)
+      |    AS mean_tok_len,
+      |  CASE
+      |    WHEN n_tokens >= 60 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.4
+      |      THEN 'good'
+      |    WHEN n_tokens >= 30 THEN 'ok'
+      |    ELSE 'short'
+      |  END AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"),
+        round((col("n_chars") - (col("n_tokens") - 1)).cast("double")
+          / col("n_tokens"), 4).as("mean_tok_len"),
+        when(col("n_tokens") >= 60 &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.4, "good")
+          .when(col("n_tokens") >= 30, "ok")
+          .otherwise("short").as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(len/4) units per word — the classic "~4 chars per token"
+    * heuristic), folded per doc with higher-order functions.
+    */
+  private val tokenCounts = Q(
+    "q_text_token_counts",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS tok_ws,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS tok_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("tok_ws"),
+        expr("aggregate(transform(split(text, ' '), " +
+          "w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("tok_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID, corpus-trained: profile = top-5 most frequent tokens
+    * per language (ties broken by token, so the profile is
+    * deterministic); a doc's score for a language = how many of that
+    * language's profile tokens it contains; prediction = argmax with
+    * lang tiebreak. Integer scoring end-to-end — no float argmax
+    * hazards. The doc x lang grid keeps docs with zero overlap.
+    */
+  private val langId = Q(
+    "q_text_langid",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), top5 AS (
+      |  SELECT lang AS cand_lang, tok FROM (
+      |    SELECT lang, tok, row_number() OVER (
+      |      PARTITION BY lang ORDER BY count(*) DESC, tok) AS rk
+      |    FROM toks GROUP BY lang, tok
+      |  ) WHERE rk <= 5
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, tok FROM toks
+      |), scores AS (
+      |  SELECT dt.doc_id, top5.cand_lang, count(*) AS score
+      |  FROM dt JOIN top5 ON dt.tok = top5.tok
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.doc_id, d.lang, l.cand_lang
+      |  FROM documents d CROSS JOIN (SELECT DISTINCT lang AS cand_lang
+      |                               FROM documents) l
+      |), ranked AS (
+      |  SELECT g.doc_id, g.lang, g.cand_lang,
+      |    coalesce(s.score, 0) AS score,
+      |    row_number() OVER (PARTITION BY g.doc_id
+      |      ORDER BY coalesce(s.score, 0) DESC, g.cand_lang) AS rk
+      |  FROM grid g LEFT JOIN scores s
+      |    ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang
+      |)
+      |SELECT doc_id, lang, cand_lang AS pred_lang, score
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val top5 = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), asc("tok"))))
+      .filter(col("rk") <= 5)
+      .select(col("lang").as("cand_lang"), col("tok"))
+    val dt = toks.select("doc_id", "tok").distinct()
+    val scores = dt.join(broadcast(top5), Seq("tok"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+    val grid = docs.select("doc_id", "lang")
+      .crossJoin(broadcast(
+        docs.select(col("lang").as("cand_lang")).distinct()))
+    grid.join(scores, Seq("doc_id", "cand_lang"), "left")
+      .na.fill(0L, Seq("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash folded over the
+    * token sequence (polynomial in a large modulus over salted
+    * xxhash64). Unlike SimHash/Jaccard this distinguishes permuted
+    * token bags. No oracle (xxhash64); LlmSpec checks equal-text =>
+    * equal-fingerprint and order sensitivity.
+    */
+  private val fingerprint = Q.noOracle("q_text_fingerprint") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        // modulus applied at every fold step: keeps acc < 2^31 so the
+        // multiply never overflows (ANSI mode makes overflow an error)
+        expr("aggregate(split(text, ' '), CAST(7 AS BIGINT), " +
+          "(acc, t) -> pmod(acc * 1000003 + pmod(xxhash64(t), 1000000007), " +
+          "1000000007))").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] =
+    Seq(stats, quality, tokenCounts, langId, fingerprint)
+}

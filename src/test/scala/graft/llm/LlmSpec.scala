@@ -1,0 +1,116 @@
+package graft.llm
+
+import graft.SparkSuite
+import org.apache.spark.sql.DataFrame
+
+/** Correctness checks for the §2l operators that have no DuckDB oracle
+  * (hash functions, typed aggs, binary decode): each is pinned against
+  * either an exact re-computation or a structural invariant.
+  */
+class LlmSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  test("minhash-LSH pairs are a subset of exact ngram-jaccard pairs" +
+    " and recall all pairs with jaccard >= 0.8") {
+    val exact = run("q_dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = run("q_dedup_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty, "LSH found no near-dup pairs")
+    // verified candidates can never contain a pair the exact query lacks
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"false positives: ${lsh.keySet -- exact.keySet}")
+    val strong = exact.filter(_._2 >= 0.8).keySet
+    assert(strong.subsetOf(lsh.keySet),
+      s"missed strong pairs: ${strong -- lsh.keySet}")
+    // verified jaccard must agree exactly with the exact pipeline
+    lsh.foreach { case (k, j) => assert(j == exact(k), s"jaccard mismatch $k") }
+  }
+
+  test("simhash: identical token sets hash identically;" +
+    " near-dup pairs are hamming-close") {
+    val sim = run("q_dedup_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uni = run("q_dedup_unigram_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val identical = uni.filter(_._2 == 1.0)
+    assert(identical.nonEmpty, "fixture lost its jaccard-1.0 pairs")
+    identical.foreach { case ((a, b), _) =>
+      assert(sim(a) == sim(b), s"identical sets, different simhash: $a $b")
+    }
+    uni.filter(_._2 >= 0.95).foreach { case ((a, b), _) =>
+      val ham = java.lang.Long.bitCount(sim(a) ^ sim(b))
+      assert(ham <= 16, s"jaccard>=0.95 pair ($a,$b) at hamming $ham")
+    }
+  }
+
+  test("IVF top-k: 10 rows, descending cosine, each cosine equal to the" +
+    " brute-force value for that vector") {
+    val ivf = run("q_sim_topk_ivf").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(ivf.length == 10)
+    assert(ivf.map(-_._2).sameElements(ivf.map(-_._2).sorted), "not descending")
+    // recompute exact cosine vs vec 0 for the returned ids
+    val e = graft.rel.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q = e(0L)
+    ivf.foreach { case (id, c) =>
+      assert(math.abs(c - cos(e(id), q)) < 1e-3, s"cosine off for vec $id")
+    }
+  }
+
+  test("typed Aggregator centroid norm matches the relational centroid") {
+    val rel = run("q_sim_centroid").collect()
+      .groupBy(_.getInt(0))
+      .map { case (label, rows) =>
+        label -> math.sqrt(rows.map(r => {
+          val v = r.getDouble(2); v * v
+        }).sum)
+      }
+    val udafNorms = run("q_sim_centroid_udaf").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(udafNorms.keySet == rel.keySet)
+    rel.foreach { case (label, n) =>
+      assert(math.abs(udafNorms(label) - n) < 1e-3, s"label $label: $n vs ${udafNorms(label)}")
+    }
+  }
+
+  test("fingerprint: deterministic across runs, no collisions on corpus") {
+    val a = run("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = run("q_text_fingerprint").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b), "fingerprints not deterministic")
+    assert(a.map(_._2).distinct.length == a.length,
+      "distinct texts collided (500 docs, 1e9 modulus)")
+  }
+
+  test("media decode stub: pinned values and partition plumbing") {
+    val bytes = "abcd".getBytes("UTF-8")
+    val (w, h, mean, max) = Media.decodeStub(bytes)
+    assert(w == 64 + 4 && h == 64 + ('a' & 0x3f))
+    assert(mean == ('a' + 'b' + 'c' + 'd').toDouble / 4 && max == 'd'.toInt)
+    val out = run("q_mm_decode").collect()
+    assert(out.length == 20, "one row per source expected")
+    assert(out.map(_.getString(0)).sameElements(
+      out.map(_.getString(0)).sorted))
+  }
+
+  test("frame sampling: counts follow ceil arithmetic, frames cover payload") {
+    import spark.implicits._
+    val rec = Media.MediaRecord(1L, "s", "img/fake", Array.range(0, 37).map(_.toByte))
+    val ds = spark.createDataset(Seq(rec))
+    val all = Media.sampleFrames(ds, 16, 1).collect().sortBy(_.frame_idx)
+    assert(all.length == 3) // ceil(37/16)
+    assert(all.map(_.frame.length).sameElements(Seq(16, 16, 5)))
+    assert(all.flatMap(_.frame).sameElements(rec.media))
+    val sampled = Media.sampleFrames(ds, 16, 4).collect()
+    assert(sampled.length == 1 && sampled.head.frame_idx == 0)
+  }
+}
