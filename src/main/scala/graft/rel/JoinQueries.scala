@@ -120,19 +120,28 @@ object JoinQueries extends QueryCatalog {
       |) p ON true
       |ORDER BY e.event_id""".stripMargin
   ) { (s, dir) =>
+    // Linear as-of join (SURVEY §2c J7): instead of the quadratic
+    // (events x purchases-per-user) range join + per-event row_number,
+    // interleave purchase "build" rows before probe rows in one stream
+    // ordered by (ts, kind, event_id) and carry the latest purchase_id
+    // forward with last(ignoreNulls) over a running frame. One shuffle
+    // keyed on user_id, O(n log n) in the partition — survives any
+    // events:purchases ratio. Builds sort before probes at equal ts
+    // (kind 0 < 1) and among equal-ts builds the highest event_id wins,
+    // matching the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1.
     val ev = Tables.events(s, dir)
-    val e = ev.select(col("event_id"), col("user_id").as("e_user"),
-      col("ts").as("e_ts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"), col("ts").as("p_ts"))
-    val joined = e.join(p,
-      col("e_user") === col("p_user") && col("p_ts") <= col("e_ts"), "left")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("p_ts").desc_nulls_last, col("purchase_id").desc_nulls_last)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("purchase_id").as("last_purchase_id"))
+    val builds = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id"), col("event_id").as("pid"))
+    val probes = ev.select(col("user_id"), col("ts"), lit(1).as("kind"),
+      col("event_id"), lit(null).cast("long").as("pid"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    builds.unionByName(probes)
+      .withColumn("last_purchase_id", last(col("pid"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("last_purchase_id"))
       .orderBy("event_id")
   }
 
