@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2j real Structured Streaming surface: file-source
+  * readStream over the events schema, watermarked windowed aggregation,
+  * and custom sessionization state via flatMapGroupsWithState. The
+  * batch twins live in [[StreamBatchQueries]] (same window expressions,
+  * DuckDB-checked); this module proves the identical logic runs
+  * incrementally with state and late-data handling.
+  *
+  * Scale notes (100 TB / day of events): state is keyed on
+  * (window x event_type) or user_id — the watermark bounds state size
+  * because windows/sessions older than (max event time - delay) are
+  * evicted; without it, state grows without bound. The shuffle keys
+  * match the batch plans, so a batch pipeline migrates to streaming
+  * without re-partitioning.
+  */
+object Streams {
+
+  final case class Ev(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Buffered open-session state per user: ascending event times (µs). */
+  final case class SessionState(times: List[Long])
+
+  /** File-source stream with the events schema. `path` must be a
+    * directory of parquet files; each file becomes (at most) one
+    * micro-batch under `maxFilesPerTrigger=1`. ts arrives as
+    * microseconds (the spec stages files with ts pre-converted) and is
+    * exposed as a proper TimestampType event-time column.
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  def readEvents(spark: SparkSession, path: String, maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  /** Tumbling 1-day windowed counts/sums with a 1-hour watermark —
+    * the streaming twin of q_stream_tumbling. Append mode emits a
+    * window only once the watermark passes its end (exactly-once
+    * per-window output); state for closed windows is dropped.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Custom state machine: per-user sessionization with a 30-minute
+    * gap, implemented directly on GroupState (the surface
+    * session_window compiles to internally). Each invocation folds the
+    * batch's events into the open session buffer; sessions whose gap
+    * has closed are emitted and evicted, the open tail stays in state.
+    * The last session per user remains open until a later batch (or
+    * timeout) closes it — the spec asserts exactly that semantics.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val incoming = evs.map(e => e.ts.getTime * 1000L +
+            (e.ts.getNanos / 1000 % 1000)).toList
+          val all = (state.getOption.map(_.times).getOrElse(Nil) ++ incoming)
+            .sorted
+          // split ascending times at gaps > gapUs
+          val sessions = all.foldLeft(List.empty[List[Long]]) {
+            case (acc, t) => acc match {
+              case (cur @ (last :: _)) :: rest if t - last <= gapUs =>
+                (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+          }.map(_.reverse).reverse
+          sessions match {
+            case Nil => Iterator.empty
+            case _ =>
+              val closed = sessions.init
+              state.update(SessionState(sessions.last))
+              closed.iterator.map(ts =>
+                SessionOut(userId, ts.head, ts.last + gapUs, ts.length.toLong))
+          }
+      }
+  }
+
+  /** Drain a streaming Dataset through a named memory sink, processing
+    * all currently-available input (AvailableNow = run to completion in
+    * maxFilesPerTrigger-sized batches, then stop).
+    */
+  def runToMemory(df: Dataset[_], name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
