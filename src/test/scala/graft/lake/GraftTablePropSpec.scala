@@ -1,0 +1,150 @@
+package graft.lake
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSuite
+
+/** SURVEY.md §5 lifecycle properties, model-based: random
+  * insert/delete/update/maintenance sequences are applied in parallel
+  * to a GraftTable and to an in-memory model; after EVERY op the
+  * table's read() must equal the model, maintenance ops must be
+  * read-invisible, and retained snapshots must replay exactly while
+  * expired ones must refuse.
+  */
+class GraftTablePropSpec extends SparkSuite {
+
+  private val schema = StructType.fromDDL(
+    "case_id STRING, first_name STRING, update_date DATE")
+
+  private case class M(caseId: String, firstName: Option[String])
+
+  private sealed trait Op
+  private case class Append(n: Int) extends Op
+  private case class MorDelete(pick: Int) extends Op
+  private case class CowNullify(pick: Int) extends Op
+  private case object Rewrite extends Op
+  private case object RewriteDeletes extends Op
+  private case object Expire extends Op
+  private case object Orphans extends Op
+
+  private val genOp: Gen[Op] = Gen.frequency(
+    4 -> Gen.choose(1, 4).map(Append),
+    3 -> Gen.choose(0, 7).map(MorDelete),
+    2 -> Gen.choose(0, 7).map(CowNullify),
+    1 -> Gen.const(Rewrite),
+    1 -> Gen.const(RewriteDeletes),
+    1 -> Gen.const(Expire),
+    1 -> Gen.const(Orphans))
+
+  private val genOps: Gen[List[Op]] =
+    Gen.choose(4, 8).flatMap(n => Gen.listOfN(n, genOp))
+
+  private def runSequence(ops: List[Op]): Boolean = {
+    val wh = Files.createTempDirectory("graft-prop-")
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "prop_t", schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    var model = Vector.empty[M]
+    var nextId = 0
+    // retained snapshot contents for replay checks
+    var snapContents = Map.empty[Long, Set[(String, Option[String])]]
+    var expired = Set.empty[Long]
+
+    def tableRows(): Set[(String, Option[String])] =
+      t.read().collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+
+    def modelRows: Set[(String, Option[String])] =
+      model.map(m => (m.caseId, m.firstName)).toSet
+
+    def snap(): Unit = t.currentSnapshot.foreach { s =>
+      snapContents += (s.snapshotId -> modelRows)
+    }
+
+    def targets(pick: Int): Seq[String] = {
+      val ids = model.map(_.caseId).distinct.sorted
+      if (ids.isEmpty) Nil
+      else ids.zipWithIndex.collect { case (id, i) if i % 3 == pick % 3 => id }
+    }
+
+    ops.foreach {
+      case Append(n) =>
+        val rows = (0 until n).map { _ =>
+          val id = s"case-$nextId"; nextId += 1
+          Row(id, s"name-$id", java.sql.Date.valueOf("2023-01-01"))
+        }
+        t.append(spark.createDataFrame(rows.asJava, schema))
+        model ++= rows.map(r => M(r.getString(0), Some(r.getString(1))))
+        snap()
+      case MorDelete(pick) =>
+        val ids = targets(pick)
+        if (ids.nonEmpty) {
+          t.delete(col("case_id").isin(ids: _*))
+          model = model.filterNot(m => ids.contains(m.caseId))
+          snap()
+        }
+      case CowNullify(pick) =>
+        val ids = targets(pick)
+        if (ids.nonEmpty) {
+          t.update(col("case_id").isin(ids: _*),
+            Map("first_name" -> lit(null).cast("string")))
+          model = model.map(m =>
+            if (ids.contains(m.caseId)) m.copy(firstName = None) else m)
+          snap()
+        }
+      case Rewrite =>
+        t.rewriteDataFiles()
+        snap()
+      case RewriteDeletes =>
+        t.rewritePositionDeleteFiles()
+        snap()
+      case Expire =>
+        val gone = t.expireSnapshots(System.currentTimeMillis() + 1000)
+        expired ++= gone
+        snapContents --= gone
+      case Orphans =>
+        t.removeOrphanFiles(System.currentTimeMillis() + 1000, force = true)
+    }
+
+    // 1. current read always equals the model
+    assert(tableRows() == modelRows,
+      s"current read diverged from model after $ops")
+    // 2. maintenance is read-invisible: compact + drop delete files,
+    //    still equal
+    t.rewriteDataFiles()
+    t.rewritePositionDeleteFiles()
+    assert(tableRows() == modelRows, s"rewrite changed visible rows: $ops")
+    // 3. retained snapshots replay their recorded contents
+    snapContents.foreach { case (id, want) =>
+      if (!expired.contains(id)) {
+        val got = t.readAt(id).collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+        assert(got == want, s"snapshot $id replay mismatch: $ops")
+      }
+    }
+    // 4. expired snapshots refuse time travel
+    expired.foreach { id =>
+      intercept[Exception](t.readAt(id).collect())
+    }
+    true
+  }
+
+  test("∀ random lifecycle sequences: read==model, maintenance " +
+    "read-invisible, snapshots replay, expired refuse (SURVEY §5)") {
+    val prop = Prop.forAll(genOps)(runSequence)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(6)
+      .withInitialSeed(Seed(42L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+}
