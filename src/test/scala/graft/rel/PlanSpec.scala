@@ -1,0 +1,60 @@
+package graft.rel
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression tests: the properties that make these
+  * queries survive a 100 TB scale-up are asserted, not hoped for —
+  * column pruning into the parquet scan, predicate pushdown, broadcast
+  * joins for dimension tables, partial (map-side) aggregation, and the
+  * absence of cartesian products in equi-join pipelines.
+  */
+class PlanSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan projection prunes columns at the parquet reader") {
+    val p = plan("q_scan_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_extendedprice:double,l_returnflag:string>"), p)
+    assert(!p.contains("l_comment") && !p.contains("l_partkey"))
+  }
+
+  test("IN filter is pushed to the parquet scan") {
+    val p = plan("q_filter_in")
+    assert(p.contains("PushedFilters: [In(event_type"), p)
+  }
+
+  test("dimension joins broadcast: no shuffle of the fact side") {
+    val p = plan("q_join_left_chain")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("aggregation is partial before the exchange (map-side combine)") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("as-of join plans as a single window, not a range join") {
+    val p = plan("q_join_asof")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of regressed to a quadratic join")
+  }
+
+  test("langid profile join broadcasts the tiny profile side") {
+    val p = plan("q_text_langid")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("minhash LSH candidate join is an equi-join on buckets") {
+    val p = plan("q_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"),
+      "LSH candidate generation degenerated to all-pairs")
+  }
+}
