@@ -82,6 +82,28 @@ object FileSummary {
       .orderBy("created_minute", "file_type", "file_format", "prefix")
   }
 
+  /** The fixed 7-column summary schema (file_summary_utils.py:166). */
+  val summarySchemaDdl: String =
+    "prefix string, file_type string, file_format string, " +
+      "created_minute timestamp, files_in_catalog bigint, " +
+      "run_id string, operation string"
+
+  /** Persist a summary run (file_summary_utils.py:162-176): align onto
+    * the DDL schema via an empty typed frame (S6 — keeps the sink
+    * schema stable even for an empty run), then append partitioned by
+    * run_id after clustering rows to one file per partition value (S8:
+    * repartition(col) + partitionBy). At scale this yields one
+    * partition directory per run with no small-file explosion.
+    */
+  def persist(spark: SparkSession, summary: DataFrame, path: String): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(summarySchemaDdl))
+    empty.unionByName(summary.select(empty.columns.map(col): _*))
+      .repartition(col("run_id"))
+      .write.mode("append").partitionBy("run_id").parquet(path)
+  }
+
   /** diff_utils.py:20-80 in Spark: inner-matched CHANGED/UNCHANGED plus
     * anti-joined ADDED/REMOVED, via one full outer join (the pandas
     * indicator-merge trick becomes native join semantics). */
