@@ -87,11 +87,15 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     Io.atomicWrite(hintFile, v.toString)
   }
 
-  /** Commit a new snapshot: write its manifest list, then the metadata. */
-  private def commitSnapshot(operation: String, entries: Seq[ManifestEntry],
+  /** Commit a new snapshot: write its manifest list, then the metadata.
+    * `id` is allocated ONCE per operation (nextSnapshotHint) and shared
+    * with the manifest entries' addedSnapshotId — allocating here again
+    * would drift by the write job's duration and break all_entries'
+    * ADDED-status attribution. */
+  private def commitSnapshot(id: Long, operation: String,
+      entries: Seq[ManifestEntry],
       summary: Map[String, String]): SnapshotMeta = {
     val m = meta
-    val id = now() * 1000 + m.snapshots.size % 1000 // unique, time-ordered
     val manifestRel = s"metadata/snap-$id.json"
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
@@ -170,9 +174,10 @@ class GraftTable(val spark: SparkSession, val root: Path) {
 
   /** D6 append (ref demo.py:105-110 INSERT INTO VALUES). */
   def append(df: DataFrame): SnapshotMeta = {
+    val snapId = nextSnapshotHint
     val moved = writeDataFiles(df)
-    val newEntries = statEntries(moved, content = 0, nextSnapshotHint)
-    commitSnapshot("append", currentEntries ++ newEntries,
+    val newEntries = statEntries(moved, content = 0, snapId)
+    commitSnapshot(snapId, "append", currentEntries ++ newEntries,
       Map("added-data-files" -> newEntries.size.toString,
         "added-records" -> newEntries.map(_.recordCount).sum.toString))
   }
@@ -221,8 +226,9 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     val n = if (moved.isEmpty) 0L
       else spark.read.parquet(moved: _*).count() // footer-only count
     if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
-    val delEntries = statEntries(moved, content = 1, nextSnapshotHint)
-    Some(commitSnapshot("delete", entries ++ delEntries,
+    val snapId = nextSnapshotHint
+    val delEntries = statEntries(moved, content = 1, snapId)
+    Some(commitSnapshot(snapId, "delete", entries ++ delEntries,
       Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")))
   }
 
@@ -244,7 +250,8 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       val snapId = nextSnapshotHint
       val delEntries = statEntries(delMoved, content = 1, snapId)
       val dataEntries = statEntries(newMoved, content = 0, snapId)
-      Some(commitSnapshot("overwrite", entries ++ delEntries ++ dataEntries,
+      Some(commitSnapshot(snapId, "overwrite",
+        entries ++ delEntries ++ dataEntries,
         Map("mode" -> "merge-on-read")))
     } finally hits.unpersist()
   }
@@ -260,9 +267,10 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     val moved = moveStaged(staged, "eqdelete")
     val n = if (moved.isEmpty) 0L else spark.read.parquet(moved: _*).count()
     if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
-    val entries = statEntries(moved, content = 2, nextSnapshotHint)
+    val snapId = nextSnapshotHint
+    val entries = statEntries(moved, content = 2, snapId)
       .map(_.copy(equalityColumns = cols))
-    Some(commitSnapshot("delete", currentEntries ++ entries,
+    Some(commitSnapshot(snapId, "delete", currentEntries ++ entries,
       Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))))
   }
 
@@ -281,9 +289,10 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       .filter(udfNormalize(col(FileCol)).isin(affected.toSeq: _*))
       .drop(FileCol, PosCol)
     val replaced = transform(victimRows)
+    val snapId = nextSnapshotHint
     val moved = writeDataFiles(replaced)
-    val newEntries = statEntries(moved, content = 0, nextSnapshotHint)
-    Some(commitSnapshot(operation, keep ++ newEntries,
+    val newEntries = statEntries(moved, content = 0, snapId)
+    Some(commitSnapshot(snapId, operation, keep ++ newEntries,
       Map("rewritten-files" -> affected.size.toString,
         "mode" -> "copy-on-write")))
   }
@@ -359,13 +368,14 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       .drop(FileCol, PosCol)
     val nParts = math.max(1,
       math.ceil(candidates.map(_.fileSizeBytes).sum.toDouble / target).toInt)
+    val snapId = nextSnapshotHint
     val moved = writeDataFiles(rows.repartition(nParts))
     val keep = entries.filter(e => e.content == 0 && !candidateSet(abs(e)))
     // all deletes were applied while reading the candidates
     val dropDeletes = rewriteAll || hasDeletes
     val keptDeletes = if (dropDeletes) Nil else entries.filter(_.content != 0)
-    val newEntries = statEntries(moved, content = 0, nextSnapshotHint)
-    Some(commitSnapshot("replace", keep ++ keptDeletes ++ newEntries,
+    val newEntries = statEntries(moved, content = 0, snapId)
+    Some(commitSnapshot(snapId, "replace", keep ++ keptDeletes ++ newEntries,
       Map("rewritten-data-files" -> candidates.size.toString,
         "target-file-size-bytes" -> target.toString)))
   }
@@ -387,14 +397,15 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       udfNormalize(col("file_path")) === col("live_path"), "left_semi")
     val keep = entries.filter(_.content != 1)
     val n = stillValid.count()
+    val snapId = nextSnapshotHint
     val newEntries = if (n == 0) Nil else {
       val staged = stageDir()
       stillValid.repartitionByRange(1, col("file_path"), col("pos"))
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(staged.toString)
-      statEntries(moveStaged(staged, "delete"), content = 1, nextSnapshotHint)
+      statEntries(moveStaged(staged, "delete"), content = 1, snapId)
     }
-    Some(commitSnapshot("replace", keep ++ newEntries,
+    Some(commitSnapshot(snapId, "replace", keep ++ newEntries,
       Map("removed-delete-files" -> posDel.size.toString,
         "surviving-delete-records" -> n.toString)))
   }

@@ -212,6 +212,11 @@ class GraftTableSpec extends SparkSuite {
       .groupBy("data_file.file_path")
       .agg(min("data_file.content").as("content"))
     assert(added.count() === t.files.count())
+    // files must be ADDED (status=1) in the snapshot that created them —
+    // regression check for snapshot-id drift between stats and commit
+    val addedInOwnSnap = t.allEntries.filter("status = 1").count()
+    assert(addedInOwnSnap >= t.files.count(),
+      "manifest entries lost ADDED attribution in their adding snapshot")
     assert(t.allManifests.count() === 2)
     assert(t.metadataLogEntries.count() >= 2)
   }
