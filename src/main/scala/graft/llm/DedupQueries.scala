@@ -165,7 +165,11 @@ object DedupQueries extends QueryCatalog {
     * ScalaTest spec checks recall against the exact query instead.
     */
   private val minhashLsh = Q.noOracle("q_dedup_minhash_lsh") { (s, dir) =>
-    val sets = shingleSets(Tables.documents(s, dir)).cache()
+    // no cache: the shingle-set subplan is identical in every branch, so
+    // ReuseExchange shares its one shuffle; an explicit cache() here
+    // leaks across invocations (never unpersisted from a lazy builder)
+    // and measurably degrades repeated runs
+    val sets = shingleSets(Tables.documents(s, dir))
     // one shuffle: 64 partial-aggregated min-hashes per doc
     val sig = sets.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("sh"))).as("h0"),

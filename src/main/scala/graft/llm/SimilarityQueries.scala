@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryCatalog {
     * exact for the probed cells and measures recall vs q_sim_topk_brute.
     */
   private val topkIvf = Q.noOracle("q_sim_topk_ivf") { (s, dir) =>
-    val e = emb(s, dir).cache()
+    val e = emb(s, dir)
     val cents = centroids(e)
       .withColumn("cnrm",
         expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"))

@@ -143,10 +143,8 @@ object TextQueries extends QueryCatalog {
       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    // toks feeds three branches (profile, doc sets, grid) — cache it so
-    // the explode + scan run once, not per branch
     val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok")).cache()
+      explode(split(col("text"), " ")).as("tok"))
     val top5 = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(desc("c"), asc("tok"))))
