@@ -223,11 +223,11 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       .sortWithinPartitions("file_path", "pos")
       .write.parquet(staged.toString)
     val moved = moveStaged(staged, "delete")
-    val n = if (moved.isEmpty) 0L
-      else spark.read.parquet(moved: _*).count() // footer-only count
-    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
     val snapId = nextSnapshotHint
+    // statEntries already counts records per file — no separate count job
     val delEntries = statEntries(moved, content = 1, snapId)
+    val n = delEntries.map(_.recordCount).sum
+    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
     Some(commitSnapshot(snapId, "delete", entries ++ delEntries,
       Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")))
   }
@@ -265,11 +265,11 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     val staged = stageDir()
     keys.distinct().coalesce(1).write.parquet(staged.toString)
     val moved = moveStaged(staged, "eqdelete")
-    val n = if (moved.isEmpty) 0L else spark.read.parquet(moved: _*).count()
-    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
     val snapId = nextSnapshotHint
     val entries = statEntries(moved, content = 2, snapId)
       .map(_.copy(equalityColumns = cols))
+    val n = entries.map(_.recordCount).sum
+    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
     Some(commitSnapshot(snapId, "delete", currentEntries ++ entries,
       Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))))
   }
@@ -396,15 +396,19 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     val stillValid = delRows.join(broadcast(liveDf),
       udfNormalize(col("file_path")) === col("live_path"), "left_semi")
     val keep = entries.filter(_.content != 1)
-    val n = stillValid.count()
     val snapId = nextSnapshotHint
-    val newEntries = if (n == 0) Nil else {
-      val staged = stageDir()
-      stillValid.repartitionByRange(1, col("file_path"), col("pos"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(staged.toString)
-      statEntries(moveStaged(staged, "delete"), content = 1, snapId)
-    }
+    // write survivors, then read counts off the stats pass (no extra
+    // count job); an empty write just leaves no entries behind
+    val staged = stageDir()
+    stillValid.repartitionByRange(1, col("file_path"), col("pos"))
+      .sortWithinPartitions("file_path", "pos")
+      .write.parquet(staged.toString)
+    val moved = moveStaged(staged, "delete")
+    val counted = statEntries(moved, content = 1, snapId)
+    val n = counted.map(_.recordCount).sum
+    val newEntries = if (n == 0) {
+      moved.foreach(p => Files.deleteIfExists(Path.of(p))); Nil
+    } else counted
     Some(commitSnapshot(snapId, "replace", keep ++ newEntries,
       Map("removed-delete-files" -> posDel.size.toString,
         "surviving-delete-records" -> n.toString)))
