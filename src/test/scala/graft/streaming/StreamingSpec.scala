@@ -70,6 +70,56 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty, "no windows finalized across 4 batches")
   }
 
+  test("watermark drops late data: events older than watermark - delay" +
+    " never reach the aggregation") {
+    // stage: batches 0-1 advance event time to T; batch 2 carries an
+    // event 3 days older than T (far beyond the 1h watermark delay);
+    // batch 3 closes remaining windows. The late file arrives TWO
+    // batches after the max-raising events because Spark applies an
+    // updated watermark with one batch of lag (the filter for batch N
+    // uses the watermark committed after batch N-1).
+    val dir = Files.createTempDirectory("graft-stream-late")
+    val base = java.time.Instant.parse("2024-06-10T00:00:00Z")
+    def us(i: java.time.Instant): Long =
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    def stage(idx: Int, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-late$idx")
+      import scala.jdk.CollectionConverters._
+      val df = spark.createDataFrame(rows.map { case (id, ts, u, t, v) =>
+        org.apache.spark.sql.Row(id, ts, u, t, v) }.asJava,
+        Streams.eventSchema)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dst = dir.resolve(f"chunk-$idx%04d.parquet")
+      Files.copy(part, dst)
+      dst.toFile.setLastModified(1700000000000L + idx * 60000L)
+    }
+    stage(0, Seq(
+      (1L, us(base), 1L, "view", 1.0),
+      (2L, us(base.plusSeconds(3600)), 1L, "view", 1.0)))
+    stage(1, Seq(
+      (4L, us(base.plusSeconds(7200)), 1L, "view", 1.0)))
+    stage(2, Seq(
+      (3L, us(base.minusSeconds(3 * 86400)), 1L, "view", 100.0))) // LATE
+    stage(3, Seq(
+      (5L, us(base.plusSeconds(5 * 86400)), 1L, "view", 1.0))) // closes all
+
+    val stream = Streams.readEvents(spark, dir.toString)
+    Streams.runToMemory(Streams.tumblingCounts(stream),
+      "late_drop", OutputMode.Append)
+    val got = spark.table("late_drop").collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(2), r.getDouble(3)))
+    // the late event's 3-days-earlier window must not appear, and the
+    // day-of-base window counts only the 3 on-time events
+    assert(!got.exists(_._1 == base.minusSeconds(3 * 86400)
+      .truncatedTo(java.time.temporal.ChronoUnit.DAYS)),
+      s"late event leaked into output: ${got.mkString(",")}")
+    val baseDay = got.find(_._1 == base)
+    assert(baseDay.exists(r => r._2 == 3L && r._3 == 3.0),
+      s"base-day window wrong: ${got.mkString(",")}")
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions emitted," +
     " open tail retained in state") {
     val stream = Streams.readEvents(spark, stageDir.toString)
