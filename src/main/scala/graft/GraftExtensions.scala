@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** Engine extension point, applied via
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * public SparkSessionExtensions surface. Registers the native vector
+  * kernels so SQL and `call_function` resolve them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column helpers for vector math over array<float> embedding columns.
+  *
+  * `dot` resolves to the native codegen'd [[DotProduct]] when the
+  * session was built with graft.GraftExtensions (all engine entry
+  * points do this); on a vanilla session it falls back to a Scala UDF
+  * with identical double-precision semantics — slower (one boxed call
+  * per row) but correct, so the query catalog never hard-depends on
+  * session wiring. The fallback covers the stored embedding type
+  * (array<float>).
+  */
+object vec {
+
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def dot(s: SparkSession, a: Column, b: Column): Column =
+    if (s.catalog.functionExists("vec_dot")) call_function("vec_dot", a, b)
+    else dotUdf(a, b)
+
+  def norm(s: SparkSession, a: Column): Column = sqrt(dot(s, a, a))
+
+  def cosine(s: SparkSession, a: Column, b: Column,
+      normA: Column, normB: Column): Column =
+    dot(s, a, b) / (normA * normB)
+}

@@ -233,10 +233,12 @@ object DedupQueries extends QueryCatalog {
 
   /** Embedding-cosine near-dup: top-100 same-label pairs by cosine.
     * `label` is the blocking key (stand-in for an LSH/IVF bucket at
-    * scale) making this an equi-join, not a cross join. Vectors are
-    * cast to double BEFORE the pairwise fold so Spark and DuckDB run
-    * the identical IEEE operation sequence; LIMIT is applied on the
-    * unrounded cosine with id tiebreaks.
+    * scale) making this an equi-join, not a cross join. The pairwise
+    * math runs through the native codegen'd vec_dot kernel
+    * ([[graft.functions.DotProduct]]) — float elements widen to double
+    * and accumulate sequentially, the identical IEEE sequence DuckDB's
+    * list_dot_product(::DOUBLE[]) runs, so the oracle hash-matches.
+    * LIMIT is applied on the unrounded cosine with id tiebreaks.
     */
   private val embeddingNearDup = Q(
     "q_dedup_embedding_cosine",
@@ -252,18 +254,17 @@ object DedupQueries extends QueryCatalog {
       |SELECT id_a, id_b, label, round(cosd, 4) AS cos_sim
       |FROM p ORDER BY cosd DESC, id_a, id_b LIMIT 100""".stripMargin
   ) { (s, dir) =>
+    import graft.functions.vec
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", vec.norm(s, col("v")))
     val a = e.select(col("vec_id").as("id_a"), col("label"),
       col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("label"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("label"), expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)" +
-          " / (na * nb)").as("cosd"))
+      .select(col("id_a"), col("id_b"), col("label"),
+        vec.cosine(s, col("va"), col("vb"), col("na"), col("nb")).as("cosd"))
       .orderBy(desc("cosd"), col("id_a"), col("id_b"))
       .limit(100)
       .select(col("id_a"), col("id_b"), col("label"),

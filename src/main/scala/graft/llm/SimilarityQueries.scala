@@ -26,14 +26,11 @@ object SimilarityQueries extends QueryCatalog {
     * norms are computed once per row, never per pair. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", graft.functions.vec.norm(s, col("v")))
 
-  private val cosExpr =
-    "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)" +
-      " / (nrm * qn)"
+  private def cosCol(s: SparkSession) =
+    graft.functions.vec.cosine(s, col("v"), col("qv"), col("nrm"), col("qn"))
 
   /** Brute-force cosine top-10 for query = vector of vec_id 0. The
     * single-row query side is broadcast; LIMIT orders on the unrounded
@@ -60,7 +57,7 @@ object SimilarityQueries extends QueryCatalog {
       .select(col("v").as("qv"), col("nrm").as("qn"))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), expr(cosExpr).as("cosd"))
+      .select(col("vec_id"), col("label"), cosCol(s).as("cosd"))
       .orderBy(desc("cosd"), col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("label"), round(col("cosd"), 4).as("cos_sim"))
@@ -74,17 +71,19 @@ object SimilarityQueries extends QueryCatalog {
     * exact for the probed cells and measures recall vs q_sim_topk_brute.
     */
   private val topkIvf = Q.noOracle("q_sim_topk_ivf") { (s, dir) =>
+    import graft.functions.vec
     val e = emb(s, dir)
+    // centroid vectors as float arrays so every dot runs the same
+    // float-widening vec_dot kernel (centroids are approximate anyway)
     val cents = centroids(e)
-      .withColumn("cnrm",
-        expr("sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))"))
+      .withColumn("cv", expr("transform(cv, x -> CAST(x AS FLOAT))"))
+      .withColumn("cnrm", vec.norm(s, col("cv")))
     // map-side cell assignment: nearest centroid by cosine
     val byCos = Window.partitionBy("vec_id")
       .orderBy(desc("ccos"), col("cell"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"),
-        expr("aggregate(zip_with(v, cv, (x, y) -> x * y), 0D," +
-          " (acc, x) -> acc + x) / (nrm * cnrm)").as("ccos"))
+        vec.cosine(s, col("v"), col("cv"), col("nrm"), col("cnrm")).as("ccos"))
       .withColumn("rk", row_number().over(byCos))
       .filter(col("rk") === 1)
       .drop("rk", "ccos")
@@ -92,14 +91,13 @@ object SimilarityQueries extends QueryCatalog {
       .select(col("v").as("qv"), col("nrm").as("qn"))
       .crossJoin(broadcast(cents))
       .select(col("cell"), col("qv"), col("qn"),
-        expr("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D," +
-          " (acc, x) -> acc + x) / (qn * cnrm)").as("qcos"))
+        vec.cosine(s, col("qv"), col("cv"), col("qn"), col("cnrm")).as("qcos"))
       .orderBy(desc("qcos"), col("cell"))
       .limit(3)
       .select(col("cell"), col("qv"), col("qn"))
     assigned.filter(col("vec_id") =!= 0)
       .join(broadcast(probed), Seq("cell"))
-      .select(col("vec_id"), col("cell"), expr(cosExpr).as("cosd"))
+      .select(col("vec_id"), col("cell"), cosCol(s).as("cosd"))
       .orderBy(desc("cosd"), col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("cell"), round(col("cosd"), 4).as("cos_sim"))
@@ -148,7 +146,7 @@ object SimilarityQueries extends QueryCatalog {
     val fn = udaf(CentroidNormAgg)
     emb(s, dir)
       .groupBy("label")
-      .agg(round(fn(col("v")), 4).as("centroid_norm"))
+      .agg(round(fn(col("v").cast("array<double>")), 4).as("centroid_norm"))
       .orderBy("label")
   }
 

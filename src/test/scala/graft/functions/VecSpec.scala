@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Native vec_dot kernel: SQL-resolvable via GraftExtensions, equal to
+  * the interpreted HOF formulation bit-for-bit, correct on float and
+  * double arrays and unequal lengths.
+  */
+class VecSpec extends SparkSuite {
+
+  test("vec_dot resolves through the session extension and matches the" +
+    " HOF formulation exactly") {
+    assert(spark.catalog.functionExists("vec_dot"),
+      "GraftExtensions not applied to the test session")
+    val df = graft.rel.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(col("vec_id"), col("embedding").as("a"),
+        reverse(col("embedding")).as("b"))
+    val both = df.select(
+      expr("vec_dot(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * " +
+        "CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native=${r.getDouble(0)} hof=${r.getDouble(1)}"))
+  }
+
+  test("vec_dot handles double arrays, mixed types, unequal lengths, nulls") {
+    val rows = spark.sql(
+      """SELECT
+        |  vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS dd,
+        |  vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |          array(3.0D, 4.0D)) AS fd,
+        |  vec_dot(array(1.0D, 2.0D), array(10.0D)) AS uneq,
+        |  vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul
+        |""".stripMargin).collect().head
+    assert(rows.getDouble(0) == 32.0)
+    assert(rows.getDouble(1) == 11.0)
+    assert(rows.getDouble(2) == 10.0)
+    assert(rows.isNullAt(3))
+  }
+
+  test("vec helper falls back to the UDF without the extension and" +
+    " produces identical values") {
+    // a bare session view: simulate by calling the udf path directly
+    val df = graft.rel.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(20).select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val nat = df.select(expr("vec_dot(a, b)").as("d")).collect().map(_.getDouble(0))
+    val viaHelper = df.select(
+      vec.dot(spark, col("a"), col("b")).as("d")).collect().map(_.getDouble(0))
+    assert(nat.sameElements(viaHelper))
+  }
+}
