@@ -208,13 +208,26 @@ object DedupQueries extends QueryCatalog {
 
   /** SimHash: 64-bit fingerprint where bit i is the sign of the sum of
     * (+1/-1) contributions of each token's hash bit i. Hamming-near
-    * fingerprints ~ similar token sets. Fully relational: explode
-    * (doc x token x bit), two partial-aggregated groupBys, bit_or
-    * reassembly — 64x row inflation on a compact projection, shuffled
-    * on (doc_id) only. No oracle (xxhash64); spec checks that
-    * high-Jaccard pairs land at low Hamming distance.
+    * fingerprints ~ similar token sets. Runs through the native
+    * one-pass simhash64 kernel ([[graft.functions.SimHash64]]) — zero
+    * shuffles, no 64x bit-row inflation; on a session without
+    * GraftExtensions it falls back to the equivalent relational
+    * pipeline (explode doc x token x bit -> two partial-aggregated
+    * groupBys -> bit_or). LlmSpec asserts both paths are bit-identical.
+    * No oracle (xxhash64 has no DuckDB twin).
     */
   private val simhash = Q.noOracle("q_dedup_simhash") { (s, dir) =>
+    if (s.catalog.functionExists("simhash64"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("simhash64(array_distinct(split(text, ' ')))").as("simhash"))
+        .orderBy("doc_id")
+    else simhashRelational(s, dir)
+  }
+
+  /** The kernel-free SimHash formulation (also the LlmSpec cross-check
+    * for [[graft.functions.SimHash64]]). */
+  private[llm] def simhashRelational(s: SparkSession, dir: String): DataFrame = {
     val toks = tokenSets(Tables.documents(s, dir))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val contrib = toks

@@ -30,6 +30,14 @@ class LlmSpec extends SparkSuite {
     lsh.foreach { case (k, j) => assert(j == exact(k), s"jaccard mismatch $k") }
   }
 
+  test("simhash kernel is bit-identical to the relational formulation") {
+    val kernel = run("q_dedup_simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val relational = DedupQueries.simhashRelational(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(kernel.sameElements(relational))
+  }
+
   test("simhash: identical token sets hash identically;" +
     " near-dup pairs are hamming-close") {
     val sim = run("q_dedup_simhash").collect()
