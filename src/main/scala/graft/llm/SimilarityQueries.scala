@@ -103,6 +103,42 @@ object SimilarityQueries extends QueryCatalog {
       .select(col("vec_id"), col("cell"), round(col("cosd"), 4).as("cos_sim"))
   }
 
+  /** Random-hyperplane signs for sign-LSH bucketing: 6 fixed
+    * hyperplanes (64 buckets — sized so the demo corpus keeps ~8+
+    * vectors per bucket; at real scale the bit count grows with log of
+    * the corpus) drawn once from a seeded RNG, so the bucketing is
+    * deterministic across runs/engines. */
+  private lazy val hyperplanes: Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(6)(Seq.fill(64)((rng.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-LSH approximate top-10: bucket id = 12 sign bits of dot
+    * products with fixed random hyperplanes (computed map-side with the
+    * native vec_dot kernel — no shuffle to assign buckets); the query
+    * searches only its own bucket, exact cosine inside. The standard
+    * trade against IVF: data-independent hashing, no centroid pass.
+    * No oracle; LlmSpec checks bucket purity and that returned cosines
+    * equal exact recomputation.
+    */
+  private val topkLsh = Q.noOracle("q_sim_topk_lsh") { (s, dir) =>
+    import graft.functions.vec
+    val e = emb(s, dir)
+    val bucketCol = hyperplanes.zipWithIndex.map { case (h, j) =>
+      when(vec.dot(s, col("v"), typedlit(h)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", bucketCol)
+    val q = bucketed.filter(col("vec_id") === 0)
+      .select(col("bucket"), col("v").as("qv"), col("nrm").as("qn"))
+    bucketed.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"), col("bucket"), cosCol(s).as("cosd"))
+      .orderBy(desc("cosd"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("bucket"), round(col("cosd"), 4).as("cos_sim"))
+  }
+
   /** Per-label centroid vectors via posexplode + (label, dim) groupBy,
     * reassembled with sort_array(collect_list). 640 groups at any SF. */
   private def centroids(e: DataFrame): DataFrame =
@@ -150,7 +186,8 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("label")
   }
 
-  override def all: Seq[Q] = Seq(topkBrute, topkIvf, centroidByLabel, centroidUdaf)
+  override def all: Seq[Q] =
+    Seq(topkBrute, topkIvf, topkLsh, centroidByLabel, centroidUdaf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

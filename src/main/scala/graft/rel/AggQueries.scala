@@ -156,7 +156,29 @@ object AggQueries extends QueryCatalog {
       .orderBy("status", "priority")
   }
 
+  /** A6: explicit GROUPING SETS, driven through the engine's SQL
+    * surface (spark.sql over a registered view) rather than the
+    * DataFrame API — exercises the parser/analyzer entry path the
+    * reference uses for all its queries. */
+  private val groupingSetsQ = Q(
+    "q_agg_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem_v
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
-    approxDistinct, rollupQ, cubeQ)
+    approxDistinct, rollupQ, cubeQ, groupingSetsQ)
 }

@@ -75,6 +75,25 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("sign-LSH top-k: all results share the query's bucket and carry" +
+    " exact cosines") {
+    val lsh = run("q_sim_topk_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty && lsh.length <= 10)
+    assert(lsh.map(_._2).distinct.length == 1, "results from multiple buckets")
+    assert(lsh.map(-_._3).sameElements(lsh.map(-_._3).sorted))
+    val e = graft.rel.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    lsh.foreach { case (id, _, c) =>
+      assert(math.abs(c - cos(e(id), e(0L))) < 1e-3, s"cosine off for vec $id")
+    }
+  }
+
   test("typed Aggregator centroid norm matches the relational centroid") {
     val rel = run("q_sim_centroid").collect()
       .groupBy(_.getInt(0))
