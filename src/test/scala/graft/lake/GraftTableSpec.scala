@@ -234,6 +234,13 @@ class GraftTableSpec extends SparkSuite {
     val viaPlain = t.read().filter(pred).collect()
     assert(viaPruned.toSeq === viaPlain.toSeq)
     assert(viaPruned.length === 1)
+    // pruning must actually shrink the scan: the case-8 predicate is
+    // outside the first file's min/max, so only the second append's
+    // file may be read
+    val scanned = t.readWhere(pred).inputFiles
+    assert(scanned.length < t.read().inputFiles.length,
+      s"stats pruning read every file: ${scanned.mkString(",")}")
+    assert(scanned.length === 1)
   }
 
   test("FileSummary full summary + diff statuses " +
