@@ -116,7 +116,18 @@ object LakeQueries extends QueryCatalog {
     t.readWhere(col("case_id") >= "case-8").orderBy("case_id")
   }
 
+  /** D8 equality-delete flavor (content=2): rows masked by key tuples,
+    * no position capture needed — the write is O(|keys|), all masking
+    * cost moves to the read-side anti-join. */
+  private val equalityDelete = Q.noOracle("q_lake_equality_delete") { (s, _) =>
+    val t = newTable(s)
+    t.equalityDelete(s.createDataFrame(
+      Seq(Row("case-2")).asJava,
+      StructType.fromDDL("case_id STRING")))
+    t.read().orderBy("case_id") // case-2 masked by key
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
-    prunedRead)
+    prunedRead, equalityDelete)
 }

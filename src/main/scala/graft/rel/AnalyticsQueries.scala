@@ -1,0 +1,121 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+
+/** Multi-operator analytics pipelines in the TPC-H shapes (Q3 shipping
+  * priority, Q5 local-supplier volume) plus window distribution
+  * functions — the "whole queries" complement to the per-operator
+  * catalog.
+  *
+  * Scale notes: both join pipelines put the fact table (lineitem) on
+  * the probe side; customer/supplier/nation/region are broadcast so
+  * the only fact shuffle is the final aggregation on a bounded key
+  * space. Filters sit directly on the scans (pushed to parquet).
+  */
+object AnalyticsQueries extends QueryCatalog {
+
+  /** TPC-H Q3 shape: revenue of not-yet-shipped parts of BUILDING
+    * orders placed before the cutoff. Rounded before ordering in both
+    * dialects so the LIMIT boundary agrees.
+    */
+  private val shippingPriority = Q(
+    "q_tpch_q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val cutoff = "1998-06-30 00:00:00"
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf(cutoff)))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf(cutoff))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation where customer and supplier sit
+    * in the same ASIA nation. Exercises a 6-table join with two keys on
+    * one edge (l_suppkey = s_suppkey AND c_nationkey = s_nationkey).
+    */
+  private val localSupplierVolume = Q(
+    "q_tpch_q5_local_supplier",
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Window distribution functions: ntile / percent_rank / cume_dist
+    * over a total per-partition order (price + unique key tiebreaks, so
+    * every rank is deterministic in both engines).
+    */
+  private val windowDistribution = Q(
+    "q_window_distribution",
+    """SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |ORDER BY l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+      |LIMIT 2000""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+      .limit(2000)
+      .drop("l_extendedprice")
+  }
+
+  override def all: Seq[Q] =
+    Seq(shippingPriority, localSupplierVolume, windowDistribution)
+}
