@@ -166,6 +166,71 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Language ID, char-n-gram heuristic: same corpus-trained integer
+    * argmax as q_text_langid but over character bigrams (top-20 per
+    * language) — the classic character-level profile that survives
+    * unseen vocabulary. Bigrams are built with one substring HOF pass,
+    * no self-joins.
+    */
+  private val langIdChargram = Q(
+    "q_text_langid_chargram",
+    """WITH grams AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, length(text)),
+      |                          i -> substr(text, CAST(i AS INTEGER), 2))) AS bg
+      |  FROM documents
+      |), top20 AS (
+      |  SELECT lang AS cand_lang, bg FROM (
+      |    SELECT lang, bg, row_number() OVER (
+      |      PARTITION BY lang ORDER BY count(*) DESC, bg) AS rk
+      |    FROM grams GROUP BY lang, bg
+      |  ) WHERE rk <= 20
+      |), dg AS (
+      |  SELECT DISTINCT doc_id, bg FROM grams
+      |), scores AS (
+      |  SELECT dg.doc_id, top20.cand_lang, count(*) AS score
+      |  FROM dg JOIN top20 ON dg.bg = top20.bg
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.doc_id, d.lang, l.cand_lang
+      |  FROM documents d CROSS JOIN (SELECT DISTINCT lang AS cand_lang
+      |                               FROM documents) l
+      |), ranked AS (
+      |  SELECT g.doc_id, g.lang, g.cand_lang,
+      |    coalesce(s.score, 0) AS score,
+      |    row_number() OVER (PARTITION BY g.doc_id
+      |      ORDER BY coalesce(s.score, 0) DESC, g.cand_lang) AS rk
+      |  FROM grid g LEFT JOIN scores s
+      |    ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang
+      |)
+      |SELECT doc_id, lang, cand_lang AS pred_lang, score
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("doc_id"), col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 1), " +
+        "i -> substring(text, i, 2))")).as("bg"))
+    val top20 = grams.groupBy("lang", "bg").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), asc("bg"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("cand_lang"), col("bg"))
+    val dg = grams.select("doc_id", "bg").distinct()
+    val scores = dg.join(broadcast(top20), Seq("bg"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+    val grid = docs.select("doc_id", "lang")
+      .crossJoin(broadcast(
+        docs.select(col("lang").as("cand_lang")).distinct()))
+    grid.join(scores, Seq("doc_id", "cand_lang"), "left")
+      .na.fill(0L, Seq("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling hash folded over the
     * token sequence (polynomial in a large modulus over salted
     * xxhash64). Unlike SimHash/Jaccard this distinguishes permuted
@@ -184,5 +249,5 @@ object TextQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] =
-    Seq(stats, quality, tokenCounts, langId, fingerprint)
+    Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint)
 }
