@@ -103,10 +103,8 @@ object JoinQueries extends QueryCatalog {
   }
 
   /** J7: as-of join — each event enriched with the most recent prior (or
-    * simultaneous) purchase of the same user. Equi-join on user_id +
-    * row_number keeps it a keyed shuffle; at scale this is the standard
-    * "join then latest-wins" pattern (a range-partitioned merge would be
-    * the next step if purchase cardinality per user exploded). */
+    * simultaneous) purchase of the same user, as a single user_id-keyed
+    * window over the interleaved build+probe stream (details below). */
   private val asof = Q(
     "q_join_asof",
     """SELECT e.event_id, p.purchase_id AS last_purchase_id
