@@ -182,6 +182,22 @@ class GraftTable(val spark: SparkSession, val root: Path) {
         "added-records" -> newEntries.map(_.recordCount).sum.toString))
   }
 
+  /** Append with data files range-clustered on `cols`: each of the
+    * `nFiles` output files covers a narrow key range, so the per-file
+    * min/max stats make `readWhere` prune like Hive/Iceberg partition
+    * pruning — without a directory layout, so high-cardinality or
+    * skewed keys can't explode into millions of tiny partition dirs.
+    * This is the intended ingest path for 100 TB tables: cluster on
+    * the dominant filter column, let stats pruning select files.
+    */
+  def appendClustered(df: DataFrame, cols: Seq[String],
+      nFiles: Int): SnapshotMeta = {
+    require(cols.nonEmpty && nFiles > 0)
+    append(df
+      .repartitionByRange(nFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*))
+  }
+
   /** D8/D9 DELETE WHERE — honors `write.delete.mode` like the demo's
     * ALTER TABLE (demo.py:166-171): merge-on-read emits position-delete
     * files; copy-on-write rewrites the affected data files. */
@@ -591,7 +607,13 @@ class GraftTable(val spark: SparkSession, val root: Path) {
   }
 
   /** Resolve the predicate against the table schema (via an empty local
-    * relation) and split the analyzed condition into conjuncts. */
+    * relation) and split the analyzed condition into conjuncts.
+    * Casts between TIMESTAMP and TIMESTAMP_NTZ are stripped: the
+    * session is pinned to UTC, so both flavors share the same
+    * epoch-micros value space as the manifest stats — and the analyzer
+    * inserts exactly this cast when an NTZ column (Spark 4's parquet
+    * inference) meets an LTZ literal, which would otherwise defeat the
+    * AttributeReference patterns in mayMatch. */
   private def analyzeConjuncts(pred: Column): Seq[Expression] = {
     val analyzed = emptyDf.filter(pred).queryExecution.analyzed
     val conds = analyzed.collect { case f: logical.Filter => f.condition }
@@ -599,7 +621,13 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    conds.flatMap(split)
+    def stripTsCasts(e: Expression): Expression = e.transformUp {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+        if (c.child.dataType == TimestampNTZType && c.dataType == TimestampType) ||
+          (c.child.dataType == TimestampType && c.dataType == TimestampNTZType) =>
+        c.child
+    }
+    conds.flatMap(split).map(stripTsCasts)
   }
 
   /** Conservative overlap test: only prunes when the conjunct is a

@@ -243,6 +243,28 @@ class GraftTableSpec extends SparkSuite {
     assert(scanned.length === 1)
   }
 
+  test("appendClustered: range-clustered files + stats pruning behave " +
+    "like partition pruning on the cluster key") {
+    val li = graft.rel.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "li_clustered",
+      org.apache.spark.sql.types.StructType.fromDDL(
+        li.schema.toDDL), Map.empty)
+    t.appendClustered(li, Seq("l_shipdate"), nFiles = 8)
+    assert(t.files.count() === 8)
+    val pred = col("l_shipdate") >=
+      lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))
+    val pruned = t.readWhere(pred)
+    // correctness: identical rows to a plain filter
+    assert(pruned.count() === t.read().filter(pred).count())
+    // pruning: the 2001+ tail must live in a small suffix of the
+    // 8 shipdate ranges
+    val scanned = pruned.inputFiles.length
+    assert(scanned <= 3, s"clustered pruning scanned $scanned of 8 files")
+  }
+
   test("FileSummary full summary + diff statuses " +
       "(file_summary_utils.py / diff_utils.py)") {
     val t = newTable()
