@@ -77,13 +77,19 @@ class GraftTable(val spark: SparkSession, val root: Path) {
   private def abs(entry: ManifestEntry): String =
     root.resolve(entry.path).toAbsolutePath.toString
 
-  /** Publish a new metadata version (atomic pointer swap). */
+  /** Publish a new metadata version with optimistic concurrency: vN is
+    * immutable, so publishing it fail-if-exists detects a racing
+    * writer (the Iceberg commit-conflict analog — loser must re-read
+    * and retry); only the winner advances the pointer. */
   private def commitMeta(m: TableMeta): Unit = {
     val v = version + 1
     val file = s"v$v.metadata.json"
     val logged = m.copy(metadataLog = m.metadataLog :+
       MetadataLogEntry(now(), s"metadata/$file"))
-    Io.atomicWrite(metadataDir.resolve(file), Json.write(logged))
+    if (!Io.atomicPublishNew(metadataDir.resolve(file), Json.write(logged)))
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict on $name: metadata v$v was published by " +
+          "another writer; re-read the table and retry the operation")
     Io.atomicWrite(hintFile, v.toString)
   }
 

@@ -81,6 +81,27 @@ object Io {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Atomic publish-if-absent: hard-link the temp file into place —
+    * createLink fails atomically if the target exists, unlike rename(2)
+    * which silently replaces. Returns false when another writer already
+    * published this path (optimistic-concurrency commit conflict).
+    */
+  def atomicPublishNew(target: Path, content: String): Boolean = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + "." + java.util.UUID.randomUUID() + ".tmp")
+    Files.writeString(tmp, content)
+    try {
+      Files.createLink(target, tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
+  }
+
   def listRecursive(dir: Path): Seq[Path] = {
     if (!Files.exists(dir)) return Nil
     val s = Files.walk(dir)

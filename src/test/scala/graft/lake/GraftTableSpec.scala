@@ -283,6 +283,24 @@ class GraftTableSpec extends SparkSuite {
     assert(d.columns.contains("delta"))
   }
 
+  test("optimistic concurrency: a racing writer's metadata version makes " +
+    "the commit fail loudly, table state intact") {
+    val t = newTable()
+    t.append(seedDf)
+    val before = t.read().count()
+    // simulate a concurrent committer winning the next version
+    val v = t.version
+    Files.writeString(
+      t.root.resolve(s"metadata/v${v + 1}.metadata.json"), "{}")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.append(seedDf)
+    }
+    assert(e.getMessage.contains("commit conflict"))
+    // loser did not advance the pointer or corrupt current state
+    assert(t.version === v)
+    assert(t.read().count() === before)
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")
