@@ -103,12 +103,45 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Shared language-ID scorer: given per-doc (doc_id, lang, item)
+    * occurrences, build top-`topK` per-language item profiles (count
+    * desc, item asc — deterministic), score each doc by profile
+    * overlap (integer), and predict per doc by argmax with lang
+    * tiebreak. The doc x lang grid keeps docs with zero overlap. The
+    * profile is tiny and broadcast; the corpus never shuffles for
+    * scoring — only the per-(doc, lang) counts do.
+    */
+  private def profileArgmax(
+      docs: org.apache.spark.sql.DataFrame,
+      items: org.apache.spark.sql.DataFrame,
+      topK: Int): org.apache.spark.sql.DataFrame = {
+    val top = items.groupBy("lang", "item").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("c"), asc("item"))))
+      .filter(col("rk") <= topK)
+      .select(col("lang").as("cand_lang"), col("item"))
+    val di = items.select("doc_id", "item").distinct()
+    val scores = di.join(broadcast(top), Seq("item"))
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+    val grid = docs.select("doc_id", "lang")
+      .crossJoin(broadcast(
+        docs.select(col("lang").as("cand_lang")).distinct()))
+    grid.join(scores, Seq("doc_id", "cand_lang"), "left")
+      .na.fill(0L, Seq("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
+        col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Language ID, corpus-trained: profile = top-5 most frequent tokens
     * per language (ties broken by token, so the profile is
     * deterministic); a doc's score for a language = how many of that
     * language's profile tokens it contains; prediction = argmax with
     * lang tiebreak. Integer scoring end-to-end — no float argmax
-    * hazards. The doc x lang grid keeps docs with zero overlap.
+    * hazards.
     */
   private val langId = Q(
     "q_text_langid",
@@ -143,27 +176,10 @@ object TextQueries extends QueryCatalog {
       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-    val top5 = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lang").orderBy(desc("c"), asc("tok"))))
-      .filter(col("rk") <= 5)
-      .select(col("lang").as("cand_lang"), col("tok"))
-    val dt = toks.select("doc_id", "tok").distinct()
-    val scores = dt.join(broadcast(top5), Seq("tok"))
-      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
-    val grid = docs.select("doc_id", "lang")
-      .crossJoin(broadcast(
-        docs.select(col("lang").as("cand_lang")).distinct()))
-    grid.join(scores, Seq("doc_id", "cand_lang"), "left")
-      .na.fill(0L, Seq("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
-        col("score"))
-      .orderBy("doc_id")
+    profileArgmax(docs,
+      docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("item")),
+      topK = 5)
   }
 
   /** Language ID, char-n-gram heuristic: same corpus-trained integer
@@ -207,28 +223,11 @@ object TextQueries extends QueryCatalog {
       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val grams = docs.select(col("doc_id"), col("lang"),
-      explode(expr("transform(sequence(1, length(text) - 1), " +
-        "i -> substring(text, i, 2))")).as("bg"))
-    val top20 = grams.groupBy("lang", "bg").agg(count(lit(1)).as("c"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("lang").orderBy(desc("c"), asc("bg"))))
-      .filter(col("rk") <= 20)
-      .select(col("lang").as("cand_lang"), col("bg"))
-    val dg = grams.select("doc_id", "bg").distinct()
-    val scores = dg.join(broadcast(top20), Seq("bg"))
-      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
-    val grid = docs.select("doc_id", "lang")
-      .crossJoin(broadcast(
-        docs.select(col("lang").as("cand_lang")).distinct()))
-    grid.join(scores, Seq("doc_id", "cand_lang"), "left")
-      .na.fill(0L, Seq("score"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(desc("score"), asc("cand_lang"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"),
-        col("score"))
-      .orderBy("doc_id")
+    profileArgmax(docs,
+      docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), " +
+          "i -> substring(text, i, 2))")).as("item")),
+      topK = 20)
   }
 
   /** Document fingerprint: order-sensitive rolling hash folded over the
