@@ -166,12 +166,22 @@ class GraftTable(val spark: SparkSession, val root: Path) {
         df(FileCol) === d("file_path") && df(PosCol) === d("pos"),
         "left_anti")
     }
-    // equality deletes: anti-join on the identity columns
-    for ((cols, files) <- eqDel.groupBy(_.equalityColumns)) {
-      val keys = spark.read.parquet(files.map(abs): _*).select(
-        cols.map(col): _*).distinct()
-      val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
-      df = df.join(if (small) broadcast(keys) else keys, cols, "left_anti")
+    // equality deletes: anti-join on the identity columns — but only
+    // against rows from data files added BEFORE the delete (snapshot
+    // ids are time-ordered), matching Iceberg's sequence-number rule:
+    // a key re-inserted after the delete must be visible again
+    for ((key, files) <- eqDel.groupBy(e => (e.equalityColumns, e.addedSnapshotId))) {
+      val (cols, delSnap) = key
+      val affected = data.filter(_.addedSnapshotId < delSnap)
+        .map(e => Io.normalize(abs(e))).toSet
+      if (affected.nonEmpty) {
+        val keys = spark.read.parquet(files.map(abs): _*).select(
+          cols.map(c => col(c).as(s"__k_$c")): _*).distinct()
+        val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
+        val cond = cols.map(c => df(c) === keys(s"__k_$c")).reduce(_ && _) &&
+          udfNormalize(df(FileCol)).isin(affected.toSeq: _*)
+        df = df.join(if (small) broadcast(keys) else keys, cond, "left_anti")
+      }
     }
     df
   }

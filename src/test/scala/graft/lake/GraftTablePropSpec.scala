@@ -27,7 +27,9 @@ class GraftTablePropSpec extends SparkSuite {
 
   private sealed trait Op
   private case class Append(n: Int) extends Op
+  private case class ClusteredAppend(n: Int) extends Op
   private case class MorDelete(pick: Int) extends Op
+  private case class EqDelete(pick: Int) extends Op
   private case class CowNullify(pick: Int) extends Op
   private case object Rewrite extends Op
   private case object RewriteDeletes extends Op
@@ -35,8 +37,10 @@ class GraftTablePropSpec extends SparkSuite {
   private case object Orphans extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
-    4 -> Gen.choose(1, 4).map(Append),
+    3 -> Gen.choose(1, 4).map(Append),
+    1 -> Gen.choose(2, 5).map(ClusteredAppend),
     3 -> Gen.choose(0, 7).map(MorDelete),
+    1 -> Gen.choose(0, 7).map(EqDelete),
     2 -> Gen.choose(0, 7).map(CowNullify),
     1 -> Gen.const(Rewrite),
     1 -> Gen.const(RewriteDeletes),
@@ -75,15 +79,32 @@ class GraftTablePropSpec extends SparkSuite {
       else ids.zipWithIndex.collect { case (id, i) if i % 3 == pick % 3 => id }
     }
 
+    def freshRows(n: Int): Seq[Row] = (0 until n).map { _ =>
+      val id = s"case-$nextId"; nextId += 1
+      Row(id, s"name-$id", java.sql.Date.valueOf("2023-01-01"))
+    }
+
     ops.foreach {
       case Append(n) =>
-        val rows = (0 until n).map { _ =>
-          val id = s"case-$nextId"; nextId += 1
-          Row(id, s"name-$id", java.sql.Date.valueOf("2023-01-01"))
-        }
+        val rows = freshRows(n)
         t.append(spark.createDataFrame(rows.asJava, schema))
         model ++= rows.map(r => M(r.getString(0), Some(r.getString(1))))
         snap()
+      case ClusteredAppend(n) =>
+        val rows = freshRows(n)
+        t.appendClustered(spark.createDataFrame(rows.asJava, schema),
+          Seq("case_id"), nFiles = 2)
+        model ++= rows.map(r => M(r.getString(0), Some(r.getString(1))))
+        snap()
+      case EqDelete(pick) =>
+        val ids = targets(pick)
+        if (ids.nonEmpty) {
+          t.equalityDelete(spark.createDataFrame(
+            ids.map(Row(_)).asJava,
+            org.apache.spark.sql.types.StructType.fromDDL("case_id STRING")))
+          model = model.filterNot(m => ids.contains(m.caseId))
+          snap()
+        }
       case MorDelete(pick) =>
         val ids = targets(pick)
         if (ids.nonEmpty) {

@@ -283,6 +283,23 @@ class GraftTableSpec extends SparkSuite {
     assert(d.columns.contains("delta"))
   }
 
+  test("equality delete sequencing: a key re-inserted after the delete " +
+    "is visible again (Iceberg sequence-number rule)") {
+    val t = newTable()
+    t.append(seedDf)
+    t.equalityDelete(spark.createDataFrame(
+      Seq(Row("case-2")).asJava, StructType.fromDDL("case_id STRING")))
+    assert(!t.read().collect().map(_.getString(0)).contains("case-2"))
+    // re-insert the same key AFTER the delete — must be visible
+    t.append(spark.createDataFrame(Seq(
+      Row("case-2", "Jane2", "jane2@example.com", "key2", "s2", "sk2",
+        java.sql.Date.valueOf("2024-01-01"))).asJava, piiSchema))
+    val names = t.read().filter(col("case_id") === "case-2")
+      .collect().map(_.getString(1))
+    assert(names.toSeq === Seq("Jane2"),
+      "equality delete wrongly masked a later insert")
+  }
+
   test("optimistic concurrency: a racing writer's metadata version makes " +
     "the commit fail loudly, table state intact") {
     val t = newTable()
