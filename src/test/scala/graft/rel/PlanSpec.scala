@@ -52,6 +52,14 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("embedding cosine resolves the native vec_dot kernel, not the" +
+    " UDF fallback") {
+    val p = plan("q_dedup_embedding_cosine")
+    assert(p.contains("vec_dot"), "native kernel not in the plan:\n" + p)
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"), "fell back to a UDF")
+  }
+
   test("minhash LSH candidate join is an equi-join on buckets") {
     val p = plan("q_dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"),
