@@ -50,12 +50,18 @@ class GraftTablePropSpec extends SparkSuite {
   private val genOps: Gen[List[Op]] =
     Gen.choose(4, 8).flatMap(n => Gen.listOfN(n, genOp))
 
-  private def runSequence(ops: List[Op]): Boolean = {
+  /** Sequences run against every combination of delete/update write
+    * modes, so COW and MOR paths both face the same random workloads. */
+  private val genModes: Gen[Map[String, String]] = for {
+    del <- Gen.oneOf("merge-on-read", "copy-on-write")
+    upd <- Gen.oneOf("merge-on-read", "copy-on-write")
+  } yield Map("write.delete.mode" -> del, "write.update.mode" -> upd)
+
+  private def runSequence(modes: Map[String, String], ops: List[Op]): Boolean = {
     val wh = Files.createTempDirectory("graft-prop-")
     val cat = new GraftCatalog(spark, wh)
     cat.createNamespace("default")
-    val t = cat.createTable("default", "prop_t", schema,
-      Map("write.delete.mode" -> "merge-on-read"))
+    val t = cat.createTable("default", "prop_t", schema, modes)
     var model = Vector.empty[M]
     var nextId = 0
     // retained snapshot contents for replay checks
@@ -158,9 +164,10 @@ class GraftTablePropSpec extends SparkSuite {
     true
   }
 
-  test("∀ random lifecycle sequences: read==model, maintenance " +
-    "read-invisible, snapshots replay, expired refuse (SURVEY §5)") {
-    val prop = Prop.forAll(genOps)(runSequence)
+  test("∀ random lifecycle sequences x write modes: read==model, " +
+    "maintenance read-invisible, snapshots replay, expired refuse " +
+    "(SURVEY §5)") {
+    val prop = Prop.forAll(genModes, genOps)(runSequence)
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(6)
       .withInitialSeed(Seed(42L))

@@ -283,6 +283,30 @@ class GraftTableSpec extends SparkSuite {
     assert(d.columns.contains("delta"))
   }
 
+  test("D7 merge-on-read UPDATE: position-deletes mask old rows, new " +
+    "rows appended in the same snapshot") {
+    val wh = freshWarehouse()
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_mor", piiSchema,
+      Map("write.update.mode" -> "merge-on-read"))
+    t.append(seedDf)
+    val snapsBefore = t.snapshots.count()
+    t.update(col("case_id") === "case-1",
+      Map("first_name" -> lit(null).cast("string")))
+    // one snapshot holds both the position-deletes and the new rows
+    assert(t.snapshots.count() === snapsBefore + 1)
+    val contents = t.files.select("content").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(contents === Set(0, 1), s"expected data+pos-delete files: $contents")
+    val rows = t.read().orderBy("case_id").collect()
+    assert(rows.length === 3)
+    assert(rows.head.getString(0) === "case-1" && rows.head.isNullAt(1),
+      "MOR update did not nullify in the visible read")
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("case-1", "case-2", "case-3"), "row set changed")
+  }
+
   test("equality delete sequencing: a key re-inserted after the delete " +
     "is visible again (Iceberg sequence-number rule)") {
     val t = newTable()
