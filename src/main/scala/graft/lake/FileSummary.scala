@@ -99,7 +99,7 @@ object FileSummary {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(summarySchemaDdl))
-    empty.unionByName(summary.select(empty.columns.map(col): _*))
+    empty.unionByName(summary.select(empty.columns.toIndexedSeq.map(col): _*))
       .repartition(col("run_id"))
       .write.mode("append").partitionBy("run_id").parquet(path)
   }
