@@ -188,10 +188,19 @@ class GraftTable(val spark: SparkSession, val root: Path) {
 
   // ---- writes ----
 
-  /** D6 append (ref demo.py:105-110 INSERT INTO VALUES). */
+  /** D6 append (ref demo.py:105-110 INSERT INTO VALUES). Input columns
+    * are matched by NAME and cast to the table types (INSERT-like
+    * normalization) — a frame with missing or extra columns is
+    * rejected instead of silently writing files the table schema can't
+    * read back. */
   def append(df: DataFrame): SnapshotMeta = {
+    require(df.columns.toSet == schema.fieldNames.toSet,
+      s"schema mismatch appending to $name: table columns " +
+        s"${schema.fieldNames.mkString(",")}; got ${df.columns.mkString(",")}")
+    val aligned = df.select(schema.fields.toSeq.map(f =>
+      col(quoted(f.name)).cast(f.dataType).as(f.name)): _*)
     val snapId = nextSnapshotHint
-    val moved = writeDataFiles(df)
+    val moved = writeDataFiles(aligned)
     val newEntries = statEntries(moved, content = 0, snapId)
     commitSnapshot(snapId, "append", currentEntries ++ newEntries,
       Map("added-data-files" -> newEntries.size.toString,

@@ -283,6 +283,20 @@ class GraftTableSpec extends SparkSuite {
     assert(d.columns.contains("delta"))
   }
 
+  test("append normalizes column order/types by name and rejects " +
+    "mismatched frames") {
+    val t = newTable()
+    // reversed column order must append fine
+    val reversed = seedDf.select(seedDf.columns.reverse.map(col): _*)
+    t.append(reversed)
+    assert(t.read().orderBy("case_id").collect().map(_.getString(0)).toSeq
+      === Seq("case-1", "case-2", "case-3"))
+    // missing column must be rejected, not silently written
+    intercept[IllegalArgumentException] {
+      t.append(seedDf.drop("update_date"))
+    }
+  }
+
   test("D7 merge-on-read UPDATE: position-deletes mask old rows, new " +
     "rows appended in the same snapshot") {
     val wh = freshWarehouse()
