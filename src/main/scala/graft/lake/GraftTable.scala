@@ -37,7 +37,8 @@ import org.apache.spark.sql.catalyst.plans.logical
   * only driver-side state is the manifest (O(files), the same scaling
   * assumption Iceberg's planner makes).
   */
-class GraftTable(val spark: SparkSession, val root: Path) {
+class GraftTable(val spark: SparkSession, val root: Path,
+    val commit: CommitProvider = LocalCommitProvider) {
   import GraftTable._
 
   private def metadataDir = root.resolve("metadata")
@@ -48,16 +49,39 @@ class GraftTable(val spark: SparkSession, val root: Path) {
 
   def version: Int = Files.readString(hintFile).trim.toInt
 
-  def meta: TableMeta = Json.readTableMeta(
-    Files.readString(metadataDir.resolve(s"v$version.metadata.json")))
+  private def metaAt(v: Int): TableMeta = Json.readTableMeta(
+    Files.readString(metadataDir.resolve(s"v$v.metadata.json")))
+
+  def meta: TableMeta = metaAt(version)
+
+  /** The metadata version an operation started from. Every write
+    * captures one Base up front and publishes `base.version + 1`
+    * fail-if-exists, so a commit landing anywhere inside the
+    * operation's (possibly multi-minute) Spark jobs is detected as a
+    * conflict instead of silently clobbered — the Iceberg
+    * commit-conflict model, with the base pinned at READ time, not
+    * re-read at commit time. */
+  private final case class Base(version: Int, meta: TableMeta) {
+    def entries: Seq[ManifestEntry] =
+      meta.currentSnapshotId
+        .flatMap(id => meta.snapshots.find(_.snapshotId == id))
+        .map(s => Json.readManifest(
+          Files.readString(root.resolve(s.manifestList))))
+        .getOrElse(Nil)
+  }
+
+  private def captureBase(): Base = {
+    val v = version
+    Base(v, metaAt(v))
+  }
 
   def schema: StructType = StructType.fromDDL(meta.schemaDdl)
   def properties: Map[String, String] = meta.properties
   def name: String = meta.name
 
   def setProperties(props: Map[String, String]): Unit = {
-    val m = meta
-    commitMeta(m.copy(properties = m.properties ++ props))
+    val b = captureBase()
+    commitMeta(b, b.meta.copy(properties = b.meta.properties ++ props))
   }
 
   def currentSnapshot: Option[SnapshotMeta] =
@@ -77,20 +101,23 @@ class GraftTable(val spark: SparkSession, val root: Path) {
   private def abs(entry: ManifestEntry): String =
     root.resolve(entry.path).toAbsolutePath.toString
 
-  /** Publish a new metadata version with optimistic concurrency: vN is
-    * immutable, so publishing it fail-if-exists detects a racing
-    * writer (the Iceberg commit-conflict analog — loser must re-read
-    * and retry); only the winner advances the pointer. */
-  private def commitMeta(m: TableMeta): Unit = {
-    val v = version + 1
+  /** Publish metadata version `base.version + 1` with optimistic
+    * concurrency: vN is immutable, so publishing it fail-if-exists
+    * (through the pluggable CommitProvider) detects ANY writer that
+    * committed after `base` was captured — including one that landed
+    * while this operation's Spark write jobs were running. The loser
+    * must re-read the table and retry; only the winner advances the
+    * pointer. */
+  private def commitMeta(base: Base, m: TableMeta): Unit = {
+    val v = base.version + 1
     val file = s"v$v.metadata.json"
     val logged = m.copy(metadataLog = m.metadataLog :+
       MetadataLogEntry(now(), s"metadata/$file"))
-    if (!Io.atomicPublishNew(metadataDir.resolve(file), Json.write(logged)))
+    if (!commit.publishNew(metadataDir.resolve(file), Json.write(logged)))
       throw new java.util.ConcurrentModificationException(
         s"commit conflict on $name: metadata v$v was published by " +
           "another writer; re-read the table and retry the operation")
-    Io.atomicWrite(hintFile, v.toString)
+    commit.overwrite(hintFile, v.toString)
   }
 
   /** Commit a new snapshot: write its manifest list, then the metadata.
@@ -98,15 +125,15 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     * with the manifest entries' addedSnapshotId — allocating here again
     * would drift by the write job's duration and break all_entries'
     * ADDED-status attribution. */
-  private def commitSnapshot(id: Long, operation: String,
+  private def commitSnapshot(base: Base, id: Long, operation: String,
       entries: Seq[ManifestEntry],
       summary: Map[String, String]): SnapshotMeta = {
-    val m = meta
+    val m = base.meta
     val manifestRel = s"metadata/snap-$id.json"
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
       manifestRel, summary)
-    commitMeta(m.copy(snapshots = m.snapshots :+ snap,
+    commitMeta(base, m.copy(snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(id)))
     snap
   }
@@ -124,13 +151,21 @@ class GraftTable(val spark: SparkSession, val root: Path) {
   /** Stats-pruned read: min/max manifest stats choose the file list
     * before the scan (the Iceberg manifest-pruning analog, SURVEY §4);
     * the predicate is then applied in full inside the scan. */
-  def readWhere(pred: Column): DataFrame = {
-    val entries = currentEntries
+  def readWhere(pred: Column): DataFrame =
+    readEntries(pruneByPredicate(currentEntries, pred)).filter(pred)
+
+  /** Stats-prune data entries that provably contain no row matching
+    * `pred`; delete entries (content != 0) always survive so MOR masks
+    * still apply to whatever remains. Shared by readWhere and every
+    * predicate-driven write (DELETE/UPDATE hit discovery) — at 100 TB
+    * this is what turns `UPDATE ... WHERE case_id='x'` into a scan of
+    * the files whose min/max admit 'x', not a full-table scan. */
+  private def pruneByPredicate(entries: Seq[ManifestEntry],
+      pred: Column): Seq[ManifestEntry] = {
     val conjuncts = analyzeConjuncts(pred)
-    val pruned = entries.filter { e =>
+    entries.filter { e =>
       e.content != 0 || conjuncts.forall(c => mayMatch(e, c))
     }
-    readEntries(pruned).filter(pred)
   }
 
   private def emptyDf: DataFrame =
@@ -169,19 +204,36 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     // equality deletes: anti-join on the identity columns — but only
     // against rows from data files added BEFORE the delete (snapshot
     // ids are time-ordered), matching Iceberg's sequence-number rule:
-    // a key re-inserted after the delete must be visible again
-    for ((key, files) <- eqDel.groupBy(e => (e.equalityColumns, e.addedSnapshotId))) {
-      val (cols, delSnap) = key
-      val affected = data.filter(_.addedSnapshotId < delSnap)
-        .map(e => Io.normalize(abs(e))).toSet
-      if (affected.nonEmpty) {
-        val keys = spark.read.parquet(files.map(abs): _*).select(
-          cols.map(c => col(c).as(s"__k_$c")): _*).distinct()
+    // a key re-inserted after the delete must be visible again.
+    // ONE anti-join per equality-column-set, regardless of how many
+    // delete snapshots accumulated: each row carries its data sequence
+    // (its file's addedSnapshotId, attached via a broadcast file→seq
+    // map — an equi-join, no UDF, plan size O(1) in file count), each
+    // delete key carries the NEWEST delete sequence for that key, and
+    // the join masks rows with rowSeq < max delete seq.
+    if (eqDel.nonEmpty) {
+      val seqRows = data.flatMap(e =>
+        Io.uriForms(abs(e)).map(u => Row(u, e.addedSnapshotId)))
+      val seqDf = spark.createDataFrame(seqRows.asJava, StructType(Seq(
+        StructField("__graft_seq_file", StringType),
+        StructField(SeqCol, LongType))))
+      df = df.join(broadcast(seqDf), df(FileCol) === col("__graft_seq_file"),
+        "left").drop("__graft_seq_file")
+      for ((cols, files) <- eqDel.groupBy(_.equalityColumns)) {
+        val perFile = files.map { f =>
+          spark.read.parquet(abs(f))
+            .select(cols.map(c => col(c).as(s"__k_$c")): _*)
+            .withColumn("__k_seq", lit(f.addedSnapshotId))
+        }
+        val keys = perFile.reduce(_ unionByName _)
+          .groupBy(cols.map(c => col(s"__k_$c")): _*)
+          .agg(max(col("__k_seq")).as("__k_seq"))
         val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
         val cond = cols.map(c => df(c) === keys(s"__k_$c")).reduce(_ && _) &&
-          udfNormalize(df(FileCol)).isin(affected.toSeq: _*)
+          col(SeqCol) < keys("__k_seq")
         df = df.join(if (small) broadcast(keys) else keys, cond, "left_anti")
       }
+      df = df.drop(SeqCol)
     }
     df
   }
@@ -199,10 +251,11 @@ class GraftTable(val spark: SparkSession, val root: Path) {
         s"${schema.fieldNames.mkString(",")}; got ${df.columns.mkString(",")}")
     val aligned = df.select(schema.fields.toSeq.map(f =>
       col(quoted(f.name)).cast(f.dataType).as(f.name)): _*)
+    val b = captureBase()
     val snapId = nextSnapshotHint
     val moved = writeDataFiles(aligned)
     val newEntries = statEntries(moved, content = 0, snapId)
-    commitSnapshot(snapId, "append", currentEntries ++ newEntries,
+    commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
       Map("added-data-files" -> newEntries.size.toString,
         "added-records" -> newEntries.map(_.recordCount).sum.toString))
   }
@@ -252,46 +305,66 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     else cowRewrite(pred, transform, "overwrite")
   }
 
-  /** MOR position-delete write (D8): capture (file, pos) of matching
-    * live rows, write them as content=1 Parquet, commit op=delete. */
-  private def morDelete(pred: Column): Option[SnapshotMeta] = {
-    val entries = currentEntries
-    val hits = readWithLineage(entries).filter(pred)
-      .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+  /** Target rows per position-delete file; delete-file writes scale
+    * their partition count with the hit count so a billion-row MOR
+    * delete fans out across executors instead of funnelling through
+    * one task. Tunable per table (tests set it low to exercise the
+    * multi-file path). */
+  private def deleteRowsPerFile: Long =
+    properties.getOrElse("write.delete.rows-per-file",
+      (4L * 1024 * 1024).toString).toLong
+
+  /** Write `hits` (file_path, pos) as sorted position-delete files,
+    * one part per ~deleteRowsPerFile rows. Range partitioning on
+    * (file_path, pos) keeps each output file covering a contiguous
+    * run, so delete application still scans sequentially per file. */
+  private def writeDeleteFiles(hits: DataFrame, n: Long): Seq[String] = {
+    val nParts = math.max(1, math.ceil(n.toDouble / deleteRowsPerFile).toInt)
     val staged = stageDir()
-    // sort by (file_path, pos): delete application scans sequentially
-    hits.repartitionByRange(1, col("file_path"), col("pos"))
+    hits.repartitionByRange(nParts, col("file_path"), col("pos"))
       .sortWithinPartitions("file_path", "pos")
       .write.parquet(staged.toString)
-    val moved = moveStaged(staged, "delete")
-    val snapId = nextSnapshotHint
-    // statEntries already counts records per file — no separate count job
-    val delEntries = statEntries(moved, content = 1, snapId)
-    val n = delEntries.map(_.recordCount).sum
-    if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
-    Some(commitSnapshot(snapId, "delete", entries ++ delEntries,
-      Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")))
+    moveStaged(staged, "delete")
+  }
+
+  /** MOR position-delete write (D8): capture (file, pos) of matching
+    * live rows, write them as content=1 Parquet, commit op=delete.
+    * Hit discovery scans only stats-pruned candidate files. */
+  private def morDelete(pred: Column): Option[SnapshotMeta] = {
+    val b = captureBase()
+    val entries = b.entries
+    val hits = readWithLineage(pruneByPredicate(entries, pred)).filter(pred)
+      .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
+      .persist()
+    try {
+      val n = hits.count()
+      if (n == 0) return None
+      val moved = writeDeleteFiles(hits, n)
+      val snapId = nextSnapshotHint
+      val delEntries = statEntries(moved, content = 1, snapId)
+      Some(commitSnapshot(b, snapId, "delete", entries ++ delEntries,
+        Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")))
+    } finally hits.unpersist()
   }
 
   /** MOR update: position-deletes for the old rows + append of the
     * transformed rows, in one snapshot. */
   private def morUpdate(pred: Column,
       transform: DataFrame => DataFrame): Option[SnapshotMeta] = {
-    val entries = currentEntries
-    val hits = readWithLineage(entries).filter(pred).cache()
+    val b = captureBase()
+    val entries = b.entries
+    val hits = readWithLineage(pruneByPredicate(entries, pred))
+      .filter(pred).cache()
     try {
-      if (hits.isEmpty) return None
-      val delStaged = stageDir()
-      hits.select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
-        .repartitionByRange(1, col("file_path"), col("pos"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(delStaged.toString)
-      val delMoved = moveStaged(delStaged, "delete")
+      val n = hits.count()
+      if (n == 0) return None
+      val delMoved = writeDeleteFiles(
+        hits.select(col(FileCol).as("file_path"), col(PosCol).as("pos")), n)
       val newMoved = writeDataFiles(transform(hits.drop(FileCol, PosCol)))
       val snapId = nextSnapshotHint
       val delEntries = statEntries(delMoved, content = 1, snapId)
       val dataEntries = statEntries(newMoved, content = 0, snapId)
-      Some(commitSnapshot(snapId, "overwrite",
+      Some(commitSnapshot(b, snapId, "overwrite",
         entries ++ delEntries ++ dataEntries,
         Map("mode" -> "merge-on-read")))
     } finally hits.unpersist()
@@ -303,6 +376,7 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     val cols = keys.schema.fieldNames.toSeq
     require(cols.toSet.subsetOf(schema.fieldNames.toSet),
       s"equality-delete columns $cols not in table schema")
+    val b = captureBase()
     val staged = stageDir()
     keys.distinct().coalesce(1).write.parquet(staged.toString)
     val moved = moveStaged(staged, "eqdelete")
@@ -311,29 +385,33 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       .map(_.copy(equalityColumns = cols))
     val n = entries.map(_.recordCount).sum
     if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
-    Some(commitSnapshot(snapId, "delete", currentEntries ++ entries,
+    Some(commitSnapshot(b, snapId, "delete", b.entries ++ entries,
       Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))))
   }
 
   /** COW rewrite shared by delete/update: replace exactly the data files
-    * holding matching live rows. */
+    * holding matching live rows. Two bounded scans, never a full-table
+    * read: (1) hit discovery over stats-pruned candidates only, (2) the
+    * rewrite read re-plans over JUST the affected data files (plus
+    * delete files so MOR masks apply) — the file list is chosen
+    * pre-plan, so no post-scan path filter exists at all. */
   private def cowRewrite(pred: Column, transform: DataFrame => DataFrame,
       operation: String): Option[SnapshotMeta] = {
-    val entries = currentEntries
-    val live = readWithLineage(entries)
-    val affected = live.filter(pred).select(FileCol).distinct()
+    val b = captureBase()
+    val entries = b.entries
+    val affected = readWithLineage(pruneByPredicate(entries, pred))
+      .filter(pred).select(FileCol).distinct()
       .collect().map(r => Io.normalize(r.getString(0))).toSet
     if (affected.isEmpty) return None
     val keep = entries.filter(e =>
       e.content != 0 || !affected.contains(abs(e)))
-    val victimRows = live
-      .filter(udfNormalize(col(FileCol)).isin(affected.toSeq: _*))
-      .drop(FileCol, PosCol)
-    val replaced = transform(victimRows)
+    val victims = entries.filter(e =>
+      e.content != 0 || affected.contains(abs(e)))
+    val replaced = transform(readWithLineage(victims).drop(FileCol, PosCol))
     val snapId = nextSnapshotHint
     val moved = writeDataFiles(replaced)
     val newEntries = statEntries(moved, content = 0, snapId)
-    Some(commitSnapshot(snapId, operation, keep ++ newEntries,
+    Some(commitSnapshot(b, snapId, operation, keep ++ newEntries,
       Map("rewritten-files" -> affected.size.toString,
         "mode" -> "copy-on-write")))
   }
@@ -345,7 +423,8 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     * `retainLast`), delete files only they referenced. Time travel to
     * an expired snapshot then fails, as demo.py:300-306 demonstrates. */
   def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Seq[Long] = {
-    val m = meta
+    val b = captureBase()
+    val m = b.meta
     val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)
       .map(_.snapshotId)
       ++ m.currentSnapshotId.toSeq
@@ -353,13 +432,21 @@ class GraftTable(val spark: SparkSession, val root: Path) {
         .map(_.snapshotId)).toSet
     val (retained, removed) = m.snapshots.partition(s => keepIds(s.snapshotId))
     if (removed.isEmpty) return Nil
+    // Iceberg's ordering: swap the metadata FIRST, physically delete
+    // only after the trimmed snapshot list is durably published. A
+    // crash (or losing the commit race) in between leaves unreferenced
+    // files for remove_orphan_files — never published metadata that
+    // points at deleted manifests, which would wedge every whole-log
+    // operation (allEntries, orphan scans, file summaries).
+    val removedManifests = removed.map(s =>
+      (root.resolve(s.manifestList), manifestOf(s)))
     val reachable = retained.flatMap(manifestOf).map(abs).toSet
-    for (s <- removed) {
-      for (e <- manifestOf(s) if !reachable(abs(e)))
+    commitMeta(b, m.copy(snapshots = retained))
+    for ((manifestPath, entries) <- removedManifests) {
+      for (e <- entries if !reachable(abs(e)))
         Files.deleteIfExists(Path.of(abs(e)))
-      Files.deleteIfExists(root.resolve(s.manifestList))
+      Files.deleteIfExists(manifestPath)
     }
-    commitMeta(m.copy(snapshots = retained))
     removed.map(_.snapshotId)
   }
 
@@ -392,7 +479,8 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     * files; otherwise only undersized or delete-carrying files move. */
   def rewriteDataFiles(options: Map[String, String] = Map.empty)
       : Option[SnapshotMeta] = {
-    val entries = currentEntries
+    val b = captureBase()
+    val entries = b.entries
     val data = entries.filter(_.content == 0)
     if (data.isEmpty) return None
     val rewriteAll = options.getOrElse("rewrite-all", "false").toBoolean
@@ -404,9 +492,13 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       else data.filter(_.fileSizeBytes < target / 2)
     if (candidates.isEmpty) return None
     val candidateSet = candidates.map(abs).toSet
-    val rows = readWithLineage(entries)
-      .filter(udfNormalize(col(FileCol)).isin(candidateSet.toSeq: _*))
-      .drop(FileCol, PosCol)
+    // plan the rewrite read over ONLY the candidate files (plus delete
+    // files so their masks apply) — the file list is chosen pre-plan,
+    // no post-scan path filter, so compacting 10 small files out of a
+    // 100 TB table scans 10 files
+    val victims = entries.filter(e =>
+      e.content != 0 || candidateSet(abs(e)))
+    val rows = readWithLineage(victims).drop(FileCol, PosCol)
     val nParts = math.max(1,
       math.ceil(candidates.map(_.fileSizeBytes).sum.toDouble / target).toInt)
     val snapId = nextSnapshotHint
@@ -416,7 +508,8 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     val dropDeletes = rewriteAll || hasDeletes
     val keptDeletes = if (dropDeletes) Nil else entries.filter(_.content != 0)
     val newEntries = statEntries(moved, content = 0, snapId)
-    Some(commitSnapshot(snapId, "replace", keep ++ keptDeletes ++ newEntries,
+    Some(commitSnapshot(b, snapId, "replace",
+      keep ++ keptDeletes ++ newEntries,
       Map("rewritten-data-files" -> candidates.size.toString,
         "target-file-size-bytes" -> target.toString)))
   }
@@ -426,31 +519,33 @@ class GraftTable(val spark: SparkSession, val root: Path) {
     * what survives. */
   def rewritePositionDeleteFiles(options: Map[String, String] = Map.empty)
       : Option[SnapshotMeta] = {
-    val entries = currentEntries
+    val b = captureBase()
+    val entries = b.entries
     val posDel = entries.filter(_.content == 1)
     if (posDel.isEmpty) return None
+    // every URI spelling of each live path, normalized ONCE driver-side
+    // — the semi-join below is a plain broadcast equi-join on the
+    // stored file_path strings, no normalizing UDF in the plan
     val livePaths = entries.filter(_.content == 0).map(abs)
+      .flatMap(Io.uriForms)
     val liveDf = spark.createDataFrame(
       livePaths.map(Row(_)).asJava,
       StructType(Seq(StructField("live_path", StringType))))
     val delRows = spark.read.parquet(posDel.map(abs): _*)
     val stillValid = delRows.join(broadcast(liveDf),
-      udfNormalize(col("file_path")) === col("live_path"), "left_semi")
+      col("file_path") === col("live_path"), "left_semi")
     val keep = entries.filter(_.content != 1)
     val snapId = nextSnapshotHint
-    // write survivors, then read counts off the stats pass (no extra
-    // count job); an empty write just leaves no entries behind
-    val staged = stageDir()
-    stillValid.repartitionByRange(1, col("file_path"), col("pos"))
-      .sortWithinPartitions("file_path", "pos")
-      .write.parquet(staged.toString)
-    val moved = moveStaged(staged, "delete")
+    // survivors are bounded by the existing delete records — size the
+    // write from the manifest counts, no extra count job
+    val bound = posDel.map(_.recordCount).sum
+    val moved = writeDeleteFiles(stillValid, math.max(1L, bound))
     val counted = statEntries(moved, content = 1, snapId)
     val n = counted.map(_.recordCount).sum
     val newEntries = if (n == 0) {
       moved.foreach(p => Files.deleteIfExists(Path.of(p))); Nil
     } else counted
-    Some(commitSnapshot(snapId, "replace", keep ++ newEntries,
+    Some(commitSnapshot(b, snapId, "replace", keep ++ newEntries,
       Map("removed-delete-files" -> posDel.size.toString,
         "surviving-delete-records" -> n.toString)))
   }
@@ -663,9 +758,15 @@ class GraftTable(val spark: SparkSession, val root: Path) {
       f <- schema.fields.find(_.name.equalsIgnoreCase(name))
       st <- e.stats.get(f.name)
     } yield (st, f.dataType)
+    // string stats were computed by Spark min/max over UTF8String
+    // (UTF-8 byte order), so compare in the SAME order — Java
+    // String.compareTo (UTF-16 code units) disagrees for supplementary
+    // code points vs U+E000..U+FFFF and could prune a matching file
     def cmp(statVal: String, v: Any, dt: DataType): Int =
       if (isNumericStat(dt)) BigDecimal(statVal).compare(BigDecimal(v.toString))
-      else statVal.compareTo(v.toString)
+      else org.apache.spark.unsafe.types.UTF8String.fromString(statVal)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v.toString))
     def bound(name: String, v: Any, test: (Int, Int) => Boolean): Boolean =
       key(name) match {
         case Some((st, dt)) if v != null =>
@@ -707,27 +808,26 @@ class GraftTable(val spark: SparkSession, val root: Path) {
 object GraftTable {
   val FileCol = "__graft_file"
   val PosCol = "__graft_pos"
-
-  private val udfNormalize =
-    udf((s: String) => if (s == null) null else Io.normalize(s))
+  val SeqCol = "__graft_seq"
 
   /** Create a new table directory with v0 metadata (no snapshot). */
   def create(spark: SparkSession, root: Path, name: String,
-      schema: StructType, properties: Map[String, String] = Map.empty)
-      : GraftTable = {
+      schema: StructType, properties: Map[String, String] = Map.empty,
+      commit: CommitProvider = LocalCommitProvider): GraftTable = {
     require(!Files.exists(root.resolve("metadata/version-hint.text")),
       s"table already exists at $root")
     val meta = TableMeta(name, schema.toDDL, properties, Nil, None)
     Io.atomicWrite(root.resolve("metadata/v0.metadata.json"), Json.write(meta))
     Io.atomicWrite(root.resolve("metadata/version-hint.text"), "0")
     Files.createDirectories(root.resolve("data"))
-    new GraftTable(spark, root)
+    new GraftTable(spark, root, commit)
   }
 
-  def load(spark: SparkSession, root: Path): GraftTable = {
+  def load(spark: SparkSession, root: Path,
+      commit: CommitProvider = LocalCommitProvider): GraftTable = {
     require(Files.exists(root.resolve("metadata/version-hint.text")),
       s"no GraftLake table at $root")
-    new GraftTable(spark, root)
+    new GraftTable(spark, root, commit)
   }
 }
 

@@ -70,6 +70,36 @@ object Json {
     mapper.readValue(s, classOf[Array[ManifestEntry]]).toSeq
 }
 
+/** The commit boundary of a GraftLake table — the one operation that
+  * must be atomic-and-exclusive for optimistic concurrency to hold.
+  * `publishNew` publishes an immutable metadata version fail-if-exists;
+  * exactly one of N racing writers wins. `overwrite` replaces a mutable
+  * pointer (the version hint) and only the publishNew winner calls it.
+  *
+  * Local FS (this repo's runtime) uses hard links, which POSIX defines
+  * as atomic fail-if-exists. An object-store implementation would use
+  * conditional writes (S3 `If-None-Match: *`, GCS
+  * `x-goog-if-generation-match: 0`, ADLS `If-None-Match`) or delegate
+  * the swap to a REST catalog — the pluggable boundary the reference
+  * gets from its REST catalog service
+  * (/root/reference/docker-compose.yml:28-29). Everything else in the
+  * table format is plain immutable-file I/O and needs no coordination.
+  */
+trait CommitProvider {
+  /** Publish `content` at `target` iff absent; false on conflict. */
+  def publishNew(target: Path, content: String): Boolean
+  /** Atomically replace a mutable pointer file. */
+  def overwrite(target: Path, content: String): Unit
+}
+
+/** Hard-link-based commits for local/NFS-style filesystems. */
+object LocalCommitProvider extends CommitProvider {
+  override def publishNew(target: Path, content: String): Boolean =
+    Io.atomicPublishNew(target, content)
+  override def overwrite(target: Path, content: String): Unit =
+    Io.atomicWrite(target, content)
+}
+
 object Io {
   /** Durable-enough atomic publish for a single-writer local log: write
     * a temp sibling, then ATOMIC_MOVE over the target. */
@@ -115,4 +145,11 @@ object Io {
   def normalize(pathOrUri: String): String =
     if (pathOrUri.startsWith("file:")) new java.net.URI(pathOrUri).getPath
     else pathOrUri
+
+  /** All spellings `_metadata.file_path` may use for a local path —
+    * lets driver-side path sets be normalized ONCE to every URI form
+    * and compared with a plain (codegen-friendly) string equality,
+    * instead of running a normalizing UDF over the scan column. */
+  def uriForms(path: String): Seq[String] =
+    Seq(path, s"file:$path", s"file://$path").distinct
 }

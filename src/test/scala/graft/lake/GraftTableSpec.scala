@@ -356,6 +356,75 @@ class GraftTableSpec extends SparkSuite {
     assert(t.read().count() === before)
   }
 
+  test("operation-spanning race: a writer that commits while another " +
+    "op's write job runs is detected (base version pinned at read time)") {
+    val root = freshWarehouse().resolve("default").resolve("pii_race")
+    @volatile var raced = false
+    // CommitProvider that simulates an interleaved writer: just before
+    // this op publishes, another writer lands a full append. Under a
+    // commit-time version re-read the op would silently publish v+2
+    // with a stale entry list, dropping the other writer's files; with
+    // the base pinned at read time it must surface a conflict.
+    val racing = new CommitProvider {
+      override def publishNew(target: Path, content: String): Boolean = {
+        if (!raced) {
+          raced = true
+          GraftTable.load(spark, root).append(seedDf)
+        }
+        Io.atomicPublishNew(target, content)
+      }
+      override def overwrite(target: Path, content: String): Unit =
+        Io.atomicWrite(target, content)
+    }
+    val t = GraftTable.create(spark, root, "default.pii_race", piiSchema,
+      commit = racing)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.append(seedDf)
+    }
+    assert(e.getMessage.contains("commit conflict"))
+    // the interleaved writer's commit is intact and is the table state
+    assert(GraftTable.load(spark, root).read().count() === 3)
+  }
+
+  test("MOR delete fans out over multiple delete files when hits exceed " +
+    "write.delete.rows-per-file") {
+    val t = newTable()
+    t.setProperties(Map("write.delete.rows-per-file" -> "1"))
+    t.append(seedDf)
+    t.delete(col("case_id") =!= "case-2") // 2 hits, 1 row per delete file
+    assert(t.files.filter("content = 1").count() >= 2,
+      "large MOR delete should write more than one delete file")
+    assert(t.read().collect().map(_.getString(0)).toSeq === Seq("case-2"))
+  }
+
+  test("expire commit conflict leaves the log fully readable " +
+    "(metadata swap precedes physical file deletion)") {
+    val root = freshWarehouse().resolve("default").resolve("pii_expire")
+    @volatile var failNext = false
+    val failing = new CommitProvider {
+      override def publishNew(target: Path, content: String): Boolean =
+        if (failNext) { failNext = false; false }
+        else Io.atomicPublishNew(target, content)
+      override def overwrite(target: Path, content: String): Unit =
+        Io.atomicWrite(target, content)
+    }
+    val t = GraftTable.create(spark, root, "default.pii_expire", piiSchema,
+      commit = failing)
+    val s0 = t.append(seedDf)
+    t.delete(col("case_id") === "case-2")
+    failNext = true
+    intercept[java.util.ConcurrentModificationException] {
+      t.expireSnapshots(System.currentTimeMillis() + 1)
+    }
+    // nothing was physically deleted before the failed commit: the
+    // whole log is still traversable and time travel still works
+    assert(t.allEntries.count() > 0)
+    assert(t.readAt(s0.snapshotId).count() === 3)
+    // a retry after the conflict succeeds and actually expires
+    assert(t.expireSnapshots(System.currentTimeMillis() + 1).nonEmpty)
+    intercept[IllegalArgumentException](t.readAt(s0.snapshotId))
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")
