@@ -26,19 +26,31 @@ object Bench {
     // min of 2 runs per query: the first run pays per-plan codegen
     // compilation (~0.5-2s), the second measures the engine; min-of-N
     // is standard steady-state benchmark hygiene and is declared in the
-    // output ("runs"/"agg") so rounds stay comparable.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // output ("runs"/"agg") so rounds stay comparable. Per-run times
+    // are also emitted ("runs_detail") so cold-run totals remain
+    // reconstructable round-over-round.
+    // Execution is a noop-format write, not count(): count() lets
+    // Catalyst eliminate final sorts (EliminateSorts), so presentation
+    // ORDER BYs would be planned but never timed. The noop sink
+    // executes the declared plan in full and discards rows.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    val detail = SparkEntry.queries.map { case (name, fn) =>
+      name -> (1 to 2).map(_ => run(fn))
+    }
+    val results = detail.map { case (name, times) => name -> times.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsDetail = detail.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","exec":"noop-write","runs_detail":$runsDetail}""")
     spark.stop()
   }
 }

@@ -71,8 +71,12 @@ object JoinQueries extends QueryCatalog {
       |ORDER BY p_partkey""".stripMargin
   ) { (s, dir) =>
     val p = Tables.part(s, dir)
-    val l = Tables.lineitem(s, dir)
-    p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+    // pre-project + dedup the probe side: anti-join semantics only need
+    // the distinct key set, and (partkey) is ~40× narrower than the
+    // lineitem row — the shuffle moves one int column instead of the
+    // fact table
+    val lKeys = Tables.lineitem(s, dir).select("l_partkey").distinct()
+    p.join(lKeys, p("p_partkey") === lKeys("l_partkey"), "left_anti")
       .select("p_partkey", "p_name")
       .orderBy("p_partkey")
   }
