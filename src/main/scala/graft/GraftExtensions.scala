@@ -9,10 +9,14 @@ import graft.functions.{DotProduct, SimHash64}
 /** Engine extension point, applied via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
   * public SparkSessionExtensions surface. Registers the native vector
-  * kernels so SQL and `call_function` resolve them.
+  * kernels so SQL and `call_function` resolve them, and the
+  * GraftLake SQL planning rule (reads + row-level UPDATE/DELETE for
+  * `graft.<ns>.<table>` relations).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(session =>
+      graft.lake.sql.GraftSqlResolution(session))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),

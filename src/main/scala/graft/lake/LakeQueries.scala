@@ -127,7 +127,43 @@ object LakeQueries extends QueryCatalog {
     t.read().orderBy("case_id") // case-2 masked by key
   }
 
+  private def ensureSqlCatalog(s: SparkSession): Unit =
+    if (!s.conf.getOption("spark.sql.catalog.graft").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.lake.sql.GraftSqlCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse",
+        Files.createTempDirectory("graft-sqlwh-").toString)
+    }
+
+  /** The demo lifecycle driven ENTIRELY through spark.sql — the
+    * reference's real UX (demo.py:67-262): DDL + INSERT + MOR DELETE +
+    * COW UPDATE through the DataSourceV2 catalog, result identical to
+    * q_lake_lifecycle's Scala-API walk. */
+  private val sqlLifecycle = Q.noOracle("q_lake_sql_lifecycle") { (s, _) =>
+    ensureSqlCatalog(s)
+    val ns = s"sqlns_${System.nanoTime()}"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.pii_data"
+    s.sql(
+      s"""CREATE TABLE $tbl (
+         |  case_id STRING, first_name STRING, email_address STRING,
+         |  key_nm STRING, secure_txt STRING, secure_key STRING,
+         |  update_date DATE)
+         |USING graft TBLPROPERTIES (
+         |  'write.delete.mode'='merge-on-read',
+         |  'write.update.mode'='copy-on-write')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl VALUES
+         |('case-1','John','john.doe@example.com','key1','secret text 1','secret_key_1',DATE'2023-01-01'),
+         |('case-2','Jane','jane.roe@example.com','key2','secret text 2','secret_key_2',DATE'2023-01-02'),
+         |('case-3','Alice','alice@example.com','key3','secret text 3','secret_key_3',DATE'2023-01-03')""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    s.sql(s"UPDATE $tbl SET first_name = NULL, email_address = NULL, " +
+      "secure_txt = NULL WHERE case_id = 'case-1'")
+    s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
-    prunedRead, equalityDelete)
+    prunedRead, equalityDelete, sqlLifecycle)
 }

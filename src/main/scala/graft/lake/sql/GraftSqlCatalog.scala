@@ -1,0 +1,372 @@
+package graft.lake.sql
+
+import java.nio.file.{Files, Path}
+import java.util.{Collections, Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{GraftCatalog, GraftTable}
+
+/** GraftLake's Spark catalog plugin — the piece that makes the
+  * reference's SQL surface work verbatim through `spark.sql` with no
+  * custom parser (ref notebooks/iceberg_pii_deletion_demo.py):
+  *
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.lake.sql.GraftSqlCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *
+  *   CREATE NAMESPACE graft.pii                      (demo.py:71)
+  *   CREATE TABLE graft.pii.pii_data (...) USING graft
+  *     TBLPROPERTIES (...)                           (demo.py:74-85)
+  *   INSERT INTO graft.pii.pii_data VALUES (...)     (demo.py:105-110)
+  *   ALTER TABLE ... SET TBLPROPERTIES (...)         (demo.py:166-171)
+  *   DELETE FROM ... WHERE case_id = 'x'             (demo.py:177-180)
+  *   UPDATE ... SET ... WHERE ...                    (demo.py:228-235)
+  *   SELECT * FROM t VERSION AS OF <id>              (demo.py:261)
+  *   SELECT * FROM graft.pii.pii_data.files          (demo.py:120,205)
+  *   CALL graft.system.expire_snapshots(...)         (demo.py:289-296)
+  *   CALL graft.system.remove_orphan_files(...)      (demo.py:341-369)
+  *   CALL graft.system.rewrite_data_files(...)       (demo.py:419-433)
+  *   CALL graft.system.rewrite_position_delete_files (demo.py:437-447)
+  *
+  * Tables resolve lazily per call (metadata lives on disk), so
+  * concurrent sessions see each other's commits. Identifier layout:
+  * namespace directories under the warehouse, one directory per table.
+  */
+class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  private var catalogName: String = "graft"
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Path.of(options.getOrDefault("warehouse",
+      s"spark-warehouse/$name"))
+  }
+
+  override def name(): String = catalogName
+
+  private def session: SparkSession = SparkSession.active
+  private def cat: GraftCatalog = new GraftCatalog(session, warehouse)
+  private def nsPath(namespace: Array[String]): String =
+    namespace.mkString("/")
+
+  // ---- namespaces ----
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    cat.namespaceExists(nsPath(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!Files.isDirectory(warehouse)) return Array.empty
+    Files.list(warehouse).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    else Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : JMap[String, String] =
+    if (namespaceExists(namespace)) Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    cat.createNamespace(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftLake namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    val dir = namespace.foldLeft(warehouse)(_.resolve(_))
+    val all = Files.walk(dir)
+    try all.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally all.close()
+    true
+  }
+
+  // ---- tables ----
+
+  /** The six Iceberg-style metadata relations, addressable as a fourth
+    * identifier part: `SELECT * FROM graft.<ns>.<table>.files` (ref
+    * demo.py:120,205; file_summary_utils.py drives history/snapshots/
+    * all_entries the same way). */
+  private val metadataTables = Set("files", "history", "snapshots",
+    "all_entries", "all_manifests", "metadata_log_entries")
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.tableExists(nsPath(ident.namespace), ident.name) ||
+      metadataIdent(ident).isDefined
+
+  private def metadataIdent(ident: Identifier)
+      : Option[(GraftTable, String)] =
+    if (ident.namespace.length >= 2 && metadataTables(ident.name) &&
+        cat.tableExists(nsPath(ident.namespace.init),
+          ident.namespace.last)) {
+      Some((cat.loadTable(nsPath(ident.namespace.init),
+        ident.namespace.last), ident.name))
+    } else None
+
+  override def loadTable(ident: Identifier): Table = {
+    if (cat.tableExists(nsPath(ident.namespace), ident.name))
+      new GraftSqlTable(fullName(ident),
+        cat.loadTable(nsPath(ident.namespace), ident.name))
+    else metadataIdent(ident) match {
+      case Some((t, kind)) =>
+        new GraftMetadataSqlTable(fullName(ident), t, kind)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** `VERSION AS OF <snapshot-id>` (ref demo.py:261 snapshot-id read;
+    * demo.py:300-306 shows the expired-snapshot failure, which
+    * surfaces here at read time via snapshotOrFail). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val base = loadTable(ident)
+    base match {
+      case g: GraftSqlTable =>
+        val snapId = try version.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"invalid snapshot id '$version' for ${fullName(ident)}")
+        }
+        new GraftSqlTable(fullName(ident), g.graft, Some(snapId))
+      case other => other
+    }
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve to
+    * the latest snapshot at or before that instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val base = loadTable(ident)
+    base match {
+      case g: GraftSqlTable =>
+        val ms = timestamp / 1000L
+        val snap = g.graft.meta.snapshots.filter(_.timestampMs <= ms)
+          .sortBy(_.timestampMs).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"no snapshot of ${fullName(ident)} at or before $ms"))
+        new GraftSqlTable(fullName(ident), g.graft, Some(snap.snapshotId))
+      case other => other
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    cat.listTables(nsPath(namespace))
+      .map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "GraftLake uses range-clustered appends + stats pruning instead " +
+        "of partition transforms (see GraftTable.appendClustered)")
+    if (cat.tableExists(nsPath(ident.namespace), ident.name))
+      throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    // provider/location/owner are Spark bookkeeping, not table props
+    val props = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT)
+    val t = cat.createTable(nsPath(ident.namespace), ident.name, schema,
+      props, ifNotExists = false)
+    new GraftSqlTable(fullName(ident), t)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = cat.loadTable(nsPath(ident.namespace), ident.name)
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val removes = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    val unsupported = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        false
+      case _ => true
+    }
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      s"unsupported ALTER TABLE changes: ${unsupported.mkString(", ")}")
+    if (removes.nonEmpty)
+      t.setProperties(t.properties -- removes ++ sets)
+    else if (sets.nonEmpty) t.setProperties(sets)
+    new GraftSqlTable(fullName(ident), t)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    cat.dropTable(nsPath(ident.namespace), ident.name)
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    val from = oldIdent.namespace.foldLeft(warehouse)(_.resolve(_))
+      .resolve(oldIdent.name)
+    val to = newIdent.namespace.foldLeft(warehouse)(_.resolve(_))
+      .resolve(newIdent.name)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  // ---- procedures (CALL graft.system.<proc>(...)) ----
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.names.map(n =>
+      Identifier.of(Array("system"), n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident.name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name}; expected one of " +
+          GraftProcedures.names.mkString(", ")))
+
+  private[sql] def resolveTableArg(tableName: String): GraftTable = {
+    val parts = tableName.split("\\.").toSeq
+    val cleaned = if (parts.headOption.contains(catalogName))
+      parts.tail else parts
+    require(cleaned.length >= 2,
+      s"table argument must be <namespace>.<table>, got '$tableName'")
+    cat.loadTable(cleaned.init.mkString("/"), cleaned.last)
+  }
+}
+
+/** The maintenance procedures the reference invokes via SQL CALL
+  * (demo.py:289-296,341-369,419-447), surfaced through Spark 4's
+  * native ProcedureCatalog — no parser extension needed. */
+private object GraftProcedures {
+
+  val names: Array[String] = Array("expire_snapshots",
+    "remove_orphan_files", "rewrite_data_files",
+    "rewrite_position_delete_files")
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def outRow(values: Any*): InternalRow =
+    InternalRow.fromSeq(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    })
+
+  private def resultScan(schema: StructType,
+      result: Seq[InternalRow]): java.util.Iterator[Scan] = {
+    val resultRows = result.toArray
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = resultRows
+      override def readSchema(): StructType = schema
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  def load(catalog: GraftSqlCatalog, name: String)
+      : Option[UnboundProcedure] = name match {
+    case "expire_snapshots" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("older_than", TimestampType),
+        param("retain_last", IntegerType)),
+      StructType.fromDDL("expired_snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val olderThanMs = args.getLong(1) / 1000L
+        val retain = args.getInt(2)
+        t.expireSnapshots(olderThanMs, retain).map(id => outRow(id))
+      }))
+    case "remove_orphan_files" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("older_than", TimestampType),
+        param("force", BooleanType)),
+      StructType.fromDDL("orphan_file_location STRING"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val olderThanMs = args.getLong(1) / 1000L
+        t.removeOrphanFiles(olderThanMs, force = args.getBoolean(2))
+          .map(p => outRow(p))
+      }))
+    case "rewrite_data_files" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("rewrite_all", BooleanType),
+        param("target_file_size_bytes", LongType)),
+      StructType.fromDDL("rewritten_data_files_count INT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val snap = t.rewriteDataFiles(Map(
+          "rewrite-all" -> args.getBoolean(1).toString,
+          "target-file-size-bytes" -> args.getLong(2).toString))
+        val n = snap.flatMap(_.summary.get("rewritten-data-files"))
+          .map(_.toInt).getOrElse(0)
+        Seq(outRow(n))
+      }))
+    case "rewrite_position_delete_files" => Some(procedure(name,
+      Seq(param("table", StringType)),
+      StructType.fromDDL("removed_delete_files_count INT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val snap = t.rewritePositionDeleteFiles()
+        val n = snap.flatMap(_.summary.get("removed-delete-files"))
+          .map(_.toInt).getOrElse(0)
+        Seq(outRow(n))
+      }))
+    case _ => None
+  }
+
+  private def procedure(procName: String,
+      params: Seq[ProcedureParameter], outSchema: StructType,
+      run: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"GraftLake maintenance procedure $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String =
+            s"GraftLake maintenance procedure $procName"
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] =
+            resultScan(outSchema, run(input))
+        }
+    }
+}

@@ -1,0 +1,184 @@
+package graft.lake.sql
+
+import java.util.{Map => JMap, Set => JSet}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.GraftTable
+
+/** The planning half of the SQL surface, injected via GraftExtensions.
+  *
+  * Reads: every `DataSourceV2Relation(GraftSqlTable)` is replaced with
+  * the COMPOSED Spark plan from GraftTable.read() — manifest-selected
+  * parquet scans plus MOR delete anti-joins — re-aliased to the
+  * relation's attribute ids. Catalyst then optimizes ordinary parquet
+  * relations: pushdown, pruning, and whole-stage codegen all apply, and
+  * nothing re-implements a reader.
+  *
+  * Row-level writes: `UPDATE`/`DELETE` statements against a Graft
+  * relation are intercepted at the root (before Spark's
+  * RewriteUpdateTable demands SupportsRowLevelOperations) and lowered
+  * to commands that call the table's COW/MOR write paths — the same
+  * preference order SURVEY §3 set out: compose what Spark has, add a
+  * LogicalPlan+Strategy only where built-ins can't express the
+  * semantics (here Spark's BasicOperators already executes
+  * RunnableCommand, so no custom strategy is needed either).
+  */
+case class GraftSqlResolution(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private object GraftRel {
+    def unapply(p: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
+      p match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftSqlTable => Some((r, t))
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  private object GraftMetaRel {
+    def unapply(p: LogicalPlan)
+        : Option[(DataSourceV2Relation, GraftMetadataSqlTable)] =
+      p match {
+        case r: DataSourceV2Relation => r.table match {
+          case t: GraftMetadataSqlTable => Some((r, t))
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
+  /** Row-level commands resolve their target through SubqueryAlias. */
+  private def stripAlias(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAlias(child)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
+      val (_, t) = GraftRel.unapply(stripAlias(target)).get
+      val sets = assignments.map { a =>
+        a.key match {
+          case attr: AttributeReference => attr.name -> unresolve(a.value)
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE of nested field $other is not supported")
+        }
+      }.toMap
+      GraftUpdateCommand(t, sets,
+        condition.map(unresolve).getOrElse(trueColumn))
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
+      val (_, t) = GraftRel.unapply(stripAlias(target)).get
+      GraftDeleteCommand(t, unresolve(condition))
+    // substitute read relations — but never while an unrewritten
+    // row-level command still owns its target relation
+    case other if !other.exists(n => n.isInstanceOf[UpdateTable] ||
+        n.isInstanceOf[DeleteFromTable] ||
+        n.isInstanceOf[MergeIntoTable]) =>
+      other.transformUp {
+        case GraftRel(r, t) => substitute(r, t.read())
+        case GraftMetaRel(r, t) => substitute(r, t.df)
+      }
+    case other => other
+  }
+
+  private def trueColumn: Column =
+    ColumnBridge.column(Literal.TrueLiteral)
+
+  /** Re-bind an expression from the relation's attributes to plain
+    * column names, so it can filter/transform any fresh read of the
+    * table inside the write paths. */
+  private def unresolve(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+
+  private def substitute(r: DataSourceV2Relation,
+      df: DataFrame): LogicalPlan = {
+    val src = df.queryExecution.analyzed
+    val byName = src.output.map(a => a.name.toLowerCase -> a).toMap
+    Project(r.output.map { o =>
+      val a = byName.getOrElse(o.name.toLowerCase,
+        throw new IllegalStateException(
+          s"column ${o.name} missing from substituted Graft read"))
+      Alias(a, o.name)(exprId = o.exprId)
+    }, src)
+  }
+}
+
+/** `UPDATE <graft table> SET ... WHERE ...` lowered to the COW/MOR
+  * update path (ref demo.py:228-235). */
+case class GraftUpdateCommand(table: GraftSqlTable,
+    sets: Map[String, Column], condition: Column)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (table.pinnedSnapshot.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot UPDATE ${table.name()} at a pinned snapshot")
+    table.graft.update(condition, sets)
+    Nil
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftUpdate ${table.name()}"
+}
+
+/** `DELETE FROM <graft table> WHERE ...` lowered to the mode-aware
+  * delete path (ref demo.py:177-180); handles predicates
+  * SupportsDeleteV2 cannot translate. */
+case class GraftDeleteCommand(table: GraftSqlTable, condition: Column)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    if (table.pinnedSnapshot.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot DELETE from ${table.name()} at a pinned snapshot")
+    table.graft.delete(condition)
+    Nil
+  }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDelete ${table.name()}"
+}
+
+/** Read-only metadata relations (`<table>.files`, `.history`, …) —
+  * the Iceberg metadata-table surface the reference inspects
+  * (demo.py:120,205; file_summary_utils.py:118-135). */
+class GraftMetadataSqlTable(identName: String, val graft: GraftTable,
+    val kind: String) extends Table with SupportsRead {
+
+  def df: DataFrame = kind match {
+    case "files" => graft.files
+    case "history" => graft.history
+    case "snapshots" => graft.snapshots
+    case "all_entries" => graft.allEntries
+    case "all_manifests" => graft.allManifests
+    case "metadata_log_entries" => graft.metadataLogEntries
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table $other")
+  }
+
+  override def name(): String = identName
+  override def schema(): StructType = df.schema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def properties(): JMap[String, String] =
+    java.util.Collections.emptyMap()
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () =>
+    throw new IllegalStateException(
+      s"GraftLake metadata relation $identName was not substituted: " +
+        "register graft.GraftExtensions via spark.sql.extensions")
+}

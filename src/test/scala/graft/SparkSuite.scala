@@ -16,7 +16,10 @@ object SparkSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.lake.sql.GraftSqlCatalog")
+    .config("spark.sql.catalog.graft.warehouse",
+      java.nio.file.Files.createTempDirectory("graft-sqlwh-").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

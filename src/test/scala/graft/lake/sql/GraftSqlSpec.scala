@@ -1,0 +1,190 @@
+package graft.lake.sql
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSuite
+
+/** Replays the reference demo THROUGH spark.sql ONLY — the UX the
+  * reference actually ships (notebooks/iceberg_pii_deletion_demo.py):
+  * DDL, DML, time travel, metadata tables, and CALL maintenance, with
+  * no Scala-API calls on the table. */
+class GraftSqlSpec extends SparkSuite {
+
+  private var n = 0
+  private def freshNs(): String = { n += 1; s"pii_$n${System.nanoTime()}" }
+
+  private def createPii(ns: String, props: String = ""): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.pii_data"
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  case_id STRING, first_name STRING, email_address STRING,
+         |  key_nm STRING, secure_txt STRING, secure_key STRING,
+         |  update_date DATE)
+         |USING graft $props""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $tbl VALUES
+         |('case-1','John','john.doe@example.com','key1','secret text 1','secret_key_1',DATE'2023-01-01'),
+         |('case-2','Jane','jane.roe@example.com','key2','secret text 2','secret_key_2',DATE'2023-01-02'),
+         |('case-3','Alice','alice@example.com','key3','secret text 3','secret_key_3',DATE'2023-01-03')""".stripMargin)
+    tbl
+  }
+
+  private def ids(tbl: String): Seq[String] =
+    spark.sql(s"SELECT case_id FROM $tbl ORDER BY case_id")
+      .collect().map(_.getString(0)).toSeq
+
+  private def snapshotIds(tbl: String): Seq[Long] =
+    spark.sql(s"SELECT snapshot_id FROM $tbl.snapshots ORDER BY committed_at")
+      .collect().map(_.getLong(0)).toSeq
+
+  test("demo lifecycle through spark.sql only: DDL, INSERT, MOR DELETE, " +
+    "COW UPDATE, time travel, metadata tables (demo.py:67-262)") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='copy-on-write')")
+    assert(ids(tbl) === Seq("case-1", "case-2", "case-3"))
+
+    // ALTER TABLE ... SET TBLPROPERTIES flips to merge-on-read
+    // (demo.py:166-171)
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.delete.mode") === "merge-on-read")
+
+    val preDelete = snapshotIds(tbl).last
+
+    // DELETE FROM ... WHERE under MOR: row masked, data file intact,
+    // a content=1 delete file appears (demo.py:177-205)
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    assert(ids(tbl) === Seq("case-1", "case-3"))
+    val files = spark.sql(
+      s"SELECT content, file_path FROM $tbl.files").collect()
+    assert(files.count(_.getInt(0) == 1) === 1, "one position-delete file")
+    files.foreach(r => assert(Files.exists(Path.of(r.getString(1))),
+      "physical files all on disk under MOR"))
+
+    // time travel: the PII is still visible at the pre-delete snapshot
+    // (demo.py:254-262)
+    val back = spark.sql(
+      s"SELECT case_id FROM $tbl VERSION AS OF $preDelete")
+      .collect().map(_.getString(0)).sorted
+    assert(back.toSeq === Seq("case-1", "case-2", "case-3"))
+
+    // COW UPDATE nullifies in place (demo.py:228-235)
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('write.update.mode'='copy-on-write')")
+    spark.sql(s"UPDATE $tbl SET secure_txt = NULL, " +
+      s"secure_key = 'REDACTED' WHERE case_id = 'case-1'")
+    val updated = spark.sql(s"SELECT secure_txt, secure_key FROM $tbl " +
+      "WHERE case_id = 'case-1'").collect()
+    assert(updated.toSeq === Seq(Row(null, "REDACTED")))
+
+    // metadata tables: history/snapshots line up with the operations
+    val ops = spark.sql(s"SELECT operation FROM $tbl.snapshots " +
+      "ORDER BY committed_at").collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("append", "delete", "overwrite"))
+    assert(spark.sql(s"SELECT * FROM $tbl.history").count() === 3)
+    assert(spark.sql(
+      s"SELECT * FROM $tbl.all_entries WHERE status = 1").count() > 0)
+  }
+
+  test("INSERT INTO ... SELECT and INSERT OVERWRITE") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM $tbl WHERE " +
+      "case_id = 'case-1'")
+    assert(ids(tbl) === Seq("case-1", "case-1", "case-2", "case-3"))
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM $tbl " +
+      "WHERE case_id = 'case-3'")
+    assert(ids(tbl) === Seq("case-3"))
+  }
+
+  test("CALL maintenance procedures: expire_snapshots kills time travel " +
+    "(demo.py:289-306), rewrites compact and drop deletes " +
+    "(demo.py:419-452), orphan removal honors force") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    val preDelete = snapshotIds(tbl).head
+
+    // rewrite applies the deletes and drops the delete file
+    val rewritten = spark.sql("CALL graft.system.rewrite_data_files(" +
+      s"table => '$ns.pii_data', rewrite_all => true, " +
+      "target_file_size_bytes => 134217728)").collect()
+    assert(rewritten.head.getInt(0) >= 1)
+    val posRm = spark.sql(
+      "CALL graft.system.rewrite_position_delete_files(" +
+        s"table => '$ns.pii_data')").collect()
+    assert(spark.sql(s"SELECT * FROM $tbl.files WHERE content = 1")
+      .count() === 0, "delete files gone after rewrite")
+    assert(ids(tbl) === Seq("case-1", "case-3"))
+
+    // expire everything but current → time travel now fails
+    val expired = spark.sql("CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.pii_data', " +
+      "older_than => TIMESTAMP'2035-01-01 00:00:00', " +
+      "retain_last => 1)").collect()
+    assert(expired.map(_.getLong(0)).contains(preDelete))
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF $preDelete").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("snapshot"))
+
+    // orphan removal: plant an orphan, unsafe cutoff rejected, force works
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val orphan = Path.of(warehouse, ns, "pii_data", "data",
+      "orphan-planted.parquet")
+    Files.writeString(orphan, "not parquet")
+    val unsafe = intercept[Exception] {
+      spark.sql("CALL graft.system.remove_orphan_files(" +
+        s"table => '$ns.pii_data', " +
+        "older_than => TIMESTAMP'2035-01-01 00:00:00', force => false)")
+        .collect()
+    }
+    assert(unsafe.getMessage.contains("3 days"))
+    val removed = spark.sql("CALL graft.system.remove_orphan_files(" +
+      s"table => '$ns.pii_data', " +
+      "older_than => TIMESTAMP'2035-01-01 00:00:00', force => true)")
+      .collect().map(_.getString(0))
+    assert(removed.exists(_.endsWith("orphan-planted.parquet")))
+    assert(!Files.exists(orphan))
+  }
+
+  test("catalog DDL round trip: SHOW/DESCRIBE/DROP + namespace listing") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    val tables = spark.sql(s"SHOW TABLES IN graft.$ns").collect()
+      .map(_.getString(1))
+    assert(tables.contains("pii_data"))
+    val desc = spark.sql(s"DESCRIBE TABLE $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("case_id") === "string")
+    assert(desc("update_date") === "date")
+    spark.sql(s"DROP TABLE $tbl")
+    assert(spark.sql(s"SHOW TABLES IN graft.$ns").count() === 0)
+    val nss = spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0))
+    assert(nss.contains(ns))
+  }
+
+  test("expired snapshot id in VERSION AS OF fails like the demo " +
+    "(demo.py:300-306); writes at a pinned snapshot are rejected") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-1'")
+    val old = snapshotIds(tbl).head
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF $old").count() === 3)
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.pii_data', " +
+      "older_than => TIMESTAMP'2035-01-01 00:00:00', retain_last => 1)")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF $old").collect()
+    }
+    assert(e.getMessage.contains("Cannot find snapshot"))
+  }
+}
