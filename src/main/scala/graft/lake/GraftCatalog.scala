@@ -66,9 +66,44 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
       props: Map[String, String]): Unit =
     loadTable(ns, name).setProperties(props)
 
-  /** D5: SHOW TBLPROPERTIES as a relation (.ipynb:214,393). */
+  /** D5: SHOW TBLPROPERTIES as a relation (.ipynb:214,393) — includes
+    * the synthetic keys the reference's Iceberg output shows
+    * (current-snapshot-id / format / format-version). */
   def showTableProperties(ns: String, name: String): DataFrame = {
     import spark.implicits._
-    loadTable(ns, name).properties.toSeq.sortBy(_._1).toDF("key", "value")
+    loadTable(ns, name).enrichedProperties.toSeq.sortBy(_._1)
+      .toDF("key", "value")
+  }
+
+  /** DESCRIBE EXTENDED as a relation (ref README.md:66): column schema
+    * followed by the detailed section — location, format, snapshot
+    * state, and the write-mode properties that decide COW vs MOR. */
+  def describeExtended(ns: String, name: String): DataFrame = {
+    import spark.implicits._
+    val t = loadTable(ns, name)
+    val cols = t.schema.fields.toSeq.map(f =>
+      (f.name, f.dataType.simpleString, ""))
+    val snaps = t.meta.snapshots
+    val detail = Seq(
+      ("", "", ""),
+      ("# Detailed Table Information", "", ""),
+      ("Name", t.name, ""),
+      ("Location", t.root.toAbsolutePath.toString, ""),
+      ("Provider", "graft", ""),
+      ("Format", "graft/parquet", ""),
+      ("Format-version", t.meta.formatVersion.toString, ""),
+      ("Current-snapshot-id",
+        t.currentSnapshot.map(_.snapshotId.toString).getOrElse("none"), ""),
+      ("Snapshot-count", snaps.size.toString, ""),
+      ("Last-operation", snaps.lastOption.map(_.operation)
+        .getOrElse("none"), ""),
+      ("Delete-mode", t.properties.getOrElse("write.delete.mode",
+        "copy-on-write"), ""),
+      ("Update-mode", t.properties.getOrElse("write.update.mode",
+        "copy-on-write"), "")) ++
+      t.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+        (s"Property: $k", v, "")
+      }
+    (cols ++ detail).toDF("col_name", "data_type", "comment")
   }
 }

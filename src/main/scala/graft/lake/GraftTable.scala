@@ -79,6 +79,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def properties: Map[String, String] = meta.properties
   def name: String = meta.name
 
+  /** User properties plus the synthetic entries Iceberg surfaces in
+    * SHOW TBLPROPERTIES (ref .ipynb cell 7/17: current-snapshot-id,
+    * format, format-version). */
+  def enrichedProperties: Map[String, String] = properties ++ Map(
+    "current-snapshot-id" -> currentSnapshot.map(_.snapshotId.toString)
+      .getOrElse("none"),
+    "format" -> "graft/parquet",
+    "format-version" -> meta.formatVersion.toString)
+
   def setProperties(props: Map[String, String]): Unit = {
     val b = captureBase()
     commitMeta(b, b.meta.copy(properties = b.meta.properties ++ props))
@@ -245,7 +254,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * normalization) — a frame with missing or extra columns is
     * rejected instead of silently writing files the table schema can't
     * read back. */
-  def append(df: DataFrame): SnapshotMeta = {
+  def append(df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
     require(df.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch appending to $name: table columns " +
         s"${schema.fieldNames.mkString(",")}; got ${df.columns.mkString(",")}")
@@ -256,8 +266,29 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val moved = writeDataFiles(aligned)
     val newEntries = statEntries(moved, content = 0, snapId)
     commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
-      Map("added-data-files" -> newEntries.size.toString,
-        "added-records" -> newEntries.map(_.recordCount).sum.toString))
+      extraSummary ++
+        Map("added-data-files" -> newEntries.size.toString,
+          "added-records" -> newEntries.map(_.recordCount).sum.toString))
+  }
+
+  /** Incremental read for streaming: rows of data files added by
+    * APPEND snapshots with id in (fromExclusive, toInclusive]. Snapshot
+    * ids are allocated monotonically, so they double as stream offsets
+    * (the Iceberg incremental-scan analog). Non-append snapshots
+    * (delete/overwrite/replace) are skipped — an append stream reads
+    * inserts only, the same restriction Iceberg's incremental read has.
+    */
+  def appendsBetween(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val m = meta
+    val snaps = m.snapshots.filter(s =>
+      s.snapshotId > fromExclusive && s.snapshotId <= toInclusive &&
+        s.operation == "append")
+    val appendIds = snaps.map(_.snapshotId).toSet
+    val entries = snaps.flatMap(manifestOf)
+      .filter(e => e.content == 0 && appendIds(e.addedSnapshotId))
+      .distinctBy(_.path)
+    if (entries.isEmpty) emptyDf
+    else spark.read.schema(schema).parquet(entries.map(abs): _*)
   }
 
   /** Append with data files range-clustered on `cols`: each of the

@@ -46,7 +46,7 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
   override def schema(): StructType = graft.schema
 
   override def properties(): JMap[String, String] =
-    graft.properties.asJava
+    graft.enrichedProperties.asJava
 
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * real codec context, an inference session — amortizes across the
   * partition instead of per row).
   *
-  * The decode step is a STUB: this container has no image/audio codec
-  * libraries, so `decodeStub` derives deterministic fake dimensions /
-  * features from the bytes. Everything around it — schema, encoders,
-  * partition-iterator batch shape, frame slicing, downstream
-  * aggregation — is real and tested (LlmSpec).
+  * The decode step uses the JDK's bundled image codecs
+  * (javax.imageio: PNG/JPEG/BMP/GIF) when the payload is a decodable
+  * image, and falls back to a deterministic byte-derived stub for
+  * everything else (the demo corpus carries text bytes; audio/video
+  * codecs aren't in this container). Schema, encoders,
+  * partition-iterator batch shape, frame slicing, and downstream
+  * aggregation are identical on both paths and tested (LlmSpec).
   *
   * Scale notes (100 TB): media rows are heavy, so every transform here
   * is narrow (no shuffle); features are projected BEFORE any groupBy so
@@ -46,9 +48,46 @@ object Media {
       .as[MediaRecord]
   }
 
-  /** STUB decode: a real build would invoke an image codec here; the
-    * fake derives (width, height) and byte statistics deterministically
-    * from the payload so tests are reproducible.
+  /** REAL decode via the JDK's bundled codecs (javax.imageio reads
+    * PNG/JPEG/BMP/GIF with no external libraries): width/height from
+    * the decoded raster, mean/max over the gray level of every pixel.
+    * Returns None when the payload isn't a decodable image, and the
+    * caller falls back to [[decodeStub]] — same interface either way.
+    */
+  private[llm] def decodeImage(bytes: Array[Byte])
+      : Option[(Int, Int, Double, Int)] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var max = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            sum += gray
+            if (gray > max) max = gray
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, sum.toDouble / (w.toLong * h), max)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Decode entry point: real codec first, deterministic stub for
+    * non-image payloads (the demo corpus carries text bytes). */
+  private[llm] def decode(bytes: Array[Byte]): (Int, Int, Double, Int) =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
+
+  /** STUB decode: derives (width, height) and byte statistics
+    * deterministically from the payload so tests are reproducible on
+    * non-image payloads.
     */
   private[llm] def decodeStub(bytes: Array[Byte]): (Int, Int, Double, Int) = {
     val n = bytes.length
@@ -70,9 +109,10 @@ object Media {
     val s = ds.sparkSession
     import s.implicits._
     ds.mapPartitions { it =>
-      // per-partition setup for a real codec would go here
+      // ImageIO caches reader instances per thread; per-partition
+      // setup for a heavier codec/inference session would go here
       it.map { r =>
-        val (w, h, mean, max) = decodeStub(r.media)
+        val (w, h, mean, max) = decode(r.media)
         MediaFeatures(r.doc_id, r.source, r.media.length.toLong, w, h, mean, max)
       }
     }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+import graft.lake.GraftTable
+
+/** Structured Streaming ⇄ GraftLake integration ([EXT] — the reference
+  * has no streaming surface; this is the lakehouse pattern its Iceberg
+  * tables would use).
+  *
+  * Source: `spark.readStream.format("graft-appends").option("path",
+  * <table root>).load()` — snapshot ids are allocated monotonically,
+  * so they ARE the stream offsets: each micro-batch reads exactly the
+  * data files added by append snapshots in (lastOffset, latest]. No
+  * file listing, no modification-time heuristics — the snapshot log is
+  * the changelog (Iceberg incremental scan, re-expressed on the V1
+  * Source API where a batch DataFrame per offset range is the whole
+  * contract).
+  *
+  * Sink: [[GraftTableStreaming.appendSink]] — foreachBatch with
+  * exactly-once appends. Each commit records (queryId, epochId) in the
+  * snapshot summary; a replayed epoch (restart after a crash between
+  * append and checkpoint) is detected in the snapshot log and skipped,
+  * so retries cannot double-append.
+  */
+object GraftTableStreaming {
+
+  val QueryKey = "streaming-query"
+  val EpochKey = "streaming-epoch"
+
+  /** Highest epoch this query ever committed to the table, if any. */
+  def lastCommittedEpoch(t: GraftTable, queryId: String): Option[Long] =
+    t.meta.snapshots.flatMap(s =>
+      if (s.summary.get(QueryKey).contains(queryId))
+        s.summary.get(EpochKey).map(_.toLong)
+      else None).maxOption
+
+  /** Exactly-once micro-batch append: skip epochs at or below the last
+    * committed one (foreachBatch re-delivers an epoch after a crash
+    * between the table commit and the checkpoint commit). */
+  def appendBatch(t: GraftTable, queryId: String)(
+      batch: DataFrame, epochId: Long): Unit = {
+    if (lastCommittedEpoch(t, queryId).exists(_ >= epochId)) return
+    t.append(batch,
+      Map(QueryKey -> queryId, EpochKey -> epochId.toString))
+  }
+
+  /** writeStream sink for a GraftTable:
+    * `df.writeStream.options(...)` → `appendSink(df, t, "my-query")
+    * .start()`. */
+  def appendSink(df: Dataset[Row], t: GraftTable,
+      queryId: String): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch(appendBatch(t, queryId) _)
+
+  /** readStream entry point (programmatic form of format(...)). */
+  def readAppends(spark: SparkSession, root: Path): DataFrame =
+    spark.readStream.format("graft-appends")
+      .option("path", root.toString).load()
+}
+
+/** `format("graft-appends")` registration. */
+class GraftAppendStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-appends"
+
+  private def table(ctx: SQLContext,
+      parameters: Map[String, String]): GraftTable =
+    GraftTable.load(ctx.sparkSession, Path.of(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-appends requires option(\"path\", <table root>)"))))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), table(ctx, parameters).schema)
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftAppendSource(table(ctx, parameters))
+}
+
+/** Snapshot-log-driven source: offset N = "all append snapshots with
+  * id <= N have been emitted". */
+class GraftAppendSource(t: GraftTable) extends Source {
+
+  override def schema: StructType = t.schema
+
+  override def getOffset: Option[OffsetV1] =
+    t.meta.snapshots.lastOption.map(s => LongOffset(s.snapshotId))
+
+  private def toLong(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1],
+      end: OffsetV1): DataFrame =
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(
+      t.appendsBetween(start.map(toLong).getOrElse(Long.MinValue),
+        toLong(end)))
+
+  override def stop(): Unit = ()
+}

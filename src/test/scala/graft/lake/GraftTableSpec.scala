@@ -425,6 +425,34 @@ class GraftTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.readAt(s0.snapshotId))
   }
 
+  test("SHOW TBLPROPERTIES carries the reference's synthetic keys; " +
+    "DESCRIBE EXTENDED lists schema + snapshot + mode summary " +
+    "(.ipynb cells 7/17, README.md:66)") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_desc", piiSchema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    val pre = cat.showTableProperties("default", "pii_desc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pre("current-snapshot-id") === "none")
+    assert(pre("format") === "graft/parquet")
+    assert(pre("format-version") === "1")
+    assert(pre("write.delete.mode") === "merge-on-read")
+    val snap = t.append(seedDf)
+    val post = cat.showTableProperties("default", "pii_desc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(post("current-snapshot-id") === snap.snapshotId.toString)
+    val desc = cat.describeExtended("default", "pii_desc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    piiSchema.fields.foreach(f =>
+      assert(desc(f.name) === f.dataType.simpleString))
+    assert(desc("Current-snapshot-id") === snap.snapshotId.toString)
+    assert(desc("Delete-mode") === "merge-on-read")
+    assert(desc("Update-mode") === "copy-on-write")
+    assert(desc("Last-operation") === "append")
+    assert(desc("Location") === t.root.toAbsolutePath.toString)
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")

@@ -129,6 +129,35 @@ class LlmSpec extends SparkSuite {
       out.map(_.getString(0)).sorted))
   }
 
+  test("media decode: a real PNG goes through javax.imageio with true " +
+    "dimensions and pixel stats; non-images fall back to the stub") {
+    import spark.implicits._
+    // 10x20 gray ramp PNG, authored in memory with the same JDK codec
+    val img = new java.awt.image.BufferedImage(10, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 10) {
+      val g = (x + y) * 8 % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val (w, h, mean, max) = Media.decode(png)
+    assert(w == 10 && h == 20, "decoded dimensions must be the raster's")
+    val expected = (for (y <- 0 until 20; x <- 0 until 10)
+      yield (x + y) * 8 % 256).map(_.toDouble)
+    assert(math.abs(mean - expected.sum / expected.length) < 1e-9)
+    assert(max == expected.max.toInt)
+    // the distributed path uses the same decode
+    val ds = spark.createDataset(Seq(
+      Media.MediaRecord(7L, "png-src", "img/png", png)))
+    val feat = Media.decodeFeatures(ds).collect().head
+    assert(feat.width == 10 && feat.height == 20 && feat.max_byte == max)
+    // non-image payloads keep the deterministic stub values
+    assert(Media.decode("abcd".getBytes("UTF-8")) ===
+      Media.decodeStub("abcd".getBytes("UTF-8")))
+  }
+
   test("frame sampling: counts follow ceil arithmetic, frames cover payload") {
     import spark.implicits._
     val rec = Media.MediaRecord(1L, "s", "img/fake", Array.range(0, 37).map(_.toByte))
