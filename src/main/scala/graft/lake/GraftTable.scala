@@ -255,7 +255,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * rejected instead of silently writing files the table schema can't
     * read back. */
   def append(df: DataFrame,
-      extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
+      extraSummary: Map[String, String] = Map.empty): SnapshotMeta =
+    clusterColumns match {
+      case Some(cols) => appendClustered(df, cols, clusterFileCount,
+        extraSummary)
+      case None => appendRaw(df, extraSummary)
+    }
+
+  /** Declared clustering (`write.clustered-by`, set by the Scala API or
+    * SQL `PARTITIONED BY`): every append range-clusters on these
+    * columns so per-file min/max stats prune like partition pruning. */
+  private def clusterColumns: Option[Seq[String]] =
+    properties.get("write.clustered-by")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  private def clusterFileCount: Int =
+    properties.getOrElse("write.clustered-by.files", "8").toInt
+
+  private def appendRaw(df: DataFrame,
+      extraSummary: Map[String, String]): SnapshotMeta = {
     require(df.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch appending to $name: table columns " +
         s"${schema.fieldNames.mkString(",")}; got ${df.columns.mkString(",")}")
@@ -299,12 +318,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * This is the intended ingest path for 100 TB tables: cluster on
     * the dominant filter column, let stats pruning select files.
     */
-  def appendClustered(df: DataFrame, cols: Seq[String],
-      nFiles: Int): SnapshotMeta = {
+  def appendClustered(df: DataFrame, cols: Seq[String], nFiles: Int,
+      extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
     require(cols.nonEmpty && nFiles > 0)
-    append(df
+    appendRaw(df
       .repartitionByRange(nFiles, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*))
+      .sortWithinPartitions(cols.map(col): _*), extraSummary)
   }
 
   /** D8/D9 DELETE WHERE — honors `write.delete.mode` like the demo's

@@ -163,7 +163,36 @@ object LakeQueries extends QueryCatalog {
     s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
   }
 
+  /** Streaming ⇄ lake round trip as a driver-checkable query: a
+    * GraftTable append stream (snapshot-id offsets) feeds an
+    * exactly-once foreachBatch append sink into a second table; the
+    * result is the sink table's final content — deterministic rows,
+    * exercised end-to-end through a real StreamingQuery. */
+  private val streamRoundTrip = Q.noOracle("q_lake_stream_roundtrip") { (s, _) =>
+    import graft.streaming.GraftTableStreaming
+    val wh = Files.createTempDirectory("graft-rt-wh-")
+    val cat = new GraftCatalog(s, wh)
+    cat.createNamespace("default")
+    val src = cat.createTable("default", "src", piiSchema)
+    val dst = cat.createTable("default", "dst", piiSchema)
+    src.append(s.createDataFrame(seedRows.asJava, piiSchema))
+    val q = GraftTableStreaming.appendSink(
+      GraftTableStreaming.readAppends(s, src.root), dst, "q_rt")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rt-ck-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // second append streams through incrementally
+      src.append(s.createDataFrame(Seq(
+        Row("case-4", "Dana", "dana@example.com", "key4", "s4", "sk4",
+          java.sql.Date.valueOf("2023-02-01"))).asJava, piiSchema))
+      q.processAllAvailable()
+    } finally q.stop()
+    dst.read().orderBy("case_id")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
-    prunedRead, equalityDelete, sqlLifecycle)
+    prunedRead, equalityDelete, sqlLifecycle, streamRoundTrip)
 }

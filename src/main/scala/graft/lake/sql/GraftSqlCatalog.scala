@@ -189,9 +189,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "GraftLake uses range-clustered appends + stats pruning instead " +
-        "of partition transforms (see GraftTable.appendClustered)")
+    // PARTITIONED BY (col, ...) maps to range-clustered appends: every
+    // insert clusters files on these columns so per-file min/max stats
+    // prune like partition pruning — without directory explosion on
+    // high-cardinality keys (the 100 TB ingest path, now SQL-visible)
+    val clusterCols = partitions.toSeq.map { tr =>
+      if (tr.name != "identity") throw new UnsupportedOperationException(
+        s"GraftLake supports only identity PARTITIONED BY columns " +
+          s"(range clustering + stats pruning); got ${tr.describe()}")
+      tr.references().head.fieldNames().mkString(".")
+    }
     if (cat.tableExists(nsPath(ident.namespace), ident.name))
       throw new TableAlreadyExistsException(ident)
     if (!namespaceExists(ident.namespace))
@@ -200,7 +207,10 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala.toMap -- Seq(
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-      TableCatalog.PROP_COMMENT)
+      TableCatalog.PROP_COMMENT) ++
+      (if (clusterCols.nonEmpty)
+        Map("write.clustered-by" -> clusterCols.mkString(","))
+      else Map.empty)
     val t = cat.createTable(nsPath(ident.namespace), ident.name, schema,
       props, ifNotExists = false)
     new GraftSqlTable(fullName(ident), t)

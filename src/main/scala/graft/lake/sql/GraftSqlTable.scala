@@ -52,6 +52,16 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Declared clustering surfaces as identity partitioning so DESCRIBE
+    * and SHOW CREATE TABLE reflect the physical layout contract. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    graft.properties.get("write.clustered-by")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c)).toArray)
+      .getOrElse(Array.empty)
+
   /** The DataFrame this relation stands for (current or pinned). */
   def read(): DataFrame =
     pinnedSnapshot.map(graft.readAt).getOrElse(graft.read())

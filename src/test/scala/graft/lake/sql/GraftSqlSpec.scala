@@ -172,6 +172,35 @@ class GraftSqlSpec extends SparkSuite {
     assert(nss.contains(ns))
   }
 
+  test("PARTITIONED BY maps to range-clustered appends: files carry " +
+    "disjoint key ranges and stats pruning bounds predicate scans") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.events"
+    spark.sql(s"CREATE TABLE $tbl (k STRING, v BIGINT) USING graft " +
+      "PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.clustered-by.files'='4')")
+    val values = (1 to 400)
+      .map(i => f"('k-$i%04d', $i)").mkString(", ")
+    spark.sql(s"INSERT INTO $tbl VALUES $values")
+    // clustering fanned the append into multiple files
+    val nFiles = spark.sql(s"SELECT * FROM $tbl.files WHERE content = 0")
+      .count()
+    assert(nFiles === 4, "append should produce the declared file count")
+    // disjoint per-file ranges: a point query's stats-pruned read
+    // touches exactly one file
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.lake.GraftTable.load(spark,
+      Path.of(warehouse, ns, "events"))
+    val pruned = t.readWhere(
+      org.apache.spark.sql.functions.col("k") === "k-0007")
+    assert(pruned.inputFiles.length === 1,
+      "point predicate must prune to a single clustered file")
+    assert(pruned.count() === 1)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 'k-0007'")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
   test("expired snapshot id in VERSION AS OF fails like the demo " +
     "(demo.py:300-306); writes at a pinned snapshot are rejected") {
     val ns = freshNs()
