@@ -439,6 +439,38 @@ class GraftTable(val spark: SparkSession, val root: Path,
       Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))))
   }
 
+  /** Generic COW transaction: `f` receives the base snapshot's entries
+    * plus a lineage-read planner, and decides (affected file set,
+    * replacement rows, summary); the transaction then commits a
+    * snapshot where exactly the affected data files are replaced by
+    * the written replacement rows. Shared by DELETE/UPDATE (cowRewrite)
+    * and MERGE — all of them get the same two-phase scale shape and
+    * the same optimistic-concurrency base pinning. */
+  private[lake] def cowTransaction(operation: String)(
+      f: (Seq[ManifestEntry], Seq[ManifestEntry] => DataFrame) =>
+        Option[(Set[String], DataFrame, Map[String, String])])
+      : Option[SnapshotMeta] = {
+    val b = captureBase()
+    val entries = b.entries
+    f(entries, readWithLineage) match {
+      case None => None
+      case Some((affected, outRows, summary)) =>
+        val keep = entries.filter(e =>
+          e.content != 0 || !affected.contains(abs(e)))
+        val snapId = nextSnapshotHint
+        val moved = writeDataFiles(outRows)
+        val newEntries = statEntries(moved, content = 0, snapId)
+        Some(commitSnapshot(b, snapId, operation, keep ++ newEntries,
+          summary))
+    }
+  }
+
+  /** Entries whose data files survive only if not in `affected` —
+    * helper for cowTransaction callers planning phase-2 reads. */
+  private[lake] def victimEntries(entries: Seq[ManifestEntry],
+      affected: Set[String]): Seq[ManifestEntry] =
+    entries.filter(e => e.content != 0 || affected.contains(abs(e)))
+
   /** COW rewrite shared by delete/update: replace exactly the data files
     * holding matching live rows. Two bounded scans, never a full-table
     * read: (1) hit discovery over stats-pruned candidates only, (2) the
@@ -446,25 +478,18 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * delete files so MOR masks apply) — the file list is chosen
     * pre-plan, so no post-scan path filter exists at all. */
   private def cowRewrite(pred: Column, transform: DataFrame => DataFrame,
-      operation: String): Option[SnapshotMeta] = {
-    val b = captureBase()
-    val entries = b.entries
-    val affected = readWithLineage(pruneByPredicate(entries, pred))
-      .filter(pred).select(FileCol).distinct()
-      .collect().map(r => Io.normalize(r.getString(0))).toSet
-    if (affected.isEmpty) return None
-    val keep = entries.filter(e =>
-      e.content != 0 || !affected.contains(abs(e)))
-    val victims = entries.filter(e =>
-      e.content != 0 || affected.contains(abs(e)))
-    val replaced = transform(readWithLineage(victims).drop(FileCol, PosCol))
-    val snapId = nextSnapshotHint
-    val moved = writeDataFiles(replaced)
-    val newEntries = statEntries(moved, content = 0, snapId)
-    Some(commitSnapshot(b, snapId, operation, keep ++ newEntries,
-      Map("rewritten-files" -> affected.size.toString,
-        "mode" -> "copy-on-write")))
-  }
+      operation: String): Option[SnapshotMeta] =
+    cowTransaction(operation) { (entries, readLin) =>
+      val affected = readLin(pruneByPredicate(entries, pred))
+        .filter(pred).select(FileCol).distinct()
+        .collect().map(r => Io.normalize(r.getString(0))).toSet
+      if (affected.isEmpty) None
+      else Some((affected,
+        transform(readLin(victimEntries(entries, affected))
+          .drop(FileCol, PosCol)),
+        Map("rewritten-files" -> affected.size.toString,
+          "mode" -> "copy-on-write")))
+    }
 
   // ---- maintenance ----
 

@@ -85,6 +85,39 @@ case class GraftSqlResolution(session: SparkSession)
         if d.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
       val (_, t) = GraftRel.unapply(stripAlias(target)).get
       GraftDeleteCommand(t, unresolve(condition))
+    case m @ MergeIntoTable(target, source, cond, matchedActs,
+        notMatchedActs, nmbsActs, withSchemaEvolution)
+        if m.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
+      if (withSchemaEvolution) throw new UnsupportedOperationException(
+        "MERGE WITH SCHEMA EVOLUTION is not supported by GraftLake")
+      val (_, t) = GraftRel.unapply(stripAlias(target)).get
+      def assignName(key: Expression): String = key match {
+        case a: AttributeReference => a.name
+        case other => throw new UnsupportedOperationException(
+          s"MERGE assignment to nested field $other is not supported")
+      }
+      def whenSpec(a: MergeAction): MergeWhenSpec = a match {
+        case UpdateAction(c, assigns, _) => MergeWhenSpec(
+          c.map(ExprBox), isDelete = false,
+          assigns.map(x => assignName(x.key) -> ExprBox(x.value)).toMap)
+        case DeleteAction(c) =>
+          MergeWhenSpec(c.map(ExprBox), isDelete = true, Map.empty)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported MERGE clause $other")
+      }
+      def insertSpec(a: MergeAction): MergeInsertSpec = a match {
+        case InsertAction(c, assigns) => MergeInsertSpec(c.map(ExprBox),
+          assigns.map(x => assignName(x.key) -> ExprBox(x.value)).toMap)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN NOT MATCHED clause $other")
+      }
+      GraftMergeCommand(t, PlanBox(source),
+        targetIds = target.output.map(_.exprId).toSet,
+        sourceIds = source.output.map(_.exprId).toSet,
+        onCond = ExprBox(cond),
+        matched = matchedActs.map(whenSpec),
+        notMatched = notMatchedActs.map(insertSpec),
+        notMatchedBySource = nmbsActs.map(whenSpec))
     // substitute read relations — but never while an unrewritten
     // row-level command still owns its target relation
     case other if !other.exists(n => n.isInstanceOf[UpdateTable] ||

@@ -155,6 +155,82 @@ class GraftSqlSpec extends SparkSuite {
     assert(!Files.exists(orphan))
   }
 
+  test("MERGE INTO: upsert (matched update + not-matched insert) " +
+    "rewrites only matched files and appends inserts") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT * FROM VALUES
+         |  ('case-2', 'JaneX', 'janex@example.com'),
+         |  ('case-9', 'Nina', 'nina@example.com')
+         |  AS s(case_id, first_name, email_address)) s
+         |ON t.case_id = s.case_id
+         |WHEN MATCHED THEN UPDATE SET
+         |  t.first_name = s.first_name, t.email_address = s.email_address
+         |WHEN NOT MATCHED THEN INSERT
+         |  (case_id, first_name, email_address, key_nm, secure_txt,
+         |   secure_key, update_date)
+         |  VALUES (s.case_id, s.first_name, s.email_address, 'k9',
+         |   's9', 'sk9', DATE'2024-01-01')""".stripMargin)
+    val rows = spark.sql(s"SELECT case_id, first_name FROM $tbl " +
+      "ORDER BY case_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq("case-1" -> "John", "case-2" -> "JaneX",
+      "case-3" -> "Alice", "case-9" -> "Nina"))
+    assert(spark.sql(s"SELECT operation FROM $tbl.snapshots").collect()
+      .map(_.getString(0)).toSeq === Seq("append", "merge"))
+  }
+
+  test("MERGE INTO: matched DELETE with clause condition, " +
+    "first-match ordering, NOT MATCHED BY SOURCE delete") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    // case-1 matched+cond → deleted; case-2 matched, first clause wins
+    // (update); case-3 not matched by source → deleted
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT * FROM VALUES ('case-1'), ('case-2')
+         |  AS s(case_id)) s
+         |ON t.case_id = s.case_id
+         |WHEN MATCHED AND t.case_id = 'case-2'
+         |  THEN UPDATE SET t.first_name = 'kept'
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = spark.sql(s"SELECT case_id, first_name FROM $tbl").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq("case-2" -> "kept"))
+  }
+
+  test("MERGE INTO: cardinality violation (one target row, two source " +
+    "matches) fails; insert-only merge appends without rewriting") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl t
+           |USING (SELECT * FROM VALUES ('case-2', 'a'), ('case-2', 'b')
+           |  AS s(case_id, tag)) s
+           |ON t.case_id = s.case_id
+           |WHEN MATCHED THEN UPDATE SET t.first_name = s.tag""".stripMargin)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    val filesBefore = spark.sql(s"SELECT file_path FROM $tbl.files")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT * FROM VALUES ('case-7') AS s(case_id)) s
+         |ON t.case_id = s.case_id
+         |WHEN NOT MATCHED THEN INSERT (case_id, first_name,
+         |  email_address, key_nm, secure_txt, secure_key, update_date)
+         |  VALUES (s.case_id, 'New', 'n@example.com', 'k', 's', 'sk',
+         |  DATE'2024-02-02')""".stripMargin)
+    val filesAfter = spark.sql(s"SELECT file_path FROM $tbl.files")
+      .collect().map(_.getString(0)).toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      "insert-only merge must not rewrite existing files")
+    assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
+  }
+
   test("catalog DDL round trip: SHOW/DESCRIBE/DROP + namespace listing") {
     val ns = freshNs()
     val tbl = createPii(ns)
