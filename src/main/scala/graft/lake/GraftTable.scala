@@ -93,6 +93,47 @@ class GraftTable(val spark: SparkSession, val root: Path,
     commitMeta(b, b.meta.copy(properties = b.meta.properties ++ props))
   }
 
+  /** ALTER TABLE ADD COLUMNS — metadata-only schema evolution: new
+    * columns are forced nullable, and files written before the change
+    * read as NULL for them (Spark's missing-column semantics under an
+    * explicit read schema; no file rewrite, the Iceberg add-column
+    * behavior). */
+  def addColumns(cols: Seq[StructField]): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val existing = cur.fieldNames.map(_.toLowerCase).toSet
+    cols.foreach(f => require(!existing(f.name.toLowerCase),
+      s"column ${f.name} already exists in $name"))
+    val next = StructType(cur.fields ++ cols.map(_.copy(nullable = true)))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
+  }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only: the column disappears
+    * from the read schema; bytes in existing files are simply never
+    * read again (compaction rewrites them away). Refused when an
+    * equality delete still matches on the column — dropping it would
+    * break delete application. Renames are NOT supported: GraftLake
+    * identifies columns by name (no Iceberg field ids), so a rename
+    * would orphan existing data. */
+  def dropColumns(names: Seq[String]): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val lower = names.map(_.toLowerCase).toSet
+    names.foreach(n => require(
+      cur.fieldNames.exists(_.equalsIgnoreCase(n)),
+      s"no such column $n in $name"))
+    require(cur.fields.count(f => !lower(f.name.toLowerCase)) > 0,
+      s"cannot drop every column of $name")
+    val eqCols = b.entries.filter(_.content == 2)
+      .flatMap(_.equalityColumns).map(_.toLowerCase).toSet
+    names.foreach(n => require(!eqCols(n.toLowerCase),
+      s"cannot drop $n: an equality-delete file matches on it " +
+        "(rewrite data files first)"))
+    val next = StructType(cur.fields.filterNot(f =>
+      lower(f.name.toLowerCase)))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
+  }
+
   def currentSnapshot: Option[SnapshotMeta] =
     meta.currentSnapshotId.flatMap(id => meta.snapshots.find(_.snapshotId == id))
 
@@ -523,6 +564,20 @@ class GraftTable(val spark: SparkSession, val root: Path,
       Files.deleteIfExists(manifestPath)
     }
     removed.map(_.snapshotId)
+  }
+
+  /** Roll the current pointer back to an earlier (still-retained)
+    * snapshot — Iceberg's rollback_to_snapshot. Nothing is deleted:
+    * later snapshots stay in the log (and remain expirable), so the
+    * demo's forensic point holds — a MOR "delete" is undone by a
+    * rollback until expire+rewrite make it permanent. */
+  def rollbackTo(snapshotId: Long): SnapshotMeta = {
+    val b = captureBase()
+    val snap = b.meta.snapshots.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Cannot roll back to unknown snapshot $snapshotId"))
+    commitMeta(b, b.meta.copy(currentSnapshotId = Some(snapshotId)))
+    snap
   }
 
   /** D11/D12 remove_orphan_files: delete files under data/ that no

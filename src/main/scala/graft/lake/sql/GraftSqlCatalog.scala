@@ -225,13 +225,30 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val removes = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      if (a.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          "ADD COLUMNS supports top-level columns only")
+      StructField(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      if (d.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          "DROP COLUMN supports top-level columns only")
+      d.fieldNames.head
+    }
     val unsupported = changes.filter {
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
+           _: TableChange.AddColumn | _: TableChange.DeleteColumn =>
         false
       case _ => true
     }
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"unsupported ALTER TABLE changes: ${unsupported.mkString(", ")}")
+      s"unsupported ALTER TABLE changes: ${unsupported.mkString(", ")} " +
+        "(note: RENAME COLUMN is rejected by design — GraftLake " +
+        "identifies columns by name, not field id)")
+    if (adds.nonEmpty) t.addColumns(adds)
+    if (drops.nonEmpty) t.dropColumns(drops)
     if (removes.nonEmpty)
       t.setProperties(t.properties -- removes ++ sets)
     else if (sets.nonEmpty) t.setProperties(sets)
@@ -287,7 +304,7 @@ private object GraftProcedures {
 
   val names: Array[String] = Array("expire_snapshots",
     "remove_orphan_files", "rewrite_data_files",
-    "rewrite_position_delete_files")
+    "rewrite_position_delete_files", "rollback_to_snapshot")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -355,6 +372,14 @@ private object GraftProcedures {
         val n = snap.flatMap(_.summary.get("removed-delete-files"))
           .map(_.toInt).getOrElse(0)
         Seq(outRow(n))
+      }))
+    case "rollback_to_snapshot" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("snapshot_id", LongType)),
+      StructType.fromDDL("current_snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        Seq(outRow(t.rollbackTo(args.getLong(1)).snapshotId))
       }))
     case _ => None
   }

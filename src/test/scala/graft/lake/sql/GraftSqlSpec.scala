@@ -231,6 +231,48 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
   }
 
+  test("schema evolution: ADD COLUMNS reads old files as NULL, DROP " +
+    "COLUMN hides data, RENAME is rejected; DML keeps working") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+    // old rows surface NULL for the added column, no rewrite happened
+    val notes = spark.sql(s"SELECT note FROM $tbl").collect()
+    assert(notes.length === 3 && notes.forall(_.isNullAt(0)))
+    spark.sql(s"INSERT INTO $tbl VALUES ('case-5','Eve','e@example.com'," +
+      "'k5','s5','sk5',DATE'2024-03-03','with note')")
+    assert(spark.sql(s"SELECT note FROM $tbl WHERE case_id = 'case-5'")
+      .collect().map(_.getString(0)).toSeq === Seq("with note"))
+    // DML across mixed-schema files
+    spark.sql(s"UPDATE $tbl SET note = 'backfilled' WHERE case_id = 'case-1'")
+    assert(spark.sql(s"SELECT note FROM $tbl WHERE case_id = 'case-1'")
+      .collect().map(_.getString(0)).toSeq === Seq("backfilled"))
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN secure_key")
+    assert(!spark.sql(s"SELECT * FROM $tbl").columns.contains("secure_key"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN note TO remark")
+    }
+    assert(e.getMessage.toLowerCase.contains("rename"))
+    assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
+  }
+
+  test("CALL rollback_to_snapshot: a MOR delete is undone by rollback " +
+    "until expire makes it permanent") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val preDelete = snapshotIds(tbl).last
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    assert(ids(tbl) === Seq("case-1", "case-3"))
+    val back = spark.sql("CALL graft.system.rollback_to_snapshot(" +
+      s"table => '$ns.pii_data', snapshot_id => $preDelete)").collect()
+    assert(back.head.getLong(0) === preDelete)
+    assert(ids(tbl) === Seq("case-1", "case-2", "case-3"),
+      "rollback must resurrect the MOR-deleted row")
+    // the delete snapshot is still in the log (nothing was erased)
+    assert(spark.sql(s"SELECT operation FROM $tbl.snapshots").count() === 2)
+  }
+
   test("catalog DDL round trip: SHOW/DESCRIBE/DROP + namespace listing") {
     val ns = freshNs()
     val tbl = createPii(ns)
