@@ -506,6 +506,34 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
   }
 
+  /** Generic MOR transaction: `f` decides (position-delete hits as a
+    * (file_path, pos) frame, rows to append, summary); one snapshot
+    * commits the delete files (hit-count-scaled fan-out) plus the new
+    * data files. Shared shape with morUpdate; used by MOR MERGE. */
+  private[lake] def morTransaction(operation: String)(
+      f: (Seq[ManifestEntry], Seq[ManifestEntry] => DataFrame) =>
+        Option[(DataFrame, DataFrame, Map[String, String])])
+      : Option[SnapshotMeta] = {
+    val b = captureBase()
+    val entries = b.entries
+    f(entries, readWithLineage) match {
+      case None => None
+      case Some((hits, appendRows, summary)) =>
+        val cached = hits.persist()
+        try {
+          val n = cached.count()
+          val delMoved =
+            if (n == 0) Nil else writeDeleteFiles(cached, n)
+          val newMoved = writeDataFiles(appendRows)
+          val snapId = nextSnapshotHint
+          val delEntries = statEntries(delMoved, content = 1, snapId)
+          val dataEntries = statEntries(newMoved, content = 0, snapId)
+          Some(commitSnapshot(b, snapId, operation,
+            entries ++ delEntries ++ dataEntries, summary))
+        } finally cached.unpersist()
+    }
+  }
+
   /** Entries whose data files survive only if not in `affected` —
     * helper for cowTransaction callers planning phase-2 reads. */
   private[lake] def victimEntries(entries: Seq[ManifestEntry],

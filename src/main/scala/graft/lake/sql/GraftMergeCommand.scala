@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.StructField
 
 import graft.lake.{GraftTable, Io}
 
@@ -27,23 +28,23 @@ final case class MergeInsertSpec(cond: Option[ExprBox],
   * ([EXT] — the reference demo stops at UPDATE/DELETE; MERGE completes
   * the lakehouse DML surface).
   *
-  * Execution is a COW transaction with the merge-appropriate two-phase
-  * shape:
-  *   1. DISCOVERY: full-outer join target (with file/pos lineage)
-  *      against the source, once — finds (a) the affected data files,
-  *      (b) cardinality violations (a target row matching >1 source
-  *      row is an error when update/delete clauses exist, as in
-  *      Spark/Iceberg/Delta), and (c) whether any insert applies.
-  *   2. REWRITE: re-plan the lineage read over ONLY the affected
-  *      files, left-join the source again, and apply first-matching-
-  *      clause semantics per row; append insert rows from the
-  *      discovery join. Unaffected files carry their manifest entries
-  *      over verbatim.
+  * One DISCOVERY full-outer join of the lineage-read target against
+  * the source finds matches, cardinality violations, inserts, and the
+  * per-row clause disposition (first matching clause wins, as in
+  * Spark/Iceberg/Delta). The write then honors `write.merge.mode`:
+  *
+  *  - copy-on-write (default): re-plan the lineage read over ONLY the
+  *    affected files, re-join, apply dispositions, replace those files.
+  *  - merge-on-read: position-delete exactly the changed rows and
+  *    append replacements + inserts — a sparse merge over a huge table
+  *    writes O(changed rows), not O(affected file bytes), and no
+  *    second join or file rewrite happens at all.
   *
   * At 100 TB the discovery join is the inherent cost of MERGE (the ON
-  * condition is arbitrary — no stats pruning is sound); the rewrite
-  * cost is bounded by the matched files, and the shuffle is the join
-  * keyed on the ON condition's equi-part (Catalyst extracts it).
+  * condition is arbitrary — no stats pruning is sound); everything
+  * after it is bounded by the matched rows (MOR) or matched files
+  * (COW), and the shuffle is keyed on the ON condition's equi-part
+  * (Catalyst extracts it).
   */
 case class GraftMergeCommand(
     table: GraftSqlTable,
@@ -60,122 +61,152 @@ case class GraftMergeCommand(
 
   private val TgtMark = "__graft_tgt"
   private val SrcMark = "__graft_src"
+  private val ActCol = "__graft_act"
+  private val KEEP = -1
+  private val DELBASE = 1000
 
   override def run(session: SparkSession): Seq[Row] = {
     if (table.pinnedSnapshot.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot MERGE into ${table.name()} at a pinned snapshot")
     val g = table.graft
+    val mor = g.properties.getOrElse("write.merge.mode",
+      "copy-on-write") == "merge-on-read"
+    if (mor) runMor(session, g) else runCow(session, g)
+    Nil
+  }
+
+  // ---- shared pieces ----
+
+  private def sourceFrame(session: SparkSession): DataFrame =
+    ColumnBridge.ofRows(session, source.plan)
+      .withColumn(SrcMark, lit(true))
+
+  /** Re-bind a command expression: target attrs resolve against `tgt`,
+    * source attrs against `src`. */
+  private def reb(tgt: DataFrame, src: DataFrame)(box: ExprBox): Column =
+    ColumnBridge.column(box.e.transform {
+      case a: AttributeReference if targetIds(a.exprId) =>
+        ColumnBridge.expression(tgt(a.name))
+      case a: AttributeReference if sourceIds(a.exprId) =>
+        ColumnBridge.expression(src(a.name))
+    })
+
+  private def whenCond(tgt: DataFrame, src: DataFrame)(
+      s: MergeWhenSpec): Column =
+    s.cond.map(reb(tgt, src)).getOrElse(lit(true))
+
+  /** First-match clause disposition code: update i → i+offset, delete
+    * i → DELBASE+offset+i, no clause applies → KEEP. */
+  private def dispositionChain(tgt: DataFrame, src: DataFrame,
+      specs: Seq[MergeWhenSpec], offset: Int): Column =
+    specs.zipWithIndex.reverse.foldLeft(lit(KEEP): Column) {
+      case (acc, (spec, i)) =>
+        val code = if (spec.isDelete) DELBASE + offset + i else offset + i
+        when(whenCond(tgt, src)(spec), lit(code)).otherwise(acc)
+    }
+
+  private def disposition(tgt: DataFrame, src: DataFrame,
+      isMatched: Column, isNmbs: Column): Column =
+    when(isMatched,
+      if (matched.isEmpty) lit(KEEP)
+      else dispositionChain(tgt, src, matched, 0))
+    .when(isNmbs,
+      if (notMatchedBySource.isEmpty) lit(KEEP)
+      else dispositionChain(tgt, src, notMatchedBySource, 100))
+    .otherwise(lit(KEEP))
+
+  /** Output columns applying whichever UPDATE clause fired. */
+  private def updatedColumns(tgt: DataFrame, src: DataFrame)
+      : Seq[Column] = {
+    def updates(specs: Seq[MergeWhenSpec], offset: Int,
+        f: StructField, acc: Column): Column =
+      specs.zipWithIndex.filterNot(_._1.isDelete)
+        .foldLeft(acc) { case (a, (spec, i)) =>
+          spec.set.get(f.name) match {
+            case Some(v) => when(col(ActCol) === offset + i,
+              reb(tgt, src)(v).cast(f.dataType)).otherwise(a)
+            case None => a
+          }
+        }
+    table.graft.schema.fields.toSeq.map { f =>
+      updates(notMatchedBySource, 100, f,
+        updates(matched, 0, f, tgt(f.name))).as(f.name)
+    }
+  }
+
+  /** WHEN NOT MATCHED inserts from the discovery join's source-only
+    * side (first matching clause wins); null when no insert clauses. */
+  private def insertFrame(joined: DataFrame, tgt: DataFrame,
+      src: DataFrame, isIns: Column): DataFrame = {
+    if (notMatched.isEmpty) return null
+    val actCol = notMatched.zipWithIndex.reverse
+      .foldLeft(lit(-1): Column) { case (acc, (spec, i)) =>
+        when(spec.cond.map(reb(tgt, src)).getOrElse(lit(true)), lit(i))
+          .otherwise(acc)
+      }
+    val withAct = joined.filter(isIns).withColumn(ActCol, actCol)
+      .filter(col(ActCol) >= 0)
+    val cols = table.graft.schema.fields.toSeq.map { f =>
+      notMatched.zipWithIndex.reverse.foldLeft(
+        lit(null).cast(f.dataType): Column) { case (acc, (spec, i)) =>
+        when(col(ActCol) === i,
+          spec.values.get(f.name).map(reb(tgt, src))
+            .getOrElse(lit(null)).cast(f.dataType)).otherwise(acc)
+      }.as(f.name)
+    }
+    withAct.select(cols: _*)
+  }
+
+  private def checkCardinality(joined: DataFrame,
+      isMatched: Column): Unit =
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+      val dups = joined.filter(isMatched)
+        .groupBy(col(FileCol), col(PosCol))
+        .count().filter(col("count") > 1).limit(1).count()
+      if (dups > 0) throw new UnsupportedOperationException(
+        "MERGE cardinality violation: a target row matched more " +
+          "than one source row")
+    }
+
+  // ---- copy-on-write ----
+
+  private def runCow(session: SparkSession, g: GraftTable): Unit = {
     val schema = g.schema
-
     g.cowTransaction("merge") { (entries, readLin) =>
-      val src = ColumnBridge.ofRows(session, source.plan)
-        .withColumn(SrcMark, lit(true))
-
-      /** Re-bind a command expression: target attrs resolve against
-        * `tgt`, source attrs against the source frame. */
-      def reb(tgt: DataFrame)(box: ExprBox): Column =
-        ColumnBridge.column(box.e.transform {
-          case a: AttributeReference if targetIds(a.exprId) =>
-            ColumnBridge.expression(tgt(a.name))
-          case a: AttributeReference if sourceIds(a.exprId) =>
-            ColumnBridge.expression(src(a.name))
-        })
-
-      def whenCond(tgt: DataFrame)(s: MergeWhenSpec): Column =
-        s.cond.map(reb(tgt)).getOrElse(lit(true))
-
-      // ---- phase 1: discovery over the full table ----
+      val src = sourceFrame(session)
       val tgt1 = readLin(entries).withColumn(TgtMark, lit(true))
-      val joined = tgt1.join(src, reb(tgt1)(onCond), "full_outer")
+      val joined = tgt1.join(src, reb(tgt1, src)(onCond), "full_outer")
       val isMatched = col(TgtMark).isNotNull && col(SrcMark).isNotNull
       val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
       val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
 
-      if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
-        val dups = joined.filter(isMatched)
-          .groupBy(col(FileCol), col(PosCol))
-          .count().filter(col("count") > 1).limit(1).count()
-        if (dups > 0) throw new UnsupportedOperationException(
-          "MERGE cardinality violation: a target row matched more " +
-            "than one source row")
-      }
+      checkCardinality(joined, isMatched)
 
-      val matchedTouches =
-        if (matched.isEmpty) lit(false) else isMatched
+      val matchedTouches = if (matched.isEmpty) lit(false) else isMatched
       val nmbsTouches =
         if (notMatchedBySource.isEmpty) lit(false)
         else isNmbs &&
-          notMatchedBySource.map(whenCond(tgt1)).reduce(_ || _)
+          notMatchedBySource.map(whenCond(tgt1, src)).reduce(_ || _)
       val affected = joined.filter(matchedTouches || nmbsTouches)
         .select(col(FileCol)).distinct()
         .collect().map(r => Io.normalize(r.getString(0))).toSet
 
-      // insert rows come straight from the discovery join's
-      // source-only side (first matching WHEN NOT MATCHED clause wins)
-      val insertRows: DataFrame = if (notMatched.isEmpty) null else {
-        val srcOnly = joined.filter(isIns)
-        // first-match semantics: fold in reverse so the earliest
-        // matching clause's when() ends up outermost
-        val actCol = notMatched.zipWithIndex.reverse
-          .foldLeft(lit(-1): Column) { case (acc, (spec, i)) =>
-            when(spec.cond.map(reb(tgt1)).getOrElse(lit(true)), lit(i))
-              .otherwise(acc)
-          }
-        val withAct = srcOnly.withColumn("__graft_act", actCol)
-          .filter(col("__graft_act") >= 0)
-        val cols = schema.fields.toSeq.map { f =>
-          notMatched.zipWithIndex.reverse.foldLeft(
-            lit(null).cast(f.dataType): Column) { case (acc, (spec, i)) =>
-            when(col("__graft_act") === i,
-              spec.values.get(f.name).map(reb(tgt1))
-                .getOrElse(lit(null)).cast(f.dataType)).otherwise(acc)
-          }.as(f.name)
-        }
-        withAct.select(cols: _*)
-      }
-
-      val anyInserts = insertRows != null && insertRows.limit(1).count() > 0
+      val insertRows = insertFrame(joined, tgt1, src, isIns)
+      val anyInserts =
+        insertRows != null && insertRows.limit(1).count() > 0
       if (affected.isEmpty && !anyInserts) None
       else {
-        // ---- phase 2: rewrite ONLY the affected files ----
+        // rewrite ONLY the affected files, re-joined for disposition
         val rewritten: DataFrame = if (affected.isEmpty) null else {
           val tgt2 = readLin(g.victimEntries(entries, affected))
             .withColumn(TgtMark, lit(true))
-          val j2 = tgt2.join(src, reb(tgt2)(onCond), "left_outer")
+          val j2 = tgt2.join(src, reb(tgt2, src)(onCond), "left_outer")
           val m2 = col(SrcMark).isNotNull
-          val KEEP = -1
-          val DELBASE = 1000
-          def chain(specs: Seq[MergeWhenSpec], offset: Int): Column =
-            specs.zipWithIndex.reverse.foldLeft(lit(KEEP): Column) {
-              case (acc, (spec, i)) =>
-                val code = if (spec.isDelete) DELBASE + offset + i
-                  else offset + i
-                when(whenCond(tgt2)(spec), lit(code)).otherwise(acc)
-            }
-          val actCol =
-            when(m2, if (matched.isEmpty) lit(KEEP)
-              else chain(matched, 0))
-            .otherwise(if (notMatchedBySource.isEmpty) lit(KEEP)
-              else chain(notMatchedBySource, 100))
-          val withAct = j2.withColumn("__graft_act", actCol)
-            .filter(col("__graft_act") < DELBASE) // drop deletes
-          def updates(specs: Seq[MergeWhenSpec], offset: Int,
-              f: org.apache.spark.sql.types.StructField,
-              acc: Column): Column =
-            specs.zipWithIndex.filterNot(_._1.isDelete)
-              .foldLeft(acc) { case (a, (spec, i)) =>
-                spec.set.get(f.name) match {
-                  case Some(v) => when(col("__graft_act") === offset + i,
-                    reb(tgt2)(v).cast(f.dataType)).otherwise(a)
-                  case None => a
-                }
-              }
-          val cols = schema.fields.toSeq.map { f =>
-            updates(notMatchedBySource, 100, f,
-              updates(matched, 0, f, tgt2(f.name))).as(f.name)
-          }
-          withAct.select(cols: _*)
+          j2.withColumn(ActCol,
+              disposition(tgt2, src, m2, !m2))
+            .filter(col(ActCol) < DELBASE) // drop deleted rows
+            .select(updatedColumns(tgt2, src): _*)
         }
         val out = (rewritten, insertRows) match {
           case (null, ins) => ins
@@ -187,7 +218,40 @@ case class GraftMergeCommand(
           "merge-affected-files" -> affected.size.toString)))
       }
     }
-    Nil
+  }
+
+  // ---- merge-on-read ----
+
+  private def runMor(session: SparkSession, g: GraftTable): Unit = {
+    g.morTransaction("merge") { (entries, readLin) =>
+      val src = sourceFrame(session)
+      val tgt = readLin(entries).withColumn(TgtMark, lit(true))
+      val joined = tgt.join(src, reb(tgt, src)(onCond), "full_outer")
+      val isMatched = col(TgtMark).isNotNull && col(SrcMark).isNotNull
+      val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
+      val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
+
+      checkCardinality(joined, isMatched)
+
+      // every row whose clause fired gets position-deleted; updates
+      // additionally re-append their transformed row
+      val acted = joined.filter(col(TgtMark).isNotNull)
+        .withColumn(ActCol, disposition(tgt, src, isMatched, isNmbs))
+        .filter(col(ActCol) =!= KEEP)
+      val hits = acted.select(col(FileCol).as("file_path"),
+        col(PosCol).as("pos"))
+      val updatedRows = acted.filter(col(ActCol) < DELBASE)
+        .select(updatedColumns(tgt, src): _*)
+      val insertRows = insertFrame(joined, tgt, src, isIns)
+      val appendRows = if (insertRows == null) updatedRows
+        else updatedRows.unionByName(insertRows)
+
+      val anyChange = acted.limit(1).count() > 0 ||
+        (insertRows != null && insertRows.limit(1).count() > 0)
+      if (!anyChange) None
+      else Some((hits, appendRows,
+        Map("mode" -> "merge-on-read")))
+    }
   }
 
   override def simpleString(maxFields: Int): String =

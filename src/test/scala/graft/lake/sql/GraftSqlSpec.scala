@@ -231,6 +231,37 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
   }
 
+  test("MERGE INTO honors write.merge.mode=merge-on-read: changed rows " +
+    "are position-deleted + re-appended, no data file rewritten") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    val filesBefore = spark.sql(s"SELECT file_path FROM $tbl.files " +
+      "WHERE content = 0").collect().map(_.getString(0)).toSet
+    spark.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT * FROM VALUES
+         |  ('case-2', 'JaneMor'), ('case-8', 'Omar')
+         |  AS s(case_id, first_name)) s
+         |ON t.case_id = s.case_id
+         |WHEN MATCHED THEN UPDATE SET t.first_name = s.first_name
+         |WHEN NOT MATCHED THEN INSERT (case_id, first_name,
+         |  email_address, key_nm, secure_txt, secure_key, update_date)
+         |  VALUES (s.case_id, s.first_name, 'o@example.com', 'k8',
+         |  's8', 'sk8', DATE'2024-04-04')""".stripMargin)
+    val rows = spark.sql(s"SELECT case_id, first_name FROM $tbl " +
+      "ORDER BY case_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq("case-1" -> "John", "case-2" -> "JaneMor",
+      "case-3" -> "Alice", "case-8" -> "Omar"))
+    val filesAfter = spark.sql(s"SELECT file_path, content FROM $tbl.files")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(filesBefore.subsetOf(
+      filesAfter.filter(_._2 == 0).map(_._1).toSet),
+      "MOR merge must not rewrite existing data files")
+    assert(filesAfter.count(_._2 == 1) === 1,
+      "MOR merge emits a position-delete file for the updated row")
+  }
+
   test("schema evolution: ADD COLUMNS reads old files as NULL, DROP " +
     "COLUMN hides data, RENAME is rejected; DML keeps working") {
     val ns = freshNs()
