@@ -968,6 +968,28 @@ object GraftTable {
   val PosCol = "__graft_pos"
   val SeqCol = "__graft_seq"
 
+  /** Optimistic-concurrency retry loop, the Iceberg-client behavior:
+    * each attempt re-reads the table (operations capture their base at
+    * read time), so a loser's retry is computed against the winner's
+    * committed state — not a blind re-publish of stale results.
+    * Exponential backoff with jitter desynchronizes N racing writers. */
+  def retryOnConflict[A](maxAttempts: Int = 4,
+      firstBackoffMs: Long = 50)(op: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return op
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          val backoff = firstBackoffMs << (attempt - 1)
+          Thread.sleep(backoff / 2 +
+            scala.util.Random.nextLong(math.max(1L, backoff / 2)))
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Create a new table directory with v0 metadata (no snapshot). */
   def create(spark: SparkSession, root: Path, name: String,
       schema: StructType, properties: Map[String, String] = Map.empty,

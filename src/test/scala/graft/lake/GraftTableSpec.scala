@@ -397,6 +397,30 @@ class GraftTableSpec extends SparkSuite {
     assert(t.read().collect().map(_.getString(0)).toSeq === Seq("case-2"))
   }
 
+  test("retryOnConflict: concurrent appends all land under the retry " +
+    "loop, none lost (Iceberg-client behavior)") {
+    val root = freshWarehouse().resolve("default").resolve("pii_retry")
+    GraftTable.create(spark, root, "default.pii_retry", piiSchema)
+    // interleave writers at the commit point: each publishNew first
+    // lets one pending rival append land, so every writer loses at
+    // least once and must re-read + retry
+    val rivals = new java.util.concurrent.atomic.AtomicInteger(2)
+    lazy val interleaving: CommitProvider = new CommitProvider {
+      override def publishNew(target: Path, content: String): Boolean = {
+        if (rivals.getAndDecrement() > 0)
+          GraftTable.load(spark, root).append(seedDf) // rival wins first
+        Io.atomicPublishNew(target, content)
+      }
+      override def overwrite(target: Path, content: String): Unit =
+        Io.atomicWrite(target, content)
+    }
+    val t = GraftTable.load(spark, root, interleaving)
+    GraftTable.retryOnConflict() { t.append(seedDf) }
+    // 2 rival appends + the retried one = 9 rows, nothing clobbered
+    assert(GraftTable.load(spark, root).read().count() === 9)
+    assert(GraftTable.load(spark, root).meta.snapshots.size === 3)
+  }
+
   test("expire commit conflict leaves the log fully readable " +
     "(metadata swap precedes physical file deletion)") {
     val root = freshWarehouse().resolve("default").resolve("pii_expire")
