@@ -224,8 +224,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def readEntries(entries: Seq[ManifestEntry]): DataFrame = {
     val data = entries.filter(_.content == 0)
     if (data.isEmpty) return emptyDf
-    val withLineage = readWithLineage(entries)
-    withLineage.drop(FileCol, PosCol)
+    // no delete files → plain parquet scan, no _metadata lineage
+    // plumbing in the plan at all
+    if (entries.forall(_.content == 0))
+      return spark.read.schema(schema).parquet(data.map(abs): _*)
+    readWithLineage(entries).drop(FileCol, PosCol)
   }
 
   /** Live rows plus (file, position) lineage columns — the MOR read

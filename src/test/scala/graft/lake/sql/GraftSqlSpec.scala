@@ -304,6 +304,24 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT operation FROM $tbl.snapshots").count() === 2)
   }
 
+  test("SQL reads keep parquet pushdown and codegen through the " +
+    "substitution rule: filters reach the scan, columns are pruned") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    val plan = spark.sql(s"SELECT case_id FROM $tbl " +
+      "WHERE case_id = 'case-2'").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(case_id), " +
+      "EqualTo(case_id,case-2)]"),
+      s"filter not pushed to the parquet scan:\n$plan")
+    assert(!plan.contains("secure_txt"),
+      s"unprojected column not pruned from the scan:\n$plan")
+    // whole-stage codegen spans render as "*(n)" prefixes
+    assert(plan.contains("*(1)"),
+      s"SQL read fell out of whole-stage codegen:\n$plan")
+    assert(plan.contains("ReadSchema: struct<case_id:string>"),
+      s"clean table read should scan exactly the projected column:\n$plan")
+  }
+
   test("catalog DDL round trip: SHOW/DESCRIBE/DROP + namespace listing") {
     val ns = freshNs()
     val tbl = createPii(ns)
