@@ -322,6 +322,20 @@ class GraftSqlSpec extends SparkSuite {
       s"clean table read should scan exactly the projected column:\n$plan")
   }
 
+  test("DELETE with IN-subquery condition and spark.table() DataFrame " +
+    "access both route through the engine") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    spark.sql(s"CREATE TABLE graft.$ns.victims (case_id STRING) USING graft")
+    spark.sql(s"INSERT INTO graft.$ns.victims VALUES ('case-1'), ('case-3')")
+    spark.sql(s"DELETE FROM $tbl WHERE case_id IN " +
+      s"(SELECT case_id FROM graft.$ns.victims)")
+    assert(ids(tbl) === Seq("case-2"))
+    // DataFrame API entry: spark.table resolves through the catalog
+    val df = spark.table(tbl).select("case_id", "first_name")
+    assert(df.collect().map(_.getString(1)).toSeq === Seq("Jane"))
+  }
+
   test("catalog DDL round trip: SHOW/DESCRIBE/DROP + namespace listing") {
     val ns = freshNs()
     val tbl = createPii(ns)
