@@ -182,7 +182,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val manifestRel = s"metadata/snap-$id.json"
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
-      manifestRel, summary)
+      manifestRel, summary, schemaDdl = Some(m.schemaDdl))
     commitMeta(base, m.copy(snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(id)))
     snap
@@ -193,10 +193,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** Current-snapshot read (ref demo.py:114 `SELECT * FROM pii_data`). */
   def read(): DataFrame = readEntries(currentEntries)
 
+  /** The table schema as of `snapshotId` (snapshots commit with the
+    * schema that was current; pre-evolution metadata falls back to the
+    * current schema). */
+  def schemaAt(snapshotId: Long): StructType =
+    snapshotOrFail(snapshotId).schemaDdl.map(StructType.fromDDL)
+      .getOrElse(schema)
+
   /** Time travel (ref demo.py:261 option("snapshot-id", id)); throws for
-    * expired snapshots exactly like the demo shows (demo.py:300-306). */
-  def readAt(snapshotId: Long): DataFrame =
-    readEntries(manifestOf(snapshotOrFail(snapshotId)))
+    * expired snapshots exactly like the demo shows (demo.py:300-306).
+    * Reads with the schema AS OF the snapshot, so columns added later
+    * don't appear and columns dropped later still do. */
+  def readAt(snapshotId: Long): DataFrame = {
+    val s = snapshotOrFail(snapshotId)
+    readEntries(manifestOf(s), schemaAt(snapshotId))
+  }
 
   /** Stats-pruned read: min/max manifest stats choose the file list
     * before the scan (the Iceberg manifest-pruning analog, SURVEY §4);
@@ -218,31 +229,37 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
   }
 
-  private def emptyDf: DataFrame =
-    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+  private def emptyDf: DataFrame = emptyDfOf(schema)
 
-  private def readEntries(entries: Seq[ManifestEntry]): DataFrame = {
+  private def emptyDfOf(sch: StructType): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+
+  private def readEntries(entries: Seq[ManifestEntry],
+      sch: StructType = null): DataFrame = {
+    val s = Option(sch).getOrElse(schema)
     val data = entries.filter(_.content == 0)
-    if (data.isEmpty) return emptyDf
+    if (data.isEmpty) return emptyDfOf(s)
     // no delete files → plain parquet scan, no _metadata lineage
     // plumbing in the plan at all
     if (entries.forall(_.content == 0))
-      return spark.read.schema(schema).parquet(data.map(abs): _*)
-    readWithLineage(entries).drop(FileCol, PosCol)
+      return spark.read.schema(s).parquet(data.map(abs): _*)
+    readWithLineage(entries, s).drop(FileCol, PosCol)
   }
 
   /** Live rows plus (file, position) lineage columns — the MOR read
     * path; also what delete capture uses so positions always round-trip
     * through the same _metadata columns. */
-  private[lake] def readWithLineage(entries: Seq[ManifestEntry]): DataFrame = {
+  private[lake] def readWithLineage(entries: Seq[ManifestEntry],
+      sch: StructType = null): DataFrame = {
+    val readSchema = Option(sch).getOrElse(schema)
     val data = entries.filter(_.content == 0)
     val posDel = entries.filter(_.content == 1)
     val eqDel = entries.filter(_.content == 2)
     if (data.isEmpty)
-      return emptyDf
+      return emptyDfOf(readSchema)
         .withColumn(FileCol, lit(null).cast("string"))
         .withColumn(PosCol, lit(null).cast("long"))
-    var df = spark.read.schema(schema).parquet(data.map(abs): _*)
+    var df = spark.read.schema(readSchema).parquet(data.map(abs): _*)
       .select(col("*"),
         col("_metadata.file_path").as(FileCol),
         col("_metadata.row_index").as(PosCol))
@@ -496,7 +513,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       : Option[SnapshotMeta] = {
     val b = captureBase()
     val entries = b.entries
-    f(entries, readWithLineage) match {
+    f(entries, es => readWithLineage(es)) match {
       case None => None
       case Some((affected, outRows, summary)) =>
         val keep = entries.filter(e =>
@@ -519,7 +536,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       : Option[SnapshotMeta] = {
     val b = captureBase()
     val entries = b.entries
-    f(entries, readWithLineage) match {
+    f(entries, es => readWithLineage(es)) match {
       case None => None
       case Some((hits, appendRows, summary)) =>
         val cached = hits.persist()

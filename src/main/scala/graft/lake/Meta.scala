@@ -40,9 +40,13 @@ final case class SnapshotMeta(
     snapshotId: Long,
     parentId: Option[Long],
     timestampMs: Long,
-    operation: String, // append | delete | overwrite | replace
+    operation: String, // append | delete | overwrite | replace | merge
     manifestList: String, // metadata/snap-<id>.json, relative to root
-    summary: Map[String, String] = Map.empty)
+    summary: Map[String, String] = Map.empty,
+    // table schema AS OF this snapshot (Iceberg's schema-id analog):
+    // time travel reads with the schema of that time, not today's.
+    // Optional for back-compat with pre-evolution metadata.
+    schemaDdl: Option[String] = None)
 
 final case class MetadataLogEntry(timestampMs: Long, file: String)
 

@@ -223,35 +223,42 @@ case class GraftMergeCommand(
   // ---- merge-on-read ----
 
   private def runMor(session: SparkSession, g: GraftTable): Unit = {
-    g.morTransaction("merge") { (entries, readLin) =>
-      val src = sourceFrame(session)
-      val tgt = readLin(entries).withColumn(TgtMark, lit(true))
-      val joined = tgt.join(src, reb(tgt, src)(onCond), "full_outer")
-      val isMatched = col(TgtMark).isNotNull && col(SrcMark).isNotNull
-      val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
-      val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
+    // the disposition frame is consumed several times (hits, appended
+    // rows, change check) — persist it for the transaction's duration
+    var actedCached: DataFrame = null
+    try {
+      g.morTransaction("merge") { (entries, readLin) =>
+        val src = sourceFrame(session)
+        val tgt = readLin(entries).withColumn(TgtMark, lit(true))
+        val joined = tgt.join(src, reb(tgt, src)(onCond), "full_outer")
+        val isMatched = col(TgtMark).isNotNull && col(SrcMark).isNotNull
+        val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
+        val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
 
-      checkCardinality(joined, isMatched)
+        checkCardinality(joined, isMatched)
 
-      // every row whose clause fired gets position-deleted; updates
-      // additionally re-append their transformed row
-      val acted = joined.filter(col(TgtMark).isNotNull)
-        .withColumn(ActCol, disposition(tgt, src, isMatched, isNmbs))
-        .filter(col(ActCol) =!= KEEP)
-      val hits = acted.select(col(FileCol).as("file_path"),
-        col(PosCol).as("pos"))
-      val updatedRows = acted.filter(col(ActCol) < DELBASE)
-        .select(updatedColumns(tgt, src): _*)
-      val insertRows = insertFrame(joined, tgt, src, isIns)
-      val appendRows = if (insertRows == null) updatedRows
-        else updatedRows.unionByName(insertRows)
+        // every row whose clause fired gets position-deleted; updates
+        // additionally re-append their transformed row
+        val acted = joined.filter(col(TgtMark).isNotNull)
+          .withColumn(ActCol, disposition(tgt, src, isMatched, isNmbs))
+          .filter(col(ActCol) =!= KEEP)
+          .persist()
+        actedCached = acted
+        val hits = acted.select(col(FileCol).as("file_path"),
+          col(PosCol).as("pos"))
+        val updatedRows = acted.filter(col(ActCol) < DELBASE)
+          .select(updatedColumns(tgt, src): _*)
+        val insertRows = insertFrame(joined, tgt, src, isIns)
+        val appendRows = if (insertRows == null) updatedRows
+          else updatedRows.unionByName(insertRows)
 
-      val anyChange = acted.limit(1).count() > 0 ||
-        (insertRows != null && insertRows.limit(1).count() > 0)
-      if (!anyChange) None
-      else Some((hits, appendRows,
-        Map("mode" -> "merge-on-read")))
-    }
+        val anyChange = acted.limit(1).count() > 0 ||
+          (insertRows != null && insertRows.limit(1).count() > 0)
+        if (!anyChange) None
+        else Some((hits, appendRows,
+          Map("mode" -> "merge-on-read")))
+      }
+    } finally if (actedCached != null) actedCached.unpersist()
   }
 
   override def simpleString(maxFields: Int): String =

@@ -43,7 +43,8 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
 
   override def name(): String = identName
 
-  override def schema(): StructType = graft.schema
+  override def schema(): StructType =
+    pinnedSnapshot.map(graft.schemaAt).getOrElse(graft.schema)
 
   override def properties(): JMap[String, String] =
     graft.enrichedProperties.asJava

@@ -287,6 +287,27 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
   }
 
+  test("time travel sees the schema AS OF the snapshot: columns added " +
+    "later are absent, via Scala readAt and SQL VERSION AS OF") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    val preEvolution = snapshotIds(tbl).last
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+    spark.sql(s"INSERT INTO $tbl VALUES ('case-6','Fay','f@example.com'," +
+      "'k6','s6','sk6',DATE'2024-05-05','noted')")
+    // current read has the new column
+    assert(spark.sql(s"SELECT * FROM $tbl").columns.contains("note"))
+    // time travel to the pre-evolution snapshot: old schema, old rows
+    val back = spark.sql(s"SELECT * FROM $tbl VERSION AS OF $preEvolution")
+    assert(!back.columns.contains("note"),
+      "pre-evolution snapshot must read with the schema of that time")
+    assert(back.count() === 3)
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.lake.GraftTable.load(spark,
+      Path.of(warehouse, ns, "pii_data"))
+    assert(!t.readAt(preEvolution).columns.contains("note"))
+  }
+
   test("CALL rollback_to_snapshot: a MOR delete is undone by rollback " +
     "until expire makes it permanent") {
     val ns = freshNs()
