@@ -65,8 +65,18 @@ object GraftTableStreaming {
       .option("path", root.toString).load()
 }
 
-/** `format("graft-appends")` registration. */
+/** `format("graft-appends")` registration — source AND sink, so both
+  * directions read/write GraftTables symmetrically:
+  *
+  *   spark.readStream.format("graft-appends").option("path", src).load()
+  *     .writeStream.format("graft-appends").option("path", dst)
+  *     .option("queryId", "my-pipeline").start()
+  *
+  * The sink delegates to [[GraftTableStreaming.appendBatch]] and gets
+  * the same exactly-once epoch bookkeeping as the foreachBatch form.
+  */
 class GraftAppendStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-appends"
@@ -86,6 +96,29 @@ class GraftAppendStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftAppendSource(table(ctx, parameters))
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "partition columns are declared on the table " +
+        "(write.clustered-by), not the sink")
+    val t = table(ctx, parameters)
+    val queryId = parameters.getOrElse("queryId", "graft-append-sink")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: Dataset[Row]): Unit = {
+        // the incoming frame is streaming-tagged and can't feed a
+        // batch write directly; detach it the way Spark's own
+        // ForeachBatchSink does (LogicalRDD over the compiled rows)
+        val detached =
+          org.apache.spark.sql.graft.ColumnBridge.detachBatch(data)
+        GraftTableStreaming.appendBatch(t, queryId)(detached, batchId)
+      }
+      override def name(): String = s"GraftAppendSink(${t.name})"
+    }
+  }
 }
 
 /** Snapshot-log-driven source: offset N = "all append snapshots with

@@ -20,4 +20,15 @@ object ColumnBridge {
       : DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Detach a streaming micro-batch into a batch frame over the same
+    * compiled rows — exactly what Spark's ForeachBatchSink does
+    * (LogicalRDD.fromDataset is private[sql]). */
+  def detachBatch(data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : DataFrame =
+    ofRows(data.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        data.queryExecution.toRdd,
+        data.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+        isStreaming = false))
 }

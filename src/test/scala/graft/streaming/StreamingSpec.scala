@@ -153,6 +153,21 @@ class StreamingSpec extends SparkSuite {
       q.processAllAvailable()
       assert(dst.read().count() === 5)
     } finally q.stop()
+    // the declarative sink form: writeStream.format("graft-appends")
+    val dst2 = GraftTable.create(spark, wh.resolve("dst2"), "d.dst2", schema)
+    val q2 = GraftTableStreaming.readAppends(spark, src.root)
+      .writeStream.format("graft-appends")
+      .option("path", dst2.root.toString)
+      .option("queryId", "rt-sink")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rt-ckpt2-").toString)
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(dst2.read().count() === 5,
+        "format-based sink must land all source appends")
+      assert(GraftTableStreaming.lastCommittedEpoch(dst2, "rt-sink").nonEmpty)
+    } finally q2.stop()
     // exactly-once: a replayed epoch is skipped, not re-appended
     val epoch = GraftTableStreaming.lastCommittedEpoch(dst, "rt-query").get
     val before = dst.meta.snapshots.size
