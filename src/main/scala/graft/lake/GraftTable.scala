@@ -93,6 +93,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
     commitMeta(b, b.meta.copy(properties = b.meta.properties ++ props))
   }
 
+  /** ALTER TABLE ... SET/UNSET TBLPROPERTIES with removals: commit the
+    * computed map verbatim instead of merging, so UNSET actually
+    * deletes keys (a merge would re-introduce them from the old map).
+    * The removes/sets are applied to the base captured here, not to a
+    * caller-side read, so a concurrent property commit surfaces as a
+    * version conflict rather than a lost update. */
+  def updateProperties(removes: Seq[String],
+      sets: Map[String, String]): Unit = {
+    val b = captureBase()
+    commitMeta(b, b.meta.copy(
+      properties = b.meta.properties -- removes ++ sets))
+  }
+
   /** ALTER TABLE ADD COLUMNS — metadata-only schema evolution: new
     * columns are forced nullable, and files written before the change
     * read as NULL for them (Spark's missing-column semantics under an
@@ -131,7 +144,20 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "(rewrite data files first)"))
     val next = StructType(cur.fields.filterNot(f =>
       lower(f.name.toLowerCase)))
-    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
+    // A dropped column must also leave `write.clustered-by` in the SAME
+    // metadata commit — otherwise every later append fails trying to
+    // range-cluster on a column that no longer exists, and (since UNSET
+    // is the only other way out) the table would be wedged.
+    val props = b.meta.properties.get(ClusterProp) match {
+      case Some(spec) =>
+        val kept = spec.split(",").map(_.trim).filter(c =>
+          c.nonEmpty && !lower(c.toLowerCase))
+        if (kept.isEmpty) b.meta.properties - ClusterProp
+        else b.meta.properties + (ClusterProp -> kept.mkString(","))
+      case None => b.meta.properties
+    }
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      properties = props))
   }
 
   def currentSnapshot: Option[SnapshotMeta] =
@@ -327,20 +353,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * SQL `PARTITIONED BY`): every append range-clusters on these
     * columns so per-file min/max stats prune like partition pruning. */
   private def clusterColumns: Option[Seq[String]] =
-    properties.get("write.clustered-by")
+    properties.get(ClusterProp)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
 
   private def clusterFileCount: Int =
-    properties.getOrElse("write.clustered-by.files", "8").toInt
+    properties.getOrElse(s"$ClusterProp.files", "8").toInt
 
-  private def appendRaw(df: DataFrame,
-      extraSummary: Map[String, String]): SnapshotMeta = {
+  /** Validate and normalize an incoming frame against the table
+    * schema: columns matched by NAME, cast to the table types. */
+  private def alignToSchema(df: DataFrame): DataFrame = {
     require(df.columns.toSet == schema.fieldNames.toSet,
       s"schema mismatch appending to $name: table columns " +
         s"${schema.fieldNames.mkString(",")}; got ${df.columns.mkString(",")}")
-    val aligned = df.select(schema.fields.toSeq.map(f =>
+    df.select(schema.fields.toSeq.map(f =>
       col(quoted(f.name)).cast(f.dataType).as(f.name)): _*)
+  }
+
+  private def appendRaw(df: DataFrame,
+      extraSummary: Map[String, String]): SnapshotMeta = {
+    val aligned = alignToSchema(df)
     val b = captureBase()
     val snapId = nextSnapshotHint
     val moved = writeDataFiles(aligned)
@@ -385,6 +417,36 @@ class GraftTable(val spark: SparkSession, val root: Path,
     appendRaw(df
       .repartitionByRange(nFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*), extraSummary)
+  }
+
+  /** INSERT OVERWRITE (truncate + insert) as ONE atomic snapshot: the
+    * new data files are staged first, then a single commit replaces
+    * every prior entry — data files AND delete files — with the new
+    * data entries. Two properties a delete-then-append pair can't give:
+    * a crash (or a lost commit race) between the halves can never leave
+    * the table durably truncated, and `write.delete.mode=merge-on-read`
+    * never writes a whole-table position-delete pass just to truncate.
+    * Readers of the previous snapshot are unaffected (time travel keeps
+    * working); declared clustering applies to the new files. */
+  def overwriteAll(df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
+    val aligned = alignToSchema(df)
+    val toWrite = clusterColumns match {
+      case Some(cols) => aligned
+        .repartitionByRange(clusterFileCount, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+      case None => aligned
+    }
+    val b = captureBase()
+    val snapId = nextSnapshotHint
+    val moved = writeDataFiles(toWrite)
+    val newEntries = statEntries(moved, content = 0, snapId)
+    commitSnapshot(b, snapId, "overwrite", newEntries,
+      extraSummary ++ Map(
+        "replaced-data-files" ->
+          b.entries.count(_.content == 0).toString,
+        "added-data-files" -> newEntries.size.toString,
+        "added-records" -> newEntries.map(_.recordCount).sum.toString))
   }
 
   /** D8/D9 DELETE WHERE — honors `write.delete.mode` like the demo's
@@ -987,6 +1049,7 @@ object GraftTable {
   val FileCol = "__graft_file"
   val PosCol = "__graft_pos"
   val SeqCol = "__graft_seq"
+  val ClusterProp = "write.clustered-by"
 
   /** Optimistic-concurrency retry loop, the Iceberg-client behavior:
     * each attempt re-reads the table (operations capture their base at

@@ -147,13 +147,33 @@ object Io {
     * plain filesystem path string — Spark's _metadata.file_path and
     * java.nio paths must compare equal. */
   def normalize(pathOrUri: String): String =
-    if (pathOrUri.startsWith("file:")) new java.net.URI(pathOrUri).getPath
-    else pathOrUri
+    if (pathOrUri.startsWith("file:")) {
+      // URI.getPath also decodes percent-escapes (%20 → space), which
+      // is what Spark's _metadata.file_path emits for such paths. A
+      // raw unencoded space would make the URI constructor throw, so
+      // fall back to scheme-stripping for that spelling.
+      try new java.net.URI(pathOrUri).getPath
+      catch {
+        case _: java.net.URISyntaxException =>
+          pathOrUri.stripPrefix("file:").replaceFirst("^/{2,}", "/")
+      }
+    } else pathOrUri
 
   /** All spellings `_metadata.file_path` may use for a local path —
     * lets driver-side path sets be normalized ONCE to every URI form
     * and compared with a plain (codegen-friendly) string equality,
-    * instead of running a normalizing UDF over the scan column. */
-  def uriForms(path: String): Seq[String] =
-    Seq(path, s"file:$path", s"file://$path").distinct
+    * instead of running a normalizing UDF over the scan column.
+    *
+    * Includes the URL-encoded URI forms (`Path.toUri`): Spark spells
+    * `_metadata.file_path` with URI escaping, so a warehouse path
+    * containing a space arrives as `%20` — without these forms the MOR
+    * anti-join condition would evaluate to null and deleted rows would
+    * silently resurface. */
+  def uriForms(path: String): Seq[String] = {
+    val encoded = Path.of(path).toUri.toString // file:///a/b%20c/d.parquet
+    val encodedShort = encoded.replaceFirst("^file:///", "file:/")
+    val encodedSlashes = encoded.replaceFirst("^file:///", "file://")
+    Seq(path, s"file:$path", s"file://$path",
+      encoded, encodedShort, encodedSlashes).distinct
+  }
 }

@@ -249,8 +249,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         "identifies columns by name, not field id)")
     if (adds.nonEmpty) t.addColumns(adds)
     if (drops.nonEmpty) t.dropColumns(drops)
-    if (removes.nonEmpty)
-      t.setProperties(t.properties -- removes ++ sets)
+    if (removes.nonEmpty) t.updateProperties(removes, sets)
     else if (sets.nonEmpty) t.setProperties(sets)
     new GraftSqlTable(fullName(ident), t)
   }

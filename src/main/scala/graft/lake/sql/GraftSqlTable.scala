@@ -12,7 +12,6 @@ import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, L
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -86,8 +85,10 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
         override def toInsertableRelation: InsertableRelation =
           (data, overwrite) => {
             rejectPinnedWrite()
-            if (overwriteAll || overwrite) graft.delete(lit(true))
-            graft.append(data)
+            // one atomic replace snapshot — NOT delete-then-append,
+            // which could strand the table truncated between commits
+            if (overwriteAll || overwrite) graft.overwriteAll(data)
+            else graft.append(data)
           }
       }
     }

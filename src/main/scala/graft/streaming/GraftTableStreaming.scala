@@ -105,7 +105,22 @@ class GraftAppendStreamProvider extends StreamSourceProvider
       "partition columns are declared on the table " +
         "(write.clustered-by), not the sink")
     val t = table(ctx, parameters)
-    val queryId = parameters.getOrElse("queryId", "graft-append-sink")
+    // Epoch dedup is keyed on (queryId, epochId), so queryId must be
+    // unique per logical pipeline: a shared default would make two
+    // independent queries writing this table (or a restart with a
+    // fresh checkpoint, whose epochs restart at 0) silently drop every
+    // batch at-or-below the other's last committed epoch. No silent
+    // default — take an explicit queryId, or derive one from the
+    // checkpoint location (same checkpoint ⇒ same epoch sequence ⇒
+    // dedup is exactly the at-least-once replay we want to suppress).
+    val queryId = parameters.get("queryId")
+      .orElse(parameters.get("checkpointLocation").map(p =>
+        "ckpt:" + Path.of(p).toAbsolutePath.normalize.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-appends sink requires option(\"queryId\", <stable id>) " +
+          "or a checkpointLocation to derive it from: epoch " +
+          "deduplication is keyed on it, and a shared default would " +
+          "drop batches across unrelated queries"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long,
           data: Dataset[Row]): Unit = {

@@ -477,6 +477,33 @@ class GraftTableSpec extends SparkSuite {
     assert(desc("Location") === t.root.toAbsolutePath.toString)
   }
 
+  test("warehouse path with a space: MOR deletes still mask rows " +
+    "(Spark URL-encodes _metadata.file_path, so the delete anti-join " +
+    "must match the %20 spelling too)") {
+    val wh = Files.createTempDirectory("graft wh spaced ")
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(seedDf)
+    t.delete(col("case_id") === "case-2")
+    val ids = t.read().select("case_id").collect()
+      .map(_.getString(0)).sorted
+    assert(ids.toSeq === Seq("case-1", "case-3"),
+      "deleted row must stay masked when the table root contains a space")
+    // equality deletes go through the same uriForms sequencing join
+    t.equalityDelete(spark.createDataFrame(
+      Seq(Row("case-3")).asJava, StructType.fromDDL("case_id STRING")))
+    assert(t.read().select("case_id").collect()
+      .map(_.getString(0)).toSeq === Seq("case-1"))
+    // COW update rewrites the right files despite the encoded paths
+    t.update(col("case_id") === "case-1",
+      Map("secure_txt" -> lit(null).cast("string")))
+    val row = t.read().select("case_id", "secure_txt").collect()
+    assert(row.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("case-1", null)))
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")

@@ -103,6 +103,81 @@ class GraftSqlSpec extends SparkSuite {
     assert(ids(tbl) === Seq("case-3"))
   }
 
+  test("ALTER TABLE UNSET TBLPROPERTIES actually deletes the key " +
+    "(a merge would silently resurrect it)") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', 'tag'='x')")
+    def props() = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("tag") === Some("x"))
+    spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('tag')")
+    assert(!props().contains("tag"), "UNSET must remove the property")
+    // UNSET of one key together with SET of another, one statement each
+    spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES " +
+      "('write.delete.mode')")
+    assert(!props().contains("write.delete.mode"))
+    // table falls back to the default delete mode (copy-on-write)
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    assert(spark.sql(s"SELECT * FROM $tbl.files WHERE content = 1")
+      .count() === 0, "COW delete after UNSET must not write delete files")
+    assert(ids(tbl) === Seq("case-1", "case-3"))
+  }
+
+  test("INSERT OVERWRITE is ONE atomic replace snapshot: no " +
+    "intermediate truncate commit, no MOR delete files, time travel " +
+    "still sees the old rows") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val preOverwrite = snapshotIds(tbl).last
+    val snapsBefore = snapshotIds(tbl).size
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM $tbl " +
+      "WHERE case_id = 'case-3'")
+    assert(ids(tbl) === Seq("case-3"))
+    // exactly ONE new snapshot, operation=overwrite — not a
+    // delete snapshot followed by an append snapshot
+    val ops = spark.sql(s"SELECT operation FROM $tbl.snapshots " +
+      "ORDER BY committed_at").collect().map(_.getString(0)).toSeq
+    assert(ops.size === snapsBefore + 1,
+      s"overwrite must be a single commit, got $ops")
+    assert(ops.last === "overwrite")
+    // merge-on-read mode must NOT have written a whole-table
+    // position-delete pass just to truncate
+    assert(spark.sql(s"SELECT * FROM $tbl.files WHERE content = 1")
+      .count() === 0, "atomic overwrite writes no delete files")
+    // prior snapshot still readable (nothing physically deleted)
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF $preOverwrite")
+      .count() === 3)
+  }
+
+  test("DROP COLUMN prunes it from write.clustered-by in the same " +
+    "commit, so later appends don't range-cluster on a ghost column") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.clustered"
+    spark.sql(s"CREATE TABLE $tbl (k STRING, v BIGINT, note STRING) " +
+      "USING graft PARTITIONED BY (k, v)")
+    spark.sql(s"INSERT INTO $tbl VALUES ('a', 1, 'x'), ('b', 2, 'y')")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN v")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.clustered-by") === Some("k"),
+      "dropped column must leave the clustering spec")
+    // the table is still appendable (this used to throw on the
+    // missing clustering column)
+    spark.sql(s"INSERT INTO $tbl VALUES ('c', 'z')")
+    assert(spark.sql(s"SELECT k FROM $tbl ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // dropping the last clustering column removes the property
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN k")
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!props2.contains("write.clustered-by"))
+    spark.sql(s"INSERT INTO $tbl VALUES ('w')")
+    assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
+  }
+
   test("CALL maintenance procedures: expire_snapshots kills time travel " +
     "(demo.py:289-306), rewrites compact and drop deletes " +
     "(demo.py:419-452), orphan removal honors force") {

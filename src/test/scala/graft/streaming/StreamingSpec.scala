@@ -168,6 +168,35 @@ class StreamingSpec extends SparkSuite {
         "format-based sink must land all source appends")
       assert(GraftTableStreaming.lastCommittedEpoch(dst2, "rt-sink").nonEmpty)
     } finally q2.stop()
+    // sink identity: NO silent default queryId — absent an explicit
+    // queryId, the sink derives one from the checkpoint location (so a
+    // fresh checkpoint restarting epochs at 0 can't collide with an
+    // older query's epochs), and with neither it fails fast instead of
+    // silently sharing a constant across unrelated pipelines
+    val dst3 = GraftTable.create(spark, wh.resolve("dst3"), "d.dst3", schema)
+    val ckpt3 = Files.createTempDirectory("graft-rt-ckpt3-")
+    val q3 = GraftTableStreaming.readAppends(spark, src.root)
+      .writeStream.format("graft-appends")
+      .option("path", dst3.root.toString)
+      .option("checkpointLocation", ckpt3.toString)
+      .start()
+    try {
+      q3.processAllAvailable()
+      assert(dst3.read().count() === 5,
+        "checkpoint-derived queryId sink must land all appends")
+      val derived = "ckpt:" + ckpt3.toAbsolutePath.normalize
+      assert(GraftTableStreaming.lastCommittedEpoch(dst3, derived).nonEmpty,
+        "epoch bookkeeping must be keyed on the derived checkpoint id")
+    } finally q3.stop()
+    val noId = intercept[Exception] {
+      new GraftAppendStreamProvider().createSink(
+        spark.sqlContext,
+        Map("path" -> dst3.root.toString), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(noId.getMessage.contains("queryId"),
+      "sink without queryId or checkpointLocation must fail fast")
+
     // exactly-once: a replayed epoch is skipped, not re-appended
     val epoch = GraftTableStreaming.lastCommittedEpoch(dst, "rt-query").get
     val before = dst.meta.snapshots.size
