@@ -24,7 +24,8 @@ object SparkEntry {
     llm.DedupQueries,
     llm.SimilarityQueries,
     llm.TextQueries,
-    llm.MultimodalQueries)
+    llm.MultimodalQueries,
+    llm.PipelineQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = catalogs.flatMap(_.all)

@@ -1,0 +1,385 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2l [EXT] training-data-pipeline operators beyond the
+  * dedup/similarity/text families: near-dup cluster resolution
+  * (connected components), deterministic train/val/test splitting,
+  * stratified sampling, sequence packing, vocabulary/IDF statistics,
+  * corpus distribution quantiles, embedding quantization, and PII
+  * detection/redaction (the text-side twin of the reference's
+  * table-level PII deletion).
+  *
+  * Scale design (100 TB):
+  *  - cluster resolution iterates min-label propagation over the DUP
+  *    PAIR set, which is orders of magnitude smaller than the corpus
+  *    (only docs sharing a shingle pair up); per iteration it is one
+  *    equi-join + partial-agg-friendly min. Iterations = component
+  *    diameter, and near-dup components are shallow by construction
+  *    (a chain needs an unbroken run of >=0.5-Jaccard neighbors). For
+  *    adversarial graphs swap the loop body for alternating
+  *    large-star/small-star contraction (same join shape, O(log n)
+  *    rounds) — the surrounding fixpoint scaffold is unchanged.
+  *  - split/sample key on md5(doc_id), a pure map-side projection: no
+  *    shuffle to assign, reproducible across runs and engines, and
+  *    immune to input order (the failure mode of rand()-based splits).
+  *  - packing windows over a shard key, never a global ORDER BY: each
+  *    shard packs independently, so parallelism = shard count.
+  *  - quantiles use exact percentile here (oracle parity); the 100 TB
+  *    path is approx_percentile with the same call shape.
+  *  - quantization is per-row map-side HOF math — no shuffle at all.
+  */
+object PipelineQueries extends QueryCatalog {
+
+  /** Near-dup cluster resolution: take the trigram-Jaccard dup pairs
+    * (q_dedup_ngram_jaccard's edges) and resolve transitive closure so
+    * each document maps to a canonical cluster id (the component's min
+    * doc_id) — the step that turns pairwise dedup output into a
+    * keep/drop decision. `keep` marks the cluster representative.
+    *
+    * Spark: min-label propagation to a fixpoint. Labels only ever
+    * decrease, so sum(label) strictly decreases until convergence —
+    * one cheap scalar per iteration detects the fixpoint.
+    * Oracle: recursive CTE computing min reachable node per node.
+    */
+  private val dedupClusters = Q(
+    "q_dedup_clusters",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), reach(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(lbl) AS cluster_id,
+      |  CAST(id = min(lbl) AS BOOLEAN) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = DedupQueries
+      .jaccardPairs(DedupQueries.shingleSets(Tables.documents(s, dir)), "sh")
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist()
+    var converged = false
+    var iterations = 0
+    var curSum = labels.agg(sum("lbl")).head.getLong(0)
+    while (!converged && iterations < 50) {
+      // min label among each node's neighbors, folded into its own
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src_id"),
+          col("src") === col("src_id"))
+        .groupBy(col("dst").as("id"))
+        .agg(min("lbl").as("nlbl"))
+      val next = labels.as("l")
+        .join(viaNeighbor.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.lbl"), coalesce(col("n.nlbl"), col("l.lbl")))
+            .as("lbl"))
+        .persist()
+      val nextSum = next.agg(sum("lbl")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == curSum
+      curSum = nextSum
+      iterations += 1
+    }
+    val out = labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("keep"))
+      .orderBy("doc_id")
+    // Materialize before unpersisting the cached frames the plan reads
+    // from. The result is bounded by the dup-pair node count (docs that
+    // share a shingle), not the corpus; at cluster scale this final
+    // handoff is a write to storage, not a collect.
+    val rows = out.collect()
+    edges.unpersist()
+    labels.unpersist()
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Deterministic train/val/test split: bucket on the first 8 hex
+    * digits of md5(doc_id) — reproducible, order-independent, and
+    * engine-portable (md5 is md5 everywhere, unlike murmur/xxhash).
+    * 80/10/10; output is the per-(lang, split) contingency table.
+    */
+  private val trainSplit = Q(
+    "q_pipe_split",
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS UBIGINT) % 100 AS BIGINT) AS bucket
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs
+      |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("bigint") % 100).as("bucket"))
+      .select(col("lang"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+  }
+
+  /** Stratified deterministic sample: the first 20 docs per language in
+    * md5 order — a reproducible "random" sample with exact per-stratum
+    * size control (what rand()-based sampling can't guarantee).
+    */
+  private val sample = Q(
+    "q_pipe_sample",
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, rk FROM r WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+          .as("rk"))
+      .filter(col("rk") <= 20)
+      .orderBy("lang", "rk")
+  }
+
+  /** Sequence packing: assign docs to contiguous token-budget batches
+    * (the pre-tokenization step that turns a corpus into fixed-budget
+    * training batches). Docs pack within a shard (doc_id % 32) in
+    * doc_id order; batch = floor(tokens-before-this-doc / budget), so
+    * a doc that crosses the boundary starts in the batch its first
+    * token falls into. Output is the per-batch manifest.
+    */
+  private val pack = Q(
+    "q_pipe_pack",
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 32 AS shard,
+      |    len(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT shard, tok,
+      |    sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - tok AS tok_before
+      |  FROM t
+      |)
+      |SELECT shard, CAST(floor(tok_before / 512.0) AS BIGINT) AS batch_id,
+      |  count(*) AS n_docs, sum(tok) AS total_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY shard, batch_id""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+        size(split(col("text"), " ")).as("tok"))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.select(col("shard"), col("tok"),
+        (sum("tok").over(w) - col("tok")).as("tok_before"))
+      .select(col("shard"),
+        floor(col("tok_before") / 512.0).cast("bigint").as("batch_id"),
+        col("tok"))
+      .groupBy("shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"))
+      .orderBy("shard", "batch_id")
+  }
+
+  /** Vocabulary statistics: document frequency + smoothed IDF per
+    * token. The df aggregate is partial-agg-friendly (distinct
+    * (doc_id, tok) pairs, then a count per tok); the scalar corpus
+    * size broadcasts into the projection.
+    */
+  private val vocab = Q(
+    "q_pipe_vocab",
+    """WITH dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), n AS (SELECT count(*) AS total FROM documents)
+      |SELECT tok, count(*) AS df,
+      |  round(ln(CAST(total AS DOUBLE) / count(*)), 4) AS idf
+      |FROM dt CROSS JOIN n
+      |GROUP BY tok, total ORDER BY df DESC, tok""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val n = docs.agg(count(lit(1)).as("total"))
+    dt.crossJoin(broadcast(n))
+      .groupBy("tok", "total")
+      .agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"),
+        round(log(col("total").cast("double") / col("df")), 4).as("idf"))
+      .orderBy(desc("df"), asc("tok"))
+  }
+
+  /** Corpus distribution quantiles per language: exact interpolated
+    * percentiles of document length (both engines use the same linear
+    * interpolation; at 100 TB swap in approx_percentile, same shape).
+    */
+  private val quantiles = Q(
+    "q_pipe_quantiles",
+    """SELECT lang,
+      |  round(quantile_cont(n_chars, 0.25), 2) AS p25,
+      |  round(quantile_cont(n_chars, 0.50), 2) AS p50,
+      |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
+      |  round(quantile_cont(n_chars, 0.95), 2) AS p95
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.25)"), 2).as("p25"),
+        round(expr("percentile(n_chars, 0.50)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 2).as("p75"),
+        round(expr("percentile(n_chars, 0.95)"), 2).as("p95"))
+      .orderBy("lang")
+  }
+
+  /** Int8 scalar quantization of embeddings: symmetric per-vector
+    * scale (max |x| -> 127), plus the reconstruction RMSE — the
+    * compression step before shipping vectors to an ANN index. All
+    * math in double (the float column is widened first) so both
+    * engines compute bit-identical scales.
+    */
+  private val quantize = Q(
+    "q_pipe_quantize",
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS maxabs
+      |  FROM t
+      |), q AS (
+      |  SELECT vec_id, v, maxabs,
+      |    list_transform(v, x -> CAST(round(x / maxabs * 127) AS INTEGER))
+      |      AS qv
+      |  FROM sc
+      |)
+      |SELECT vec_id, round(maxabs, 4) AS scale,
+      |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+      |  round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+      |    i -> pow(v[i] - qv[i] * maxabs / 127, 2))) / len(v)), 6)
+      |    AS rmse
+      |FROM q ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("maxabs",
+        expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv",
+        expr("transform(v, x -> CAST(round(x / maxabs * 127) AS INT))"))
+      .select(col("vec_id"), round(col("maxabs"), 4).as("scale"),
+        expr("CAST(aggregate(transform(qv, x -> abs(x)), 0, " +
+          "(a, x) -> a + x) AS BIGINT)").as("q_l1"),
+        round(sqrt(expr(
+          "aggregate(zip_with(v, qv, (x, q) -> pow(x - q * maxabs / 127, 2)), " +
+            "CAST(0 AS DOUBLE), (a, x) -> a + x)") / size(col("v"))), 6)
+          .as("rmse"))
+      .orderBy("vec_id")
+  }
+
+  /** PII detection + redaction over text — the unstructured-text twin
+    * of the reference's table-level PII erasure (README.md:11: "remove
+    * PII"). The corpus is synthetic and contains no natural PII, so the
+    * query first embeds deterministic identifiers derived from real
+    * columns (email, phone, card, IPv4), then detects and scrubs them
+    * with anchored regexes; the oracle replays both halves, so the
+    * match is on the redaction logic, not the synthesis. Pure map-side
+    * regexp work — at 100 TB this is a zero-shuffle projection.
+    */
+  private val piiRedact = Q(
+    "q_text_pii_redact",
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |      '@mail', CAST(doc_id % 7 AS VARCHAR),
+      |      '.com phone 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      ' card 411111111111', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+      |      ' ip 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1') AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS n_phone,
+      |  len(regexp_extract_all(text, '\b[0-9]{16}\b')) AS n_card,
+      |  len(regexp_extract_all(text,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b555-[0-9]{4}\b', '[PHONE]', 'g'),
+      |    '\b[0-9]{16}\b', '[CARD]', 'g'),
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+      |    AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b555-[0-9]{4}\\b"
+    val card = "\\b[0-9]{16}\\b"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".com phone 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" card 411111111111"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1")).as("text"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_email"),
+        regexp_count(col("text"), lit(phone)).as("n_phone"),
+        regexp_count(col("text"), lit(card)).as("n_card"),
+        regexp_count(col("text"), lit(ip)).as("n_ip"),
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("text"),
+          email, "[EMAIL]"), phone, "[PHONE]"), card, "[CARD]"),
+          ip, "[IP]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
+    vocab, quantiles, quantize, piiRedact)
+}
