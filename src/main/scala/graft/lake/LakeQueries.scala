@@ -192,7 +192,24 @@ object LakeQueries extends QueryCatalog {
     dst.read().orderBy("case_id")
   }
 
+  /** CDC: the demo walk's full changelog — append 3 rows, MOR-delete
+    * one, COW-nullify another — read back as insert/delete row events
+    * (Iceberg create_changelog_view semantics). Values deterministic;
+    * snapshot ids are projected away. */
+  private val changelog = Q.noOracle("q_lake_changelog") { (s, _) =>
+    val t = newTable(s)
+    t.delete(col("case_id") === "case-2")
+    t.update(col("case_id") === "case-1",
+      Map("first_name" -> lit(null), "email_address" -> lit(null),
+        "secure_txt" -> lit(null)))
+    t.changes()
+      .select(col("case_id"), col("first_name"), col("_change_type"),
+        col("_change_ordinal"))
+      .orderBy("_change_ordinal", "_change_type", "case_id")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
-    prunedRead, equalityDelete, sqlLifecycle, streamRoundTrip)
+    prunedRead, equalityDelete, sqlLifecycle, streamRoundTrip,
+    changelog)
 }

@@ -303,10 +303,14 @@ private object GraftProcedures {
 
   val names: Array[String] = Array("expire_snapshots",
     "remove_orphan_files", "rewrite_data_files",
-    "rewrite_position_delete_files", "rollback_to_snapshot")
+    "rewrite_position_delete_files", "rollback_to_snapshot",
+    "create_changelog_view")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
+
+  private def paramD(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
 
   private def outRow(values: Any*): InternalRow =
     InternalRow.fromSeq(values.map {
@@ -351,13 +355,19 @@ private object GraftProcedures {
     case "rewrite_data_files" => Some(procedure(name,
       Seq(param("table", StringType),
         param("rewrite_all", BooleanType),
-        param("target_file_size_bytes", LongType)),
+        param("target_file_size_bytes", LongType),
+        // Iceberg's strategy=>'sort' analog: "c1,c2" range-clusters,
+        // "zorder(c1,c2)" interleaves — empty means bin-pack only
+        paramD("sort_order", StringType, "''")),
       StructType.fromDDL("rewritten_data_files_count INT"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val sortOrder = Option(args.getUTF8String(3))
+          .map(_.toString.trim).filter(_.nonEmpty)
         val snap = t.rewriteDataFiles(Map(
           "rewrite-all" -> args.getBoolean(1).toString,
-          "target-file-size-bytes" -> args.getLong(2).toString))
+          "target-file-size-bytes" -> args.getLong(2).toString) ++
+          sortOrder.map("sort-order" -> _))
         val n = snap.flatMap(_.summary.get("rewritten-data-files"))
           .map(_.toInt).getOrElse(0)
         Seq(outRow(n))
@@ -371,6 +381,16 @@ private object GraftProcedures {
         val n = snap.flatMap(_.summary.get("removed-delete-files"))
           .map(_.toInt).getOrElse(0)
         Seq(outRow(n))
+      }))
+    case "create_changelog_view" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("changelog_view", StringType)),
+      StructType.fromDDL("changelog_view STRING"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val view = args.getUTF8String(1).toString
+        t.changes().createOrReplaceTempView(view)
+        Seq(outRow(view))
       }))
     case "rollback_to_snapshot" => Some(procedure(name,
       Seq(param("table", StringType),

@@ -504,6 +504,113 @@ class GraftTableSpec extends SparkSuite {
       Seq(("case-1", null)))
   }
 
+  test("changelog: append/MOR delete/COW update emit insert+delete row " +
+    "events; compaction emits nothing; ranges slice by snapshot") {
+    val t = newTable()
+    val s1 = t.append(seedDf)
+    t.delete(col("case_id") === "case-2")   // MOR position delete
+    val s2 = t.currentSnapshot.get
+    t.update(col("case_id") === "case-1",   // COW rewrite
+      Map("first_name" -> lit(null)))
+    def key(r: Row) = (r.getAs[String]("_change_type"),
+      r.getAs[String]("case_id"), r.getAs[String]("first_name"))
+    val all = t.changes().collect()
+    // append: 3 inserts at ordinal 0
+    assert(all.filter(_.getAs[Int]("_change_ordinal") == 0).map(key)
+      .sorted.toSeq === Seq(("insert", "case-1", "John"),
+        ("insert", "case-2", "Jane"), ("insert", "case-3", "Alice")))
+    // MOR delete: exactly the masked row, as it was
+    assert(all.filter(_.getAs[Int]("_change_ordinal") == 1).map(key)
+      .toSeq === Seq(("delete", "case-2", "Jane")))
+    // COW update: old versions of the rewritten file's VISIBLE rows out,
+    // new versions in — balanced, includes the updated row, and never
+    // re-emits rows already masked at the parent (file layout decides
+    // how many carried rows ride along)
+    val cow = all.filter(_.getAs[Int]("_change_ordinal") == 2).map(key)
+    assert(cow.count(_._1 == "insert") === cow.count(_._1 == "delete"))
+    assert(cow.contains(("delete", "case-1", "John")))
+    assert(cow.contains(("insert", "case-1", null)))
+    assert(!all.map(key).contains(("delete", "case-2", null)),
+      "COW rewrite must not re-emit rows already masked at the parent")
+    // ordinals follow commit order; snapshot ids attributed per commit
+    assert(all.filter(_.getAs[Long]("_commit_snapshot_id") ==
+      s1.snapshotId).forall(_.getAs[Int]("_change_ordinal") == 0))
+    // range (s1, s2]: only the MOR delete
+    val mid = t.changes(Some(s1.snapshotId), Some(s2.snapshotId)).collect()
+    assert(mid.map(key).toSeq === Seq(("delete", "case-2", "Jane")))
+    // compaction is data-neutral: rewrite emits no change rows
+    val preRewrite = t.changes().count()
+    t.rewriteDataFiles(Map("rewrite-all" -> "true"))
+    assert(t.changes().count() === preRewrite,
+      "replace snapshots must not appear in the changelog")
+    // equality delete emits the visible matching row as a delete
+    t.equalityDelete(spark.createDataFrame(
+      Seq(Row("case-3")).asJava, StructType.fromDDL("case_id STRING")))
+    val last = t.changes(Some(t.meta.snapshots.init.last.snapshotId), None)
+      .collect()
+    assert(last.map(key).toSeq === Seq(("delete", "case-3", "Alice")))
+    // unknown snapshot id fails like time travel does
+    intercept[IllegalArgumentException](t.changes(Some(999999L), None))
+  }
+
+  test("rewrite sort-order: plain sort range-clusters the leading " +
+    "column; zorder(a,b) bounds BOTH columns' per-file stat windows " +
+    "so single-column predicates prune either way") {
+    val gridSchema = StructType.fromDDL("a INT, b INT, payload STRING")
+    // 32x32 grid appended in a deterministically scrambled order
+    val rows = (for (a <- 0 until 32; b <- 0 until 32)
+      yield Row(Int.box(a), Int.box(b), s"payload-$a-$b-" + "x" * 64))
+      .sortBy(r => (r.getInt(0) * 37 + r.getInt(1) * 101) % 997)
+    def mk(name: String): GraftTable = {
+      val cat = new GraftCatalog(spark, freshWarehouse())
+      cat.createNamespace("default")
+      val t = cat.createTable("default", name, gridSchema, Map.empty)
+      t.append(spark.createDataFrame(rows.asJava, gridSchema)
+        .repartition(4))
+      t
+    }
+    def target(t: GraftTable): Long = math.max(1L,
+      t.manifestOf(t.currentSnapshot.get).filter(_.content == 0)
+        .map(_.fileSizeBytes).sum / 4)
+    def windows(t: GraftTable): Seq[(Int, Int, Int, Int)] =
+      t.manifestOf(t.currentSnapshot.get).filter(_.content == 0).map { e =>
+        (e.stats("a").min.toInt, e.stats("a").max.toInt,
+          e.stats("b").min.toInt, e.stats("b").max.toInt)
+      }
+    val sorted = mk("grid_sort")
+    sorted.rewriteDataFiles(Map("sort-order" -> "a,b",
+      "target-file-size-bytes" -> target(sorted).toString))
+    val zordered = mk("grid_z")
+    zordered.rewriteDataFiles(Map("sort-order" -> "zorder(a, b)",
+      "target-file-size-bytes" -> target(zordered).toString))
+    val sw = windows(sorted)
+    val zw = windows(zordered)
+    assert(sw.size >= 3 && zw.size >= 3, "rewrites must split files")
+    // plain sort: leading-column ranges are disjoint (clustered)...
+    val byMinA = sw.sortBy(_._1)
+    assert(byMinA.sliding(2).forall {
+      case Seq(p, n) => p._2 <= n._1; case _ => true
+    }, s"sorted files must carry disjoint leading-column ranges: $sw")
+    // ...but every file spans (nearly) the whole trailing column, so a
+    // predicate on b alone prunes nothing
+    assert(sw.forall { case (_, _, bMin, bMax) => bMax - bMin >= 28 })
+    // zorder: most files bound BOTH columns (only partitions straddling
+    // a quadrant boundary may span a full column)
+    assert(zw.count { case (aMin, aMax, bMin, bMax) =>
+      aMax - aMin < 28 && bMax - bMin < 28
+    } * 2 >= zw.size, s"zorder files must bound both columns: $zw")
+    // pruning on the trailing column: strictly fewer z-files admit b=3
+    val sAdmit = sw.count { case (_, _, bMin, bMax) => bMin <= 3 && 3 <= bMax }
+    val zAdmit = zw.count { case (_, _, bMin, bMax) => bMin <= 3 && 3 <= bMax }
+    assert(zAdmit < sAdmit,
+      s"zorder must prune trailing-column predicates ($zAdmit vs $sAdmit)")
+    // layout changes, data doesn't
+    assert(zordered.read().count() === 1024)
+    assert(zordered.read().select(sum(col("a") * 1000 + col("b")))
+      .head.getLong(0) ===
+      sorted.read().select(sum(col("a") * 1000 + col("b"))).head.getLong(0))
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")

@@ -178,6 +178,45 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
   }
 
+  test("CALL create_changelog_view: CDC rows queryable via SQL " +
+    "(Iceberg create_changelog_view semantics)") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    val view = spark.sql(
+      s"CALL graft.system.create_changelog_view(table => '$tbl', " +
+        "changelog_view => 'pii_changes')")
+      .collect().head.getString(0)
+    assert(view === "pii_changes")
+    val changes = spark.sql(
+      "SELECT _change_type, case_id FROM pii_changes " +
+        "ORDER BY _change_ordinal, _change_type, case_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(changes === Seq(
+      ("insert", "case-1"), ("insert", "case-2"), ("insert", "case-3"),
+      ("delete", "case-2")))
+  }
+
+  test("CALL rewrite_data_files(sort_order => 'zorder(k,v)') applies " +
+    "the sort layout through SQL; omitting the param still works") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.zt"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $tbl SELECT id % 16, id DIV 16 " +
+      "FROM range(0, 256)")
+    val n = spark.sql(
+      s"CALL graft.system.rewrite_data_files(table => '$tbl', " +
+        "rewrite_all => true, target_file_size_bytes => 1024, " +
+        "sort_order => 'zorder(k, v)')").collect().head.getInt(0)
+    assert(n > 0)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 256)
+    val lastOp = spark.sql(s"SELECT operation FROM $tbl.snapshots " +
+      "ORDER BY committed_at").collect().map(_.getString(0)).last
+    assert(lastOp === "replace")
+  }
+
   test("CALL maintenance procedures: expire_snapshots kills time travel " +
     "(demo.py:289-306), rewrites compact and drop deletes " +
     "(demo.py:419-452), orphan removal honors force") {
