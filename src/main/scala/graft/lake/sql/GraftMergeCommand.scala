@@ -173,10 +173,16 @@ case class GraftMergeCommand(
 
   private def runCow(session: SparkSession, g: GraftTable): Unit = {
     val schema = g.schema
-    g.cowTransaction("merge") { (entries, readLin) =>
+    // the discovery join feeds the cardinality check, affected-file
+    // collect, insert frame, and change probe — persist it so the
+    // full-table join runs ONCE per MERGE, not once per consumer
+    var joinedCached: DataFrame = null
+    try g.cowTransaction("merge") { (entries, readLin) =>
       val src = sourceFrame(session)
       val tgt1 = readLin(entries).withColumn(TgtMark, lit(true))
       val joined = tgt1.join(src, reb(tgt1, src)(onCond), "full_outer")
+        .persist()
+      joinedCached = joined
       val isMatched = col(TgtMark).isNotNull && col(SrcMark).isNotNull
       val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
       val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
@@ -217,20 +223,24 @@ case class GraftMergeCommand(
           "mode" -> "copy-on-write",
           "merge-affected-files" -> affected.size.toString)))
       }
-    }
+    } finally if (joinedCached != null) joinedCached.unpersist()
   }
 
   // ---- merge-on-read ----
 
   private def runMor(session: SparkSession, g: GraftTable): Unit = {
-    // the disposition frame is consumed several times (hits, appended
-    // rows, change check) — persist it for the transaction's duration
-    var actedCached: DataFrame = null
+    // the discovery join is consumed several times (cardinality check,
+    // hits, appended rows, inserts, change probes) — persist it so the
+    // full-table join runs ONCE per MERGE; derived frames are cheap
+    // filters over the cache
+    var joinedCached: DataFrame = null
     try {
       g.morTransaction("merge") { (entries, readLin) =>
         val src = sourceFrame(session)
         val tgt = readLin(entries).withColumn(TgtMark, lit(true))
         val joined = tgt.join(src, reb(tgt, src)(onCond), "full_outer")
+          .persist()
+        joinedCached = joined
         val isMatched = col(TgtMark).isNotNull && col(SrcMark).isNotNull
         val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
         val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
@@ -242,8 +252,6 @@ case class GraftMergeCommand(
         val acted = joined.filter(col(TgtMark).isNotNull)
           .withColumn(ActCol, disposition(tgt, src, isMatched, isNmbs))
           .filter(col(ActCol) =!= KEEP)
-          .persist()
-        actedCached = acted
         val hits = acted.select(col(FileCol).as("file_path"),
           col(PosCol).as("pos"))
         val updatedRows = acted.filter(col(ActCol) < DELBASE)
@@ -258,7 +266,7 @@ case class GraftMergeCommand(
         else Some((hits, appendRows,
           Map("mode" -> "merge-on-read")))
       }
-    } finally if (actedCached != null) actedCached.unpersist()
+    } finally if (joinedCached != null) joinedCached.unpersist()
   }
 
   override def simpleString(maxFields: Int): String =

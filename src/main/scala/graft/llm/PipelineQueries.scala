@@ -90,28 +90,39 @@ object PipelineQueries extends QueryCatalog {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist()
-    var converged = false
-    var iterations = 0
-    var curSum = labels.agg(sum("lbl")).head.getLong(0)
-    while (!converged && iterations < 50) {
-      // min label among each node's neighbors, folded into its own
+    // Materialize the edge cache with ONE action before the loop: the
+    // expensive shingle-pair join must compute exactly once. Without
+    // this, round 1's plan references the unmaterialized cache from two
+    // independent stages and Spark computes the join once per stage.
+    val nEdges = edges.count()
+    // one hop of min-label propagation: each node folds the min label
+    // among its neighbors into its own
+    def hop(ls: DataFrame): DataFrame = {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src_id"),
+        .join(ls.withColumnRenamed("id", "src_id"),
           col("src") === col("src_id"))
         .groupBy(col("dst").as("id"))
         .agg(min("lbl").as("nlbl"))
-      val next = labels.as("l")
+      ls.as("l")
         .join(viaNeighbor.as("n"), Seq("id"), "left")
         .select(col("id"),
           least(col("l.lbl"), coalesce(col("n.nlbl"), col("l.lbl")))
             .as("lbl"))
-        .persist()
+    }
+    // Labels only decrease, so sum(lbl) strictly decreases until the
+    // fixpoint — one scalar action per round detects convergence.
+    var converged = nEdges == 0
+    var rounds = 0
+    var curSum =
+      if (converged) 0L else labels.agg(sum("lbl")).head.getLong(0)
+    while (!converged && rounds < 50) {
+      val next = hop(labels).persist()
       val nextSum = next.agg(sum("lbl")).head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == curSum
       curSum = nextSum
-      iterations += 1
+      rounds += 1
     }
     val out = labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
