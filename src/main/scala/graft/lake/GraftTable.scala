@@ -751,6 +751,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)
       .map(_.snapshotId)
       ++ m.currentSnapshotId.toSeq
+      ++ m.refs.values.map(_.snapshotId) // branches/tags pin snapshots
       ++ m.snapshots.sortBy(_.timestampMs).takeRight(retainLast)
         .map(_.snapshotId)).toSet
     val (retained, removed) = m.snapshots.partition(s => keepIds(s.snapshotId))
@@ -786,6 +787,63 @@ class GraftTable(val spark: SparkSession, val root: Path,
     commitMeta(b, b.meta.copy(currentSnapshotId = Some(snapshotId)))
     snap
   }
+
+  // ---- refs (branches / tags) ----
+
+  def refs: Map[String, RefMeta] = meta.refs
+
+  /** Create a branch or tag at `snapshotId` (default: current head).
+    * Both pin the snapshot against expireSnapshots; a tag is an
+    * immutable label, a branch can be fast-forwarded. */
+  def createRef(name: String, refType: String,
+      snapshotId: Option[Long] = None): RefMeta = {
+    require(refType == "branch" || refType == "tag",
+      s"ref type must be branch or tag, got $refType")
+    val b = captureBase()
+    require(!b.meta.refs.contains(name), s"ref $name already exists")
+    val id = snapshotId.orElse(b.meta.currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot create ref $name: table has no snapshots"))
+    require(b.meta.snapshots.exists(_.snapshotId == id),
+      s"Cannot find snapshot with ID $id (expired or never existed)")
+    val ref = RefMeta(id, refType)
+    commitMeta(b, b.meta.copy(refs = b.meta.refs + (name -> ref)))
+    ref
+  }
+
+  def createBranch(name: String, snapshotId: Option[Long] = None): RefMeta =
+    createRef(name, "branch", snapshotId)
+
+  def createTag(name: String, snapshotId: Option[Long] = None): RefMeta =
+    createRef(name, "tag", snapshotId)
+
+  def dropRef(name: String): Unit = {
+    val b = captureBase()
+    require(b.meta.refs.contains(name), s"unknown ref $name")
+    commitMeta(b, b.meta.copy(refs = b.meta.refs - name))
+  }
+
+  /** Advance a branch pointer to a newer snapshot (tags are
+    * immutable, like Iceberg's fast_forward). */
+  def fastForward(name: String, toSnapshotId: Long): RefMeta = {
+    val b = captureBase()
+    val ref = b.meta.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown ref $name"))
+    require(ref.refType == "branch", s"cannot fast-forward tag $name")
+    require(b.meta.snapshots.exists(_.snapshotId == toSnapshotId),
+      s"Cannot find snapshot with ID $toSnapshotId " +
+        "(expired or never existed)")
+    val updated = ref.copy(snapshotId = toSnapshotId)
+    commitMeta(b, b.meta.copy(refs = b.meta.refs + (name -> updated)))
+    updated
+  }
+
+  /** Read at a named ref — `SELECT ... VERSION AS OF 'ref-name'`. */
+  def readRef(name: String): DataFrame = readAt(refSnapshotId(name))
+
+  def refSnapshotId(name: String): Long =
+    meta.refs.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown ref $name")).snapshotId
 
   /** D11/D12 remove_orphan_files: delete files under data/ that no
     * snapshot references and that are older than the cutoff. Mirrors
@@ -992,6 +1050,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       e.fileSizeBytes))
       .toDF("content", "file_path", "file_format", "record_count",
         "file_size_in_bytes")
+  }
+
+  /** `<t>.refs` metadata table (Iceberg's refs relation): one row per
+    * branch/tag, plus the implicit `main` branch at the current head. */
+  def refsTable: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    val main = m.currentSnapshotId.map(id =>
+      ("main", "BRANCH", id)).toSeq
+    val named = m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      (n, r.refType.toUpperCase, r.snapshotId)
+    }
+    (main ++ named).toDF("name", "type", "snapshot_id")
   }
 
   def allManifests: DataFrame = {

@@ -50,6 +50,12 @@ final case class SnapshotMeta(
 
 final case class MetadataLogEntry(timestampMs: Long, file: String)
 
+/** A named snapshot pointer (the Iceberg branch/tag analog).
+  * refType is "branch" or "tag"; both pin their snapshot against
+  * expiration — the difference is intent (branches may be
+  * fast-forwarded, tags are immutable labels). */
+final case class RefMeta(snapshotId: Long, refType: String)
+
 final case class TableMeta(
     name: String,
     schemaDdl: String,
@@ -57,7 +63,8 @@ final case class TableMeta(
     snapshots: Seq[SnapshotMeta],
     currentSnapshotId: Option[Long],
     metadataLog: Seq[MetadataLogEntry] = Nil,
-    formatVersion: Int = 1)
+    formatVersion: Int = 1,
+    refs: Map[String, RefMeta] = Map.empty)
 
 object Json {
   private val mapper: ObjectMapper = {

@@ -120,7 +120,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     * demo.py:120,205; file_summary_utils.py drives history/snapshots/
     * all_entries the same way). */
   private val metadataTables = Set("files", "history", "snapshots",
-    "all_entries", "all_manifests", "metadata_log_entries")
+    "all_entries", "all_manifests", "metadata_log_entries", "refs")
 
   override def tableExists(ident: Identifier): Boolean =
     cat.tableExists(nsPath(ident.namespace), ident.name) ||
@@ -146,17 +146,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF <snapshot-id>` (ref demo.py:261 snapshot-id read;
-    * demo.py:300-306 shows the expired-snapshot failure, which
-    * surfaces here at read time via snapshotOrFail). */
+  /** `VERSION AS OF <snapshot-id | 'ref-name'>` (ref demo.py:261
+    * snapshot-id read; demo.py:300-306 shows the expired-snapshot
+    * failure, which surfaces here at read time via snapshotOrFail).
+    * A non-numeric version resolves as a branch/tag name, like
+    * Iceberg's VERSION AS OF 'branch'. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val base = loadTable(ident)
     base match {
       case g: GraftSqlTable =>
         val snapId = try version.toLong catch {
           case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"invalid snapshot id '$version' for ${fullName(ident)}")
+            try g.graft.refSnapshotId(version) catch {
+              case _: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"'$version' is neither a snapshot id nor a " +
+                    s"branch/tag of ${fullName(ident)}")
+            }
         }
         new GraftSqlTable(fullName(ident), g.graft, Some(snapId))
       case other => other
@@ -304,7 +310,8 @@ private object GraftProcedures {
   val names: Array[String] = Array("expire_snapshots",
     "remove_orphan_files", "rewrite_data_files",
     "rewrite_position_delete_files", "rollback_to_snapshot",
-    "create_changelog_view")
+    "create_changelog_view", "create_branch", "create_tag",
+    "drop_ref", "fast_forward")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -381,6 +388,44 @@ private object GraftProcedures {
         val n = snap.flatMap(_.summary.get("removed-delete-files"))
           .map(_.toInt).getOrElse(0)
         Seq(outRow(n))
+      }))
+    case "create_branch" | "create_tag" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("ref", StringType),
+        // -1 means the current head
+        paramD("snapshot_id", LongType, "-1")),
+      StructType.fromDDL("ref STRING, snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val refName = args.getUTF8String(1).toString
+        val snapId = Some(args.getLong(2)).filter(_ >= 0)
+        val refType = if (name == "create_branch") "branch" else "tag"
+        val r = t.createRef(refName, refType, snapId)
+        Seq(outRow(refName, r.snapshotId))
+      }))
+    case "drop_ref" => Some(procedure(name,
+      Seq(param("table", StringType), param("ref", StringType)),
+      StructType.fromDDL("dropped_ref STRING"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val refName = args.getUTF8String(1).toString
+        t.dropRef(refName)
+        Seq(outRow(refName))
+      }))
+    case "fast_forward" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("branch", StringType),
+        // -1 means the current head
+        paramD("to_snapshot_id", LongType, "-1")),
+      StructType.fromDDL("branch STRING, snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val branch = args.getUTF8String(1).toString
+        val to = Some(args.getLong(2)).filter(_ >= 0)
+          .orElse(t.currentSnapshot.map(_.snapshotId)).getOrElse(
+            throw new IllegalArgumentException("table has no snapshots"))
+        val r = t.fastForward(branch, to)
+        Seq(outRow(branch, r.snapshotId))
       }))
     case "create_changelog_view" => Some(procedure(name,
       Seq(param("table", StringType),

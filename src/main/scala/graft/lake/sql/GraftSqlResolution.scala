@@ -199,6 +199,7 @@ class GraftMetadataSqlTable(identName: String, val graft: GraftTable,
     case "all_entries" => graft.allEntries
     case "all_manifests" => graft.allManifests
     case "metadata_log_entries" => graft.metadataLogEntries
+    case "refs" => graft.refsTable
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $other")
   }

@@ -611,6 +611,43 @@ class GraftTableSpec extends SparkSuite {
       sorted.read().select(sum(col("a") * 1000 + col("b"))).head.getLong(0))
   }
 
+  test("refs: tags/branches pin snapshots against expiry, read by " +
+    "name, branches fast-forward, tags don't") {
+    val t = newTable()
+    t.append(seedDf)
+    val s1 = t.currentSnapshot.get.snapshotId
+    t.createTag("pre-delete")
+    t.delete(col("case_id") === "case-2")
+    val s2 = t.currentSnapshot.get.snapshotId
+    t.createBranch("audit", Some(s1))
+    // read by ref name sees the snapshot the ref pins
+    assert(t.readRef("pre-delete").count() === 3)
+    assert(t.readRef("audit").count() === 3)
+    assert(t.read().count() === 2)
+    // refs metadata table lists main + named refs
+    val refRows = t.refsTable.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refRows === Set(("main", "BRANCH", s2),
+      ("audit", "BRANCH", s1), ("pre-delete", "TAG", s1)))
+    // expire with a future cutoff: the ref'd snapshot SURVIVES
+    t.expireSnapshots(System.currentTimeMillis() + 100000)
+    assert(t.readRef("pre-delete").count() === 3,
+      "tagged snapshot must survive expiry")
+    // branches fast-forward; tags are immutable
+    t.fastForward("audit", s2)
+    assert(t.readRef("audit").count() === 2)
+    intercept[IllegalArgumentException](t.fastForward("pre-delete", s2))
+    // dropping the last ref unpins: snapshot now expires
+    t.dropRef("pre-delete")
+    t.dropRef("audit")
+    t.expireSnapshots(System.currentTimeMillis() + 100000)
+    intercept[IllegalArgumentException](t.readAt(s1))
+    // duplicate ref name and unknown snapshot are rejected
+    t.createTag("x")
+    intercept[IllegalArgumentException](t.createTag("x"))
+    intercept[IllegalArgumentException](t.createBranch("y", Some(12345L)))
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")

@@ -198,6 +198,35 @@ class GraftSqlSpec extends SparkSuite {
       ("delete", "case-2")))
   }
 
+  test("refs via SQL: CALL create_tag/create_branch, VERSION AS OF " +
+    "'ref', t.refs metadata table, drop_ref") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"CALL graft.system.create_tag(table => '$tbl', " +
+      "ref => 'v1')")
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    spark.sql(s"CALL graft.system.create_branch(table => '$tbl', " +
+      "ref => 'audit')")
+    // named-ref time travel
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'v1'")
+      .count() === 3)
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'audit'")
+      .count() === 2)
+    // refs metadata table
+    val refs = spark.sql(s"SELECT name, type FROM $tbl.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(refs === Seq(("audit", "BRANCH"), ("main", "BRANCH"),
+      ("v1", "TAG")))
+    // unknown ref fails clearly
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("neither a snapshot id nor a branch"))
+    spark.sql(s"CALL graft.system.drop_ref(table => '$tbl', " +
+      "ref => 'v1')")
+    assert(spark.sql(s"SELECT * FROM $tbl.refs").count() === 2)
+  }
+
   test("CALL rewrite_data_files(sort_order => 'zorder(k,v)') applies " +
     "the sort layout through SQL; omitting the param still works") {
     val ns = freshNs()
