@@ -1143,6 +1143,127 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def statEntries(absPaths: Seq[String], content: Int,
       snapshotId: Long): Seq[ManifestEntry] = {
     if (absPaths.isEmpty) return Nil
+    // Stats come from the parquet FOOTERS the write just produced — a
+    // metadata-only pass, like Iceberg's write-time metrics. The
+    // Spark-job fallback below re-scans the written bytes; at 100 TB
+    // that second full data pass per write is the difference between
+    // write cost 1x and 2x.
+    try statEntriesViaFooters(absPaths, content, snapshotId)
+    catch { case scala.util.control.NonFatal(_) =>
+      statEntriesViaScan(absPaths, content, snapshotId)
+    }
+  }
+
+  /** Per-file record counts and column min/max/null stats read from
+    * parquet footers (no data scan). Values are rendered into the same
+    * stat spaces the scan path produces (ints/dates as long strings —
+    * days for dates, micros for timestamps — doubles as double strings,
+    * strings raw, booleans as 0/1), so `mayMatch` comparisons are
+    * unchanged. Columns whose footer carries no usable statistics
+    * (e.g. INT96 timestamps) simply get no entry — pruning degrades to
+    * "may match", never to wrong answers. */
+  private[lake] def statEntriesViaFooters(absPaths: Seq[String], content: Int,
+      snapshotId: Long): Seq[ManifestEntry] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sessionState.newHadoopConf()
+    absPaths.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rowCount = blocks.map(_.getRowCount).sum
+        val fileSchema = footer.getFileMetaData.getSchema
+        // (statKind, isString): how to render this column's stat values
+        def statSpace(f: StructField): Option[String] = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               DateType | BooleanType => Some("long")
+          case FloatType | DoubleType => Some("double")
+          case StringType => Some("string")
+          case TimestampType | TimestampNTZType => Some("micros")
+          case _ => None
+        }
+        val tableFields: Seq[StructField] =
+          if (content == 0) schema.fields.toSeq
+          else fileSchema.getFields.asScala.toSeq.flatMap { t =>
+            // delete files: derive a flat frame of the primitive cols
+            t.asPrimitiveType().getPrimitiveTypeName match {
+              case INT64 => Some(StructField(t.getName, LongType))
+              case INT32 => Some(StructField(t.getName, IntegerType))
+              case BINARY => Some(StructField(t.getName, StringType))
+              case _ => None
+            }
+          }
+        val stats = tableFields.flatMap { f =>
+          statSpace(f).flatMap { space =>
+            val idx = (0 until fileSchema.getFieldCount)
+              .find(i => fileSchema.getType(i).getName == f.name)
+            idx.flatMap { i =>
+              val chunks = blocks.flatMap(_.getColumns.asScala.find(
+                _.getPath.toDotString == f.name))
+              val sts = chunks.map(_.getStatistics)
+              // every chunk must carry usable stats, else skip column
+              if (sts.isEmpty || sts.exists(s => s == null || s.isEmpty)) None
+              else {
+                val prim = fileSchema.getType(i).asPrimitiveType()
+                  .getPrimitiveTypeName
+                val usable = sts.filter(_.hasNonNullValue)
+                val nulls = sts.map(s => math.max(0L, s.getNumNulls)).sum
+                def render(v: AnyRef): Option[String] = (space, prim) match {
+                  case ("long", INT32 | INT64) => Some(v.toString)
+                  case ("long", BOOLEAN) =>
+                    Some(if (v.asInstanceOf[Boolean]) "1" else "0")
+                  case ("double", FLOAT) =>
+                    Some(v.asInstanceOf[Float].toDouble.toString)
+                  case ("double", DOUBLE) => Some(v.toString)
+                  case ("string", BINARY) => Some(v.asInstanceOf[
+                    org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+                  case ("micros", INT64) => Some(v.toString)
+                  case _ => None // INT96 timestamps etc: no stats
+                }
+                if (usable.isEmpty) None // all-null column: no bounds
+                else {
+                  val mins = usable.flatMap(s =>
+                    render(s.genericGetMin.asInstanceOf[AnyRef]))
+                  val maxs = usable.flatMap(s =>
+                    render(s.genericGetMax.asInstanceOf[AnyRef]))
+                  if (mins.size != usable.size || maxs.size != usable.size)
+                    None
+                  else {
+                    def lt(a: String, b: String): Boolean =
+                      if (space == "string")
+                        org.apache.spark.unsafe.types.UTF8String
+                          .fromString(a).compareTo(
+                            org.apache.spark.unsafe.types.UTF8String
+                              .fromString(b)) < 0
+                      else BigDecimal(a) < BigDecimal(b)
+                    Some(f.name -> ColStat(
+                      mins.reduce((a, b) => if (lt(a, b)) a else b),
+                      maxs.reduce((a, b) => if (lt(a, b)) b else a),
+                      nulls))
+                  }
+                }
+              }
+            }
+          }
+        }.toMap
+        ManifestEntry(
+          path = root.relativize(Path.of(p)).toString,
+          content = content,
+          recordCount = rowCount,
+          fileSizeBytes = Files.size(Path.of(p)),
+          addedSnapshotId = snapshotId,
+          stats = stats)
+      } finally reader.close()
+    }
+  }
+
+  /** Fallback stats pass: one distributed scan of the written files
+    * (the pre-round-3 path). */
+  private[lake] def statEntriesViaScan(absPaths: Seq[String], content: Int,
+      snapshotId: Long): Seq[ManifestEntry] = {
     val fileSchema =
       if (content == 0) schema
       else spark.read.parquet(absPaths: _*).schema

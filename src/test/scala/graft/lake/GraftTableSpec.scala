@@ -648,6 +648,44 @@ class GraftTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.createBranch("y", Some(12345L)))
   }
 
+  test("footer-based write stats equal the distributed-scan stats " +
+    "(same stat spaces: days/micros/longs/doubles/raw strings/0-1 " +
+    "booleans), so pruning is unchanged without the second data pass") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val sch = StructType.fromDDL("s STRING, i INT, l BIGINT, d DOUBLE, " +
+      "f FLOAT, b BOOLEAN, dt DATE, ts TIMESTAMP_NTZ")
+    val t = cat.createTable("default", "typed", sch)
+    val rows = Seq(
+      Row("alpha", Int.box(-3), Long.box(7L), Double.box(1.5),
+        Float.box(2.25f), Boolean.box(false),
+        java.sql.Date.valueOf("2023-01-05"),
+        java.time.LocalDateTime.parse("2023-01-05T10:30:00")),
+      Row("Ωmega", Int.box(41), Long.box(-9L), Double.box(-0.25),
+        Float.box(3.5f), Boolean.box(true),
+        java.sql.Date.valueOf("2024-06-01"),
+        java.time.LocalDateTime.parse("2024-06-01T00:00:01")),
+      Row(null, null, null, null, null, null, null, null))
+    t.append(spark.createDataFrame(rows.asJava, sch))
+    val entries = t.manifestOf(t.currentSnapshot.get)
+      .filter(_.content == 0)
+    val paths = entries.map(e =>
+      t.root.resolve(e.path).toAbsolutePath.toString)
+    val viaFooters = t.statEntriesViaFooters(paths, 0, 99L)
+    val viaScan = t.statEntriesViaScan(paths, 0, 99L)
+    assert(viaFooters.map(_.recordCount).sum === 3)
+    for ((f, s) <- viaFooters.sortBy(_.path).zip(viaScan.sortBy(_.path))) {
+      assert(f.recordCount === s.recordCount)
+      assert(f.stats.keySet === s.stats.keySet,
+        s"stat columns differ for ${f.path}")
+      for (k <- s.stats.keySet) assert(f.stats(k) === s.stats(k),
+        s"stat mismatch for column $k in ${f.path}")
+    }
+    // the committed manifest actually used the footer path (stats
+    // present without any stats scan having produced different values)
+    assert(entries.flatMap(_.stats.get("dt")).nonEmpty)
+  }
+
   test("D2-D5 catalog DDL: create/load/props/drop") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")
