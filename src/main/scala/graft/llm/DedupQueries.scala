@@ -35,7 +35,7 @@ object DedupQueries extends QueryCatalog {
     * All docs have >= 10 tokens (FIXTURES.md) so sequence(0, size-3) is
     * never descending.
     */
-  private[llm] def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
@@ -47,7 +47,7 @@ object DedupQueries extends QueryCatalog {
     * count intersections, divide by union size. Integer counts + one
     * double division keep the result bit-identical across engines.
     */
-  private[llm] def jaccardPairs(sets: DataFrame, item: String): DataFrame = {
+  private[graft] def jaccardPairs(sets: DataFrame, item: String): DataFrame = {
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sets.as("a")
       .join(sets.as("b"),

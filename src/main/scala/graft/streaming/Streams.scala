@@ -66,6 +66,19 @@ object Streams {
       .select(col("window.start").as("wstart"), col("event_type"),
         col("n"), col("total"))
 
+  /** Streaming exact dedup — the ingestion-side twin of
+    * q_dedup_exact: keep the first arrival per event_id, drop
+    * replays. dropDuplicatesWithinWatermark bounds the dedup state by
+    * event time (an id is only remembered while the watermark can
+    * still admit a duplicate), so state is O(ids per watermark
+    * window), not O(all ids ever) — the property that lets this run
+    * forever on an unbounded stream.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom state machine: per-user sessionization with a 30-minute
     * gap, implemented directly on GroupState (the surface
     * session_window compiles to internally). Each invocation folds the

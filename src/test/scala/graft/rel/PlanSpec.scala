@@ -65,4 +65,39 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"),
       "LSH candidate generation degenerated to all-pairs")
   }
+
+  test("sequence packing windows per shard, never a single global " +
+    "partition") {
+    val p = plan("q_pipe_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("partitionBy: []") &&
+      !p.contains("SinglePartition"),
+      "packing window collapsed to one partition:\n" + p)
+  }
+
+  test("split/sample/redact stay map-side: md5 bucketing and regex " +
+    "scrubbing add no extra shuffle beyond the declared agg/sort") {
+    // split: scan -> project(md5 bucket) -> partial agg -> exchange ->
+    // agg -> sort; exactly the 1 aggregate exchange + 1 sort exchange
+    val ps = plan("q_pipe_split")
+    assert(ps.sliding("Exchange".length).count(_ == "Exchange") <= 4, ps)
+    assert(ps.contains("partial_count"), "split agg lost map-side combine")
+    // redact: no aggregate at all — a projection plus the final sort
+    val pr = plan("q_text_pii_redact")
+    assert(!pr.contains("HashAggregate"), pr)
+    assert(!pr.contains("ScalaUDF") &&
+      !pr.toLowerCase.contains("batchevalpython"),
+      "redaction fell back to a UDF")
+  }
+
+  test("cluster-resolution edges come from an equi-join, not a " +
+    "cartesian pair build") {
+    val p = graft.llm.DedupQueries
+      .jaccardPairs(graft.llm.DedupQueries.shingleSets(
+        Tables.documents(spark, dir)), "sh")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "dup-pair generation degenerated to all-pairs:\n" + p)
+  }
 }

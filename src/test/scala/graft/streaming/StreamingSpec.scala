@@ -120,6 +120,36 @@ class StreamingSpec extends SparkSuite {
       s"base-day window wrong: ${got.mkString(",")}")
   }
 
+  test("streaming exact dedup: replayed ids within the watermark are " +
+    "dropped, first arrival wins, dedup state is watermark-bounded") {
+    // stage the event files TWICE (a replayed source): every id arrives
+    // at least twice across micro-batches
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    var i = 0
+    Files.list(stageDir).sorted().forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        for (rep <- 0 to 1) {
+          val dst = dir.resolve(f"chunk-$i%04d-$rep.parquet")
+          Files.copy(p, dst)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L + rep)
+        }
+        i += 1
+      }
+    }
+    val q = Streams.runToMemory(
+      Streams.dedupEvents(Streams.readEvents(spark, dir.toString)),
+      "dedup_stream", OutputMode.Append())
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+      val expected = batchEvents.count()
+      assert(got.count() === expected,
+        "each replayed id must be emitted exactly once")
+      assert(got.groupBy("event_id").count()
+        .filter(col("count") > 1).count() === 0)
+    } finally q.stop()
+  }
+
   test("GraftLake round trip: readStream of appends feeds an " +
     "exactly-once append sink") {
     import org.apache.spark.sql.types.StructType
