@@ -824,18 +824,64 @@ class GraftTable(val spark: SparkSession, val root: Path,
   }
 
   /** Advance a branch pointer to a newer snapshot (tags are
-    * immutable, like Iceberg's fast_forward). */
+    * immutable, like Iceberg's fast_forward). "main" is the table
+    * head itself — fast-forwarding it publishes a branch's work to
+    * readers (the write-audit-publish promotion step). */
   def fastForward(name: String, toSnapshotId: Long): RefMeta = {
     val b = captureBase()
-    val ref = b.meta.refs.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown ref $name"))
-    require(ref.refType == "branch", s"cannot fast-forward tag $name")
     require(b.meta.snapshots.exists(_.snapshotId == toSnapshotId),
       s"Cannot find snapshot with ID $toSnapshotId " +
         "(expired or never existed)")
+    if (name == "main") {
+      commitMeta(b, b.meta.copy(currentSnapshotId = Some(toSnapshotId)))
+      return RefMeta(toSnapshotId, "branch")
+    }
+    val ref = b.meta.refs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown ref $name"))
+    require(ref.refType == "branch", s"cannot fast-forward tag $name")
     val updated = ref.copy(snapshotId = toSnapshotId)
     commitMeta(b, b.meta.copy(refs = b.meta.refs + (name -> updated)))
     updated
+  }
+
+  /** Append to a BRANCH head (Iceberg's write-audit-publish shape):
+    * the new snapshot's parent is the branch head and only the branch
+    * pointer advances — `main` readers never see the rows until
+    * `fastForward("main", refSnapshotId(branch))` publishes them.
+    * Stats/clustering behave exactly like a main append. */
+  def appendToBranch(branch: String, df: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
+    val aligned = alignToSchema(df)
+    val b = captureBase()
+    val ref = b.meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"unknown branch $branch"))
+    require(ref.refType == "branch", s"cannot write to tag $branch")
+    val head = b.meta.snapshots.find(_.snapshotId == ref.snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        s"branch $branch points at expired snapshot ${ref.snapshotId}"))
+    val headEntries = manifestOf(head)
+    val snapId = nextSnapshotHint
+    val toWrite = clusterColumns match {
+      case Some(cols) => aligned
+        .repartitionByRange(clusterFileCount, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+      case None => aligned
+    }
+    val moved = writeDataFiles(toWrite)
+    val newEntries = statEntries(moved, content = 0, snapId)
+    val manifestRel = s"metadata/snap-$snapId.json"
+    Io.atomicWrite(root.resolve(manifestRel),
+      Json.write(headEntries ++ newEntries))
+    val snap = SnapshotMeta(snapId, Some(ref.snapshotId), now(),
+      "append", manifestRel,
+      extraSummary ++ Map("branch" -> branch,
+        "added-data-files" -> newEntries.size.toString,
+        "added-records" -> newEntries.map(_.recordCount).sum.toString),
+      schemaDdl = Some(b.meta.schemaDdl))
+    commitMeta(b, b.meta.copy(
+      snapshots = b.meta.snapshots :+ snap,
+      refs = b.meta.refs + (branch -> ref.copy(snapshotId = snapId))))
+    snap
   }
 
   /** Read at a named ref — `SELECT ... VERSION AS OF 'ref-name'`. */

@@ -429,12 +429,18 @@ private object GraftProcedures {
       }))
     case "create_changelog_view" => Some(procedure(name,
       Seq(param("table", StringType),
-        param("changelog_view", StringType)),
+        param("changelog_view", StringType),
+        // -1 means unbounded (start-snapshot-id is EXCLUSIVE,
+        // end-snapshot-id INCLUSIVE, the Iceberg convention)
+        paramD("start_snapshot_id", LongType, "-1"),
+        paramD("end_snapshot_id", LongType, "-1")),
       StructType.fromDDL("changelog_view STRING"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
         val view = args.getUTF8String(1).toString
-        t.changes().createOrReplaceTempView(view)
+        val from = Some(args.getLong(2)).filter(_ >= 0)
+        val to = Some(args.getLong(3)).filter(_ >= 0)
+        t.changes(from, to).createOrReplaceTempView(view)
         Seq(outRow(view))
       }))
     case "rollback_to_snapshot" => Some(procedure(name,

@@ -648,6 +648,32 @@ class GraftTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.createBranch("y", Some(12345L)))
   }
 
+  test("write-audit-publish: append to a branch is invisible on main " +
+    "until fast_forward publishes it; tags reject writes") {
+    val t = newTable()
+    t.append(seedDf)
+    t.createBranch("staging")
+    val extra = spark.createDataFrame(Seq(Row("case-4", "Eve",
+      "eve@example.com", "key4", "secret text 4", "secret_key_4",
+      java.sql.Date.valueOf("2023-02-01"))).asJava, piiSchema)
+    val preHead = t.refSnapshotId("staging")
+    val snap = t.appendToBranch("staging", extra)
+    // audit: branch sees 4 rows, main still 3
+    assert(t.readRef("staging").count() === 4)
+    assert(t.read().count() === 3)
+    assert(snap.summary("branch") === "staging")
+    assert(snap.parentId === Some(preHead),
+      "branch append must chain off the branch head")
+    assert(t.refSnapshotId("staging") === snap.snapshotId)
+    // publish: fast-forward main to the branch head
+    t.fastForward("main", t.refSnapshotId("staging"))
+    assert(t.read().count() === 4)
+    assert(t.read().filter(col("case_id") === "case-4").count() === 1)
+    // tags reject writes
+    t.createTag("frozen")
+    intercept[IllegalArgumentException](t.appendToBranch("frozen", extra))
+  }
+
   test("footer-based write stats equal the distributed-scan stats " +
     "(same stat spaces: days/micros/longs/doubles/raw strings/0-1 " +
     "booleans), so pruning is unchanged without the second data pass") {
