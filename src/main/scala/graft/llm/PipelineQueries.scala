@@ -391,6 +391,88 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Unigram-LM quality score: per-doc average negative log-likelihood
+    * under the corpus unigram distribution — the classic cheap
+    * perplexity proxy for filtering gibberish/outlier documents.
+    * The per-token -ln p values are scaled to integers BEFORE the
+    * distributed sum (integer addition is order-independent; a double
+    * sum over shuffled rows is not), so the result hashes identically
+    * in both engines. */
+  private val logprob = Q(
+    "q_text_logprob",
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), freq AS (
+      |  SELECT tok, count(*) AS c FROM dt GROUP BY tok
+      |), n AS (SELECT count(*) AS total FROM dt)
+      |SELECT doc_id,
+      |  round(sum(CAST(round(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+      |      AS BIGINT)) / (1000000.0 * count(*)), 4) AS nll
+      |FROM dt JOIN freq USING (tok) CROSS JOIN n
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val dt = Tables.documents(s, dir).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = dt.agg(count(lit(1)).as("total"))
+    dt.join(broadcast(freq), "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("total")) * 1000000)
+          .cast("bigint").as("scaled"))
+      .groupBy("doc_id")
+      .agg(round(sum("scaled") / (lit(1000000.0) * count(lit(1))), 4)
+        .as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 5-token n-gram with the held-out eval slice (source='src4' stands
+    * in for the benchmark set). The cross-set equi-join on the n-gram
+    * is the standard decontamination shape — candidate pairs only
+    * materialize where an exact n-gram collides, never all-pairs. */
+  private val decontaminate = Q(
+    "q_pipe_decontaminate",
+    """WITH corpus AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE source <> 'src4'
+      |), eval AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE source = 'src4'
+      |), cg AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 3),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |      toks[i+3] || ' ' || toks[i+4])) AS g
+      |  FROM corpus
+      |), eg AS (
+      |  SELECT DISTINCT unnest(list_transform(
+      |    range(1, len(toks) - 3),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |      toks[i+3] || ' ' || toks[i+4])) AS g
+      |  FROM eval
+      |)
+      |SELECT doc_id, count(*) AS n_shared_ngrams
+      |FROM cg JOIN eg USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 5), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
+          "toks[i+3], toks[i+4]))")).as("g"))
+      .distinct()
+    val docs = Tables.documents(s, dir)
+    val cg = grams(docs.filter(col("source") =!= "src4"))
+    val eg = grams(docs.filter(col("source") === "src4")).select("g")
+      .distinct()
+    cg.join(eg, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
-    vocab, quantiles, quantize, piiRedact)
+    vocab, quantiles, quantize, piiRedact, logprob, decontaminate)
 }
