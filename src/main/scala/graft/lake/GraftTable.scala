@@ -201,6 +201,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * with the manifest entries' addedSnapshotId — allocating here again
     * would drift by the write job's duration and break all_entries'
     * ADDED-status attribution. */
+  /** Post-commit table totals, the Iceberg snapshot-summary keys. */
+  private def summaryTotals(entries: Seq[ManifestEntry])
+      : Map[String, String] = Map(
+    "total-records" ->
+      entries.filter(_.content == 0).map(_.recordCount).sum.toString,
+    "total-data-files" -> entries.count(_.content == 0).toString,
+    "total-delete-files" -> entries.count(_.content != 0).toString)
+
   private def commitSnapshot(base: Base, id: Long, operation: String,
       entries: Seq[ManifestEntry],
       summary: Map[String, String]): SnapshotMeta = {
@@ -208,7 +216,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val manifestRel = s"metadata/snap-$id.json"
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
-      manifestRel, summary, schemaDdl = Some(m.schemaDdl))
+      manifestRel, summary ++ summaryTotals(entries),
+      schemaDdl = Some(m.schemaDdl))
     commitMeta(base, m.copy(snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(id)))
     snap
@@ -876,7 +885,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
       "append", manifestRel,
       extraSummary ++ Map("branch" -> branch,
         "added-data-files" -> newEntries.size.toString,
-        "added-records" -> newEntries.map(_.recordCount).sum.toString),
+        "added-records" -> newEntries.map(_.recordCount).sum.toString) ++
+        summaryTotals(headEntries ++ newEntries),
       schemaDdl = Some(b.meta.schemaDdl))
     commitMeta(b, b.meta.copy(
       snapshots = b.meta.snapshots :+ snap,
@@ -1096,6 +1106,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       e.fileSizeBytes))
       .toDF("content", "file_path", "file_format", "record_count",
         "file_size_in_bytes")
+  }
+
+  /** `<t>.position_deletes` metadata table (Iceberg's relation of the
+    * same name): every live position-delete row with the delete file
+    * that carries it. */
+  def positionDeletes: DataFrame = {
+    val delFiles = currentEntries.filter(_.content == 1)
+    if (delFiles.isEmpty)
+      return emptyDfOf(StructType.fromDDL(
+        "file_path STRING, pos BIGINT, delete_file_path STRING"))
+    spark.read.parquet(delFiles.map(abs): _*)
+      .select(col("file_path"), col("pos"),
+        col("_metadata.file_path").as("delete_file_path"))
   }
 
   /** `<t>.refs` metadata table (Iceberg's refs relation): one row per

@@ -115,12 +115,13 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   // ---- tables ----
 
-  /** The six Iceberg-style metadata relations, addressable as a fourth
+  /** The Iceberg-style metadata relations, addressable as a fourth
     * identifier part: `SELECT * FROM graft.<ns>.<table>.files` (ref
     * demo.py:120,205; file_summary_utils.py drives history/snapshots/
     * all_entries the same way). */
   private val metadataTables = Set("files", "history", "snapshots",
-    "all_entries", "all_manifests", "metadata_log_entries", "refs")
+    "all_entries", "all_manifests", "metadata_log_entries", "refs",
+    "position_deletes")
 
   override def tableExists(ident: Identifier): Boolean =
     cat.tableExists(nsPath(ident.namespace), ident.name) ||

@@ -200,6 +200,7 @@ class GraftMetadataSqlTable(identName: String, val graft: GraftTable,
     case "all_manifests" => graft.allManifests
     case "metadata_log_entries" => graft.metadataLogEntries
     case "refs" => graft.refsTable
+    case "position_deletes" => graft.positionDeletes
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $other")
   }

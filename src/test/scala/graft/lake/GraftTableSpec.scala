@@ -219,6 +219,16 @@ class GraftTableSpec extends SparkSuite {
       "manifest entries lost ADDED attribution in their adding snapshot")
     assert(t.allManifests.count() === 2)
     assert(t.metadataLogEntries.count() >= 2)
+    // position_deletes: one live tombstone (case-2), carried by the
+    // delete file the MOR delete wrote
+    val pd = t.positionDeletes.collect()
+    assert(pd.length === 1)
+    assert(pd.head.schema.fieldNames.toSeq ===
+      Seq("file_path", "pos", "delete_file_path"))
+    val delFilePath = t.files.filter("content = 1").collect()
+      .head.getAs[String]("file_path")
+    assert(Io.normalize(pd.head.getAs[String]("delete_file_path")) ===
+      Io.normalize(delFilePath))
   }
 
   test("stats-pruned readWhere returns the same rows as a plain filter") {

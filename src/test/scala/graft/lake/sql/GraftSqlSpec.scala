@@ -198,6 +198,28 @@ class GraftSqlSpec extends SparkSuite {
       ("delete", "case-2")))
   }
 
+  test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
+    "tables through SQL") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    spark.sql(s"CREATE TABLE graft.$ns.src (k BIGINT, v STRING) " +
+      "USING graft")
+    spark.sql(s"INSERT INTO graft.$ns.src VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"CREATE TABLE graft.$ns.dst USING graft AS " +
+      s"SELECT k, v FROM graft.$ns.src")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.dst")
+      .head.getLong(0) === 2)
+    // schema came from the SELECT
+    assert(spark.table(s"graft.$ns.dst").schema.fieldNames.toSeq ===
+      Seq("k", "v"))
+    spark.sql(s"REPLACE TABLE graft.$ns.dst USING graft AS " +
+      s"SELECT k FROM graft.$ns.src WHERE k = 1")
+    val rows = spark.sql(s"SELECT k FROM graft.$ns.dst").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(spark.table(s"graft.$ns.dst").schema.fieldNames.toSeq ===
+      Seq("k"))
+  }
+
   test("refs via SQL: CALL create_tag/create_branch, VERSION AS OF " +
     "'ref', t.refs metadata table, drop_ref") {
     val ns = freshNs()
