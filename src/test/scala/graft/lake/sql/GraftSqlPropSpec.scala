@@ -24,6 +24,8 @@ class GraftSqlPropSpec extends SparkSuite {
   private case class FlipMode(prop: String, mor: Boolean) extends Op
   private case object CallRewrite extends Op
   private case object CallRewriteDeletes extends Op
+  private case class Overwrite(pick: Int) extends Op
+  private case object UnsetDeleteMode extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     3 -> Gen.choose(1, 4).map(Insert),
@@ -36,7 +38,9 @@ class GraftSqlPropSpec extends SparkSuite {
         "write.merge.mode"),
       Gen.oneOf(true, false)).map { case (p, m) => FlipMode(p, m) },
     1 -> Gen.const(CallRewrite),
-    1 -> Gen.const(CallRewriteDeletes))
+    1 -> Gen.const(CallRewriteDeletes),
+    1 -> Gen.choose(0, 7).map(Overwrite),
+    1 -> Gen.const(UnsetDeleteMode))
 
   private val genOps: Gen[List[Op]] =
     Gen.choose(4, 8).flatMap(n => Gen.listOfN(n, genOp))
@@ -133,6 +137,17 @@ class GraftSqlPropSpec extends SparkSuite {
         case CallRewriteDeletes =>
           spark.sql("CALL graft.system.rewrite_position_delete_files(" +
             s"table => '$ns.t')").collect()
+        case Overwrite(pick) =>
+          // atomic truncate-and-refill with a surviving slice
+          val keep = targets(pick)
+          spark.sql(s"INSERT OVERWRITE $tbl SELECT case_id, first_name " +
+            s"FROM $tbl" + (if (keep.isEmpty) " WHERE 1 = 0"
+              else s" WHERE case_id IN ${inList(keep)}"))
+          model = model.filter(m => keep.contains(m.caseId))
+        case UnsetDeleteMode =>
+          // falls back to default copy-on-write; semantics unchanged
+          spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES " +
+            "('write.delete.mode')")
       }
       check(op)
     }
