@@ -288,6 +288,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .filter(_.operation != "replace")
       .zipWithIndex.flatMap { case (s, ord) =>
         val cur = manifestOf(s)
+        // a commit whose parent was expired can't be diffed — its adds
+        // would be indistinguishable from pre-existing rows. Fail with
+        // the bound that works instead of silently over-reporting.
+        s.parentId.foreach { pid =>
+          if (!snaps.exists(_.snapshotId == pid))
+            throw new IllegalStateException(
+              s"cannot compute changelog for snapshot ${s.snapshotId}: " +
+                s"its parent $pid was expired; pass " +
+                s"fromExclusive=Some(${s.snapshotId}) (or later) to " +
+                "start after the gap")
+        }
         val parentEntries = s.parentId
           .map(pid => manifestOf(snapshotOrFail(pid))).getOrElse(Nil)
         val curPaths = cur.map(_.path).toSet

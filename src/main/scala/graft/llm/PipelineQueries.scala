@@ -79,10 +79,22 @@ object PipelineQueries extends QueryCatalog {
       |  CAST(id = min(lbl) AS BOOLEAN) AS keep
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    val pairs = DedupQueries
+    clusterPairs(s, DedupQueries
       .jaccardPairs(DedupQueries.shingleSets(Tables.documents(s, dir)), "sh")
       .filter(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b")))
+  }
+
+  /** Resolve the transitive closure of (id_a, id_b) dup pairs into
+    * canonical min-id clusters: (doc_id, cluster_id, keep) sorted by
+    * doc_id. Adaptive, like a broadcast-join decision: when the edge
+    * set fits on the driver (it is orders of magnitude smaller than
+    * the corpus — only docs sharing a shingle pair up), union-find
+    * locally with zero scheduled rounds; otherwise run distributed
+    * min-label propagation to a fixpoint. Both paths produce
+    * identical output (spec-asserted). */
+  private[llm] def clusterPairs(s: SparkSession, pairs: DataFrame,
+      localThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -95,48 +107,77 @@ object PipelineQueries extends QueryCatalog {
     // this, round 1's plan references the unmaterialized cache from two
     // independent stages and Spark computes the join once per stage.
     val nEdges = edges.count()
-    // one hop of min-label propagation: each node folds the min label
-    // among its neighbors into its own
-    def hop(ls: DataFrame): DataFrame = {
-      val viaNeighbor = edges
-        .join(ls.withColumnRenamed("id", "src_id"),
-          col("src") === col("src_id"))
-        .groupBy(col("dst").as("id"))
-        .agg(min("lbl").as("nlbl"))
-      ls.as("l")
-        .join(viaNeighbor.as("n"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("l.lbl"), coalesce(col("n.nlbl"), col("l.lbl")))
-            .as("lbl"))
-    }
-    // Labels only decrease, so sum(lbl) strictly decreases until the
-    // fixpoint — one scalar action per round detects convergence.
-    var converged = nEdges == 0
-    var rounds = 0
-    var curSum =
-      if (converged) 0L else labels.agg(sum("lbl")).head.getLong(0)
-    while (!converged && rounds < 50) {
-      val next = hop(labels).persist()
-      val nextSum = next.agg(sum("lbl")).head.getLong(0)
+    if (nEdges == 0 || nEdges <= localThreshold) {
+      // collect, union-find (union by min root, path compression),
+      // emit sorted by doc_id — identical output to the loop below
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
       labels.unpersist()
-      labels = next
-      converged = nextSum == curSum
-      curSum = nextSum
-      rounds += 1
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nx = parent.getOrElse(c, c); parent(c) = r; c = nx
+        }
+        r
+      }
+      for ((a, b) <- es) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val rows = ids.map(id => org.apache.spark.sql.Row(
+        id, find(id), id == find(id)))
+      import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+      s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("cluster_id", LongType),
+          StructField("keep", BooleanType))))
+    } else {
+      // one hop of min-label propagation: each node folds the min
+      // label among its neighbors into its own
+      def hop(ls: DataFrame): DataFrame = {
+        val viaNeighbor = edges
+          .join(ls.withColumnRenamed("id", "src_id"),
+            col("src") === col("src_id"))
+          .groupBy(col("dst").as("id"))
+          .agg(min("lbl").as("nlbl"))
+        ls.as("l")
+          .join(viaNeighbor.as("n"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("l.lbl"), coalesce(col("n.nlbl"), col("l.lbl")))
+              .as("lbl"))
+      }
+      // Labels only decrease, so sum(lbl) strictly decreases until the
+      // fixpoint — one scalar action per round detects convergence.
+      var converged = false
+      var rounds = 0
+      var curSum = labels.agg(sum("lbl")).head.getLong(0)
+      while (!converged && rounds < 50) {
+        val next = hop(labels).persist()
+        val nextSum = next.agg(sum("lbl")).head.getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == curSum
+        curSum = nextSum
+        rounds += 1
+      }
+      val out = labels
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("id") === col("lbl")).as("keep"))
+        .orderBy("doc_id")
+      // Materialize before unpersisting the cached frames the plan
+      // reads from. The result is bounded by the dup-pair node count,
+      // not the corpus; at cluster scale this final handoff is a write
+      // to storage, not a collect.
+      val rows = out.collect()
+      edges.unpersist()
+      labels.unpersist()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
     }
-    val out = labels
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("id") === col("lbl")).as("keep"))
-      .orderBy("doc_id")
-    // Materialize before unpersisting the cached frames the plan reads
-    // from. The result is bounded by the dup-pair node count (docs that
-    // share a shingle), not the corpus; at cluster scale this final
-    // handoff is a write to storage, not a collect.
-    val rows = out.collect()
-    edges.unpersist()
-    labels.unpersist()
-    s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Deterministic train/val/test split: bucket on the first 8 hex

@@ -561,6 +561,14 @@ class GraftTableSpec extends SparkSuite {
     assert(last.map(key).toSeq === Seq(("delete", "case-3", "Alice")))
     // unknown snapshot id fails like time travel does
     intercept[IllegalArgumentException](t.changes(Some(999999L), None))
+    // after expiry, a commit whose parent is gone cannot be diffed:
+    // fail with guidance instead of over-reporting its adds as inserts
+    t.expireSnapshots(System.currentTimeMillis() + 100000, retainLast = 1)
+    val gap = intercept[IllegalStateException](t.changes().collect())
+    assert(gap.getMessage.contains("was expired"))
+    val oldestRetained = t.meta.snapshots.head.snapshotId
+    assert(t.changes(Some(oldestRetained), None).collect() != null,
+      "starting after the gap must work")
   }
 
   test("rewrite sort-order: plain sort range-clusters the leading " +

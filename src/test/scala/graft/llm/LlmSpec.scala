@@ -13,6 +13,31 @@ class LlmSpec extends SparkSuite {
   private def run(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
 
+  test("cluster resolution: the distributed min-label fixpoint and the " +
+    "driver union-find produce identical clusters") {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.llm.DedupQueries
+      .jaccardPairs(graft.llm.DedupQueries.shingleSets(
+        graft.rel.Tables.documents(spark, dir)), "sh")
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val local = PipelineQueries.clusterPairs(spark, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val dist = PipelineQueries
+      .clusterPairs(spark, pairs, localThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(local.nonEmpty, "corpus must contain dup pairs")
+    assert(local === dist,
+      "adaptive local path must equal the distributed fixpoint")
+    // cluster invariants: labels are component minima, reps are members
+    val byCluster = local.groupBy(_._2)
+    for ((cid, members) <- byCluster) {
+      assert(members.map(_._1).min === cid,
+        "cluster id must be the component's min doc_id")
+      assert(members.count(_._3) === 1, "exactly one keeper per cluster")
+    }
+  }
+
   test("minhash-LSH pairs are a subset of exact ngram-jaccard pairs" +
     " and recall all pairs with jaccard >= 0.8") {
     val exact = run("q_dedup_ngram_jaccard").collect()
