@@ -215,6 +215,11 @@ object PipelineQueries extends QueryCatalog {
   /** Stratified deterministic sample: the first 20 docs per language in
     * md5 order — a reproducible "random" sample with exact per-stratum
     * size control (what rand()-based sampling can't guarantee).
+    * Scale note: the window partitions by lang (few, large groups); at
+    * 100 TB pre-reduce per input partition first (each partition keeps
+    * its own top-k by the same md5 key, then the window ranks only
+    * partitions*k survivors — the TakeOrderedAndProject trick applied
+    * per stratum).
     */
   private val sample = Q(
     "q_pipe_sample",
@@ -503,12 +508,16 @@ object PipelineQueries extends QueryCatalog {
         "transform(sequence(0, size(toks) - 5), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
           "toks[i+3], toks[i+4]))")).as("g"))
-      .distinct()
     val docs = Tables.documents(s, dir)
-    val cg = grams(docs.filter(col("source") =!= "src4"))
+    // The benchmark side is small by definition — broadcast its gram
+    // set and filter the corpus BEFORE any corpus-wide shuffle: the
+    // per-doc distinct then runs over matched grams only (tiny), so
+    // the corpus is never shuffled, only map-scanned.
     val eg = grams(docs.filter(col("source") === "src4")).select("g")
       .distinct()
-    cg.join(eg, "g")
+    grams(docs.filter(col("source") =!= "src4"))
+      .join(broadcast(eg), "g")
+      .distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_ngrams"))
       .orderBy("doc_id")
