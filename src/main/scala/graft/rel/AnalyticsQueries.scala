@@ -87,6 +87,65 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer.
+    * Customer broadcasts; the only fact shuffle is the aggregation on
+    * (custkey, ...) — bounded by the customer count. */
+  private val returnedItems = Q(
+    "q_tpch_q10_returned_items",
+    """SELECT c_custkey, c_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(c_acctbal, 2) AS acctbal
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape: large-quantity orders and their customers. The
+    * HAVING-filtered per-order aggregate is computed FIRST (shrinks
+    * lineitem to the big-order keys), then joins back — the join
+    * inputs are pre-reduced, never the raw fact table twice. */
+  private val largeOrders = Q(
+    "q_tpch_q18_large_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+      |)
+      |SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    big
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+        "total_qty")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -117,5 +176,6 @@ object AnalyticsQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] =
-    Seq(shippingPriority, localSupplierVolume, windowDistribution)
+    Seq(shippingPriority, localSupplierVolume, returnedItems,
+      largeOrders, windowDistribution)
 }
