@@ -536,6 +536,47 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .sortWithinPartitions(cols.map(col): _*), extraSummary)
   }
 
+  /** Zero-rewrite import (Iceberg's `add_files` migration path): take
+    * existing parquet files, byte-copy them into the table's data dir
+    * (no decode, no Spark job), read their stats from the FOOTERS, and
+    * commit one append snapshot. The schema must match the table's by
+    * name and type — a silent type drift would corrupt reads later, so
+    * it is rejected here, not discovered at query time. */
+  def addFiles(sourceDir: Path): SnapshotMeta = {
+    val files = Io.listRecursive(sourceDir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.toString)
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    val inferred = spark.read.parquet(files.map(_.toString): _*).schema
+    val table = schema
+    require(
+      inferred.fields.map(f => f.name.toLowerCase).sorted.toSeq ==
+        table.fields.map(_.name.toLowerCase).sorted.toSeq,
+      s"schema mismatch importing into $name: table columns " +
+        s"${table.fieldNames.mkString(",")}; files have " +
+        s"${inferred.fieldNames.mkString(",")}")
+    for (f <- inferred.fields) {
+      val t = table.fields.find(_.name.equalsIgnoreCase(f.name)).get
+      require(f.dataType == t.dataType,
+        s"type mismatch importing into $name: column ${f.name} is " +
+          s"${f.dataType.simpleString} in the files but " +
+          s"${t.dataType.simpleString} in the table")
+    }
+    val b = captureBase()
+    val snapId = nextSnapshotHint
+    Files.createDirectories(dataDir)
+    val moved = files.map { p =>
+      val target = dataDir.resolve(s"import-${UUID.randomUUID()}.parquet")
+      Files.copy(p, target)
+      target.toAbsolutePath.toString
+    }
+    val newEntries = statEntries(moved, content = 0, snapId)
+    commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
+      Map("operation-origin" -> "add_files",
+        "added-data-files" -> newEntries.size.toString,
+        "added-records" -> newEntries.map(_.recordCount).sum.toString))
+  }
+
   /** INSERT OVERWRITE (truncate + insert) as ONE atomic snapshot: the
     * new data files are staged first, then a single commit replaces
     * every prior entry — data files AND delete files — with the new

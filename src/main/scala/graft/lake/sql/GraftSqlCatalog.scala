@@ -312,7 +312,7 @@ private object GraftProcedures {
     "remove_orphan_files", "rewrite_data_files",
     "rewrite_position_delete_files", "rollback_to_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
-    "drop_ref", "fast_forward")
+    "drop_ref", "fast_forward", "add_files")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -403,6 +403,17 @@ private object GraftProcedures {
         val refType = if (name == "create_branch") "branch" else "tag"
         val r = t.createRef(refName, refType, snapId)
         Seq(outRow(refName, r.snapshotId))
+      }))
+    case "add_files" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("source_dir", StringType)),
+      StructType.fromDDL("added_files_count INT, added_records BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val snap = t.addFiles(Path.of(args.getUTF8String(1).toString))
+        Seq(outRow(
+          snap.summary("added-data-files").toInt,
+          snap.summary("added-records").toLong))
       }))
     case "drop_ref" => Some(procedure(name,
       Seq(param("table", StringType), param("ref", StringType)),

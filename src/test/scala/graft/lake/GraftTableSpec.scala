@@ -692,6 +692,42 @@ class GraftTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.appendToBranch("frozen", extra))
   }
 
+  test("add_files imports external parquet without rewrite: bytes " +
+    "copied, footer stats committed, pruning + snapshots work; type " +
+    "drift rejected") {
+    val external = Files.createTempDirectory("graft-import-src")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
+      .repartitionByRange(4, col("k"))
+      .write.parquet(external.resolve("t").toString)
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "imported",
+      StructType.fromDDL("k BIGINT, tag STRING"))
+    val snap = t.addFiles(external.resolve("t"))
+    assert(snap.operation === "append")
+    assert(snap.summary("added-records") === "1000")
+    assert(t.read().count() === 1000)
+    // footer stats landed -> stats pruning bounds a point read
+    val entries = t.manifestOf(snap).filter(_.content == 0)
+    assert(entries.size >= 4)
+    assert(entries.forall(_.stats.contains("k")))
+    assert(t.readWhere(col("k") === 3L).collect()
+      .map(_.getLong(0)).toSeq === Seq(3L))
+    // lifecycle composes: a MOR delete masks an imported row
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.delete(col("k") === 3L)
+    assert(t.read().filter(col("k") === 3L).count() === 0)
+    // type drift rejected before any commit
+    val bad = Files.createTempDirectory("graft-import-bad")
+    spark.range(0, 5).selectExpr("CAST(id AS INT) AS k",
+      "CAST(id AS STRING) AS tag")
+      .write.parquet(bad.resolve("t").toString)
+    val e = intercept[IllegalArgumentException](
+      t.addFiles(bad.resolve("t")))
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("footer-based write stats equal the distributed-scan stats " +
     "(same stat spaces: days/micros/longs/doubles/raw strings/0-1 " +
     "booleans), so pruning is unchanged without the second data pass") {

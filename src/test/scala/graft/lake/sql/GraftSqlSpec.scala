@@ -220,6 +220,23 @@ class GraftSqlSpec extends SparkSuite {
       Seq("k"))
   }
 
+  test("CALL add_files imports a parquet directory through SQL") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    spark.sql(s"CREATE TABLE graft.$ns.imp (k BIGINT, tag STRING) " +
+      "USING graft")
+    val src = Files.createTempDirectory("graft-sql-import")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS tag")
+      .write.parquet(src.resolve("t").toString)
+    val row = spark.sql(s"CALL graft.system.add_files(" +
+      s"table => '$ns.imp', source_dir => '${src.resolve("t")}')")
+      .collect().head
+    assert(row.getInt(0) > 0 && row.getLong(1) === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.imp")
+      .head.getLong(0) === 100)
+  }
+
   test("refs via SQL: CALL create_tag/create_branch, VERSION AS OF " +
     "'ref', t.refs metadata table, drop_ref") {
     val ns = freshNs()
