@@ -619,9 +619,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * runs copy-on-write). `set` maps column name → new value expression
     * applied only where `pred` holds. */
   def update(pred: Column, set: Map[String, Column]): Option[SnapshotMeta] = {
+    val transform = updateTransform(pred, set)
+    if (properties.getOrElse("write.update.mode", "copy-on-write")
+        == "merge-on-read") morUpdate(pred, transform)
+    else cowRewrite(pred, transform, "overwrite")
+  }
+
+  private def updateTransform(pred: Column,
+      set: Map[String, Column]): DataFrame => DataFrame = {
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns: ${set.keySet -- schema.fieldNames}")
-    def transform(rows: DataFrame): DataFrame = {
+    rows => {
       val cols = schema.fieldNames.map { f =>
         set.get(f) match {
           case Some(v) => when(pred, v.cast(schema(f).dataType))
@@ -631,10 +639,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       }
       rows.select(cols.toSeq: _*)
     }
-    if (properties.getOrElse("write.update.mode", "copy-on-write")
-        == "merge-on-read") morUpdate(pred, transform)
-    else cowRewrite(pred, transform, "overwrite")
   }
+
+  /** Branch DML (copy-on-write): rewrite affected files among the
+    * BRANCH head's entries, commit branch-parented — the full
+    * write-audit-publish loop: stage deletes/updates on a branch,
+    * audit via readRef, publish with fastForward("main", …). */
+  def deleteOnBranch(branch: String, pred: Column): Option[SnapshotMeta] =
+    cowRewriteOn(Some(branch), pred, rows => rows.filter(!pred), "delete")
+
+  def updateOnBranch(branch: String, pred: Column,
+      set: Map[String, Column]): Option[SnapshotMeta] =
+    cowRewriteOn(Some(branch), pred, updateTransform(pred, set),
+      "overwrite")
 
   /** Target rows per position-delete file; delete-file writes scale
     * their partition count with the hit count so a billion-row MOR
@@ -727,12 +744,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * the written replacement rows. Shared by DELETE/UPDATE (cowRewrite)
     * and MERGE — all of them get the same two-phase scale shape and
     * the same optimistic-concurrency base pinning. */
-  private[lake] def cowTransaction(operation: String)(
+  private[lake] def cowTransaction(operation: String,
+      branch: Option[String] = None)(
       f: (Seq[ManifestEntry], Seq[ManifestEntry] => DataFrame) =>
         Option[(Set[String], DataFrame, Map[String, String])])
       : Option[SnapshotMeta] = {
     val b = captureBase()
-    val entries = b.entries
+    val entries = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
     f(entries, es => readWithLineage(es)) match {
       case None => None
       case Some((affected, outRows, summary)) =>
@@ -741,9 +762,43 @@ class GraftTable(val spark: SparkSession, val root: Path,
         val snapId = nextSnapshotHint
         val moved = writeDataFiles(outRows)
         val newEntries = statEntries(moved, content = 0, snapId)
-        Some(commitSnapshot(b, snapId, operation, keep ++ newEntries,
-          summary))
+        branch match {
+          case None => Some(commitSnapshot(b, snapId, operation,
+            keep ++ newEntries, summary))
+          case Some(br) => Some(commitSnapshotOnBranch(b, snapId,
+            operation, br, keep ++ newEntries, summary))
+        }
     }
+  }
+
+  /** Resolve a branch's head snapshot from a captured base, rejecting
+    * tags (immutable) and dangling refs. */
+  private def branchHead(b: Base, branch: String): SnapshotMeta = {
+    val ref = b.meta.refs.getOrElse(branch,
+      throw new IllegalArgumentException(s"unknown branch $branch"))
+    require(ref.refType == "branch", s"cannot write to tag $branch")
+    b.meta.snapshots.find(_.snapshotId == ref.snapshotId)
+      .getOrElse(throw new IllegalStateException(
+        s"branch $branch points at expired snapshot ${ref.snapshotId}"))
+  }
+
+  /** Commit a snapshot onto a BRANCH: parent is the branch head, only
+    * the branch pointer advances — main readers are untouched. */
+  private def commitSnapshotOnBranch(base: Base, id: Long,
+      operation: String, branch: String, entries: Seq[ManifestEntry],
+      summary: Map[String, String]): SnapshotMeta = {
+    val head = branchHead(base, branch)
+    val manifestRel = s"metadata/snap-$id.json"
+    Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
+    val snap = SnapshotMeta(id, Some(head.snapshotId), now(), operation,
+      manifestRel,
+      summary ++ Map("branch" -> branch) ++ summaryTotals(entries),
+      schemaDdl = Some(base.meta.schemaDdl))
+    commitMeta(base, base.meta.copy(
+      snapshots = base.meta.snapshots :+ snap,
+      refs = base.meta.refs +
+        (branch -> base.meta.refs(branch).copy(snapshotId = id))))
+    snap
   }
 
   /** Generic MOR transaction: `f` decides (position-delete hits as a
@@ -788,7 +843,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * pre-plan, so no post-scan path filter exists at all. */
   private def cowRewrite(pred: Column, transform: DataFrame => DataFrame,
       operation: String): Option[SnapshotMeta] =
-    cowTransaction(operation) { (entries, readLin) =>
+    cowRewriteOn(None, pred, transform, operation)
+
+  private def cowRewriteOn(branch: Option[String], pred: Column,
+      transform: DataFrame => DataFrame,
+      operation: String): Option[SnapshotMeta] =
+    cowTransaction(operation, branch) { (entries, readLin) =>
       val affected = readLin(pruneByPredicate(entries, pred))
         .filter(pred).select(FileCol).distinct()
         .collect().map(r => Io.normalize(r.getString(0))).toSet
@@ -914,13 +974,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
     val aligned = alignToSchema(df)
     val b = captureBase()
-    val ref = b.meta.refs.getOrElse(branch,
-      throw new IllegalArgumentException(s"unknown branch $branch"))
-    require(ref.refType == "branch", s"cannot write to tag $branch")
-    val head = b.meta.snapshots.find(_.snapshotId == ref.snapshotId)
-      .getOrElse(throw new IllegalStateException(
-        s"branch $branch points at expired snapshot ${ref.snapshotId}"))
-    val headEntries = manifestOf(head)
+    val headEntries = manifestOf(branchHead(b, branch))
     val snapId = nextSnapshotHint
     val toWrite = clusterColumns match {
       case Some(cols) => aligned
@@ -930,20 +984,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
     val moved = writeDataFiles(toWrite)
     val newEntries = statEntries(moved, content = 0, snapId)
-    val manifestRel = s"metadata/snap-$snapId.json"
-    Io.atomicWrite(root.resolve(manifestRel),
-      Json.write(headEntries ++ newEntries))
-    val snap = SnapshotMeta(snapId, Some(ref.snapshotId), now(),
-      "append", manifestRel,
-      extraSummary ++ Map("branch" -> branch,
+    commitSnapshotOnBranch(b, snapId, "append", branch,
+      headEntries ++ newEntries,
+      extraSummary ++ Map(
         "added-data-files" -> newEntries.size.toString,
-        "added-records" -> newEntries.map(_.recordCount).sum.toString) ++
-        summaryTotals(headEntries ++ newEntries),
-      schemaDdl = Some(b.meta.schemaDdl))
-    commitMeta(b, b.meta.copy(
-      snapshots = b.meta.snapshots :+ snap,
-      refs = b.meta.refs + (branch -> ref.copy(snapshotId = snapId))))
-    snap
+        "added-records" -> newEntries.map(_.recordCount).sum.toString))
   }
 
   /** Read at a named ref — `SELECT ... VERSION AS OF 'ref-name'`. */

@@ -690,6 +690,25 @@ class GraftTableSpec extends SparkSuite {
     // tags reject writes
     t.createTag("frozen")
     intercept[IllegalArgumentException](t.appendToBranch("frozen", extra))
+    // branch DML: COW delete + update staged on the branch, invisible
+    // on main until the next publish
+    val mainBefore = t.read().count()
+    t.deleteOnBranch("staging", col("case_id") === "case-2")
+    t.updateOnBranch("staging", col("case_id") === "case-1",
+      Map("secure_txt" -> lit("STAGED")))
+    assert(t.read().count() === mainBefore,
+      "branch DML must not change main")
+    val staged = t.readRef("staging").orderBy("case_id").collect()
+    assert(!staged.map(_.getString(0)).contains("case-2"))
+    assert(staged.filter(_.getString(0) == "case-1")
+      .map(_.getAs[String]("secure_txt")).toSeq === Seq("STAGED"))
+    assert(t.read().filter(col("secure_txt") === "STAGED").count() === 0)
+    // publish the audited state
+    t.fastForward("main", t.refSnapshotId("staging"))
+    assert(t.read().filter(col("case_id") === "case-2").count() === 0)
+    assert(t.read().filter(col("secure_txt") === "STAGED").count() === 1)
+    intercept[IllegalArgumentException](
+      t.deleteOnBranch("frozen", lit(true)))
   }
 
   test("add_files imports external parquet without rewrite: bytes " +
