@@ -35,6 +35,8 @@ class GraftTablePropSpec extends SparkSuite {
   private case object RewriteDeletes extends Op
   private case object Expire extends Op
   private case object Orphans extends Op
+  private case class BranchCycle(pick: Int, n: Int,
+      publish: Boolean) extends Op
 
   private val genOp: Gen[Op] = Gen.frequency(
     3 -> Gen.choose(1, 4).map(Append),
@@ -45,7 +47,10 @@ class GraftTablePropSpec extends SparkSuite {
     1 -> Gen.const(Rewrite),
     1 -> Gen.const(RewriteDeletes),
     1 -> Gen.const(Expire),
-    1 -> Gen.const(Orphans))
+    1 -> Gen.const(Orphans),
+    1 -> Gen.zip(Gen.choose(0, 7), Gen.choose(1, 3),
+      Gen.oneOf(true, false)).map { case (p, n, pub) =>
+        BranchCycle(p, n, pub) })
 
   private val genOps: Gen[List[Op]] =
     Gen.choose(4, 8).flatMap(n => Gen.listOfN(n, genOp))
@@ -139,6 +144,28 @@ class GraftTablePropSpec extends SparkSuite {
         snapContents --= gone
       case Orphans =>
         t.removeOrphanFiles(System.currentTimeMillis() + 1000, force = true)
+      case BranchCycle(pick, n, publish) =>
+        // stage append + delete on a branch; main must not move until
+        // (and unless) the branch is published via fastForward
+        if (t.currentSnapshot.nonEmpty) {
+          val br = s"stage-$nextId"
+          t.createBranch(br)
+          val rows = freshRows(n)
+          t.appendToBranch(br,
+            spark.createDataFrame(rows.asJava, schema))
+          val ids = targets(pick)
+          if (ids.nonEmpty)
+            t.deleteOnBranch(br, col("case_id").isin(ids: _*))
+          assert(tableRows() == modelRows,
+            s"branch staging must not touch main ($ops)")
+          if (publish) {
+            t.fastForward("main", t.refSnapshotId(br))
+            model = model.filterNot(m => ids.contains(m.caseId)) ++
+              rows.map(r => M(r.getString(0), Some(r.getString(1))))
+            snap()
+          }
+          t.dropRef(br)
+        }
     }
 
     // 1. current read always equals the model
