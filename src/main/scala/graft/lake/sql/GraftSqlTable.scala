@@ -104,7 +104,13 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
     val cond = conds.reduceOption((a, b) =>
       org.apache.spark.sql.catalyst.expressions.And(a, b))
       .getOrElse(Literal.TrueLiteral)
-    graft.delete(ColumnBridge.column(cond))
+    // TRUNCATE TABLE arrives as an unconditional delete: commit it as
+    // ONE atomic empty-overwrite snapshot — under merge-on-read an
+    // unconditional graft.delete would tombstone every row of the
+    // table just to truncate it
+    if (cond == Literal.TrueLiteral)
+      graft.overwriteAll(graft.read().limit(0))
+    else graft.delete(ColumnBridge.column(cond))
   }
 }
 

@@ -71,6 +71,19 @@ class LakeWritePlanSpec extends SparkSuite {
       .map(r => r.getAs[String]("file_path"))
       .map(p => p -> p).toMap
 
+  test("append runs exactly one Spark execution (the write): stats come " +
+    "from footers, not a second scan over the written files") {
+    val t = newTable()
+    val (_, qes) = capturing { t.append(df("a", 500)) }
+    assert(qes.size === 1,
+      s"append must be write-only; saw ${qes.size} executions:\n" +
+        qes.map(_.logical.nodeName).mkString("\n"))
+    // and the committed stats are nonetheless present and usable
+    val entries = t.manifestOf(t.currentSnapshot.get)
+    assert(entries.forall(e => e.stats.contains("case_id") &&
+      e.recordCount > 0))
+  }
+
   test("COW update scans only the files whose stats admit the predicate; " +
     "untouched files keep their manifest entries; no ScalaUDF anywhere") {
     val t = newTable()

@@ -220,6 +220,23 @@ class GraftSqlSpec extends SparkSuite {
       Seq("k"))
   }
 
+  test("TRUNCATE TABLE is one atomic overwrite snapshot even under " +
+    "merge-on-read (no whole-table tombstone pass)") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val pre = snapshotIds(tbl).last
+    spark.sql(s"TRUNCATE TABLE $tbl")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 0)
+    val ops = spark.sql(s"SELECT operation FROM $tbl.snapshots " +
+      "ORDER BY committed_at").collect().map(_.getString(0)).toSeq
+    assert(ops.last === "overwrite", s"got $ops")
+    assert(spark.sql(s"SELECT * FROM $tbl.files WHERE content = 1")
+      .count() === 0, "truncate must not write position-delete files")
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF $pre")
+      .count() === 3, "time travel keeps the pre-truncate rows")
+  }
+
   test("CALL add_files imports a parquet directory through SQL") {
     val ns = freshNs()
     spark.sql(s"CREATE NAMESPACE graft.$ns")
