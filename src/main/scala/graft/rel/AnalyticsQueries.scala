@@ -146,6 +146,30 @@ object AnalyticsQueries extends QueryCatalog {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape: order counts per priority where some line item
+    * shipped after the order date — a correlated EXISTS that Spark
+    * plans as a left-semi join with the correlation folded into the
+    * join condition. Integer-only output: fully deterministic across
+    * engines with no rounding contract. */
+  private val orderPriority = Q(
+    "q_tpch_q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -177,5 +201,5 @@ object AnalyticsQueries extends QueryCatalog {
 
   override def all: Seq[Q] =
     Seq(shippingPriority, localSupplierVolume, returnedItems,
-      largeOrders, windowDistribution)
+      largeOrders, orderPriority, windowDistribution)
 }
