@@ -565,11 +565,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val snapId = nextSnapshotHint
     Files.createDirectories(dataDir)
-    val moved = files.map { p =>
+    // independent byte copies — parallel so a thousand-file import
+    // doesn't serialize on the driver
+    val moved = files.asJava.parallelStream().map[String] { p =>
       val target = dataDir.resolve(s"import-${UUID.randomUUID()}.parquet")
       Files.copy(p, target)
       target.toAbsolutePath.toString
-    }
+    }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
     val newEntries = statEntries(moved, content = 0, snapId)
     commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
       Map("operation-origin" -> "add_files",
@@ -1334,7 +1336,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = spark.sessionState.newHadoopConf()
-    absPaths.map { p =>
+    // footer reads are independent driver-side IO — do them in
+    // parallel so a wide write (thousands of files) doesn't serialize
+    absPaths.asJava.parallelStream().map[ManifestEntry] { p =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf))
       try {
@@ -1423,7 +1427,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
           addedSnapshotId = snapshotId,
           stats = stats)
       } finally reader.close()
-    }
+    }.collect(java.util.stream.Collectors.toList[ManifestEntry])
+      .asScala.toSeq
   }
 
   /** Fallback stats pass: one distributed scan of the written files
