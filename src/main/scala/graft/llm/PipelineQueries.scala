@@ -571,7 +571,99 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("doc_id", "rk")
   }
 
+  /** MinHash+LSH with md5-derived hash functions — the fully
+    * oracle-checkable twin of q_dedup_minhash_lsh (whose xxhash64 has
+    * no DuckDB equivalent). 16 minhashes (h_i = first 15 hex digits of
+    * md5(i || shingle), 60 bits so it fits a signed BIGINT in both
+    * engines), banded 4x4; candidate pairs from a band-signature
+    * equi-join; exact shingle-Jaccard >= 0.5 verification filters false
+    * positives. Same scale shape as the production query: candidates
+    * only materialize on bucket collisions, never all-pairs. */
+  private val NumH = 16
+  private val BandsH = 4
+  private val RowsH = NumH / BandsH
+
+  private val minhashMd5 = Q(
+    "q_dedup_minhash_md5", {
+      val hashAggs = (0 until NumH).map(i =>
+        s"min(CAST(concat('0x', substr(md5(CAST($i AS VARCHAR) || sh), " +
+          s"1, 15)) AS UBIGINT)::BIGINT) AS h$i").mkString(",\n      ")
+      val bandSelects = (0 until BandsH).map { b =>
+        val sig = (0 until RowsH).map(r => s"h${b * RowsH + r}")
+          .mkString("CAST(", " AS VARCHAR) || '-' || CAST(", " AS VARCHAR)")
+        s"SELECT doc_id, $b AS band, $sig AS sig FROM sigs"
+      }.mkString("\n      UNION ALL ")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), dt AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t
+         |), sigs AS (
+         |  SELECT doc_id,
+         |      $hashAggs
+         |  FROM dt GROUP BY doc_id
+         |), bands AS (
+         |      $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig
+         |      AND a.doc_id < b.doc_id
+         |), sz AS (
+         |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN dt x ON x.doc_id = c.id_a
+         |  JOIN dt y ON y.doc_id = c.id_b AND y.sh = x.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.doc_id = id_a
+         |JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+  ) { (s, dir) =>
+    val dt = DedupQueries.shingleSets(Tables.documents(s, dir))
+    val hashCols = (0 until NumH).map(i =>
+      min(conv(substring(md5(concat(lit(i.toString), col("sh"))), 1, 15),
+        16, 10).cast("bigint")).as(s"h$i"))
+    val sigs = dt.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bands = (0 until BandsH).map { b =>
+      val sig = concat_ws("-", (0 until RowsH).map(r =>
+        col(s"h${b * RowsH + r}").cast("string")): _*)
+      sigs.select(col("doc_id"), lit(b).as("band"), sig.as("sig"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(dt.as("x"), col("x.doc_id") === col("id_a"))
+      .join(dt.as("y"), col("y.doc_id") === col("id_b") &&
+        col("y.sh") === col("x.sh"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("i").cast("double") /
+        (col("sa.n") + col("sb.n") - col("i")) >= 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i")), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantize, piiRedact, logprob, decontaminate,
-    keywords)
+    keywords, minhashMd5)
 }
