@@ -208,8 +208,32 @@ object LakeQueries extends QueryCatalog {
       .orderBy("_change_ordinal", "_change_type", "case_id")
   }
 
+  /** D24/D25: write-audit-publish — stage an append and a COW delete
+    * on a branch (main untouched), audit via the branch read, publish
+    * with fastForward. Returns (phase, case_id) rows proving main
+    * only moved at publish time. */
+  private val wap = Q.noOracle("q_lake_wap") { (s, _) =>
+    import s.implicits._
+    val t = newTable(s)
+    t.createBranch("staging")
+    t.appendToBranch("staging", s.createDataFrame(Seq(
+      Row("case-4", "Eve", "eve@example.com", "key4", "secret text 4",
+        "secret_key_4", java.sql.Date.valueOf("2023-02-01"))).asJava,
+      piiSchema))
+    t.deleteOnBranch("staging", col("case_id") === "case-2")
+    val staged = t.readRef("staging").select("case_id")
+      .as[String].collect().sorted.map(("staged", _))
+    val mainBefore = t.read().select("case_id")
+      .as[String].collect().sorted.map(("main-before-publish", _))
+    t.fastForward("main", t.refSnapshotId("staging"))
+    val mainAfter = t.read().select("case_id")
+      .as[String].collect().sorted.map(("main-after-publish", _))
+    (mainBefore ++ staged ++ mainAfter).toSeq
+      .toDF("phase", "case_id").orderBy("phase", "case_id")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, streamRoundTrip,
-    changelog)
+    changelog, wap)
 }
