@@ -509,9 +509,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
     */
   def appendsBetween(fromExclusive: Long, toInclusive: Long): DataFrame = {
     val m = meta
+    // branch-staged appends are NOT main-lineage data: without this
+    // filter a stream reading "appends" would emit rows staged on a
+    // branch before (or without) their publish. Published branch work
+    // arrives via fastForward — a pointer move, not an append — so it
+    // is outside the appends-only incremental contract either way
+    // (the Iceberg incremental-scan restriction).
     val snaps = m.snapshots.filter(s =>
       s.snapshotId > fromExclusive && s.snapshotId <= toInclusive &&
-        s.operation == "append")
+        s.operation == "append" && !s.summary.contains("branch"))
     val appendIds = snaps.map(_.snapshotId).toSet
     val entries = snaps.flatMap(manifestOf)
       .filter(e => e.content == 0 && appendIds(e.addedSnapshotId))

@@ -227,6 +227,22 @@ class StreamingSpec extends SparkSuite {
     assert(noId.getMessage.contains("queryId"),
       "sink without queryId or checkpointLocation must fail fast")
 
+    // branch-staged appends must NOT leak into the appends stream:
+    // stage a row on a branch of the source table and re-drain
+    src.createBranch("wip")
+    src.appendToBranch("wip", spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("staged", Long.box(99L))),
+      schema))
+    val q4 = GraftTableStreaming.readAppends(spark, src.root)
+      .writeStream.format("memory").queryName("branch_leak").start()
+    try {
+      q4.processAllAvailable()
+      assert(spark.table("branch_leak")
+        .filter(col("v") === 99L).count() === 0,
+        "unpublished branch rows leaked into the appends stream")
+    } finally q4.stop()
+
     // exactly-once: a replayed epoch is skipped, not re-appended
     val epoch = GraftTableStreaming.lastCommittedEpoch(dst, "rt-query").get
     val before = dst.meta.snapshots.size
