@@ -269,36 +269,55 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def changes(fromExclusive: Option[Long] = None,
       toInclusive: Option[Long] = None): DataFrame = {
     val snaps = meta.snapshots
-    def idxOf(id: Long): Int = {
-      val i = snaps.indexWhere(_.snapshotId == id)
-      require(i >= 0, s"Cannot find snapshot with ID $id " +
-        "(expired or never existed)")
-      i
-    }
-    val start = fromExclusive.map(idxOf(_) + 1).getOrElse(0)
-    val end = toInclusive.map(idxOf).getOrElse(snaps.size - 1)
     val metaCols = Seq(col("_change_type"), col("_change_ordinal"),
       col("_commit_snapshot_id"))
     val emptyOut = emptyDf
       .withColumn("_change_type", lit(null).cast("string"))
       .withColumn("_change_ordinal", lit(null).cast("int"))
       .withColumn("_commit_snapshot_id", lit(null).cast("long"))
-    if (start > end) return emptyOut
-    val slices = snaps.slice(start, end + 1)
+    // Walk the ANCESTRY of the end snapshot (default: the current
+    // head), not the raw snapshot list: commits staged on unpublished
+    // branches and commits orphaned by a rollback are not lineage and
+    // must not emit change rows. After a branch publishes
+    // (fastForward), its commits ARE the head's ancestry and appear.
+    val endId = toInclusive.orElse(meta.currentSnapshotId)
+      .getOrElse(return emptyOut)
+    for (id <- fromExclusive ++ toInclusive)
+      if (!snaps.exists(_.snapshotId == id))
+        throw new IllegalArgumentException(
+          s"Cannot find snapshot with ID $id (expired or never existed)")
+    var chain = List.empty[SnapshotMeta]
+    var cursor: Option[Long] = Some(endId)
+    var done = false
+    while (!done) cursor match {
+      case None =>
+        if (fromExclusive.isDefined)
+          throw new IllegalArgumentException(
+            s"snapshot ${fromExclusive.get} is not an ancestor of " +
+              s"$endId")
+        done = true
+      case Some(id) if fromExclusive.contains(id) => done = true
+      case Some(id) =>
+        val s = snaps.find(_.snapshotId == id).getOrElse {
+          if (id == endId) throw new IllegalArgumentException(
+            s"Cannot find snapshot with ID $id (expired or never " +
+              "existed)")
+          // mid-chain gap: this commit's parent was expired — its adds
+          // would be indistinguishable from pre-existing rows. Fail
+          // with the bound that works instead of over-reporting.
+          throw new IllegalStateException(
+            s"cannot compute changelog for snapshot " +
+              s"${chain.head.snapshotId}: its parent $id was expired; " +
+              s"pass fromExclusive=Some(${chain.head.snapshotId}) " +
+              "(or later) to start after the gap")
+        }
+        chain ::= s
+        cursor = s.parentId
+    }
+    val slices = chain
       .filter(_.operation != "replace")
       .zipWithIndex.flatMap { case (s, ord) =>
         val cur = manifestOf(s)
-        // a commit whose parent was expired can't be diffed — its adds
-        // would be indistinguishable from pre-existing rows. Fail with
-        // the bound that works instead of silently over-reporting.
-        s.parentId.foreach { pid =>
-          if (!snaps.exists(_.snapshotId == pid))
-            throw new IllegalStateException(
-              s"cannot compute changelog for snapshot ${s.snapshotId}: " +
-                s"its parent $pid was expired; pass " +
-                s"fromExclusive=Some(${s.snapshotId}) (or later) to " +
-                "start after the gap")
-        }
         val parentEntries = s.parentId
           .map(pid => manifestOf(snapshotOrFail(pid))).getOrElse(Nil)
         val curPaths = cur.map(_.path).toSet

@@ -679,6 +679,10 @@ class GraftTableSpec extends SparkSuite {
     // audit: branch sees 4 rows, main still 3
     assert(t.readRef("staging").count() === 4)
     assert(t.read().count() === 3)
+    // changelog walks MAIN ancestry: staged branch commits emit nothing
+    assert(t.changes().collect().map(_.getAs[String]("case_id")).sorted
+      .toSeq === Seq("case-1", "case-2", "case-3"),
+      "unpublished branch commits must not emit change rows")
     assert(snap.summary("branch") === "staging")
     assert(snap.parentId === Some(preHead),
       "branch append must chain off the branch head")
@@ -687,6 +691,11 @@ class GraftTableSpec extends SparkSuite {
     t.fastForward("main", t.refSnapshotId("staging"))
     assert(t.read().count() === 4)
     assert(t.read().filter(col("case_id") === "case-4").count() === 1)
+    // once published, the branch commit IS head ancestry: its insert
+    // now appears in the changelog
+    assert(t.changes().collect().count(r =>
+      r.getAs[String]("case_id") == "case-4" &&
+        r.getAs[String]("_change_type") == "insert") === 1)
     // tags reject writes
     t.createTag("frozen")
     intercept[IllegalArgumentException](t.appendToBranch("frozen", extra))
