@@ -170,6 +170,23 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("o_orderpriority")
   }
 
+  /** Skew-safe aggregation through the driver gate: the salted
+    * two-phase aggregate (Scale.saltedAgg) must equal the plain GROUP
+    * BY — salting spreads each hot key over 16 partial groups and
+    * re-merges, changing the shuffle profile but never the answer.
+    * events.user_id is exactly the shape it exists for: 15 users
+    * owning ~70 rows each at sf0.001 and ~7k at sf0.1. */
+  private val saltedAgg = Q(
+    "q_scale_salted_agg",
+    """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    Scale.saltedAgg(Tables.events(s, dir), Seq("user_id"), 16)(
+      Seq(count(lit(1)).as("pn"), sum(col("value")).as("ps")),
+      Seq(sum(col("pn")).as("n"), round(sum(col("ps")), 2).as("total")))
+      .orderBy("user_id")
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -201,5 +218,5 @@ object AnalyticsQueries extends QueryCatalog {
 
   override def all: Seq[Q] =
     Seq(shippingPriority, localSupplierVolume, returnedItems,
-      largeOrders, orderPriority, windowDistribution)
+      largeOrders, orderPriority, saltedAgg, windowDistribution)
 }
