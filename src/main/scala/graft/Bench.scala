@@ -44,13 +44,39 @@ object Bench {
       name -> (1 to 2).map(_ => run(fn))
     }
     val results = detail.map { case (name, times) => name -> times.min }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val runsDetail = detail.map { case (k, ts) =>
-      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+      s"\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min","exec":"noop-write","runs_detail":$runsDetail}""")
+    val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","runs_detail":$runsDetail}"""
+    // The driver captures only the LAST ~2000 chars of stdout (plus sbt's
+    // trailing "[success] Total time" line) and json-parses the final JSON
+    // line it finds. The full per-query map for ~100 queries is ~3000
+    // chars, which truncated the headline line every prior round
+    // ("parsed": null in BENCH_r1..r4). So: full detail goes to a file +
+    // an early stdout line (scrolls out of the tail harmlessly), and the
+    // LAST line is a compact summary budgeted to fit: headline metric,
+    // then as many of the slowest queries as fit in ~1500 chars.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), full)
+    catch { case _: Throwable => () }
+    println(full)
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","detail":"bench_detail.json","queries":"""
+    val budget = 1500 - head.length - 2
+    val slowest = results.toSeq.sortBy(-_._2)
+    val sb = new StringBuilder
+    var taken = 0
+    slowest.foreach { case (k, v) =>
+      val entry = (if (taken == 0) "" else ",") + "\"" + k + "\":" + r3(v)
+      if (sb.length + entry.length <= budget) { sb.append(entry); taken += 1 }
+    }
+    println(head + "{" + sb + "}}")
     spark.stop()
   }
 }

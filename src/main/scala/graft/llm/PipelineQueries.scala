@@ -261,7 +261,7 @@ object PipelineQueries extends QueryCatalog {
       |  FROM t
       |)
       |SELECT shard, CAST(floor(tok_before / 512.0) AS BIGINT) AS batch_id,
-      |  count(*) AS n_docs, sum(tok) AS total_tokens
+      |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
       |FROM c GROUP BY 1, 2 ORDER BY shard, batch_id""".stripMargin
   ) { (s, dir) =>
     val t = Tables.documents(s, dir)
