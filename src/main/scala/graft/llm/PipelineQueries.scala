@@ -663,7 +663,48 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("id_a", "id_b")
   }
 
+  /** Training-mix domain upsampling: each source gets a repeat factor
+    * (the "epochs over this domain" knob in every LM data recipe —
+    * high-quality sources repeated, bulk sources passed once). A doc
+    * expands to `factor` copies map-side via explode(sequence(...)) —
+    * narrow, no shuffle, no driver loop; the copy ordinal feeds the
+    * downstream shuffle-shard assignment so repeated copies land in
+    * different training shards (xxhash-bucket here mirrors
+    * q_pipe_split's md5 bucketing but stays oracle-free of hashing by
+    * deriving the shard from (doc_id, copy) arithmetic).
+    */
+  private val upsample = Q(
+    "q_pipe_upsample",
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
+      |      AS factor
+      |  FROM documents
+      |), x AS (
+      |  SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy,
+      |    (doc_id * 7 + u.copy) % 8 AS shard
+      |  FROM f, unnest(generate_series(1, factor)) AS u(copy)
+      |)
+      |SELECT source, shard, count(*) AS n_rows,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM x GROUP BY source, shard ORDER BY source, shard""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("source") === "src0", 3)
+          .when(col("source") === "src1", 2).otherwise(1).as("factor"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, CAST(factor AS BIGINT))")).as("copy"))
+      .select(col("source"),
+        ((col("doc_id") * 7 + col("copy")) % 8).as("shard"),
+        col("doc_id"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("source", "shard")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantize, piiRedact, logprob, decontaminate,
-    keywords, minhashMd5)
+    keywords, minhashMd5, upsample)
 }

@@ -186,8 +186,52 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("label")
   }
 
+  /** k-NN JOIN: top-3 cosine neighbors for EVERY vector (not one query
+    * vector) — the batch shape used to build retrieval eval sets and
+    * kNN-graph dedup. The right side is projected to (id, vec, norm)
+    * and broadcast (2k rows × 64 floats ≈ 0.6 MB; at 100 TB swap the
+    * broadcast for the IVF cell assignment above — join on cell instead
+    * of broadcasting, identical downstream shape). Per-vector top-3 is
+    * a rank window over the pair stream; the pairwise math is the same
+    * codegen'd float-widening vec_dot kernel the oracle's
+    * list_dot_product(::DOUBLE[]) matches bit-for-bit.
+    */
+  private val knnJoin = Q(
+    "q_sim_knn_join",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id, b.vec_id AS nn_id,
+      |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosd
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+      |), r AS (
+      |  SELECT vec_id, nn_id, cosd,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cosd DESC, nn_id)
+      |      AS nn_rank
+      |  FROM p
+      |)
+      |SELECT vec_id, nn_rank, nn_id, round(cosd, 4) AS cos_sim
+      |FROM r WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val e = emb(s, dir)
+    val right = e.select(col("vec_id").as("nn_id"), col("v").as("w"),
+      col("nrm").as("wn"))
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosd"), col("nn_id"))
+    e.join(broadcast(right), col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        vec.cosine(s, col("v"), col("w"), col("nrm"), col("wn")).as("cosd"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 3)
+      .select(col("vec_id"), col("nn_rank"), col("nn_id"),
+        round(col("cosd"), 4).as("cos_sim"))
+      .orderBy("vec_id", "nn_rank")
+  }
+
   override def all: Seq[Q] =
-    Seq(topkBrute, topkIvf, topkLsh, centroidByLabel, centroidUdaf)
+    Seq(topkBrute, topkIvf, topkLsh, knnJoin, centroidByLabel, centroidUdaf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

@@ -247,6 +247,65 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals per document: fraction of token
+    * bigrams that are duplicates, and the fraction taken by the single
+    * most frequent bigram — the "fraction of characters in the top
+    * 2-gram / in duplicate lines" family of repetition filters, adapted
+    * to a corpus with no newlines. Bigrams are formed map-side with an
+    * indexed `transform` over the token array (codegen HOF, no UDF);
+    * the only shuffle is the (doc_id, bigram) count — at 100 TB the
+    * groupBy partial-aggregates map-side and the key space is bounded
+    * by corpus token pairs. Counts stay count(*)-typed (BIGINT both
+    * engines — never an integer SUM, which DuckDB widens to HUGEINT and
+    * the driver hash rejects). Verdict thresholds mirror Gopher's
+    * "most common n-gram > 20% of doc" rule.
+    */
+  private val repetition = Q(
+    "q_text_repetition",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS bg
+      |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      |), c AS (
+      |  SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg
+      |), d AS (
+      |  SELECT doc_id, count(*) AS n_distinct, max(cnt) AS top_cnt
+      |  FROM c GROUP BY doc_id
+      |), n AS (
+      |  SELECT doc_id, len(toks) - 1 AS n_bigrams FROM t
+      |)
+      |SELECT n.doc_id, n.n_bigrams, d.top_cnt,
+      |  round(CAST(d.top_cnt AS DOUBLE) / n.n_bigrams, 4) AS top_bigram_frac,
+      |  round(1.0 - CAST(d.n_distinct AS DOUBLE) / n.n_bigrams, 4)
+      |    AS dup_bigram_frac,
+      |  CASE WHEN CAST(d.top_cnt AS DOUBLE) / n.n_bigrams > 0.2
+      |    THEN 'repetitive' ELSE 'ok' END AS verdict
+      |FROM n JOIN d ON n.doc_id = d.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val b = t.select(col("doc_id"),
+      (size(col("toks")) - 1).as("n_bigrams"),
+      explode(expr("transform(slice(toks, 1, size(toks) - 1), " +
+        "(x, i) -> concat(x, ' ', element_at(toks, i + 2)))")).as("bg"))
+    b.groupBy(col("doc_id"), col("n_bigrams"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_bigrams"))
+      .agg(count(lit(1)).as("n_distinct"), max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_cnt"),
+        round(col("top_cnt").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_bigrams"),
+          4).as("dup_bigram_frac"),
+        when(col("top_cnt").cast("double") / col("n_bigrams") > 0.2,
+          "repetitive").otherwise("ok").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] =
-    Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint)
+    Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
+      repetition)
 }
