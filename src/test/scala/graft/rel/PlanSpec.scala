@@ -90,6 +90,37 @@ class PlanSpec extends SparkSuite {
       "redaction fell back to a UDF")
   }
 
+  test("kNN join broadcasts the vector side and pushes the rank limit " +
+    "below the shuffle") {
+    val p = plan("q_sim_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "pair scoring should broadcast the compact (id, vec, norm) side:\n" + p)
+    assert(p.contains("WindowGroupLimit"),
+      "per-vector top-k not pushed below the rank shuffle (every pair " +
+        "would shuffle at 100 TB):\n" + p)
+    assert(p.contains("vec_dot"), "native kernel not in the plan:\n" + p)
+  }
+
+  test("repetition filter shuffles bigram counts once, map-side partial " +
+    "first, no UDF") {
+    val p = plan("q_text_repetition")
+    assert(p.contains("partial_count"), "bigram count lost map-side combine")
+    assert(!p.contains("ScalaUDF") &&
+      !p.toLowerCase.contains("batchevalpython"),
+      "bigram formation fell back to a UDF:\n" + p)
+  }
+
+  test("upsampling explodes map-side: the count-distinct's two agg " +
+    "exchanges plus the final sort only") {
+    val p = plan("q_pipe_upsample")
+    assert(p.contains("Generate") && p.contains("explode(sequence"), p)
+    // formatted mode names each Exchange twice (tree + detail): 3
+    // shuffles = distinct partial, final agg, presentation sort. The
+    // explode itself must add none.
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 6,
+      "upsample added an unexpected shuffle:\n" + p)
+  }
+
   test("cluster-resolution edges come from an equi-join, not a " +
     "cartesian pair build") {
     val p = graft.llm.DedupQueries
