@@ -170,6 +170,170 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q12 shape (l_linestatus stands in for the corpus's missing
+    * l_shipmode): among late-shipped lines, split order counts into
+    * high/low priority classes per status. The conditional counts are
+    * count(CASE WHEN..) in both dialects — count() of a nullable
+    * expression stays BIGINT in DuckDB (an integer SUM would widen to
+    * HUGEINT and break the driver hash). */
+  private val priorityClass = Q(
+    "q_tpch_q12_priority_class",
+    """SELECT l_linestatus,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val highs = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(col("o_orderpriority").isin(highs: _*), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin(highs: _*), 1))
+          .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates. The
+    * OR spans both tables so it cannot push down as-is; the derived
+    * single-table conjunct `p_brand IN (...)` is stated explicitly (in
+    * BOTH dialects — it does not change semantics) so the part scan
+    * prunes before the join. That derived-predicate trick is the
+    * standard Q19 plan fix and is what makes this survive a fact table
+    * 1000× the dimension. */
+  private val brandRevenue = Q(
+    "q_tpch_q19_brand_revenue",
+    """SELECT ((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |    + 50) // 100) / 100.0 AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |          AND l_quantity BETWEEN 1 AND 20)
+      |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+      |          AND l_quantity BETWEEN 10 AND 30)
+      |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+      |          AND l_quantity BETWEEN 20 AND 40))""".stripMargin
+  ) { (s, dir) =>
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    val branch = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val revenue = (expr("(u + 50) div 100") / 100.0).as("revenue")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .filter(branch("Brand#1", 1, 15, 1, 20) ||
+        branch("Brand#2", 10, 30, 10, 30) ||
+        branch("Brand#3", 20, 50, 20, 40))
+      .agg(sum(scaledNet).as("u"))
+      .select(revenue)
+  }
+
+  /** Exact integer-scaled revenue term: prices and discounts carry two
+    * decimals, so round(x*100) recovers the exact integer in both
+    * engines and the distributed sum is integer math — immune to the
+    * float-addition-order ties that round(sum(double), 2) hits at
+    * .xx5 boundaries (STATUS determinism rule). Even the final
+    * 2-decimal rounding stays integer ((u+50) div 100 = half-up
+    * cents): Spark's round() goes through the decimal string while
+    * DuckDB rounds the binary double, so an EXACT .xx5 quotient
+    * diverges between engines — only the last division may be float,
+    * and it is the same IEEE op on the same integer in both. */
+  private def scaledNet =
+    round(col("l_extendedprice") * 100).cast("bigint") *
+      round((lit(1) - col("l_discount")) * 100).cast("bigint")
+
+  /** TPC-H Q21 shape: suppliers whose line item was the strictly-last
+    * to ship within a multi-supplier order — a correlated EXISTS plus
+    * NOT EXISTS, planned as a left-semi then left-anti join, both
+    * keyed on l_orderkey (one shuffle key for both probes, no
+    * cartesian anywhere). Ties at the max ship date count for every
+    * tied supplier (NOT EXISTS strictly-later), which keeps the result
+    * deterministic. */
+  private val lastShipper = Q(
+    "q_tpch_q21_last_shipper",
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+  ) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val l1 = l
+    val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val l3 = l.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+      col("l_shipdate").as("d3"))
+    l1.join(l2, col("l_orderkey") === col("o2") &&
+        col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("o3") &&
+        col("l_suppkey") =!= col("s3") &&
+        col("d3") > col("l_shipdate"), "left_anti")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(25)
+  }
+
+  /** TPC-H Q7 shape: cross-nation shipping volume per (supplier
+    * nation, customer nation, year). lineitem⋈orders is the one real
+    * shuffle; supplier/customer/nation broadcast, so the fact rows
+    * shuffle once on the join key and once for the bounded-key agg. */
+  private val volumeShipping = Q(
+    "q_tpch_q7_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  ((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+      |    + 50) // 100) / 100.0 AS revenue
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  ) { (s, dir) =>
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+      .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(scaledNet).as("u"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        (expr("(u + 50) div 100") / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** Skew-safe aggregation through the driver gate: the salted
     * two-phase aggregate (Scale.saltedAgg) must equal the plain GROUP
     * BY — salting spreads each hot key over 16 partial groups and
@@ -218,5 +382,6 @@ object AnalyticsQueries extends QueryCatalog {
 
   override def all: Seq[Q] =
     Seq(shippingPriority, localSupplierVolume, returnedItems,
-      largeOrders, orderPriority, saltedAgg, windowDistribution)
+      largeOrders, orderPriority, priorityClass, brandRevenue,
+      lastShipper, volumeShipping, saltedAgg, windowDistribution)
 }
