@@ -87,5 +87,33 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("user_id", "session_start")
   }
 
-  override def all: Seq[Q] = Seq(tumbling, sliding, session)
+  /** Batch twin of the stream-stream join ([[Streams.purchaseViewJoin]]
+    * — the SAME function builds this plan): purchases matched to the
+    * same user's views in the preceding hour. The aggregate keeps the
+    * output bounded for the hash compare; StreamingSpec checks the
+    * per-pair rows through readStream micro-batches.
+    */
+  private val streamJoin = Q(
+    "q_stream_join",
+    """WITH j AS (
+      |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+      |    p.user_id
+      |  FROM events p JOIN events v
+      |    ON p.user_id = v.user_id
+      |    AND p.event_type = 'purchase' AND v.event_type = 'view'
+      |    AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL '1 hour'
+      |)
+      |SELECT user_id, count(*) AS n_pairs,
+      |  count(DISTINCT purchase_id) AS n_purchases
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    Streams.purchaseViewJoin(ev, ev)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  override def all: Seq[Q] = Seq(tumbling, sliding, session, streamJoin)
 }

@@ -121,6 +121,34 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner join: each purchase matched to the same
+    * user's views in the preceding hour. Works on both streaming and
+    * batch inputs (withWatermark is a no-op in batch), so the batch
+    * twin (q_stream_join) and the StreamingSpec round-trip share this
+    * exact plan.
+    *
+    * Scale notes: both sides shuffle on user_id (the equi part keeps
+    * the join keyed — never a cross product), and the time-range
+    * conjunct is what lets Structured Streaming BOUND the buffered
+    * state: with a 2h watermark and a 1h range, a buffered view is
+    * evicted once the watermark passes its ts + 1h, so state is
+    * O(events per watermark horizon), not O(stream length).
+    */
+  def purchaseViewJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val p = left.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("user_id"))
+    val v = right.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("vts") <= col("pts") &&
+        col("vts") > col("pts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"), col("user_id"))
+  }
+
   /** Drain a streaming Dataset through a named memory sink, processing
     * all currently-available input (AvailableNow = run to completion in
     * maxFilesPerTrigger-sized batches, then stop).

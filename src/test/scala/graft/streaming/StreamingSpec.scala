@@ -150,6 +150,23 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases matched to prior-hour views " +
+    "across micro-batches equal the batch join") {
+    val left = Streams.readEvents(spark, stageDir.toString)
+    val right = Streams.readEvents(spark, stageDir.toString)
+    Streams.runToMemory(Streams.purchaseViewJoin(left, right),
+      "pv_join_stream", OutputMode.Append)
+    val got = spark.table("pv_join_stream").collect().map(_.toSeq).toSet
+    val want = Streams.purchaseViewJoin(batchEvents, batchEvents)
+      .collect().map(_.toSeq).toSet
+    // inner-join matches are emitted eagerly (not held for the
+    // watermark), and a finite AvailableNow run sees both sides in
+    // full, so the streamed pair set must equal the batch join exactly
+    assert(got == want,
+      s"missing: ${(want -- got).take(3)} spurious: ${(got -- want).take(3)}")
+    assert(got.nonEmpty, "no purchase/view pairs in the staged corpus")
+  }
+
   test("GraftLake round trip: readStream of appends feeds an " +
     "exactly-once append sink") {
     import org.apache.spark.sql.types.StructType
