@@ -201,6 +201,44 @@ object JoinQueries extends QueryCatalog {
       .orderBy("status", "priority")
   }
 
+  /** Pure range join (no equi key), made scale-safe by BINNING: each
+    * part's ±1.0 price interval expands to the 1.0-wide bins it
+    * overlaps (≤3 rows, map-side explode), each lineitem maps to one
+    * bin, and the join is an EQUI join on the bin with the exact range
+    * as a post-filter. Without the bins this is a cartesian/IEJoin
+    * shape — O(n·m) pairs at 100 TB; with them, pair candidates are
+    * bounded by bin co-occupancy, the shuffle is keyed, and skew obeys
+    * the same AQE/salting remedies as any equi join. The oracle states
+    * the predicate directly (DuckDB's inequality-join handles 120M
+    * candidate pairs at sf0.01); results are identical because the bin
+    * expansion provably covers every row satisfying the range.
+    */
+  private val rangeBinned = Q(
+    "q_join_range_binned",
+    """WITH u AS (
+      |  SELECT l_extendedprice / l_quantity AS unit FROM lineitem
+      |)
+      |SELECT p_partkey, count(*) AS n_close
+      |FROM part JOIN u
+      |  ON u.unit BETWEEN p_retailprice - 1.0 AND p_retailprice + 1.0
+      |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .select((col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .withColumn("bin", floor(col("unit")))
+    val pr = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        explode(sequence(floor(col("p_retailprice") - 1.0),
+          floor(col("p_retailprice") + 1.0))).as("bin"))
+    li.join(pr, "bin")
+      .filter(col("unit").between(col("p_retailprice") - 1.0,
+        col("p_retailprice") + 1.0))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_close"))
+      .orderBy("p_partkey")
+  }
+
   override def all: Seq[Q] = Seq(
-    leftChain, innerUsing, semi, anti, interval, asof, summaryDiff)
+    leftChain, innerUsing, semi, anti, interval, asof, summaryDiff,
+    rangeBinned)
 }

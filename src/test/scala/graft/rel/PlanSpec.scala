@@ -90,6 +90,16 @@ class PlanSpec extends SparkSuite {
       "redaction fell back to a UDF")
   }
 
+  test("binned range join plans as an equi join on the bin, never a " +
+    "nested-loop pair build") {
+    val p = plan("q_join_range_binned")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to all-pairs:\n" + p)
+    assert(p.contains("Generate") && p.contains("explode(sequence"),
+      "bin expansion missing:\n" + p)
+  }
+
   test("kNN join broadcasts the vector side and pushes the rank limit " +
     "below the shuffle") {
     val p = plan("q_sim_knn_join")
