@@ -178,7 +178,25 @@ object AggQueries extends QueryCatalog {
       |ORDER BY returnflag, linestatus""".stripMargin)
   }
 
+  /** Fixed-width histogram — the data-profiling staple. Bucket
+    * assignment is map-side floor division; the groupBy key space is
+    * bounded by the domain (10 buckets here), so partial aggregation
+    * collapses each partition to the bucket count before the shuffle.
+    * min/max are order-insensitive (no float-sum determinism risk). */
+  private val histogram = Q(
+    "q_agg_histogram",
+    """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, round(min(value), 2) AS lo, round(max(value), 2) AS hi
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(floor(col("value") / 50.0).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
-    approxDistinct, rollupQ, cubeQ, groupingSetsQ)
+    approxDistinct, rollupQ, cubeQ, groupingSetsQ, histogram)
 }
