@@ -1273,6 +1273,44 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .toDF("timestamp", "file", "latest_snapshot_id")
   }
 
+  /** entries: the CURRENT snapshot's manifest entries with status —
+    * the per-snapshot slice of [[allEntries]] (Iceberg's `entries`
+    * metadata table). */
+  def entries: DataFrame = {
+    val cur: Long = meta.currentSnapshotId.getOrElse(-1L)
+    allEntries.filter(org.apache.spark.sql.functions.col("snapshot_id")
+      === cur)
+  }
+
+  /** manifests: the current snapshot's manifest list (Iceberg's
+    * `manifests` table; one manifest per snapshot in this format). */
+  def manifests: DataFrame = {
+    import spark.implicits._
+    val m = meta
+    m.snapshots.filter(s => m.currentSnapshotId.contains(s.snapshotId))
+      .map(s => (root.resolve(s.manifestList).toString, s.snapshotId))
+      .toDF("path", "added_snapshot_id")
+  }
+
+  /** data_files / delete_files: the content split of [[files]]
+    * (Iceberg's tables of the same names): 0 = data, 1/2 = position /
+    * equality deletes. */
+  def dataFiles: DataFrame =
+    files.filter(org.apache.spark.sql.functions.col("content") === 0)
+  def deleteFiles: DataFrame =
+    files.filter(org.apache.spark.sql.functions.col("content") =!= 0)
+
+  /** all_files and its content splits: every file referenced by ANY
+    * retained snapshot, one row per path (Iceberg's all_files /
+    * all_data_files / all_delete_files). Metadata-only — built from
+    * the manifests, no data scan. */
+  def allFiles: DataFrame =
+    filesOf(meta.snapshots.flatMap(manifestOf).distinctBy(_.path))
+  def allDataFiles: DataFrame =
+    allFiles.filter(org.apache.spark.sql.functions.col("content") === 0)
+  def allDeleteFiles: DataFrame =
+    allFiles.filter(org.apache.spark.sql.functions.col("content") =!= 0)
+
   /** all_entries: per snapshot, each file with status
     * 1=ADDED / 2=DELETED / 3=EXISTING (FIXTURES.md encoding) and the
     * nested data_file struct accessed with dotted paths in the reference

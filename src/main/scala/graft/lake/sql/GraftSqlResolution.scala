@@ -201,6 +201,13 @@ class GraftMetadataSqlTable(identName: String, val graft: GraftTable,
     case "metadata_log_entries" => graft.metadataLogEntries
     case "refs" => graft.refsTable
     case "position_deletes" => graft.positionDeletes
+    case "entries" => graft.entries
+    case "manifests" => graft.manifests
+    case "data_files" => graft.dataFiles
+    case "delete_files" => graft.deleteFiles
+    case "all_files" => graft.allFiles
+    case "all_data_files" => graft.allDataFiles
+    case "all_delete_files" => graft.allDeleteFiles
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $other")
   }

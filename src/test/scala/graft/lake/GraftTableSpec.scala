@@ -229,6 +229,26 @@ class GraftTableSpec extends SparkSuite {
       .head.getAs[String]("file_path")
     assert(Io.normalize(pd.head.getAs[String]("delete_file_path")) ===
       Io.normalize(delFilePath))
+    // entries = current snapshot's slice of all_entries
+    val curSnap = t.currentSnapshot.get.snapshotId
+    assert(t.entries.select("snapshot_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(curSnap))
+    // data_files + delete_files partition files exactly
+    assert(t.dataFiles.count() + t.deleteFiles.count() === t.files.count())
+    assert(t.deleteFiles.count() === 1, "MOR delete must show one tombstone")
+    // manifests: exactly the current snapshot's manifest list
+    val mf = t.manifests.collect()
+    assert(mf.length === 1 && mf.head.getLong(1) === curSnap)
+    // all_files spans every snapshot's references, one row per path,
+    // and is a superset of the live files
+    val allPaths = t.allFiles.select("file_path").collect()
+      .map(_.getString(0)).toSet
+    val livePaths = t.files.select("file_path").collect()
+      .map(_.getString(0)).toSet
+    assert(livePaths.subsetOf(allPaths))
+    assert(t.allFiles.count() === allPaths.size, "all_files must dedup by path")
+    assert(t.allDataFiles.count() + t.allDeleteFiles.count()
+      === t.allFiles.count())
   }
 
   test("stats-pruned readWhere returns the same rows as a plain filter") {

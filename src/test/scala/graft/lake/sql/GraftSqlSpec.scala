@@ -90,6 +90,18 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl.history").count() === 3)
     assert(spark.sql(
       s"SELECT * FROM $tbl.all_entries WHERE status = 1").count() > 0)
+    // content-split and all-snapshot relations resolve as fourth-part
+    // identifiers and partition their parents exactly
+    val nFiles = spark.sql(s"SELECT * FROM $tbl.files").count()
+    assert(spark.sql(s"SELECT * FROM $tbl.data_files").count() +
+      spark.sql(s"SELECT * FROM $tbl.delete_files").count() === nFiles)
+    val nAll = spark.sql(s"SELECT * FROM $tbl.all_files").count()
+    assert(spark.sql(s"SELECT * FROM $tbl.all_data_files").count() +
+      spark.sql(s"SELECT * FROM $tbl.all_delete_files").count() === nAll)
+    assert(nAll >= nFiles)
+    assert(spark.sql(s"SELECT * FROM $tbl.entries").select("snapshot_id")
+      .distinct().count() === 1)
+    assert(spark.sql(s"SELECT * FROM $tbl.manifests").count() === 1)
   }
 
   test("INSERT INTO ... SELECT and INSERT OVERWRITE") {
