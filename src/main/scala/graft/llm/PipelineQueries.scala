@@ -704,7 +704,41 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("source", "shard")
   }
 
+  /** Sliding-window document chunking: 32-token windows every 24
+    * tokens (8-token overlap) — how long documents become
+    * context-window-sized training/RAG units. Chunk starts explode
+    * map-side from a sequence over ceil(n/stride); the slice+join is
+    * per-row HOF math, so the whole operator is narrow until the
+    * presentation sort. At 100 TB this is the shape that matters:
+    * chunking never shuffles the corpus, and downstream operators see
+    * (doc_id, chunk_id) keys that inherit the document partitioning.
+    */
+  private val chunk = Q(
+    "q_pipe_chunk",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |)
+      |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_id,
+      |  len(toks[u.i * 24 + 1 : u.i * 24 + 32]) AS n_tokens,
+      |  array_to_string(toks[u.i * 24 + 1 : u.i * 24 + 32], ' ') AS chunk
+      |FROM t, unnest(generate_series(0,
+      |  CAST(ceil(len(toks) / 24.0) AS BIGINT) - 1)) AS u(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0L, " +
+          "CAST(ceil(size(toks) / 24.0) AS BIGINT) - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("size(slice(toks, CAST(chunk_id * 24 + 1 AS INT), 32))")
+          .as("n_tokens"),
+        expr("array_join(slice(toks, CAST(chunk_id * 24 + 1 AS INT), 32)," +
+          " ' ')").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantize, piiRedact, logprob, decontaminate,
-    keywords, minhashMd5, upsample)
+    keywords, minhashMd5, upsample, chunk)
 }
