@@ -330,6 +330,24 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("lang")
   }
 
+  /** The 100 TB twin of q_pipe_quantiles: approx_percentile (a
+    * mergeable t-digest-style sketch — partial-aggregates map-side and
+    * merges across partitions, so percentile cost stops scaling with
+    * row count). No oracle: sketch internals have no DuckDB twin;
+    * LlmSpec bounds its error against the exact percentiles instead.
+    */
+  private val quantilesApprox = Q.noOracle("q_pipe_quantiles_approx") {
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          expr("approx_percentile(n_chars, 0.25, 10000)").as("p25"),
+          expr("approx_percentile(n_chars, 0.50, 10000)").as("p50"),
+          expr("approx_percentile(n_chars, 0.75, 10000)").as("p75"),
+          expr("approx_percentile(n_chars, 0.95, 10000)").as("p95"))
+        .orderBy("lang")
+  }
+
   /** Int8 scalar quantization of embeddings: symmetric per-vector
     * scale (max |x| -> 127), plus the reconstruction RMSE — the
     * compression step before shipping vectors to an ANN index. All
@@ -739,6 +757,6 @@ object PipelineQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
-    vocab, quantiles, quantize, piiRedact, logprob, decontaminate,
-    keywords, minhashMd5, upsample, chunk)
+    vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
+    decontaminate, keywords, minhashMd5, upsample, chunk)
 }

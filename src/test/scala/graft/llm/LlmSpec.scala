@@ -38,6 +38,32 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("approx percentiles land at the right empirical rank (|cdf - q| " +
+    "<= 0.1) for every language and quantile") {
+    import org.apache.spark.sql.functions.col
+    val qs = Seq(0.25, 0.50, 0.75, 0.95)
+    val byLang = graft.rel.Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val approx = run("q_pipe_quantiles_approx").collect()
+      .map(r => r.getString(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet === byLang.keySet)
+    for ((lang, vals) <- approx; (v, q) <- vals.zip(qs)) {
+      val data = byLang(lang)
+      // approx_percentile returns an ACTUAL corpus value, so judge it
+      // by rank, not by distance to the interpolated exact percentile
+      // (tiny sf0.001 groups make value-distance meaningless): the
+      // fraction of rows <= v must sit within 0.1 of the requested
+      // quantile (group granularity ~1/20 + sketch error at 10000).
+      assert(data.contains(v), s"$lang q=$q: $v is not a corpus value")
+      val cdf = data.count(_ <= v).toDouble / data.size
+      assert(math.abs(cdf - q) <= 0.1,
+        s"$lang q=$q: approx value $v has empirical rank $cdf")
+    }
+  }
+
   test("minhash-LSH pairs are a subset of exact ngram-jaccard pairs" +
     " and recall all pairs with jaccard >= 0.8") {
     val exact = run("q_dedup_ngram_jaccard").collect()
