@@ -196,7 +196,67 @@ object AggQueries extends QueryCatalog {
       .orderBy("bucket")
   }
 
+  /** PIVOT — long-to-wide reshape: quantity totals per linestatus with
+    * one column per return flag. The pivot values are declared
+    * explicitly (A/N/R), which is also the scale rule: an undeclared
+    * pivot first runs a distinct scan to discover values, a declared
+    * one is a single pass. Quantities are integral doubles, so the
+    * sums are exact and cast to BIGINT for a rounding-free compare.
+    * Oracle side is the CASE-sum expansion (what a pivot IS). */
+  private val pivotQ = Q(
+    "q_agg_pivot",
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+      |    AS BIGINT) AS qty_a,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)
+      |    AS BIGINT) AS qty_n,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+      |    AS BIGINT) AS qty_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity")))
+      .select(col("l_linestatus"),
+        col("A").cast("bigint").as("qty_a"),
+        col("N").cast("bigint").as("qty_n"),
+        col("R").cast("bigint").as("qty_r"))
+      .orderBy("l_linestatus")
+  }
+
+  /** UNPIVOT (melt) — wide-to-long reshape via Dataset.unpivot: a
+    * per-status aggregate with two metric columns becomes one row per
+    * (status, metric). Runs AFTER aggregation, so the melt multiplies
+    * group rows (bounded), never fact rows. Both metrics are BIGINT so
+    * the stacked value column has one type — unpivot requires it, and
+    * it keeps the compare rounding-free. Oracle is the UNION ALL
+    * expansion (what an unpivot IS). */
+  private val unpivotQ = Q(
+    "q_unpivot",
+    """WITH w AS (
+      |  SELECT o_orderstatus, count(*) AS n_orders,
+      |    count(DISTINCT o_custkey) AS n_custs
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM w
+      |UNION ALL
+      |SELECT o_orderstatus, 'n_custs' AS metric, n_custs AS val FROM w
+      |ORDER BY o_orderstatus, metric""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .unpivot(
+        ids = Array(col("o_orderstatus")),
+        values = Array(col("n_orders"), col("n_custs")),
+        variableColumnName = "metric",
+        valueColumnName = "val")
+      .orderBy("o_orderstatus", "metric")
+  }
+
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
-    approxDistinct, rollupQ, cubeQ, groupingSetsQ, histogram)
+    approxDistinct, rollupQ, cubeQ, groupingSetsQ, histogram, pivotQ,
+    unpivotQ)
 }

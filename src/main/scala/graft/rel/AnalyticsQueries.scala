@@ -334,6 +334,244 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q6 shape: the forecast-revenue-change scan — a pure
+    * filter+scalar-aggregate with NO join and NO group key. All three
+    * predicates sit on lineitem columns, so the whole WHERE pushes into
+    * the parquet scan (PushedFilters) and the aggregate is one partial
+    * sum per partition + a single-row final merge: the cheapest
+    * possible shape at any scale. Revenue is summed in integer units
+    * (cents × discount-percent, see scaledNet) so the distributed sum
+    * is order-insensitive. */
+  private val forecastRevenue = Q(
+    "q_tpch_q6_forecast_revenue",
+    """SELECT ((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+      |    + 50) // 100) / 100.0 AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+  ) { (s, dir) =>
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi) &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(
+        sum(round(col("l_extendedprice") * 100).cast("bigint") *
+          round(col("l_discount") * 100).cast("bigint")).as("u"),
+        count(lit(1)).as("n_lines"))
+      .select((expr("(u + 50) div 100") / 100.0).as("revenue"),
+        col("n_lines"))
+  }
+
+  /** TPC-H Q13 shape: customer distribution by order count. The scale
+    * plan aggregates the FACT side first (orders → one row per custkey,
+    * bounded by the customer count) and only then left-joins customer,
+    * so no raw order row ever rides through the join; the second
+    * aggregate's key space is the max order count (tiny). Left join
+    * keeps zero-order customers with c_count = 0. */
+  private val custDist = Q(
+    "q_tpch_q13_custdist",
+    """WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+  ) { (s, dir) =>
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share for one ship month. Both the
+    * promo and total sums are integer-scaled, and the percentage itself
+    * is computed as half-up integer BASIS POINTS ((10000·promo + tot/2)
+    * div tot) — no round(double) anywhere, so the only float op is one
+    * final division by 100.0, identical in both engines. Part is
+    * broadcast; the fact table never shuffles (scalar aggregate). */
+  private val promoRevenue = Q(
+    "q_tpch_q14_promo_revenue",
+    """WITH t AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * CAST(round((1 - l_discount) * 100) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS promo,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS tot
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+      |SELECT ((10000 * promo + tot // 2) // tot) / 100.0 AS promo_pct
+      |FROM t""".stripMargin
+  ) { (s, dir) =>
+    val lo = java.sql.Timestamp.valueOf("1997-03-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-04-01 00:00:00")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .join(broadcast(Tables.part(s, dir)),
+        col("p_partkey") === col("l_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", scaledNet).otherwise(0L))
+          .as("promo"),
+        sum(scaledNet).as("tot"))
+      .select((expr("(10000 * promo + tot div 2) div tot") / 100.0)
+        .as("promo_pct"))
+  }
+
+  /** TPC-H Q15 shape: the top supplier by quarterly revenue, selected
+    * with a scalar-subquery MAX over the per-supplier aggregate. The
+    * revenue CTE is computed once from the fact table (one shuffle on
+    * l_suppkey); its single-row MAX is broadcast back — no second fact
+    * scan, no window over the whole table. Ties all surface (WHERE
+    * total = max), keeping the result deterministic. */
+  private val topSupplier = Q(
+    "q_tpch_q15_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS u
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, ((u + 50) // 100) / 100.0 AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE u = (SELECT max(u) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (s, dir) =>
+    val lo = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-04-01 00:00:00")
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(scaledNet).as("u"))
+    revenue
+      .join(broadcast(revenue.agg(max(col("u")).as("mx"))),
+        col("u") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("supplier_no"))
+      .select(col("s_suppkey"), col("s_name"),
+        (expr("(u + 50) div 100") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape: how many distinct suppliers stock qualifying
+    * parts (lineitem stands in for the corpus's missing partsupp). The
+    * negated brand/type filters prune part BEFORE the join (broadcast);
+    * count(DISTINCT) runs two-phase with partial distinct before the
+    * shuffle. Integer-only output — no rounding contract at all. */
+  private val supplierCnt = Q(
+    "q_tpch_q16_supplier_cnt",
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 5, 10, 15, 20, 25)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 50""".stripMargin
+  ) { (s, dir) =>
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25))
+    Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(50)
+  }
+
+  /** TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    * where "small" is relative to the part's own average quantity — a
+    * correlated scalar subquery that the scale plan turns into a
+    * pre-aggregated per-part average joined back to the filtered fact
+    * rows (both sides keyed on partkey, one shuffle each). Quantities
+    * are integral doubles, so avg = exact-sum / count is reproducible
+    * across engines; revenue is exact cents divided by the constant
+    * 7.0 — the same two IEEE ops in both dialects, no rounding. */
+  private val smallQtyRevenue = Q(
+    "q_tpch_q17_small_qty_revenue",
+    """WITH avgq AS (
+      |  SELECT l_partkey AS ap, avg(l_quantity) AS aq
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT (CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    AS BIGINT) / 7.0) / 100.0 AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN avgq ON ap = l_partkey
+      |WHERE p_brand = 'Brand#11' AND l_quantity < 0.2 * aq""".stripMargin
+  ) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val avgq = l.groupBy(col("l_partkey").as("ap"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    l.join(broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#11")),
+        col("p_partkey") === col("l_partkey"))
+      .join(avgq, col("ap") === col("l_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("u"),
+        count(lit(1)).as("n_lines"))
+      .select((col("u") / 7.0 / 100.0).as("avg_yearly"), col("n_lines"))
+  }
+
+  /** TPC-H Q22 shape: well-funded customers with no urgent orders
+    * (adapted: the corpus has no phone column, and every customer has
+    * SOME order, so the anti-join excludes '1-URGENT' orders instead).
+    * The positive-balance average is a scalar subquery computed in
+    * exact integer cents (sum of cents is a BIGINT, avg = one double
+    * division) and broadcast; the NOT EXISTS is a left-anti join on
+    * the pre-filtered orders. Balance totals are half-up integer cents. */
+  private val globalSales = Q(
+    "q_tpch_q22_global_sales",
+    """WITH cents AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+      |  FROM customer),
+      |thresh AS (
+      |  SELECT CAST(sum(bal) AS BIGINT) * 1.0 / count(*) AS avg_bal
+      |  FROM cents WHERE bal > 0)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |  ((CAST(sum(bal) AS BIGINT) + 50) // 100) / 100.0 AS totacctbal
+      |FROM cents, thresh
+      |WHERE bal > avg_bal
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders
+      |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  ) { (s, dir) =>
+    val cents = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("bigint").as("bal"))
+    val thresh = cents.filter(col("bal") > 0)
+      .agg((sum(col("bal")) * lit(1.0) / count(lit(1))).as("avg_bal"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    cents
+      .crossJoin(broadcast(thresh))
+      .filter(col("bal") > col("avg_bal"))
+      .join(urgent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), sum(col("bal")).as("u"))
+      .select(col("c_mktsegment"), col("numcust"),
+        (expr("(u + 50) div 100") / 100.0).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Skew-safe aggregation through the driver gate: the salted
     * two-phase aggregate (Scale.saltedAgg) must equal the plain GROUP
     * BY — salting spreads each hot key over 16 partial groups and
@@ -383,5 +621,7 @@ object AnalyticsQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(shippingPriority, localSupplierVolume, returnedItems,
       largeOrders, orderPriority, priorityClass, brandRevenue,
-      lastShipper, volumeShipping, saltedAgg, windowDistribution)
+      lastShipper, volumeShipping, forecastRevenue, custDist,
+      promoRevenue, topSupplier, supplierCnt, smallQtyRevenue,
+      globalSales, saltedAgg, windowDistribution)
 }

@@ -162,7 +162,38 @@ object FuncQueries extends QueryCatalog {
       .orderBy("vec_id")
   }
 
+  /** Complex-type scalar functions: STRUCT construction + field access
+    * and MAP construction + key lookup, round-tripped inside one
+    * projection and flattened back to scalars. All map-side codegen —
+    * Catalyst collapses the build/access pairs at optimization time,
+    * so nothing nested ever materializes. The oracle states the
+    * equivalent flat expressions directly: the VALUES are the
+    * contract, the nested detour is the operator under test. */
+  private val structMap = Q(
+    "q_func_struct_map",
+    """SELECT doc_id, lang, upper(source) AS source_uc,
+      |  n_chars, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  2 AS n_keys
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        struct(col("lang").as("lang"), col("source").as("source"))
+          .as("meta"),
+        map(
+          lit("chars"), col("n_chars"),
+          lit("tokens"), size(split(col("text"), " ")).cast("long"))
+          .as("m"))
+      .select(col("doc_id"),
+        col("meta").getField("lang").as("lang"),
+        upper(col("meta").getField("source")).as("source_uc"),
+        element_at(col("m"), "chars").as("n_chars"),
+        element_at(col("m"), "tokens").as("n_tokens"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     dateTrunc, condExpr, dateParts, coalesceKey, regexpQ, jsonQ, tokensQ,
-    arrayMath)
+    arrayMath, structMap)
 }

@@ -238,7 +238,62 @@ object JoinQueries extends QueryCatalog {
       .orderBy("p_partkey")
   }
 
+  /** J-family completion: FULL OUTER join of two filtered aggregates —
+    * per-customer counts of finished ('F') vs open ('O') orders.
+    * Customers holding only one status produce an exclusive row on
+    * each side, so all three outer regions are exercised; keys are
+    * coalesced and counts null-filled to keep the output total-orderable.
+    * Scale: both inputs are pre-aggregated on the join key (bounded by
+    * customer count) before the join, so the outer join shuffles group
+    * rows, never raw orders. */
+  private val fullOuter = Q(
+    "q_join_full_outer",
+    """WITH f AS (
+      |  SELECT o_custkey AS fk, count(*) AS n_finished
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+      |o AS (
+      |  SELECT o_custkey AS ok, count(*) AS n_open
+      |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+      |SELECT coalesce(fk, ok) AS custkey,
+      |  coalesce(n_finished, 0) AS n_finished,
+      |  coalesce(n_open, 0) AS n_open
+      |FROM f FULL OUTER JOIN o ON fk = ok
+      |ORDER BY custkey""".stripMargin
+  ) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val f = orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("fk"))
+      .agg(count(lit(1)).as("n_finished"))
+    val o = orders.filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("ok"))
+      .agg(count(lit(1)).as("n_open"))
+    f.join(o, col("fk") === col("ok"), "full_outer")
+      .select(coalesce(col("fk"), col("ok")).as("custkey"),
+        coalesce(col("n_finished"), lit(0L)).as("n_finished"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"))
+      .orderBy("custkey")
+  }
+
+  /** J-family completion: explicit CROSS JOIN of the two smallest
+    * dimensions (region × nation = 125 rows). A cartesian product is
+    * only ever a sane plan when at least one side is tiny and
+    * broadcast — asserted by keeping dims only; the fact tables never
+    * appear under a cross join anywhere in this catalog. */
+  private val crossDims = Q(
+    "q_join_cross",
+    """SELECT r_name, n_name,
+      |  (n_regionkey = r_regionkey) AS is_home
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+  ) { (s, dir) =>
+    Tables.region(s, dir)
+      .crossJoin(broadcast(Tables.nation(s, dir)))
+      .select(col("r_name"), col("n_name"),
+        (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+      .orderBy("r_name", "n_name")
+  }
+
   override def all: Seq[Q] = Seq(
     leftChain, innerUsing, semi, anti, interval, asof, summaryDiff,
-    rangeBinned)
+    rangeBinned, fullOuter, crossDims)
 }
