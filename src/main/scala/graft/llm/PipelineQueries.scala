@@ -756,7 +756,45 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Training-mix weights: temperature-scaled source sampling
+    * (weight_s ∝ n_tokens_s^0.5 — the standard multiplicative-rebalance
+    * that upweights small sources; alpha = 0.5 specifically because
+    * IEEE sqrt is correctly rounded and therefore bit-identical across
+    * engines, unlike pow(x, 0.7) whose libm differs). All arithmetic
+    * after the sqrt is integer: the scaled weight is floored to a
+    * BIGINT, the normalizer is an exact integer sum, and the final
+    * share is half-up integer PARTS PER MILLION — no float sum, no
+    * round(double) anywhere. One bounded groupBy(source) + a 1-row
+    * broadcast: nothing here grows with the corpus. */
+  private val mixture = Q(
+    "q_pipe_mixture",
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(n_tokens) * 1000000) AS BIGINT) AS wgt
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  (1000000 * wgt + tw // 2) // tw AS weight_ppm
+      |FROM w, t ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val w = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("wgt",
+        floor(sqrt(col("n_tokens")) * 1000000d).cast("bigint"))
+    w.crossJoin(broadcast(w.agg(sum(col("wgt")).as("tw"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000L * wgt + tw div 2) div tw").as("weight_ppm"))
+      .orderBy("source")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
-    decontaminate, keywords, minhashMd5, upsample, chunk)
+    decontaminate, keywords, minhashMd5, upsample, chunk, mixture)
 }

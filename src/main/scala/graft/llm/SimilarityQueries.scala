@@ -230,8 +230,59 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("vec_id", "nn_rank")
   }
 
+  /** Binary-code ANN: sign-quantize each 64-dim vector to 64 bits
+    * (packed as two 32-bit halves in BIGINTs — a 63-bit shift would
+    * hit the sign bit, two halves keep every shift well-defined in
+    * both engines), then rank by Hamming distance to the query code
+    * via bit_count(xor). This is the memory-extreme end of the
+    * quantization spectrum (int8 = q_pipe_quantize, 1-bit = here): at
+    * 100 TB the codes are 256× smaller than the float vectors, the
+    * packing is map-side, the 1-row query side broadcasts, and the
+    * top-k is TakeOrderedAndProject — no shuffle of vector data at
+    * all. Output is pure integers: no float anywhere, so no rounding
+    * contract is even needed. */
+  private val topkHamming = Q(
+    "q_sim_topk_hamming",
+    """WITH codes AS (
+      |  SELECT vec_id, label,
+      |    CAST(list_sum(list_transform(range(32), i ->
+      |      CASE WHEN embedding[i + 1] > 0 THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS c_lo,
+      |    CAST(list_sum(list_transform(range(32), i ->
+      |      CASE WHEN embedding[i + 33] > 0 THEN 1::BIGINT << i
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS c_hi
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT c_lo AS q_lo, c_hi AS q_hi FROM codes WHERE vec_id = 0
+      |)
+      |SELECT vec_id, label,
+      |  CAST(bit_count(xor(c_lo, q_lo)) AS BIGINT)
+      |    + CAST(bit_count(xor(c_hi, q_hi)) AS BIGINT) AS hamming
+      |FROM codes, q WHERE vec_id <> 0
+      |ORDER BY hamming, vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    def half(loBit: Int) = expr(
+      s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+         |  acc + IF(element_at(embedding, i + ${loBit + 1}) > 0D,
+         |           shiftleft(1L, i), 0L))""".stripMargin)
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        half(0).as("c_lo"), half(32).as("c_hi"))
+    val q = codes.filter(col("vec_id") === 0)
+      .select(col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
+    codes.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (bit_count(col("c_lo").bitwiseXOR(col("q_lo"))).cast("bigint") +
+          bit_count(col("c_hi").bitwiseXOR(col("q_hi"))).cast("bigint"))
+          .as("hamming"))
+      .orderBy("hamming", "vec_id")
+      .limit(10)
+  }
+
   override def all: Seq[Q] =
-    Seq(topkBrute, topkIvf, topkLsh, knnJoin, centroidByLabel, centroidUdaf)
+    Seq(topkBrute, topkIvf, topkLsh, knnJoin, centroidByLabel, centroidUdaf,
+      topkHamming)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

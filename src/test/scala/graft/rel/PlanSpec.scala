@@ -131,6 +131,58 @@ class PlanSpec extends SparkSuite {
       "upsample added an unexpected shuffle:\n" + p)
   }
 
+  test("Q6 pushes all three predicates into the parquet scan and " +
+    "aggregates without any group shuffle") {
+    val p = plan("q_tpch_q6_forecast_revenue")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "date filter not pushed:\n" + p)
+    assert(p.contains("partial_sum"), "scalar agg lost map-side combine")
+  }
+
+  test("Q13 aggregates orders BEFORE the customer join: the outer join " +
+    "sees group rows, not raw orders") {
+    val p = plan("q_tpch_q13_custdist")
+    val joinIdx = p.indexOf("Join")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx < joinIdx,
+      "per-custkey pre-aggregation did not run below the join:\n" + p)
+  }
+
+  test("pivot with declared values reads the table once: no " +
+    "distinct-discovery scan, map-side partial agg kept") {
+    val p = plan("q_agg_pivot")
+    // one "Location:" per scan node in formatted mode
+    assert(p.linesIterator.count(_.trim.startsWith("Location:")) == 1,
+      "pivot scanned the table more than once:\n" + p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("full outer join of pre-aggregated sides keeps both inputs " +
+    "reduced and never goes cartesian") {
+    val p = plan("q_join_full_outer")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("hamming top-k packs codes map-side: broadcast 1-row query, " +
+    "TakeOrderedAndProject, no vector shuffle") {
+    val p = plan("q_sim_topk_hamming")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "vector rows shuffled for a 1-row query side:\n" + p)
+  }
+
+  test("mixture weights: one bounded group-by plus a 1-row broadcast, " +
+    "no UDF, no second corpus scan above the agg") {
+    val p = plan("q_pipe_mixture")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      "token sums lost map-side combine:\n" + p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("cluster-resolution edges come from an equi-join, not a " +
     "cartesian pair build") {
     val p = graft.llm.DedupQueries
