@@ -163,6 +163,46 @@ object LakeQueries extends QueryCatalog {
     s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
   }
 
+  /** MERGE INTO as a driver-visible query: the full upsert verbs the
+    * reference's Iceberg surface offers (`MERGE ... WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED THEN INSERT`, then a second merge whose
+    * MATCHED clause deletes). Result is the table's final content —
+    * deterministic rows, no-oracle (runtime temp catalog), with the
+    * clause-level semantics pinned by GraftSqlSpec's three MERGE tests. */
+  private val mergeUpsert = Q.noOracle("q_lake_merge") { (s, _) =>
+    ensureSqlCatalog(s)
+    val ns = s"sqlns_${System.nanoTime()}"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.pii_data"
+    s.sql(
+      s"""CREATE TABLE $tbl (
+         |  case_id STRING, first_name STRING, email_address STRING,
+         |  key_nm STRING, secure_txt STRING, secure_key STRING,
+         |  update_date DATE)
+         |USING graft""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl VALUES
+         |('case-1','John','john.doe@example.com','key1','secret text 1','secret_key_1',DATE'2023-01-01'),
+         |('case-2','Jane','jane.roe@example.com','key2','secret text 2','secret_key_2',DATE'2023-01-02')""".stripMargin)
+    // upsert: case-2 updated in place, case-3 inserted
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT 'case-2' AS case_id, 'Janet' AS nm, DATE'2023-03-01' AS d
+         |       UNION ALL
+         |       SELECT 'case-3', 'Alice', DATE'2023-01-03') src
+         |ON t.case_id = src.case_id
+         |WHEN MATCHED THEN UPDATE SET first_name = src.nm, update_date = src.d
+         |WHEN NOT MATCHED THEN INSERT (case_id, first_name, update_date)
+         |  VALUES (src.case_id, src.nm, src.d)""".stripMargin)
+    // erase verb: a MATCHED clause that deletes
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (SELECT 'case-1' AS case_id) gone
+         |ON t.case_id = gone.case_id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
+  }
+
   /** Streaming ⇄ lake round trip as a driver-checkable query: a
     * GraftTable append stream (snapshot-id offsets) feeds an
     * exactly-once foreachBatch append sink into a second table; the
@@ -234,6 +274,6 @@ object LakeQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
-    prunedRead, equalityDelete, sqlLifecycle, streamRoundTrip,
-    changelog, wap)
+    prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
+    streamRoundTrip, changelog, wap)
 }

@@ -115,5 +115,33 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("user_id")
   }
 
-  override def all: Seq[Q] = Seq(tumbling, sliding, session, streamJoin)
+  /** Batch twin of the transformWithState milestone counter
+    * ([[Streams.milestones]]): the event completing every 25th event
+    * per user, defined over total (ts, event_id) event-time order. In
+    * batch the cumulative count IS a row_number window; the streaming
+    * spec proves the stateful processor emits the identical rows
+    * incrementally. Integer-only output. */
+  private val milestonesQ = Q(
+    "q_stream_milestones",
+    """SELECT user_id, rn AS milestone, event_id
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn % 25 = 0
+      |ORDER BY user_id, milestone""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") % 25 === 0)
+      .select(col("user_id"), col("rn").as("milestone"), col("event_id"))
+      .orderBy("user_id", "milestone")
+  }
+
+  override def all: Seq[Q] =
+    Seq(tumbling, sliding, session, streamJoin, milestonesQ)
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2j real Structured Streaming surface: file-source
@@ -119,6 +119,51 @@ object Streams {
                 SessionOut(userId, ts.head, ts.last + gapUs, ts.length.toLong))
           }
       }
+  }
+
+  final case class MilestoneOut(user_id: Long, milestone: Long, event_id: Long)
+
+  /** Arbitrary state V2 (`transformWithState`, the Spark 4 replacement
+    * surface for flatMapGroupsWithState): per-user milestone counter
+    * that emits the event completing every k-th event for that user.
+    * State is a single ValueState[Long] per user — O(users), never
+    * O(events) — checkpointed by the RocksDB state store the API
+    * requires. Within each micro-batch the group's rows are sorted by
+    * (ts, event_id) so emission follows event-time order whenever the
+    * source delivers batches chronologically (the file source with
+    * staged chronological files, or any log-ordered source); the batch
+    * twin (q_stream_milestones) defines the same semantics with a
+    * row_number window. */
+  class MilestoneProcessor(k: Long)
+      extends StatefulProcessor[Long, Ev, MilestoneOut] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[MilestoneOut] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      var c = if (count.exists()) count.get() else 0L
+      val out = sorted.flatMap { e =>
+        c += 1
+        if (c % k == 0) Some(MilestoneOut(userId, c, e.event_id)) else None
+      }
+      count.update(c)
+      out.iterator
+    }
+  }
+
+  /** Milestone stream over user events; see [[MilestoneProcessor]]. */
+  def milestones(events: DataFrame, k: Long = 25L): Dataset[MilestoneOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new MilestoneProcessor(k),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stream-stream inner join: each purchase matched to the same

@@ -295,4 +295,38 @@ class StreamingSpec extends SparkSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("transformWithState milestone counter (arbitrary state V2) " +
+    "equals the batch row_number twin") {
+    // the V2 state API requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.milestones(stream, 25L),
+        "milestones", OutputMode.Append)
+      val got = spark.table("milestones").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch semantics: every 25th event per user in (ts, event_id)
+      // order; 4 chronological micro-batches must reproduce it exactly
+      // because the counter state carries across batches
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      val want = batchEvents
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") % 25 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+        .toSet
+      assert(got == want)
+      assert(got.nonEmpty, "corpus too small: no user reached 25 events")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
