@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, SignPack, SimHash64}
 
 /** Engine extension point, applied via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_signpack"),
+      new ExpressionInfo(classOf[SignPack].getCanonicalName, "vec_signpack"),
+      (children: Seq[Expression]) => SignPack(children.head, children(1))))
   }
 }

@@ -163,3 +163,78 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** vec_signpack(v, offset): packs the sign bits of 32 consecutive
+  * elements of a numeric array into a BIGINT — bit i is set iff
+  * v[offset + i] > 0. Two calls (offset 0 and 32) binary-quantize a
+  * 64-dim embedding into the pair of Hamming codes q_sim_topk_hamming
+  * ranks on; 32-bit halves (rather than one 64-bit word) keep every
+  * shift in the oracle's integer range too. The interpreted
+  * `aggregate(sequence(...))` formulation costs one closure dispatch
+  * and boxing per element; this compiles to a tight primitive loop in
+  * WholeStageCodegen — the packing pass is the whole scan cost at
+  * 10^9 vectors. Null and missing elements contribute a 0 bit.
+  */
+case class SignPack(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+      if (right.foldable) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "vec_signpack offset must be a literal")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_signpack needs (array<float|double>, int literal), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_signpack"
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val off = b.asInstanceOf[Int]
+    val n = arr.numElements()
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      val j = off + i
+      if (j < n && !arr.isNullAt(j)) {
+        val v = if (elemIsFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+        if (v > 0.0) out |= (1L << i)
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, off) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val out = ctx.freshName("out")
+      val get =
+        if (elemIsFloat) s"(double) $arr.getFloat($j)"
+        else s"$arr.getDouble($j)"
+      s"""
+         |final int $n = $arr.numElements();
+         |long $out = 0L;
+         |for (int $i = 0; $i < 32; $i++) {
+         |  final int $j = $off + $i;
+         |  if ($j < $n && !$arr.isNullAt($j) && $get > 0.0) {
+         |    $out |= (1L << $i);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignPack =
+    copy(left = newLeft, right = newRight)
+}

@@ -29,6 +29,16 @@ object vec {
 
   def norm(s: SparkSession, a: Column): Column = sqrt(dot(s, a, a))
 
+  /** 32 sign bits of `a` from 0-based `offset`, packed into a long —
+    * native [[SignPack]] kernel when registered, HOF fallback with
+    * identical bit semantics otherwise. */
+  def signpack(s: SparkSession, a: Column, offset: Int): Column =
+    if (s.catalog.functionExists("vec_signpack"))
+      call_function("vec_signpack", a, lit(offset))
+    else aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+      acc + when(element_at(a, i + lit(offset + 1)) > 0d,
+        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+
   def cosine(s: SparkSession, a: Column, b: Column,
       normA: Column, normB: Column): Column =
     dot(s, a, b) / (normA * normB)

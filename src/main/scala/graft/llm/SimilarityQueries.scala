@@ -261,13 +261,10 @@ object SimilarityQueries extends QueryCatalog {
       |FROM codes, q WHERE vec_id <> 0
       |ORDER BY hamming, vec_id LIMIT 10""".stripMargin
   ) { (s, dir) =>
-    def half(loBit: Int) = expr(
-      s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
-         |  acc + IF(element_at(embedding, i + ${loBit + 1}) > 0D,
-         |           shiftleft(1L, i), 0L))""".stripMargin)
     val codes = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
-        half(0).as("c_lo"), half(32).as("c_hi"))
+        graft.functions.vec.signpack(s, col("embedding"), 0).as("c_lo"),
+        graft.functions.vec.signpack(s, col("embedding"), 32).as("c_hi"))
     val q = codes.filter(col("vec_id") === 0)
       .select(col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
     codes.filter(col("vec_id") =!= 0)

@@ -572,6 +572,63 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("c_mktsegment")
   }
 
+  /** TPC-H Q8 shape: a supplier nation's market share, by order year,
+    * of one part type sold into one region — the deepest join tree in
+    * the catalog (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
+    * nation ×2 ⋈ region). Every dimension broadcasts; the fact table
+    * shuffles once for the orders join and once for the 5-row-key agg.
+    * The share is half-up integer basis points of integer-cent sums —
+    * the same all-integer ratio contract as Q14. */
+  private val marketShare = Q(
+    "q_tpch_q8_market_share",
+    """WITH sales AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * CAST(round((1 - l_discount) * 100) AS BIGINT) AS vol,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+      |SELECT o_year,
+      |  ((10000 * CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+      |      THEN vol ELSE 0 END) AS BIGINT)
+      |    + CAST(sum(vol) AS BIGINT) // 2)
+      |    // CAST(sum(vol) AS BIGINT)) / 100.0 AS mkt_share_pct
+      |FROM sales GROUP BY o_year ORDER BY o_year""".stripMargin
+  ) { (s, dir) =>
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("ck_nk"), col("n_regionkey"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sk_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("ck_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("sk_nk"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", scaledNet).otherwise(0L))
+          .as("cn"),
+        sum(scaledNet).as("tot"))
+      .select(col("o_year"),
+        (expr("(10000 * cn + tot div 2) div tot") / 100.0)
+          .as("mkt_share_pct"))
+      .orderBy("o_year")
+  }
+
   /** Skew-safe aggregation through the driver gate: the salted
     * two-phase aggregate (Scale.saltedAgg) must equal the plain GROUP
     * BY — salting spreads each hot key over 16 partial groups and
@@ -623,5 +680,5 @@ object AnalyticsQueries extends QueryCatalog {
       largeOrders, orderPriority, priorityClass, brandRevenue,
       lastShipper, volumeShipping, forecastRevenue, custDist,
       promoRevenue, topSupplier, supplierCnt, smallQtyRevenue,
-      globalSales, saltedAgg, windowDistribution)
+      globalSales, marketShare, saltedAgg, windowDistribution)
 }

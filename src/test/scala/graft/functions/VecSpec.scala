@@ -41,6 +41,40 @@ class VecSpec extends SparkSuite {
     assert(rows.isNullAt(3))
   }
 
+  test("vec_signpack matches the interpreted HOF formulation bit-for-" +
+    "bit on both halves, and a hand-computed code") {
+    assert(spark.catalog.functionExists("vec_signpack"))
+    val df = graft.rel.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50).select(col("vec_id"), col("embedding"))
+    def hof(off: Int) = expr(
+      s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+         |  acc + IF(element_at(embedding, i + ${off + 1}) > 0D,
+         |           shiftleft(1L, i), 0L))""".stripMargin)
+    val rows = df.select(
+      expr("vec_signpack(embedding, 0)").as("n_lo"), hof(0).as("h_lo"),
+      expr("vec_signpack(embedding, 32)").as("n_hi"), hof(32).as("h_hi"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"lo: ${r.getLong(0)} != ${r.getLong(1)}")
+      assert(r.getLong(2) == r.getLong(3), s"hi: ${r.getLong(2)} != ${r.getLong(3)}")
+    }
+    // hand-computed: signs (+,-,0,+) from offset 0 => bits 0 and 3
+    val hand = spark.sql(
+      """SELECT vec_signpack(array(0.5D, -1.0D, 0.0D, 2.0D), 0) AS c,
+        |  vec_signpack(array(0.5D, -1.0D, 0.0D, 2.0D), 32) AS past_end,
+        |  vec_signpack(CAST(NULL AS ARRAY<DOUBLE>), 0) AS nul
+        |""".stripMargin).collect().head
+    assert(hand.getLong(0) == 9L) // 1<<0 | 1<<3
+    assert(hand.getLong(1) == 0L) // offset beyond the array: all-zero code
+    assert(hand.isNullAt(2))
+    // the Column helper resolves to the same kernel values
+    val viaHelper = df.select(
+      vec.signpack(spark, col("embedding"), 0).as("c")).collect()
+      .map(_.getLong(0))
+    val native = rows.map(_.getLong(0))
+    assert(native.sameElements(viaHelper))
+  }
+
   test("vec helper falls back to the UDF without the extension and" +
     " produces identical values") {
     // a bare session view: simulate by calling the udf path directly

@@ -168,6 +168,8 @@ class PlanSpec extends SparkSuite {
   test("hamming top-k packs codes map-side: broadcast 1-row query, " +
     "TakeOrderedAndProject, no vector shuffle") {
     val p = plan("q_sim_topk_hamming")
+    assert(p.contains("vec_signpack"),
+      "native sign-pack kernel not in the plan:\n" + p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("BroadcastExchange") ||
       p.contains("BroadcastNestedLoopJoin"), p)
