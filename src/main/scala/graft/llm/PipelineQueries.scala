@@ -794,7 +794,33 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("source")
   }
 
+  /** Deterministic training-order interleave: round-robin across
+    * sources (the standard way to avoid long single-source runs in a
+    * training stream without a shuffle-by-random). rank-within-source
+    * is one window keyed on source (parallel across sources); the
+    * epoch order IS the (rank, source) sort — deliberately NOT
+    * materialized as a global row_number, which would be a
+    * single-partition window; a prefix of the epoch is a plain
+    * TakeOrderedAndProject and a full epoch write is a range-
+    * partitioned sort, both scale-safe. */
+  private val interleave = Q(
+    "q_pipe_interleave",
+    """SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |    AS rank_in_source
+      |FROM documents
+      |ORDER BY rank_in_source, source LIMIT 200""".stripMargin
+  ) { (s, dir) =>
+    val perSource = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        row_number().over(perSource).as("rank_in_source"))
+      .orderBy("rank_in_source", "source")
+      .limit(200)
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
-    decontaminate, keywords, minhashMd5, upsample, chunk, mixture)
+    decontaminate, keywords, minhashMd5, upsample, chunk, mixture,
+    interleave)
 }

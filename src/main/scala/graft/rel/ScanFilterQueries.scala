@@ -107,7 +107,28 @@ object ScanFilterQueries extends QueryCatalog {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** LIKE predicates, one per pushdown class: prefix compiles to
+    * StringStartsWith, suffix to StringEndsWith, infix to
+    * StringContains — all three reach the parquet scan as
+    * PushedFilters (asserted in PlanSpec), so row groups whose
+    * min/max exclude the prefix never decompress. */
+  private val filterLike = Q(
+    "q_filter_like",
+    """SELECT p_partkey, p_name
+      |FROM part
+      |WHERE p_name LIKE 'small%' OR p_name LIKE '%bolt'
+      |   OR p_name LIKE '%wid%'
+      |ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_name").startsWith("small") ||
+        col("p_name").endsWith("bolt") ||
+        col("p_name").contains("wid"))
+      .select("p_partkey", "p_name")
+      .orderBy("p_partkey")
+  }
+
   override def all: Seq[Q] = Seq(
     projection, filterIn, filterEq, filterNotNull, filterNeq, litColumn,
-    distinctProj)
+    distinctProj, filterLike)
 }

@@ -110,6 +110,33 @@ object WindowQueries extends QueryCatalog {
       .orderBy(col("user_id"), col("value").desc, col("event_id"))
   }
 
+  /** first_value / last_value / nth_value with an explicit whole-
+    * partition ROWS frame — stated in BOTH dialects because the
+    * defaults differ (a running frame makes last_value = current row).
+    * No arithmetic on the picked values, so doubles pass the hash
+    * compare raw; (ts, event_id) makes every pick deterministic. */
+  private val firstLast = Q(
+    "q_window_first_last",
+    """SELECT user_id, event_id,
+      |  first_value(value) OVER w AS first_v,
+      |  last_value(value) OVER w AS last_v,
+      |  nth_value(value, 2) OVER w AS second_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING
+      |                      AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+      .orderBy("user_id", "event_id")
+  }
+
   override def all: Seq[Q] = Seq(
-    ranks, lagLead, runningSum, slidingAvg, topKPerGroup)
+    ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast)
 }

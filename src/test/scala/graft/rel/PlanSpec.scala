@@ -185,6 +185,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("LIKE predicates push all three string-match classes into the " +
+    "parquet scan") {
+    val p = plan("q_filter_like")
+    assert(p.contains("StringStartsWith"), "prefix LIKE not pushed:\n" + p)
+    assert(p.contains("StringEndsWith"), "suffix LIKE not pushed:\n" + p)
+    assert(p.contains("StringContains"), "infix LIKE not pushed:\n" + p)
+  }
+
+  test("interleave keeps the rank window keyed on source and takes the " +
+    "epoch prefix with TakeOrderedAndProject, no global-window " +
+    "single partition") {
+    val p = plan("q_pipe_interleave")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("partitionBy: []") && !p.contains("SinglePartition"),
+      "epoch order collapsed to one partition:\n" + p)
+  }
+
   test("cluster-resolution edges come from an equi-join, not a " +
     "cartesian pair build") {
     val p = graft.llm.DedupQueries
