@@ -149,6 +149,58 @@ object DedupQueries extends QueryCatalog {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric near-dup: Jaccard CONTAINMENT C(A in B) = |A∩B| / |A|.
+    * Symmetric Jaccard misses a short doc fully embedded in a long one
+    * (the union dilutes the score); containment is the standard metric
+    * for that quote/excerpt case. Same sparse shingle equi-join as
+    * q_dedup_ngram_jaccard — candidates only materialize on exact
+    * shingle collisions, never all-pairs — with both directions
+    * reported and the pair kept when either side is ≥ 0.8 contained. */
+  private val containment = Q(
+    "q_dedup_containment",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / sa.n, 4) AS a_in_b,
+      |  round(CAST(i AS DOUBLE) / sb.n, 4) AS b_in_a
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / sa.n >= 0.8
+      |   OR CAST(i AS DOUBLE) / sb.n >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val sets = shingleSets(Tables.documents(s, dir))
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("sa.n")).as("ca"),
+        (col("i").cast("double") / col("sb.n")).as("cb"))
+      .filter(col("ca") >= 0.8 || col("cb") >= 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("ca"), 4).as("a_in_b"), round(col("cb"), 4).as("b_in_a"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash signature length and LSH banding: 16 bands x 4 rows gives
     * ~64% candidate recall at j=0.5 and >99.9% at j=0.8. */
   private val NumHashes = 64
@@ -285,6 +337,6 @@ object DedupQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] = Seq(
-    exact, unigramJaccard, ngramJaccard, minhashLsh, simhash,
+    exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
     embeddingNearDup)
 }

@@ -490,6 +490,58 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality score: per-doc average negative conditional
+    * log-likelihood -ln p(w2 | w1) under corpus bigram statistics —
+    * one LM order above q_text_logprob's unigram proxy, and the level
+    * where repetitive/templated text separates cleanly from fluent
+    * text. p = c(w1 w2) / c(w1 ·) with both counts from the same
+    * bigram table (31-word vocab ⇒ ≤ 961 rows, broadcast). Same
+    * determinism contract as the unigram score: per-bigram -ln p is
+    * scaled to an integer BEFORE the distributed sum. */
+  private val logprobBigram = Q(
+    "q_text_logprob_bigram",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), db AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS big
+      |  FROM t WHERE len(toks) >= 2
+      |), bc AS (
+      |  SELECT big, count(*) AS c FROM db GROUP BY big
+      |), cc AS (
+      |  SELECT string_split(big, ' ')[1] AS w1, CAST(sum(c) AS BIGINT) AS ct
+      |  FROM bc GROUP BY 1
+      |)
+      |SELECT doc_id,
+      |  round(sum(CAST(round(-ln(CAST(c AS DOUBLE) / ct) * 1000000)
+      |      AS BIGINT)) / (1000000.0 * count(*)), 4) AS nll2
+      |FROM db
+      |JOIN bc USING (big)
+      |JOIN cc ON cc.w1 = string_split(big, ' ')[1]
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val db = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1]))")).as("big"))
+    val bc = db.groupBy("big").agg(count(lit(1)).as("c"))
+    val cc = bc
+      .groupBy(split(col("big"), " ").getItem(0).as("w1"))
+      .agg(sum(col("c")).as("ct"))
+    db.join(broadcast(bc), "big")
+      .join(broadcast(cc),
+        split(col("big"), " ").getItem(0) === col("w1"))
+      .select(col("doc_id"),
+        round(-log(col("c").cast("double") / col("ct")) * 1000000)
+          .cast("bigint").as("scaled"))
+      .groupBy("doc_id")
+      .agg(round(sum("scaled") / (lit(1000000.0) * count(lit(1))), 4)
+        .as("nll2"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * 5-token n-gram with the held-out eval slice (source='src4' stands
     * in for the benchmark set). The cross-set equi-join on the n-gram
@@ -821,6 +873,6 @@ object PipelineQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
-    decontaminate, keywords, minhashMd5, upsample, chunk, mixture,
-    interleave)
+    logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
+    mixture, interleave)
 }
