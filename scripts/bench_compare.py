@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Per-query bench regression check.
+
+Usage: bench_compare.py <old_bench_detail.json> <new_bench_detail.json>
+       [--threshold 1.5]
+
+Compares per-query seconds between two bench_detail.json dumps and
+prints queries slower than threshold x old (background-load variance on
+this box is ~±30%, so the default 1.5x flags real regressions only).
+Totals across rounds are NOT comparable (query counts grow; machine
+load varies) — this per-query view is the meaningful signal.
+
+Driver-side python — dev tooling only, NOT an engine dependency.
+"""
+import json
+import sys
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a
+                        else sys.argv[sys.argv.index(a) + 1])
+    old = json.load(open(args[0]))["queries"]
+    new = json.load(open(args[1]))["queries"]
+    regressed, added, removed = [], [], []
+    for q, t in sorted(new.items()):
+        if q not in old:
+            added.append((q, t))
+        elif t > old[q] * thr and t - old[q] > 0.2:
+            regressed.append((q, old[q], t))
+    removed = sorted(set(old) - set(new))
+    for q, o, n in sorted(regressed, key=lambda x: x[1] - x[2]):
+        print(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
+    for q, t in added:
+        print(f"NEW       {q}: {t:.2f}s")
+    for q in removed:
+        print(f"REMOVED   {q}")
+    both = [q for q in new if q in old]
+    tot_old = sum(old[q] for q in both)
+    tot_new = sum(new[q] for q in both)
+    print(f"\ncommon {len(both)} queries: {tot_old:.1f}s -> {tot_new:.1f}s"
+          f" | {len(regressed)} regressed >{thr}x, {len(added)} new,"
+          f" {len(removed)} removed")
+    sys.exit(1 if regressed else 0)
+
+
+if __name__ == "__main__":
+    main()
