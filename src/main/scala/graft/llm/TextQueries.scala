@@ -305,7 +305,47 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Token-distribution Shannon entropy per doc — the
+    * information-density quality feature (low entropy = repetitive /
+    * templated text; complements q_text_repetition's positional
+    * bigram fractions with an order-free signal). H = (1/n) Σ c·(-ln
+    * c/n) over the doc's token counts; each c·(-ln c/n) term is
+    * scaled to an integer BEFORE the distributed sum (the logprob
+    * determinism contract), so only the final normalization divides
+    * in float. Shuffles are keyed on (doc_id, tok) then doc_id —
+    * bounded per doc, parallel across the corpus. */
+  private val entropy = Q(
+    "q_text_entropy",
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), cnt AS (
+      |  SELECT doc_id, tok, count(*) AS c FROM dt GROUP BY doc_id, tok
+      |), n AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks
+      |  FROM cnt GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_toks,
+      |  round(sum(CAST(round(c * -ln(CAST(c AS DOUBLE) / n_toks)
+      |      * 1000000) AS BIGINT)) / (1000000.0 * n_toks), 4) AS entropy
+      |FROM cnt JOIN n USING (doc_id)
+      |GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val cnt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val n = cnt.groupBy("doc_id").agg(sum(col("c")).as("n_toks"))
+    cnt.join(n, "doc_id")
+      .select(col("doc_id"), col("n_toks"),
+        round(col("c") * -log(col("c").cast("double") / col("n_toks"))
+          * 1000000).cast("bigint").as("scaled"))
+      .groupBy("doc_id", "n_toks")
+      .agg(round(sum("scaled") / (lit(1000000.0) * col("n_toks")), 4)
+        .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
-      repetition)
+      repetition, entropy)
 }

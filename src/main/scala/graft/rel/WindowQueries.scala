@@ -137,6 +137,47 @@ object WindowQueries extends QueryCatalog {
       .orderBy("user_id", "event_id")
   }
 
+  /** Relational sessionization — the classic lag + running-sum-of-
+    * boundaries pattern (a new session starts where the gap from the
+    * previous event exceeds 30 minutes). Two windows over the SAME
+    * (user_id, ts, event_id) order, so Spark evaluates both in one
+    * Window operator after one shuffle — the batch-SQL equivalent of
+    * session_window/flatMapGroupsWithState (q_stream_session), useful
+    * when sessions feed further relational logic. Integer output. */
+  private val sessionizeSql = Q(
+    "q_window_sessionize",
+    """WITH gaps AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+      |           <= 1800000000 THEN 0 ELSE 1 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS session_id
+      |  FROM gaps
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts").cast("timestamp")) -
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(w)
+          <= 1800000000L, 0L).otherwise(1L))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
   override def all: Seq[Q] = Seq(
-    ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast)
+    ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast,
+    sessionizeSql)
 }
