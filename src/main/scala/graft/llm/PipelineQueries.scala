@@ -871,8 +871,56 @@ object PipelineQueries extends QueryCatalog {
       .limit(200)
   }
 
+  /** Weighted interleave — the mixture × order composition: each
+    * source's docs explode map-side into `factor` copies (the same
+    * explicit mix config as q_pipe_upsample: src0×3, src1×2, rest ×1 —
+    * data-derived sqrt-temperature factors all round to 1 on this
+    * deliberately-uniform corpus, so the config keeps the epoch
+    * demonstrably weighted), then the epoch paces sources
+    * PROPORTIONALLY: a source with factor f emits f items per round
+    * (round = (rank-1) div f), so every epoch prefix carries the
+    * target mix — not just the epoch as a whole. Pure integer
+    * arithmetic throughout, so the epoch is bit-reproducible; the
+    * prefix plans as TakeOrderedAndProject, never a global-window
+    * single partition. */
+  private val mixInterleave = Q(
+    "q_pipe_mix_interleave",
+    """WITH x AS (
+      |  SELECT doc_id, source, factor, CAST(u.copy AS BIGINT) AS copy
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2 ELSE 1 END
+      |        AS factor
+      |    FROM documents) d,
+      |    unnest(generate_series(1, d.factor)) AS u(copy)),
+      |r AS (
+      |  SELECT doc_id, source, copy,
+      |    row_number() OVER (PARTITION BY source ORDER BY copy, doc_id)
+      |      AS rank_in_source,
+      |    factor
+      |  FROM x)
+      |SELECT doc_id, source, copy,
+      |  (rank_in_source - 1) // factor AS round, rank_in_source
+      |FROM r ORDER BY round, source, rank_in_source
+      |LIMIT 300""".stripMargin
+  ) { (s, dir) =>
+    val perSource = Window.partitionBy("source").orderBy("copy", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("source") === "src0", 3L)
+          .when(col("source") === "src1", 2L).otherwise(1L).as("factor"))
+      .select(col("doc_id"), col("source"), col("factor"),
+        explode(expr("sequence(1L, factor)")).as("copy"))
+      .withColumn("rank_in_source", row_number().over(perSource))
+      .select(col("doc_id"), col("source"), col("copy"),
+        expr("(rank_in_source - 1) div factor").as("round"),
+        col("rank_in_source"))
+      .orderBy("round", "source", "rank_in_source")
+      .limit(300)
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
     logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
-    mixture, interleave)
+    mixture, interleave, mixInterleave)
 }
