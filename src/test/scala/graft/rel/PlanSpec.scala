@@ -202,6 +202,36 @@ class PlanSpec extends SparkSuite {
       "epoch order collapsed to one partition:\n" + p)
   }
 
+  test("relational sessionization shares one shuffle between both " +
+    "windows: lag and the running boundary sum use the same " +
+    "(user_id, ts, event_id) order") {
+    val p = plan("q_window_sessionize")
+    // windows + agg + final sort; formatted mode names each Exchange
+    // twice. One extra shuffle would mean the windows diverged.
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 6,
+      "sessionization windows stopped sharing a shuffle:\n" + p)
+    assert(!p.contains("SinglePartition"),
+      "sessionization collapsed to one partition:\n" + p)
+  }
+
+  test("containment pairs come from the sparse shingle equi-join, " +
+    "never all-pairs") {
+    val p = plan("q_dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "containment degenerated to all-pairs:\n" + p)
+  }
+
+  test("entropy and bigram-LM scores keep map-side partial counts and " +
+    "no UDFs") {
+    Seq("q_text_entropy", "q_text_logprob_bigram").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side combine:\n" + p)
+      assert(!p.contains("ScalaUDF"), s"$q fell back to a UDF:\n" + p)
+    }
+  }
+
   test("cluster-resolution edges come from an equi-join, not a " +
     "cartesian pair build") {
     val p = graft.llm.DedupQueries
