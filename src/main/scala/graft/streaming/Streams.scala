@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2j real Structured Streaming surface: file-source
@@ -164,6 +164,92 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new MilestoneProcessor(k),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Event-time-timer sessionizer (the timer surface of the V2 state
+    * API): per-user event times buffer in ListState; a session is
+    * EMITTED the moment the watermark proves it closed (last event +
+    * gap ≤ watermark) — either on arrival of newer data for that user
+    * or, crucially, via a registered event-time timer when the user
+    * simply goes quiet (the case arrival-driven operators like
+    * [[sessionize]] can only flush on the next batch that happens to
+    * carry the user's key). One timer per user, re-registered at the
+    * earliest possible next close; every drain emits ALL closed
+    * sessions, so a single no-data batch after the final watermark
+    * advance flushes everything that can ever close. State is the open
+    * tail only — watermark-bounded, O(open events per user).
+    */
+  class InactivitySessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Ev, SessionOut] {
+    @transient private var times: ListState[Long] = _
+    @transient private var pendingTimer: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      times = getHandle.getListState[Long](
+        "times", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      pendingTimer = getHandle.getValueState[Long](
+        "pendingTimer", org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    private def sessionsOf(sorted: Seq[Long]): List[List[Long]] =
+      sorted.foldLeft(List.empty[List[Long]]) {
+        case ((cur @ (last :: _)) :: rest, t)
+          if t - last <= gapMs * 1000 => (t :: cur) :: rest
+        case (acc, t) => List(t) :: acc
+      }.map(_.reverse).reverse
+
+    /** Emit every session already closed at `wmMs`, restore the open
+      * tail to state, and (re)arm one timer at the earliest time the
+      * next buffered session can close. */
+    private def drain(userId: Long, wmMs: Long): Iterator[SessionOut] = {
+      val buf = times.get().toSeq.sorted
+      if (pendingTimer.exists()) {
+        getHandle.deleteTimer(pendingTimer.get())
+        pendingTimer.clear()
+      }
+      if (buf.isEmpty) return Iterator.empty
+      val sessions = sessionsOf(buf)
+      val (closed, open) = sessions.partition(s =>
+        s.last / 1000 + gapMs <= wmMs)
+      if (open.isEmpty) times.clear()
+      else {
+        times.put(open.flatten.toArray)
+        val expiry = open.head.last / 1000 + gapMs
+        getHandle.registerTimer(expiry)
+        pendingTimer.update(expiry)
+      }
+      closed.iterator.map(s =>
+        SessionOut(userId, s.head, s.last + gapMs * 1000, s.length.toLong))
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      rows.foreach(e => times.appendValue(
+        e.ts.getTime * 1000L + (e.ts.getNanos / 1000 % 1000)))
+      drain(userId, timerValues.getCurrentWatermarkInMs)
+    }
+
+    override def handleExpiredTimer(userId: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      drain(userId, timerValues.getCurrentWatermarkInMs)
+  }
+
+  /** Timer-driven session stream over user events with a 1-second
+    * watermark delay; see [[InactivitySessionProcessor]]. */
+  def inactivitySessions(events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 second")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new InactivitySessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream inner join: each purchase matched to the same

@@ -296,6 +296,49 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("event-time timers close sessions on inactivity: the timer-" +
+    "driven stream equals the batch gap-split for every session the " +
+    "final watermark can prove closed") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.inactivitySessions(stream, 30),
+        "inactivity_sessions", OutputMode.Append)
+      val got = spark.table("inactivity_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      // batch expectation: split each user's times by the 30-min gap;
+      // a session is closed iff last-event + gap <= final watermark
+      // (max event time - the 1s delay)
+      val gapUs = 30L * 60 * 1000000
+      val all = batchEvents.select("user_id", "ts_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val wmMs = all.map(_._2).max / 1000 - 1000
+      val want = all.groupBy(_._1).flatMap { case (u, rows) =>
+        val times = rows.map(_._2).sorted
+        val sessions = times.foldLeft(List.empty[List[Long]]) {
+          case ((cur @ (last :: _)) :: rest, t) if t - last <= gapUs =>
+            (t :: cur) :: rest
+          case (acc, t) => List(t) :: acc
+        }.map(_.reverse).reverse
+        sessions.filter(s => s.last / 1000 + 30 * 60 * 1000 <= wmMs)
+          .map(s => (u, s.head, s.last + gapUs, s.length.toLong))
+      }.toSet
+      assert(got == want,
+        s"spurious=${got -- want}\nmissing=${want -- got}")
+      assert(got.nonEmpty, "no session closed before the final watermark")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState milestone counter (arbitrary state V2) " +
     "equals the batch row_number twin") {
     // the V2 state API requires the RocksDB state store provider
