@@ -293,7 +293,51 @@ object JoinQueries extends QueryCatalog {
       .orderBy("r_name", "n_name")
   }
 
+  /** Correlated scalar subquery in the PROJECTION — the decorrelation
+    * shape Catalyst rewrites to a left outer join over a pre-aggregated
+    * subquery, with the COUNT-over-no-rows = 0 fixup (the classic
+    * "COUNT bug" case) handled by the rewrite. Driven through
+    * spark.sql because the DataFrame API has no scalar-subquery
+    * syntax. Integer-only output. */
+  private val scalarSubquerySelect = Q(
+    "q_subquery_select",
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+      |    AS n_orders
+      |FROM customer ORDER BY c_custkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql("""SELECT c_custkey, c_mktsegment,
+      |  (SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey)
+      |    AS n_orders
+      |FROM customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** NOT IN subquery — exercises Spark's null-aware anti-join
+    * planning (parquet marks l_partkey nullable, so the optimizer
+    * cannot drop the null check and plans the NAAJ broadcast form).
+    * Scale note: NAAJ REQUIRES broadcasting the subquery side; on a
+    * subquery too big to broadcast, rewrite as NOT EXISTS (a plain
+    * left-anti, shuffle-keyed) — q_join_anti and the Q21/Q22 shapes
+    * are that scale-safe twin. Here the filtered key set is small and
+    * shrinks further at higher selectivity, so broadcast is right. */
+  private val notIn = Q(
+    "q_join_not_in",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem WHERE l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin
+  ) { (s, dir) =>
+    Tables.part(s, dir).createOrReplaceTempView("part_v")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql("""SELECT p_partkey, p_name FROM part_v
+      |WHERE p_partkey NOT IN (
+      |  SELECT l_partkey FROM lineitem_v WHERE l_quantity > 45)
+      |ORDER BY p_partkey""".stripMargin)
+  }
+
   override def all: Seq[Q] = Seq(
     leftChain, innerUsing, semi, anti, interval, asof, summaryDiff,
-    rangeBinned, fullOuter, crossDims)
+    rangeBinned, fullOuter, crossDims, scalarSubquerySelect, notIn)
 }
