@@ -142,6 +142,33 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("user_id", "milestone")
   }
 
+  /** Batch twin of the MapState first-occurrence detector
+    * ([[Streams.firstSeen]]): the first event of every (user,
+    * event_type) in (ts, event_id) order — a rank-1 window in batch,
+    * a per-user MapState point-lookup in streaming. Integer/string
+    * output only. */
+  private val firstSeenQ = Q(
+    "q_stream_first_seen",
+    """SELECT user_id, event_type, event_id
+      |FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id")
+      .orderBy("user_id", "event_type")
+  }
+
   override def all: Seq[Q] =
-    Seq(tumbling, sliding, session, streamJoin, milestonesQ)
+    Seq(tumbling, sliding, session, streamJoin, milestonesQ, firstSeenQ)
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2j real Structured Streaming surface: file-source
@@ -234,6 +234,52 @@ object Streams {
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
       drain(userId, timerValues.getCurrentWatermarkInMs)
+  }
+
+  final case class FirstSeen(user_id: Long, event_type: String,
+      event_id: Long)
+
+  /** MapState completion of the V2 state surface: per-user map of
+    * event_type -> first event id, emitting each (user, type) exactly
+    * once on first occurrence (the streaming "new behavior detector").
+    * State is one small map per user — bounded by the type vocabulary,
+    * NOT the stream length — and lookups are per-key point reads, the
+    * access pattern MapState exists for (a ValueState holding a whole
+    * map would rewrite the blob on every update). Batch rows sort by
+    * (ts, event_id) before folding, so with chronological batches the
+    * emitted first = the event-time first, which is what the batch
+    * twin (q_stream_first_seen) states as a rank-1 window. */
+  class FirstSeenProcessor
+      extends StatefulProcessor[Long, Ev, FirstSeen] {
+    @transient private var seen: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getMapState[String, Long]("seen",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[FirstSeen] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      sorted.iterator.flatMap { e =>
+        if (seen.containsKey(e.event_type)) None
+        else {
+          seen.updateValue(e.event_type, e.event_id)
+          Some(FirstSeen(userId, e.event_type, e.event_id))
+        }
+      }
+    }
+  }
+
+  /** First-occurrence stream per (user, event_type); see
+    * [[FirstSeenProcessor]]. */
+  def firstSeen(events: DataFrame): Dataset[FirstSeen] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new FirstSeenProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Timer-driven session stream over user events with a 1-second

@@ -339,6 +339,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("MapState first-seen detector emits each (user, type) exactly " +
+    "once and equals the batch rank-1 twin") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.firstSeen(stream),
+        "first_seen", OutputMode.Append)
+      val got = spark.table("first_seen").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+      val want = batchEvents
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == want, s"spurious=${got -- want}\nmissing=${want -- got}")
+      assert(got.size == spark.table("first_seen").count(),
+        "a (user, type) pair was emitted more than once")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState milestone counter (arbitrary state V2) " +
     "equals the batch row_number twin") {
     // the V2 state API requires the RocksDB state store provider
