@@ -277,9 +277,64 @@ object SimilarityQueries extends QueryCatalog {
       .limit(10)
   }
 
+  /** Embedding outlier detection — the data-curation op that flags
+    * mislabeled/noise vectors: cosine of every vector against its OWN
+    * label's centroid, ascending top-20 (least similar = most
+    * outlying). The centroid is the per-dim mean ROUNDED TO 4 DP in
+    * both dialects — that rounding IS the cross-engine contract (the
+    * unrounded mean differs in the last float ulp between engines);
+    * from identical centroids every downstream op is the same IEEE
+    * arithmetic. Centroids are a 10-row broadcast; the scoring pass is
+    * map-side vec_dot — no vector shuffle. */
+  private val outliers = Q(
+    "q_sim_outliers",
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), c0 AS (
+      |  SELECT label, dim, round(avg(val), 4) AS m
+      |  FROM (
+      |    SELECT label,
+      |      unnest(range(0, len(embedding))) AS dim,
+      |      unnest(embedding::DOUBLE[]) AS val
+      |    FROM embeddings)
+      |  GROUP BY label, dim
+      |), c AS (
+      |  SELECT label, list(m ORDER BY dim) AS cen FROM c0 GROUP BY label
+      |), p AS (
+      |  SELECT vec_id, e.label,
+      |    list_dot_product(v, cen)
+      |      / (sqrt(list_dot_product(v, v))
+      |         * sqrt(list_dot_product(cen, cen))) AS cosd
+      |  FROM e JOIN c ON e.label = c.label
+      |)
+      |SELECT vec_id, label, round(cosd, 4) AS cos_centroid
+      |FROM p ORDER BY cosd, vec_id LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val cen = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim", "val")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("val")), 4).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
+        "s -> s.m)").as("cen"))
+      .withColumn("cn", vec.norm(s, col("cen")))
+    val e = emb(s, dir)
+    e.join(broadcast(cen), "label")
+      .select(col("vec_id"), col("label"),
+        vec.cosine(s, col("v"), col("cen"), col("nrm"), col("cn"))
+          .as("cosd"))
+      .orderBy("cosd", "vec_id")
+      .limit(20)
+      .select(col("vec_id"), col("label"), round(col("cosd"), 4)
+        .as("cos_centroid"))
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkLsh, knnJoin, centroidByLabel, centroidUdaf,
-      topkHamming)
+      topkHamming, outliers)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

@@ -255,8 +255,60 @@ object AggQueries extends QueryCatalog {
       .orderBy("o_orderstatus", "metric")
   }
 
+  /** Pearson correlation per group via explicit integer moments —
+    * the deterministic twin of the built-in corr(): the five moment
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINTs (quantity is
+    * integral, price is quantized to whole dollars so Σy² stays in
+    * range at any SF), and only the final combination runs in float —
+    * the same IEEE ops on the same integers in both engines. The
+    * built-in corr() accumulates running doubles whose partial-merge
+    * order varies run to run; fine when 1e-12 jitter is acceptable,
+    * not under a hash compare. Partial aggregation applies to every
+    * moment (they're plain sums), so the shuffle carries 6 longs per
+    * group. */
+  private val corrMoments = Q(
+    "q_agg_corr",
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(l_extendedprice / 100) AS BIGINT))
+      |      AS BIGINT) AS sy,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)
+      |      * CAST(round(l_extendedprice / 100) AS BIGINT)) AS BIGINT)
+      |      AS sxy,
+      |    CAST(sum(CAST(round(l_quantity) AS BIGINT)
+      |      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(round(l_extendedprice / 100) AS BIGINT)
+      |      * CAST(round(l_extendedprice / 100) AS BIGINT)) AS BIGINT)
+      |      AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+      |    6) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    val x = round(col("l_quantity")).cast("bigint")
+    val y = round(col("l_extendedprice") / 100).cast("bigint")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          (sqrt(col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")) *
+           sqrt(col("n").cast("double") * col("syy") -
+            col("sy").cast("double") * col("sy"))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
     approxDistinct, rollupQ, cubeQ, groupingSetsQ, histogram, pivotQ,
-    unpivotQ)
+    unpivotQ, corrMoments)
 }
