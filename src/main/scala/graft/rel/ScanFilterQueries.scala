@@ -128,7 +128,47 @@ object ScanFilterQueries extends QueryCatalog {
       .orderBy("p_partkey")
   }
 
+  /** Source-format breadth beyond parquet: the same aggregate is
+    * written to ORC, CSV, and JSON sinks and read back through each
+    * format's full serialize/parse path (explicit schema on read —
+    * schema inference is a second scan AND a determinism hazard for
+    * CSV/JSON at scale). Values are strings + BIGINTs only: exact in
+    * all three texts/binaries, so the roundtrip is value-preserving by
+    * construction and the oracle is the aggregate × format-label
+    * cross. ORC is the columnar alternative (predicate pushdown +
+    * column pruning like parquet); CSV/JSON are the row-text ingest
+    * formats a pipeline meets at its edges. */
+  private val sourceFormats = Q(
+    "q_source_formats",
+    """WITH base AS (
+      |  SELECT o_orderstatus AS status, count(*) AS n,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS total_cents
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT f.fmt, b.status, b.n, b.total_cents
+      |FROM base b, (VALUES ('csv'), ('json'), ('orc')) f(fmt)
+      |ORDER BY fmt, status""".stripMargin
+  ) { (s, dir) =>
+    val base = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("bigint"))
+          .as("total_cents"))
+    val schema = base.schema
+    val out = java.nio.file.Files.createTempDirectory("graft-fmt-")
+    val reads = Seq("csv", "json", "orc").map { fmt =>
+      val path = out.resolve(fmt).toString
+      val w = base.write.mode("overwrite").format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      val r = s.read.schema(schema).format(fmt)
+      (if (fmt == "csv") r.option("header", "true") else r).load(path)
+        .select(lit(fmt).as("fmt"), col("status"), col("n"),
+          col("total_cents"))
+    }
+    reads.reduce(_.unionByName(_)).orderBy("fmt", "status")
+  }
+
   override def all: Seq[Q] = Seq(
     projection, filterIn, filterEq, filterNotNull, filterNeq, litColumn,
-    distinctProj, filterLike)
+    distinctProj, filterLike, sourceFormats)
 }
