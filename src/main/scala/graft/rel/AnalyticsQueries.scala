@@ -646,6 +646,48 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** Key-skew profile — the diagnostic that tells a 100 TB operator
+    * WHEN to reach for Scale.saltedAgg / AQE skew handling: per-key
+    * row counts reduced to max / median / mean and the max-to-median
+    * skew ratio per key column. Two bounded aggregations (per-key,
+    * then 1 row per profiled column); the ratio is half-up integer
+    * percent of exact integer counts. events.user_id (15 hot users)
+    * vs lineitem.l_partkey (uniform) show the two regimes. */
+  private val skewProfile = Q(
+    "q_scale_skew_profile",
+    """WITH u AS (
+      |  SELECT 'events.user_id' AS key_col, count(*) AS n
+      |  FROM events GROUP BY user_id),
+      |p AS (
+      |  SELECT 'lineitem.l_partkey' AS key_col, count(*) AS n
+      |  FROM lineitem GROUP BY l_partkey),
+      |k AS (SELECT * FROM u UNION ALL SELECT * FROM p)
+      |SELECT key_col, count(*) AS n_keys,
+      |  CAST(max(n) AS BIGINT) AS max_n,
+      |  round(quantile_cont(n, 0.50), 2) AS p50_n,
+      |  (100 * CAST(max(n) AS BIGINT)
+      |    + CAST(round(quantile_cont(n, 0.50)) AS BIGINT) // 2)
+      |    // CAST(round(quantile_cont(n, 0.50)) AS BIGINT) AS skew_pct
+      |FROM k GROUP BY key_col ORDER BY key_col""".stripMargin
+  ) { (s, dir) =>
+    def perKey(df: org.apache.spark.sql.DataFrame, key: String,
+        label: String) =
+      df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+        .select(lit(label).as("key_col"), col("n"))
+    val k = perKey(Tables.events(s, dir), "user_id", "events.user_id")
+      .unionByName(
+        perKey(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey"))
+    k.groupBy("key_col")
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_n"),
+        round(expr("percentile(n, 0.50)"), 2).as("p50_n"),
+        expr("""(100 * max(n)
+          | + CAST(round(percentile(n, 0.50)) AS BIGINT) div 2)
+          | div CAST(round(percentile(n, 0.50)) AS BIGINT)"""
+          .stripMargin).as("skew_pct"))
+      .orderBy("key_col")
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -680,5 +722,6 @@ object AnalyticsQueries extends QueryCatalog {
       largeOrders, orderPriority, priorityClass, brandRevenue,
       lastShipper, volumeShipping, forecastRevenue, custDist,
       promoRevenue, topSupplier, supplierCnt, smallQtyRevenue,
-      globalSales, marketShare, saltedAgg, windowDistribution)
+      globalSales, marketShare, saltedAgg, skewProfile,
+      windowDistribution)
 }
