@@ -165,4 +165,35 @@ class LakeWritePlanSpec extends SparkSuite {
     assert(antiJoins === 1,
       s"expected 1 anti-join for a single equality-column set, got $antiJoins\n$plan")
   }
+
+  test("volume smoke: 60k-row lifecycle — clustered multi-file append, " +
+    "MOR delete writes scaled delete files, rewrite compacts back to " +
+    "the exact surviving rows") {
+    val t = newTable(Map(
+      "write.delete.mode" -> "merge-on-read",
+      // small per-file targets so the volume actually exercises the
+      // multi-file paths (8 data files, >1 delete part)
+      "write.delete.rows-per-file" -> "4000",
+      "write.clustered-by" -> "case_id",
+      "write.cluster-file-count" -> "8"))
+    val n = 60000
+    t.append(df("v", n))
+    assert(t.files.count() === 8, "clustered append must write 8 files")
+    // MOR-delete ~25% of rows spread across every file's key range
+    t.delete(substring(col("case_id"), -1, 1).isin("3", "7"))
+    val survivors = (1 to n).map(i => f"v-$i%05d")
+      .filterNot(id => id.endsWith("3") || id.endsWith("7"))
+    assert(t.read().count() === survivors.size)
+    // the tombstone write must scale out: 12k hits / 4k per file > 1 part
+    assert(t.positionDeletes.select("file_path").distinct().count() > 1 ||
+      t.deleteFiles.count() > 1,
+      "a 12k-row MOR delete funneled into a single delete file")
+    // compaction erases the masked rows permanently and exactly
+    t.rewriteDataFiles(Map("rewrite_all" -> "true"))
+    assert(t.deleteFiles.count() === 0, "rewrite must drop delete files")
+    val got = t.read().select("case_id").collect().map(_.getString(0))
+    assert(got.length === survivors.size)
+    assert(got.sorted.toSeq === survivors,
+      "post-rewrite content diverged from the expected survivor set")
+  }
 }
