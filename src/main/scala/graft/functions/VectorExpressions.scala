@@ -170,10 +170,15 @@ case class SimHash64(child: Expression)
   * 64-dim embedding into the pair of Hamming codes q_sim_topk_hamming
   * ranks on; 32-bit halves (rather than one 64-bit word) keep every
   * shift in the oracle's integer range too. The interpreted
-  * `aggregate(sequence(...))` formulation costs one closure dispatch
-  * and boxing per element; this compiles to a tight primitive loop in
-  * WholeStageCodegen — the packing pass is the whole scan cost at
-  * 10^9 vectors. Null and missing elements contribute a 0 bit.
+  * `aggregate(sequence(...))` formulation allocates the 32-element
+  * sequence and boxes the accumulator per row; this compiles to a
+  * tight allocation-free primitive loop in WholeStageCodegen.
+  * Measured (tools/SignpackBench, 2M cached 64-dim rows, local[4]):
+  * ~1.3x over the HOF — modest at this dimensionality because the
+  * loop is only 32 iterations; the kernel's main value is keeping the
+  * packing pass allocation-free inside the scan stage, where at 10^9
+  * vectors the HOF's per-row garbage becomes GC pressure the loop
+  * never creates. Null and missing elements contribute a 0 bit.
   */
 case class SignPack(left: Expression, right: Expression)
     extends BinaryExpression {
