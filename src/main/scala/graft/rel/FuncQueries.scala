@@ -193,7 +193,40 @@ object FuncQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Date/timestamp arithmetic: datediff, date_add, add_months, and a
+    * month-boundary count — the mutation half of the date surface
+    * (F1/F6/F9 cover truncation, parts, and casts). Argument order
+    * differs across dialects (Spark datediff(end, start) = DuckDB
+    * date_diff('day', start, end)), and months_between vs
+    * date_diff('month') DISAGREE at day-of-month boundaries, so the
+    * month delta is the exact year*12+month formula in both. Integer
+    * and date outputs only. */
+  private val dateArith = Q(
+    "q_func_date_arith",
+    """SELECT o_orderkey,
+      |  date_diff('day', DATE '1995-01-01',
+      |    CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS review_date,
+      |  (2002 * 12 + 1)
+      |    - (year(o_orderdate) * 12 + month(o_orderdate))
+      |    AS months_to_horizon
+      |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          to_date(lit("1995-01-01"))).as("days_since_epoch_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        add_months(col("o_orderdate").cast("date"), 3).as("review_date"),
+        (lit(2002 * 12 + 1) -
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))))
+          .as("months_to_horizon"))
+      .orderBy("o_orderkey")
+      .limit(1000)
+  }
+
   override def all: Seq[Q] = Seq(
     dateTrunc, condExpr, dateParts, coalesceKey, regexpQ, jsonQ, tokensQ,
-    arrayMath, structMap)
+    arrayMath, structMap, dateArith)
 }

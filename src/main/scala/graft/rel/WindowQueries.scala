@@ -177,7 +177,31 @@ object WindowQueries extends QueryCatalog {
       .orderBy("user_id", "session_id")
   }
 
+  /** Event-time RANGE frame: per-user count of events in the trailing
+    * hour — the time-interval window (RANGE BETWEEN INTERVAL ...
+    * PRECEDING) as opposed to the row-count and numeric-range frames
+    * covered by q_window_sliding_avg/running_sum. RANGE frames treat
+    * equal-ts rows as peers, so the count is tie-order-independent by
+    * construction; the presentation sort still tiebreaks on event_id.
+    * This is the batch twin of what a watermarked stream computes with
+    * bounded state. */
+  private val timeRange = Q(
+    "q_window_time_range",
+    """SELECT user_id, event_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+      |                           AND CURRENT ROW) AS n_trailing_hour
+      |FROM events ORDER BY user_id, ts, event_id LIMIT 5000""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir).createOrReplaceTempView("events_v")
+    s.sql("""SELECT user_id, event_id,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+      |                           AND CURRENT ROW) AS n_trailing_hour
+      |FROM events_v ORDER BY user_id, ts, event_id LIMIT 5000""".stripMargin)
+  }
+
   override def all: Seq[Q] = Seq(
     ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast,
-    sessionizeSql)
+    sessionizeSql, timeRange)
 }
