@@ -542,7 +542,8 @@ object AnalyticsQueries extends QueryCatalog {
       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
       |  FROM customer),
       |thresh AS (
-      |  SELECT CAST(sum(bal) AS BIGINT) * 1.0 / count(*) AS avg_bal
+      |  SELECT CAST(CAST(sum(bal) AS BIGINT) AS DOUBLE) / count(*)
+      |    AS avg_bal
       |  FROM cents WHERE bal > 0)
       |SELECT c_mktsegment, count(*) AS numcust,
       |  ((CAST(sum(bal) AS BIGINT) + 50) // 100) / 100.0 AS totacctbal
@@ -557,7 +558,7 @@ object AnalyticsQueries extends QueryCatalog {
       .select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("bigint").as("bal"))
     val thresh = cents.filter(col("bal") > 0)
-      .agg((sum(col("bal")) * lit(1.0) / count(lit(1))).as("avg_bal"))
+      .agg((sum(col("bal")).cast("double") / count(lit(1))).as("avg_bal"))
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_custkey")
