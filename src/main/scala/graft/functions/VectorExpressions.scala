@@ -186,9 +186,17 @@ case class SignPack(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
       right.dataType) match {
     case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
-      if (right.foldable) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
+      if (!right.foldable) TypeCheckResult.TypeCheckFailure(
         "vec_signpack offset must be a literal")
+      else right.eval() match {
+        // Negative offsets would index before the array start (raw
+        // UnsafeArrayData reads have no bounds checks); offsets near
+        // Int.MaxValue would overflow off+31 back to negative.
+        case off: Int if off < 0 || off > Int.MaxValue - 31 =>
+          TypeCheckResult.TypeCheckFailure(
+            s"vec_signpack offset must be in [0, ${Int.MaxValue - 31}], got $off")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
     case (l, r) => TypeCheckResult.TypeCheckFailure(
       s"vec_signpack needs (array<float|double>, int literal), got " +
         s"${l.simpleString} and ${r.simpleString}")
@@ -208,7 +216,7 @@ case class SignPack(left: Expression, right: Expression)
     var i = 0
     while (i < 32) {
       val j = off + i
-      if (j < n && !arr.isNullAt(j)) {
+      if (j >= 0 && j < n && !arr.isNullAt(j)) {
         val v = if (elemIsFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
         if (v > 0.0) out |= (1L << i)
       }
@@ -231,7 +239,7 @@ case class SignPack(left: Expression, right: Expression)
          |long $out = 0L;
          |for (int $i = 0; $i < 32; $i++) {
          |  final int $j = $off + $i;
-         |  if ($j < $n && !$arr.isNullAt($j) && $get > 0.0) {
+         |  if ($j >= 0 && $j < $n && !$arr.isNullAt($j) && $get > 0.0) {
          |    $out |= (1L << $i);
          |  }
          |}

@@ -35,8 +35,14 @@ object vec {
   def signpack(s: SparkSession, a: Column, offset: Int): Column =
     if (s.catalog.functionExists("vec_signpack"))
       call_function("vec_signpack", a, lit(offset))
-    else aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
-      acc + when(element_at(a, i + lit(offset + 1)) > 0d,
+    else signpackHof(a, offset)
+
+  private[graft] def signpackHof(a: Column, offset: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+      // try_element_at: out-of-range indices yield null (-> 0 bit) to
+      // match the native kernel's zero-fill under ANSI mode, where
+      // element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+      acc + when(try_element_at(a, i + lit(offset + 1)) > 0d,
         call_function("shiftleft", lit(1L), i)).otherwise(0L))
 
   def cosine(s: SparkSession, a: Column, b: Column,

@@ -32,12 +32,14 @@ object DedupQueries extends QueryCatalog {
 
   /** Distinct (doc_id, shingle) pairs — word-trigram shingles built with
     * one pass of higher-order functions (no self-join on positions).
-    * All docs have >= 10 tokens (FIXTURES.md) so sequence(0, size-3) is
-    * never descending.
+    * Docs with fewer than 3 tokens emit no shingles (the guard keeps
+    * sequence(0, size-3) from going descending into negative indices,
+    * an ANSI runtime error; DuckDB's range() likewise emits nothing).
     */
   private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))

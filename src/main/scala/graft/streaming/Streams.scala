@@ -143,7 +143,8 @@ object Streams {
     override def handleInputRows(
         userId: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[MilestoneOut] = {
-      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toArray.sortBy(e =>
+        (e.ts.getTime * 1000L + (e.ts.getNanos / 1000 % 1000), e.event_id))
       var c = if (count.exists()) count.get() else 0L
       val out = sorted.flatMap { e =>
         c += 1
@@ -258,7 +259,8 @@ object Streams {
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(userId: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[FirstSeen] = {
-      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toArray.sortBy(e =>
+        (e.ts.getTime * 1000L + (e.ts.getNanos / 1000 % 1000), e.event_id))
       sorted.iterator.flatMap { e =>
         if (seen.containsKey(e.event_type)) None
         else {

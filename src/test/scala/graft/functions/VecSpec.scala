@@ -75,6 +75,29 @@ class VecSpec extends SparkSuite {
     assert(native.sameElements(viaHelper))
   }
 
+  test("vec_signpack rejects negative and near-overflow offsets at" +
+    " analysis time") {
+    val neg = intercept[Exception](
+      spark.sql("SELECT vec_signpack(array(1.0D), -5)").collect())
+    assert(neg.getMessage.contains("offset must be in"))
+    val huge = intercept[Exception](
+      spark.sql(s"SELECT vec_signpack(array(1.0D), ${Int.MaxValue})")
+        .collect())
+    assert(huge.getMessage.contains("offset must be in"))
+  }
+
+  test("signpack HOF fallback zero-fills past the array end under ANSI," +
+    " matching the native kernel") {
+    val df = spark.sql("SELECT array(0.5D, -1.0D, 0.0D, 2.0D) AS a")
+    val r = df.select(
+      vec.signpackHof(col("a"), 0).as("lo"),
+      vec.signpackHof(col("a"), 32).as("past_end"),
+      expr("vec_signpack(a, 0)").as("n_lo"),
+      expr("vec_signpack(a, 32)").as("n_past")).collect().head
+    assert(r.getLong(0) == r.getLong(2) && r.getLong(0) == 9L)
+    assert(r.getLong(1) == r.getLong(3) && r.getLong(1) == 0L)
+  }
+
   test("vec helper falls back to the UDF without the extension and" +
     " produces identical values") {
     // a bare session view: simulate by calling the udf path directly

@@ -13,6 +13,17 @@ class LlmSpec extends SparkSuite {
   private def run(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
 
+  test("shingleSets emits no shingles (and no ANSI error) for docs with" +
+    " fewer than 3 tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two"), (2L, "solo"), (3L, ""),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val out = DedupQueries.shingleSets(docs).collect()
+    assert(out.forall(_.getLong(0) == 4L),
+      "short docs must contribute zero shingles")
+    assert(out.length == 2) // "a b c" and "b c d"
+  }
+
   test("cluster resolution: the distributed min-label fixpoint and the " +
     "driver union-find produce identical clusters") {
     import org.apache.spark.sql.functions._
