@@ -168,15 +168,16 @@ object PipelineQueries extends QueryCatalog {
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("id") === col("lbl")).as("keep"))
         .orderBy("doc_id")
-      // Materialize before unpersisting the cached frames the plan
-      // reads from. The result is bounded by the dup-pair node count,
-      // not the corpus; at cluster scale this final handoff is a write
-      // to storage, not a collect.
-      val rows = out.collect()
+        // Eager localCheckpoint materializes the result on the
+        // executors' block managers and severs lineage, so the cached
+        // edge/label frames can be unpersisted without recompute and —
+        // crucially — the label set (billions of rows at 100 TB dup
+        // rates) never funnels through the driver. ScaleSpec proves
+        // this branch completes under driver.maxResultSize=32m.
+        .localCheckpoint(true)
       edges.unpersist()
       labels.unpersist()
-      s.createDataFrame(
-        java.util.Arrays.asList(rows: _*), out.schema)
+      out
     }
   }
 

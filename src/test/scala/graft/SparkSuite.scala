@@ -21,5 +21,9 @@ object SparkSuite {
     .config("spark.sql.catalog.graft.warehouse",
       java.nio.file.Files.createTempDirectory("graft-sqlwh-").toString)
     .config("spark.ui.enabled", "false")
+    // Standing guard: no engine code path may funnel a large result
+    // through the driver. Any test that tries to collect >32 MiB of
+    // task results fails loudly instead of silently scaling O(data).
+    .config("spark.driver.maxResultSize", "32m")
     .getOrCreate()
 }
