@@ -188,12 +188,16 @@ object SimilarityQueries extends QueryCatalog {
 
   /** k-NN JOIN: top-3 cosine neighbors for EVERY vector (not one query
     * vector) — the batch shape used to build retrieval eval sets and
-    * kNN-graph dedup. The right side is projected to (id, vec, norm)
-    * and broadcast (2k rows × 64 floats ≈ 0.6 MB; at 100 TB swap the
-    * broadcast for the IVF cell assignment above — join on cell instead
-    * of broadcasting, identical downstream shape). Per-vector top-3 is
-    * a rank window over the pair stream; the pairwise math is the same
-    * codegen'd float-widening vec_dot kernel the oracle's
+    * kNN-graph dedup. Adaptive, like a broadcast-join decision: up to
+    * `spark.graft.knn.exactMaxRows` rows (default 100k; the driver SFs
+    * are well under it, keeping the oracle exact) the pair stream is
+    * the all-pairs broadcast of the compact (id, vec, norm) side;
+    * above it the plan switches to the IVF cell equi-join
+    * ([[knnJoinIvf]]) — the only shape that survives 100 TB, where an
+    * all-pairs join is O(n²) with the full table resident in every
+    * executor. Per-vector top-3 is a rank window over the pair stream
+    * (WindowGroupLimit prunes below the shuffle); the pairwise math is
+    * the same codegen'd float-widening vec_dot kernel the oracle's
     * list_dot_product(::DOUBLE[]) matches bit-for-bit.
     */
   private val knnJoin = Q(
@@ -215,14 +219,78 @@ object SimilarityQueries extends QueryCatalog {
       |SELECT vec_id, nn_rank, nn_id, round(cosd, 4) AS cos_sim
       |FROM r WHERE nn_rank <= 3 ORDER BY vec_id, nn_rank""".stripMargin
   ) { (s, dir) =>
-    import graft.functions.vec
     val e = emb(s, dir)
+    val maxExact = s.conf.get("spark.graft.knn.exactMaxRows", "100000").toLong
+    // column-less parquet count: row-group row counts, no column IO
+    val n = Tables.embeddings(s, dir).count()
+    if (n <= maxExact) knnJoinExact(s, e) else knnJoinIvf(s, e)
+  }
+
+  /** Exact all-pairs k-NN join — the small-n oracle twin. */
+  private[llm] def knnJoinExact(s: SparkSession, e: DataFrame): DataFrame = {
+    import graft.functions.vec
     val right = e.select(col("vec_id").as("nn_id"), col("v").as("w"),
       col("nrm").as("wn"))
-    val w = Window.partitionBy("vec_id").orderBy(desc("cosd"), col("nn_id"))
     e.join(broadcast(right), col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"),
         vec.cosine(s, col("v"), col("w"), col("nrm"), col("wn")).as("cosd"))
+      .transform(rankTop3)
+  }
+
+  /** IVF k-NN join — the 100 TB shape. Centroids (one per label cell,
+    * bounded by the label vocabulary the way a FAISS coarse quantizer
+    * is bounded by its cell count) are collected to the driver and
+    * embedded as ONE array literal, so cell assignment is a pure
+    * map-side projection: each row sorts its centroid-cosine array,
+    * takes element 0 as its home cell (the right side of the join) and
+    * the top `nprobe` as its probe cells (the left side). Candidate
+    * generation is then a plain equi-join on the cell id — the corpus
+    * shuffles once, nothing is broadcast but the centroid literal, and
+    * each (a, b) pair arises at most once because a vector has exactly
+    * one home cell. Exact cosine re-ranking inside the candidate set
+    * reuses the same kernel as the exact path.
+    */
+  private[llm] def knnJoinIvf(s: SparkSession, e: DataFrame,
+      nprobe: Int = 3): DataFrame = {
+    import graft.functions.vec
+    val cents: Seq[(Long, Seq[Double], Double)] = centroids(e)
+      .select(col("cell").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1)
+        (r.getLong(0), cv, math.sqrt(cv.map(x => x * x).sum))
+      }.toIndexedSeq
+    val centLit = typedlit(cents)
+    // per-row (ccos, cell) structs, sorted descending by cosine —
+    // array_sort orders struct fields lexicographically, so ccos first
+    val scoresCol = expr(s"""
+      reverse(array_sort(transform(__cents, c -> struct(
+        vec_dot(v, c._2) / (nrm * c._3) AS ccos,
+        c._1 AS cell))))""")
+    val assigned = e
+      .withColumn("__cents", centLit)
+      .withColumn("__scores", scoresCol)
+      .withColumn("home_cell", expr("__scores[0].cell"))
+      .withColumn("probe_cells",
+        expr(s"transform(slice(__scores, 1, $nprobe), p -> p.cell)"))
+      .drop("__cents", "__scores")
+    val right = assigned.select(col("home_cell").as("cell"),
+      col("vec_id").as("nn_id"), col("v").as("w"), col("nrm").as("wn"))
+    assigned
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(col("probe_cells")).as("cell"))
+      .join(right, Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("nn_id"),
+        vec.cosine(s, col("v"), col("w"), col("nrm"), col("wn")).as("cosd"))
+      .transform(rankTop3)
+  }
+
+  /** Shared tail of both k-NN paths: rank pairs per vector, keep the
+    * top 3, project the output contract. */
+  private def rankTop3(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosd"), col("nn_id"))
+    pairs
       .withColumn("nn_rank", row_number().over(w))
       .filter(col("nn_rank") <= 3)
       .select(col("vec_id"), col("nn_rank"), col("nn_id"),

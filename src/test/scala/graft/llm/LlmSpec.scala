@@ -137,6 +137,31 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("IVF kNN join route: exact cosines for every returned pair, " +
+    "high recall of the exact top-3 graph") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.vec
+    val e = graft.rel.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+      .withColumn("nrm", vec.norm(spark, col("v")))
+    val exact = SimilarityQueries.knnJoinExact(spark, e).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityQueries.knnJoinIvf(spark, e)
+    // every IVF cosine must be the exact cosine of that pair (the IVF
+    // route prunes candidates, it never approximates the math)
+    val mism = ivf
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(e.select(col("vec_id").as("nn_id"), col("v").as("w"),
+        col("nrm").as("wn")), "nn_id")
+      .filter(round(vec.cosine(spark, col("v"), col("w"), col("nrm"),
+        col("wn")), 4) =!= col("cos_sim"))
+      .count()
+    assert(mism == 0, s"$mism IVF pairs with non-exact cosines")
+    val got = ivf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@3 vs exact = $recall")
+  }
+
   test("sign-LSH top-k: all results share the query's bucket and carry" +
     " exact cosines") {
     val lsh = run("q_sim_topk_lsh").collect()

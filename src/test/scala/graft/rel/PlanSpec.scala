@@ -100,8 +100,8 @@ class PlanSpec extends SparkSuite {
       "bin expansion missing:\n" + p)
   }
 
-  test("kNN join broadcasts the vector side and pushes the rank limit " +
-    "below the shuffle") {
+  test("kNN join (small-n exact path) broadcasts the vector side and " +
+    "pushes the rank limit below the shuffle") {
     val p = plan("q_sim_knn_join")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "pair scoring should broadcast the compact (id, vec, norm) side:\n" + p)
@@ -109,6 +109,31 @@ class PlanSpec extends SparkSuite {
       "per-vector top-k not pushed below the rank shuffle (every pair " +
         "would shuffle at 100 TB):\n" + p)
     assert(p.contains("vec_dot"), "native kernel not in the plan:\n" + p)
+  }
+
+  test("kNN join above the exact-row threshold routes to the IVF cell " +
+    "equi-join: no all-pairs join, no full-relation broadcast") {
+    // emulate large-n planning: row count above the exact cap AND
+    // broadcast disabled, as cost-based planning would decide at 100 TB
+    spark.conf.set("spark.graft.knn.exactMaxRows", "100")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_sim_knn_join")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        "large-n kNN regressed to an all-pairs join:\n" + p)
+      assert(!p.contains("BroadcastExchange"),
+        "large-n kNN still broadcasts a relation (the centroid table is " +
+          "an embedded literal, nothing should broadcast):\n" + p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "cell candidate join missing:\n" + p)
+      assert(p.contains("WindowGroupLimit"),
+        "per-vector top-k not pushed below the rank shuffle:\n" + p)
+      assert(p.contains("vec_dot"), "native kernel not in the plan:\n" + p)
+    } finally {
+      spark.conf.unset("spark.graft.knn.exactMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("repetition filter shuffles bigram counts once, map-side partial " +
