@@ -248,6 +248,40 @@ object LakeQueries extends QueryCatalog {
       .orderBy("_change_ordinal", "_change_type", "case_id")
   }
 
+  /** Streaming CDC: the changelog walk of q_lake_changelog consumed
+    * through a live graft-changes stream — micro-batch offsets are
+    * main-head snapshot ids, each batch plans only the files its
+    * commits touched. Returns the streamed insert/delete events
+    * (deterministic columns; snapshot ids and the range-relative
+    * ordinal projected away), which StreamingSpec proves equal the
+    * batch changelog event-for-event. */
+  private val streamChanges = Q.noOracle("q_lake_stream_changes") { (s, _) =>
+    import graft.streaming.GraftTableStreaming
+    val t = newTable(s)
+    val mem = s"cdc_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    val q = GraftTableStreaming.readChanges(s, t.root)
+      .writeStream.format("memory").queryName(mem).start()
+    try {
+      q.processAllAvailable()
+      t.delete(col("case_id") === "case-2")
+      q.processAllAvailable()
+      t.update(col("case_id") === "case-1",
+        Map("first_name" -> lit(null), "email_address" -> lit(null),
+          "secure_txt" -> lit(null)))
+      q.processAllAvailable()
+      val rows = s.table(mem)
+        .select(col("case_id"), col("first_name"), col("_change_type"))
+        .collect().toSeq
+      s.createDataFrame(rows.asJava, s.table(mem)
+        .select(col("case_id"), col("first_name"), col("_change_type"))
+        .schema)
+        .orderBy("_change_type", "case_id", "first_name")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView(mem)
+    }
+  }
+
   /** D24/D25: write-audit-publish — stage an append and a COW delete
     * on a branch (main untouched), audit via the branch read, publish
     * with fastForward. Returns (phase, case_id) rows proving main
@@ -275,5 +309,5 @@ object LakeQueries extends QueryCatalog {
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
-    streamRoundTrip, changelog, wap)
+    streamRoundTrip, changelog, streamChanges, wap)
 }

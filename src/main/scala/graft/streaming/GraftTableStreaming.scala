@@ -63,6 +63,12 @@ object GraftTableStreaming {
   def readAppends(spark: SparkSession, root: Path): DataFrame =
     spark.readStream.format("graft-appends")
       .option("path", root.toString).load()
+
+  /** CDC readStream entry point: every row change (insert AND delete),
+    * not just appends — see [[GraftChangesSource]]. */
+  def readChanges(spark: SparkSession, root: Path): DataFrame =
+    spark.readStream.format("graft-changes")
+      .option("path", root.toString).load()
 }
 
 /** `format("graft-appends")` registration — source AND sink, so both
@@ -134,6 +140,84 @@ class GraftAppendStreamProvider extends StreamSourceProvider
       override def name(): String = s"GraftAppendSink(${t.name})"
     }
   }
+}
+
+/** `format("graft-changes")` registration: the CDC twin of
+  * `graft-appends`. A consumer tailing a table that takes MOR deletes
+  * or COW rewrites through the appends stream silently misses the
+  * changes the batch changelog ([[GraftTable.changes]],
+  * `q_lake_changelog`) reports; this source streams those same events
+  * — each micro-batch IS `changes(lastOffset, latest)`, so the
+  * streamed event set equals the batch changelog by construction.
+  */
+class GraftChangesStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  private def table(ctx: SQLContext,
+      parameters: Map[String, String]): GraftTable =
+    GraftTable.load(ctx.sparkSession, Path.of(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-changes requires option(\"path\", <table root>)"))))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), GraftChangesSource.changesSchema(table(ctx, parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftChangesSource(table(ctx, parameters))
+}
+
+object GraftChangesSource {
+  /** Table schema + the changelog metadata columns, in the exact
+    * order [[GraftTable.changes]] emits them. */
+  def changesSchema(t: GraftTable): StructType = StructType(
+    t.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType)))
+}
+
+/** Changelog-driven source: offset N = "all row changes committed by
+  * main-lineage snapshots with id <= N have been emitted". The offset
+  * is the MAIN head (`currentSnapshotId`), not the raw snapshot-log
+  * tail: WAP commits staged on a branch don't advance the stream, and
+  * arrive (through their fast-forwarded ancestry) only when published
+  * — the same lineage rule the batch changelog applies. Each batch
+  * plans only over the files its commits touched, so stream cost
+  * tracks change volume, not table size. `_change_ordinal` counts
+  * commits within each micro-batch's range (the same range-relative
+  * contract the batch API has for its queried range). A rollback moves
+  * the head off the emitted ancestry and fails the stream loudly
+  * (non-ancestor start offset) rather than replaying rewritten
+  * history.
+  */
+class GraftChangesSource(t: GraftTable) extends Source {
+
+  override def schema: StructType = GraftChangesSource.changesSchema(t)
+
+  override def getOffset: Option[OffsetV1] =
+    t.meta.currentSnapshotId.map(LongOffset(_))
+
+  private def toLong(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1],
+      end: OffsetV1): DataFrame =
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(
+      t.changes(start.map(toLong), Some(toLong(end))))
+
+  override def stop(): Unit = ()
 }
 
 /** Snapshot-log-driven source: offset N = "all append snapshots with

@@ -403,4 +403,73 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("GraftLake CDC stream: append, MOR delete, and COW rewrite " +
+    "events equal the batch changelog; compaction stays silent") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    val schema = StructType.fromDDL("k STRING, v BIGINT")
+    def rows(prefix: String, n: Int) =
+      spark.createDataFrame(
+        (1 to n).map(i => Row(s"$prefix-$i", i.toLong)).asJava, schema)
+    val wh = Files.createTempDirectory("graft-cdc-")
+    val t = GraftTable.create(spark, wh.resolve("src"), "d.cdc", schema)
+    t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
+    t.append(rows("a", 3))
+    // event set minus the range-relative ordinal (a streaming consumer
+    // sees per-batch ranges; the batch API sees one whole range)
+    def evts(df: DataFrame): Set[(String, Long, String, Long)] =
+      df.select(col("k"), col("v"), col("_change_type"),
+        col("_commit_snapshot_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    val q = GraftTableStreaming.readChanges(spark, t.root)
+      .writeStream.format("memory").queryName("cdc_stream").start()
+    try {
+      q.processAllAvailable()
+      val afterAppend = evts(spark.table("cdc_stream"))
+      assert(afterAppend == evts(t.changes()),
+        "initial batch must equal the full changelog")
+      assert(afterAppend.count(_._3 == "insert") == 3)
+      // MOR delete: the appends stream misses this; the CDC stream
+      // must emit a delete event for the masked row
+      t.delete(col("k") === "a-2")
+      q.processAllAvailable()
+      val afterDelete = evts(spark.table("cdc_stream"))
+      assert(afterDelete == evts(t.changes()),
+        "MOR delete must stream a delete event")
+      assert(afterDelete.exists(e => e._1 == "a-2" && e._3 == "delete"))
+      // COW update: delete+insert for rewritten rows
+      t.setProperties(Map("write.update.mode" -> "copy-on-write"))
+      t.update(col("k") === "a-1", Map("v" -> lit(99L)))
+      q.processAllAvailable()
+      val afterUpdate = evts(spark.table("cdc_stream"))
+      assert(afterUpdate == evts(t.changes()),
+        "COW rewrite must stream delete+insert events")
+      assert(afterUpdate.exists(e => e._1 == "a-1" && e._2 == 99L &&
+        e._3 == "insert"))
+      // data-neutral compaction: offset advances, zero new events
+      val before = spark.table("cdc_stream").count()
+      t.rewriteDataFiles()
+      q.processAllAvailable()
+      assert(spark.table("cdc_stream").count() == before,
+        "replace snapshots must not emit change events")
+      // WAP: branch-staged rows stay silent until fast-forwarded
+      t.createBranch("cdc-wip")
+      t.appendToBranch("cdc-wip", rows("staged", 1))
+      q.processAllAvailable()
+      assert(!evts(spark.table("cdc_stream")).exists(_._1 == "staged-1"),
+        "unpublished branch rows leaked into the CDC stream")
+      val branchHead = t.meta.refs("cdc-wip").snapshotId
+      t.fastForward("main", branchHead)
+      q.processAllAvailable()
+      val afterPublish = evts(spark.table("cdc_stream"))
+      assert(afterPublish.exists(e => e._1 == "staged-1" &&
+        e._3 == "insert"), "published branch rows must stream")
+      assert(afterPublish == evts(t.changes()),
+        "final streamed event set must equal the batch changelog")
+    } finally q.stop()
+  }
 }
