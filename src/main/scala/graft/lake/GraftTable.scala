@@ -79,6 +79,36 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def properties: Map[String, String] = meta.properties
   def name: String = meta.name
 
+  /** Logical→physical column-name mapping; identity for columns never
+    * renamed. See [[Meta.TableMeta.physicalNames]]. */
+  def physicalNames: Map[String, String] = meta.physicalNames
+
+  private def physName(m: Map[String, String])(n: String): String =
+    m.getOrElse(n, n)
+
+  /** The schema as the data files spell it: logical types, physical
+    * column names. */
+  private def physSchema(logical: StructType,
+      m: Map[String, String]): StructType =
+    StructType(logical.fields.map(f => f.copy(name = physName(m)(f.name))))
+
+  /** Scan parquet files written under physical column names, surfacing
+    * the logical schema (with optional (file, position) lineage). Type
+    * widening (int→long, float→double) is the parquet reader's own
+    * widening promotion — old narrow files read as the current wide
+    * type with no rewrite. */
+  private def scanParquet(paths: Seq[String], logical: StructType,
+      m: Map[String, String], lineage: Boolean = false): DataFrame = {
+    val raw = spark.read.schema(physSchema(logical, m)).parquet(paths: _*)
+    val aliases = logical.fields.toSeq.map(f =>
+      col(quoted(physName(m)(f.name))).as(f.name))
+    if (lineage)
+      raw.select(aliases ++ Seq(
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol)): _*)
+    else raw.select(aliases: _*)
+  }
+
   /** User properties plus the synthetic entries Iceberg surfaces in
     * SHOW TBLPROPERTIES (ref .ipynb cell 7/17: current-snapshot-id,
     * format, format-version). */
@@ -115,9 +145,82 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
     val existing = cur.fieldNames.map(_.toLowerCase).toSet
+    // also reject collisions with PHYSICAL names still present in data
+    // files: after `RENAME a TO b`, adding a new column `a` would make
+    // the physical schema carry two columns named `a`
+    val physInUse = cur.fieldNames
+      .map(n => physName(b.meta.physicalNames)(n).toLowerCase).toSet
     cols.foreach(f => require(!existing(f.name.toLowerCase),
       s"column ${f.name} already exists in $name"))
+    cols.foreach(f => require(!physInUse(f.name.toLowerCase),
+      s"column ${f.name} collides with the physical name of a renamed " +
+        s"column in $name"))
     val next = StructType(cur.fields ++ cols.map(_.copy(nullable = true)))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only: the column's physical
+    * name (fixed at first write) stays on the files; only the logical
+    * name moves, recorded in `physicalNames`. Reads alias physical →
+    * logical, writes alias logical → physical, so files from before
+    * and after the rename are read under one consistent schema, and
+    * time travel resolves names through the mapping recorded on each
+    * snapshot. */
+  def renameColumn(from: String, to: String): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val field = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(s"no such column $from in $name"))
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists in $name")
+    val phys = physName(b.meta.physicalNames)(field.name)
+    val othersPhys = cur.fieldNames.filterNot(_ == field.name)
+      .map(n => physName(b.meta.physicalNames)(n).toLowerCase).toSet
+    require(!othersPhys(to.toLowerCase),
+      s"column name $to collides with the physical name of another " +
+        s"column in $name")
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == field.name) f.copy(name = to) else f))
+    val mapping = (b.meta.physicalNames - field.name + (to -> phys))
+      .filter { case (l, p) => l != p } // renamed back: drop identity
+    // renamed clustering columns must follow in the SAME commit, or
+    // every later append fails range-clustering on a stale name
+    val props = b.meta.properties.get(ClusterProp) match {
+      case Some(spec) => b.meta.properties + (ClusterProp ->
+        spec.split(",").map(_.trim).map(c =>
+          if (c.equalsIgnoreCase(field.name)) to else c).mkString(","))
+      case None => b.meta.properties
+    }
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      physicalNames = mapping, properties = props))
+  }
+
+  /** ALTER TABLE ALTER COLUMN TYPE — metadata-only widening promotion
+    * (int→long, float→double, …): existing narrow files read as the
+    * wide type through the parquet reader's widening support; new
+    * files write wide. Narrowing or incompatible changes are rejected
+    * — they would corrupt reads of existing data. Stats stay
+    * comparable because the manifest stat space ("long"/"double"
+    * strings) is already wider than the column types. */
+  def widenColumn(column: String, to: DataType): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val field = cur.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(s"no such column $column in $name"))
+    val ok = (field.dataType, to) match {
+      case (a, b2) if a == b2 => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported type change for $column: " +
+      s"${field.dataType.simpleString} -> ${to.simpleString} " +
+      "(only widening promotions are metadata-safe)")
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == field.name) f.copy(dataType = to) else f))
     commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
   }
 
@@ -125,9 +228,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * from the read schema; bytes in existing files are simply never
     * read again (compaction rewrites them away). Refused when an
     * equality delete still matches on the column — dropping it would
-    * break delete application. Renames are NOT supported: GraftLake
-    * identifies columns by name (no Iceberg field ids), so a rename
-    * would orphan existing data. */
+    * break delete application. Renames go through [[renameColumn]],
+    * which keeps the file-side (physical) name stable. */
   def dropColumns(names: Seq[String]): Unit = {
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
@@ -137,13 +239,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       s"no such column $n in $name"))
     require(cur.fields.count(f => !lower(f.name.toLowerCase)) > 0,
       s"cannot drop every column of $name")
+    // equalityColumns are stored under PHYSICAL names — compare there
     val eqCols = b.entries.filter(_.content == 2)
       .flatMap(_.equalityColumns).map(_.toLowerCase).toSet
-    names.foreach(n => require(!eqCols(n.toLowerCase),
+    names.foreach(n => require(
+      !eqCols(physName(b.meta.physicalNames)(
+        cur.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(n))
+        .toLowerCase),
       s"cannot drop $n: an equality-delete file matches on it " +
         "(rewrite data files first)"))
     val next = StructType(cur.fields.filterNot(f =>
       lower(f.name.toLowerCase)))
+    val mapping = b.meta.physicalNames.filter { case (l, _) =>
+      !lower(l.toLowerCase) }
     // A dropped column must also leave `write.clustered-by` in the SAME
     // metadata commit — otherwise every later append fails trying to
     // range-cluster on a column that no longer exists, and (since UNSET
@@ -157,7 +265,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case None => b.meta.properties
     }
     commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
-      properties = props))
+      physicalNames = mapping, properties = props))
   }
 
   def currentSnapshot: Option[SnapshotMeta] =
@@ -217,7 +325,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
       manifestRel, summary ++ summaryTotals(entries),
-      schemaDdl = Some(m.schemaDdl))
+      schemaDdl = Some(m.schemaDdl),
+      physicalNames =
+        if (m.physicalNames.isEmpty) None else Some(m.physicalNames))
     commitMeta(base, m.copy(snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(id)))
     snap
@@ -241,7 +351,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * don't appear and columns dropped later still do. */
   def readAt(snapshotId: Long): DataFrame = {
     val s = snapshotOrFail(snapshotId)
-    readEntries(manifestOf(s), schemaAt(snapshotId))
+    // resolve file columns through the mapping AS OF that snapshot, so
+    // time travel across later renames still reads the right bytes
+    readEntries(manifestOf(s), schemaAt(snapshotId),
+      s.physicalNames.getOrElse(Map.empty))
   }
 
   /** Stats-pruned read: min/max manifest stats choose the file list
@@ -337,8 +450,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
           .withColumn("_commit_snapshot_id", lit(s.snapshotId))
         val inserts =
           if (addedData.isEmpty) Nil
-          else Seq(tag(spark.read.schema(schema)
-            .parquet(addedData.map(abs): _*), "insert"))
+          else Seq(tag(scanParquet(addedData.map(abs), schema,
+            meta.physicalNames), "insert"))
         // rows of removed files that were VISIBLE at the parent — the
         // parent's delete files still mask them, so a COW rewrite after
         // MOR deletes doesn't re-emit already-deleted rows
@@ -365,10 +478,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
         // equality deletes kill every visible parent row matching a key
         val eqDeletes = addedEqDel.groupBy(_.equalityColumns).toSeq
           .map { case (cols, files) =>
+            // key files store physical names; surface logical for the
+            // by-name semi join against the logical parent read
+            val rev = meta.physicalNames.map(_.swap)
+            val logicalCols = cols.map(c => rev.getOrElse(c, c))
             val keys = spark.read.parquet(files.map(abs): _*)
-              .select(cols.map(col): _*).distinct()
+              .select(cols.zip(logicalCols).map { case (p, l) =>
+                col(p).as(l) }: _*).distinct()
             tag(readEntries(parentEntries)
-              .join(keys, cols, "left_semi"), "delete")
+              .join(keys, logicalCols, "left_semi"), "delete")
           }
         inserts ++ cowDeletes ++ posDeletes ++ eqDeletes
       }
@@ -397,23 +515,27 @@ class GraftTable(val spark: SparkSession, val root: Path,
     spark.createDataFrame(new java.util.ArrayList[Row](), sch)
 
   private def readEntries(entries: Seq[ManifestEntry],
-      sch: StructType = null): DataFrame = {
+      sch: StructType = null,
+      mapping: Map[String, String] = null): DataFrame = {
     val s = Option(sch).getOrElse(schema)
+    val m = Option(mapping).getOrElse(meta.physicalNames)
     val data = entries.filter(_.content == 0)
     if (data.isEmpty) return emptyDfOf(s)
     // no delete files → plain parquet scan, no _metadata lineage
     // plumbing in the plan at all
     if (entries.forall(_.content == 0))
-      return spark.read.schema(s).parquet(data.map(abs): _*)
-    readWithLineage(entries, s).drop(FileCol, PosCol)
+      return scanParquet(data.map(abs), s, m)
+    readWithLineage(entries, s, m).drop(FileCol, PosCol)
   }
 
   /** Live rows plus (file, position) lineage columns — the MOR read
     * path; also what delete capture uses so positions always round-trip
     * through the same _metadata columns. */
   private[lake] def readWithLineage(entries: Seq[ManifestEntry],
-      sch: StructType = null): DataFrame = {
+      sch: StructType = null,
+      mapping: Map[String, String] = null): DataFrame = {
     val readSchema = Option(sch).getOrElse(schema)
+    val m = Option(mapping).getOrElse(meta.physicalNames)
     val data = entries.filter(_.content == 0)
     val posDel = entries.filter(_.content == 1)
     val eqDel = entries.filter(_.content == 2)
@@ -421,10 +543,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       return emptyDfOf(readSchema)
         .withColumn(FileCol, lit(null).cast("string"))
         .withColumn(PosCol, lit(null).cast("long"))
-    var df = spark.read.schema(readSchema).parquet(data.map(abs): _*)
-      .select(col("*"),
-        col("_metadata.file_path").as(FileCol),
-        col("_metadata.row_index").as(PosCol))
+    var df = scanParquet(data.map(abs), readSchema, m, lineage = true)
     if (posDel.nonEmpty) {
       val delDf = spark.read.parquet(posDel.map(abs): _*)
       val small = posDel.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
@@ -451,6 +570,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
         StructField(SeqCol, LongType))))
       df = df.join(broadcast(seqDf), df(FileCol) === col("__graft_seq_file"),
         "left").drop("__graft_seq_file")
+      // equalityColumns (and the key files) use PHYSICAL names; the
+      // data frame surfaces logical names — bridge via the reverse map
+      val rev = m.map(_.swap)
       for ((cols, files) <- eqDel.groupBy(_.equalityColumns)) {
         val perFile = files.map { f =>
           spark.read.parquet(abs(f))
@@ -461,7 +583,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
           .groupBy(cols.map(c => col(s"__k_$c")): _*)
           .agg(max(col("__k_seq")).as("__k_seq"))
         val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
-        val cond = cols.map(c => df(c) === keys(s"__k_$c")).reduce(_ && _) &&
+        val cond = cols.map(c =>
+          df(rev.getOrElse(c, c)) === keys(s"__k_$c")).reduce(_ && _) &&
           col(SeqCol) < keys("__k_seq")
         df = df.join(if (small) broadcast(keys) else keys, cond, "left_anti")
       }
@@ -542,7 +665,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .filter(e => e.content == 0 && appendIds(e.addedSnapshotId))
       .distinctBy(_.path)
     if (entries.isEmpty) emptyDf
-    else spark.read.schema(schema).parquet(entries.map(abs): _*)
+    else scanParquet(entries.map(abs), schema, meta.physicalNames)
   }
 
   /** Append with data files range-clustered on `cols`: each of the
@@ -573,7 +696,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .sortBy(_.toString)
     require(files.nonEmpty, s"no parquet files under $sourceDir")
     val inferred = spark.read.parquet(files.map(_.toString): _*).schema
-    val table = schema
+    // imported bytes join the table as-is, so their column names must
+    // match the PHYSICAL layout (= logical unless renamed)
+    val table = physSchema(schema, meta.physicalNames)
     require(
       inferred.fields.map(f => f.name.toLowerCase).sorted.toSeq ==
         table.fields.map(_.name.toLowerCase).sorted.toSeq,
@@ -748,12 +873,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** Equality delete (content=2): any live row matching a key tuple in
     * `keys` (schema must be a subset of the table's) is masked at read. */
   def equalityDelete(keys: DataFrame): Option[SnapshotMeta] = {
-    val cols = keys.schema.fieldNames.toSeq
-    require(cols.toSet.subsetOf(schema.fieldNames.toSet),
-      s"equality-delete columns $cols not in table schema")
+    val logicalCols = keys.schema.fieldNames.toSeq
+    require(logicalCols.toSet.subsetOf(schema.fieldNames.toSet),
+      s"equality-delete columns $logicalCols not in table schema")
+    // key files and the manifest's equalityColumns use PHYSICAL names,
+    // like every other file in the table
+    val m = meta.physicalNames
+    val cols = logicalCols.map(physName(m))
     val b = captureBase()
     val staged = stageDir()
-    keys.distinct().coalesce(1).write.parquet(staged.toString)
+    keys.distinct()
+      .select(logicalCols.zip(cols).map { case (l, p) =>
+        col(quoted(l)).as(p) }: _*)
+      .coalesce(1).write.parquet(staged.toString)
     val moved = moveStaged(staged, "eqdelete")
     val snapId = nextSnapshotHint
     val entries = statEntries(moved, content = 2, snapId)
@@ -1349,7 +1481,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * data/ under fresh UUID names, return their absolute paths. */
   private def writeDataFiles(df: DataFrame): Seq[String] = {
     val staged = stageDir()
-    df.write.parquet(staged.toString)
+    // files always spell columns by PHYSICAL name, so data written
+    // before and after a RENAME COLUMN reads under one schema
+    val m = meta.physicalNames
+    val physical =
+      if (m.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(quoted(c)).as(physName(m)(c))): _*)
+    physical.write.parquet(staged.toString)
     moveStaged(staged, "data")
   }
 
@@ -1419,7 +1558,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
           case _ => None
         }
         val tableFields: Seq[StructField] =
-          if (content == 0) schema.fields.toSeq
+          // data files spell columns by PHYSICAL name; stats are keyed
+          // the same way (pruning translates predicates to physical)
+          if (content == 0) physSchema(schema, meta.physicalNames)
+            .fields.toSeq
           else fileSchema.getFields.asScala.toSeq.flatMap { t =>
             // delete files: derive a flat frame of the primitive cols
             t.asPrimitiveType().getPrimitiveTypeName match {
@@ -1499,7 +1641,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private[lake] def statEntriesViaScan(absPaths: Seq[String], content: Int,
       snapshotId: Long): Seq[ManifestEntry] = {
     val fileSchema =
-      if (content == 0) schema
+      if (content == 0) physSchema(schema, meta.physicalNames)
       else spark.read.parquet(absPaths: _*).schema
     val statCols = fileSchema.fields.toSeq.flatMap { f =>
       statExpr(f).toSeq.flatMap { c => Seq(
@@ -1594,7 +1736,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def mayMatch(e: ManifestEntry, conjunct: Expression): Boolean = {
     def key(name: String): Option[(ColStat, DataType)] = for {
       f <- schema.fields.find(_.name.equalsIgnoreCase(name))
-      st <- e.stats.get(f.name)
+      // stats are keyed by the file-side (physical) column name
+      st <- e.stats.get(physName(meta.physicalNames)(f.name))
     } yield (st, f.dataType)
     // string stats were computed by Spark min/max over UTF8String
     // (UTF-8 byte order), so compare in the SAME order — Java

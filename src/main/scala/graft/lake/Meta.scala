@@ -46,7 +46,11 @@ final case class SnapshotMeta(
     // table schema AS OF this snapshot (Iceberg's schema-id analog):
     // time travel reads with the schema of that time, not today's.
     // Optional for back-compat with pre-evolution metadata.
-    schemaDdl: Option[String] = None)
+    schemaDdl: Option[String] = None,
+    // logical→physical column names AS OF this snapshot, so time
+    // travel across later renames still resolves file columns.
+    // Absent (pre-rename metadata) means identity.
+    physicalNames: Option[Map[String, String]] = None)
 
 final case class MetadataLogEntry(timestampMs: Long, file: String)
 
@@ -64,7 +68,13 @@ final case class TableMeta(
     currentSnapshotId: Option[Long],
     metadataLog: Seq[MetadataLogEntry] = Nil,
     formatVersion: Int = 1,
-    refs: Map[String, RefMeta] = Map.empty)
+    refs: Map[String, RefMeta] = Map.empty,
+    // logical→physical column names (Delta column-mapping 'name'-mode
+    // analog): a column's physical name is fixed at first write and
+    // never changes; RENAME COLUMN moves only the logical name, so
+    // files from before and after a rename read under one physical
+    // schema. Only non-identity entries are recorded.
+    physicalNames: Map[String, String] = Map.empty)
 
 object Json {
   private val mapper: ObjectMapper = {

@@ -245,18 +245,31 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           "DROP COLUMN supports top-level columns only")
       d.fieldNames.head
     }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      if (r.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          "RENAME COLUMN supports top-level columns only")
+      r.fieldNames.head -> r.newName
+    }
+    val retypes = changes.collect { case u: TableChange.UpdateColumnType =>
+      if (u.fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          "ALTER COLUMN TYPE supports top-level columns only")
+      u.fieldNames.head -> u.newDataType
+    }
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
-           _: TableChange.AddColumn | _: TableChange.DeleteColumn =>
+           _: TableChange.AddColumn | _: TableChange.DeleteColumn |
+           _: TableChange.RenameColumn | _: TableChange.UpdateColumnType =>
         false
       case _ => true
     }
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      s"unsupported ALTER TABLE changes: ${unsupported.mkString(", ")} " +
-        "(note: RENAME COLUMN is rejected by design — GraftLake " +
-        "identifies columns by name, not field id)")
+      s"unsupported ALTER TABLE changes: ${unsupported.mkString(", ")}")
     if (adds.nonEmpty) t.addColumns(adds)
     if (drops.nonEmpty) t.dropColumns(drops)
+    renames.foreach { case (from, to) => t.renameColumn(from, to) }
+    retypes.foreach { case (c, to) => t.widenColumn(c, to) }
     if (removes.nonEmpty) t.updateProperties(removes, sets)
     else if (sets.nonEmpty) t.setProperties(sets)
     new GraftSqlTable(fullName(ident), t)

@@ -191,6 +191,34 @@ class GraftTableSpec extends SparkSuite {
     assert(t.files.filter("content = 2").count() === 1)
   }
 
+  test("renameColumn keeps MOR masks, equality deletes, and stats " +
+    "pruning working across the rename") {
+    val t = newTable()
+    t.append(seedDf)
+    import spark.implicits._
+    // masks recorded under the OLD name...
+    t.delete(col("case_id") === "case-2") // MOR position delete
+    t.equalityDelete(Seq("case-3").toDF("case_id"))
+    t.renameColumn("case_id", "case_ref")
+    // ...still apply when read under the NEW name
+    assert(t.read().select("case_ref").collect().map(_.getString(0))
+      .sorted.toSeq === Seq("case-1"))
+    // new equality delete keyed on the new logical name
+    t.append(spark.createDataFrame(Seq(
+      Row("case-9", "Ann", "ann@example.com", "key9", "s9", "sk9",
+        java.sql.Date.valueOf("2024-01-01"))).asJava,
+      StructType.fromDDL("case_ref STRING, first_name STRING, " +
+        "email_address STRING, key_nm STRING, secure_txt STRING, " +
+        "secure_key STRING, update_date DATE")))
+    t.equalityDelete(Seq("case-1").toDF("case_ref"))
+    assert(t.read().select("case_ref").collect().map(_.getString(0))
+      .toSeq === Seq("case-9"))
+    // predicate pruning translates to the physical stat key: the
+    // pruned readWhere still finds the surviving row
+    assert(t.readWhere(col("case_ref") === "case-9").count() === 1)
+    assert(t.readWhere(col("case_ref") === "zzz").count() === 0)
+  }
+
   test("metadata tables: history/snapshots/files/all_entries/" +
       "all_manifests/metadata_log_entries have the queried columns") {
     val t = newTable()

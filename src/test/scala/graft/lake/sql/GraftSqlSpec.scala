@@ -474,7 +474,7 @@ class GraftSqlSpec extends SparkSuite {
   }
 
   test("schema evolution: ADD COLUMNS reads old files as NULL, DROP " +
-    "COLUMN hides data, RENAME is rejected; DML keeps working") {
+    "COLUMN hides data, RENAME moves the logical name; DML keeps working") {
     val ns = freshNs()
     val tbl = createPii(ns)
     spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
@@ -491,11 +491,82 @@ class GraftSqlSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSeq === Seq("backfilled"))
     spark.sql(s"ALTER TABLE $tbl DROP COLUMN secure_key")
     assert(!spark.sql(s"SELECT * FROM $tbl").columns.contains("secure_key"))
-    val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN note TO remark")
-    }
-    assert(e.getMessage.toLowerCase.contains("rename"))
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN note TO remark")
+    assert(spark.sql(s"SELECT remark FROM $tbl WHERE case_id = 'case-1'")
+      .collect().map(_.getString(0)).toSeq === Seq("backfilled"),
+      "values written under the old name must survive the rename")
     assert(spark.sql(s"SELECT * FROM $tbl").count() === 4)
+  }
+
+  test("RENAME COLUMN is metadata-only: files from before and after " +
+    "read under one logical column; ALTER COLUMN TYPE widens in place") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.evo"
+    spark.sql(s"CREATE TABLE $tbl (id INT, label STRING) USING graft")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'a'), (2, 'b')")
+    val filesBefore = spark.sql(s"SELECT file_path FROM $tbl.files")
+      .collect().map(_.getString(0)).toSet
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN label TO tag")
+    // zero rewrite: same files, values resolve through the mapping
+    assert(spark.sql(s"SELECT file_path FROM $tbl.files")
+      .collect().map(_.getString(0)).toSet === filesBefore,
+      "rename must not rewrite data files")
+    assert(spark.sql(s"SELECT tag FROM $tbl ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+    // post-rename writes land under the same physical layout
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 'c')")
+    // DML addressing the renamed column spans mixed-age files
+    spark.sql(s"UPDATE $tbl SET tag = 'z' WHERE id = 1")
+    spark.sql(s"DELETE FROM $tbl WHERE tag = 'b'")
+    assert(spark.sql(s"SELECT id, tag FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq(1 -> "z", 3 -> "c"))
+    // widening: old INT files read as BIGINT, new rows exceed Int range
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT")
+    val big = Int.MaxValue.toLong + 5
+    spark.sql(s"INSERT INTO $tbl VALUES ($big, 'big')")
+    assert(spark.sql(s"SELECT id FROM $tbl ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L, big))
+    // narrowing is rejected (by Spark's analyzer before it reaches the
+    // catalog; widenColumn would refuse it too) — it would corrupt
+    // reads of the wide rows
+    val narrow = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE INT"))
+    assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      narrow.getMessage.contains("widening"), narrow.getMessage)
+    // the vacated logical name still collides with the PHYSICAL layout
+    val clash = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (label STRING)"))
+    assert(clash.getMessage.contains("physical"), clash.getMessage)
+    // renaming back to the original name drops the mapping cleanly
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN tag TO label")
+    assert(spark.sql(s"SELECT label FROM $tbl ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("z", "c", "big"))
+    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val t = graft.lake.GraftTable.load(spark,
+      Path.of(warehouse, ns, "evo"))
+    assert(t.physicalNames.isEmpty,
+      "rename back to the physical name must drop the identity entry")
+  }
+
+  test("time travel across a rename reads each snapshot with the " +
+    "column names (and bytes) of its time") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.tt_evo"
+    spark.sql(s"CREATE TABLE $tbl (id INT, label STRING) USING graft")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'a'), (2, 'b')")
+    val preRename = snapshotIds(tbl).last
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN label TO tag")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 'c')")
+    val back = spark.sql(s"SELECT * FROM $tbl VERSION AS OF $preRename")
+    assert(back.columns.toSeq === Seq("id", "label"),
+      "pre-rename snapshot must surface the old logical name")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("a", "b"))
+    assert(spark.sql(s"SELECT tag FROM $tbl ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "c"))
   }
 
   test("time travel sees the schema AS OF the snapshot: columns added " +
