@@ -1356,6 +1356,36 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   def files: DataFrame = filesOf(currentEntries)
 
+  /** `<t>.partitions` stand-in: GraftLake clusters appends into sorted
+    * key RANGES (appendClustered) rather than partition tuples, so the
+    * relation summarizes the current data files per distinct clustered
+    * range — min/max bounds, file count, row count, bytes — answering
+    * the operator question SHOW PARTITIONS answers on a partitioned
+    * table ("how is the data laid out, how big is each bucket").
+    * Unclustered tables get a single all-null-bounds summary row, like
+    * Iceberg's partitions table on an unpartitioned table. Driver-side
+    * over manifest entries — bounded metadata, no file IO. */
+  def partitionsTable: DataFrame = {
+    import spark.implicits._
+    val data = currentEntries.filter(_.content == 0)
+    val cols = clusterColumns.getOrElse(Nil)
+    val m = meta.physicalNames
+    def bound(e: ManifestEntry, pick: ColStat => String): Option[String] =
+      if (cols.isEmpty) None
+      else Some(cols.map(c => e.stats.get(physName(m)(c)).map(pick)
+        .getOrElse("null")).mkString(","))
+    val rows: Seq[(String, String, String, Long, Long, Long)] = data
+      .groupBy(e => (bound(e, _.min), bound(e, _.max))).toSeq
+      .map { case ((lo, hi), es) =>
+        (if (cols.isEmpty) null else cols.mkString(","),
+          lo.orNull, hi.orNull, es.size.toLong,
+          es.map(_.recordCount).sum, es.map(_.fileSizeBytes).sum)
+      }
+      .sortBy(r => (Option(r._2).getOrElse(""), Option(r._3).getOrElse("")))
+    rows.toDF("cluster_columns", "range_min", "range_max",
+      "file_count", "record_count", "total_size_in_bytes")
+  }
+
   private def filesOf(entries: Seq[ManifestEntry]): DataFrame = {
     import spark.implicits._
     entries.map(e => (e.content, abs(e), "PARQUET", e.recordCount,

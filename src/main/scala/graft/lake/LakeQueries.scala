@@ -282,6 +282,22 @@ object LakeQueries extends QueryCatalog {
     }
   }
 
+  /** `<t>.partitions` clustering summary: a range-clustered table's
+    * layout — one row per clustered key range with file/row counts
+    * (sizes projected away: byte counts vary with the writer). The
+    * SHOW PARTITIONS answer for a format that clusters by sorted
+    * range instead of partition tuple. */
+  private val partitionsRel = Q.noOracle("q_lake_partitions") { (s, _) =>
+    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "clustered", piiSchema,
+      Map("write.clustered-by" -> "case_id",
+        "write.clustered-by.files" -> "2"))
+    t.append(s.createDataFrame(seedRows.asJava, piiSchema))
+    t.partitionsTable.select("cluster_columns", "range_min", "range_max",
+      "file_count", "record_count")
+  }
+
   /** D24/D25: write-audit-publish — stage an append and a COW delete
     * on a branch (main untouched), audit via the branch read, publish
     * with fastForward. Returns (phase, case_id) rows proving main
@@ -309,5 +325,5 @@ object LakeQueries extends QueryCatalog {
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
-    streamRoundTrip, changelog, streamChanges, wap)
+    streamRoundTrip, changelog, streamChanges, partitionsRel, wap)
 }

@@ -122,7 +122,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   private val metadataTables = Set("files", "history", "snapshots",
     "all_entries", "all_manifests", "metadata_log_entries", "refs",
     "position_deletes", "entries", "manifests", "data_files",
-    "delete_files", "all_files", "all_data_files", "all_delete_files")
+    "delete_files", "all_files", "all_data_files", "all_delete_files",
+    "partitions")
 
   override def tableExists(ident: Identifier): Boolean =
     cat.tableExists(nsPath(ident.namespace), ident.name) ||

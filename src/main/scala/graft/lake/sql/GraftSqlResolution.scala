@@ -208,6 +208,7 @@ class GraftMetadataSqlTable(identName: String, val graft: GraftTable,
     case "all_files" => graft.allFiles
     case "all_data_files" => graft.allDataFiles
     case "all_delete_files" => graft.allDeleteFiles
+    case "partitions" => graft.partitionsTable
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $other")
   }

@@ -191,6 +191,29 @@ class GraftTableSpec extends SparkSuite {
     assert(t.files.filter("content = 2").count() === 1)
   }
 
+  test("partitions relation summarizes clustered ranges; unclustered " +
+    "tables get one all-null-bounds row") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "clustered", piiSchema,
+      Map("write.clustered-by" -> "case_id",
+        "write.clustered-by.files" -> "2"))
+    t.append(seedDf)
+    val rows = t.partitionsTable.collect()
+    assert(rows.length === 2, "3 rows over 2 clustered files = 2 ranges")
+    assert(rows.forall(_.getString(0) == "case_id"))
+    assert(rows.map(_.getLong(4)).sum === 3, "record counts must total")
+    // ranges are disjoint and ordered: max of range 1 < min of range 2
+    assert(rows(0).getString(2) <= rows(1).getString(1),
+      s"overlapping clustered ranges: ${rows.mkString(";")}")
+    // unclustered: single summary row, null bounds
+    val u = cat.createTable("default", "flat", piiSchema)
+    u.append(seedDf)
+    val urows = u.partitionsTable.collect()
+    assert(urows.map(_.getLong(4)).sum === 3)
+    assert(urows.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("renameColumn keeps MOR masks, equality deletes, and stats " +
     "pruning working across the rename") {
     val t = newTable()

@@ -683,6 +683,17 @@ class GraftSqlSpec extends SparkSuite {
     assert(pruned.count() === 1)
     assert(spark.sql(s"SELECT v FROM $tbl WHERE k = 'k-0007'")
       .collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // the partitions relation summarizes the clustered layout: 4
+    // disjoint ranges covering all 400 rows
+    val parts = spark.sql(s"SELECT cluster_columns, range_min, " +
+      s"range_max, file_count, record_count FROM $tbl.partitions " +
+      "ORDER BY range_min").collect()
+    assert(parts.length === 4)
+    assert(parts.forall(_.getString(0) == "k"))
+    assert(parts.map(_.getLong(4)).sum === 400L)
+    assert(parts.sliding(2).forall(p =>
+      p(0).getString(2) <= p(1).getString(1)),
+      "clustered ranges must be disjoint and ordered")
   }
 
   test("expired snapshot id in VERSION AS OF fails like the demo " +
