@@ -321,7 +321,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
       entries: Seq[ManifestEntry],
       summary: Map[String, String]): SnapshotMeta = {
     val m = base.meta
-    val manifestRel = s"metadata/snap-$id.json"
+    // per-ATTEMPT unique manifest name: snapshot ids are time-derived,
+    // so two same-millisecond racing writers can allocate the same id
+    // — with a deterministic snap-<id>.json the loser's pre-publish
+    // manifest write would silently overwrite the winner's manifest
+    // (the winner's metadata then points at the loser's file list:
+    // lost data). A UUID suffix makes every attempt's manifest
+    // immutable; losers leave an unreferenced file for orphan cleanup.
+    val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
       manifestRel, summary ++ summaryTotals(entries),
@@ -947,7 +954,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
       operation: String, branch: String, entries: Seq[ManifestEntry],
       summary: Map[String, String]): SnapshotMeta = {
     val head = branchHead(base, branch)
-    val manifestRel = s"metadata/snap-$id.json"
+    // unique per attempt — see commitSnapshot
+    val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
     Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
     val snap = SnapshotMeta(id, Some(head.snapshotId), now(), operation,
       manifestRel,

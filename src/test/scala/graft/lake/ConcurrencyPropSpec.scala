@@ -1,0 +1,116 @@
+package graft.lake
+
+import java.nio.file.Files
+import java.util.concurrent.CyclicBarrier
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSuite
+
+/** Multi-writer serializability, model-based: two writer threads race
+  * random append / MOR-delete / compact scripts against ONE table
+  * root (each through its own GraftTable instance, i.e. no shared
+  * in-process state — only the commit protocol coordinates them),
+  * every operation wrapped in `GraftTable.retryOnConflict`.
+  *
+  * The op vocabulary is chosen so every serial order converges to the
+  * same final state — appends insert thread-unique keys, deletes
+  * target the deleting thread's own earlier keys, compaction is
+  * data-neutral — which turns "equivalent to SOME serial order" into
+  * an exact check: the final visible key set must equal
+  * (all appended) − (all deleted), and the committed snapshots must
+  * form one linear parent chain (every commit observed its
+  * predecessor: nothing forked, nothing lost).
+  */
+class ConcurrencyPropSpec extends SparkSuite {
+
+  private val schema = StructType.fromDDL("k STRING, v BIGINT")
+
+  private sealed trait WOp
+  private case class WAppend(rows: Int) extends WOp
+  private case class WDeleteOwn(pick: Int) extends WOp
+  private case object WCompact extends WOp
+
+  private val genOp: Gen[WOp] = Gen.frequency(
+    5 -> Gen.choose(1, 3).map(WAppend),
+    2 -> Gen.choose(0, 7).map(WDeleteOwn),
+    1 -> Gen.const(WCompact))
+
+  private val genScript: Gen[List[WOp]] =
+    Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, genOp))
+
+  private def runRace(s1: List[WOp], s2: List[WOp]): Boolean = {
+    val root = Files.createTempDirectory("graft-race-")
+      .resolve("default").resolve("race")
+    GraftTable.create(spark, root, "default.race", schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new CyclicBarrier(2)
+    def writer(tid: Int, script: List[WOp]): Thread = new Thread(() => {
+      try {
+        val t = GraftTable.load(spark, root)
+        val own = scala.collection.mutable.ArrayBuffer.empty[String]
+        barrier.await()
+        script.zipWithIndex.foreach { case (op, j) =>
+          GraftTable.retryOnConflict(maxAttempts = 10,
+              firstBackoffMs = 20) {
+            op match {
+              case WAppend(n) =>
+                val keys = (0 until n).map(r => s"t$tid-b$j-r$r")
+                t.append(spark.createDataFrame(
+                  keys.map(k => Row(k, j.toLong)).asJava, schema))
+                keys.foreach { k => own += k; appended.add(k) }
+              case WDeleteOwn(pick) if own.nonEmpty =>
+                val k = own(pick % own.size)
+                if (t.delete(col("k") === k).nonEmpty) deleted.add(k)
+              case WDeleteOwn(_) => () // nothing of ours to delete yet
+              case WCompact =>
+                t.rewriteDataFiles()
+            }
+          }
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    })
+    val t1 = writer(1, s1)
+    val t2 = writer(2, s2)
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(errors.isEmpty,
+      s"writer failed despite retry: ${errors.asScala.headOption}")
+    val t = GraftTable.load(spark, root)
+    // final state = the unique serial-order result
+    val want = appended.asScala.toSet -- deleted.asScala.toSet
+    val got = t.read().select("k").collect().map(_.getString(0)).toSet
+    assert(got == want,
+      s"missing: ${(want -- got).take(5)} spurious: ${(got -- want).take(5)}")
+    // commits form ONE linear chain: every snapshot's parent is the
+    // snapshot committed immediately before it
+    val snaps = t.meta.snapshots
+    snaps.zipWithIndex.foreach { case (s, i) =>
+      val expectedParent = if (i == 0) None else Some(snaps(i - 1).snapshotId)
+      assert(s.parentId == expectedParent,
+        s"forked history at ${s.snapshotId}: parent ${s.parentId}, " +
+          s"expected $expectedParent")
+    }
+    true
+  }
+
+  test("∀ two-writer races of append/delete/compact under retry: final " +
+    "state equals the serial-order result and history stays linear") {
+    val prop = Prop.forAll(genScript, genScript)(runRace)
+    // 100 races ≈ 45 s on local[4]; override with -Dgraft.race.runs
+    val runs = sys.props.get("graft.race.runs").map(_.toInt).getOrElse(100)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(runs)
+      .withInitialSeed(Seed(4242L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+}
