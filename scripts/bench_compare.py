@@ -23,14 +23,23 @@ def main():
         if a.startswith("--threshold"):
             thr = float(a.split("=", 1)[1] if "=" in a
                         else sys.argv[sys.argv.index(a) + 1])
-    old = json.load(open(args[0]))["queries"]
-    new = json.load(open(args[1]))["queries"]
+    old_doc = json.load(open(args[0]))
+    new_doc = json.load(open(args[1]))
+    old, new = old_doc["queries"], new_doc["queries"]
+    # subtract each side's fixed harness floor (plan + noop-write of a
+    # one-row frame, recorded since r6) so tiny queries compare on
+    # engine time, not session overhead; pre-floor dumps subtract 0
+    old_floor = old_doc.get("floor_s", 0.0)
+    new_floor = new_doc.get("floor_s", 0.0)
     regressed, added, removed = [], [], []
     for q, t in sorted(new.items()):
         if q not in old:
             added.append((q, t))
-        elif t > old[q] * thr and t - old[q] > 0.2:
-            regressed.append((q, old[q], t))
+        else:
+            o = max(0.001, old[q] - old_floor)
+            n = max(0.001, t - new_floor)
+            if n > o * thr and n - o > 0.2:
+                regressed.append((q, old[q], t))
     removed = sorted(set(old) - set(new))
     for q, o, n in sorted(regressed, key=lambda x: x[1] - x[2]):
         print(f"REGRESSED {q}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")

@@ -40,6 +40,12 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // Per-query fixed floor: the cost of planning + noop-writing a
+    // trivial one-row frame. Small queries (~0.2 s of this harness
+    // overhead on ~0.6 s total) would otherwise read as plan
+    // regressions round-over-round; bench_compare.py subtracts it.
+    val floor = (1 to 3)
+      .map(_ => run((s, _) => s.range(1).toDF())).min
     val detail = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to 2).map(_ => run(fn))
     }
@@ -54,7 +60,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","runs_detail":$runsDetail}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","floor_s":${r3(floor)},"runs_detail":$runsDetail}"""
     // The driver captures only the LAST ~2000 chars of stdout (plus sbt's
     // trailing "[success] Total time" line) and json-parses the final JSON
     // line it finds. The full per-query map for ~100 queries is ~3000
@@ -67,7 +73,7 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"), full)
     catch { case _: Throwable => () }
     println(full)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","detail":"bench_detail.json","queries":"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","floor_s":${r3(floor)},"detail":"bench_detail.json","queries":"""
     val budget = 1500 - head.length - 2
     val slowest = results.toSeq.sortBy(-_._2)
     val sb = new StringBuilder

@@ -905,11 +905,23 @@ object PipelineQueries extends QueryCatalog {
       |FROM r ORDER BY round, source, rank_in_source
       |LIMIT 300""".stripMargin
   ) { (s, dir) =>
-    val perSource = Window.partitionBy("source").orderBy("copy", "doc_id")
-    Tables.documents(s, dir)
+    pacedInterleave(Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         when(col("source") === "src0", 3L)
-          .when(col("source") === "src1", 2L).otherwise(1L).as("factor"))
+          .when(col("source") === "src1", 2L).otherwise(1L).as("factor")))
+      .limit(300)
+  }
+
+  /** The pacing core of the weighted interleave: docs with a per-row
+    * upsample `factor` explode map-side into `factor` copies; a source
+    * with factor f then emits f items per round ((rank-1) div f), so
+    * every epoch prefix carries the target mix. Shared by the
+    * fixed-config oracle query above and the data-derived
+    * sqrt-temperature path (LlmSpec exercises it on a skewed slice
+    * where the derived factors exceed 1). */
+  private[llm] def pacedInterleave(docsWithFactor: DataFrame): DataFrame = {
+    val perSource = Window.partitionBy("source").orderBy("copy", "doc_id")
+    docsWithFactor
       .select(col("doc_id"), col("source"), col("factor"),
         explode(expr("sequence(1L, factor)")).as("copy"))
       .withColumn("rank_in_source", row_number().over(perSource))
@@ -917,7 +929,23 @@ object PipelineQueries extends QueryCatalog {
         expr("(rank_in_source - 1) div factor").as("round"),
         col("rank_in_source"))
       .orderBy("round", "source", "rank_in_source")
-      .limit(300)
+  }
+
+  /** Data-derived sqrt-temperature upsample factors: a source's factor
+    * is round(sqrt(T_max / T_s)) over per-source total token counts,
+    * floored at 1 — small sources repeat, the largest never does (the
+    * standard temperature-sampling shape, τ = 2). Integer-rounded so
+    * pacing stays exact; on a deliberately uniform corpus every factor
+    * rounds to 1 (why the oracle query uses an explicit config). */
+  private[llm] def sqrtTemperatureFactors(docs: DataFrame): DataFrame = {
+    val totals = docs
+      .select(col("source"), expr("size(split(text, ' '))").as("toks"))
+      .groupBy("source").agg(sum("toks").as("t"))
+    val tMax = totals.agg(max("t")).head.getLong(0)
+    totals.select(col("source"),
+      greatest(lit(1L),
+        round(sqrt(lit(tMax.toDouble) / col("t"))).cast("long"))
+        .as("factor"))
   }
 
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,

@@ -24,6 +24,39 @@ class LlmSpec extends SparkSuite {
     assert(out.length == 2) // "a b c" and "b c d"
   }
 
+  test("sqrt-temperature mix-interleave on a SKEWED corpus: derived " +
+    "factors exceed 1 and every full round carries the target mix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // skewed slice: per-source token totals 1600 / 400 / 100
+    // => sqrt-temperature factors 1 / 2 / 4
+    val docs = (
+      (1 to 160).map(i => (i.toLong, "big", Seq.fill(10)("w").mkString(" "))) ++
+      (1 to 40).map(i => (1000L + i, "mid", Seq.fill(10)("w").mkString(" "))) ++
+      (1 to 10).map(i => (2000L + i, "small", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val factors = PipelineQueries.sqrtTemperatureFactors(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(factors === Map("big" -> 1L, "mid" -> 2L, "small" -> 4L),
+      s"derived factors off: $factors")
+    val epoch = PipelineQueries.pacedInterleave(
+      docs.join(broadcast(PipelineQueries.sqrtTemperatureFactors(docs)),
+        Seq("source")))
+      .collect()
+    // epoch size: every doc appears factor(source) times
+    assert(epoch.length === 160 * 1 + 40 * 2 + 10 * 4)
+    // proportional pacing: while a source still has items, each round
+    // carries exactly `factor` of them — the mix holds in every prefix
+    val byRound = epoch.groupBy(r => (r.getLong(3), r.getString(1)))
+      .map { case ((round, src), rows) => (round, src, rows.length) }
+    val rounds = Map("big" -> 160L, "mid" -> 40L, "small" -> 10L)
+    byRound.foreach { case (round, src, n) =>
+      assert(round < rounds(src), s"$src emitted past its last round")
+      assert(n === factors(src).toInt,
+        s"round $round of $src carried $n items, want ${factors(src)}")
+    }
+  }
+
   test("cluster resolution: the distributed min-label fixpoint and the " +
     "driver union-find produce identical clusters") {
     import org.apache.spark.sql.functions._
@@ -243,6 +276,34 @@ class LlmSpec extends SparkSuite {
     // non-image payloads keep the deterministic stub values
     assert(Media.decode("abcd".getBytes("UTF-8")) ===
       Media.decodeStub("abcd".getBytes("UTF-8")))
+  }
+
+  test("media decode: a real PCM WAV goes through javax.sound.sampled " +
+    "with true rate/channels and sample stats; text still stubs") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 100 frames of stereo 8-bit PCM at 8 kHz, authored with the same
+    // JDK codec: samples are a deterministic ramp
+    val pcm = Array.tabulate[Byte](200)(i => ((i * 3) % 256).toByte)
+    val fmt = new AudioFormat(8000f, 8, 2, false, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 100),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val (rate, channels, mean, max) = Media.decode(wav)
+    assert(rate == 8000 && channels == 2,
+      "decoded format must be the authored one")
+    val amps = pcm.map(_ & 0xff)
+    assert(math.abs(mean - amps.sum.toDouble / amps.length) < 1e-9)
+    assert(max == amps.max)
+    // the distributed path uses the same decode
+    import spark.implicits._
+    val feat = Media.decodeFeatures(spark.createDataset(Seq(
+      Media.MediaRecord(8L, "wav-src", "audio/wav", wav)))).collect().head
+    assert(feat.width == 8000 && feat.height == 2 && feat.max_byte == max)
+    // non-media payloads keep the deterministic stub values
+    assert(Media.decode("plain text".getBytes("UTF-8")) ===
+      Media.decodeStub("plain text".getBytes("UTF-8")))
   }
 
   test("frame sampling: counts follow ceil arithmetic, frames cover payload") {
