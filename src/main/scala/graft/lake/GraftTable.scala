@@ -1184,8 +1184,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val a = p.toAbsolutePath.toString
       !referenced(a) && Files.getLastModifiedTime(p).toMillis < olderThanMs
     }
-    orphans.foreach(Files.deleteIfExists(_))
-    orphans.map(_.toAbsolutePath.toString)
+    // Losing commit attempts leave unreferenced snap-*.json manifests
+    // (names are per-attempt unique, so they can never alias a live
+    // one). They are metadata orphans under the same age rule — the
+    // cutoff also protects a concurrent writer's manifest written but
+    // not yet published. Only snap manifests are candidates: metadata
+    // versions and the version hint are never collected here.
+    val liveManifests = meta.snapshots
+      .map(s => root.resolve(s.manifestList).toAbsolutePath.toString)
+      .toSet
+    val manifestOrphans =
+      if (location.isDefined) Nil // explicit location: scan that only
+      else Io.listRecursive(metadataDir).filter { p =>
+        val nm = p.getFileName.toString
+        nm.startsWith("snap-") && nm.endsWith(".json") &&
+          !liveManifests(p.toAbsolutePath.toString) &&
+          Files.getLastModifiedTime(p).toMillis < olderThanMs
+      }
+    val all = orphans ++ manifestOrphans
+    all.foreach(Files.deleteIfExists(_))
+    all.map(_.toAbsolutePath.toString)
   }
 
   /** D13 rewrite_data_files (ref demo.py:419-433): compact to the

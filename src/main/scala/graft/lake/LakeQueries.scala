@@ -163,6 +163,26 @@ object LakeQueries extends QueryCatalog {
     s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
   }
 
+  /** Schema evolution as a driver-visible query: RENAME COLUMN is
+    * metadata-only (physical names stay on the files), ALTER COLUMN
+    * TYPE widens int→long in place, and reads span files written
+    * before and after both changes. Deterministic rows; no-oracle
+    * (runtime temp catalog), semantics pinned by GraftSqlSpec. */
+  private val schemaEvolution = Q.noOracle("q_lake_schema_evolution") { (s, _) =>
+    ensureSqlCatalog(s)
+    val ns = s"sqlns_${System.nanoTime()}"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.evo"
+    s.sql(s"CREATE TABLE $tbl (id INT, label STRING) USING graft")
+    s.sql(s"INSERT INTO $tbl VALUES (1, 'a'), (2, 'b')")
+    s.sql(s"ALTER TABLE $tbl RENAME COLUMN label TO tag")
+    s.sql(s"INSERT INTO $tbl VALUES (3, 'c')")
+    s.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE BIGINT")
+    s.sql(s"INSERT INTO $tbl VALUES (${Int.MaxValue.toLong + 5}, 'big')")
+    s.sql(s"UPDATE $tbl SET tag = 'z' WHERE id = 1")
+    s.sql(s"SELECT id, tag FROM $tbl ORDER BY id")
+  }
+
   /** MERGE INTO as a driver-visible query: the full upsert verbs the
     * reference's Iceberg surface offers (`MERGE ... WHEN MATCHED THEN
     * UPDATE / WHEN NOT MATCHED THEN INSERT`, then a second merge whose
@@ -325,5 +345,6 @@ object LakeQueries extends QueryCatalog {
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
-    streamRoundTrip, changelog, streamChanges, partitionsRel, wap)
+    streamRoundTrip, changelog, streamChanges, partitionsRel,
+    schemaEvolution, wap)
 }

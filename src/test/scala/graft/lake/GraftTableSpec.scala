@@ -147,6 +147,31 @@ class GraftTableSpec extends SparkSuite {
     assert(t.read().count() === 3)
   }
 
+  test("orphan removal sweeps unreferenced manifest files (losing " +
+    "commit attempts) but never live manifests or metadata versions") {
+    val t = newTable()
+    t.append(seedDf)
+    t.delete(col("case_id") === "case-2")
+    // a losing attempt's manifest: right shape, never referenced
+    val loser = t.root.resolve(
+      "metadata/snap-12345-deadbeef-0000-0000-0000-000000000000.json")
+    Files.writeString(loser, "[]")
+    val deleted = t.removeOrphanFiles(System.currentTimeMillis() + 1000,
+      force = true)
+    assert(deleted.map(Path.of(_).getFileName.toString)
+      .contains(loser.getFileName.toString))
+    assert(!Files.exists(loser))
+    // live state fully intact: reads, time travel, metadata versions
+    assert(t.read().count() === 2)
+    assert(t.meta.snapshots.forall(s =>
+      Files.exists(t.root.resolve(s.manifestList))),
+      "a live manifest was swept")
+    assert(Files.exists(t.root.resolve(s"v${t.version}.metadata.json"))
+      || Files.exists(t.root.resolve(
+        s"metadata/v${t.version}.metadata.json")),
+      "metadata version file must survive")
+  }
+
   test("no delete files => forensics finds nothing to apply " +
       "(cleanup_utils.py:148-150)") {
     val t = newTable()

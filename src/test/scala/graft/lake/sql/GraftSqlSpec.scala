@@ -550,6 +550,34 @@ class GraftSqlSpec extends SparkSuite {
       "rename back to the physical name must drop the identity entry")
   }
 
+  test("time travel across TWO chained renames resolves each snapshot " +
+    "through its own recorded mapping") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.chain"
+    spark.sql(s"CREATE TABLE $tbl (id INT, a STRING) USING graft")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'one')")
+    val snapA = snapshotIds(tbl).last
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN a TO b")
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 'two')")
+    val snapB = snapshotIds(tbl).last
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN b TO c")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 'three')")
+    // current: one logical column c spanning three physical-a files
+    assert(spark.sql(s"SELECT c FROM $tbl ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("one", "two", "three"))
+    // snapshot taken under logical 'a': identity mapping, reads 'a'
+    val atA = spark.sql(s"SELECT * FROM $tbl VERSION AS OF $snapA")
+    assert(atA.columns.toSeq === Seq("id", "a"))
+    assert(atA.collect().map(_.getString(1)).toSeq === Seq("one"))
+    // snapshot taken under logical 'b': its mapping says b -> a, so
+    // the middle epoch still reads the right bytes
+    val atB = spark.sql(s"SELECT * FROM $tbl VERSION AS OF $snapB")
+    assert(atB.columns.toSeq === Seq("id", "b"))
+    assert(atB.orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("one", "two"))
+  }
+
   test("time travel across a rename reads each snapshot with the " +
     "column names (and bytes) of its time") {
     val ns = freshNs()
