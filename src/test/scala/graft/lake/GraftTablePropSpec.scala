@@ -34,6 +34,7 @@ class GraftTablePropSpec extends SparkSuite {
   private case object Rewrite extends Op
   private case object RewriteDeletes extends Op
   private case object Expire extends Op
+  private case object RenameFlip extends Op
   private case object Orphans extends Op
   private case class BranchCycle(pick: Int, n: Int,
       publish: Boolean) extends Op
@@ -47,6 +48,7 @@ class GraftTablePropSpec extends SparkSuite {
     1 -> Gen.const(Rewrite),
     1 -> Gen.const(RewriteDeletes),
     1 -> Gen.const(Expire),
+    1 -> Gen.const(RenameFlip),
     1 -> Gen.const(Orphans),
     1 -> Gen.zip(Gen.choose(0, 7), Gen.choose(1, 3),
       Gen.oneOf(true, false)).map { case (p, n, pub) =>
@@ -69,6 +71,11 @@ class GraftTablePropSpec extends SparkSuite {
     val t = cat.createTable("default", "prop_t", schema, modes)
     var model = Vector.empty[M]
     var nextId = 0
+    // the name column flips between two logical names via RENAME
+    // COLUMN; reads are positional so the model never needs the name
+    var fnName = "first_name"
+    def curSchema = StructType.fromDDL(
+      s"case_id STRING, $fnName STRING, update_date DATE")
     // retained snapshot contents for replay checks
     var snapContents = Map.empty[Long, Set[(String, Option[String])]]
     var expired = Set.empty[Long]
@@ -98,12 +105,12 @@ class GraftTablePropSpec extends SparkSuite {
     ops.foreach {
       case Append(n) =>
         val rows = freshRows(n)
-        t.append(spark.createDataFrame(rows.asJava, schema))
+        t.append(spark.createDataFrame(rows.asJava, curSchema))
         model ++= rows.map(r => M(r.getString(0), Some(r.getString(1))))
         snap()
       case ClusteredAppend(n) =>
         val rows = freshRows(n)
-        t.appendClustered(spark.createDataFrame(rows.asJava, schema),
+        t.appendClustered(spark.createDataFrame(rows.asJava, curSchema),
           Seq("case_id"), nFiles = 2)
         model ++= rows.map(r => M(r.getString(0), Some(r.getString(1))))
         snap()
@@ -127,7 +134,7 @@ class GraftTablePropSpec extends SparkSuite {
         val ids = targets(pick)
         if (ids.nonEmpty) {
           t.update(col("case_id").isin(ids: _*),
-            Map("first_name" -> lit(null).cast("string")))
+            Map(fnName -> lit(null).cast("string")))
           model = model.map(m =>
             if (ids.contains(m.caseId)) m.copy(firstName = None) else m)
           snap()
@@ -144,6 +151,12 @@ class GraftTablePropSpec extends SparkSuite {
         snapContents --= gone
       case Orphans =>
         t.removeOrphanFiles(System.currentTimeMillis() + 1000, force = true)
+      case RenameFlip =>
+        // metadata-only: no rows change, no snapshot commits; all
+        // later DML and every snapshot replay must keep working
+        val to = if (fnName == "first_name") "fn_alt" else "first_name"
+        t.renameColumn(fnName, to)
+        fnName = to
       case BranchCycle(pick, n, publish) =>
         // stage append + delete on a branch; main must not move until
         // (and unless) the branch is published via fastForward
@@ -152,7 +165,7 @@ class GraftTablePropSpec extends SparkSuite {
           t.createBranch(br)
           val rows = freshRows(n)
           t.appendToBranch(br,
-            spark.createDataFrame(rows.asJava, schema))
+            spark.createDataFrame(rows.asJava, curSchema))
           val ids = targets(pick)
           if (ids.nonEmpty)
             t.deleteOnBranch(br, col("case_id").isin(ids: _*))
