@@ -34,6 +34,7 @@ class DeterminismSpec extends SparkSuite {
     "q_pipe_quantiles",
     "q_pipe_quantize",
     "q_sim_topk_brute",
+    "q_sim_knn_join", // r6: left side repartitions — rank ties must not
     "q_sim_centroid",
     "q_dedup_containment",
     "q_window_first_last",
