@@ -197,7 +197,11 @@ object GraftChangesSource {
   * contract the batch API has for its queried range). A rollback moves
   * the head off the emitted ancestry and fails the stream loudly
   * (non-ancestor start offset) rather than replaying rewritten
-  * history.
+  * history. Schema evolution mid-stream follows Spark's file-stream
+  * contract: the consumer keeps the schema the query STARTED with —
+  * after a RENAME COLUMN, change rows keep arriving under the old
+  * logical name (values bind positionally and stay correct, proven in
+  * StreamingSpec); restart the query to pick up the new name.
   */
 class GraftChangesSource(t: GraftTable) extends Source {
 

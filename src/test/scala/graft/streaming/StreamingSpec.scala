@@ -472,4 +472,32 @@ class StreamingSpec extends SparkSuite {
         "final streamed event set must equal the batch changelog")
     } finally q.stop()
   }
+
+  test("CDC stream across a mid-stream RENAME COLUMN: rows keep " +
+    "arriving under the query's start-time schema, values correct") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    val schema = StructType.fromDDL("k STRING, v BIGINT")
+    val wh = Files.createTempDirectory("graft-cdc-ren-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "d.ren", schema)
+    t.append(spark.createDataFrame(Seq(Row("a", 1L)).asJava, schema))
+    val q = GraftTableStreaming.readChanges(spark, t.root)
+      .writeStream.format("memory").queryName("cdc_ren_stream").start()
+    try {
+      q.processAllAvailable()
+      t.renameColumn("k", "key")
+      t.append(spark.createDataFrame(Seq(Row("b", 2L)).asJava,
+        StructType.fromDDL("key STRING, v BIGINT")))
+      q.processAllAvailable()
+      val got = spark.table("cdc_ren_stream")
+      // the consumer's schema is the one the query started with
+      assert(got.columns.take(2).toSeq === Seq("k", "v"))
+      assert(got.orderBy("v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq("a" -> 1L, "b" -> 2L),
+        "post-rename rows must bind positionally with correct values")
+    } finally q.stop()
+  }
 }
