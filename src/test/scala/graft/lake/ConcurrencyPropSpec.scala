@@ -34,11 +34,13 @@ class ConcurrencyPropSpec extends SparkSuite {
   private sealed trait WOp
   private case class WAppend(rows: Int) extends WOp
   private case class WDeleteOwn(pick: Int) extends WOp
+  private case class WEqDeleteOwn(pick: Int) extends WOp
   private case object WCompact extends WOp
 
   private val genOp: Gen[WOp] = Gen.frequency(
     5 -> Gen.choose(1, 3).map(WAppend),
     2 -> Gen.choose(0, 7).map(WDeleteOwn),
+    1 -> Gen.choose(0, 7).map(WEqDeleteOwn),
     1 -> Gen.const(WCompact))
 
   private val genScript: Gen[List[WOp]] =
@@ -71,6 +73,15 @@ class ConcurrencyPropSpec extends SparkSuite {
                 val k = own(pick % own.size)
                 if (t.delete(col("k") === k).nonEmpty) deleted.add(k)
               case WDeleteOwn(_) => () // nothing of ours to delete yet
+              case WEqDeleteOwn(pick) if own.nonEmpty =>
+                // equality delete on an own key: keys are never
+                // re-inserted, so the serial-order effect is the same
+                // as a positional delete
+                val k = own(pick % own.size)
+                import spark.implicits._
+                if (t.equalityDelete(Seq(k).toDF("k")).nonEmpty)
+                  deleted.add(k)
+              case WEqDeleteOwn(_) => ()
               case WCompact =>
                 t.rewriteDataFiles()
             }
