@@ -28,9 +28,11 @@ def main():
     old, new = old_doc["queries"], new_doc["queries"]
     # subtract each side's fixed harness floor (plan + noop-write of a
     # one-row frame, recorded since r6) so tiny queries compare on
-    # engine time, not session overhead; pre-floor dumps subtract 0
-    old_floor = old_doc.get("floor_s", 0.0)
-    new_floor = new_doc.get("floor_s", 0.0)
+    # engine time, not session overhead. A dump from before floor
+    # recording borrows the other side's floor — subtracting from one
+    # side only would bias every comparison across that boundary.
+    old_floor = old_doc.get("floor_s", new_doc.get("floor_s", 0.0))
+    new_floor = new_doc.get("floor_s", old_doc.get("floor_s", 0.0))
     regressed, added, removed = [], [], []
     for q, t in sorted(new.items()):
         if q not in old:

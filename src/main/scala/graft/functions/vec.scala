@@ -37,13 +37,19 @@ object vec {
       call_function("vec_signpack", a, lit(offset))
     else signpackHof(a, offset)
 
-  private[graft] def signpackHof(a: Column, offset: Int): Column =
+  private[graft] def signpackHof(a: Column, offset: Int): Column = {
+    // mirror the native kernel's analysis-time rejection: a negative
+    // offset under try_element_at would silently read from the END of
+    // the array (negative indexing) instead of failing
+    require(offset >= 0 && offset <= Int.MaxValue - 31,
+      s"signpack offset must be in [0, ${Int.MaxValue - 31}], got $offset")
     aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
       // try_element_at: out-of-range indices yield null (-> 0 bit) to
       // match the native kernel's zero-fill under ANSI mode, where
       // element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
       acc + when(try_element_at(a, i + lit(offset + 1)) > 0d,
         call_function("shiftleft", lit(1L), i)).otherwise(0L))
+  }
 
   def cosine(s: SparkSession, a: Column, b: Column,
       normA: Column, normB: Column): Column =

@@ -145,18 +145,30 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
     val existing = cur.fieldNames.map(_.toLowerCase).toSet
-    // also reject collisions with PHYSICAL names still present in data
-    // files: after `RENAME a TO b`, adding a new column `a` would make
-    // the physical schema carry two columns named `a`
-    val physInUse = cur.fieldNames
-      .map(n => physName(b.meta.physicalNames)(n).toLowerCase).toSet
     cols.foreach(f => require(!existing(f.name.toLowerCase),
       s"column ${f.name} already exists in $name"))
-    cols.foreach(f => require(!physInUse(f.name.toLowerCase),
-      s"column ${f.name} collides with the physical name of a renamed " +
-        s"column in $name"))
+    // A new column whose name collides with a physical name still
+    // present in data files — either a renamed column's file-side name
+    // or a DROPPED column's lingering bytes — takes a fresh physical
+    // name instead (the Iceberg field-id re-add semantics): old files
+    // read as NULL for it, they never resurrect foreign bytes.
+    val physInUse = cur.fieldNames
+      .map(n => physName(b.meta.physicalNames)(n).toLowerCase).toSet
+    val retired = b.meta.retiredPhysicalNames.map(_.toLowerCase).toSet
+    val taken = scala.collection.mutable.Set.empty[String] ++
+      physInUse ++ retired ++ existing
+    var mapping = b.meta.physicalNames
+    cols.foreach { f =>
+      if (taken(f.name.toLowerCase)) {
+        val fresh = Iterator.from(2).map(k => s"${f.name}_$k")
+          .find(c => !taken(c.toLowerCase)).get
+        taken += fresh.toLowerCase
+        mapping += (f.name -> fresh)
+      } else taken += f.name.toLowerCase
+    }
     val next = StructType(cur.fields ++ cols.map(_.copy(nullable = true)))
-    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      physicalNames = mapping))
   }
 
   /** ALTER TABLE RENAME COLUMN — metadata-only: the column's physical
@@ -252,6 +264,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
       lower(f.name.toLowerCase)))
     val mapping = b.meta.physicalNames.filter { case (l, _) =>
       !lower(l.toLowerCase) }
+    // retire the dropped columns' physical names: their bytes linger
+    // in old files, so a same-named ADD COLUMN must not rebind to them
+    val newlyRetired = cur.fields.toSeq
+      .filter(f => lower(f.name.toLowerCase))
+      .map(f => physName(b.meta.physicalNames)(f.name))
     // A dropped column must also leave `write.clustered-by` in the SAME
     // metadata commit — otherwise every later append fails trying to
     // range-cluster on a column that no longer exists, and (since UNSET
@@ -265,7 +282,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case None => b.meta.properties
     }
     commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
-      physicalNames = mapping, properties = props))
+      physicalNames = mapping, properties = props,
+      retiredPhysicalNames =
+        (b.meta.retiredPhysicalNames ++ newlyRetired).distinct))
   }
 
   def currentSnapshot: Option[SnapshotMeta] =
@@ -511,8 +530,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def pruneByPredicate(entries: Seq[ManifestEntry],
       pred: Column): Seq[ManifestEntry] = {
     val conjuncts = analyzeConjuncts(pred)
+    // hoisted: each `meta` access re-reads and re-parses the metadata
+    // file — per-entry-per-conjunct lookups would dominate pruning on
+    // a many-thousand-file table
+    val m = meta
+    val sch = StructType.fromDDL(m.schemaDdl)
     entries.filter { e =>
-      e.content != 0 || conjuncts.forall(c => mayMatch(e, c))
+      e.content != 0 ||
+        conjuncts.forall(c => mayMatch(e, c, sch, m.physicalNames))
     }
   }
 
@@ -960,7 +985,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val snap = SnapshotMeta(id, Some(head.snapshotId), now(), operation,
       manifestRel,
       summary ++ Map("branch" -> branch) ++ summaryTotals(entries),
-      schemaDdl = Some(base.meta.schemaDdl))
+      schemaDdl = Some(base.meta.schemaDdl),
+      physicalNames = if (base.meta.physicalNames.isEmpty) None
+        else Some(base.meta.physicalNames))
     commitMeta(base, base.meta.copy(
       snapshots = base.meta.snapshots :+ snap,
       refs = base.meta.refs +
@@ -1193,9 +1220,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val liveManifests = meta.snapshots
       .map(s => root.resolve(s.manifestList).toAbsolutePath.toString)
       .toSet
+    // swept regardless of the (data-)location parameter: loser
+    // manifests live in metadata/ either way
     val manifestOrphans =
-      if (location.isDefined) Nil // explicit location: scan that only
-      else Io.listRecursive(metadataDir).filter { p =>
+      Io.listRecursive(metadataDir).filter { p =>
         val nm = p.getFileName.toString
         nm.startsWith("snap-") && nm.endsWith(".json") &&
           !liveManifests(p.toAbsolutePath.toString) &&
@@ -1789,11 +1817,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** Conservative overlap test: only prunes when the conjunct is a
     * simple comparison on a stats-tracked column; anything else keeps
     * the file. */
-  private def mayMatch(e: ManifestEntry, conjunct: Expression): Boolean = {
+  private def mayMatch(e: ManifestEntry, conjunct: Expression,
+      sch: StructType, mapping: Map[String, String]): Boolean = {
     def key(name: String): Option[(ColStat, DataType)] = for {
-      f <- schema.fields.find(_.name.equalsIgnoreCase(name))
+      f <- sch.fields.find(_.name.equalsIgnoreCase(name))
       // stats are keyed by the file-side (physical) column name
-      st <- e.stats.get(physName(meta.physicalNames)(f.name))
+      st <- e.stats.get(physName(mapping)(f.name))
     } yield (st, f.dataType)
     // string stats were computed by Spark min/max over UTF8String
     // (UTF-8 byte order), so compare in the SAME order — Java

@@ -74,7 +74,11 @@ final case class TableMeta(
     // never changes; RENAME COLUMN moves only the logical name, so
     // files from before and after a rename read under one physical
     // schema. Only non-identity entries are recorded.
-    physicalNames: Map[String, String] = Map.empty)
+    physicalNames: Map[String, String] = Map.empty,
+    // physical names of DROPPED columns: their bytes linger in old
+    // files, so a later ADD COLUMN with the same name must take a
+    // fresh physical name or it would resurrect the dropped values.
+    retiredPhysicalNames: Seq[String] = Nil)
 
 object Json {
   private val mapper: ObjectMapper = {

@@ -216,6 +216,55 @@ class GraftTableSpec extends SparkSuite {
     assert(t.files.filter("content = 2").count() === 1)
   }
 
+  test("branch commits after a rename stamp the mapping: WAP audit " +
+    "reads and published time travel resolve the renamed column") {
+    val t = newTable()
+    t.append(seedDf)
+    t.renameColumn("first_name", "given_name")
+    t.createBranch("audit")
+    t.appendToBranch("audit", spark.createDataFrame(Seq(
+      Row("case-9", "Zoe", "z@example.com", "k9", "s9", "sk9",
+        java.sql.Date.valueOf("2024-02-02"))).asJava,
+      StructType.fromDDL("case_id STRING, given_name STRING, " +
+        "email_address STRING, key_nm STRING, secure_txt STRING, " +
+        "secure_key STRING, update_date DATE")))
+    // the WAP audit read must see values through the rename mapping
+    val audit = t.readRef("audit").orderBy("case_id").collect()
+    assert(audit.map(r => Option(r.getString(1))).forall(_.nonEmpty),
+      "branch read lost renamed-column values (mapping not stamped)")
+    assert(audit.map(_.getString(0)).toSeq ===
+      Seq("case-1", "case-2", "case-3", "case-9"))
+    val branchHead = t.refs("audit").snapshotId
+    t.fastForward("main", branchHead)
+    assert(t.readAt(branchHead).orderBy("case_id").collect()
+      .map(_.getString(1)).toSeq === Seq("John", "Jane", "Alice", "Zoe"))
+  }
+
+  test("ADD COLUMN after DROP COLUMN of the same name reads NULL, " +
+    "never the dropped column's lingering bytes") {
+    val t = newTable()
+    t.append(seedDf)
+    t.dropColumns(Seq("secure_txt"))
+    t.addColumns(Seq(StructField("secure_txt", StringType)))
+    // old files still hold the dropped bytes under the old physical
+    // name; the re-added column must NOT rebind to them
+    val vals = t.read().select("secure_txt").collect().map(r =>
+      Option(r.getString(0)))
+    assert(vals.forall(_.isEmpty),
+      s"re-added column resurrected dropped bytes: ${vals.toSeq}")
+    // new writes land under the fresh physical name and read back
+    // the re-added column sits at the END of the evolved schema
+    t.append(spark.createDataFrame(Seq(
+      Row("case-7", "Gil", "g@example.com", "k7", "sk7",
+        java.sql.Date.valueOf("2024-03-03"), "fresh secret")).asJava,
+      t.schema))
+    assert(t.read().filter(col("case_id") === "case-7")
+      .select("secure_txt").collect().map(_.getString(0)).toSeq ===
+      Seq("fresh secret"))
+    assert(t.physicalNames.contains("secure_txt"),
+      "re-added column must carry a fresh physical alias")
+  }
+
   test("partitions relation summarizes clustered ranges; unclustered " +
     "tables get one all-null-bounds row") {
     val cat = new GraftCatalog(spark, freshWarehouse())

@@ -535,19 +535,20 @@ class GraftSqlSpec extends SparkSuite {
       spark.sql(s"ALTER TABLE $tbl ALTER COLUMN id TYPE INT"))
     assert(narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
       narrow.getMessage.contains("widening"), narrow.getMessage)
-    // the vacated logical name still collides with the PHYSICAL layout
-    val clash = intercept[Exception](
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (label STRING)"))
-    assert(clash.getMessage.contains("physical"), clash.getMessage)
+    // adding a column whose name is the renamed column's PHYSICAL
+    // (file-side) name takes a fresh physical alias: old bytes stay
+    // bound to `tag`, the new `label` reads NULL everywhere
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (label STRING)")
+    val re = spark.sql(s"SELECT label, tag FROM $tbl ORDER BY id").collect()
+    assert(re.forall(_.isNullAt(0)),
+      "re-added name rebound to the renamed column's physical bytes")
+    assert(re.map(_.getString(1)).toSeq === Seq("z", "c", "big"),
+      "renamed column lost its values after the aliased re-add")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN label")
     // renaming back to the original name drops the mapping cleanly
     spark.sql(s"ALTER TABLE $tbl RENAME COLUMN tag TO label")
     assert(spark.sql(s"SELECT label FROM $tbl ORDER BY id")
       .collect().map(_.getString(0)).toSeq === Seq("z", "c", "big"))
-    val warehouse = spark.conf.get("spark.sql.catalog.graft.warehouse")
-    val t = graft.lake.GraftTable.load(spark,
-      Path.of(warehouse, ns, "evo"))
-    assert(t.physicalNames.isEmpty,
-      "rename back to the physical name must drop the identity entry")
   }
 
   test("time travel across TWO chained renames resolves each snapshot " +
