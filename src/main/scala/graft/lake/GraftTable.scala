@@ -287,6 +287,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
         (b.meta.retiredPhysicalNames ++ newlyRetired).distinct))
   }
 
+  /** Iceberg's write-audit-publish session conf: while
+    * `spark.wap.branch` is set, plain reads and DML on this table
+    * target that branch — unmodified SQL and pipelines stage their
+    * writes for audit with zero code changes, then `fastForward`
+    * publishes. Explicit `…OnBranch` / time-travel calls override the
+    * conf; the branch is auto-created from the current head on the
+    * first routed write (Iceberg's wap.branch contract). */
+  private def wapBranch: Option[String] =
+    Option(spark.conf.get("spark.wap.branch", null))
+      .map(_.trim).filter(_.nonEmpty)
+
+  /** Effective DML target: an explicit branch wins over the session
+    * conf; a conf-routed branch is created on first use. */
+  private def resolveBranch(explicit: Option[String]): Option[String] =
+    explicit.orElse(wapBranch.map { br =>
+      if (!meta.refs.contains(br)) createBranch(br)
+      br
+    })
+
   def currentSnapshot: Option[SnapshotMeta] =
     meta.currentSnapshotId.flatMap(id => meta.snapshots.find(_.snapshotId == id))
 
@@ -362,7 +381,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
   // ---- reads ----
 
   /** Current-snapshot read (ref demo.py:114 `SELECT * FROM pii_data`). */
-  def read(): DataFrame = readEntries(currentEntries)
+  def read(): DataFrame = wapBranch.filter(meta.refs.contains) match {
+    // audit reads see the staged branch state; a conf naming a branch
+    // that no write created yet falls back to main (Iceberg behavior)
+    case Some(br) => readRef(br)
+    case None => readEntries(currentEntries)
+  }
 
   /** The table schema as of `snapshotId` (snapshots commit with the
     * schema that was current; pre-evolution metadata falls back to the
@@ -386,8 +410,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** Stats-pruned read: min/max manifest stats choose the file list
     * before the scan (the Iceberg manifest-pruning analog, SURVEY §4);
     * the predicate is then applied in full inside the scan. */
-  def readWhere(pred: Column): DataFrame =
-    readEntries(pruneByPredicate(currentEntries, pred)).filter(pred)
+  def readWhere(pred: Column): DataFrame = {
+    // same spark.wap.branch audit routing as read()
+    val entries = wapBranch.filter(meta.refs.contains) match {
+      case Some(br) => manifestOf(snapshotOrFail(refSnapshotId(br)))
+      case None => currentEntries
+    }
+    readEntries(pruneByPredicate(entries, pred)).filter(pred)
+  }
 
   /** Incremental changelog (CDC) read — the Iceberg
     * `create_changelog_view` semantics: every row change committed in
@@ -664,14 +694,24 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def appendRaw(df: DataFrame,
       extraSummary: Map[String, String]): SnapshotMeta = {
     val aligned = alignToSchema(df)
+    val branch = resolveBranch(None) // spark.wap.branch session routing
     val b = captureBase()
+    val base = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
     val snapId = nextSnapshotHint
     val moved = writeDataFiles(aligned)
     val newEntries = statEntries(moved, content = 0, snapId)
-    commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
-      extraSummary ++
-        Map("added-data-files" -> newEntries.size.toString,
-          "added-records" -> newEntries.map(_.recordCount).sum.toString))
+    val summary = extraSummary ++
+      Map("added-data-files" -> newEntries.size.toString,
+        "added-records" -> newEntries.map(_.recordCount).sum.toString)
+    branch match {
+      case None => commitSnapshot(b, snapId, "append",
+        base ++ newEntries, summary)
+      case Some(br) => commitSnapshotOnBranch(b, snapId, "append", br,
+        base ++ newEntries, summary)
+    }
   }
 
   /** Incremental read for streaming: rows of data files added by
@@ -779,16 +819,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
         .sortWithinPartitions(cols.map(col): _*)
       case None => aligned
     }
+    val branch = resolveBranch(None) // spark.wap.branch session routing
     val b = captureBase()
+    val replaced = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
     val snapId = nextSnapshotHint
     val moved = writeDataFiles(toWrite)
     val newEntries = statEntries(moved, content = 0, snapId)
-    commitSnapshot(b, snapId, "overwrite", newEntries,
-      extraSummary ++ Map(
-        "replaced-data-files" ->
-          b.entries.count(_.content == 0).toString,
-        "added-data-files" -> newEntries.size.toString,
-        "added-records" -> newEntries.map(_.recordCount).sum.toString))
+    val summary = extraSummary ++ Map(
+      "replaced-data-files" ->
+        replaced.count(_.content == 0).toString,
+      "added-data-files" -> newEntries.size.toString,
+      "added-records" -> newEntries.map(_.recordCount).sum.toString)
+    branch match {
+      case None => commitSnapshot(b, snapId, "overwrite", newEntries,
+        summary)
+      case Some(br) => commitSnapshotOnBranch(b, snapId, "overwrite",
+        br, newEntries, summary)
+    }
   }
 
   /** D8/D9 DELETE WHERE — honors `write.delete.mode` like the demo's
@@ -825,17 +875,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
   }
 
-  /** Branch DML (copy-on-write): rewrite affected files among the
-    * BRANCH head's entries, commit branch-parented — the full
-    * write-audit-publish loop: stage deletes/updates on a branch,
-    * audit via readRef, publish with fastForward("main", …). */
+  /** Branch DML: stage deletes/updates among the BRANCH head's
+    * entries, commit branch-parented — the full write-audit-publish
+    * loop: stage on a branch, audit via readRef, publish with
+    * fastForward("main", …). Honors `write.delete.mode` /
+    * `write.update.mode` exactly like the main-branch twins, so a
+    * table tuned for merge-on-read stages position-delete files on
+    * the branch instead of paying a COW rewrite pre-publish. */
   def deleteOnBranch(branch: String, pred: Column): Option[SnapshotMeta] =
-    cowRewriteOn(Some(branch), pred, rows => rows.filter(!pred), "delete")
+    if (properties.getOrElse("write.delete.mode", "copy-on-write")
+        == "merge-on-read") morDelete(pred, Some(branch))
+    else cowRewriteOn(Some(branch), pred, rows => rows.filter(!pred),
+      "delete")
 
   def updateOnBranch(branch: String, pred: Column,
-      set: Map[String, Column]): Option[SnapshotMeta] =
-    cowRewriteOn(Some(branch), pred, updateTransform(pred, set),
-      "overwrite")
+      set: Map[String, Column]): Option[SnapshotMeta] = {
+    val transform = updateTransform(pred, set)
+    if (properties.getOrElse("write.update.mode", "copy-on-write")
+        == "merge-on-read") morUpdate(pred, transform, Some(branch))
+    else cowRewriteOn(Some(branch), pred, transform, "overwrite")
+  }
 
   /** Target rows per position-delete file; delete-file writes scale
     * their partition count with the hit count so a billion-row MOR
@@ -861,10 +920,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   /** MOR position-delete write (D8): capture (file, pos) of matching
     * live rows, write them as content=1 Parquet, commit op=delete.
-    * Hit discovery scans only stats-pruned candidate files. */
-  private def morDelete(pred: Column): Option[SnapshotMeta] = {
+    * Hit discovery scans only stats-pruned candidate files. With a
+    * branch, hits come from the BRANCH head's manifest and the commit
+    * is branch-parented (main readers untouched until publish). */
+  private def morDelete(pred: Column,
+      explicitBranch: Option[String] = None): Option[SnapshotMeta] = {
+    val branch = resolveBranch(explicitBranch)
     val b = captureBase()
-    val entries = b.entries
+    val entries = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
     val hits = readWithLineage(pruneByPredicate(entries, pred)).filter(pred)
       .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
       .persist()
@@ -874,17 +940,29 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val moved = writeDeleteFiles(hits, n)
       val snapId = nextSnapshotHint
       val delEntries = statEntries(moved, content = 1, snapId)
-      Some(commitSnapshot(b, snapId, "delete", entries ++ delEntries,
-        Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")))
+      val all = entries ++ delEntries
+      val summary =
+        Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")
+      Some(branch match {
+        case None => commitSnapshot(b, snapId, "delete", all, summary)
+        case Some(br) =>
+          commitSnapshotOnBranch(b, snapId, "delete", br, all, summary)
+      })
     } finally hits.unpersist()
   }
 
   /** MOR update: position-deletes for the old rows + append of the
-    * transformed rows, in one snapshot. */
+    * transformed rows, in one snapshot (branch-parented when `branch`
+    * is set, like morDelete). */
   private def morUpdate(pred: Column,
-      transform: DataFrame => DataFrame): Option[SnapshotMeta] = {
+      transform: DataFrame => DataFrame,
+      explicitBranch: Option[String] = None): Option[SnapshotMeta] = {
+    val branch = resolveBranch(explicitBranch)
     val b = captureBase()
-    val entries = b.entries
+    val entries = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
     val hits = readWithLineage(pruneByPredicate(entries, pred))
       .filter(pred).cache()
     try {
@@ -896,15 +974,31 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val snapId = nextSnapshotHint
       val delEntries = statEntries(delMoved, content = 1, snapId)
       val dataEntries = statEntries(newMoved, content = 0, snapId)
-      Some(commitSnapshot(b, snapId, "overwrite",
-        entries ++ delEntries ++ dataEntries,
-        Map("mode" -> "merge-on-read")))
+      val all = entries ++ delEntries ++ dataEntries
+      val summary = Map("mode" -> "merge-on-read")
+      Some(branch match {
+        case None => commitSnapshot(b, snapId, "overwrite", all, summary)
+        case Some(br) =>
+          commitSnapshotOnBranch(b, snapId, "overwrite", br, all, summary)
+      })
     } finally hits.unpersist()
   }
 
   /** Equality delete (content=2): any live row matching a key tuple in
     * `keys` (schema must be a subset of the table's) is masked at read. */
-  def equalityDelete(keys: DataFrame): Option[SnapshotMeta] = {
+  def equalityDelete(keys: DataFrame): Option[SnapshotMeta] =
+    equalityDeleteOn(keys, None)
+
+  /** Branch-staged equality delete for the WAP loop: the key file is
+    * committed onto the branch head, masking rows only for branch
+    * readers until fastForward publishes it. */
+  def equalityDeleteOnBranch(branch: String,
+      keys: DataFrame): Option[SnapshotMeta] =
+    equalityDeleteOn(keys, Some(branch))
+
+  private def equalityDeleteOn(keys: DataFrame,
+      explicitBranch: Option[String]): Option[SnapshotMeta] = {
+    val branch = resolveBranch(explicitBranch)
     val logicalCols = keys.schema.fieldNames.toSeq
     require(logicalCols.toSet.subsetOf(schema.fieldNames.toSet),
       s"equality-delete columns $logicalCols not in table schema")
@@ -924,8 +1018,18 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .map(_.copy(equalityColumns = cols))
     val n = entries.map(_.recordCount).sum
     if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
-    Some(commitSnapshot(b, snapId, "delete", b.entries ++ entries,
-      Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))))
+    val baseEntries = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
+    val summary =
+      Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))
+    Some(branch match {
+      case None => commitSnapshot(b, snapId, "delete",
+        baseEntries ++ entries, summary)
+      case Some(br) => commitSnapshotOnBranch(b, snapId, "delete", br,
+        baseEntries ++ entries, summary)
+    })
   }
 
   /** Generic COW transaction: `f` receives the base snapshot's entries
@@ -936,10 +1040,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * and MERGE — all of them get the same two-phase scale shape and
     * the same optimistic-concurrency base pinning. */
   private[lake] def cowTransaction(operation: String,
-      branch: Option[String] = None)(
+      explicitBranch: Option[String] = None)(
       f: (Seq[ManifestEntry], Seq[ManifestEntry] => DataFrame) =>
         Option[(Set[String], DataFrame, Map[String, String])])
       : Option[SnapshotMeta] = {
+    val branch = resolveBranch(explicitBranch)
     val b = captureBase()
     val entries = branch match {
       case None => b.entries
@@ -999,12 +1104,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * (file_path, pos) frame, rows to append, summary); one snapshot
     * commits the delete files (hit-count-scaled fan-out) plus the new
     * data files. Shared shape with morUpdate; used by MOR MERGE. */
-  private[lake] def morTransaction(operation: String)(
+  private[lake] def morTransaction(operation: String,
+      explicitBranch: Option[String] = None)(
       f: (Seq[ManifestEntry], Seq[ManifestEntry] => DataFrame) =>
         Option[(DataFrame, DataFrame, Map[String, String])])
       : Option[SnapshotMeta] = {
+    val branch = resolveBranch(explicitBranch)
     val b = captureBase()
-    val entries = b.entries
+    val entries = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
     f(entries, es => readWithLineage(es)) match {
       case None => None
       case Some((hits, appendRows, summary)) =>
@@ -1017,8 +1127,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
           val snapId = nextSnapshotHint
           val delEntries = statEntries(delMoved, content = 1, snapId)
           val dataEntries = statEntries(newMoved, content = 0, snapId)
-          Some(commitSnapshot(b, snapId, operation,
-            entries ++ delEntries ++ dataEntries, summary))
+          val all = entries ++ delEntries ++ dataEntries
+          Some(branch match {
+            case None => commitSnapshot(b, snapId, operation, all,
+              summary)
+            case Some(br) => commitSnapshotOnBranch(b, snapId,
+              operation, br, all, summary)
+          })
         } finally cached.unpersist()
     }
   }

@@ -338,7 +338,28 @@ object LakeQueries extends QueryCatalog {
     t.fastForward("main", t.refSnapshotId("staging"))
     val mainAfter = t.read().select("case_id")
       .as[String].collect().sorted.map(("main-after-publish", _))
-    (mainBefore ++ staged ++ mainAfter).toSeq
+    // second audit cycle driven ONLY by the spark.wap.branch session
+    // conf (Iceberg WAP contract): plain append/delete/read route to
+    // the branch, which is auto-created on first write
+    s.conf.set("spark.wap.branch", "audit2")
+    val (confStaged, confMain) = try {
+      t.append(s.createDataFrame(Seq(
+        Row("case-5", "Gil", "gil@example.com", "key5", "secret text 5",
+          "secret_key_5", java.sql.Date.valueOf("2024-02-01"))).asJava,
+        piiSchema))
+      t.delete(col("case_id") === "case-1")
+      (t.read().select("case_id")
+        .as[String].collect().sorted.map(("conf-staged", _)),
+       // "main" is the implicit current-snapshot pointer, not a named
+       // ref — read it directly to show it is untouched mid-audit
+       t.readAt(t.currentSnapshot.get.snapshotId).select("case_id")
+        .as[String].collect().sorted.map(("conf-main-unpublished", _)))
+    } finally s.conf.unset("spark.wap.branch")
+    t.fastForward("main", t.refSnapshotId("audit2"))
+    val confAfter = t.read().select("case_id")
+      .as[String].collect().sorted.map(("conf-after-publish", _))
+    (mainBefore ++ staged ++ mainAfter ++ confStaged ++ confMain ++
+      confAfter).toSeq
       .toDF("phase", "case_id").orderBy("phase", "case_id")
   }
 

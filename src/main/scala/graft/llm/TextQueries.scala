@@ -247,6 +247,56 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** The same order-sensitive rolling fingerprint with md5-derived
+    * per-token hashes — the oracle-checkable twin of
+    * q_text_fingerprint (md5 is md5 in both engines; xxhash64 is
+    * Spark-only). The Spark side folds left with `aggregate`, applying
+    * the modulus at every step (acc < 2^31, so acc*1000003 stays far
+    * under 2^63 — ANSI-safe); the DuckDB oracle evaluates the SAME
+    * polynomial in closed form: fp = (7·B^n + Σ h_i·B^(n-i)) mod M,
+    * with B^k mod M from a recursive-CTE power table and the Σ taken
+    * in DuckDB's HUGEINT SUM before the final modulus. Cross-checking
+    * an iterative fold against a closed-form evaluation is exactly the
+    * kind of independent-path oracle the hash compare is for. Keep the
+    * xxhash64 variant for production: one xxhash64 per token beats an
+    * md5 at 100 TB.
+    */
+  private val fingerprintMd5 = Q(
+    "q_text_fingerprint_md5",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), mx AS (SELECT max(len(toks)) AS m FROM t),
+      |pw(k, p) AS (
+      |  SELECT 0, CAST(1 AS BIGINT)
+      |  UNION ALL
+      |  SELECT k + 1, (p * 1000003) % 1000000007 FROM pw
+      |  WHERE k < (SELECT m FROM mx)
+      |), terms AS (
+      |  SELECT t.doc_id,
+      |    (CAST(concat('0x', substr(md5(list_extract(t.toks, u.i)),
+      |       1, 15)) AS BIGINT) % 1000000007) * pn.p AS term
+      |  FROM t, unnest(generate_series(1, len(t.toks))) AS u(i)
+      |  JOIN pw pn ON pn.k = len(t.toks) - u.i
+      |), sums AS (
+      |  SELECT doc_id, SUM(term) % 1000000007 AS s
+      |  FROM terms GROUP BY doc_id
+      |)
+      |SELECT t.doc_id AS doc_id,
+      |  CAST(((7 * pb.p) % 1000000007 + COALESCE(sums.s, 0))
+      |    % 1000000007 AS BIGINT) AS fingerprint
+      |FROM t
+      |JOIN pw pb ON pb.k = len(t.toks)
+      |LEFT JOIN sums ON sums.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("aggregate(split(text, ' '), CAST(7 AS BIGINT), " +
+          "(acc, t) -> pmod(acc * 1000003 + " +
+          "pmod(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), " +
+          "1000000007), 1000000007))").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition signals per document: fraction of token
     * bigrams that are duplicates, and the fraction taken by the single
     * most frequent bigram — the "fraction of characters in the top
@@ -347,5 +397,5 @@ object TextQueries extends QueryCatalog {
 
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
-      repetition, entropy)
+      fingerprintMd5, repetition, entropy)
 }

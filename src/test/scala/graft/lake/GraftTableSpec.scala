@@ -865,6 +865,55 @@ class GraftTableSpec extends SparkSuite {
       t.deleteOnBranch("frozen", lit(true)))
   }
 
+  test("branch DML honors merge-on-read: staged position/equality " +
+    "delete files mask branch reads only, publish makes them permanent") {
+    val t = newTable() // write.delete.mode=merge-on-read
+    t.setProperties(Map("write.update.mode" -> "merge-on-read"))
+    t.append(seedDf)
+    val dataFiles = t.files.filter("content = 0").collect()
+      .map(_.getAs[String]("file_path"))
+    t.createBranch("staging")
+    // position-delete staged on the branch
+    val del = t.deleteOnBranch("staging", col("case_id") === "case-2").get
+    assert(del.summary("mode") === "merge-on-read",
+      "branch delete must follow write.delete.mode, not force COW")
+    assert(del.summary("branch") === "staging")
+    // equality-delete staged on the branch
+    val eq = t.equalityDeleteOnBranch("staging",
+      seedDf.filter(col("case_id") === "case-3").select("email_address")).get
+    assert(eq.summary("mode") === "equality")
+    // MOR update staged on the branch
+    t.updateOnBranch("staging", col("case_id") === "case-1",
+      Map("secure_txt" -> lit("AUDITED")))
+    // audit: branch masks case-2/case-3 and sees the update; main is
+    // untouched and its data files were NOT rewritten (that's the
+    // point of MOR staging)
+    val staged = t.readRef("staging").orderBy("case_id").collect()
+    assert(staged.map(_.getString(0)).toSeq === Seq("case-1"))
+    assert(staged.map(_.getAs[String]("secure_txt")).toSeq ===
+      Seq("AUDITED"))
+    assert(t.read().orderBy("case_id").collect().map(_.getString(0))
+      .toSeq === Seq("case-1", "case-2", "case-3"))
+    dataFiles.foreach(p => assert(Files.exists(Path.of(p)),
+      "MOR branch DML must not rewrite main's data files"))
+    // the branch head's manifest carries the staged delete files
+    val head = t.refSnapshotId("staging")
+    val headSnap = t.snapshotOrFail(head)
+    assert(headSnap.summary("total-delete-files").toInt >= 3,
+      s"expected staged delete files, got ${headSnap.summary}")
+    // publish: masks apply on main, changelog emits the deletes
+    t.fastForward("main", head)
+    assert(t.files.filter("content = 1").count() >= 2)
+    assert(t.files.filter("content = 2").count() === 1)
+    assert(t.read().orderBy("case_id").collect().map(_.getString(0))
+      .toSeq === Seq("case-1"))
+    val changed = t.changes().collect()
+    assert(changed.count(r => r.getAs[String]("case_id") == "case-2" &&
+      r.getAs[String]("_change_type") == "delete") === 1)
+    assert(changed.count(r => r.getAs[String]("case_id") == "case-3" &&
+      r.getAs[String]("_change_type") == "delete") === 1)
+  }
+
   test("add_files imports external parquet without rewrite: bytes " +
     "copied, footer stats committed, pruning + snapshots work; type " +
     "drift rejected") {

@@ -295,6 +295,49 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl.refs").count() === 2)
   }
 
+  test("spark.wap.branch session conf routes plain SQL DML and reads " +
+    "to the audit branch (Iceberg WAP contract); unset sees main; " +
+    "fast_forward publishes") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.conf.set("spark.wap.branch", "etl_audit")
+    try {
+      // the branch does not exist yet: the first routed write creates
+      // it from the current head (Iceberg auto-create behavior)
+      spark.sql(s"INSERT INTO $tbl VALUES ('case-4','Eve'," +
+        "'eve@example.com','key4','secret 4','sk4',DATE'2023-02-01')")
+      spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+      spark.sql(
+        s"""MERGE INTO $tbl t
+           |USING (SELECT 'case-3' AS case_id, 'AUDITED' AS secure_txt) s
+           |ON t.case_id = s.case_id
+           |WHEN MATCHED THEN UPDATE SET t.secure_txt = s.secure_txt
+           |""".stripMargin)
+      // reads under the conf see the staged state
+      assert(ids(tbl) === Seq("case-1", "case-3", "case-4"))
+      assert(spark.sql(s"SELECT secure_txt FROM $tbl WHERE " +
+        "case_id = 'case-3'").head.getString(0) === "AUDITED")
+    } finally spark.conf.unset("spark.wap.branch")
+    // without the conf, main is untouched — nothing published yet
+    assert(ids(tbl) === Seq("case-1", "case-2", "case-3"))
+    assert(spark.sql(s"SELECT secure_txt FROM $tbl WHERE " +
+      "case_id = 'case-3'").head.getString(0) === "secret text 3")
+    // every staged commit is branch-parented on etl_audit
+    val branched = spark.sql(s"SELECT summary['branch'] FROM " +
+      s"$tbl.snapshots WHERE summary['branch'] IS NOT NULL")
+      .collect().map(_.getString(0)).toSeq
+    assert(branched.nonEmpty && branched.forall(_ == "etl_audit"))
+    // publish and verify on main
+    val headId = spark.sql(s"SELECT snapshot_id FROM $tbl.refs " +
+      "WHERE name = 'etl_audit'").head.getLong(0)
+    spark.sql(s"CALL graft.system.fast_forward(table => '$tbl', " +
+      s"branch => 'main', to_snapshot_id => $headId)")
+    assert(ids(tbl) === Seq("case-1", "case-3", "case-4"))
+    assert(spark.sql(s"SELECT secure_txt FROM $tbl WHERE " +
+      "case_id = 'case-3'").head.getString(0) === "AUDITED")
+  }
+
   test("CALL rewrite_data_files(sort_order => 'zorder(k,v)') applies " +
     "the sort layout through SQL; omitting the param still works") {
     val ns = freshNs()
