@@ -299,10 +299,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .map(_.trim).filter(_.nonEmpty)
 
   /** Effective DML target: an explicit branch wins over the session
-    * conf; a conf-routed branch is created on first use. */
+    * conf; a conf-routed branch is created on first use. Two racing
+    * writers can both observe the branch missing — the auto-create
+    * loser (version conflict or "already exists") proceeds as long as
+    * the ref now exists as a branch, since either winner created the
+    * same thing. */
   private def resolveBranch(explicit: Option[String]): Option[String] =
     explicit.orElse(wapBranch.map { br =>
-      if (!meta.refs.contains(br)) createBranch(br)
+      if (!meta.refs.contains(br)) {
+        try createBranch(br)
+        catch {
+          case e: Exception =>
+            val now = meta.refs.get(br)
+            if (!now.exists(_.refType == "branch")) throw e
+        }
+      }
       br
     })
 

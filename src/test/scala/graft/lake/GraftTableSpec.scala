@@ -865,6 +865,44 @@ class GraftTableSpec extends SparkSuite {
       t.deleteOnBranch("frozen", lit(true)))
   }
 
+  test("spark.wap.branch auto-create race: two writers racing the " +
+    "first conf-routed append both land on the branch, main untouched") {
+    val t = newTable()
+    t.append(seedDf)
+    spark.conf.set("spark.wap.branch", "wapauto")
+    try {
+      val errors =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val threads = (1 to 2).map { tid =>
+        new Thread(() => {
+          try {
+            val h = GraftTable.load(spark, t.root)
+            barrier.await()
+            GraftTable.retryOnConflict(maxAttempts = 10,
+                firstBackoffMs = 20) {
+              h.append(spark.createDataFrame(Seq(
+                Row(s"case-w$tid", s"W$tid", s"w$tid@example.com",
+                  s"kw$tid", s"sw$tid", s"skw$tid",
+                  java.sql.Date.valueOf("2024-04-01"))).asJava,
+                piiSchema))
+            }
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errors.isEmpty, s"racing WAP writers failed: " +
+        errors.toArray.map { case e: Throwable => e.getMessage }
+          .mkString("; "))
+      // both writes staged on the auto-created branch
+      assert(t.readRef("wapauto").count() === 5)
+      assert(t.refs("wapauto").refType === "branch")
+    } finally spark.conf.unset("spark.wap.branch")
+    // main never saw either write
+    assert(t.read().count() === 3)
+  }
+
   test("branch DML honors merge-on-read: staged position/equality " +
     "delete files mask branch reads only, publish makes them permanent") {
     val t = newTable() // write.delete.mode=merge-on-read
