@@ -1698,7 +1698,22 @@ class GraftTable(val spark: SparkSession, val root: Path,
       if (m.isEmpty) df
       else df.select(df.columns.toSeq.map(c =>
         col(quoted(c)).as(physName(m)(c))): _*)
-    physical.write.parquet(staged.toString)
+    // `write.bloom-columns`: parquet bloom filters on the named
+    // columns (logical names; stored under physical). Point lookups on
+    // high-cardinality keys then skip row groups that min/max ranges
+    // cannot exclude — the 100 TB lever for needle-in-haystack reads:
+    // the skipping happens inside every executor's parquet reader
+    // under normal predicate pushdown, no planner or driver work.
+    val bloomCols = properties.get("write.bloom-columns").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .map(physName(m)).filter(physical.columns.contains)
+    val ndv = properties.get("write.bloom-columns.ndv")
+    val writer = bloomCols.foldLeft(physical.write) { (w, c) =>
+      val base = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      ndv.fold(base)(n =>
+        base.option(s"parquet.bloom.filter.expected.ndv#$c", n))
+    }
+    writer.parquet(staged.toString)
     moveStaged(staged, "data")
   }
 

@@ -363,9 +363,81 @@ object LakeQueries extends QueryCatalog {
       .toDF("phase", "case_id").orderBy("phase", "case_id")
   }
 
+  /** CDC-driven incremental aggregate maintenance — the canonical
+    * 100 TB consumer of the changelog: a downstream per-group
+    * (count, sum) is kept current by folding each commit window's
+    * change rows with signed weights (+1 insert, −1 delete) instead
+    * of re-scanning the fact table. The non-net changelog makes this
+    * robust for free: a COW rewrite emits delete+insert for every
+    * carried row (net zero under signed aggregation), compaction
+    * emits nothing, MOR/equality deletes emit exactly the masked
+    * rows. Window deltas partial-aggregate map-side; the state merge
+    * is a union + re-agg keyed by group — cost bounded by GROUP
+    * cardinality, not fact-table size. Each window cross-checks the
+    * incremental state against a full recompute and fails loudly on
+    * divergence; the emitted rows are the per-window state.
+    */
+  private val incrementalAgg =
+    Q.noOracle("q_lake_incremental_agg") { (s, _) =>
+      val factSchema = StructType.fromDDL(
+        "id STRING, grp STRING, amount BIGINT")
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      cat.createNamespace("default")
+      val t = cat.createTable("default", "fact", factSchema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      def append(rows: (String, String, Long)*): Unit =
+        t.append(s.createDataFrame(rows.map { case (i, g, a) =>
+          Row(i, g, a) }.asJava, factSchema))
+      val empty = s.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType.fromDDL("grp STRING, cnt BIGINT, total BIGINT"))
+      var state = empty
+      var from: Option[Long] = None
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String,
+        String, Long, Long)]
+      def advance(phase: String): Unit = {
+        val head = t.currentSnapshot.get.snapshotId
+        val delta = t.changes(from, Some(head))
+          .select(col("grp"),
+            when(col("_change_type") === "insert", lit(1L))
+              .otherwise(lit(-1L)).as("cnt"),
+            when(col("_change_type") === "insert", col("amount"))
+              .otherwise(-col("amount")).as("total"))
+        state = state.unionByName(delta)
+          .groupBy("grp")
+          .agg(sum("cnt").as("cnt"), sum("total").as("total"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint() // pin: later windows fold onto THIS state
+        from = Some(head)
+        val incr = state.collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+        val full = t.read().groupBy("grp")
+          .agg(count(lit(1)).as("cnt"), sum("amount").as("total"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+        require(incr.sameElements(full),
+          s"incremental state diverged at $phase: " +
+            s"incr=${incr.toSeq} full=${full.toSeq}")
+        incr.foreach { case (g, c, tot) => out += ((phase, g, c, tot)) }
+      }
+      append(("r1", "a", 10L), ("r2", "a", 20L), ("r3", "b", 5L),
+        ("r4", "c", 7L))
+      advance("w1-seed")
+      append(("r5", "b", 11L), ("r6", "c", 2L))
+      t.delete(col("id") === "r2") // MOR position delete
+      advance("w2-append-delete")
+      t.update(col("id") === "r4", Map("amount" -> lit(70L))) // COW
+      t.rewriteDataFiles() // compaction: must contribute NOTHING
+      t.delete(col("grp") === "b") // drops group b entirely
+      advance("w3-update-compact-drop")
+      import s.implicits._
+      out.toSeq.toDF("phase", "grp", "cnt", "total")
+        .orderBy("phase", "grp")
+    }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
-    schemaEvolution, wap)
+    schemaEvolution, wap, incrementalAgg)
 }

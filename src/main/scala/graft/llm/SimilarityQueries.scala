@@ -103,6 +103,60 @@ object SimilarityQueries extends QueryCatalog {
       .select(col("vec_id"), col("cell"), round(col("cosd"), 4).as("cos_sim"))
   }
 
+  /** IVF with EVERY cell probed — degenerate but oracle-checkable:
+    * exhaustive probing makes IVF exact, so the brute-force DuckDB
+    * top-k is a valid oracle for the whole assignment → per-cell
+    * search → union pipeline. If cell assignment ever dropped or
+    * duplicated a vector, or the probe-side union double-counted,
+    * this hash-compare would catch it — the property LlmSpec's
+    * recall check cannot pin exactly. q_sim_topk_ivf keeps the
+    * pruned nprobe=3 plan that matters at scale.
+    */
+  private val topkIvfProbeAll = Q(
+    "q_sim_topk_ivf_probeall",
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+      |), p AS (
+      |  SELECT e.vec_id, e.label,
+      |    list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS cosd
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      |)
+      |SELECT vec_id, label, round(cosd, 4) AS cos_sim
+      |FROM p ORDER BY cosd DESC, vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val e = emb(s, dir)
+    val cents = centroids(e)
+      .withColumn("cv", expr("transform(cv, x -> CAST(x AS FLOAT))"))
+      .withColumn("cnrm", vec.norm(s, col("cv")))
+    val byCos = Window.partitionBy("vec_id")
+      .orderBy(desc("ccos"), col("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("cell"),
+        vec.cosine(s, col("v"), col("cv"), col("nrm"), col("cnrm"))
+          .as("ccos"))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") === 1)
+      .drop("rk", "ccos")
+    // probe list = ALL cells (the exhaustive degenerate case)
+    val probed = assigned.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(cents.select(col("cell"))))
+      .select(col("cell"), col("qv"), col("qn"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("vec_id"), col("label"), cosCol(s).as("cosd"))
+      .orderBy(desc("cosd"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"),
+        round(col("cosd"), 4).as("cos_sim"))
+  }
+
   /** Random-hyperplane signs for sign-LSH bucketing: 6 fixed
     * hyperplanes (64 buckets — sized so the demo corpus keeps ~8+
     * vectors per bucket; at real scale the bit count grows with log of
@@ -412,8 +466,8 @@ object SimilarityQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] =
-    Seq(topkBrute, topkIvf, topkLsh, knnJoin, centroidByLabel, centroidUdaf,
-      topkHamming, outliers)
+    Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
+      centroidByLabel, centroidUdaf, topkHamming, outliers)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

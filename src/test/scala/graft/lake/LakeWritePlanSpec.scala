@@ -166,6 +166,42 @@ class LakeWritePlanSpec extends SparkSuite {
       s"expected 1 anti-join for a single equality-column set, got $antiJoins\n$plan")
   }
 
+  test("write.bloom-columns writes parquet bloom filters under the " +
+    "PHYSICAL column name; point lookups stay correct") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val t = newTable(Map("write.bloom-columns" -> "case_id",
+      "write.bloom-columns.ndv" -> "10000"))
+    t.append(df("blm", 2000))
+    // rename, then append again: blooms must keep following the
+    // file-side (physical) name
+    t.renameColumn("case_id", "case_key")
+    t.append(spark.createDataFrame(rows("ren", 2000).asJava,
+      StructType.fromDDL("case_key STRING, payload STRING")))
+    val conf = spark.sessionState.newHadoopConf()
+    val files = t.files.filter("content = 0").collect()
+      .map(_.getAs[String]("file_path"))
+    assert(files.nonEmpty)
+    files.foreach { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val block = reader.getFooter.getBlocks.asScala.head
+        val byName = block.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        val bloomReader = reader.getBloomFilterDataReader(block)
+        assert(bloomReader.readBloomFilter(byName("case_id")) != null,
+          s"no bloom filter on case_id in $p")
+        assert(bloomReader.readBloomFilter(byName("payload")) == null,
+          s"unexpected bloom filter on payload in $p")
+      } finally reader.close()
+    }
+    // point lookups through the bloom-equipped files stay exact
+    assert(t.readWhere(col("case_key") === "blm-01234").count() === 1)
+    assert(t.readWhere(col("case_key") === "ren-00001").count() === 1)
+    assert(t.readWhere(col("case_key") === "blm-99999").count() === 0)
+  }
+
   test("volume smoke: 60k-row lifecycle — clustered multi-file append, " +
     "MOR delete writes scaled delete files, rewrite compacts back to " +
     "the exact surviving rows") {
