@@ -25,7 +25,8 @@ object SparkEntry {
     llm.SimilarityQueries,
     llm.TextQueries,
     llm.MultimodalQueries,
-    llm.PipelineQueries)
+    llm.PipelineQueries,
+    llm.CurationQueries)
 
   private lazy val allQueries: Seq[Q] = {
     val qs = catalogs.flatMap(_.all)

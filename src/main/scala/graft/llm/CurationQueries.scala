@@ -1,0 +1,343 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+import graft.rel.Tables
+
+/** SURVEY.md §2l [EXT] corpus-curation operators, round-6 batch: the
+  * fingerprint-selection / chunk-dedup / distribution-matching family a
+  * production training-data pipeline layers on top of the dedup and
+  * quality primitives.
+  *
+  *  - winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  *    algorithm): position-robust local fingerprint selection — the
+  *    guaranteed-detection alternative to MinHash when matches must be
+  *    localized, not just scored.
+  *  - content-defined chunking: rolling-hash boundaries split each doc
+  *    into variable-size chunks whose identity survives insertions —
+  *    the storage-dedup (LBFS/rsync) shape applied to corpus text.
+  *  - normalization dedup: case/whitespace-canonicalized exact dedup,
+  *    the first pass of every crawl pipeline (catches trivially-mutated
+  *    copies that byte-exact dedup misses).
+  *  - DSIR-style importance weights (Xie et al. 2023): hashed n-gram
+  *    bucket log-ratios between a target and the raw distribution score
+  *    every doc for distribution-matched sampling.
+  *  - CCNet-style perplexity buckets (Wenzek et al. 2020): per-language
+  *    head/middle/tail tertiles of the LM score, the canonical
+  *    quality-stratification step before sampling.
+  *
+  * Scale design (100 TB):
+  *  - winnowing/chunking hash selection is pure map-side array math
+  *    over each doc (window functions only where the per-doc state is
+  *    genuinely sequential); the only corpus-wide shuffles are the
+  *    bounded fingerprint/chunk groupBys, partial-aggregated map-side.
+  *  - normalization dedup shuffles md5(norm) (16 bytes/row), never the
+  *    normalized text itself.
+  *  - DSIR's model is 64 bucket log-ratios — a broadcast literal; doc
+  *    scoring is map-side. Bucket stats are two partial-agg passes.
+  *  - perplexity buckets rank within language partitions (ntile), so
+  *    parallelism = language count × AQE splits; the heavy LM scoring
+  *    below it is the q_text_logprob shape (scaled-integer sums).
+  */
+object CurationQueries extends QueryCatalog {
+
+  /** Winnowing fingerprint selection (k=3 token shingles, window w=4):
+    * per position the min shingle hash in each w-window is selected;
+    * the distinct selected hashes are the doc's fingerprints. Guarantees
+    * any shared run of >= k+w-1 tokens yields a shared fingerprint —
+    * MOSS's detection guarantee, which MinHash cannot give.
+    * Hashes are md5-derived (md5 is md5 in both engines). The shingle
+    * hash stream is built map-side with a transform over the token
+    * array; only the per-doc w-window min needs the window function.
+    */
+  private val winnowing = Q(
+    "q_text_winnowing",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, i, len(toks) - 2 AS m,
+      |    CAST(concat('0x', substr(md5(
+      |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+      |  WHERE len(toks) >= 6
+      |), w AS (
+      |  SELECT doc_id, i, m, min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM g
+      |), f AS (
+      |  SELECT DISTINCT doc_id, m, fp FROM w WHERE i <= m - 3
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+      |  round(CAST(count(*) AS DOUBLE) / (max(m) - 3), 4) AS density,
+      |  min(fp) AS min_fp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) => winnowingSummary(Tables.documents(s, dir)) }
+
+  /** (doc_id, fp) distinct winnowing fingerprints of `docs(doc_id,
+    * text)` — k=3 shingles, w=4 windows, md5-derived hashes. */
+  private[llm] def winnowingFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 6)
+      .select(col("doc_id"), (size(col("toks")) - 2).as("m"),
+        posexplode(expr(
+          """transform(sequence(1, size(toks) - 2), i ->
+            |  cast(conv(substring(md5(concat_ws(' ',
+            |    element_at(toks, i), element_at(toks, i + 1),
+            |    element_at(toks, i + 2))), 1, 15), 16, 10)
+            |  as bigint))""".stripMargin)))
+      .toDF("doc_id", "m", "pos", "h")
+      .withColumn("fp", min(col("h")).over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)))
+      // pos is 0-based: window start i = pos + 1 must be <= m - (w-1)
+      .filter(col("pos") <= col("m") - 4)
+      .select("doc_id", "m", "fp").distinct()
+
+  private[llm] def winnowingSummary(docs: DataFrame): DataFrame =
+    winnowingFingerprints(docs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        round(count(lit(1)).cast("double") / (max("m") - 3), 4)
+          .as("density"),
+        min("fp").as("min_fp"))
+      .orderBy("doc_id")
+
+  /** Content-defined chunking: a rolling bigram hash marks a chunk
+    * boundary where hash % 8 == 0 (expected chunk ~8 tokens), so chunk
+    * identity is stable under insertions — the LBFS/rsync dedup shape.
+    * The whole chunker is map-side array math (boundary positions via
+    * filter-over-sequence, chunk texts via slice), no explode until the
+    * chunks themselves; the only shuffle is the cross-doc duplicate
+    * chunk groupBy on the chunk text (md5 of it at 100 TB).
+    */
+  private val cdcChunks = Q(
+    "q_pipe_cdc_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), p AS (
+      |  SELECT doc_id, i, toks[i] AS tok,
+      |    CASE WHEN i >= 2 AND CAST(concat('0x', substr(md5(
+      |        coalesce(toks[i-1], '') || ' ' || toks[i]), 1, 8))
+      |        AS BIGINT) % 8 = 0
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+      |), c AS (
+      |  SELECT doc_id, i, tok,
+      |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS chunk_id
+      |  FROM p
+      |), ch AS (
+      |  SELECT doc_id, chunk_id, string_agg(tok, ' ' ORDER BY i) AS ctext
+      |  FROM c GROUP BY doc_id, chunk_id
+      |), dup AS (
+      |  SELECT ctext FROM ch GROUP BY ctext
+      |  HAVING count(DISTINCT doc_id) > 1
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(count(dup.ctext) AS BIGINT) AS n_dup_chunks,
+      |  round(CAST(count(dup.ctext) AS DOUBLE) / count(*), 4) AS dup_frac
+      |FROM ch LEFT JOIN dup USING (ctext)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val ch = cdcChunkTexts(Tables.documents(s, dir))
+    val dup = ch.groupBy("ctext")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("ctext"), lit(1).as("isdup"))
+    ch.join(dup, Seq("ctext"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(col("isdup")).as("n_dup_chunks"),
+        round(count(col("isdup")).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, ctext) content-defined chunks of `docs(doc_id, text)`:
+    * boundary where md5(bigram) % 8 == 0, all map-side array math. */
+  private[llm] def cdcChunkTexts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // guard: sequence(2, 1) would DESCEND on a 1-token doc (the
+      // ADVICE shingleSets lesson) and probe element_at(toks, 0)
+      .withColumn("bnd", expr(
+        """case when size(toks) < 2 then cast(array() as array<int>)
+          |else filter(sequence(2, size(toks)), i ->
+          |  cast(conv(substring(md5(concat_ws(' ',
+          |    element_at(toks, i - 1), element_at(toks, i))), 1, 8),
+          |    16, 10) as bigint) % 8 = 0) end""".stripMargin))
+      .withColumn("starts", expr("concat(array(1), bnd)"))
+      .withColumn("ends",
+        expr("concat(transform(bnd, x -> x - 1), array(size(toks)))"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(starts)), j -> concat_ws(' ',
+          |  slice(toks, element_at(starts, j),
+          |    element_at(ends, j) - element_at(starts, j) + 1)))"""
+          .stripMargin)))
+      .toDF("doc_id", "chunk_idx", "ctext")
+
+  /** Normalization dedup: lower-case, trim, collapse runs of spaces,
+    * then exact-group on the canonical form — the crawl-pipeline first
+    * pass that catches trivially-mutated copies. The corpus has no such
+    * mutants, so the query unions a deterministically-noised twin of
+    * each doc (upper-cased, padded, doubled spaces; id + 1000000) and
+    * must pair every doc with exactly its twin. Groups key on
+    * md5(norm) — 16 bytes/row through the shuffle, not the text.
+    */
+  private val normalizedDedup = Q(
+    "q_dedup_normalized",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    '  ' || replace(upper(text), ' ', '  ') || ' '
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS nk
+      |  FROM corpus
+      |)
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY nk) AS canonical_id,
+      |  CAST(doc_id = min(doc_id) OVER (PARTITION BY nk) AS BOOLEAN)
+      |    AS keep
+      |FROM n ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("  "),
+          regexp_replace(upper(col("text")), lit(" "), lit("  ")),
+          lit(" ")).as("text")))
+    val n = corpus.select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), " +", " ")))).as("nk"))
+    val w = Window.partitionBy("nk")
+    n.select(col("doc_id"), min("doc_id").over(w).as("canonical_id"),
+        (col("doc_id") === min("doc_id").over(w)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR-style importance weights: unigrams hash into 64 buckets
+    * (md5 % 64); the model is the per-bucket log-ratio between the
+    * target distribution (lang='en' docs) and the raw corpus, Laplace
+    * (+1) smoothed. Per-token log-ratios are scaled to integers BEFORE
+    * the per-doc sum (the q_text_logprob determinism discipline), and
+    * the single ln argument is assembled with exact-integer products so
+    * both engines round the same double.
+    */
+  private val importance = Q(
+    "q_pipe_importance",
+    """WITH dt AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), bt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+      |  FROM dt
+      |), raw AS (
+      |  SELECT b, count(*) AS cr FROM bt GROUP BY b
+      |), tgt AS (
+      |  SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM bt) AS r,
+      |         (SELECT count(*) FROM bt WHERE lang = 'en') AS t
+      |), lr AS (
+      |  SELECT raw.b,
+      |    CAST(round(ln(((COALESCE(ct, 0) + 1.0) * (r + 64)) /
+      |      ((cr + 1.0) * (t + 64))) * 1000000) AS BIGINT) AS s
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+      |)
+      |SELECT doc_id,
+      |  round(sum(s) / (1000000.0 * count(*)), 4) AS weight
+      |FROM bt JOIN lr ON bt.b = lr.b
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) => importanceWeights(Tables.documents(s, dir), "en") }
+
+  /** (doc_id, weight) DSIR importance weights of `docs(doc_id, lang,
+    * text)` against the `targetLang` slice as the target distribution. */
+  private[llm] def importanceWeights(docs: DataFrame,
+      targetLang: String): DataFrame = {
+    val bt = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint")
+          % 64).as("b"))
+    val raw = bt.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = bt.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tot = bt.agg(count(lit(1)).as("r"),
+      count(when(col("lang") === targetLang, 1)).as("t"))
+    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log(((coalesce(col("ct"), lit(0)) + 1.0) * (col("r") + 64)) /
+          ((col("cr") + 1.0) * (col("t") + 64))) * 1000000)
+          .cast("bigint").as("s"))
+    bt.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(round(sum("s") / (lit(1000000.0) * count(lit(1))), 4)
+        .as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity buckets: per-language head/middle/tail
+    * tertiles of the unigram-LM score (q_text_logprob's scaled-integer
+    * NLL), the canonical quality stratification before sampling. The
+    * ntile ranks on one exact-integer-derived double with a doc_id
+    * tiebreak, so both engines cut identical tertiles; bucket summaries
+    * use only order-independent min/max/count.
+    */
+  private val pplBuckets = Q(
+    "q_text_ppl_buckets",
+    """WITH dt AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), freq AS (
+      |  SELECT tok, count(*) AS c FROM dt GROUP BY tok
+      |), n AS (SELECT count(*) AS total FROM dt),
+      |d AS (
+      |  SELECT doc_id, lang,
+      |    sum(CAST(round(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+      |      AS BIGINT)) AS s,
+      |    count(*) AS cnt
+      |  FROM dt JOIN freq USING (tok) CROSS JOIN n
+      |  GROUP BY doc_id, lang
+      |), ranked AS (
+      |  SELECT lang, doc_id, s, cnt, ntile(3) OVER (PARTITION BY lang
+      |    ORDER BY CAST(s AS DOUBLE) / cnt, doc_id) AS tert
+      |  FROM d
+      |)
+      |SELECT lang,
+      |  CASE tert WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |    ELSE 'tail' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(min(CAST(s AS DOUBLE) / (1000000.0 * cnt)), 4) AS min_nll,
+      |  round(max(CAST(s AS DOUBLE) / (1000000.0 * cnt)), 4) AS max_nll
+      |FROM ranked GROUP BY lang, tert ORDER BY lang, bucket""".stripMargin
+  ) { (s, dir) =>
+    val dt = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val freq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = dt.agg(count(lit(1)).as("total"))
+    val d = dt.join(broadcast(freq), "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("lang"),
+        round(-log(col("c").cast("double") / col("total")) * 1000000)
+          .cast("bigint").as("scaled"))
+      .groupBy("doc_id", "lang")
+      .agg(sum("scaled").as("s"), count(lit(1)).as("cnt"))
+    val ranked = d.withColumn("tert", ntile(3).over(
+      Window.partitionBy("lang")
+        .orderBy(col("s").cast("double") / col("cnt"), col("doc_id"))))
+    ranked.groupBy(col("lang"),
+        when(col("tert") === 1, "head").when(col("tert") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("s").cast("double") / (lit(1000000.0) * col("cnt"))),
+          4).as("min_nll"),
+        round(max(col("s").cast("double") / (lit(1000000.0) * col("cnt"))),
+          4).as("max_nll"))
+      .orderBy("lang", "bucket")
+  }
+
+  def all: Seq[Q] =
+    Seq(winnowing, cdcChunks, normalizedDedup, importance, pplBuckets)
+}
