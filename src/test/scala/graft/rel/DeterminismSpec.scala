@@ -38,7 +38,13 @@ class DeterminismSpec extends SparkSuite {
     "q_sim_centroid",
     "q_dedup_containment",
     "q_window_first_last",
-    "q_scale_salted_agg")
+    "q_scale_salted_agg",
+    // r6 curation batch: scaled-ln sums + ntile over a derived double,
+    // winnowing density ratio, chunk dup fractions
+    "q_pipe_importance",
+    "q_text_ppl_buckets",
+    "q_text_winnowing",
+    "q_pipe_cdc_chunks")
 
   test("float-sensitive queries are partition-count invariant: " +
     "shuffle=4 and shuffle=13 produce identical rows") {
