@@ -338,6 +338,101 @@ object CurationQueries extends QueryCatalog {
       .orderBy("lang", "bucket")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * embedding space (here: nearest of the 10 per-label centroids,
+    * centroids 4dp-rounded — the q_sim_outliers cross-engine
+    * contract), then inside each cell flag every vector with a
+    * same-cell neighbor at cosine >= 0.3 and keep only the smallest
+    * vec_id of each near-dup group. Cluster blocking turns the O(n²)
+    * all-pairs into per-cell equi-joins — the whole point of SemDeDup.
+    * At 100 TB the assignment runs map-side against a centroid array
+    * literal (the q_sim_knn_join IVF shape); here the 10-row broadcast
+    * + per-vector window keeps the oracle twin exactly parallel.
+    */
+  private val semanticDedup = Q(
+    "q_dedup_semantic",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      AS nrm
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT label, dim, round(avg(val), 4) AS m
+      |  FROM (
+      |    SELECT label,
+      |      unnest(range(0, len(embedding))) AS dim,
+      |      unnest(embedding::DOUBLE[]) AS val
+      |    FROM embeddings)
+      |  GROUP BY label, dim
+      |), c AS (
+      |  SELECT label AS cl, list(m ORDER BY dim) AS cen FROM c0
+      |  GROUP BY label
+      |), cn AS (
+      |  SELECT cl, cen, sqrt(list_dot_product(cen, cen)) AS cnrm FROM c
+      |), asg AS (
+      |  SELECT vec_id, v, nrm, cl,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY list_dot_product(v, cen) / (nrm * cnrm) DESC, cl)
+      |      AS rk
+      |  FROM e CROSS JOIN cn
+      |), cell AS (
+      |  SELECT vec_id, v, nrm, cl AS cell FROM asg WHERE rk = 1
+      |), nb AS (
+      |  SELECT a.vec_id,
+      |    CAST(count(*) AS BIGINT) AS n_dups,
+      |    CAST(count(CASE WHEN b.vec_id < a.vec_id THEN 1 END)
+      |      AS BIGINT) AS n_smaller
+      |  FROM cell a JOIN cell b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+      |  GROUP BY a.vec_id
+      |)
+      |SELECT cell.vec_id, cell.cell,
+      |  COALESCE(nb.n_dups, 0) AS n_dups,
+      |  CAST(COALESCE(nb.n_smaller, 0) = 0 AS BOOLEAN) AS keep
+      |FROM cell LEFT JOIN nb ON cell.vec_id = nb.vec_id
+      |ORDER BY cell.vec_id""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", vec.norm(s, col("v")))
+    val cen = Tables.embeddings(s, dir)
+      .select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("dim", "val")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("val")), 4).as("m"))
+      .groupBy(col("label").as("cl"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
+        "s -> s.m)").as("cen"))
+      .withColumn("cnrm", vec.norm(s, col("cen")))
+    val cell = e.crossJoin(broadcast(cen))
+      .withColumn("cosd",
+        vec.cosine(s, col("v"), col("cen"), col("nrm"), col("cnrm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cosd"), col("cl"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cl").as("cell"))
+    val a = cell.select(col("vec_id"), col("cell"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = cell.select(col("vec_id").as("id_b"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val nb = a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("id_b"))
+      .filter(vec.cosine(s, col("va"), col("vb"), col("na"), col("nb"))
+        >= 0.3)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dups"),
+        count(when(col("id_b") < col("vec_id"), 1)).as("n_smaller"))
+    cell.join(nb, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_smaller"), lit(0L)) === 0).as("keep"))
+      .orderBy("vec_id")
+  }
+
   def all: Seq[Q] =
-    Seq(winnowing, cdcChunks, normalizedDedup, importance, pplBuckets)
+    Seq(winnowing, cdcChunks, normalizedDedup, importance, pplBuckets,
+      semanticDedup)
 }

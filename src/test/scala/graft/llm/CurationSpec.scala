@@ -83,6 +83,25 @@ class CurationSpec extends SparkSuite {
         s"(got en=$enAvg other=$otherAvg)")
   }
 
+  test("semantic dedup: drop decisions are exactly 'has a smaller-id " +
+    "near neighbor in my cell', and every vector appears once") {
+    val out = graft.SparkEntry.queries("q_dedup_semantic")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.map(_._1).distinct.length == out.length)
+    // keep=false requires at least one near-dup; n_dups=0 implies keep
+    out.foreach { case (id, _, nDups, keep) =>
+      if (!keep) assert(nDups > 0, s"vec $id dropped without a dup")
+    }
+    // the smallest vec_id of every cell is always kept (it can have no
+    // smaller-id neighbor)
+    out.groupBy(_._2).foreach { case (cell, vs) =>
+      val smallest = vs.minBy(_._1)
+      assert(smallest._4, s"cell $cell smallest ${smallest._1} dropped")
+    }
+  }
+
   test("perplexity buckets: per-lang tertile counts differ by at most " +
     "one and bucket NLL ranges are ordered head <= middle <= tail") {
     val out = graft.SparkEntry.queries("q_text_ppl_buckets")(

@@ -44,7 +44,8 @@ class DeterminismSpec extends SparkSuite {
     "q_pipe_importance",
     "q_text_ppl_buckets",
     "q_text_winnowing",
-    "q_pipe_cdc_chunks")
+    "q_pipe_cdc_chunks",
+    "q_dedup_semantic")
 
   test("float-sensitive queries are partition-count invariant: " +
     "shuffle=4 and shuffle=13 produce identical rows") {
