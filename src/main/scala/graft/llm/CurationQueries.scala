@@ -233,18 +233,19 @@ object CurationQueries extends QueryCatalog {
       |  SELECT doc_id, lang,
       |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
       |  FROM dt
-      |), raw AS (
-      |  SELECT b, count(*) AS cr FROM bt GROUP BY b
-      |), tgt AS (
-      |  SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b
-      |), tot AS (
-      |  SELECT (SELECT count(*) FROM bt) AS r,
-      |         (SELECT count(*) FROM bt WHERE lang = 'en') AS t
+      |), j AS (
+      |  SELECT b, cr, ct,
+      |    CAST(sum(cr) OVER () AS BIGINT) AS r,
+      |    CAST(sum(ct) OVER () AS BIGINT) AS t
+      |  FROM (
+      |    SELECT b, count(*) AS cr,
+      |      count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+      |    FROM bt GROUP BY b)
       |), lr AS (
-      |  SELECT raw.b,
-      |    CAST(round(ln(((COALESCE(ct, 0) + 1.0) * (r + 64)) /
+      |  SELECT b,
+      |    CAST(round(ln(((ct + 1.0) * (r + 64)) /
       |      ((cr + 1.0) * (t + 64))) * 1000000) AS BIGINT) AS s
-      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+      |  FROM j
       |)
       |SELECT doc_id,
       |  round(sum(s) / (1000000.0 * count(*)), 4) AS weight
@@ -262,14 +263,19 @@ object CurationQueries extends QueryCatalog {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint")
           % 64).as("b"))
-    val raw = bt.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = bt.filter(col("lang") === targetLang)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val tot = bt.agg(count(lit(1)).as("r"),
-      count(when(col("lang") === targetLang, 1)).as("t"))
-    val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+    // both distributions from ONE conditional aggregation pass (cr =
+    // all tokens, ct = target-lang tokens), totals via a global window
+    // over the 64-row bucket table — the corpus token stream is
+    // scanned twice in the whole query (model pass + scoring pass)
+    // and the single-partition window is bounded by B=64 at any size
+    val w = Window.partitionBy()
+    val lr = bt.groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === targetLang, 1)).as("ct"))
+      .withColumn("r", sum("cr").over(w))
+      .withColumn("t", sum("ct").over(w))
       .select(col("b"),
-        round(log(((coalesce(col("ct"), lit(0)) + 1.0) * (col("r") + 64)) /
+        round(log(((col("ct") + 1.0) * (col("r") + 64)) /
           ((col("cr") + 1.0) * (col("t") + 64))) * 1000000)
           .cast("bigint").as("s"))
     bt.join(broadcast(lr), "b")
@@ -292,14 +298,14 @@ object CurationQueries extends QueryCatalog {
       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
       |  FROM documents
       |), freq AS (
-      |  SELECT tok, count(*) AS c FROM dt GROUP BY tok
-      |), n AS (SELECT count(*) AS total FROM dt),
-      |d AS (
+      |  SELECT tok, c, CAST(sum(c) OVER () AS BIGINT) AS total
+      |  FROM (SELECT tok, count(*) AS c FROM dt GROUP BY tok)
+      |), d AS (
       |  SELECT doc_id, lang,
       |    sum(CAST(round(-ln(CAST(c AS DOUBLE) / total) * 1000000)
       |      AS BIGINT)) AS s,
       |    count(*) AS cnt
-      |  FROM dt JOIN freq USING (tok) CROSS JOIN n
+      |  FROM dt JOIN freq USING (tok)
       |  GROUP BY doc_id, lang
       |), ranked AS (
       |  SELECT lang, doc_id, s, cnt, ntile(3) OVER (PARTITION BY lang
@@ -316,9 +322,13 @@ object CurationQueries extends QueryCatalog {
   ) { (s, dir) =>
     val dt = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
+    // total tokens via a global window over the vocab-sized freq table
+    // — one corpus scan for freq, one for scoring, never a third; the
+    // single-partition window costs one pass over vocab rows, far
+    // cheaper than re-scanning the corpus for the total
     val freq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
-    val n = dt.agg(count(lit(1)).as("total"))
-    val d = dt.join(broadcast(freq), "tok").crossJoin(broadcast(n))
+      .withColumn("total", sum("c").over(Window.partitionBy()))
+    val d = dt.join(broadcast(freq), "tok")
       .select(col("doc_id"), col("lang"),
         round(-log(col("c").cast("double") / col("total")) * 1000000)
           .cast("bigint").as("scaled"))
@@ -369,14 +379,11 @@ object CurationQueries extends QueryCatalog {
       |  GROUP BY label
       |), cn AS (
       |  SELECT cl, cen, sqrt(list_dot_product(cen, cen)) AS cnrm FROM c
-      |), asg AS (
-      |  SELECT vec_id, v, nrm, cl,
-      |    row_number() OVER (PARTITION BY vec_id
-      |      ORDER BY list_dot_product(v, cen) / (nrm * cnrm) DESC, cl)
-      |      AS rk
-      |  FROM e CROSS JOIN cn
       |), cell AS (
-      |  SELECT vec_id, v, nrm, cl AS cell FROM asg WHERE rk = 1
+      |  SELECT vec_id, any_value(v) AS v, any_value(nrm) AS nrm,
+      |    -(max({'c': list_dot_product(v, cen) / (nrm * cnrm),
+      |           'n': -cl})).n AS cell
+      |  FROM e CROSS JOIN cn GROUP BY vec_id
       |), nb AS (
       |  SELECT a.vec_id,
       |    CAST(count(*) AS BIGINT) AS n_dups,
@@ -407,13 +414,21 @@ object CurationQueries extends QueryCatalog {
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
         "s -> s.m)").as("cen"))
       .withColumn("cnrm", vec.norm(s, col("cen")))
+    // assignment as a partial-aggregable struct-max, not a window: the
+    // map side collapses each vector's 10 candidate cells to one row
+    // before any shuffle (lexicographic (cosd, -cl) max = highest
+    // cosine, smallest cell on ties — both engines compare structs
+    // field-by-field). localCheckpoint materializes the assignment so
+    // the two self-join sides and the final projection reuse it
+    // instead of recomputing the centroid pipeline three times.
     val cell = e.crossJoin(broadcast(cen))
       .withColumn("cosd",
         vec.cosine(s, col("v"), col("cen"), col("nrm"), col("cnrm")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("cosd"), col("cl"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cl").as("cell"))
+      .groupBy("vec_id")
+      .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        (-max(struct(col("cosd"), (-col("cl")).as("n")))
+          .getField("n")).as("cell"))
+      .localCheckpoint()
     val a = cell.select(col("vec_id"), col("cell"),
       col("v").as("va"), col("nrm").as("na"))
     val b = cell.select(col("vec_id").as("id_b"), col("cell"),

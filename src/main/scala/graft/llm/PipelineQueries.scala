@@ -469,19 +469,22 @@ object PipelineQueries extends QueryCatalog {
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |  FROM documents
       |), freq AS (
-      |  SELECT tok, count(*) AS c FROM dt GROUP BY tok
-      |), n AS (SELECT count(*) AS total FROM dt)
+      |  SELECT tok, c, CAST(sum(c) OVER () AS BIGINT) AS total
+      |  FROM (SELECT tok, count(*) AS c FROM dt GROUP BY tok)
+      |)
       |SELECT doc_id,
       |  round(sum(CAST(round(-ln(CAST(c AS DOUBLE) / total) * 1000000)
       |      AS BIGINT)) / (1000000.0 * count(*)), 4) AS nll
-      |FROM dt JOIN freq USING (tok) CROSS JOIN n
+      |FROM dt JOIN freq USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val dt = Tables.documents(s, dir).select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
+    // total tokens via a global window over the vocab-sized freq table
+    // — one corpus scan for freq, one for scoring, never a third
     val freq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
-    val n = dt.agg(count(lit(1)).as("total"))
-    dt.join(broadcast(freq), "tok").crossJoin(broadcast(n))
+      .withColumn("total", sum("c").over(Window.partitionBy()))
+    dt.join(broadcast(freq), "tok")
       .select(col("doc_id"),
         round(-log(col("c").cast("double") / col("total")) * 1000000)
           .cast("bigint").as("scaled"))

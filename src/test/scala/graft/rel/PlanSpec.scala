@@ -267,4 +267,28 @@ class PlanSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       "dup-pair generation degenerated to all-pairs:\n" + p)
   }
+
+  test("LM-score queries scan the corpus exactly twice: model pass + " +
+    "scoring pass, totals from a bounded window not a third scan") {
+    Seq("q_text_logprob", "q_text_ppl_buckets", "q_pipe_importance")
+      .foreach { q =>
+        val p = plan(q)
+        // formatted mode names each scan twice (tree + detail):
+        // 2 scan nodes => 4 mentions
+        val scans = "Scan parquet".r.findAllIn(p).size
+        assert(scans == 4, s"$q scans the corpus ${scans / 2} times:\n" + p)
+      }
+  }
+
+  test("semantic dedup reuses the checkpointed cell assignment on " +
+    "every side instead of recomputing the centroid pipeline") {
+    val p = plan("q_dedup_semantic")
+    assert(!p.contains("Scan parquet"),
+      "assignment recomputed from the raw table:\n" + p)
+    assert(!p.contains("Window"),
+      "assignment fell back to a per-vector window:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cell self-join degenerated to all-pairs:\n" + p)
+  }
 }
