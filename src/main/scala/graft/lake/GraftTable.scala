@@ -446,6 +446,36 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * the data files the delete files reference. Nothing ever reads the
     * whole table, so changelog cost tracks change volume, not table
     * size. */
+  /** Main-lineage snapshot ids strictly after `fromExclusive`, oldest
+    * first, ending at the current head — the ancestry walk `changes`
+    * performs, exposed so a rate-limited streaming reader can cap a
+    * micro-batch at its Nth pending commit instead of jumping straight
+    * to head. Empty when there is no head or nothing is pending;
+    * throws (like `changes`) if `fromExclusive` is not an ancestor. */
+  def lineageAfter(fromExclusive: Option[Long]): Seq[Long] = {
+    val snaps = meta.snapshots
+    val endId = meta.currentSnapshotId.getOrElse(return Nil)
+    if (fromExclusive.contains(endId)) return Nil
+    var chain = List.empty[Long]
+    var cursor: Option[Long] = Some(endId)
+    while (true) cursor match {
+      case None =>
+        if (fromExclusive.isDefined)
+          throw new IllegalArgumentException(
+            s"snapshot ${fromExclusive.get} is not an ancestor of " +
+              s"$endId")
+        return chain
+      case Some(id) if fromExclusive.contains(id) => return chain
+      case Some(id) =>
+        val s = snaps.find(_.snapshotId == id).getOrElse(
+          throw new IllegalStateException(
+            s"cannot walk lineage: snapshot $id expired"))
+        chain = id :: chain
+        cursor = s.parentId
+    }
+    chain
+  }
+
   def changes(fromExclusive: Option[Long] = None,
       toInclusive: Option[Long] = None): DataFrame = {
     val snaps = meta.snapshots

@@ -69,6 +69,17 @@ object GraftTableStreaming {
   def readChanges(spark: SparkSession, root: Path): DataFrame =
     spark.readStream.format("graft-changes")
       .option("path", root.toString).load()
+
+  /** `option("maxSnapshotsPerTrigger", n)` — cap each micro-batch at n
+    * table commits (Iceberg's streaming rate-limit knob): a cold-start
+    * consumer of a long table history pages through it instead of
+    * planning the entire backlog as one batch. Unset = no cap. */
+  def maxSnapshotsPerTrigger(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxSnapshotsPerTrigger").map { v =>
+      val n = v.toInt
+      require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
+      n
+    }
 }
 
 /** `format("graft-appends")` registration — source AND sink, so both
@@ -101,7 +112,8 @@ class GraftAppendStreamProvider extends StreamSourceProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftAppendSource(table(ctx, parameters))
+    new GraftAppendSource(table(ctx, parameters),
+      GraftTableStreaming.maxSnapshotsPerTrigger(parameters))
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -169,7 +181,8 @@ class GraftChangesStreamProvider extends StreamSourceProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftChangesSource(table(ctx, parameters))
+    new GraftChangesSource(table(ctx, parameters),
+      GraftTableStreaming.maxSnapshotsPerTrigger(parameters))
 }
 
 object GraftChangesSource {
@@ -203,12 +216,29 @@ object GraftChangesSource {
   * logical name (values bind positionally and stay correct, proven in
   * StreamingSpec); restart the query to pick up the new name.
   */
-class GraftChangesSource(t: GraftTable) extends Source {
+class GraftChangesSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
+    extends Source {
 
   override def schema: StructType = GraftChangesSource.changesSchema(t)
 
-  override def getOffset: Option[OffsetV1] =
-    t.meta.currentSnapshotId.map(LongOffset(_))
+  // progress this source has already handed out, so a capped getOffset
+  // can advance N commits past it; getBatch (including the restart
+  // replay of the last checkpointed batch) keeps it current
+  private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[OffsetV1] = maxSnapshotsPerTrigger match {
+    case None => t.meta.currentSnapshotId.map(LongOffset(_))
+    case Some(n) =>
+      // cap the micro-batch at the Nth pending main-lineage commit —
+      // a cold start over a long table history pages through it
+      // instead of emitting the whole changelog as one batch. If the
+      // walk fails (offset expired mid-stream), fall back to head and
+      // let getBatch raise the precise error.
+      val target =
+        try t.lineageAfter(lastEnd).take(n).lastOption
+        catch { case _: Exception => t.meta.currentSnapshotId }
+      target.orElse(lastEnd).map(LongOffset(_))
+  }
 
   private def toLong(o: OffsetV1): Long = o match {
     case LongOffset(v) => v
@@ -217,21 +247,34 @@ class GraftChangesSource(t: GraftTable) extends Source {
   }
 
   override def getBatch(start: Option[OffsetV1],
-      end: OffsetV1): DataFrame =
+      end: OffsetV1): DataFrame = {
+    lastEnd = Some(toLong(end))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
       t.changes(start.map(toLong), Some(toLong(end))))
+  }
 
   override def stop(): Unit = ()
 }
 
 /** Snapshot-log-driven source: offset N = "all append snapshots with
   * id <= N have been emitted". */
-class GraftAppendSource(t: GraftTable) extends Source {
+class GraftAppendSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
+    extends Source {
 
   override def schema: StructType = t.schema
 
-  override def getOffset: Option[OffsetV1] =
-    t.meta.snapshots.lastOption.map(s => LongOffset(s.snapshotId))
+  // see GraftChangesSource.lastEnd — same capped-offset protocol, but
+  // over the raw snapshot log (appendsBetween filters by id range)
+  private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[OffsetV1] = maxSnapshotsPerTrigger match {
+    case None => t.meta.snapshots.lastOption.map(s => LongOffset(s.snapshotId))
+    case Some(n) =>
+      val from = lastEnd.getOrElse(Long.MinValue)
+      val pending = t.meta.snapshots.map(_.snapshotId)
+        .filter(_ > from).sorted
+      pending.take(n).lastOption.orElse(lastEnd).map(LongOffset(_))
+  }
 
   private def toLong(o: OffsetV1): Long = o match {
     case LongOffset(v) => v
@@ -240,10 +283,12 @@ class GraftAppendSource(t: GraftTable) extends Source {
   }
 
   override def getBatch(start: Option[OffsetV1],
-      end: OffsetV1): DataFrame =
+      end: OffsetV1): DataFrame = {
+    lastEnd = Some(toLong(end))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
       t.appendsBetween(start.map(toLong).getOrElse(Long.MinValue),
         toLong(end)))
+  }
 
   override def stop(): Unit = ()
 }

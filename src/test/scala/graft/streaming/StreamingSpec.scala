@@ -500,4 +500,49 @@ class StreamingSpec extends SparkSuite {
         "post-rename rows must bind positionally with correct values")
     } finally q.stop()
   }
+
+  test("maxSnapshotsPerTrigger pages a cold start through table " +
+    "history: capped micro-batches, nothing lost, on both sources") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Dataset, Row}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    val schema = StructType.fromDDL("k STRING, v BIGINT")
+    val wh = Files.createTempDirectory("graft-rate-")
+    val t = GraftTable.create(spark, wh.resolve("src"), "d.rate", schema)
+    (1 to 5).foreach(i => t.append(spark.createDataFrame(
+      Seq(Row(s"c$i-1", i.toLong), Row(s"c$i-2", i.toLong)).asJava,
+      schema)))
+    // CDC source: each batch may cover at most 2 commits
+    val cdcBatches =
+      scala.collection.concurrent.TrieMap.empty[Long, (Long, Long)]
+    val q1 = spark.readStream.format("graft-changes")
+      .option("path", t.root.toString)
+      .option("maxSnapshotsPerTrigger", "2").load()
+      .writeStream.foreachBatch { (df: Dataset[Row], id: Long) =>
+        cdcBatches(id) =
+          (df.count(), df.select("_commit_snapshot_id").distinct().count())
+        ()
+      }.start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(cdcBatches.values.map(_._1).sum == 10,
+      s"rows lost under the cap: $cdcBatches")
+    assert(cdcBatches.count(_._2._1 > 0) >= 3,
+      s"5 commits at cap 2 must take >= 3 batches: $cdcBatches")
+    assert(cdcBatches.values.forall(_._2 <= 2),
+      s"a batch exceeded the 2-commit cap: $cdcBatches")
+    // appends source: same cap protocol over the raw snapshot log
+    val appBatches = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q2 = spark.readStream.format("graft-appends")
+      .option("path", t.root.toString)
+      .option("maxSnapshotsPerTrigger", "2").load()
+      .writeStream.foreachBatch { (df: Dataset[Row], id: Long) =>
+        appBatches(id) = df.count(); ()
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(appBatches.values.sum == 10,
+      s"rows lost under the cap: $appBatches")
+    assert(appBatches.count(_._2 > 0) >= 3,
+      s"5 appends at cap 2 must take >= 3 batches: $appBatches")
+  }
 }
