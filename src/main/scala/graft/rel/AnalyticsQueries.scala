@@ -689,6 +689,213 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("key_col")
   }
 
+  /** TPC-H Q2 shape: the minimum-cost supplier per part within one
+    * region (the corpus has no partsupp, so the part-supplier cost
+    * relation is derived from lineitem: unit cost = the cheapest
+    * observed extendedprice/quantity per (part, supplier), in exact
+    * integer cents via `div`). The correlated MIN subquery of the
+    * original decorrelates to a per-part min aggregate joined back —
+    * written identically in both dialects so the algebra matches the
+    * plan Spark produces. Scale shape: the only big shuffles are the
+    * (partkey, suppkey) cost aggregate and the partkey min/join;
+    * supplier/nation/region/part all broadcast. */
+  private val minCostSupplier = Q(
+    "q_tpch_q2_min_cost_supplier",
+    """WITH cost AS (
+      |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    min(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        // CAST(l_quantity AS BIGINT)) AS unit_cents
+      |  FROM lineitem GROUP BY 1, 2
+      |), euro AS (
+      |  SELECT partkey, suppkey, unit_cents, s_name, s_acctbal, n_name
+      |  FROM cost
+      |  JOIN supplier ON suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), best AS (
+      |  SELECT partkey AS bpartkey, min(unit_cents) AS min_cents
+      |  FROM euro GROUP BY 1
+      |)
+      |SELECT p_partkey, p_brand, p_type, s_name, n_name,
+      |  round(s_acctbal, 2) AS acctbal, unit_cents
+      |FROM part
+      |JOIN euro ON p_partkey = partkey
+      |JOIN best ON bpartkey = p_partkey AND unit_cents = min_cents
+      |WHERE p_size <= 15 AND p_type = 'STANDARD'
+      |ORDER BY acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+  ) { (s, dir) =>
+    val cost = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+      .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+        " div CAST(l_quantity AS BIGINT)")).as("unit_cents"))
+    val euro = cost
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("partkey", "suppkey", "unit_cents", "s_name", "s_acctbal",
+        "n_name")
+    val best = euro.groupBy(col("partkey").as("bpartkey"))
+      .agg(min(col("unit_cents")).as("min_cents"))
+    euro
+      .join(best, col("bpartkey") === col("partkey") &&
+        col("unit_cents") === col("min_cents"))
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")),
+        col("p_partkey") === col("partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("s_name"),
+        col("n_name"), round(col("s_acctbal"), 2).as("acctbal"),
+        col("unit_cents"))
+      .orderBy(desc("acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year. Supply cost is proxied as half the part's retail price
+    * (partsupp is absent); profit terms are exact integers in
+    * 10^-4-dollar units — cents x discount-percent minus
+    * retail-half-cents x quantity x 100 — summed as BIGINT and rounded
+    * half-up to cents with ONE final float division, per the
+    * determinism contract. Part/supplier/nation broadcast; the fact
+    * shuffles once into the orders join (orderkey) and once for the
+    * bounded (nation, year) aggregate. */
+  private val productProfit = Q(
+    "q_tpch_q9_product_profit",
+    """SELECT n_name AS nation,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  ((CAST(sum(
+      |      CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      - CAST(round(p_retailprice * 50) AS BIGINT)
+      |        * CAST(l_quantity AS BIGINT) * 100) AS BIGINT)
+      |    + 50) // 100) / 100.0 AS profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%bolt%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("%bolt%"))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .withColumn("u", expr(
+        """CAST(round(l_extendedprice * 100) AS BIGINT)
+          |  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+          |- CAST(round(p_retailprice * 50) AS BIGINT)
+          |  * CAST(l_quantity AS BIGINT) * 100""".stripMargin))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("int").as("o_year"))
+      .agg(sum(col("u")).as("su"))
+      .select(col("nation"), col("o_year"),
+        (expr("(su + 50) div 100") / 100.0).as("profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  /** TPC-H Q11 shape: the "important stock" cut — per-part value held
+    * by one nation's suppliers, kept only when it exceeds a global
+    * threshold computed as a scalar subquery over the same aggregate.
+    * The original's fixed fraction is SF-dependent; here the cut is
+    * scale-free (value > 2x the mean part value, i.e. u * n_parts >
+    * 2 * total) so the query stays selective at every SF. All integer
+    * arithmetic; the 1-row global aggregate broadcasts under the
+    * comparison. */
+  private val importantStock = Q(
+    "q_tpch_q11_important_stock",
+    """WITH v AS (
+      |  SELECT l_partkey AS partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS u
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY 1)
+      |SELECT partkey AS p_partkey, ((u + 50) // 100) / 100.0 AS value
+      |FROM v
+      |WHERE u * (SELECT count(*) FROM v)
+      |  > 2 * (SELECT CAST(sum(u) AS BIGINT) FROM v)
+      |ORDER BY value DESC, p_partkey""".stripMargin
+  ) { (s, dir) =>
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("u"))
+    v.crossJoin(broadcast(
+        v.agg(count(lit(1)).as("n_parts"), sum(col("u")).as("total"))))
+      .filter(col("u") * col("n_parts") > lit(2) * col("total"))
+      .select(col("partkey").as("p_partkey"),
+        (expr("(u + 50) div 100") / 100.0).as("value"))
+      .orderBy(desc("value"), col("p_partkey"))
+  }
+
+  /** TPC-H Q20 shape: suppliers holding excess stock of a part family
+    * — the nested-IN semi-join pyramid (supplier IN (pairs passing a
+    * per-(supplier, part) quantity comparison over parts IN (name
+    * LIKE ...))). "Availability" is total shipped quantity across all
+    * years; "demand" is the 1998 slice; excess = total > 2x the 1998
+    * quantity with 1998 activity present. Part filter broadcasts as a
+    * semi join BEFORE the fact aggregate; the supplier probe is a
+    * broadcast semi join of the tiny qualifying-pair set. */
+  private val excessSuppliers = Q(
+    "q_tpch_q20_excess_suppliers",
+    """WITH shipped AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS yr_qty
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE 'red %')
+      |  GROUP BY 1, 2)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+      |                    WHERE yr_qty > 0 AND total_qty > 2 * yr_qty)
+      |ORDER BY s_suppkey""".stripMargin
+  ) { (s, dir) =>
+    val lo = java.sql.Timestamp.valueOf("1998-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").like("red %")).select("p_partkey")
+    val shipped = Tables.lineitem(s, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "leftsemi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast("bigint")).as("total_qty"),
+        sum(when(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi),
+          col("l_quantity").cast("bigint")).otherwise(0L)).as("yr_qty"))
+    val excess = shipped
+      .filter(col("yr_qty") > 0 && col("total_qty") > lit(2) * col("yr_qty"))
+      .select("l_suppkey")
+    Tables.supplier(s, dir)
+      .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+        "leftsemi")
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -723,6 +930,7 @@ object AnalyticsQueries extends QueryCatalog {
       largeOrders, orderPriority, priorityClass, brandRevenue,
       lastShipper, volumeShipping, forecastRevenue, custDist,
       promoRevenue, topSupplier, supplierCnt, smallQtyRevenue,
-      globalSales, marketShare, saltedAgg, skewProfile,
+      globalSales, marketShare, minCostSupplier, productProfit,
+      importantStock, excessSuppliers, saltedAgg, skewProfile,
       windowDistribution)
 }

@@ -280,6 +280,55 @@ class PlanSpec extends SparkSuite {
       }
   }
 
+  test("PQ encoding, hashed classifier, and stratified sampling stay " +
+    "map-side: no join, no aggregate exchange, no UDF before the sort") {
+    Seq("q_sim_pq_codes", "q_text_hash_classifier", "q_pipe_stratified")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Join"), s"$q grew a join:\n" + p)
+        assert(!p.contains("HashAggregate"),
+          s"$q grew a shuffling aggregate:\n" + p)
+        assert(!p.contains("ScalaUDF") &&
+          !p.toLowerCase.contains("batchevalpython"),
+          s"$q fell back to a UDF:\n" + p)
+      }
+  }
+
+  test("PQ/ADC search broadcasts only the 1-row LUT and ends in a " +
+    "TakeOrderedAndProject, never a global sort of scored vectors") {
+    val p = plan("q_sim_topk_adc")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k fell back to a global sort:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "ADC scoring grew a shuffling aggregate:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the 1-row LUT join shuffled instead of broadcasting:\n" + p)
+  }
+
+  test("adapted TPC-H q2/q9/q11/q20 broadcast every dimension side and " +
+    "never build a cartesian pair set") {
+    Seq("q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
+      "q_tpch_q20_excess_suppliers")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q degenerated to all-pairs:\n" + p)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q shuffles a dimension join:\n" + p)
+        assert(p.contains("partial_"),
+          s"$q lost map-side partial aggregation:\n" + p)
+      }
+    // q11's global threshold joins a broadcast 1-ROW aggregate under
+    // the comparison (that nested-loop join is over one row — fine);
+    // no cartesian over base relations, dims still broadcast-hash.
+    val p11 = plan("q_tpch_q11_important_stock")
+    assert(!p11.contains("CartesianProduct"), p11)
+    assert(p11.contains("BroadcastHashJoin"), p11)
+    assert(p11.contains("BroadcastExchange"), p11)
+    assert(p11.contains("partial_"), p11)
+  }
+
   test("semantic dedup reuses the checkpointed cell assignment on " +
     "every side instead of recomputing the centroid pipeline") {
     val p = plan("q_dedup_semantic")
