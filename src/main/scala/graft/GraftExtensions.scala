@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SignPack, SimHash64}
+import graft.functions.{DotProduct, PqAdc, PqEncode, SignPack, SimHash64}
 
 /** Engine extension point, applied via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
@@ -29,5 +29,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_signpack"),
       new ExpressionInfo(classOf[SignPack].getCanonicalName, "vec_signpack"),
       (children: Seq[Expression]) => SignPack(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getCanonicalName, "pq_encode"),
+      (children: Seq[Expression]) => PqEncode(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getCanonicalName, "pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children.head, children(1))))
   }
 }

@@ -251,3 +251,181 @@ case class SignPack(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SignPack =
     copy(left = newLeft, right = newRight)
 }
+
+/** pq_encode(q, cb): product-quantization encoder over an
+  * integer-quantized vector — returns array<bigint> [packedCodes,
+  * qerr]. Contract: M=8 subspaces, K=16 codewords (4-bit codes, so the
+  * 8 codes pack into the low 32 bits of one BIGINT, code m at bits
+  * [4m, 4m+4)); D = len(q)/8 dims per subspace; cb is the codebook
+  * flattened as cb[(m*16 + k)*D + d]. qerr is the summed squared-L2
+  * distance to the selected codewords. Ties take the smallest k;
+  * null/missing elements read as 0 (same zero-fill rule as
+  * vec_signpack).
+  *
+  * Why a kernel: the HOF formulation (nested transform/aggregate,
+  * 8x16x8 lambda evaluations per row, re-inlined by CollapseProject
+  * into every consumer) measured ~40 ms/row interpreted — 88 s for
+  * 2k vectors at sf0.1, pure closure dispatch + boxing. This loop is
+  * ~2k primitive int ops inside WholeStageCodegen. At 10^9 vectors
+  * PQ encoding touches every row of the corpus; it must run at scan
+  * speed.
+  */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs (array<bigint> vector, array<bigint> codebook), " +
+        s"got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    val ncb = cb.numElements()
+    val d = n / 8
+    var codes = 0L
+    var qerr = 0L
+    var m = 0
+    while (m < 8) {
+      var bestD = Long.MaxValue
+      var bestK = 0
+      var k = 0
+      while (k < 16) {
+        var s = 0L
+        var i = 0
+        while (i < d) {
+          val qi = m * d + i
+          val ci = (m * 16 + k) * d + i
+          val qv = if (qi < n && !q.isNullAt(qi)) q.getLong(qi) else 0L
+          val cv = if (ci < ncb && !cb.isNullAt(ci)) cb.getLong(ci) else 0L
+          val diff = qv - cv
+          s += diff * diff
+          i += 1
+        }
+        if (s < bestD) { bestD = s; bestK = k }
+        k += 1
+      }
+      codes |= bestK.toLong << (4 * m)
+      qerr += bestD
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](codes, qerr))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (q, cb) => {
+      val n = ctx.freshName("n")
+      val ncb = ctx.freshName("ncb")
+      val d = ctx.freshName("d")
+      val codes = ctx.freshName("codes")
+      val qerr = ctx.freshName("qerr")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val qi = ctx.freshName("qi")
+      val ci = ctx.freshName("ci")
+      val diff = ctx.freshName("diff")
+      val bestD = ctx.freshName("bestD")
+      val bestK = ctx.freshName("bestK")
+      s"""
+         |final int $n = $q.numElements();
+         |final int $ncb = $cb.numElements();
+         |final int $d = $n / 8;
+         |long $codes = 0L;
+         |long $qerr = 0L;
+         |for (int $m = 0; $m < 8; $m++) {
+         |  long $bestD = Long.MAX_VALUE;
+         |  int $bestK = 0;
+         |  for (int $k = 0; $k < 16; $k++) {
+         |    long $s = 0L;
+         |    for (int $i = 0; $i < $d; $i++) {
+         |      final int $qi = $m * $d + $i;
+         |      final int $ci = ($m * 16 + $k) * $d + $i;
+         |      final long $diff =
+         |        (($qi < $n && !$q.isNullAt($qi)) ? $q.getLong($qi) : 0L)
+         |        - (($ci < $ncb && !$cb.isNullAt($ci)) ? $cb.getLong($ci) : 0L);
+         |      $s += $diff * $diff;
+         |    }
+         |    if ($s < $bestD) { $bestD = $s; $bestK = $k; }
+         |  }
+         |  $codes |= ((long) $bestK) << (4 * $m);
+         |  $qerr += $bestD;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  new long[]{$codes, $qerr});
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** pq_adc(codes, lut): asymmetric-distance scoring against packed PQ
+  * codes — sum over the 8 subspaces of lut[16*m + code_m], where lut
+  * is the query's flattened (subspace, codeword) distance table and
+  * code_m is the 4-bit code at bits [4m, 4m+4) of `codes` (the
+  * pq_encode packing). Out-of-range LUT slots read as 0. Eight array
+  * loads + adds per row inside WholeStageCodegen — the serving-path
+  * twin of pq_encode.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
+      right.dataType) match {
+    case (LongType, ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc needs (bigint codes, array<bigint> lut), got " +
+        s"${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[Long]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = lut.numElements()
+    var s = 0L
+    var m = 0
+    while (m < 8) {
+      val idx = 16 * m + ((codes >>> (4 * m)) & 15L).toInt
+      if (idx < n && !lut.isNullAt(idx)) s += lut.getLong(idx)
+      m += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val idx = ctx.freshName("idx")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $lut.numElements();
+         |long $s = 0L;
+         |for (int $m = 0; $m < 8; $m++) {
+         |  final int $idx = 16 * $m + (int) (($codes >>> (4 * $m)) & 15L);
+         |  if ($idx < $n && !$lut.isNullAt($idx)) $s += $lut.getLong($idx);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -54,4 +54,64 @@ object vec {
   def cosine(s: SparkSession, a: Column, b: Column,
       normA: Column, normB: Column): Column =
     dot(s, a, b) / (normA * normB)
+
+  /** PQ encode of an integer-quantized vector against a flattened
+    * codebook (layout cb[(m*16 + k)*D + d], M=8/K=16 contract):
+    * array<bigint> [packedCodes, qerr]. Native [[PqEncode]] kernel
+    * when registered; HOF fallback with identical integer semantics
+    * (argmin ties to the smallest k, missing elements read 0)
+    * otherwise. */
+  def pqEncode(s: SparkSession, q: Column, cb: Array[Long]): Column =
+    if (s.catalog.functionExists("pq_encode"))
+      call_function("pq_encode", q, lit(cb))
+    else pqEncodeHof(q, cb)
+
+  private[graft] def pqEncodeHof(q: Column, cb: Array[Long]): Column = {
+    val cbCol = lit(cb)
+    def dsz = (size(q) / 8).cast("int")
+    val enc = aggregate(
+      sequence(lit(0), lit(7)),
+      struct(lit(0L).as("codes"), lit(0L).as("qerr")),
+      (acc, m) => {
+        val bm = aggregate(
+          sequence(lit(0), lit(15)),
+          struct(lit(Long.MaxValue).as("bd"), lit(0).as("bk")),
+          (bacc, k) => {
+            val d = aggregate(
+              sequence(lit(0), dsz - 1),
+              lit(0L),
+              (s2, i) => {
+                val diff =
+                  coalesce(try_element_at(q, (m * dsz + i + 1).cast("int")),
+                    lit(0L)) -
+                  coalesce(try_element_at(cbCol,
+                    ((m * 16 + k) * dsz + i + 1).cast("int")), lit(0L))
+                s2 + diff * diff
+              })
+            when(d < bacc.getField("bd"),
+              struct(d.as("bd"), k.as("bk"))).otherwise(bacc)
+          })
+        struct(
+          acc.getField("codes").bitwiseOR(
+            call_function("shiftleft", bm.getField("bk").cast("long"),
+              (m * 4).cast("int"))).as("codes"),
+          (acc.getField("qerr") + bm.getField("bd")).as("qerr"))
+      })
+    array(enc.getField("codes"), enc.getField("qerr"))
+  }
+
+  /** ADC scoring of packed PQ codes against a flattened query LUT
+    * (lut[16*m + k]): native [[PqAdc]] kernel when registered, HOF
+    * fallback with identical semantics otherwise. */
+  def pqAdc(s: SparkSession, codes: Column, lut: Column): Column =
+    if (s.catalog.functionExists("pq_adc"))
+      call_function("pq_adc", codes, lut)
+    else pqAdcHof(codes, lut)
+
+  private[graft] def pqAdcHof(codes: Column, lut: Column): Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L), (a, m) =>
+      a + coalesce(try_element_at(lut,
+        (lit(16) * m +
+          call_function("shiftrightunsigned", codes, (m * 4).cast("int"))
+            .bitwiseAND(lit(15L)).cast("int") + 1).cast("int")), lit(0L)))
 }

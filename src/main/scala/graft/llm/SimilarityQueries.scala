@@ -482,10 +482,20 @@ object SimilarityQueries extends QueryCatalog {
     */
   /** Shared PQ machinery: milli-unit integer quantization of the
     * vector, per-(subspace, codeword) BIGINT squared-L2 distances, and
-    * the per-subspace argmin (ties to the smallest code). */
+    * the per-subspace argmin (ties to the smallest code). The
+    * deterministic lattice codebook is spelled three ways that MUST
+    * stay in sync: `pqCodebook` (the flattened array the native kernel
+    * consumes), `pqDistsExpr` (the HOF form used for the query-side
+    * LUT), and the inline formula in `pqSqlGrid` (the DuckDB oracle).
+    * Codeword value at (m, k, d) = (((k*31 + m*17 + d*13) % 21) - 10) * 50.
+    */
   private val pqQuantExpr =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)" +
       " AS BIGINT))"
+  /** Flattened codebook, layout cb[(m*16 + k)*8 + d]. */
+  private lazy val pqCodebook: Array[Long] =
+    (for (m <- 0 until 8; k <- 0 until 16; d <- 0 until 8)
+      yield ((((k * 31 + m * 17 + d * 13) % 21) - 10) * 50).toLong).toArray
   private val pqDistsExpr =
     """transform(sequence(0, 7), m ->
       |  transform(sequence(0, 15), k ->
@@ -494,14 +504,6 @@ object SimilarityQueries extends QueryCatalog {
       |        element_at(q, 8*m + d + 1)
       |          - CAST((((k*31 + m*17 + d*13) % 21) - 10) * 50 AS BIGINT)),
       |      CAST(0 AS BIGINT), (a, x) -> a + x * x)))""".stripMargin
-  private val pqBestExpr =
-    """transform(dists, ds ->
-      |  aggregate(sequence(0, 15),
-      |    named_struct('bd', CAST(9223372036854775807 AS BIGINT),
-      |                 'bk', -1),
-      |    (acc, k) -> IF(element_at(ds, k + 1) < acc.bd,
-      |      named_struct('bd', element_at(ds, k + 1), 'bk', k),
-      |      acc)))""".stripMargin
   /** DuckDB twin of quant + per-(m,k) distance, as CTE text. */
   private val pqSqlGrid =
     """WITH t AS (
@@ -532,17 +534,20 @@ object SimilarityQueries extends QueryCatalog {
       |FROM best WHERE rn = 1
       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
   ) { (s, dir) =>
+    // Encoding runs in the native pq_encode kernel (one primitive
+    // 8x16xD loop per row inside WholeStageCodegen); the HOF twin is
+    // the registered fallback and VecSpec pins bit-equality. The
+    // interpreted HOF formulation measured ~40 ms/row (CollapseProject
+    // re-inlines the nested lambdas into every consumer).
     Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(pqQuantExpr).as("q"))
-      // dists[m][k]: BIGINT squared L2 between subvector m and codeword
-      // (m, k); diffs materialize once per (m, k) via an inner transform.
-      .withColumn("dists", expr(pqDistsExpr))
-      .withColumn("best", expr(pqBestExpr))
+      .withColumn("enc",
+        graft.functions.vec.pqEncode(s, col("q"), pqCodebook))
       .select(col("vec_id"),
-        concat_ws("-", expr("transform(best, b -> CAST(b.bk AS STRING))"))
-          .as("code"),
-        expr("aggregate(transform(best, b -> b.bd), CAST(0 AS BIGINT)," +
-          " (a, x) -> a + x)").as("qerr"))
+        concat_ws("-", expr("transform(sequence(0, 7), m -> " +
+          "CAST(shiftrightunsigned(element_at(enc, 1), m * 4) & 15" +
+          " AS STRING))")).as("code"),
+        expr("element_at(enc, 2)").as("qerr"))
       .orderBy("vec_id")
   }
 
@@ -574,17 +579,21 @@ object SimilarityQueries extends QueryCatalog {
   ) { (s, dir) =>
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(pqQuantExpr).as("q"))
-      .withColumn("dists", expr(pqDistsExpr))
+    // Corpus side: packed 4-bit codes from the native kernel. Query
+    // side (ONE row): the full 8x16 distance table via the HOF form,
+    // flattened to lut[16*m + k] — interpreted evaluation is fine for
+    // a single row, and at serving time the LUT would be computed once
+    // per query anyway.
     val codes = base.filter(col("vec_id") =!= 0)
-      .withColumn("best", expr(pqBestExpr))
-      .select(col("vec_id"), expr("transform(best, b -> b.bk)").as("codes"))
+      .select(col("vec_id"),
+        element_at(graft.functions.vec.pqEncode(s, col("q"), pqCodebook),
+          1).as("codes"))
     val lut = base.filter(col("vec_id") === 0)
-      .select(col("dists").as("lut"))
+      .withColumn("dists", expr(pqDistsExpr))
+      .select(expr("flatten(dists)").as("lut"))
     codes.crossJoin(broadcast(lut))
-      .select(col("vec_id"), expr(
-        """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (a, m) ->
-          |  a + element_at(element_at(lut, m + 1),
-          |        element_at(codes, m + 1) + 1))""".stripMargin).as("adc"))
+      .select(col("vec_id"),
+        graft.functions.vec.pqAdc(s, col("codes"), col("lut")).as("adc"))
       .orderBy("adc", "vec_id")
       .limit(10)
   }

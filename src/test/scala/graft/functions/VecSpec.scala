@@ -98,6 +98,82 @@ class VecSpec extends SparkSuite {
     assert(r.getLong(1) == r.getLong(3) && r.getLong(1) == 0L)
   }
 
+  test("pq_encode kernel matches the HOF fallback bit-for-bit on real " +
+    "embeddings, and a hand-computed tiny case") {
+    assert(spark.catalog.functionExists("pq_encode"))
+    // the same lattice codebook the similarity queries use
+    val cb = (for (m <- 0 until 8; k <- 0 until 16; d <- 0 until 8)
+      yield ((((k * 31 + m * 17 + d * 13) % 21) - 10) * 50).toLong).toArray
+    val df = graft.rel.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS " +
+        "DOUBLE) * 1000) AS BIGINT))").as("q"))
+    val rows = df.select(
+      expr(s"pq_encode(q, ${cb.mkString("array(", "L,", "L)")})")
+        .as("native"),
+      vec.pqEncodeHof(col("q"), cb).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"native=${r.getSeq[Long](0)} hof=${r.getSeq[Long](1)}")
+    }
+    // 8-dim vector (D=1): subspace m picks argmin over 16 scalars;
+    // with q = all zeros, codeword value (((k*31+m*17)%21)-10)*50 —
+    // best k minimizes |value|. For m=0: values ((k*31)%21-10)*50,
+    // k=6 gives ((186%21)-10)*50 = (18-10)*50 = 400 ... scan says k=4:
+    // (124%21-10)*50 = (19-10)*50; compute in-test instead of by hand:
+    val expCodes = (0 until 8).map { m =>
+      (0 until 16).minBy(k =>
+        math.abs((((k * 31 + m * 17) % 21) - 10) * 50))
+    }
+    val expQerr = (0 until 8).map { m =>
+      val v = (((expCodes(m) * 31 + m * 17) % 21) - 10) * 50L
+      v * v
+    }.sum
+    val zero = spark.sql(
+      s"""SELECT pq_encode(array(0L,0L,0L,0L,0L,0L,0L,0L),
+         |  ${(for (m <- 0 until 8; k <- 0 until 16)
+            yield ((((k * 31 + m * 17) % 21) - 10) * 50).toLong)
+            .mkString("array(", "L,", "L)")}) AS e""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    val packed = expCodes.zipWithIndex
+      .map { case (k, m) => k.toLong << (4 * m) }.sum
+    assert(zero.head == packed, s"codes ${zero.head} != $packed")
+    assert(zero(1) == expQerr, s"qerr ${zero(1)} != $expQerr")
+  }
+
+  test("pq_adc kernel matches the HOF fallback and scoring a vector's " +
+    "own codes against its own LUT returns its qerr") {
+    assert(spark.catalog.functionExists("pq_adc"))
+    val cb = (for (m <- 0 until 8; k <- 0 until 16; d <- 0 until 8)
+      yield ((((k * 31 + m * 17 + d * 13) % 21) - 10) * 50).toLong).toArray
+    val df = graft.rel.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS " +
+        "DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("enc", vec.pqEncode(spark, col("q"),
+        cb))
+      // own LUT: distance of q to EVERY codeword, flattened 16*m + k
+      .withColumn("lut", expr(
+        """flatten(transform(sequence(0, 7), m ->
+          |  transform(sequence(0, 15), k ->
+          |    aggregate(transform(sequence(0, 7), d ->
+          |        element_at(q, 8*m + d + 1)
+          |          - CAST((((k*31 + m*17 + d*13) % 21) - 10) * 50 AS BIGINT)),
+          |      CAST(0 AS BIGINT), (a, x) -> a + x * x))))""".stripMargin))
+    val rows = df.select(
+      expr("pq_adc(element_at(enc, 1), lut)").as("native"),
+      vec.pqAdcHof(expr("element_at(enc, 1)"), col("lut")).as("hof"),
+      expr("element_at(enc, 2)").as("qerr")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native=${r.getLong(0)} hof=${r.getLong(1)}")
+      // ADC(x, code(x)) against x's own LUT IS the quantization error:
+      // the lookup selects exactly the argmin distances qerr summed
+      assert(r.getLong(0) == r.getLong(2),
+        s"adc=${r.getLong(0)} qerr=${r.getLong(2)}")
+    }
+  }
+
   test("vec helper falls back to the UDF without the extension and" +
     " produces identical values") {
     // a bare session view: simulate by calling the udf path directly

@@ -303,6 +303,12 @@ class PlanSpec extends SparkSuite {
       "ADC scoring grew a shuffling aggregate:\n" + p)
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the 1-row LUT join shuffled instead of broadcasting:\n" + p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      "native PQ kernels not in the plan (interpreted HOF encode " +
+        "measured ~40 ms/row):\n" + p)
+    val pc = plan("q_sim_pq_codes")
+    assert(pc.contains("pq_encode"),
+      "native PQ kernel not in the encode plan:\n" + pc)
   }
 
   test("adapted TPC-H q2/q9/q11/q20 broadcast every dimension side and " +
