@@ -201,7 +201,83 @@ object WindowQueries extends QueryCatalog {
       |FROM events_v ORDER BY user_id, ts, event_id LIMIT 5000""".stripMargin)
   }
 
+  /** Temporal resampling + LOCF gap-fill — the feature-pipeline
+    * operator that turns an irregular event stream into a dense
+    * per-entity daily series: a calendar spine (one row per user per
+    * day between that user's first and last event) left-joins the
+    * observed per-day aggregates, and missing days carry the last
+    * observed value forward (`last_value IGNORE NULLS` over an
+    * explicit running frame — frame stated in BOTH dialects per the
+    * determinism contract). The in-day representative is picked by a
+    * total (ts DESC, event_id DESC) order, so the fill is
+    * deterministic; the filled value is a COPY of a stored double,
+    * never arithmetic, so cross-engine equality is exact.
+    *
+    * Scale shape: the spine explodes map-side from a bounded per-user
+    * min/max aggregate (30 rows per user here; at 100 TB the spine is
+    * |entities| x |days| — still dwarfed by the event stream), joins
+    * are keyed on (user_id, day), and the LOCF window partitions by
+    * user — no single-partition window anywhere.
+    */
+  private val gapFill = Q(
+    "q_window_gapfill",
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, value, ts, event_id
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, day, value,
+      |    row_number() OVER (PARTITION BY user_id, day
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev
+      |), lastv AS (
+      |  SELECT user_id, day, value AS last_val FROM r WHERE rn = 1
+      |), obs AS (
+      |  SELECT user_id, day, count(*) AS n_events FROM ev GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT user_id, min(day) AS lo, max(day) AS hi FROM ev GROUP BY 1
+      |), spine AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      |  FROM bounds
+      |)
+      |SELECT s.user_id, s.day,
+      |  coalesce(o.n_events, CAST(0 AS BIGINT)) AS n_events,
+      |  last_value(l.last_val IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM spine s
+      |LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+      |LEFT JOIN lastv l ON l.user_id = s.user_id AND l.day = s.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value"), col("ts"), col("event_id"))
+    val lastv = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "day")
+          .orderBy(desc("ts"), desc("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("last_val"))
+    val obs = ev.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val spine = ev.groupBy("user_id")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine
+      .join(obs, Seq("user_id", "day"), "left")
+      .join(lastv, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_val"), ignoreNulls = true).over(
+          Window.partitionBy("user_id").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("filled"))
+      .orderBy("user_id", "day")
+  }
+
   override def all: Seq[Q] = Seq(
     ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast,
-    sessionizeSql, timeRange)
+    sessionizeSql, timeRange, gapFill)
 }
