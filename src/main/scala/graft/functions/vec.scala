@@ -69,6 +69,10 @@ object vec {
   private[graft] def pqEncodeHof(q: Column, cb: Array[Long]): Column = {
     val cbCol = lit(cb)
     def dsz = (size(q) / 8).cast("int")
+    // degenerate sub-8-element vectors: D = 0, the kernel's inner loop
+    // is empty so every subspace scores 0 against codeword 0 — mirror
+    // that here rather than letting sequence(0, -1) run descending
+    val enc0 = struct(lit(0L).as("codes"), lit(0L).as("qerr"))
     val enc = aggregate(
       sequence(lit(0), lit(7)),
       struct(lit(0L).as("codes"), lit(0L).as("qerr")),
@@ -97,7 +101,8 @@ object vec {
               (m * 4).cast("int"))).as("codes"),
           (acc.getField("qerr") + bm.getField("bd")).as("qerr"))
       })
-    array(enc.getField("codes"), enc.getField("qerr"))
+    val encSafe = when(size(q) < 8, enc0).otherwise(enc)
+    array(encSafe.getField("codes"), encSafe.getField("qerr"))
   }
 
   /** ADC scoring of packed PQ codes against a flattened query LUT

@@ -896,6 +896,71 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("s_suppkey")
   }
 
+  /** Ordered-funnel analysis — the sequential-pattern query every
+    * product-analytics engine ships (MATCH_RECOGNIZE's most common
+    * use, expressed relationally so both engines agree): per user,
+    * stage 1 = first 'view', stage 2 = first 'click' strictly after
+    * stage 1, stage 3 = first 'purchase' strictly after stage 2;
+    * output is each user's deepest stage and the stage timestamps.
+    * Pure timestamp MINs — no float math, exact across engines.
+    *
+    * Scale shape: each stage is a pushed-filter scan (event_type
+    * equality reaches parquet) aggregated on user_id, then a keyed
+    * join back — three bounded (|users|-row) relations chained on one
+    * key; no windows over the raw stream, no correlated per-row
+    * subqueries. */
+  private val funnelStages = Q(
+    "q_funnel_stages",
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), s2 AS (
+      |  SELECT e.user_id, s1.t1, min(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY 1, 2
+      |), s3 AS (
+      |  SELECT e.user_id, s2.t2, min(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s1.user_id,
+      |  CASE WHEN s3.t3 IS NOT NULL THEN 3
+      |       WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS stage,
+      |  s1.t1, s2.t2, s3.t3
+      |FROM s1
+      |LEFT JOIN s2 ON s2.user_id = s1.user_id
+      |LEFT JOIN s3 ON s3.user_id = s1.user_id
+      |ORDER BY s1.user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1.select(col("user_id").as("u1"), col("t1")),
+        col("user_id") === col("u1") && col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("t1"))
+      .agg(min("ts").as("t2"))
+      .select(col("user_id"), col("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2.select(col("user_id").as("u2"), col("t2")),
+        col("user_id") === col("u2") && col("ts") > col("t2"))
+      .groupBy(col("user_id"), col("t2"))
+      .agg(min("ts").as("t3"))
+      .select(col("user_id"), col("t3"))
+    s1
+      .join(s2.select(col("user_id").as("ju2"), col("t2")),
+        col("user_id") === col("ju2"), "left")
+      .join(s3.select(col("user_id").as("ju3"), col("t3")),
+        col("user_id") === col("ju3"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).as("stage"),
+        col("t1"), col("t2"), col("t3"))
+      .orderBy("user_id")
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -931,6 +996,6 @@ object AnalyticsQueries extends QueryCatalog {
       lastShipper, volumeShipping, forecastRevenue, custDist,
       promoRevenue, topSupplier, supplierCnt, smallQtyRevenue,
       globalSales, marketShare, minCostSupplier, productProfit,
-      importantStock, excessSuppliers, saltedAgg, skewProfile,
-      windowDistribution)
+      importantStock, excessSuppliers, funnelStages, saltedAgg,
+      skewProfile, windowDistribution)
 }

@@ -141,6 +141,30 @@ class VecSpec extends SparkSuite {
     assert(zero(1) == expQerr, s"qerr ${zero(1)} != $expQerr")
   }
 
+  test("pq_encode edge cases: empty and sub-8-element vectors encode " +
+    "as code 0 / qerr 0 in both kernel and fallback; trailing " +
+    "elements beyond 8*D are ignored") {
+    val cbTiny = Array.fill(128)(7L) // D = 1 codebook, all codewords 7
+    def viaKernel(arr: String) = spark.sql(
+      s"SELECT pq_encode($arr, ${cbTiny.mkString("array(", "L,", "L)")})" +
+        " AS e").collect().head.getSeq[Long](0)
+    def viaHof(arr: String) = spark.range(1)
+      .select(vec.pqEncodeHof(expr(arr), cbTiny).as("e"))
+      .collect().head.getSeq[Long](0)
+    for (empty <- Seq("array()", "array(1L, 2L, 3L)")) {
+      val arr = if (empty == "array()") "CAST(array() AS ARRAY<BIGINT>)"
+        else empty
+      assert(viaKernel(arr) == Seq(0L, 0L), s"kernel on $empty")
+      assert(viaHof(arr) == Seq(0L, 0L), s"fallback on $empty")
+    }
+    // 12 elements, D = 1: each subspace m reads only element m (8*D
+    // slots); elements 9..12 are ignored. q[m] = 7 matches codeword 7
+    // exactly -> code 0 (all codewords equal, ties to k=0), qerr 0.
+    val twelve = "array(7L,7L,7L,7L,7L,7L,7L,7L,999L,999L,999L,999L)"
+    assert(viaKernel(twelve) == Seq(0L, 0L))
+    assert(viaHof(twelve) == Seq(0L, 0L))
+  }
+
   test("pq_adc kernel matches the HOF fallback and scoring a vector's " +
     "own codes against its own LUT returns its qerr") {
     assert(spark.catalog.functionExists("pq_adc"))
