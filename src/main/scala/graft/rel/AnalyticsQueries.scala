@@ -961,6 +961,87 @@ object AnalyticsQueries extends QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** Rolling 7-day distinct users (the rolling-MAU/WAU shape). COUNT
+    * (DISTINCT) isn't a window function in either engine, so the
+    * rolling set is built relationally: distinct (user, day) pairs,
+    * a day spine joined to the trailing 7-day range, then an exact
+    * distinct count per day — integer-only output.
+    *
+    * Scale shape: the raw stream collapses to |users| x |days| pairs
+    * FIRST (one pushed-projection aggregate); each pair then explodes
+    * map-side into the <=7 window days it contributes to (the
+    * equi-join form of the trailing range — the oracle spells the
+    * same semantics as a range join, Spark never runs one), and a
+    * broadcast semi join against the ~|days|-row observed-day spine
+    * drops the phantom days past the last observation. One distinct
+    * aggregate on (day, user), never a nested-loop pair build. */
+  private val rollingDistinct = Q(
+    "q_window_rolling_distinct",
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+      |), days AS (
+      |  SELECT DISTINCT d FROM du
+      |)
+      |SELECT days.d AS day,
+      |  count(DISTINCT du.user_id) AS active_7d
+      |FROM days
+      |JOIN du ON du.d <= days.d
+      |  AND du.d >= days.d - INTERVAL 6 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  ) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val days = du.select(col("d").as("day")).distinct()
+    du
+      .select(col("user_id"), explode(expr(
+        "sequence(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY)")).as("day"))
+      .join(broadcast(days), Seq("day"), "leftsemi")
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("active_7d"))
+      .orderBy("day")
+  }
+
+  /** Cohort retention matrix — users grouped by first-activity day
+    * (the cohort), counted again at each later activity-day offset:
+    * retention[cohort, offset] = |users of that cohort active exactly
+    * offset days after their first day|. The canonical growth-
+    * analytics query; exact integer counts, day offsets via epoch-day
+    * subtraction so both engines agree.
+    *
+    * Scale shape: first-day per user is one aggregate on user_id; the
+    * join back is keyed on user_id against the bounded distinct
+    * (user, day) relation; the output matrix is |days| x |offsets|.
+    * Offsets capped at 7 to keep the driver-visible result small. */
+  private val cohortRetention = Q(
+    "q_cohort_retention",
+    """WITH du AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS d FROM events
+      |), c AS (
+      |  SELECT user_id, min(d) AS cohort FROM du GROUP BY 1
+      |)
+      |SELECT c.cohort,
+      |  CAST(date_diff('day', c.cohort, du.d) AS INT) AS offset_days,
+      |  count(*) AS users
+      |FROM c JOIN du ON du.user_id = c.user_id
+      |WHERE date_diff('day', c.cohort, du.d) <= 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  ) { (s, dir) =>
+    val du = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val c = du.groupBy("user_id").agg(min("d").as("cohort"))
+    c.join(du.select(col("user_id").as("u2"), col("d")),
+        col("user_id") === col("u2"))
+      .withColumn("offset_days", datediff(col("d"), col("cohort")))
+      .filter(col("offset_days") <= 7)
+      .groupBy("cohort", "offset_days")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort", "offset_days")
+  }
+
   /** Window distribution functions: ntile / percent_rank / cume_dist
     * over a total per-partition order (price + unique key tiebreaks, so
     * every rank is deterministic in both engines).
@@ -996,6 +1077,6 @@ object AnalyticsQueries extends QueryCatalog {
       lastShipper, volumeShipping, forecastRevenue, custDist,
       promoRevenue, topSupplier, supplierCnt, smallQtyRevenue,
       globalSales, marketShare, minCostSupplier, productProfit,
-      importantStock, excessSuppliers, funnelStages, saltedAgg,
-      skewProfile, windowDistribution)
+      importantStock, excessSuppliers, funnelStages, rollingDistinct,
+      cohortRetention, saltedAgg, skewProfile, windowDistribution)
 }
