@@ -45,6 +45,20 @@ object DedupQueries extends QueryCatalog {
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
       .distinct()
 
+  /** [[shingleSets]] materialized ONCE per invocation with an eager
+    * localCheckpoint (the q_dedup_semantic idiom). Every consumer in the
+    * dedup family reads the shingle table 3–4 times (signature agg, both
+    * verify-join sides, the sizes agg); relying on ReuseExchange to share
+    * the one shuffle does NOT hold across those branches (their exchange
+    * partitionings differ), so the round-6 "no cache" version recomputed
+    * the explode+scan per branch and ran 3–5× slower. localCheckpoint
+    * materializes the small distinct (doc_id, shingle) table to block
+    * storage without touching the shared cache manager — no
+    * cross-invocation cache leak (asserted in LlmSpec); blocks are
+    * released by the ContextCleaner when the plan is dropped. */
+  private[graft] def shingleSetsMaterialized(docs: DataFrame): DataFrame =
+    shingleSets(docs).localCheckpoint()
+
   /** Jaccard over any (doc_id, item) set table: equi-join on the item,
     * count intersections, divide by union size. Integer counts + one
     * double division keep the result bit-identical across engines.
@@ -145,7 +159,7 @@ object DedupQueries extends QueryCatalog {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
   ) { (s, dir) =>
-    jaccardPairs(shingleSets(Tables.documents(s, dir)), "sh")
+    jaccardPairs(shingleSetsMaterialized(Tables.documents(s, dir)), "sh")
       .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -184,7 +198,7 @@ object DedupQueries extends QueryCatalog {
       |   OR CAST(i AS DOUBLE) / sb.n >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
   ) { (s, dir) =>
-    val sets = shingleSets(Tables.documents(s, dir))
+    val sets = shingleSetsMaterialized(Tables.documents(s, dir))
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sets.as("a")
       .join(sets.as("b"),
@@ -219,11 +233,7 @@ object DedupQueries extends QueryCatalog {
     * ScalaTest spec checks recall against the exact query instead.
     */
   private val minhashLsh = Q.noOracle("q_dedup_minhash_lsh") { (s, dir) =>
-    // no cache: the shingle-set subplan is identical in every branch, so
-    // ReuseExchange shares its one shuffle; an explicit cache() here
-    // leaks across invocations (never unpersisted from a lazy builder)
-    // and measurably degrades repeated runs
-    val sets = shingleSets(Tables.documents(s, dir))
+    val sets = shingleSetsMaterialized(Tables.documents(s, dir))
     // one shuffle: 64 partial-aggregated min-hashes per doc
     val sig = sets.groupBy("doc_id").agg(
       min(xxhash64(lit(0), col("sh"))).as("h0"),

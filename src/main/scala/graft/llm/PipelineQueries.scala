@@ -703,7 +703,7 @@ object PipelineQueries extends QueryCatalog {
          |ORDER BY id_a, id_b""".stripMargin
     }
   ) { (s, dir) =>
-    val dt = DedupQueries.shingleSets(Tables.documents(s, dir))
+    val dt = DedupQueries.shingleSetsMaterialized(Tables.documents(s, dir))
     val hashCols = (0 until NumH).map(i =>
       min(conv(substring(md5(concat(lit(i.toString), col("sh"))), 1, 15),
         16, 10).cast("bigint")).as(s"h$i"))

@@ -2,28 +2,41 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Times one named SparkEntry query (bench conditions: local[4],
-  * shuffle.partitions=4, noop write, min-of-2). Usage:
-  *   runMain graft.tools.TimeOne <queryName> [sfDir]
+/** Times named SparkEntry queries under bench-like conditions (warm
+  * shared JVM, noop write, min-of-N). Usage:
+  *   runMain graft.tools.TimeOne <q1[,q2,...]> [sfDir]
+  * Env: SPARK_GRAFT_CPUS (default 4), SPARK_GRAFT_RUNS (default 2).
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries(name)
-    val times = (1 to 2).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+    // same warmup as Bench: soak classloading/codegen/shuffle machinery
+    graft.rel.Tables.names.foreach { t =>
+      try graft.rel.Tables(spark, dir, t).limit(1000)
+        .selectExpr("count(*)").collect()
+      catch { case _: Throwable => () }
     }
-    println(f"$name: runs=${times.map(t => f"$t%.2f").mkString(",")} " +
-      f"min=${times.min}%.2f")
+    try graft.SparkEntry.queries("q_agg_pricing_summary")(spark, dir).count()
+    catch { case _: Throwable => () }
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: runs=${times.map(t => f"$t%.2f").mkString(",")} " +
+        f"min=${times.min}%.2f")
+    }
     spark.stop()
   }
 }

@@ -125,6 +125,16 @@ class LlmSpec extends SparkSuite {
     lsh.foreach { case (k, j) => assert(j == exact(k), s"jaccard mismatch $k") }
   }
 
+  test("shingle materialization leaves no entry in the shared cache " +
+    "manager (localCheckpoint must not leak across invocations)") {
+    Seq("q_dedup_minhash_lsh", "q_dedup_minhash_md5", "q_dedup_containment",
+      "q_dedup_ngram_jaccard").foreach { q =>
+      run(q).write.format("noop").mode("overwrite").save()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$q left a cached plan in the shared cache manager")
+    }
+  }
+
   test("simhash kernel is bit-identical to the relational formulation") {
     val kernel = run("q_dedup_simhash").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
