@@ -348,16 +348,64 @@ object CurationQueries extends QueryCatalog {
       .orderBy("lang", "bucket")
   }
 
+  /** Overflow splitting for SemDeDup blocking: any cell whose size `m`
+    * exceeds `cap` is subdivided into `2^b` sub-blocks,
+    * `b = min(16, ceil(log2(m / cap)))`, by the sign pattern of the
+    * vector's first `b` dims relative to the cell centroid — i.e. `b`
+    * axis-aligned LSH hyperplanes through the centroid. This bounds the
+    * per-block all-pairs at roughly `cap²` (expected; residual signs on
+    * real embeddings split near-evenly — the spec measures the bound on
+    * a 1M-vector corpus, and adversarially one-sided cells degrade
+    * gracefully, never below the unsplit behavior). Entirely map-side:
+    * the only inputs beyond the row are two broadcast-sized tables
+    * (per-cell sizes, the cap scalar), so the split adds no shuffle,
+    * window, or iteration — the property that lets the blocking hold at
+    * 1000× the data.
+    *
+    * `cellDf` needs (vec_id, v, cell); `cen` needs (cl, cen); `caps` is
+    * a single row with column `cap`. All other `cellDf` columns pass
+    * through; adds `sub` (LongType, 0 for unsplit cells).
+    */
+  private[llm] def overflowSplit(
+      cellDf: DataFrame, cen: DataFrame, caps: DataFrame): DataFrame = {
+    val sized = cellDf.groupBy("cell").agg(count(lit(1)).as("m"))
+    cellDf
+      .join(broadcast(sized), Seq("cell"))
+      .crossJoin(broadcast(caps))
+      .join(broadcast(cen.select(col("cl").as("cell"),
+        col("cen").as("_cen"))), Seq("cell"))
+      .withColumn("b",
+        when(col("m") <= col("cap"), lit(0L))
+          .otherwise(least(lit(16L),
+            ceil(log2(col("m").cast("double") / col("cap").cast("double")))))
+          .cast("int"))
+      .withColumn("sub",
+        when(col("b") === 0, lit(0L)).otherwise(expr(
+          """aggregate(sequence(0, b - 1), CAST(0 AS BIGINT), (acc, i) ->
+            |acc + CASE WHEN CAST(element_at(v, i + 1) AS DOUBLE)
+            |  >= element_at(_cen, i + 1)
+            |THEN shiftleft(CAST(1 AS BIGINT), i)
+            |ELSE CAST(0 AS BIGINT) END)""".stripMargin)))
+      .drop("m", "cap", "_cen", "b")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
-    * embedding space (here: nearest of the 10 per-label centroids,
-    * centroids 4dp-rounded — the q_sim_outliers cross-engine
-    * contract), then inside each cell flag every vector with a
-    * same-cell neighbor at cosine >= 0.3 and keep only the smallest
-    * vec_id of each near-dup group. Cluster blocking turns the O(n²)
-    * all-pairs into per-cell equi-joins — the whole point of SemDeDup.
-    * At 100 TB the assignment runs map-side against a centroid array
-    * literal (the q_sim_knn_join IVF shape); here the 10-row broadcast
-    * + per-vector window keeps the oracle twin exactly parallel.
+    * embedding space (nearest of the 10 per-label centroids, centroids
+    * 4dp-rounded — the q_sim_outliers cross-engine contract), then
+    * inside each block flag every vector with a same-block neighbor at
+    * cosine >= 0.3 and keep only the smallest vec_id of each near-dup
+    * group. Cluster blocking turns the O(n²) all-pairs into per-block
+    * equi-joins — the whole point of SemDeDup.
+    *
+    * The label vocabulary is fixed (10), so at 100× data a per-cell
+    * all-pairs would be O((n/10)²) — quadratic. [[overflowSplit]]
+    * caps blocks at `cap = max(50, 2·ceil(sqrt(n)))` rows via
+    * centroid-hyperplane sub-blocking, making the candidate pair count
+    * ~n·cap = O(n^1.5) instead. cap, sizes, and the sub-hash are all
+    * computed in-plan (no driver-side count), and the oracle SQL
+    * mirrors the full two-level scheme so both engines block
+    * identically at every SF. At 100 TB the assignment runs map-side
+    * against a broadcast centroid table (the q_sim_knn_join IVF shape).
     */
   private val semanticDedup = Q(
     "q_dedup_semantic",
@@ -384,21 +432,42 @@ object CurationQueries extends QueryCatalog {
       |    -(max({'c': list_dot_product(v, cen) / (nrm * cnrm),
       |           'n': -cl})).n AS cell
       |  FROM e CROSS JOIN cn GROUP BY vec_id
+      |), p AS (
+      |  SELECT greatest(50, CAST(2 * ceil(sqrt(count(*))) AS BIGINT))
+      |    AS cap FROM embeddings
+      |), sz AS (
+      |  SELECT cell, count(*) AS m FROM cell GROUP BY cell
+      |), cs AS (
+      |  SELECT cell.vec_id, cell.v, cell.nrm, cell.cell, cn.cen,
+      |    CASE WHEN sz.m <= p.cap THEN 0
+      |         ELSE CAST(least(16, ceil(log2(sz.m::DOUBLE / p.cap)))
+      |           AS INT) END AS b
+      |  FROM cell, sz, p, cn
+      |  WHERE cell.cell = sz.cell AND cell.cell = cn.cl
+      |), sub AS (
+      |  SELECT vec_id, v, nrm, cell,
+      |    CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(coalesce(list_sum(list_transform(range(0, b),
+      |           i -> CASE WHEN v[i + 1] >= cen[i + 1]
+      |                THEN (CAST(1 AS BIGINT) << i)
+      |                ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+      |    END AS sub
+      |  FROM cs
       |), nb AS (
       |  SELECT a.vec_id,
       |    CAST(count(*) AS BIGINT) AS n_dups,
       |    CAST(count(CASE WHEN b.vec_id < a.vec_id THEN 1 END)
       |      AS BIGINT) AS n_smaller
-      |  FROM cell a JOIN cell b
-      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |  FROM sub a JOIN sub b
+      |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id <> b.vec_id
       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
       |  GROUP BY a.vec_id
       |)
-      |SELECT cell.vec_id, cell.cell,
+      |SELECT sub.vec_id, sub.cell,
       |  COALESCE(nb.n_dups, 0) AS n_dups,
       |  CAST(COALESCE(nb.n_smaller, 0) = 0 AS BOOLEAN) AS keep
-      |FROM cell LEFT JOIN nb ON cell.vec_id = nb.vec_id
-      |ORDER BY cell.vec_id""".stripMargin
+      |FROM sub LEFT JOIN nb ON sub.vec_id = nb.vec_id
+      |ORDER BY sub.vec_id""".stripMargin
   ) { (s, dir) =>
     import graft.functions.vec
     val e = Tables.embeddings(s, dir)
@@ -414,13 +483,17 @@ object CurationQueries extends QueryCatalog {
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
         "s -> s.m)").as("cen"))
       .withColumn("cnrm", vec.norm(s, col("cen")))
+    val caps = Tables.embeddings(s, dir)
+      .agg(count(lit(1)).as("n"))
+      .select(greatest(lit(50L),
+        (ceil(sqrt(col("n").cast("double"))) * 2).cast("long")).as("cap"))
     // assignment as a partial-aggregable struct-max, not a window: the
     // map side collapses each vector's 10 candidate cells to one row
     // before any shuffle (lexicographic (cosd, -cl) max = highest
     // cosine, smallest cell on ties — both engines compare structs
     // field-by-field). localCheckpoint materializes the assignment so
-    // the two self-join sides and the final projection reuse it
-    // instead of recomputing the centroid pipeline three times.
+    // the size pass, the two self-join sides, and the final projection
+    // reuse it instead of recomputing the centroid pipeline each time.
     val cell = e.crossJoin(broadcast(cen))
       .withColumn("cosd",
         vec.cosine(s, col("v"), col("cen"), col("nrm"), col("cnrm")))
@@ -429,18 +502,19 @@ object CurationQueries extends QueryCatalog {
         (-max(struct(col("cosd"), (-col("cl")).as("n")))
           .getField("n")).as("cell"))
       .localCheckpoint()
-    val a = cell.select(col("vec_id"), col("cell"),
+    val blocked = overflowSplit(cell, cen, caps)
+    val a = blocked.select(col("vec_id"), col("cell"), col("sub"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = cell.select(col("vec_id").as("id_b"), col("cell"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    val nb = a.join(b, Seq("cell"))
+    val b = blocked.select(col("vec_id").as("id_b"), col("cell"),
+      col("sub"), col("v").as("vb"), col("nrm").as("nb"))
+    val nb = a.join(b, Seq("cell", "sub"))
       .filter(col("vec_id") =!= col("id_b"))
       .filter(vec.cosine(s, col("va"), col("vb"), col("na"), col("nb"))
         >= 0.3)
       .groupBy("vec_id")
       .agg(count(lit(1)).as("n_dups"),
         count(when(col("id_b") < col("vec_id"), 1)).as("n_smaller"))
-    cell.join(nb, Seq("vec_id"), "left")
+    blocked.join(nb, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         (coalesce(col("n_smaller"), lit(0L)) === 0).as("keep"))
