@@ -1215,8 +1215,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** D10 expire_snapshots (ref demo.py:289-296): drop snapshots older
     * than the cutoff (always keeping the current one and the newest
     * `retainLast`), delete files only they referenced. Time travel to
-    * an expired snapshot then fails, as demo.py:300-306 demonstrates. */
-  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Seq[Long] = {
+    * an expired snapshot then fails, as demo.py:300-306 demonstrates.
+    * `olderThanMs` defaults to "now", so the retain-last-only form
+    * (README.md:88-93's companion signature) expires everything except
+    * the newest `retainLast` plus the current head and ref-pinned
+    * snapshots: `expireSnapshots(retainLast = n)`. */
+  def expireSnapshots(olderThanMs: Long = now(), retainLast: Int = 1)
+      : Seq[Long] = {
     val b = captureBase()
     val m = b.meta
     val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)

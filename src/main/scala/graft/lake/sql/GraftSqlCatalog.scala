@@ -353,14 +353,19 @@ private object GraftProcedures {
 
   def load(catalog: GraftSqlCatalog, name: String)
       : Option[UnboundProcedure] = name match {
+    // Both pruning knobs optional, as in Iceberg's CALL signature
+    // (ref README.md:88-93 shows the timestamp form): older_than
+    // alone, retain_last alone ("keep the newest n"), or both.
     case "expire_snapshots" => Some(procedure(name,
       Seq(param("table", StringType),
-        param("older_than", TimestampType),
-        param("retain_last", IntegerType)),
+        paramD("older_than", TimestampType, "NULL"),
+        paramD("retain_last", IntegerType, "1")),
       StructType.fromDDL("expired_snapshot_id BIGINT"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
-        val olderThanMs = args.getLong(1) / 1000L
+        val olderThanMs =
+          if (args.isNullAt(1)) System.currentTimeMillis()
+          else args.getLong(1) / 1000L
         val retain = args.getInt(2)
         t.expireSnapshots(olderThanMs, retain).map(id => outRow(id))
       }))

@@ -215,4 +215,47 @@ class GraftTablePropSpec extends SparkSuite {
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
   }
+
+  /** retain-last-only expiry (README.md:88-93's companion form): after
+    * `expireSnapshots(retainLast = n)` exactly min(n, k) of k snapshots
+    * remain — the newest ones — each still time-travels to its exact
+    * contents, and every expired id refuses. */
+  test("∀ (k appends, n): expireSnapshots(retainLast = n) keeps exactly " +
+    "the newest min(n, k) snapshots, all replayable") {
+    val prop = Prop.forAll(Gen.choose(2, 8), Gen.choose(1, 9)) { (k, n) =>
+      val wh = Files.createTempDirectory("graft-retain-")
+      val cat = new GraftCatalog(spark, wh)
+      cat.createNamespace("default")
+      val t = cat.createTable("default", "retain_t", schema)
+      var contents = Map.empty[Long, Set[String]]
+      var ids = Vector.empty[Long]
+      (0 until k).foreach { i =>
+        t.append(spark.createDataFrame(
+          Seq(Row(s"case-$i", s"name-$i",
+            java.sql.Date.valueOf("2023-01-01"))).asJava, schema))
+        val id = t.currentSnapshot.get.snapshotId
+        ids :+= id
+        contents += id -> (0 to i).map(j => s"case-$j").toSet
+      }
+      Thread.sleep(5) // commits land strictly before the "now" cutoff
+      val gone = t.expireSnapshots(retainLast = n)
+      val kept = t.meta.snapshots.map(_.snapshotId)
+      val wantKept = ids.takeRight(math.min(n, k))
+      assert(kept === wantKept,
+        s"k=$k n=$n kept=$kept want=$wantKept")
+      assert(gone.toSet === ids.toSet -- wantKept.toSet)
+      wantKept.foreach { id =>
+        val got = t.readAt(id).collect().map(_.getString(0)).toSet
+        assert(got === contents(id), s"snapshot $id replay")
+      }
+      gone.foreach(id => intercept[Exception](t.readAt(id).collect()))
+      true
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8)
+      .withInitialSeed(Seed(7L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -40,6 +40,29 @@ class GraftSqlSpec extends SparkSuite {
     spark.sql(s"SELECT snapshot_id FROM $tbl.snapshots ORDER BY committed_at")
       .collect().map(_.getLong(0)).toSeq
 
+  test("CALL expire_snapshots with retain_last only: keeps the newest n, " +
+    "older_than defaults to now (README.md:88-93 companion form)") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    spark.sql(s"INSERT INTO $tbl VALUES ('case-4', 'Kim', " +
+      "'kim@example.com', 'key4', 'secret 4', 'sk4', DATE'2023-01-04')")
+    spark.sql(s"INSERT INTO $tbl VALUES ('case-5', 'Lee', " +
+      "'lee@example.com', 'key5', 'secret 5', 'sk5', DATE'2023-01-05')")
+    val before = snapshotIds(tbl)
+    assert(before.length === 3)
+    Thread.sleep(5) // commits land strictly before the implicit cutoff
+    val expired = spark.sql("CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.pii_data', retain_last => 2)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(expired === before.take(1))
+    assert(snapshotIds(tbl) === before.takeRight(2))
+    // retained snapshots still time-travel; the expired one refuses
+    assert(spark.sql(s"SELECT case_id FROM $tbl VERSION AS OF " +
+      s"${before(1)}").count() === 4)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM $tbl VERSION AS OF ${before.head}").collect())
+  }
+
   test("demo lifecycle through spark.sql only: DDL, INSERT, MOR DELETE, " +
     "COW UPDATE, time travel, metadata tables (demo.py:67-262)") {
     val ns = freshNs()
