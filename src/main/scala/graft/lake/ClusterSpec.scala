@@ -1,0 +1,127 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Partition-transform clustering fields (Iceberg's transform
+  * vocabulary over GraftLake's range-clustered file layout): the
+  * `write.clustered-by` property holds a comma-separated list of
+  * specs — `col` (identity), `days(col)`, `bucket(n,col)`,
+  * `truncate(w,col)` — and every append range-clusters files on the
+  * TRANSFORMED values, so per-file stats prune like partition pruning
+  * without a directory layout:
+  *
+  *  - `days(ts)`: files cover day-aligned timestamp ranges; the raw
+  *    ts min/max stats are day-tight, so existing stats pruning
+  *    answers day predicates exactly.
+  *  - `truncate(w,col)`: files cover truncated-prefix ranges; raw
+  *    stats stay prefix-tight, so prefix/range predicates prune.
+  *  - `bucket(n,col)`: files cover hash-bucket ranges. Raw min/max is
+  *    useless under hashing, so writes record a derived
+  *    `graft:bucket(n,col)` stat (the file's bucket-id range) and
+  *    equality/IN predicates prune against it. Bucketing uses Spark's
+  *    murmur3 `hash()` — engine-internal, not Iceberg-binary-
+  *    compatible (documented divergence).
+  *
+  * The reference's table is unpartitioned
+  * (notebooks/iceberg_pii_deletion_demo.py:74-85), so no behavior is
+  * cited; this is the `PARTITIONED BY (days(ts))` surface a real lake
+  * user hits first.
+  */
+sealed trait ClusterField {
+  /** underlying (logical) column the transform applies to */
+  def column: String
+  /** canonical spec string, round-trips through parse */
+  def spec: String
+  /** clustering expression over the column (dt = the column's type) */
+  def expr(dt: DataType, c: Column): Column
+  /** same field over a renamed column */
+  def withColumn(c: String): ClusterField
+}
+
+final case class IdentityField(column: String) extends ClusterField {
+  def spec: String = column
+  def expr(dt: DataType, c: Column): Column = c
+  def withColumn(c: String): ClusterField = copy(column = c)
+}
+
+final case class DaysField(column: String) extends ClusterField {
+  def spec: String = s"days($column)"
+  def expr(dt: DataType, c: Column): Column = dt match {
+    case TimestampType | TimestampNTZType | DateType => c.cast("date")
+    case other => throw new IllegalArgumentException(
+      s"days() needs a timestamp/date column; $column is " +
+        other.simpleString)
+  }
+  def withColumn(c: String): ClusterField = copy(column = c)
+}
+
+final case class BucketField(n: Int, column: String) extends ClusterField {
+  require(n > 0, s"bucket count must be positive, got $n")
+  def spec: String = s"bucket($n,$column)"
+  def expr(dt: DataType, c: Column): Column = pmod(hash(c), lit(n))
+  def withColumn(c: String): ClusterField = copy(column = c)
+  /** manifest stat key for the derived bucket-id range, spelled with
+    * the file-side (physical) column name */
+  def statKey(physColumn: String): String = s"graft:bucket($n,$physColumn)"
+}
+
+final case class TruncateField(width: Int, column: String)
+    extends ClusterField {
+  require(width > 0, s"truncate width must be positive, got $width")
+  def spec: String = s"truncate($width,$column)"
+  def expr(dt: DataType, c: Column): Column = dt match {
+    case StringType => substring(c, 1, width)
+    case ByteType | ShortType | IntegerType | LongType =>
+      // Iceberg semantics: v - (v mod w), floored for negatives
+      c - pmod(c, lit(width))
+    case other => throw new IllegalArgumentException(
+      s"truncate() needs a string/integral column; $column is " +
+        other.simpleString)
+  }
+  def withColumn(c: String): ClusterField = copy(column = c)
+}
+
+object ClusterSpec {
+  private val Bucket = """(?i)bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val Days = """(?i)days\(\s*([^)]+?)\s*\)""".r
+  private val Trunc = """(?i)truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+
+  def parse(s: String): ClusterField = s.trim match {
+    case Bucket(n, c) => BucketField(n.toInt, c)
+    case Days(c) => DaysField(c)
+    case Trunc(w, c) => TruncateField(w.toInt, c)
+    case c => IdentityField(c)
+  }
+
+  /** Split a `write.clustered-by` value on top-level commas only —
+    * `bucket(16,user_id),days(ts)` has commas inside the transforms. */
+  def parseList(spec: String): Seq[ClusterField] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty).map(parse)
+  }
+
+  def render(fields: Seq[ClusterField]): String =
+    fields.map(_.spec).mkString(",")
+
+  /** Bucket id of a LITERAL under `bucket(n, col)` — driver-side twin
+    * of the write path's `pmod(hash(col), n)` (murmur3, seed 42).
+    * `v` is a Catalyst-internal value with its data type, exactly as
+    * destructured from an analyzed conjunct. */
+  def bucketOfLiteral(n: Int, v: Any, dt: DataType): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(v, dt)))
+      .eval(null).asInstanceOf[Int]
+    ((h % n) + n) % n
+  }
+}

@@ -197,10 +197,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .filter { case (l, p) => l != p } // renamed back: drop identity
     // renamed clustering columns must follow in the SAME commit, or
     // every later append fails range-clustering on a stale name
+    // (transform fields rename their underlying column in place)
     val props = b.meta.properties.get(ClusterProp) match {
       case Some(spec) => b.meta.properties + (ClusterProp ->
-        spec.split(",").map(_.trim).map(c =>
-          if (c.equalsIgnoreCase(field.name)) to else c).mkString(","))
+        ClusterSpec.render(ClusterSpec.parseList(spec).map(f =>
+          if (f.column.equalsIgnoreCase(field.name)) f.withColumn(to)
+          else f)))
       case None => b.meta.properties
     }
     commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
@@ -275,10 +277,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // is the only other way out) the table would be wedged.
     val props = b.meta.properties.get(ClusterProp) match {
       case Some(spec) =>
-        val kept = spec.split(",").map(_.trim).filter(c =>
-          c.nonEmpty && !lower(c.toLowerCase))
+        val kept = ClusterSpec.parseList(spec)
+          .filter(f => !lower(f.column.toLowerCase))
         if (kept.isEmpty) b.meta.properties - ClusterProp
-        else b.meta.properties + (ClusterProp -> kept.mkString(","))
+        else b.meta.properties + (ClusterProp -> ClusterSpec.render(kept))
       case None => b.meta.properties
     }
     commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
@@ -606,9 +608,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // a many-thousand-file table
     val m = meta
     val sch = StructType.fromDDL(m.schemaDdl)
+    val buckets = m.properties.get(ClusterProp)
+      .map(ClusterSpec.parseList).getOrElse(Nil)
+      .collect { case b: BucketField => b }
     entries.filter { e =>
       e.content != 0 ||
-        conjuncts.forall(c => mayMatch(e, c, sch, m.physicalNames))
+        conjuncts.forall(c => mayMatch(e, c, sch, m.physicalNames, buckets))
     }
   }
 
@@ -705,22 +710,45 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * read back. */
   def append(df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta =
-    clusterColumns match {
-      case Some(cols) => appendClustered(df, cols, clusterFileCount,
+    clusterFields match {
+      case Some(fields) => appendRaw(
+        clustered(alignToSchema(df), fields, clusterFileCount),
         extraSummary)
       case None => appendRaw(df, extraSummary)
     }
 
   /** Declared clustering (`write.clustered-by`, set by the Scala API or
     * SQL `PARTITIONED BY`): every append range-clusters on these
-    * columns so per-file min/max stats prune like partition pruning. */
-  private def clusterColumns: Option[Seq[String]] =
+    * fields — identity columns or partition transforms
+    * (`days`/`bucket`/`truncate`, see [[ClusterSpec]]) — so per-file
+    * stats prune like partition pruning. */
+  private def clusterFields: Option[Seq[ClusterField]] =
     properties.get(ClusterProp)
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(ClusterSpec.parseList)
       .filter(_.nonEmpty)
 
   private def clusterFileCount: Int =
     properties.getOrElse(s"$ClusterProp.files", "8").toInt
+
+  /** Range-partition `aligned` on the transformed clustering values
+    * and sort within each file by (transform, raw column) so raw
+    * min/max stats stay tight per file. */
+  private def clustered(aligned: DataFrame, fields: Seq[ClusterField],
+      nFiles: Int): DataFrame = {
+    val sch = schema
+    def dtOf(f: ClusterField): DataType =
+      sch.fields.find(_.name.equalsIgnoreCase(f.column)).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such clustering column ${f.column} in $name"))
+    val parts = fields.map(f => f.expr(dtOf(f), col(quoted(f.column))))
+    val sorts = fields.flatMap {
+      case IdentityField(c) => Seq(col(quoted(c)))
+      case f => Seq(f.expr(dtOf(f), col(quoted(f.column))),
+        col(quoted(f.column)))
+    }
+    aligned.repartitionByRange(nFiles, parts: _*)
+      .sortWithinPartitions(sorts: _*)
+  }
 
   /** Validate and normalize an incoming frame against the table
     * schema: columns matched by NAME, cast to the table types. */
@@ -781,20 +809,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
     else scanParquet(entries.map(abs), schema, meta.physicalNames)
   }
 
-  /** Append with data files range-clustered on `cols`: each of the
-    * `nFiles` output files covers a narrow key range, so the per-file
-    * min/max stats make `readWhere` prune like Hive/Iceberg partition
-    * pruning — without a directory layout, so high-cardinality or
-    * skewed keys can't explode into millions of tiny partition dirs.
-    * This is the intended ingest path for 100 TB tables: cluster on
-    * the dominant filter column, let stats pruning select files.
+  /** Append with data files range-clustered on `cols` — plain column
+    * names or transform specs (`days(ts)`, `bucket(16,id)`,
+    * `truncate(4,s)`): each of the `nFiles` output files covers a
+    * narrow transformed-key range, so the per-file stats make
+    * `readWhere` prune like Hive/Iceberg partition pruning — without a
+    * directory layout, so high-cardinality or skewed keys can't
+    * explode into millions of tiny partition dirs. This is the
+    * intended ingest path for 100 TB tables: cluster on the dominant
+    * filter column, let stats pruning select files.
     */
   def appendClustered(df: DataFrame, cols: Seq[String], nFiles: Int,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
     require(cols.nonEmpty && nFiles > 0)
-    appendRaw(df
-      .repartitionByRange(nFiles, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*), extraSummary)
+    appendRaw(clustered(alignToSchema(df), cols.map(ClusterSpec.parse),
+      nFiles), extraSummary)
   }
 
   /** Zero-rewrite import (Iceberg's `add_files` migration path): take
@@ -854,10 +883,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def overwriteAll(df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
     val aligned = alignToSchema(df)
-    val toWrite = clusterColumns match {
-      case Some(cols) => aligned
-        .repartitionByRange(clusterFileCount, cols.map(col): _*)
-        .sortWithinPartitions(cols.map(col): _*)
+    val toWrite = clusterFields match {
+      case Some(fields) => clustered(aligned, fields, clusterFileCount)
       case None => aligned
     }
     val branch = resolveBranch(None) // spark.wap.branch session routing
@@ -1331,10 +1358,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val headEntries = manifestOf(branchHead(b, branch))
     val snapId = nextSnapshotHint
-    val toWrite = clusterColumns match {
-      case Some(cols) => aligned
-        .repartitionByRange(clusterFileCount, cols.map(col): _*)
-        .sortWithinPartitions(cols.map(col): _*)
+    val toWrite = clusterFields match {
+      case Some(fields) => clustered(aligned, fields, clusterFileCount)
       case None => aligned
     }
     val moved = writeDataFiles(toWrite)
@@ -1583,16 +1608,50 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def partitionsTable: DataFrame = {
     import spark.implicits._
     val data = currentEntries.filter(_.content == 0)
-    val cols = clusterColumns.getOrElse(Nil)
+    val fields = clusterFields.getOrElse(Nil)
     val m = meta.physicalNames
+    val sch = schema
+    // per-field display bound: transforms render in their TRANSFORMED
+    // value space (days → dates, bucket → bucket ids, truncate →
+    // truncated values), identity stays raw — the ranges an operator
+    // actually partitioned by
+    def display(f: ClusterField, e: ManifestEntry,
+        pick: ColStat => String): String = {
+      val field = sch.fields.find(_.name.equalsIgnoreCase(f.column))
+      val phys = physName(m)(field.map(_.name).getOrElse(f.column))
+      def raw: Option[String] = e.stats.get(phys).map(pick)
+      f match {
+        case b: BucketField =>
+          e.stats.get(b.statKey(phys)).map(pick).getOrElse("null")
+        case _: IdentityField => raw.getOrElse("null")
+        case _: DaysField => raw.map { s =>
+          try {
+            val days = field.map(_.dataType) match {
+              case Some(DateType) => s.toLong // stat space: epoch days
+              case _ => // timestamps: stat space is epoch micros
+                Math.floorDiv(BigDecimal(s).toLong, 86400000000L)
+            }
+            java.time.LocalDate.ofEpochDay(days).toString
+          } catch { case _: NumberFormatException => s }
+        }.getOrElse("null")
+        case t: TruncateField => raw.map { s =>
+          field.map(_.dataType) match {
+            case Some(StringType) => s.take(t.width)
+            case _ => try {
+              val v = BigDecimal(s).toLong
+              (v - Math.floorMod(v, t.width.toLong)).toString
+            } catch { case _: NumberFormatException => s }
+          }
+        }.getOrElse("null")
+      }
+    }
     def bound(e: ManifestEntry, pick: ColStat => String): Option[String] =
-      if (cols.isEmpty) None
-      else Some(cols.map(c => e.stats.get(physName(m)(c)).map(pick)
-        .getOrElse("null")).mkString(","))
+      if (fields.isEmpty) None
+      else Some(fields.map(f => display(f, e, pick)).mkString(","))
     val rows: Seq[(String, String, String, Long, Long, Long)] = data
       .groupBy(e => (bound(e, _.min), bound(e, _.max))).toSeq
       .map { case ((lo, hi), es) =>
-        (if (cols.isEmpty) null else cols.mkString(","),
+        (if (fields.isEmpty) null else ClusterSpec.render(fields),
           lo.orNull, hi.orNull, es.size.toLong,
           es.map(_.recordCount).sum, es.map(_.fileSizeBytes).sum)
       }
@@ -1778,9 +1837,52 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // Spark-job fallback below re-scans the written bytes; at 100 TB
     // that second full data pass per write is the difference between
     // write cost 1x and 2x.
-    try statEntriesViaFooters(absPaths, content, snapshotId)
-    catch { case scala.util.control.NonFatal(_) =>
-      statEntriesViaScan(absPaths, content, snapshotId)
+    val base =
+      try statEntriesViaFooters(absPaths, content, snapshotId)
+      catch { case scala.util.control.NonFatal(_) =>
+        statEntriesViaScan(absPaths, content, snapshotId)
+      }
+    if (content == 0) augmentBucketStats(base) else base
+  }
+
+  /** Derived stats for `bucket(n,col)` clustering: hashing destroys
+    * the raw column's min/max, so each data file additionally records
+    * its bucket-id range under [[BucketField.statKey]] and equality/IN
+    * predicates prune against it (see `mayMatch`). One extra scan of
+    * just the NEWLY WRITTEN files per commit, only when bucket fields
+    * are declared — commit-bounded, never table-sized. */
+  private def augmentBucketStats(entries: Seq[ManifestEntry])
+      : Seq[ManifestEntry] = {
+    val buckets = clusterFields.getOrElse(Nil)
+      .collect { case b: BucketField => b }
+    if (buckets.isEmpty || entries.isEmpty) return entries
+    val m = meta.physicalNames
+    val aggs = buckets.flatMap { f =>
+      val phys = physName(m)(f.column)
+      val e = pmod(hash(col(quoted(phys))), lit(f.n))
+      Seq(min(e).cast("string").as(s"bmin::${f.spec}"),
+        max(e).cast("string").as(s"bmax::${f.spec}"))
+    }
+    val rows = spark.read.schema(physSchema(schema, m))
+      .parquet(entries.map(abs): _*)
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byFile = rows.map(r =>
+      Io.normalize(r.getAs[String]("__file")) -> r).toMap
+    entries.map { e =>
+      byFile.get(Io.normalize(abs(e))).map { r =>
+        val extra = buckets.flatMap { f =>
+          val mi = Option(r.getAs[String](s"bmin::${f.spec}"))
+          val ma = Option(r.getAs[String](s"bmax::${f.spec}"))
+          (mi, ma) match {
+            case (Some(a), Some(b)) =>
+              Some(f.statKey(physName(m)(f.column)) -> ColStat(a, b, 0L))
+            case _ => None
+          }
+        }.toMap
+        e.copy(stats = e.stats ++ extra)
+      }.getOrElse(e)
     }
   }
 
@@ -1992,9 +2094,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   /** Conservative overlap test: only prunes when the conjunct is a
     * simple comparison on a stats-tracked column; anything else keeps
-    * the file. */
+    * the file. Equality/IN conjuncts additionally test the derived
+    * bucket-id range when the column has `bucket(n,col)` clustering
+    * (raw min/max can't prune hashed layouts). */
   private def mayMatch(e: ManifestEntry, conjunct: Expression,
-      sch: StructType, mapping: Map[String, String]): Boolean = {
+      sch: StructType, mapping: Map[String, String],
+      buckets: Seq[BucketField] = Nil): Boolean = {
+    def bucketBound(name: String, v: Any, dt: DataType): Boolean =
+      v == null || buckets.filter(_.column.equalsIgnoreCase(name))
+        .forall { bf =>
+          val phys = sch.fields.find(_.name.equalsIgnoreCase(name))
+            .map(f => physName(mapping)(f.name)).getOrElse(name)
+          e.stats.get(bf.statKey(phys)) match {
+            case Some(st) =>
+              val b = ClusterSpec.bucketOfLiteral(bf.n, v, dt)
+              try st.min.toDouble <= b && b <= st.max.toDouble
+              catch { case _: NumberFormatException => true }
+            case None => true
+          }
+        }
     def key(name: String): Option[(ColStat, DataType)] = for {
       f <- sch.fields.find(_.name.equalsIgnoreCase(name))
       // stats are keyed by the file-side (physical) column name
@@ -2017,10 +2135,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
         case _ => true
       }
     conjunct match {
-      case EqualTo(a: AttributeReference, Literal(v, _)) =>
-        bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0)
-      case EqualTo(Literal(v, _), a: AttributeReference) =>
-        bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0)
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0) &&
+          bucketBound(a.name, v, dt)
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0) &&
+          bucketBound(a.name, v, dt)
       case LessThan(a: AttributeReference, Literal(v, _)) =>
         bound(a.name, litExternal(v), (lo, _) => lo < 0)
       case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -2030,8 +2150,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
         bound(a.name, litExternal(v), (_, hi) => hi >= 0)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.map { case Literal(v, _) => litExternal(v) }.exists(v =>
-          bound(a.name, v, (lo, hi) => lo <= 0 && hi >= 0))
+        vs.exists { case Literal(v, dt) =>
+          bound(a.name, litExternal(v), (lo, hi) => lo <= 0 && hi >= 0) &&
+            bucketBound(a.name, v, dt)
+        }
       case _ => true
     }
   }

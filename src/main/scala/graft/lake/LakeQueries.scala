@@ -310,8 +310,10 @@ object LakeQueries extends QueryCatalog {
   private val partitionsRel = Q.noOracle("q_lake_partitions") { (s, _) =>
     val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
     cat.createNamespace("default")
+    // partition-transform clustering: file ranges render in the
+    // TRANSFORMED spaces (days → dates, truncate → prefixes)
     val t = cat.createTable("default", "clustered", piiSchema,
-      Map("write.clustered-by" -> "case_id",
+      Map("write.clustered-by" -> "days(update_date),truncate(4,case_id)",
         "write.clustered-by.files" -> "2"))
     t.append(s.createDataFrame(seedRows.asJava, piiSchema))
     t.partitionsTable.select("cluster_columns", "range_min", "range_max",

@@ -198,15 +198,33 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    // PARTITIONED BY (col, ...) maps to range-clustered appends: every
-    // insert clusters files on these columns so per-file min/max stats
-    // prune like partition pruning — without directory explosion on
-    // high-cardinality keys (the 100 TB ingest path, now SQL-visible)
+    // PARTITIONED BY maps to range-clustered appends: every insert
+    // clusters files on these fields so per-file stats prune like
+    // partition pruning — without directory explosion on
+    // high-cardinality keys (the 100 TB ingest path, now SQL-visible).
+    // Transforms days()/bucket()/truncate() carry through to
+    // ClusterSpec; years/months/hours are not supported (days covers
+    // the pruning need — raw ts stats answer any coarser granularity).
     val clusterCols = partitions.toSeq.map { tr =>
-      if (tr.name != "identity") throw new UnsupportedOperationException(
-        s"GraftLake supports only identity PARTITIONED BY columns " +
-          s"(range clustering + stats pruning); got ${tr.describe()}")
-      tr.references().head.fieldNames().mkString(".")
+      def ref: String = tr.references().head.fieldNames().mkString(".")
+      def intArg: Int = tr.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case i: java.lang.Integer => i.intValue()
+            case l2: java.lang.Long => l2.intValue()
+          }
+      }.getOrElse(throw new UnsupportedOperationException(
+        s"${tr.name()} transform needs an integer argument: " +
+          tr.describe()))
+      tr.name() match {
+        case "identity" => ref
+        case "days" => s"days($ref)"
+        case "bucket" => s"bucket($intArg,$ref)"
+        case "truncate" => s"truncate($intArg,$ref)"
+        case other => throw new UnsupportedOperationException(
+          s"GraftLake supports identity, days, bucket, and truncate " +
+            s"PARTITIONED BY transforms; got $other in ${tr.describe()}")
+      }
     }
     if (cat.tableExists(nsPath(ident.namespace), ident.name))
       throw new TableAlreadyExistsException(ident)

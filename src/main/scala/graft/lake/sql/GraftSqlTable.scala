@@ -52,15 +52,24 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  /** Declared clustering surfaces as identity partitioning so DESCRIBE
-    * and SHOW CREATE TABLE reflect the physical layout contract. */
+  /** Declared clustering surfaces as partitioning (identity or
+    * transform) so DESCRIBE and SHOW CREATE TABLE reflect the physical
+    * layout contract. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import _root_.graft.lake.{BucketField, ClusterSpec, DaysField,
+      IdentityField, TruncateField}
     graft.properties.get("write.clustered-by")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        .map(c => org.apache.spark.sql.connector.expressions.Expressions
-          .identity(c)).toArray)
+      .map(ClusterSpec.parseList(_).map {
+        case IdentityField(c) => Expressions.identity(c)
+        case DaysField(c) => Expressions.days(c)
+        case BucketField(n, c) => Expressions.bucket(n, c)
+        case TruncateField(w, c) => Expressions.apply(
+          "truncate", Expressions.literal(w), Expressions.column(c))
+      }.toArray[org.apache.spark.sql.connector.expressions.Transform])
       .getOrElse(Array.empty)
+  }
 
   /** The DataFrame this relation stands for (current or pinned). */
   def read(): DataFrame =

@@ -368,17 +368,23 @@ object CurationQueries extends QueryCatalog {
     */
   private[llm] def overflowSplit(
       cellDf: DataFrame, cen: DataFrame, caps: DataFrame): DataFrame = {
-    val sized = cellDf.groupBy("cell").agg(count(lit(1)).as("m"))
-    cellDf
-      .join(broadcast(sized), Seq("cell"))
-      .crossJoin(broadcast(caps))
-      .join(broadcast(cen.select(col("cl").as("cell"),
-        col("cen").as("_cen"))), Seq("cell"))
+    // per-cell split depth b, computed entirely on the tiny side
+    // (cells × 1 row) and materialized via localCheckpoint: the main
+    // plan then joins a broadcast ExistingRDD — the 1-row cap
+    // cross-join never appears in (or re-executes with) the big plan
+    val cellMeta = cellDf.groupBy("cell").agg(count(lit(1)).as("m"))
+      .crossJoin(caps)
       .withColumn("b",
         when(col("m") <= col("cap"), lit(0L))
           .otherwise(least(lit(16L),
             ceil(log2(col("m").cast("double") / col("cap").cast("double")))))
           .cast("int"))
+      .select(col("cell"), col("b"))
+      .localCheckpoint()
+    cellDf
+      .join(broadcast(cellMeta), Seq("cell"))
+      .join(broadcast(cen.select(col("cl").as("cell"),
+        col("cen").as("_cen"))), Seq("cell"))
       .withColumn("sub",
         when(col("b") === 0, lit(0L)).otherwise(expr(
           """aggregate(sequence(0, b - 1), CAST(0 AS BIGINT), (acc, i) ->
@@ -386,7 +392,7 @@ object CurationQueries extends QueryCatalog {
             |  >= element_at(_cen, i + 1)
             |THEN shiftleft(CAST(1 AS BIGINT), i)
             |ELSE CAST(0 AS BIGINT) END)""".stripMargin)))
-      .drop("m", "cap", "_cen", "b")
+      .drop("_cen", "b")
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
@@ -483,10 +489,10 @@ object CurationQueries extends QueryCatalog {
       .agg(expr("transform(array_sort(collect_list(struct(dim, m))), " +
         "s -> s.m)").as("cen"))
       .withColumn("cnrm", vec.norm(s, col("cen")))
-    val caps = Tables.embeddings(s, dir)
-      .agg(count(lit(1)).as("n"))
-      .select(greatest(lit(50L),
-        (ceil(sqrt(col("n").cast("double"))) * 2).cast("long")).as("cap"))
+      // tiny (label-vocabulary rows); materialized so the assignment
+      // AND the overflow-split's _cen join both reuse it instead of
+      // recomputing the centroid pipeline from the raw table
+      .localCheckpoint()
     // assignment as a partial-aggregable struct-max, not a window: the
     // map side collapses each vector's 10 candidate cells to one row
     // before any shuffle (lexicographic (cosd, -cl) max = highest
@@ -502,6 +508,12 @@ object CurationQueries extends QueryCatalog {
         (-max(struct(col("cosd"), (-col("cl")).as("n")))
           .getField("n")).as("cell"))
       .localCheckpoint()
+    // cap from the CHECKPOINTED assignment (one row per vec_id, so its
+    // count equals the DuckDB mirror's count(*) FROM embeddings) — no
+    // second parquet scan in the plan
+    val caps = cell.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(50L),
+        (ceil(sqrt(col("n").cast("double"))) * 2).cast("long")).as("cap"))
     val blocked = overflowSplit(cell, cen, caps)
     val a = blocked.select(col("vec_id"), col("cell"), col("sub"),
       col("v").as("va"), col("nrm").as("na"))

@@ -202,6 +202,103 @@ class LakeWritePlanSpec extends SparkSuite {
     assert(t.readWhere(col("case_key") === "blm-99999").count() === 0)
   }
 
+  test("days(ts) partition transform: files cover day-aligned ranges, " +
+    "a day predicate prunes the scan, partitions table shows dates") {
+    val sch = StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
+    val wh = Files.createTempDirectory("graft-days-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
+      Map("write.clustered-by" -> "days(ts)",
+        // over-partition vs the 8 distinct days: range boundaries then
+        // isolate every day (empty ranges write no files)
+        "write.clustered-by.files" -> "16"))
+    val base = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    val data = (0 until 4000).map { i =>
+      Row(i.toLong, base.plusDays(i % 8).plusMinutes(i % 300), i.toLong % 97)
+    }
+    t.append(spark.createDataFrame(data.asJava, sch))
+    val all = dataFilePaths(t).keySet
+    assert(all.size === 8, s"one file per day expected, got ${all.size}")
+    // a single-day predicate must scan exactly the files whose
+    // day-tight ts stats admit it — not the table
+    val (n, qes) = capturing {
+      t.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-04 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-05 00:00:00")))
+        .count()
+    }
+    assert(n === 500)
+    val scanned = scannedFiles(qes).intersect(all.map(Io.normalize))
+    assert(scanned.size === 1,
+      s"day predicate scanned ${scanned.size} of ${all.size} files")
+    // partitions relation renders transform-derived (date) ranges
+    val parts = t.partitionsTable.collect()
+    assert(parts.forall(_.getAs[String]("cluster_columns") === "days(ts)"))
+    val mins = parts.map(_.getAs[String]("range_min")).toSeq
+    assert(mins.contains("2024-03-01") && mins.contains("2024-03-08"),
+      s"expected date-rendered ranges, got $mins")
+    assert(parts.forall(r =>
+      r.getAs[String]("range_min") === r.getAs[String]("range_max")),
+      "each file should cover exactly one day")
+  }
+
+  test("bucket(n,col) partition transform: derived bucket stats prune " +
+    "equality lookups that raw min/max cannot") {
+    val sch = StructType.fromDDL("user_id BIGINT, payload STRING")
+    val wh = Files.createTempDirectory("graft-bucket-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
+      Map("write.clustered-by" -> "bucket(8,user_id)",
+        "write.clustered-by.files" -> "8"))
+    t.append(spark.createDataFrame(
+      (0 until 4000).map(i => Row(i.toLong % 500, s"p$i")).asJava, sch))
+    val all = dataFilePaths(t).keySet
+    assert(all.size > 1)
+    // every file spans nearly the full raw user_id domain (hashing
+    // scatters), so only the derived bucket stat can prune
+    val (n, qes) = capturing {
+      t.readWhere(col("user_id") === 42L).count()
+    }
+    assert(n === 8) // 4000 rows over 500 ids
+    val scanned = scannedFiles(qes).intersect(all.map(Io.normalize))
+    assert(scanned.size < all.size,
+      s"bucket equality scanned all ${all.size} files — derived " +
+        "bucket stats did not prune")
+    // IN-lists prune per-literal too
+    val (_, qes2) = capturing {
+      t.readWhere(col("user_id").isin(42L, 43L)).count()
+    }
+    assert(scannedFiles(qes2).intersect(all.map(Io.normalize)).size
+      < all.size)
+  }
+
+  test("truncate(w,col) partition transform: prefix-clustered files, " +
+    "prefix predicates prune via raw stats, partitions table truncates") {
+    val sch = StructType.fromDDL("word STRING, payload STRING")
+    val wh = Files.createTempDirectory("graft-trunc-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
+      Map("write.clustered-by" -> "truncate(3,word)",
+        "write.clustered-by.files" -> "8"))
+    val prefixes = Seq("app", "bee", "cat", "dog")
+    t.append(spark.createDataFrame(
+      (0 until 2000).map(i =>
+        Row(f"${prefixes(i % 4)}-$i%05d", s"p$i")).asJava, sch))
+    val all = dataFilePaths(t).keySet
+    assert(all.size === 4)
+    val (n, qes) = capturing {
+      t.readWhere(col("word") === "cat-00042").count()
+    }
+    assert(n === 1)
+    val scanned = scannedFiles(qes).intersect(all.map(Io.normalize))
+    assert(scanned.size === 1,
+      s"prefix lookup scanned ${scanned.size} of ${all.size} files")
+    val parts = t.partitionsTable.collect()
+    assert(parts.forall(r =>
+      r.getAs[String]("range_min") === r.getAs[String]("range_max")),
+      "each file should cover exactly one 3-char prefix")
+    assert(parts.map(_.getAs[String]("range_min")).sorted.toSeq ===
+      prefixes.sorted)
+  }
+
   test("volume smoke: 60k-row lifecycle — clustered multi-file append, " +
     "MOR delete writes scaled delete files, rewrite compacts back to " +
     "the exact surviving rows") {

@@ -40,6 +40,46 @@ class GraftSqlSpec extends SparkSuite {
     spark.sql(s"SELECT snapshot_id FROM $tbl.snapshots ORDER BY committed_at")
       .collect().map(_.getLong(0)).toSeq
 
+  test("PARTITIONED BY transforms (days/bucket/truncate) flow to " +
+    "clustering, survive DESCRIBE round-trip, and prune reads") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.ev"
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT)
+         |USING graft
+         |PARTITIONED BY (days(ts), bucket(4, user_id))
+         |TBLPROPERTIES ('write.clustered-by.files'='8')""".stripMargin)
+    // the transform spec round-trips through the catalog property
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.clustered-by") === "days(ts),bucket(4,user_id)")
+    // DESCRIBE surfaces the transforms as partitioning
+    val desc = spark.sql(s"DESCRIBE $tbl").collect()
+      .map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("days(ts)") && desc.contains("bucket(4, user_id)"),
+      s"transforms missing from DESCRIBE:\n$desc")
+    spark.sql(s"INSERT INTO $tbl SELECT id, " +
+      "timestampadd(DAY, CAST(id % 4 AS INT), " +
+      "TIMESTAMP_NTZ'2024-03-01 00:00:00'), id % 50 FROM range(2000)")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl " +
+      "WHERE ts >= TIMESTAMP_NTZ'2024-03-02 00:00:00' AND " +
+      "ts < TIMESTAMP_NTZ'2024-03-03 00:00:00'").collect()
+      .head.getLong(0) === 500)
+    // partitions relation renders the transform-derived ranges
+    val parts = spark.sql(s"SELECT * FROM $tbl.partitions").collect()
+    assert(parts.forall(_.getAs[String]("cluster_columns") ===
+      "days(ts),bucket(4,user_id)"))
+    assert(parts.exists(_.getAs[String]("range_min").startsWith("2024-03-")))
+    // unsupported transform granularity is rejected loudly
+    val err = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.$ns.bad (ts TIMESTAMP_NTZ) " +
+        "USING graft PARTITIONED BY (months(ts))")
+    }
+    assert(err.getMessage.contains("months"))
+  }
+
   test("CALL expire_snapshots with retain_last only: keeps the newest n, " +
     "older_than defaults to now (README.md:88-93 companion form)") {
     val ns = freshNs()
