@@ -1807,8 +1807,61 @@ class GraftTable(val spark: SparkSession, val root: Path,
       ndv.fold(base)(n =>
         base.option(s"parquet.bloom.filter.expected.ndv#$c", n))
     }
-    writer.parquet(staged.toString)
+    // Metadata-sized local frames (INSERT VALUES, catalog seeds, CALL
+    // outputs) skip the distributed writer: a Spark write job + Hadoop
+    // committer costs ~150 ms of pure overhead for a 3-row file. The
+    // optimizer folds alignToSchema's projection into the
+    // LocalRelation, so the rows are already on the driver in internal
+    // format; write them through Spark's own ParquetWriteSupport (bit-
+    // identical encoding to the distributed path — footer stats, NTZ,
+    // rebase modes all match). Anything distributed, clustered, empty,
+    // or bloom-filtered takes the normal job path.
+    physical.queryExecution.optimizedPlan match {
+      case lr: logical.LocalRelation
+          if bloomCols.isEmpty && lr.data.nonEmpty &&
+            lr.data.length <= 10000 =>
+        Files.createDirectories(staged)
+        writeLocalParquet(lr.data,
+          org.apache.spark.sql.catalyst.types.DataTypeUtils
+            .fromAttributes(lr.output),
+          staged.resolve("part-00000-local.parquet"))
+      case _ => writer.parquet(staged.toString)
+    }
     moveStaged(staged, "data")
+  }
+
+  /** Driver-side parquet write for a metadata-sized row set — the same
+    * ParquetWriteSupport the distributed writer uses, so readers and
+    * footer stats see identical files. */
+  private def writeLocalParquet(
+      rows: Seq[org.apache.spark.sql.catalyst.InternalRow],
+      sch: StructType, target: Path): Unit = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = spark.sessionState.newHadoopConf()
+    val sql = spark.sessionState.conf
+    ParquetWriteSupport.setSchema(sch, conf)
+    // the keys ParquetFileFormat.prepareWrite sets for the job path
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled",
+      spark.conf.get(
+        "spark.sql.parquet.variant.annotateLogicalType.enabled", "true"))
+    val w = new GraftTable.LocalParquetBuilder(
+      new org.apache.hadoop.fs.Path(target.toString))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach(w.write) finally w.close()
   }
 
   private def moveStaged(staged: Path, prefix: String): Seq[String] = {
@@ -2174,6 +2227,20 @@ object GraftTable {
   val PosCol = "__graft_pos"
   val SeqCol = "__graft_seq"
   val ClusterProp = "write.clustered-by"
+
+  /** parquet-java builder over Spark's InternalRow write support, for
+    * the driver-side small-commit fast path in `writeLocalParquet`. */
+  private[lake] class LocalParquetBuilder(path: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        org.apache.spark.sql.catalyst.InternalRow, LocalParquetBuilder](
+        path) {
+    override def self(): LocalParquetBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport()
+  }
 
   /** Optimistic-concurrency retry loop, the Iceberg-client behavior:
     * each attempt re-reads the table (operations capture their base at

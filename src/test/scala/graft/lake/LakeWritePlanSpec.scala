@@ -71,14 +71,30 @@ class LakeWritePlanSpec extends SparkSuite {
       .map(r => r.getAs[String]("file_path"))
       .map(p => p -> p).toMap
 
-  test("append runs exactly one Spark execution (the write): stats come " +
-    "from footers, not a second scan over the written files") {
+  test("append of a metadata-sized local frame runs ZERO Spark " +
+    "executions (driver-side parquet fast path); stats still committed") {
     val t = newTable()
     val (_, qes) = capturing { t.append(df("a", 500)) }
+    assert(qes.isEmpty,
+      s"local-frame append must skip the Spark writer; saw " +
+        s"${qes.size} executions:\n" +
+        qes.map(_.logical.nodeName).mkString("\n"))
+    // and the committed stats are nonetheless present and usable
+    val entries = t.manifestOf(t.currentSnapshot.get)
+    assert(entries.forall(e => e.stats.contains("case_id") &&
+      e.recordCount > 0))
+  }
+
+  test("append of a distributed frame runs exactly one Spark execution " +
+    "(the write): stats come from footers, not a second scan over the " +
+    "written files") {
+    val t = newTable()
+    // repartition defeats the LocalRelation fast path: this is the
+    // cluster-shaped write every big append takes
+    val (_, qes) = capturing { t.append(df("b", 500).repartition(2)) }
     assert(qes.size === 1,
       s"append must be write-only; saw ${qes.size} executions:\n" +
         qes.map(_.logical.nodeName).mkString("\n"))
-    // and the committed stats are nonetheless present and usable
     val entries = t.manifestOf(t.currentSnapshot.get)
     assert(entries.forall(e => e.stats.contains("case_id") &&
       e.recordCount > 0))
