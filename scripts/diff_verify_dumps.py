@@ -20,12 +20,19 @@ import duckdb
 
 def main():
     a, b = Path(sys.argv[1]), Path(sys.argv[2])
-    names = sorted(d.name for d in a.iterdir() if d.is_dir())
+    names_a = {d.name for d in a.iterdir() if d.is_dir()}
     names_b = {d.name for d in b.iterdir() if d.is_dir()}
-    missing = [n for n in names if n not in names_b]
-    if missing:
-        print(f"FAIL: missing in {b}: {missing}")
+    # symmetric presence check: a query that ran in only one dump is a
+    # failure regardless of which side is missing it
+    only_a = sorted(names_a - names_b)
+    only_b = sorted(names_b - names_a)
+    if only_a or only_b:
+        if only_a:
+            print(f"FAIL: missing in {b}: {only_a}")
+        if only_b:
+            print(f"FAIL: missing in {a}: {only_b}")
         sys.exit(1)
+    names = sorted(names_a)
     con = duckdb.connect()
     n_pass = n_fail = 0
     for n in names:

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -271,7 +271,14 @@ case class SignPack(left: Expression, right: Expression)
   * speed.
   */
 case class PqEncode(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // the analyzer coerces narrower integral arrays (array<int>, …) up
+  // to array<bigint> before checkInputDataTypes runs; fractional and
+  // non-array inputs still fail with the message below. (No explicit
+  // Seq[AbstractDataType] annotation — that type is private[sql] in
+  // Spark 4; covariance lets the inferred narrower type conform.)
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
       right.dataType) match {
@@ -380,7 +387,11 @@ case class PqEncode(left: Expression, right: Expression)
   * twin of pq_encode.
   */
 case class PqAdc(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // coerce narrower integral codes / LUT element types up to bigint,
+  // mirroring PqEncode (inferred type: AbstractDataType is private[sql])
+  override def inputTypes = Seq(LongType, ArrayType(LongType))
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType,
       right.dataType) match {

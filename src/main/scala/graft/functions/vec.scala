@@ -102,7 +102,11 @@ object vec {
           (acc.getField("qerr") + bm.getField("bd")).as("qerr"))
       })
     val encSafe = when(size(q) < 8, enc0).otherwise(enc)
-    array(encSafe.getField("codes"), encSafe.getField("qerr"))
+    // null-in/null-out parity with the kernel's nullSafeEval: without
+    // this guard a NULL vector flows through the aggregates as
+    // (MaxValue, 0) garbage instead of NULL
+    when(q.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(array(encSafe.getField("codes"), encSafe.getField("qerr")))
   }
 
   /** ADC scoring of packed PQ codes against a flattened query LUT
@@ -114,9 +118,13 @@ object vec {
     else pqAdcHof(codes, lut)
 
   private[graft] def pqAdcHof(codes: Column, lut: Column): Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L), (a, m) =>
-      a + coalesce(try_element_at(lut,
-        (lit(16) * m +
-          call_function("shiftrightunsigned", codes, (m * 4).cast("int"))
-            .bitwiseAND(lit(15L)).cast("int") + 1).cast("int")), lit(0L)))
+    // null-in/null-out parity with the kernel's nullSafeEval: the
+    // coalesce zero-fill below would otherwise turn a NULL input into
+    // a spurious score of 0
+    when(codes.isNull.or(lut.isNull), lit(null).cast("bigint"))
+      .otherwise(aggregate(sequence(lit(0), lit(7)), lit(0L), (a, m) =>
+        a + coalesce(try_element_at(lut,
+          (lit(16) * m +
+            call_function("shiftrightunsigned", codes, (m * 4).cast("int"))
+              .bitwiseAND(lit(15L)).cast("int") + 1).cast("int")), lit(0L))))
 }

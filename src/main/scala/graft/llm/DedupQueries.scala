@@ -53,9 +53,12 @@ object DedupQueries extends QueryCatalog {
     * partitionings differ), so the round-6 "no cache" version recomputed
     * the explode+scan per branch and ran 3–5× slower. localCheckpoint
     * materializes the small distinct (doc_id, shingle) table to block
-    * storage without touching the shared cache manager — no
-    * cross-invocation cache leak (asserted in LlmSpec); blocks are
-    * released by the ContextCleaner when the plan is dropped. */
+    * storage without registering with the shared cache manager (LlmSpec
+    * pins that, as a guard against reintroducing .cache()). The blocks
+    * themselves live in the BlockManager until the ContextCleaner
+    * collects the dropped RDD (GC-driven) or a caller unpersists them
+    * explicitly — Bench releases them per query via
+    * getPersistentRDDs. */
   private[graft] def shingleSetsMaterialized(docs: DataFrame): DataFrame =
     shingleSets(docs).localCheckpoint()
 

@@ -552,10 +552,11 @@ object SimilarityQueries extends QueryCatalog {
   }
 
   /** PQ search by asymmetric distance computation (ADC, the serving
-    * half of Jégou et al. 2011): the query vector stays UNquantized —
-    * its exact distance to each of the 8x16 codewords becomes a lookup
-    * table, and every database vector is scored as the sum of 8 table
-    * lookups selected by its PQ code. No float math touches the 100 TB
+    * half of Jégou et al. 2011): the query vector is never PQ-encoded —
+    * its distance (on the shared integer quantization grid) to each of
+    * the 8x16 codewords becomes a lookup table, and every database
+    * vector is scored as the sum of 8 table lookups selected by its PQ
+    * code. No float math touches the 100 TB
     * side at query time: codes are 8 nibbles per vector, the LUT is
     * one broadcast row, scoring is 8 integer adds, and top-k is
     * TakeOrderedAndProject — the canonical IVF-PQ serving plan. Same

@@ -198,6 +198,42 @@ class VecSpec extends SparkSuite {
     }
   }
 
+  test("pq_encode / pq_adc null inputs: HOF fallbacks return NULL " +
+    "exactly like the kernels' nullSafeEval") {
+    val cbTiny = Array.fill(128)(7L)
+    val row = spark.range(1).select(
+      expr(s"pq_encode(CAST(NULL AS ARRAY<BIGINT>), " +
+        s"${cbTiny.mkString("array(", "L,", "L)")})").as("ker_enc"),
+      vec.pqEncodeHof(expr("CAST(NULL AS ARRAY<BIGINT>)"), cbTiny)
+        .as("hof_enc"),
+      expr("pq_adc(CAST(NULL AS BIGINT), array(1L, 2L))").as("ker_adc_c"),
+      vec.pqAdcHof(expr("CAST(NULL AS BIGINT)"), expr("array(1L, 2L)"))
+        .as("hof_adc_c"),
+      expr("pq_adc(0L, CAST(NULL AS ARRAY<BIGINT>))").as("ker_adc_l"),
+      vec.pqAdcHof(lit(0L), expr("CAST(NULL AS ARRAY<BIGINT>)"))
+        .as("hof_adc_l")).collect().head
+    (0 until 6).foreach(i =>
+      assert(row.isNullAt(i), s"column $i (${row.schema(i).name}) " +
+        s"should be NULL, got ${row.get(i)}"))
+  }
+
+  test("pq_encode / pq_adc coerce narrower integral inputs to bigint " +
+    "via ImplicitCastInputTypes") {
+    val cbTiny = Array.fill(128)(7L)
+    // array<int> vector + int codes: analysis would fail without the
+    // implicit cast; values must match the explicitly-cast forms
+    val row = spark.sql(
+      s"""SELECT
+         |  pq_encode(array(7, 7, 7, 7, 7, 7, 7, 7),
+         |    ${cbTiny.mkString("array(", "L,", "L)")}) AS enc_int,
+         |  pq_adc(CAST(3 AS INT), array(10, 20, 30)) AS adc_int
+         |""".stripMargin).collect().head
+    assert(row.getSeq[Long](0) == Seq(0L, 0L))
+    // codes=3: m=0 reads lut[3], m>=1 reads lut[16m] — all out of the
+    // 3-slot LUT's range, so every subspace zero-fills
+    assert(row.getLong(1) == 0L)
+  }
+
   test("vec helper falls back to the UDF without the extension and" +
     " produces identical values") {
     // a bare session view: simulate by calling the udf path directly

@@ -125,14 +125,27 @@ class LlmSpec extends SparkSuite {
     lsh.foreach { case (k, j) => assert(j == exact(k), s"jaccard mismatch $k") }
   }
 
-  test("shingle materialization leaves no entry in the shared cache " +
-    "manager (localCheckpoint must not leak across invocations)") {
+  test("shingle materialization never registers with the shared cache " +
+    "manager (no-.cache() guard) and its localCheckpoint blocks are " +
+    "releasable through getPersistentRDDs") {
     Seq("q_dedup_minhash_lsh", "q_dedup_minhash_md5", "q_dedup_containment",
       "q_dedup_ngram_jaccard").foreach { q =>
       run(q).write.format("noop").mode("overwrite").save()
+      // guards against reintroducing .cache()/persist-via-cacheManager;
+      // localCheckpoint blocks live in the BlockManager and do NOT show
+      // up here, so this alone says nothing about block release
       assert(spark.sharedState.cacheManager.isEmpty,
         s"$q left a cached plan in the shared cache manager")
     }
+    // the checkpointed shingle RDDs surface in getPersistentRDDs until
+    // the ContextCleaner collects them (GC-driven); pin the explicit
+    // release path Bench uses between queries
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected lingering localCheckpoint RDDs before explicit release")
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      .foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "blocking unpersist must drain all checkpoint blocks")
   }
 
   test("simhash kernel is bit-identical to the relational formulation") {
