@@ -49,8 +49,22 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   def version: Int = Files.readString(hintFile).trim.toInt
 
-  private def metaAt(v: Int): TableMeta = Json.readTableMeta(
-    Files.readString(metadataDir.resolve(s"v$v.metadata.json")))
+  /** Parse caches over the IMMUTABLE halves of the metadata log:
+    * v<N>.metadata.json is published fail-if-exists (one writer ever
+    * wins a version) and manifest names are per-attempt UUID-unique,
+    * so a parsed value can never go stale — only the mutable
+    * version-hint is always re-read. Scenario queries hit `meta`
+    * dozens of times per operation; without this every access
+    * re-reads and re-parses the full snapshot log. LRU-bounded so a
+    * long-lived handle on a many-snapshot table doesn't pin every
+    * historical manifest's entry list in driver memory. */
+  private val metaCache = GraftTable.lruCache[Int, TableMeta](8)
+  private val manifestCache =
+    GraftTable.lruCache[String, Seq[ManifestEntry]](64)
+
+  private def metaAt(v: Int): TableMeta =
+    metaCache.computeIfAbsent(v, _ => Json.readTableMeta(
+      Files.readString(metadataDir.resolve(s"v$v.metadata.json"))))
 
   def meta: TableMeta = metaAt(version)
 
@@ -65,8 +79,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     def entries: Seq[ManifestEntry] =
       meta.currentSnapshotId
         .flatMap(id => meta.snapshots.find(_.snapshotId == id))
-        .map(s => Json.readManifest(
-          Files.readString(root.resolve(s.manifestList))))
+        .map(manifestOf)
         .getOrElse(Nil)
   }
 
@@ -328,7 +341,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
         s"Cannot find snapshot with ID $id (expired or never existed)"))
 
   def manifestOf(s: SnapshotMeta): Seq[ManifestEntry] =
-    Json.readManifest(Files.readString(root.resolve(s.manifestList)))
+    manifestCache.computeIfAbsent(s.manifestList, rel =>
+      Json.readManifest(Files.readString(root.resolve(rel))))
 
   private def currentEntries: Seq[ManifestEntry] =
     currentSnapshot.map(manifestOf).getOrElse(Nil)
@@ -565,10 +579,32 @@ class GraftTable(val spark: SparkSession, val root: Path,
           if (addedPosDel.isEmpty) Nil
           else {
             val delDf = spark.read.parquet(addedPosDel.map(abs): _*)
-            val referenced = delDf.select("file_path").distinct()
-              .collect().map(_.getString(0)).toSet
-            val targets = parentEntries.filter(e => e.content == 0 &&
-              Io.uriForms(abs(e)).exists(referenced))
+            // manifest min/max stats on the delete files' file_path
+            // column bound the referenced paths: a data file whose
+            // every uri form falls outside every window can't be hit.
+            // Superset selection — the (file, pos) inner join below
+            // keeps the rows exact. (Parquet stat truncation only
+            // widens the window, so the bound stays conservative.)
+            // Saves a distinct+collect Spark job per snapshot window —
+            // changes() is called per micro-batch by the CDC stream.
+            val ranges = addedPosDel.flatMap(_.stats.get("file_path"))
+            // stats were ordered by UTF8String bytes — compare the same
+            // way (String's UTF-16 order diverges on non-ASCII paths)
+            def leq(a: String, b: String): Boolean =
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+            val targets =
+              if (ranges.size == addedPosDel.size)
+                parentEntries.filter(e => e.content == 0 &&
+                  Io.uriForms(abs(e)).exists(u =>
+                    ranges.exists(r => leq(r.min, u) && leq(u, r.max))))
+              else { // stats absent (imported files): exact discovery
+                val referenced = delDf.select("file_path").distinct()
+                  .collect().map(_.getString(0)).toSet
+                parentEntries.filter(e => e.content == 0 &&
+                  Io.uriForms(abs(e)).exists(referenced))
+              }
             val rows = readWithLineage(targets.filter(_.content == 0))
             Seq(tag(rows.join(delDf,
               rows(FileCol) === delDf("file_path") &&
@@ -2227,6 +2263,20 @@ object GraftTable {
   val PosCol = "__graft_pos"
   val SeqCol = "__graft_seq"
   val ClusterProp = "write.clustered-by"
+
+  /** Tiny synchronized LRU for immutable-file parse results. */
+  private[lake] final class LruCache[K, V](maxEntries: Int) {
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, V]): Boolean = size() > maxEntries
+      })
+    def computeIfAbsent(k: K, f: K => V): V =
+      m.computeIfAbsent(k, k2 => f(k2))
+  }
+
+  private[lake] def lruCache[K, V](maxEntries: Int): LruCache[K, V] =
+    new LruCache[K, V](maxEntries)
 
   /** parquet-java builder over Spark's InternalRow write support, for
     * the driver-side small-commit fast path in `writeLocalParquet`. */
