@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryCatalog}
 import graft.rel.Tables
@@ -351,7 +352,96 @@ object DedupQueries extends QueryCatalog {
         round(col("cosd"), 4).as("cos_sim"))
   }
 
+  /** Exact substring-duplication coverage (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * measure): every K-token window that occurs more than once
+    * ANYWHERE in the corpus marks its K positions as duplicated; a
+    * document's score is the fraction of its tokens covered by the
+    * union of its duplicated windows. Reported as half-up integer
+    * basis points (determinism rule: never round a float ratio).
+    *
+    * Scale design (100 TB): one pass emits O(total tokens) window
+    * rows; repeated-window detection is a single groupBy on the
+    * window text (at real scale the shuffle key would be
+    * xxhash64(window) — fixed width — with an in-group equality
+    * re-check, the q_dedup_exact note); the hit join is an equi-join
+    * on the same key, and the interval-union is one per-doc window
+    * function (partition-bounded, no self-join). Nothing is ever
+    * all-pairs. */
+  private val SubK = 5
+  private val substringCoverage = Q(
+    "q_dedup_substring",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, i AS p,
+       |    concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+       |      toks[i+5]) AS g
+       |  FROM t, unnest(generate_series(0, n - $SubK)) AS u(i)
+       |  WHERE n >= $SubK
+       |), dup AS (
+       |  SELECT g FROM occ GROUP BY g HAVING count(*) > 1
+       |), hits AS (
+       |  SELECT o.doc_id, o.p FROM occ o JOIN dup USING (g)
+       |), cov AS (
+       |  SELECT doc_id,
+       |    greatest(0, (p + $SubK) - greatest(p,
+       |      coalesce(max(p + $SubK) OVER (PARTITION BY doc_id ORDER BY p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+       |  FROM hits
+       |), per AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+       |  FROM cov GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(t.n AS BIGINT) AS total_tokens,
+       |  coalesce(per.dup_tokens, 0) AS dup_tokens,
+       |  CAST((10000 * coalesce(per.dup_tokens, 0) + t.n // 2) // t.n
+       |    AS BIGINT) AS dup_bp
+       |FROM t LEFT JOIN per USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (s, dir) => substringCoverageOver(Tables.documents(s, dir)) }
+
+  /** The q_dedup_substring pipeline over any (doc_id, text) frame —
+    * factored out so specs can drive hand-built corpora. */
+  private[graft] def substringCoverageOver(docs: DataFrame): DataFrame = {
+    val k = SubK
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val occ = t.filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n - $k), i -> struct(i AS p, " +
+          s"concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
+          s"toks[i+4]) AS g))")).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("g")
+    val hits = occ.join(dup, "g").select("doc_id", "p")
+    // covered-length of the union of [p, p+k) intervals: each window
+    // contributes only the part past the running max end — one window
+    // function, no interval self-join
+    val w = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = hits
+      .withColumn("prev_end", max(col("p") + lit(k)).over(w))
+      .select(col("doc_id"),
+        greatest(lit(0), (col("p") + lit(k)) -
+          greatest(col("p"), coalesce(col("prev_end"), lit(0)))).as("c"))
+    val per = cov.groupBy("doc_id")
+      .agg(sum("c").cast("long").as("dup_tokens"))
+    t.select(col("doc_id"), col("n"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n").cast("long").as("total_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("CAST((10000 * coalesce(dup_tokens, 0L) + n div 2) div n" +
+          " AS BIGINT)").as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    embeddingNearDup)
+    embeddingNearDup, substringCoverage)
 }

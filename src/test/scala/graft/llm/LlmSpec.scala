@@ -24,6 +24,29 @@ class LlmSpec extends SparkSuite {
     assert(out.length == 2) // "a b c" and "b c d"
   }
 
+  test("substring-duplication coverage: hand-computed interval unions, " +
+    "within-doc repeats, sub-K docs, identical docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                      // shares "a b c d e" w/ 2
+      (2L, "x y a b c d e z"),
+      (3L, "m n o p q r"),                          // identical to 4
+      (4L, "m n o p q r"),
+      (5L, "s t u v"),                              // < K tokens
+      (6L, "c1 c2 c3 c4 c5 z1 z2 c1 c2 c3 c4 c5")   // repeats ITSELF
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.substringCoverageOver(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((8L, 5L, 6250L)))   // [0,5) of 8
+    assert(got(2L) == ((8L, 5L, 6250L)))   // [2,7) of 8
+    assert(got(3L) == ((6L, 6L, 10000L)))  // [0,5)∪[1,6): union merges
+    assert(got(4L) == ((6L, 6L, 10000L)))
+    assert(got(5L) == ((4L, 0L, 0L)))      // no 5-gram at all
+    // within-doc: [0,5)∪[7,12) = 10 of 12; (10*10000 + 6) div 12
+    assert(got(6L) == ((12L, 10L, 8333L)))
+  }
+
   test("sqrt-temperature mix-interleave on a SKEWED corpus: derived " +
     "factors exceed 1 and every full round carries the target mix") {
     import spark.implicits._
