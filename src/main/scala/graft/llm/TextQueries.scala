@@ -433,7 +433,43 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** One BPE merge round (Sennrich et al. 2016, the distributed core
+    * of tokenizer training): count adjacent character pairs weighted
+    * by word frequency; the argmax pair is the next merge. The pair
+    * explosion runs over the aggregated VOCABULARY, not the corpus —
+    * the classic BPE trick: corpus-sized work happens once (the word
+    * count, one shuffle), each merge round then touches only
+    * vocab-sized data. Top-30 via TakeOrderedAndProject with a total
+    * (count DESC, pair) order. */
+  private val bpePairs = Q(
+    "q_text_bpe_pairs",
+    """WITH words AS (
+      |  SELECT w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE len(w) >= 2 GROUP BY w
+      |), pairs AS (
+      |  SELECT substring(w, i, 2) AS pair, freq
+      |  FROM words, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      |)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY merge_count DESC, pair
+      |LIMIT 30""".stripMargin
+  ) { (s, dir) =>
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").cast("long").as("merge_count"))
+      .orderBy(desc("merge_count"), col("pair"))
+      .limit(30)
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
-      fingerprintMd5, repetition, entropy, hashClassifier)
+      fingerprintMd5, repetition, entropy, hashClassifier, bpePairs)
 }
