@@ -437,9 +437,93 @@ object LakeQueries extends QueryCatalog {
         .orderBy("phase", "grp")
     }
 
+  /** CDC-driven incremental MinHash maintenance — how a 100 TB
+    * training-data pipeline keeps its dedup index current: per-doc
+    * MinHash signatures are UPSERTED from each commit window's change
+    * rows (signatures recomputed only for changed docs, map-side over
+    * the window), never by rescanning the corpus. The non-net
+    * changelog needs one rule: the LAST change per doc in the window
+    * wins, with insert beating delete at the same ordinal (a COW
+    * rewrite emits delete+insert at one ordinal for carried rows);
+    * compaction emits nothing and must leave the state untouched.
+    * Each window cross-checks the maintained state against a full
+    * recompute and fails loudly on divergence; emitted rows are the
+    * per-window signature table. */
+  private val incrementalMinhash =
+    Q.noOracle("q_lake_incremental_minhash") { (s, _) =>
+      val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
+      def sigsOf(docs: DataFrame): DataFrame = {
+        val dt = graft.llm.DedupQueries.shingleSets(docs)
+        val hashCols = (0 until 4).map(i =>
+          min(conv(substring(md5(concat(lit(i.toString), col("sh"))),
+            1, 15), 16, 10).cast("bigint")).as(s"h$i"))
+        dt.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      }
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      cat.createNamespace("default")
+      val t = cat.createTable("default", "docs", docSchema,
+        Map("write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "copy-on-write"))
+      def append(rows: (Long, String)*): Unit =
+        t.append(s.createDataFrame(rows.map { case (i, x) =>
+          Row(java.lang.Long.valueOf(i), x) }.asJava, docSchema))
+      var state = sigsOf(s.createDataFrame(
+        java.util.Collections.emptyList[Row](), docSchema))
+      var from: Option[Long] = None
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String)]
+      def advance(phase: String): Unit = {
+        val head = t.currentSnapshot.get.snapshotId
+        val delta = t.changes(from, Some(head))
+        // last change per doc wins; insert beats delete at one ordinal
+        val last = delta
+          .groupBy("doc_id")
+          .agg(max(struct(col("_change_ordinal"),
+            (col("_change_type") === "insert").cast("int").as("is_ins"),
+            col("text"))).as("m"))
+          .select(col("doc_id"), col("m.is_ins").as("is_ins"),
+            col("m.text").as("text"))
+        val changed = last.select("doc_id")
+        val upserts = last.filter(col("is_ins") === 1)
+          .select("doc_id", "text")
+        state = state.join(changed, Seq("doc_id"), "left_anti")
+          .unionByName(sigsOf(upserts))
+          .localCheckpoint() // pin: later windows fold onto THIS state
+        from = Some(head)
+        val incr = state.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).sortBy(_._1)
+        val full = sigsOf(t.read()).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).sortBy(_._1)
+        require(incr.sameElements(full),
+          s"incremental signatures diverged at $phase: " +
+            s"incr=${incr.toSeq} full=${full.toSeq}")
+        incr.foreach { case (id, h0, h1, h2, h3) =>
+          out += ((phase, id, s"$h0-$h1-$h2-$h3")) }
+      }
+      append(1L -> "the quick brown fox jumps",
+        2L -> "the quick brown fox leaps",
+        3L -> "spark lake table format rocks",
+        4L -> "completely different text entirely here")
+      advance("w1-seed")
+      append(5L -> "spark lake table format rules",
+        6L -> "the quick brown fox jumps") // exact dup of doc 1
+      t.delete(col("doc_id") === 4L) // MOR position delete
+      advance("w2-append-delete")
+      t.update(col("doc_id") === 3L,
+        Map("text" -> lit("spark lake table format shines"))) // COW
+      t.rewriteDataFiles() // compaction: must contribute NOTHING
+      t.delete(col("doc_id") === 2L)
+      advance("w3-update-compact-delete")
+      import s.implicits._
+      out.toSeq.toDF("phase", "doc_id", "sig")
+        .orderBy("phase", "doc_id")
+    }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
-    schemaEvolution, wap, incrementalAgg)
+    schemaEvolution, wap, incrementalAgg, incrementalMinhash)
 }
