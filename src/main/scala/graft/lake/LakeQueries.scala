@@ -449,16 +449,41 @@ object LakeQueries extends QueryCatalog {
     * Each window cross-checks the maintained state against a full
     * recompute and fails loudly on divergence; emitted rows are the
     * per-window signature table. */
+  /** 4 md5-derived MinHashes over trigram shingles — the signature
+    * table maintained by [[foldSigDelta]]. */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
+    val dt = graft.llm.DedupQueries.shingleSets(docs)
+    val hashCols = (0 until 4).map(i =>
+      min(conv(substring(md5(concat(lit(i.toString), col("sh"))),
+        1, 15), 16, 10).cast("bigint")).as(s"h$i"))
+    dt.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** Fold one changelog window (batch `changes()` slice OR a
+    * graft-changes micro-batch — same columns) into a signature
+    * state: last change per doc wins, insert beats delete at one
+    * ordinal (COW rewrites emit both for carried rows). Signatures
+    * are recomputed only for the window's upserted docs, map-side. */
+  private[graft] def foldSigDelta(state: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val last = delta
+      .groupBy("doc_id")
+      .agg(max(struct(col("_change_ordinal"),
+        (col("_change_type") === "insert").cast("int").as("is_ins"),
+        col("text"))).as("m"))
+      .select(col("doc_id"), col("m.is_ins").as("is_ins"),
+        col("m.text").as("text"))
+    val changed = last.select("doc_id")
+    val upserts = last.filter(col("is_ins") === 1).select("doc_id", "text")
+    state.join(changed, Seq("doc_id"), "left_anti")
+      .unionByName(minhashSigs(upserts))
+      .localCheckpoint() // pin: later windows fold onto THIS state
+  }
+
   private val incrementalMinhash =
     Q.noOracle("q_lake_incremental_minhash") { (s, _) =>
       val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
-      def sigsOf(docs: DataFrame): DataFrame = {
-        val dt = graft.llm.DedupQueries.shingleSets(docs)
-        val hashCols = (0 until 4).map(i =>
-          min(conv(substring(md5(concat(lit(i.toString), col("sh"))),
-            1, 15), 16, 10).cast("bigint")).as(s"h$i"))
-        dt.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-      }
+      def sigsOf(docs: DataFrame): DataFrame = minhashSigs(docs)
       val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
       cat.createNamespace("default")
       val t = cat.createTable("default", "docs", docSchema,
@@ -474,21 +499,7 @@ object LakeQueries extends QueryCatalog {
         .empty[(String, Long, String)]
       def advance(phase: String): Unit = {
         val head = t.currentSnapshot.get.snapshotId
-        val delta = t.changes(from, Some(head))
-        // last change per doc wins; insert beats delete at one ordinal
-        val last = delta
-          .groupBy("doc_id")
-          .agg(max(struct(col("_change_ordinal"),
-            (col("_change_type") === "insert").cast("int").as("is_ins"),
-            col("text"))).as("m"))
-          .select(col("doc_id"), col("m.is_ins").as("is_ins"),
-            col("m.text").as("text"))
-        val changed = last.select("doc_id")
-        val upserts = last.filter(col("is_ins") === 1)
-          .select("doc_id", "text")
-        state = state.join(changed, Seq("doc_id"), "left_anti")
-          .unionByName(sigsOf(upserts))
-          .localCheckpoint() // pin: later windows fold onto THIS state
+        state = foldSigDelta(state, t.changes(from, Some(head)))
         from = Some(head)
         val incr = state.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

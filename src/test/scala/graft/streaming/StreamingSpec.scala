@@ -501,6 +501,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CDC stream maintains MinHash signatures: foreachBatch folds " +
+    "over graft-changes equal a full recompute after appends, MOR " +
+    "delete, COW update, and compaction") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.{GraftTable, LakeQueries}
+    import org.apache.spark.sql.functions._
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val wh = Files.createTempDirectory("graft-isig-")
+    val t = GraftTable.create(spark, wh.resolve("docs"), "d.docs", schema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "copy-on-write"))
+    def append(rows: (Long, String)*): Unit =
+      t.append(spark.createDataFrame(rows.map { case (i, x) =>
+        Row(java.lang.Long.valueOf(i), x) }.asJava, schema))
+    append(1L -> "the quick brown fox jumps",
+      2L -> "the quick brown fox leaps",
+      3L -> "spark lake table format rocks")
+    // state lives across micro-batches; foreachBatch runs serially
+    var state = LakeQueries.minhashSigs(spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), schema))
+    val q = spark.readStream.format("graft-changes")
+      .option("path", t.root.toString).load()
+      .writeStream.foreachBatch { (df: Dataset[Row], _: Long) =>
+        state = LakeQueries.foldSigDelta(state, df)
+        ()
+      }.start()
+    def settled(): Array[(Long, Long, Long, Long, Long)] = {
+      q.processAllAvailable()
+      state.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).sortBy(_._1)
+    }
+    def full(): Array[(Long, Long, Long, Long, Long)] =
+      LakeQueries.minhashSigs(t.read()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+    try {
+      assert(settled().sameElements(full()), "cold-start backfill")
+      append(4L -> "the quick brown fox jumps", // exact dup of doc 1
+        5L -> "completely different text entirely here")
+      t.delete(col("doc_id") === 5L) // MOR delete
+      assert(settled().sameElements(full()), "append + MOR delete")
+      // streamed exact dup carries doc 1's exact signature
+      val byId = settled().map(s => s._1 -> (s._2, s._3, s._4, s._5)).toMap
+      assert(byId(4L) == byId(1L), "exact dup must collide signatures")
+      t.update(col("doc_id") === 3L,
+        Map("text" -> lit("spark lake table format shines"))) // COW
+      t.rewriteDataFiles() // compaction must contribute NOTHING
+      assert(settled().sameElements(full()), "COW update + compaction")
+    } finally q.stop()
+  }
+
   test("maxSnapshotsPerTrigger pages a cold start through table " +
     "history: capped micro-batches, nothing lost, on both sources") {
     import org.apache.spark.sql.types.StructType
