@@ -551,6 +551,13 @@ class StreamingSpec extends SparkSuite {
         Map("text" -> lit("spark lake table format shines"))) // COW
       t.rewriteDataFiles() // compaction must contribute NOTHING
       assert(settled().sameElements(full()), "COW update + compaction")
+      // equality delete: the third delete flavor the changelog emits
+      t.equalityDelete(spark.createDataFrame(
+        Seq(Row(java.lang.Long.valueOf(2L))).asJava,
+        StructType.fromDDL("doc_id BIGINT")))
+      val after = settled()
+      assert(after.sameElements(full()), "equality delete")
+      assert(!after.exists(_._1 == 2L), "eq-deleted doc must leave state")
     } finally q.stop()
   }
 
