@@ -66,6 +66,36 @@ class PlanSpec extends SparkSuite {
       "LSH candidate generation degenerated to all-pairs")
   }
 
+  test("substring coverage: equi-join on the window text, one per-doc " +
+    "interval window, partial agg before the dup-count exchange, " +
+    "never all-pairs") {
+    val p = plan("q_dedup_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "duplicated-window detection degenerated to all-pairs")
+    assert(p.contains("partial_count"),
+      "dup-window count must combine map-side before the exchange")
+    assert("(?s)Window".r.findAllIn(p).size >= 1 &&
+      p.contains("specifiedwindowframe(RowFrame, unboundedpreceding"),
+      "interval union must be the running-max window, not a self-join")
+  }
+
+  test("BPE pair counting aggregates the vocabulary first: corpus-" +
+    "sized work is one word count, pair explosion is post-agg, top-k " +
+    "is TakeOrderedAndProject") {
+    val p = plan("q_text_bpe_pairs")
+    assert(p.contains("partial_count"),
+      "word count must combine map-side")
+    assert(p.contains("partial_sum"),
+      "pair count must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-30 must not be a global sort")
+    // exactly two explodes: the corpus token explode and the post-agg
+    // vocab pair explode — a third would mean pair generation ran over
+    // raw corpus rows ("(N) Generate" counts operators, not tree lines)
+    assert("""\(\d+\) Generate""".r.findAllIn(p).size == 2, p)
+  }
+
   test("sequence packing windows per shard, never a single global " +
     "partition") {
     val p = plan("q_pipe_pack")
