@@ -360,13 +360,34 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def commitMeta(base: Base, m: TableMeta): Unit = {
     val v = base.version + 1
     val file = s"v$v.metadata.json"
-    val logged = m.copy(metadataLog = m.metadataLog :+
-      MetadataLogEntry(now(), s"metadata/$file"))
+    // Iceberg metadata-version retention: with delete-after-commit
+    // enabled, only the newest previous-versions-max version files
+    // survive a commit, and the metadata-log is trimmed to match so
+    // the published metadata never references a deleted file. Current
+    // state is fully self-contained (snapshots + manifests live in
+    // the CURRENT metadata), so time travel and the metadata tables
+    // are unaffected; only the metadata_log_entries relation shrinks,
+    // exactly as in Iceberg.
+    val deleteOld = m.properties.getOrElse(
+      "write.metadata.delete-after-commit.enabled", "false").toBoolean
+    val keep = m.properties.getOrElse(
+      "write.metadata.previous-versions-max", "100").toInt.max(1)
+    val fullLog = m.metadataLog :+ MetadataLogEntry(now(), s"metadata/$file")
+    val logged = m.copy(metadataLog =
+      if (deleteOld) fullLog.takeRight(keep + 1) else fullLog)
     if (!commit.publishNew(metadataDir.resolve(file), Json.write(logged)))
       throw new java.util.ConcurrentModificationException(
         s"commit conflict on $name: metadata v$v was published by " +
           "another writer; re-read the table and retry the operation")
     commit.overwrite(hintFile, v.toString)
+    if (deleteOld) {
+      // walk down from the newest version that just fell out of the
+      // window and stop at the first gap — incremental O(1) per commit
+      // once steady, and the walk clears any pre-enable backlog once
+      var k = v - keep - 1
+      while (k >= 0 && Files.deleteIfExists(
+          metadataDir.resolve(s"v$k.metadata.json"))) k -= 1
+    }
   }
 
   /** Commit a new snapshot: write its manifest list, then the metadata.

@@ -316,6 +316,37 @@ class GraftTableSpec extends SparkSuite {
     assert(t.readWhere(col("case_ref") === "zzz").count() === 0)
   }
 
+  test("metadata version retention: delete-after-commit keeps only the " +
+    "newest previous-versions-max version files, trims the log, and " +
+    "leaves reads + time travel + history untouched") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "2"))
+    t.append(seedDf)
+    val early = t.currentSnapshot.get.snapshotId
+    (1 to 5).foreach(i => t.append(spark.createDataFrame(Seq(
+      Row(s"case-x$i", s"N$i", s"n$i@example.com", s"k$i", s"s$i",
+        s"sk$i", java.sql.Date.valueOf("2024-01-01"))).asJava, piiSchema)))
+    t.delete(col("case_id") === "case-2")
+    val v = t.version
+    val onDisk = Files.list(t.root.resolve("metadata")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d+\\.metadata\\.json")).toSet
+    // current + the 2 newest previous versions, nothing older
+    assert(onDisk === Set(s"v$v.metadata.json", s"v${v - 1}.metadata.json",
+      s"v${v - 2}.metadata.json"), s"unexpected version files: $onDisk")
+    assert(t.metadataLogEntries.count() === 3,
+      "metadata log must be trimmed with the files")
+    // snapshots + manifests live in CURRENT metadata: full history,
+    // current reads, and time travel to the EARLIEST snapshot all work
+    assert(t.history.count() === 7)
+    assert(t.read().count() === 7) // 3 + 5 - 1 deleted
+    assert(t.readAt(early).count() === 3)
+  }
+
   test("metadata tables: history/snapshots/files/all_entries/" +
       "all_manifests/metadata_log_entries have the queried columns") {
     val t = newTable()
