@@ -163,6 +163,39 @@ object LakeQueries extends QueryCatalog {
     s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
   }
 
+  /** D32 metadata version retention as a driver-visible query: with
+    * delete-after-commit enabled and previous-versions-max=2, six
+    * commits leave exactly 3 version files (current + 2 previous) and
+    * a log trimmed to match, while history and reads stay complete.
+    * Emits one row per observation with deterministic values. */
+  private val metadataRetention =
+    Q.noOracle("q_lake_metadata_retention") { (s, _) =>
+      import s.implicits._
+      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      cat.createNamespace("default")
+      val t = cat.createTable("default", "pii_data", piiSchema,
+        Map("write.delete.mode" -> "merge-on-read",
+          "write.metadata.delete-after-commit.enabled" -> "true",
+          "write.metadata.previous-versions-max" -> "2"))
+      t.append(s.createDataFrame(seedRows.asJava, piiSchema))
+      val early = t.currentSnapshot.get.snapshotId
+      (1 to 4).foreach(i => t.append(s.createDataFrame(Seq(
+        Row(s"case-x$i", s"N$i", s"n$i@example.com", s"k$i", s"s$i",
+          s"sk$i", java.sql.Date.valueOf("2024-01-01"))).asJava,
+        piiSchema)))
+      t.delete(col("case_id") === "case-2")
+      val versionFiles = Io.listRecursive(t.root.resolve("metadata"))
+        .map(_.getFileName.toString)
+        .count(_.matches("v\\d+\\.metadata\\.json"))
+      Seq(
+        ("version_files_on_disk", versionFiles.toLong),
+        ("metadata_log_entries", t.metadataLogEntries.count()),
+        ("history_commits", t.history.count()),
+        ("live_rows", t.read().count()),
+        ("rows_at_earliest_snapshot", t.readAt(early).count()))
+        .toDF("observation", "value").orderBy("observation")
+    }
+
   /** Schema evolution as a driver-visible query: RENAME COLUMN is
     * metadata-only (physical names stay on the files), ALTER COLUMN
     * TYPE widens int→long in place, and reads span files written
@@ -536,5 +569,6 @@ object LakeQueries extends QueryCatalog {
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
-    schemaEvolution, wap, incrementalAgg, incrementalMinhash)
+    schemaEvolution, wap, incrementalAgg, incrementalMinhash,
+    metadataRetention)
 }
