@@ -287,6 +287,57 @@ class LakeWritePlanSpec extends SparkSuite {
       < all.size)
   }
 
+  test("partition spec evolution: days(ts) files keep day-pruning " +
+    "after the spec changes to bucket(8,user_id); new files bucket-" +
+    "prune; both coexist in one table") {
+    val sch = StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
+    val wh = Files.createTempDirectory("graft-evo-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
+      Map("write.clustered-by" -> "days(ts)",
+        "write.clustered-by.files" -> "16"))
+    val base = java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+    t.append(spark.createDataFrame((0 until 4000).map { i =>
+      Row(i.toLong, base.plusDays(i % 8).plusMinutes(i % 300),
+        i.toLong % 97)
+    }.asJava, sch))
+    val oldFiles = dataFilePaths(t).keySet
+    assert(oldFiles.size === 8)
+    // evolve the spec — pure metadata, no rewrite of existing files
+    t.setProperties(Map("write.clustered-by" -> "bucket(8,user_id)",
+      "write.clustered-by.files" -> "8"))
+    t.append(spark.createDataFrame((4000 until 8000).map { i =>
+      Row(i.toLong, base.plusDays(20), i.toLong % 500)
+    }.asJava, sch))
+    val newFiles = dataFilePaths(t).keySet -- oldFiles
+    assert(newFiles.size > 1)
+    // day predicate: prunes to ONE old-layout file (their day-tight
+    // stats survive the spec change) and zero-or-few new-layout files
+    // (all on day 20, pruned by raw ts stats)
+    val (nDay, qesDay) = capturing {
+      t.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-04 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-05 00:00:00")))
+        .count()
+    }
+    assert(nDay === 500)
+    val dayScanned = scannedFiles(qesDay)
+    assert(dayScanned.intersect(oldFiles.map(Io.normalize)).size === 1,
+      "old-layout day pruning broke after spec evolution")
+    assert(dayScanned.intersect(newFiles.map(Io.normalize)).isEmpty,
+      "new-layout files are all on day 20 and must prune out")
+    // bucket equality: new-layout files prune via derived bucket
+    // stats; old-layout files (no bucket stats) are conservatively
+    // scanned — correct, they predate the spec
+    val (_, qesEq) = capturing {
+      t.readWhere(col("user_id") === 442L).count()
+    }
+    val eqScanned = scannedFiles(qesEq)
+    assert(eqScanned.intersect(newFiles.map(Io.normalize)).size
+      < newFiles.size,
+      "bucket pruning must engage on post-evolution files")
+  }
+
   test("truncate(w,col) partition transform: prefix-clustered files, " +
     "prefix predicates prune via raw stats, partitions table truncates") {
     val sch = StructType.fromDDL("word STRING, payload STRING")
