@@ -441,7 +441,99 @@ object DedupQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** The ACTION half of substring dedup (Lee et al. 2021): every
+    * duplicated K-token window keeps only its globally-first
+    * occurrence (total (doc_id, position) order — deterministic);
+    * later occurrences mark their positions for removal, and each
+    * document is rebuilt from its surviving tokens. Emits the cleaned
+    * text plus how many tokens were cut.
+    *
+    * Scale shape: the only additions over the coverage query are a
+    * per-gram row_number (partition = one gram's occurrence list,
+    * bounded by duplication depth, never corpus-sized), a K-wide
+    * position explode over REDUNDANT windows only, and one
+    * (doc_id, pos) anti-join + per-doc rebuild groupBy. All shuffles
+    * are keyed equi-ops; nothing is all-pairs. */
+  private val substringRewrite = Q(
+    "q_dedup_substring_rewrite",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, i AS p,
+       |    concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+       |      toks[i+5]) AS g
+       |  FROM t, unnest(generate_series(0, n - $SubK)) AS u(i)
+       |  WHERE n >= $SubK
+       |), dup AS (
+       |  SELECT g FROM occ GROUP BY g HAVING count(*) > 1
+       |), ranked AS (
+       |  SELECT o.doc_id, o.p,
+       |    row_number() OVER (PARTITION BY o.g
+       |      ORDER BY o.doc_id, o.p) AS rn
+       |  FROM occ o JOIN dup USING (g)
+       |), covered AS (
+       |  SELECT DISTINCT doc_id, p + u.j AS pos
+       |  FROM ranked, unnest(generate_series(0, ${SubK - 1})) AS u(j)
+       |  WHERE rn > 1
+       |), tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tk
+       |  FROM t, unnest(generate_series(1, n)) AS u(i)
+       |), rebuilt AS (
+       |  SELECT k.doc_id, string_agg(k.tk, ' ' ORDER BY k.pos) AS cleaned,
+       |    count(*) AS kept
+       |  FROM tok k
+       |  LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.pos = k.pos
+       |  WHERE c.pos IS NULL
+       |  GROUP BY k.doc_id
+       |)
+       |SELECT t.doc_id, coalesce(r.cleaned, '') AS cleaned_text,
+       |  CAST(t.n - coalesce(r.kept, 0) AS BIGINT) AS removed_tokens
+       |FROM t LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (s, dir) => substringRewriteOver(Tables.documents(s, dir)) }
+
+  /** The q_dedup_substring_rewrite pipeline over any (doc_id, text)
+    * frame — factored out for spec-driven corpora. */
+  private[graft] def substringRewriteOver(docs: DataFrame): DataFrame = {
+    val k = SubK
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val occ = t.filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n - $k), i -> struct(i AS p, " +
+          s"concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
+          s"toks[i+4]) AS g))")).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
+    val dup = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("g")
+    val ranked = occ.join(dup, "g")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "p")))
+    val covered = ranked.filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("pos"))
+      .distinct()
+    val tok = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tk")))
+    val rebuilt = tok
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(pos, tk))), x -> x.tk), ' ')").as("cleaned"),
+        count(lit(1)).as("kept"))
+    t.select(col("doc_id"), col("n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"),
+        (col("n").cast("long") - coalesce(col("kept"), lit(0L)))
+          .as("removed_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    embeddingNearDup, substringCoverage)
+    embeddingNearDup, substringCoverage, substringRewrite)
 }

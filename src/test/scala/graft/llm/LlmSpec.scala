@@ -47,6 +47,27 @@ class LlmSpec extends SparkSuite {
     assert(got(6L) == ((12L, 10L, 8333L)))
   }
 
+  test("substring rewrite keeps only the globally-first occurrence of " +
+    "each duplicated window and rebuilds the text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e z"),
+      (3L, "m n o p q r"),
+      (4L, "m n o p q r"),
+      (5L, "s t u v"),
+      (6L, "c1 c2 c3 c4 c5 z1 z2 c1 c2 c3 c4 c5")
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.substringRewriteOver(docs).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("a b c d e f g h", 0L))) // first occurrence: kept
+    assert(got(2L) == (("x y z", 5L)))           // later: span cut
+    assert(got(3L) == (("m n o p q r", 0L)))     // doc 3 < doc 4: kept
+    assert(got(4L) == (("", 6L)))                // identical twin: emptied
+    assert(got(5L) == (("s t u v", 0L)))         // sub-K: untouched
+    assert(got(6L) == (("c1 c2 c3 c4 c5 z1 z2", 5L))) // self-repeat cut
+  }
+
   test("sqrt-temperature mix-interleave on a SKEWED corpus: derived " +
     "factors exceed 1 and every full round carries the target mix") {
     import spark.implicits._
