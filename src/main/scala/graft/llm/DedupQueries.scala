@@ -448,12 +448,16 @@ object DedupQueries extends QueryCatalog {
     * document is rebuilt from its surviving tokens. Emits the cleaned
     * text plus how many tokens were cut.
     *
-    * Scale shape: the only additions over the coverage query are a
-    * per-gram row_number (partition = one gram's occurrence list,
-    * bounded by duplication depth, never corpus-sized), a K-wide
-    * position explode over REDUNDANT windows only, and one
-    * (doc_id, pos) anti-join + per-doc rebuild groupBy. All shuffles
-    * are keyed equi-ops; nothing is all-pairs. */
+    * Scale shape: first-occurrence selection is a per-gram MIN of an
+    * encoded (doc_id, position) key — partial-aggregable map-side, so
+    * a boilerplate gram duplicated millions of times costs one
+    * combiner cell, NOT a million-row window partition (the
+    * row_number formulation would skew exactly there). Then a K-wide
+    * position explode over REDUNDANT windows only, one (doc_id, pos)
+    * anti-join, and a per-doc ordered rebuild. All shuffles are keyed
+    * equi-ops; nothing is all-pairs. The key encoding bounds
+    * positions at 2^20 tokens per document (documents.n_chars is
+    * orders of magnitude below that). */
   private val substringRewrite = Q(
     "q_dedup_substring_rewrite",
     s"""WITH t AS (
@@ -466,17 +470,14 @@ object DedupQueries extends QueryCatalog {
        |      toks[i+5]) AS g
        |  FROM t, unnest(generate_series(0, n - $SubK)) AS u(i)
        |  WHERE n >= $SubK
-       |), dup AS (
-       |  SELECT g FROM occ GROUP BY g HAVING count(*) > 1
-       |), ranked AS (
-       |  SELECT o.doc_id, o.p,
-       |    row_number() OVER (PARTITION BY o.g
-       |      ORDER BY o.doc_id, o.p) AS rn
-       |  FROM occ o JOIN dup USING (g)
+       |), firsts AS (
+       |  SELECT g, min(doc_id * 1048576 + p) AS fk
+       |  FROM occ GROUP BY g HAVING count(*) > 1
        |), covered AS (
-       |  SELECT DISTINCT doc_id, p + u.j AS pos
-       |  FROM ranked, unnest(generate_series(0, ${SubK - 1})) AS u(j)
-       |  WHERE rn > 1
+       |  SELECT DISTINCT o.doc_id, o.p + u.j AS pos
+       |  FROM occ o JOIN firsts f USING (g),
+       |    unnest(generate_series(0, ${SubK - 1})) AS u(j)
+       |  WHERE o.doc_id * 1048576 + o.p <> f.fk
        |), tok AS (
        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tk
        |  FROM t, unnest(generate_series(1, n)) AS u(i)
@@ -507,12 +508,14 @@ object DedupQueries extends QueryCatalog {
           s"concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
           s"toks[i+4]) AS g))")).as("o"))
       .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
-    val dup = occ.groupBy("g").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("g")
-    val ranked = occ.join(dup, "g")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("g").orderBy("doc_id", "p")))
-    val covered = ranked.filter(col("rn") > 1)
+    // first occurrence per duplicated gram as a partial-aggregable
+    // MIN of an encoded (doc_id, position) key — no window, no skew
+    val firsts = occ.groupBy("g")
+      .agg(min(col("doc_id") * lit(1048576L) + col("p")).as("fk"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("g", "fk")
+    val covered = occ.join(firsts, "g")
+      .filter(col("doc_id") * lit(1048576L) + col("p") =!= col("fk"))
       .select(col("doc_id"),
         explode(sequence(col("p"), col("p") + lit(k - 1))).as("pos"))
       .distinct()

@@ -80,6 +80,18 @@ class PlanSpec extends SparkSuite {
       "interval union must be the running-max window, not a self-join")
   }
 
+  test("substring rewrite picks first occurrences with a partial-" +
+    "aggregable min, not a per-gram window (mega-duplicated grams " +
+    "would skew a row_number partition)") {
+    val p = plan("q_dedup_substring_rewrite")
+    assert(p.contains("partial_min"),
+      "first-occurrence selection must combine map-side")
+    assert(!p.contains("row_number"),
+      "rewrite must not rank occurrences with a window")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("BPE pair counting aggregates the vocabulary first: corpus-" +
     "sized work is one word count, pair explosion is post-agg, top-k " +
     "is TakeOrderedAndProject") {
