@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSpec extends SparkSuite {
 
+  test("substring rewrite survives a 200k-fold duplicated boilerplate " +
+    "gram: min-based first-occurrence selection never builds a " +
+    "per-gram window partition") {
+    import spark.implicits._
+    // every doc opens with the same 5-token boilerplate; tails are
+    // unique. The boilerplate gram occurs 200k times — a row_number
+    // formulation would funnel all 200k occurrences through ONE
+    // window partition; the partial-min shape combines them map-side.
+    val docs = spark.range(0, 200000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("terms of service apply here "),
+          concat_ws(" ", col("id").cast("string"),
+            (col("id") * 7919).cast("string"),
+            (col("id") * 104729).cast("string"))).as("text"))
+    val out = DedupQueries.substringRewriteOver(docs)
+    // distributed validation only (32m driver cap stands guard):
+    // doc 0 keeps everything; every other doc loses >= the 5
+    // boilerplate tokens, never its unique tail
+    val stats = out.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("removed_tokens") >= 5L, 1L).otherwise(0L)).as("cut"),
+      sum(when(col("doc_id") === 0L && col("removed_tokens") === 0L,
+        1L).otherwise(0L)).as("first_intact")).collect().head
+    assert(stats.getLong(0) == 200000L)
+    assert(stats.getLong(1) == 199999L,
+      "every doc but the global first must lose the boilerplate span")
+    assert(stats.getLong(2) == 1L, "doc 0 must keep its text whole")
+  }
+
   test("distributed cluster resolution completes on a >1M-edge pair set" +
     " without collecting the label set to the driver") {
     assert(spark.conf.get("spark.driver.maxResultSize") == "32m",
