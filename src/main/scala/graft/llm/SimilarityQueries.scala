@@ -599,10 +599,143 @@ object SimilarityQueries extends QueryCatalog {
       .limit(10)
   }
 
+  /** Distributed k-means (two unrolled Lloyd iterations, k=8, seeds =
+    * vec_id 0..7) over integer-quantized embeddings — the clustering
+    * primitive behind curation mixes, SemDeDup cells, and IVF coarse
+    * quantizers, made oracle-exact: vectors quantize to a shifted
+    * non-negative integer grid (round(x*1000)+5000), so squared-L2
+    * distances, argmin tie-breaks (smallest centroid id), and
+    * floor-mean recomputes are pure integer math that DuckDB
+    * reproduces bit-for-bit. Empty clusters keep their previous
+    * centroid.
+    *
+    * Scale design: centroids are k (bounded) rows — broadcast, never
+    * shuffled; assignment is map-side via the codegen'd vec_dot
+    * kernel (quantized values are exact in double up to 2^53, so
+    * |q|² − 2q·c + |c|² is exact integer arithmetic in double
+    * space); per-cluster recompute is 64 partial-aggregable column
+    * sums, one k-row shuffle per iteration. The corpus is scanned
+    * once into a materialized (q, qd, qq) table shared by both
+    * iterations — at 10^9 vectors each iteration is one map pass
+    * plus a k×64-cell aggregate. */
+  private val kmeans = Q(
+    "q_sim_kmeans", {
+      def dist(cent: String) =
+        s"""SELECT v.vec_id, c.cid,
+           |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+           |  FROM dims v JOIN $cent c USING (d) GROUP BY 1, 2""".stripMargin
+      def argmin(d: String) =
+        s"""SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, cid) AS rn FROM $d) WHERE rn = 1""".stripMargin
+      s"""WITH dims AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |      + 5000 AS q
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)
+         |), c0 AS (
+         |  SELECT vec_id AS cid, d, q AS c FROM dims WHERE vec_id < 8
+         |), d1 AS (
+         |  ${dist("c0")}
+         |), a1 AS (
+         |  ${argmin("d1")}
+         |), m1 AS (
+         |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
+         |  FROM a1 a JOIN dims v USING (vec_id) GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT s.cid, s.d, coalesce(m.c, s.c) AS c
+         |  FROM c0 s LEFT JOIN m1 m ON m.cid = s.cid AND m.d = s.d
+         |), d2 AS (
+         |  ${dist("c1")}
+         |), a2 AS (
+         |  ${argmin("d2")}
+         |), m2 AS (
+         |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
+         |  FROM a2 a JOIN dims v USING (vec_id) GROUP BY 1, 2
+         |), c2 AS (
+         |  SELECT s.cid, s.d, coalesce(m.c, s.c) AS c
+         |  FROM c1 s LEFT JOIN m2 m ON m.cid = s.cid AND m.d = s.d
+         |), sizes AS (
+         |  SELECT cid, count(*) AS n FROM a2 GROUP BY cid
+         |)
+         |SELECT c2.cid AS cluster_id,
+         |  coalesce(any_value(sizes.n), 0) AS n_members,
+         |  CAST(sum(abs(c2.c - 5000)) AS BIGINT) AS l1
+         |FROM c2 LEFT JOIN sizes ON sizes.cid = c2.cid
+         |GROUP BY c2.cid ORDER BY cluster_id""".stripMargin
+    }
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val Dim = 64
+    val K = 8
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 5000)").as("q"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+      .localCheckpoint() // scanned once, read by both iterations
+    val qq = vec.dot(s, col("qd"), col("qd"))
+    def centsDf(c: Array[Array[Long]]): DataFrame = {
+      val rows = c.zipWithIndex.map { case (cv, cid) =>
+        org.apache.spark.sql.Row(cid.toLong, cv.map(_.toDouble).toSeq,
+          cv.map(x => x.toDouble * x).sum)
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cid BIGINT, cv ARRAY<DOUBLE>, cc DOUBLE"))
+    }
+    // map-side assignment: k broadcast centroid rows, exact-integer
+    // double distances through the vec_dot kernel, partial-agg argmin
+    def assign(cents: Array[Array[Long]]): DataFrame =
+      base.crossJoin(broadcast(centsDf(cents)))
+        .select(col("vec_id"), col("q"),
+          col("cid"), (qq - lit(2.0) * vec.dot(s, col("qd"), col("cv")) +
+            col("cc")).as("dist"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          first(col("q")).as("q"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("q"))
+    def step(cents: Array[Array[Long]])
+        : (Array[Array[Long]], DataFrame) = {
+      val asn = assign(cents)
+      val sums = asn.groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          (0 until Dim).map(d =>
+            sum(element_at(col("q"), d + 1)).as(s"s$d")): _*)
+        .collect()
+        .map(r => r.getLong(0).toInt ->
+          (r.getLong(1), (0 until Dim).map(d =>
+            r.getLong(2 + d)).toArray)).toMap
+      val next = cents.indices.map { cid =>
+        sums.get(cid) match {
+          case Some((n, sv)) => sv.map(_ / n) // floor: values >= 0
+          case None => cents(cid) // empty cluster keeps its centroid
+        }
+      }.toArray
+      (next, asn)
+    }
+    val seeds = base.filter(col("vec_id") < K)
+      .select(col("vec_id"), col("q")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    val (c1, _) = step(seeds)
+    val (c2, asn2) = step(c1)
+    val sizes = asn2.groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    c2.zipWithIndex.map { case (cv, cid) =>
+      (cid.toLong, sizes.getOrElse(cid.toLong, 0L),
+        cv.map(x => math.abs(x - 5000L)).sum)
+    }.toSeq.toDF("cluster_id", "n_members", "l1")
+      .orderBy("cluster_id")
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc)
+      topkAdc, kmeans)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
