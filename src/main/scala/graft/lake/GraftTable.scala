@@ -379,6 +379,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
       throw new java.util.ConcurrentModificationException(
         s"commit conflict on $name: metadata v$v was published by " +
           "another writer; re-read the table and retry the operation")
+    // Retention RECYCLES commit tokens: once old version files are
+    // deleted, a slow writer whose expected v+1 was already swept
+    // wins publishNew on a stale token — and overwriting the hint
+    // would ROLL THE TABLE BACK to its base. The token win is only
+    // valid while the hint still sits at our base version (owning
+    // v+1 blocks legitimate writers from advancing past base, so any
+    // other hint value proves recycling); otherwise undo the stale
+    // publish and surface the conflict.
+    if (version != base.version) {
+      Files.deleteIfExists(metadataDir.resolve(file))
+      throw new java.util.ConcurrentModificationException(
+        s"commit conflict on $name: version token v$v was recycled by " +
+          "metadata retention while this operation ran; re-read the " +
+          "table and retry the operation")
+    }
     commit.overwrite(hintFile, v.toString)
     if (deleteOld) {
       // walk down from the newest version that just fell out of the

@@ -572,6 +572,43 @@ class GraftTableSpec extends SparkSuite {
     assert(GraftTable.load(spark, root).read().count() === 3)
   }
 
+  test("retention-recycled commit token: a slow writer whose expected " +
+    "version file was swept must conflict, never roll the hint back") {
+    val root = freshWarehouse().resolve("default").resolve("pii_stale")
+    @volatile var raced = false
+    // just before this op publishes v1, another writer lands FOUR
+    // commits under previous-versions-max=1 — the retention walk
+    // deletes v0..v2, so this op's v1 token is free again. Without
+    // the hint guard the stale publish would win and overwrite the
+    // hint back to 1, silently resetting the table.
+    val racing = new CommitProvider {
+      override def publishNew(target: Path, content: String): Boolean = {
+        if (!raced) {
+          raced = true
+          val other = GraftTable.load(spark, root)
+          (1 to 4).foreach(_ => other.append(seedDf))
+        }
+        Io.atomicPublishNew(target, content)
+      }
+      override def overwrite(target: Path, content: String): Unit =
+        Io.atomicWrite(target, content)
+    }
+    val t = GraftTable.create(spark, root, "default.pii_stale", piiSchema,
+      Map("write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "1"),
+      commit = racing)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.append(seedDf)
+    }
+    assert(e.getMessage.contains("recycled"), e.getMessage)
+    val reloaded = GraftTable.load(spark, root)
+    assert(reloaded.version === 4, "hint must never move backwards")
+    assert(reloaded.read().count() === 12, "the 4 interleaved appends " +
+      "are the table state; the stale writer contributed nothing")
+    assert(!Files.exists(root.resolve("metadata/v1.metadata.json")),
+      "the stale v1 publish must be rolled back")
+  }
+
   test("MOR delete fans out over multiple delete files when hits exceed " +
     "write.delete.rows-per-file") {
     val t = newTable()
