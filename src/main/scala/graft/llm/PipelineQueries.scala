@@ -983,8 +983,70 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Dataset card — the per-(lang, source) summary artifact every
+    * training-data release ships: document and token volumes plus
+    * exact-duplication rates, composed from the substring-coverage
+    * pipeline. Integer everywhere: token shares as half-up basis
+    * points, mean doc length as integer division. One coverage pass
+    * (already partial-agg shaped) + one slice-keyed groupBy. */
+  private val datasetCard = Q(
+    "q_pipe_dataset_card",
+    """WITH t AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id, i AS p,
+      |    concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+      |      toks[i+5]) AS g
+      |  FROM t, unnest(generate_series(0, n - 5)) AS u(i)
+      |  WHERE n >= 5
+      |), dup AS (
+      |  SELECT g FROM occ GROUP BY g HAVING count(*) > 1
+      |), hits AS (
+      |  SELECT o.doc_id, o.p FROM occ o JOIN dup USING (g)
+      |), cov AS (
+      |  SELECT doc_id,
+      |    greatest(0, (p + 5) - greatest(p,
+      |      coalesce(max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS c
+      |  FROM hits
+      |), per AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+      |  FROM cov GROUP BY doc_id
+      |)
+      |SELECT t.lang, t.source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(t.n) AS BIGINT) AS total_tokens,
+      |  CAST(sum(t.n) // count(*) AS BIGINT) AS mean_doc_tokens,
+      |  CAST(sum(CASE WHEN coalesce(per.dup_tokens, 0) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dups,
+      |  CAST((10000 * CAST(sum(coalesce(per.dup_tokens, 0)) AS BIGINT)
+      |    + CAST(sum(t.n) AS BIGINT) // 2)
+      |    // CAST(sum(t.n) AS BIGINT) AS BIGINT) AS dup_token_share_bp
+      |FROM t LEFT JOIN per USING (doc_id)
+      |GROUP BY t.lang, t.source
+      |ORDER BY t.lang, t.source""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val cov = DedupQueries.substringCoverageOver(docs)
+      .select(col("doc_id"), col("total_tokens"), col("dup_tokens"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(cov, Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("total_tokens").cast("long").as("total_tokens"),
+        expr("CAST(sum(total_tokens) div count(1) AS BIGINT)")
+          .as("mean_doc_tokens"),
+        sum(when(col("dup_tokens") > 0, 1L).otherwise(0L))
+          .cast("long").as("docs_with_dups"),
+        expr("CAST((10000 * sum(dup_tokens) + sum(total_tokens) div 2)" +
+          " div sum(total_tokens) AS BIGINT)").as("dup_token_share_bp"))
+      .orderBy("lang", "source")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
     logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
-    mixture, interleave, mixInterleave, stratified)
+    mixture, interleave, mixInterleave, stratified, datasetCard)
 }
