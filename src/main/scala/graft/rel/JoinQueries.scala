@@ -337,7 +337,76 @@ object JoinQueries extends QueryCatalog {
       |ORDER BY p_partkey""".stripMargin)
   }
 
+  /** Nearest-in-time as-of join (J7's two-sided sibling): each event
+    * pairs with the purchase of the same user whose timestamp is
+    * CLOSEST in either direction — backward wins exact ties, equal-ts
+    * backward candidates resolve to the highest event_id and forward
+    * ones to the lowest (the J7 conventions, mirrored). Same linear
+    * interleaved-stream shape as q_join_asof run in BOTH directions:
+    * one shuffle keyed on user_id, two running-frame windows over it
+    * (ascending carries the latest build at-or-before, descending the
+    * earliest at-or-after), then a map-side argmin of the two integer
+    * microsecond gaps. No range join, no per-event subquery. */
+  private val asofNearest = Q(
+    "q_join_asof_nearest",
+    """SELECT e.event_id, n.purchase_id AS nearest_purchase_id, n.gap_us
+      |FROM events e
+      |LEFT JOIN LATERAL (
+      |  SELECT p.event_id AS purchase_id,
+      |    CAST(abs(epoch_us(p.ts) - epoch_us(e.ts)) AS BIGINT) AS gap_us
+      |  FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id
+      |  ORDER BY abs(epoch_us(p.ts) - epoch_us(e.ts)),
+      |    CASE WHEN p.ts <= e.ts THEN 0 ELSE 1 END,
+      |    CASE WHEN p.ts <= e.ts THEN -p.event_id ELSE p.event_id END
+      |  LIMIT 1
+      |) n ON true
+      |ORDER BY e.event_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val builds = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("us"), lit(0).as("kind"),
+        col("event_id"), col("event_id").as("pid"), col("us").as("pus"))
+    val probes = ev.select(col("user_id"), col("ts"), col("us"),
+      lit(1).as("kind"), col("event_id"),
+      lit(null).cast("long").as("pid"), lit(null).cast("long").as("pus"))
+    // ascending pass: latest build at-or-before (equal-ts builds sort
+    // before probes; the LAST same-ts build carried is max event_id)
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // descending pass: earliest build at-or-after (builds still first
+    // at equal ts; event_id DESC makes the last-carried the minimum)
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("kind"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    builds.unionByName(probes)
+      .withColumn("b_pid", last(col("pid"), ignoreNulls = true).over(wb))
+      .withColumn("b_us", last(col("pus"), ignoreNulls = true).over(wb))
+      .withColumn("f_pid", last(col("pid"), ignoreNulls = true).over(wf))
+      .withColumn("f_us", last(col("pus"), ignoreNulls = true).over(wf))
+      .filter(col("kind") === 1)
+      .withColumn("bg", col("us") - col("b_us"))
+      .withColumn("fg", col("f_us") - col("us"))
+      .select(col("event_id"),
+        when(col("b_pid").isNull && col("f_pid").isNull,
+          lit(null).cast("long"))
+          .when(col("f_pid").isNull ||
+            (col("b_pid").isNotNull && col("bg") <= col("fg")),
+            col("b_pid"))
+          .otherwise(col("f_pid")).as("nearest_purchase_id"),
+        when(col("b_pid").isNull && col("f_pid").isNull,
+          lit(null).cast("long"))
+          .when(col("f_pid").isNull ||
+            (col("b_pid").isNotNull && col("bg") <= col("fg")),
+            col("bg"))
+          .otherwise(col("fg")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   override def all: Seq[Q] = Seq(
     leftChain, innerUsing, semi, anti, interval, asof, summaryDiff,
-    rangeBinned, fullOuter, crossDims, scalarSubquerySelect, notIn)
+    rangeBinned, fullOuter, crossDims, scalarSubquerySelect, notIn,
+    asofNearest)
 }
