@@ -80,6 +80,17 @@ class PlanSpec extends SparkSuite {
       "interval union must be the running-max window, not a self-join")
   }
 
+  test("nearest as-of runs both direction passes over ONE user-keyed " +
+    "exchange: two windows, re-sorted not re-shuffled") {
+    val p = plan("q_join_asof_nearest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "nearest as-of degenerated to a range join")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 2, p.take(1500))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      "both windows must share one user_id exchange")
+  }
+
   test("substring rewrite picks first occurrences with a partial-" +
     "aggregable min, not a per-gram window (mega-duplicated grams " +
     "would skew a row_number partition)") {
