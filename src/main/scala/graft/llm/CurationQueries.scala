@@ -533,7 +533,86 @@ object CurationQueries extends QueryCatalog {
       .orderBy("vec_id")
   }
 
+  /** Slice-drift monitoring: KL divergence of each language slice's
+    * hashed-unigram distribution from the whole-corpus distribution —
+    * the dataset-release health check that flags a slice whose token
+    * mix has drifted (new crawl source, encoding bug, template spam).
+    * Same 64-bucket md5 hashing and Laplace (+1) smoothing as the DSIR
+    * model ([[importanceWeights]]); KL(P_lang ‖ P_corpus) =
+    * Σ_b p_b·ln(p_b/q_b) with every ln argument assembled from exact
+    * integer products, each term scaled to an integer BEFORE the sum
+    * (the q_text_logprob discipline), and one float division at the
+    * end.
+    *
+    * Scale design: the corpus token stream is scanned ONCE into a
+    * partial-aggregated (lang, bucket) count table — at most
+    * |langs|·64 rows at any SF; the grid completion (absent buckets
+    * count 0 — they still carry KL mass), window totals, per-term
+    * log-ratios, and the final per-lang sum all run on that bounded
+    * table, so the single-partition windows are |langs|·64-row
+    * frames, never corpus-sized.
+    */
+  private val klDrift = Q(
+    "q_pipe_kl_drift",
+    """WITH dt AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), bt AS (
+      |  SELECT lang,
+      |    CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64 AS b
+      |  FROM dt
+      |), cnt AS (
+      |  SELECT lang, b, count(*) AS cl FROM bt GROUP BY lang, b
+      |), grid AS (
+      |  SELECT l.lang, g.b, coalesce(c.cl, 0) AS cl
+      |  FROM (SELECT DISTINCT lang FROM cnt) l
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+      |  LEFT JOIN cnt c ON c.lang = l.lang AND c.b = g.b
+      |), tot AS (
+      |  SELECT lang, b, cl,
+      |    CAST(sum(cl) OVER (PARTITION BY lang) AS BIGINT) AS tl,
+      |    CAST(sum(cl) OVER (PARTITION BY b) AS BIGINT) AS cb,
+      |    CAST(sum(cl) OVER () AS BIGINT) AS t
+      |  FROM grid
+      |), terms AS (
+      |  SELECT lang, tl,
+      |    (cl + 1) * CAST(round(ln(
+      |      ((cl + 1.0) * (t + 64)) / ((cb + 1.0) * (tl + 64)))
+      |      * 1000000) AS BIGINT) AS s
+      |  FROM tot
+      |)
+      |SELECT lang, CAST(any_value(tl) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(s) AS BIGINT)
+      |    / ((any_value(tl) + 64) * 1000000.0), 4) AS kl
+      |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    val bt = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("lang"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("bigint")
+          % 64).as("b"))
+    val cnt = bt.groupBy("lang", "b").agg(count(lit(1)).as("cl"))
+    val grid = cnt.select("lang").distinct()
+      .crossJoin(s.range(64).select(col("id").as("b")))
+      .join(broadcast(cnt), Seq("lang", "b"), "left")
+      .withColumn("cl", coalesce(col("cl"), lit(0L)))
+    val tot = grid
+      .withColumn("tl", sum("cl").over(Window.partitionBy("lang")))
+      .withColumn("cb", sum("cl").over(Window.partitionBy("b")))
+      .withColumn("t", sum("cl").over(Window.partitionBy()))
+    val terms = tot.select(col("lang"), col("tl"),
+      ((col("cl") + 1) *
+        round(log(((col("cl") + lit(1.0)) * (col("t") + 64)) /
+          ((col("cb") + lit(1.0)) * (col("tl") + 64))) * 1000000)
+          .cast("bigint")).as("s"))
+    terms.groupBy("lang")
+      .agg(first("tl").as("n_tokens"),
+        round(sum("s") / ((first("tl") + lit(64)) * lit(1000000.0)), 4)
+          .as("kl"))
+      .orderBy("lang")
+  }
+
   def all: Seq[Q] =
     Seq(winnowing, cdcChunks, normalizedDedup, importance, pplBuckets,
-      semanticDedup)
+      semanticDedup, klDrift)
 }

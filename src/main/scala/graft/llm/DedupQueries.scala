@@ -536,7 +536,85 @@ object DedupQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Incremental (cross-corpus) dedup — the production shape: a new
+    * crawl batch is deduplicated AGAINST the already-ingested corpus
+    * before joining it, then within itself. Base = sources src0..src9,
+    * incoming = src10..src19 plus (the corpus has no natural mutants,
+    * the q_dedup_normalized precedent) deterministically-noised twins
+    * of every third base doc (dup_base hits) and a second copy of every
+    * fifth incoming doc (dup_batch hits). Verdicts: `dup_base` (the
+    * normalized key exists in the base signature store), `dup_batch`
+    * (an earlier incoming doc has the same key), `keep`.
+    *
+    * Scale design: the base side is exactly what a signature STORE
+    * holds — 16-byte md5(norm) keys, no text; the membership probe is
+    * a key equi-join (at 100 TB: the store is itself a lake table,
+    * bucketed by key, so the probe co-partitions instead of
+    * broadcasting), and in-batch first-wins is a per-key MIN — both
+    * shuffle only the 16-byte key per row. Nothing all-pairs, nothing
+    * collected.
+    */
+  private val incremental = Q(
+    "q_dedup_incremental",
+    """WITH n0 AS (
+      |  SELECT doc_id, CAST(substr(source, 4) AS BIGINT) AS snum, text
+      |  FROM documents
+      |), inc AS (
+      |  SELECT doc_id, text FROM n0 WHERE snum >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    '  ' || replace(upper(text), ' ', '  ') || ' '
+      |  FROM n0 WHERE snum < 10 AND doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text
+      |  FROM n0 WHERE snum >= 10 AND doc_id % 5 = 0
+      |), base AS (
+      |  SELECT DISTINCT
+      |    md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS nk
+      |  FROM n0 WHERE snum < 10
+      |), ik AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS nk
+      |  FROM inc
+      |), f AS (
+      |  SELECT i.doc_id, b.nk IS NOT NULL AS in_base,
+      |    min(i.doc_id) OVER (PARTITION BY i.nk) AS first_id
+      |  FROM ik i LEFT JOIN base b ON i.nk = b.nk
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN in_base THEN 'dup_base'
+      |       WHEN doc_id <> first_id THEN 'dup_batch'
+      |       ELSE 'keep' END AS status
+      |FROM f ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val n0 = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(substring(source, 4) AS BIGINT)").as("snum"),
+        col("text"))
+    val newDocs = n0.filter(col("snum") >= 10)
+    val inc = newDocs.select(col("doc_id"), col("text"))
+      .unionAll(n0.filter(col("snum") < 10 && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("  "),
+            regexp_replace(upper(col("text")), lit(" "), lit("  ")),
+            lit(" ")).as("text")))
+      .unionAll(newDocs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    def nk(c: Column): Column =
+      md5(lower(trim(regexp_replace(c, " +", " "))))
+    val base = n0.filter(col("snum") < 10)
+      .select(nk(col("text")).as("nk")).distinct()
+    val ik = inc.select(col("doc_id"), nk(col("text")).as("nk"))
+    val w = Window.partitionBy("nk")
+    ik.join(base.withColumn("in_base", lit(true)), Seq("nk"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("in_base"), lit(false)), lit("dup_base"))
+          .when(col("doc_id") =!= min("doc_id").over(w), lit("dup_batch"))
+          .otherwise(lit("keep")).as("status"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    embeddingNearDup, substringCoverage, substringRewrite)
+    embeddingNearDup, substringCoverage, substringRewrite, incremental)
 }

@@ -599,6 +599,113 @@ object SimilarityQueries extends QueryCatalog {
       .limit(10)
   }
 
+  /** IVF-PQ serving plan — the two ANN halves COMPOSED, the way a
+    * billion-scale index actually runs (Jégou et al. 2011 §IV): a
+    * coarse quantizer prunes the corpus to `nprobe` cells, then ADC
+    * scores only the surviving vectors through their PQ codes. The
+    * coarse codebook here is the 8 seed vectors (vec_id 0..7) on the
+    * shared milli-unit integer grid — a stand-in for a trained coarse
+    * quantizer (training itself is `q_sim_kmeans`); all distances are
+    * BIGINT squared-L2, ties to the smallest cell/code, so DuckDB
+    * reproduces the whole pipeline bit-for-bit.
+    *
+    * Scale shape (the point of composing them): home-cell assignment
+    * is a map-side argmin against a BOUNDED centroid literal (k rows —
+    * never a join, never a shuffle); the probe filter drops
+    * (1 - nprobe/k) of the corpus BEFORE any fine scoring; PQ encode +
+    * ADC are the native integer kernels; top-k is
+    * TakeOrderedAndProject. One scan, zero shuffles, zero broadcast
+    * joins: the query-side LUT and probe list are computed driver-side
+    * from k+1 metadata-sized rows and embedded as literals. */
+  private val topkIvfPq = Q(
+    "q_sim_topk_ivfpq",
+    pqSqlGrid + """, seeds AS (
+      |  SELECT vec_id AS cid, q AS c FROM t WHERE vec_id < 8
+      |), cd AS (
+      |  SELECT t.vec_id, s.cid,
+      |    CAST(list_sum(list_transform(range(0, 64), d ->
+      |      (t.q[d+1] - s.c[d+1]) * (t.q[d+1] - s.c[d+1]))) AS BIGINT)
+      |      AS dist
+      |  FROM t, seeds s
+      |), home AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)
+      |        AS rn
+      |    FROM cd) WHERE rn = 1
+      |), probes AS (
+      |  SELECT cid FROM cd WHERE vec_id = 0 ORDER BY dist, cid LIMIT 2
+      |), best AS (
+      |  SELECT vec_id, m, k AS code, dist,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k)
+      |      AS rn
+      |  FROM g WHERE vec_id <> 0
+      |), lut AS (
+      |  SELECT m, k, dist AS qdist FROM g WHERE vec_id = 0
+      |)
+      |SELECT b.vec_id, any_value(h.cid) AS cell,
+      |  CAST(sum(l.qdist) AS BIGINT) AS adc
+      |FROM best b
+      |JOIN lut l ON l.m = b.m AND l.k = b.code
+      |JOIN home h ON h.vec_id = b.vec_id
+      |WHERE b.rn = 1 AND h.cid IN (SELECT cid FROM probes)
+      |GROUP BY b.vec_id
+      |ORDER BY adc, b.vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val K = 8; val NProbe = 2; val M = 8; val Ksub = 16; val Dsub = 8
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+    // coarse codebook + query: k+1 metadata-sized rows to the driver
+    val seeds: Array[(Long, Array[Long])] = base
+      .filter(col("vec_id") < K).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val qv = seeds.find(_._1 == 0L).get._2
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val probes: Array[Long] = seeds.map { case (cid, c) => (d2(qv, c), cid) }
+      .sorted.take(NProbe).map(_._2)
+    // query LUT: exact grid distance to each of the 8x16 codewords
+    val lut: Array[Long] = Array.tabulate(M * Ksub) { i =>
+      val m = i / Ksub; val k = i % Ksub
+      var acc = 0L; var d = 0
+      while (d < Dsub) {
+        val diff = qv(m * Dsub + d) - pqCodebook((m * Ksub + k) * Dsub + d)
+        acc += diff * diff; d += 1
+      }
+      acc
+    }
+    // The argmin quantizes each embedding ELEMENT in place rather than
+    // referencing the materialized q column: Catalyst inlines q
+    // (= transform(embedding, ...)) into the pushed-down filter, and
+    // element_at over an inlined transform rebuilds the whole 64-wide
+    // array per access — 64× redundant work per (cell, dim) probe.
+    val quantAt =
+      "CAST(round(CAST(element_at(embedding, d + 1) AS DOUBLE) * 1000)" +
+        " AS BIGINT)"
+    val homeExpr = expr(
+      s"""array_sort(transform(__cents, c -> struct(
+        |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, d) ->
+        |    a + ($quantAt - element_at(c._2, d + 1))
+        |      * ($quantAt - element_at(c._2, d + 1))) AS dist,
+        |  c._1 AS cid)))[0].cid""".stripMargin)
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") =!= 0)
+      .withColumn("__cents",
+        typedlit(seeds.map { case (cid, c) => (cid, c.toSeq) }.toSeq))
+      .withColumn("cell", homeExpr)
+      .filter(col("cell").isin(probes.map(Long.box): _*))
+      .select(col("vec_id"), col("cell"),
+        vec.pqAdc(s,
+          element_at(vec.pqEncode(s, expr(pqQuantExpr), pqCodebook), 1),
+          typedlit(lut.toSeq)).as("adc"))
+      .orderBy("adc", "vec_id")
+      .limit(10)
+  }
+
   /** Distributed k-means (two unrolled Lloyd iterations, k=8, seeds =
     * vec_id 0..7) over integer-quantized embeddings — the clustering
     * primitive behind curation mixes, SemDeDup cells, and IVF coarse
@@ -735,7 +842,7 @@ object SimilarityQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc, kmeans)
+      topkAdc, topkIvfPq, kmeans)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

@@ -364,6 +364,27 @@ class PlanSpec extends SparkSuite {
       "native PQ kernel not in the encode plan:\n" + pc)
   }
 
+  test("IVF-PQ serving plan is one scan, zero exchanges: map-side " +
+    "coarse argmin + probe filter + kernel ADC into TakeOrdered") {
+    val p = plan("q_sim_topk_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k fell back to a global sort:\n" + p)
+    assert(!p.contains("Exchange"),
+      "IVF-PQ grew a shuffle/broadcast — probe list and LUT must stay " +
+        "driver-computed literals:\n" + p)
+    assert(!p.contains("Join"), "IVF-PQ grew a join:\n" + p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      "native PQ kernels not in the plan:\n" + p)
+    // the probe filter must reach the row BEFORE fine scoring, and the
+    // coarse argmin must not rebuild the quantized array per element
+    // (element_at over an inlined transform re-evaluates the transform)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"corpus scanned ${scans / 2} times:\n" + p)
+    assert(!p.contains("element_at(transform("),
+      "coarse argmin quantizes via an inlined transform — 64x " +
+        "redundant per-element work:\n" + p)
+  }
+
   test("adapted TPC-H q2/q9/q11/q20 broadcast every dimension side and " +
     "never build a cartesian pair set") {
     Seq("q_tpch_q2_min_cost_supplier", "q_tpch_q9_product_profit",
