@@ -1048,14 +1048,37 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** Write `hits` (file_path, pos) as sorted position-delete files,
     * one part per ~deleteRowsPerFile rows. Range partitioning on
     * (file_path, pos) keeps each output file covering a contiguous
-    * run, so delete application still scans sequentially per file. */
-  private def writeDeleteFiles(hits: DataFrame, n: Long): Seq[String] = {
-    val nParts = math.max(1, math.ceil(n.toDouble / deleteRowsPerFile).toInt)
+    * run, so delete application still scans sequentially per file.
+    *
+    * Returns (moved paths, exact hit count) from ONE pass: the count
+    * is observed from the write job's own metrics instead of a
+    * separate count() action (each extra action costs ~60-70 ms of
+    * driver-side planning on top of the job — the dominant cost of a
+    * small DML op), and the output partition count is sized from
+    * `boundRows` — the stats-pruned candidates' manifest record count,
+    * an upper bound on hits that needs no job. Over-partitioning from
+    * the bound is benign: empty range partitions write no file. When
+    * the bound forces multiple partitions the RangePartitioner's
+    * sample pass is one extra job reading the caller's persisted
+    * frame; the observed count arrives with whichever job finishes
+    * first (both evaluate the metrics node over every row). Zero hits
+    * drop the staged dir and return (Nil, 0). */
+  private def writeDeleteFiles(hits: DataFrame,
+      boundRows: Long): (Seq[String], Long) = {
+    val nParts = math.max(1,
+      math.ceil(boundRows.toDouble / deleteRowsPerFile).toInt)
     val staged = stageDir()
-    hits.repartitionByRange(nParts, col("file_path"), col("pos"))
+    val obs = new org.apache.spark.sql.Observation()
+    hits.observe(obs, count(lit(1)).as("n"))
+      .repartitionByRange(nParts, col("file_path"), col("pos"))
       .sortWithinPartitions("file_path", "pos")
       .write.parquet(staged.toString)
-    moveStaged(staged, "delete")
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0) {
+      Io.listRecursive(staged).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staged)
+      (Nil, 0L)
+    } else (moveStaged(staged, "delete"), n)
   }
 
   /** MOR position-delete write (D8): capture (file, pos) of matching
@@ -1071,13 +1094,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case None => b.entries
       case Some(br) => manifestOf(branchHead(b, br))
     }
-    val hits = readWithLineage(pruneByPredicate(entries, pred)).filter(pred)
+    val pruned = pruneByPredicate(entries, pred)
+    val hits = readWithLineage(pruned).filter(pred)
       .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
       .persist()
     try {
-      val n = hits.count()
+      // hit-count action fused into the write: partition bound from
+      // the pruned candidates' manifest record counts, exact count
+      // observed from the write job itself
+      val bound = pruned.filter(_.content == 0).map(_.recordCount).sum
+      val (moved, n) = writeDeleteFiles(hits, bound)
       if (n == 0) return None
-      val moved = writeDeleteFiles(hits, n)
       val snapId = nextSnapshotHint
       val delEntries = statEntries(moved, content = 1, snapId)
       val all = entries ++ delEntries
@@ -1103,13 +1130,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case None => b.entries
       case Some(br) => manifestOf(branchHead(b, br))
     }
-    val hits = readWithLineage(pruneByPredicate(entries, pred))
-      .filter(pred).cache()
+    val pruned = pruneByPredicate(entries, pred)
+    val hits = readWithLineage(pruned).filter(pred).cache()
     try {
-      val n = hits.count()
+      val bound = pruned.filter(_.content == 0).map(_.recordCount).sum
+      val (delMoved, n) = writeDeleteFiles(
+        hits.select(col(FileCol).as("file_path"), col(PosCol).as("pos")),
+        bound)
       if (n == 0) return None
-      val delMoved = writeDeleteFiles(
-        hits.select(col(FileCol).as("file_path"), col(PosCol).as("pos")), n)
       val newMoved = writeDataFiles(transform(hits.drop(FileCol, PosCol)))
       val snapId = nextSnapshotHint
       val delEntries = statEntries(delMoved, content = 1, snapId)
@@ -1260,9 +1288,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case Some((hits, appendRows, summary)) =>
         val cached = hits.persist()
         try {
-          val n = cached.count()
-          val delMoved =
-            if (n == 0) Nil else writeDeleteFiles(cached, n)
+          // bound = every data row in the table (hits can't exceed
+          // it; the caller's hit frame has no tighter manifest bound)
+          val bound = entries.filter(_.content == 0)
+            .map(_.recordCount).sum
+          val (delMoved, _) = writeDeleteFiles(cached, bound)
           val newMoved = writeDataFiles(appendRows)
           val snapId = nextSnapshotHint
           val delEntries = statEntries(delMoved, content = 1, snapId)
@@ -1631,14 +1661,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val keep = entries.filter(_.content != 1)
     val snapId = nextSnapshotHint
     // survivors are bounded by the existing delete records — size the
-    // write from the manifest counts, no extra count job
+    // write from the manifest counts, no extra count job; zero
+    // survivors leave nothing staged (fused write handles it)
     val bound = posDel.map(_.recordCount).sum
-    val moved = writeDeleteFiles(stillValid, math.max(1L, bound))
-    val counted = statEntries(moved, content = 1, snapId)
-    val n = counted.map(_.recordCount).sum
-    val newEntries = if (n == 0) {
-      moved.foreach(p => Files.deleteIfExists(Path.of(p))); Nil
-    } else counted
+    val (moved, n) = writeDeleteFiles(stillValid, math.max(1L, bound))
+    val newEntries = statEntries(moved, content = 1, snapId)
     Some(commitSnapshot(b, snapId, "replace", keep ++ newEntries,
       Map("removed-delete-files" -> posDel.size.toString,
         "surviving-delete-records" -> n.toString)))
