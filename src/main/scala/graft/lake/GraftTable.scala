@@ -1503,9 +1503,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // (names are per-attempt unique, so they can never alias a live
     // one). They are metadata orphans under the same age rule — the
     // cutoff also protects a concurrent writer's manifest written but
-    // not yet published. Only snap manifests are candidates: metadata
-    // versions and the version hint are never collected here.
-    val liveManifests = meta.snapshots
+    // not yet published.
+    val m = meta
+    val liveManifests = m.snapshots
       .map(s => root.resolve(s.manifestList).toAbsolutePath.toString)
       .toSet
     // swept regardless of the (data-)location parameter: loser
@@ -1517,7 +1517,33 @@ class GraftTable(val spark: SparkSession, val root: Path,
           !liveManifests(p.toAbsolutePath.toString) &&
           Files.getLastModifiedTime(p).toMillis < olderThanMs
       }
-    val all = orphans ++ manifestOrphans
+    // Metadata VERSION files: live = everything the current metadata
+    // log retains (the log always includes the current version).
+    // Anything BELOW the hint version, outside the log, and past the
+    // cutoff is retention/crash debris — e.g. a crash between the
+    // delete-after-commit trim-publish and its file deletes, or a
+    // pre-enable backlog stranded beyond a numbering gap (the
+    // incremental retention walk stops at the first gap by design).
+    // Files AT or ABOVE the hint version are never candidates: one
+    // may be a racing writer's just-published commit whose hint
+    // update is in flight. The version hint itself is never swept.
+    // Gated on retention being enabled: without it the log legit
+    // omits v0 (create() predates the log) and history is expected
+    // to stay on disk in full.
+    val retentionOn = m.properties.getOrElse(
+      "write.metadata.delete-after-commit.enabled", "false").toBoolean
+    val curV = version
+    val loggedVersions = m.metadataLog
+      .map(e => root.resolve(e.file).toAbsolutePath.toString).toSet
+    val versionOrphans = if (!retentionOn) Nil else
+      Io.listRecursive(metadataDir).filter { p =>
+        val nm = p.getFileName.toString
+        nm.matches("v\\d+\\.metadata\\.json") &&
+          nm.stripPrefix("v").stripSuffix(".metadata.json").toLong < curV &&
+          !loggedVersions(p.toAbsolutePath.toString) &&
+          Files.getLastModifiedTime(p).toMillis < olderThanMs
+      }
+    val all = orphans ++ manifestOrphans ++ versionOrphans
     all.foreach(Files.deleteIfExists(_))
     all.map(_.toAbsolutePath.toString)
   }

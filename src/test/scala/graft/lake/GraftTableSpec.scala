@@ -347,6 +347,43 @@ class GraftTableSpec extends SparkSuite {
     assert(t.readAt(early).count() === 3)
   }
 
+  test("orphan cleanup sweeps retention debris version files (below " +
+    "the window, outside the log) but never the hint, the log, v0 on " +
+    "non-retention tables, or files at/above the hint version") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("write.metadata.delete-after-commit.enabled" -> "true",
+        "write.metadata.previous-versions-max" -> "2"))
+    (1 to 5).foreach(_ => t.append(seedDf))
+    val v = t.version
+    val md = t.root.resolve("metadata")
+    // plant crash debris: a version file below the retention window
+    // (as if the trim published but the delete crashed), and a file
+    // ABOVE the hint (a racing writer mid-commit) — the sweep must
+    // take the first and refuse the second even with force
+    Files.writeString(md.resolve("v1.metadata.json"), "{}")
+    Files.writeString(md.resolve(s"v${v + 1}.metadata.json"), "{}")
+    val removed = t.removeOrphanFiles(System.currentTimeMillis() + 1000,
+      force = true)
+    assert(removed.exists(_.endsWith("v1.metadata.json")),
+      s"below-window debris not swept: $removed")
+    assert(Files.exists(md.resolve(s"v${v + 1}.metadata.json")),
+      "a file above the hint version was swept — that can be a racing " +
+        "writer's just-published commit")
+    assert(Files.exists(md.resolve(s"v$v.metadata.json")) &&
+      Files.exists(md.resolve("version-hint.text")))
+    assert(t.read().count() === 15) // table unharmed
+    Files.deleteIfExists(md.resolve(s"v${v + 1}.metadata.json"))
+    // non-retention table: v0 is legitimately absent from the log and
+    // must survive an orphan sweep
+    val t2 = cat.createTable("default", "pii_plain", piiSchema)
+    t2.append(seedDf)
+    t2.removeOrphanFiles(System.currentTimeMillis() + 1000, force = true)
+    assert(Files.exists(t2.root.resolve("metadata/v0.metadata.json")),
+      "non-retention history must stay on disk in full")
+  }
+
   test("metadata tables: history/snapshots/files/all_entries/" +
       "all_manifests/metadata_log_entries have the queried columns") {
     val t = newTable()
