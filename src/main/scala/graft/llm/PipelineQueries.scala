@@ -1045,8 +1045,75 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("lang", "source")
   }
 
+  /** Token-budget data selection — the fine-tuning-mix op: each source
+    * contributes its BEST documents (greedy by quality, here the
+    * type-token ratio in integer basis points) until a per-source
+    * token budget (500) is exhausted. A doc is selected iff it fits
+    * the remaining budget in (quality desc, doc_id) order — the greedy
+    * prefix, expressed as one running-sum window per source.
+    *
+    * Scale design: the per-source sort is ONE shuffle keyed by source
+    * (skew bounded by source cardinality; a hot source salts like any
+    * skewed agg). That per-source total order is the honest cost of
+    * EXACT best-first selection — the approximate 100 TB variant
+    * computes a per-source quality threshold from quantiles
+    * (q_pipe_quantiles' shape) and selects by comparison, map-side.
+    * All math is integer: the quality score uses integer division,
+    * budgets/token counts are BIGINTs.
+    */
+  private val tokenBudget = Q(
+    "q_pipe_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id, source, n_tok,
+      |    (10000 * n_distinct) // n_tok AS quality_bp
+      |  FROM t
+      |), r AS (
+      |  SELECT source, n_tok, quality_bp,
+      |    sum(n_tok) OVER (PARTITION BY source
+      |      ORDER BY quality_bp DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n_tok AS tok_before
+      |  FROM q
+      |)
+      |SELECT source,
+      |  count(*) AS docs_considered,
+      |  count(CASE WHEN tok_before + n_tok <= 500 THEN 1 END)
+      |    AS docs_selected,
+      |  CAST(coalesce(sum(CASE WHEN tok_before + n_tok <= 500
+      |    THEN n_tok END), 0) AS BIGINT) AS tokens_selected,
+      |  CAST(min(CASE WHEN tok_before + n_tok <= 500
+      |    THEN quality_bp END) AS BIGINT) AS cutoff_quality_bp
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tok"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+    val q = t.select(col("doc_id"), col("source"), col("n_tok"),
+      expr("(10000 * n_distinct) div n_tok").as("quality_bp"))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("quality_bp"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sel = (col("tok_before") + col("n_tok")) <= 500
+    q.select(col("source"), col("n_tok"), col("quality_bp"),
+        (sum("n_tok").over(w) - col("n_tok")).as("tok_before"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_considered"),
+        count(when(sel, 1)).as("docs_selected"),
+        coalesce(sum(when(sel, col("n_tok"))), lit(0L)).cast("bigint")
+          .as("tokens_selected"),
+        min(when(sel, col("quality_bp"))).cast("bigint")
+          .as("cutoff_quality_bp"))
+      .orderBy("source")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
     logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
-    mixture, interleave, mixInterleave, stratified, datasetCard)
+    mixture, interleave, mixInterleave, stratified, datasetCard,
+    tokenBudget)
 }
