@@ -565,10 +565,50 @@ object LakeQueries extends QueryCatalog {
         .orderBy("phase", "doc_id")
     }
 
+  /** Streaming GDPR erasure — the reference's permanent-delete theme
+    * (README.md:1-20, notebooks/iceberg_pii_deletion_demo.py) run as a
+    * LIVE pipeline: erasure REQUESTS arrive as appends to a requests
+    * table, and each micro-batch applies them to the PII table as
+    * equality deletes (`erase_pii` is the batch twin). foreachBatch is
+    * the canonical Spark sink for engine DML; checkpointed offsets
+    * give at-least-once delivery, and equality deletes are idempotent
+    * by construction (masking an already-masked key is a no-op), so
+    * the composed sink is effectively exactly-once. StreamingSpec
+    * proves the streamed end-state equals a one-shot batch equality
+    * delete and that re-delivering a processed request wave leaves
+    * the state byte-identical.
+    */
+  private val streamErasure = Q.noOracle("q_lake_stream_erasure") { (s, _) =>
+    import graft.streaming.GraftTableStreaming
+    val wh = Files.createTempDirectory("graft-er-wh-")
+    val cat = new GraftCatalog(s, wh)
+    cat.createNamespace("default")
+    val pii = cat.createTable("default", "pii", piiSchema)
+    pii.append(s.createDataFrame(seedRows.asJava, piiSchema))
+    val reqSchema = StructType.fromDDL("case_id STRING")
+    val req = cat.createTable("default", "erasure_requests", reqSchema)
+    val q = GraftTableStreaming.readAppends(s, req.root)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        pii.equalityDelete(batch.select("case_id")); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-er-ck-").toString)
+      .start()
+    try {
+      req.append(s.createDataFrame(Seq(Row("case-2")).asJava, reqSchema))
+      q.processAllAvailable()
+      // a later wave streams through incrementally
+      req.append(s.createDataFrame(Seq(Row("case-1")).asJava, reqSchema))
+      q.processAllAvailable()
+    } finally q.stop()
+    pii.read().orderBy("case_id")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
     schemaEvolution, wap, incrementalAgg, incrementalMinhash,
-    metadataRetention)
+    metadataRetention, streamErasure)
 }

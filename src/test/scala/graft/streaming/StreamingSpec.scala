@@ -605,4 +605,57 @@ class StreamingSpec extends SparkSuite {
     assert(appBatches.count(_._2 > 0) >= 3,
       s"5 appends at cap 2 must take >= 3 batches: $appBatches")
   }
+
+  test("streamed GDPR erasure: foreachBatch equality deletes from a " +
+    "requests stream equal the one-shot batch delete, re-delivery is " +
+    "a no-op, and a post-erasure re-insert stays visible") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Dataset, Row}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftCatalog
+    val piiSchema = StructType.fromDDL("case_id STRING, email STRING")
+    val wh = Files.createTempDirectory("graft-erasure-")
+    val cat = new GraftCatalog(spark, wh)
+    cat.createNamespace("default")
+    val pii = cat.createTable("default", "pii", piiSchema)
+    val twin = cat.createTable("default", "pii_twin", piiSchema)
+    val rows = (1 to 6).map(i => Row(s"case-$i", s"u$i@example.com"))
+    pii.append(spark.createDataFrame(rows.asJava, piiSchema))
+    twin.append(spark.createDataFrame(rows.asJava, piiSchema))
+    val reqSchema = StructType.fromDDL("case_id STRING")
+    val req = cat.createTable("default", "erasure_requests", reqSchema)
+    def reqRows(ids: String*) =
+      spark.createDataFrame(ids.map(Row(_)).asJava, reqSchema)
+    def cases(t: graft.lake.GraftTable): Seq[String] =
+      t.read().select("case_id").collect().map(_.getString(0))
+        .sorted.toSeq
+    val q = GraftTableStreaming.readAppends(spark, req.root)
+      .writeStream.foreachBatch { (b: Dataset[Row], _: Long) =>
+        pii.equalityDelete(b.select("case_id")); ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-er-ck-").toString)
+      .start()
+    try {
+      req.append(reqRows("case-2", "case-4"))
+      q.processAllAvailable()
+      req.append(reqRows("case-5"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch twin: ONE equality delete of all requests at once
+    twin.equalityDelete(reqRows("case-2", "case-4", "case-5"))
+    assert(cases(pii) === cases(twin),
+      "streamed wave-by-wave erasure must equal the one-shot delete")
+    assert(cases(pii) === Seq("case-1", "case-3", "case-6"))
+    // at-least-once retry: re-applying a processed wave is a no-op
+    pii.equalityDelete(reqRows("case-2", "case-4"))
+    assert(cases(pii) === Seq("case-1", "case-3", "case-6"),
+      "re-delivered erasure wave must not change state")
+    // Iceberg sequence rule: an equality delete masks only rows from
+    // files added BEFORE it — a re-registered case is visible again
+    pii.append(spark.createDataFrame(
+      Seq(Row("case-2", "new2@example.com")).asJava, piiSchema))
+    assert(cases(pii) === Seq("case-1", "case-2", "case-3", "case-6"),
+      "a post-erasure re-insert must be visible (sequence rule)")
+  }
 }
