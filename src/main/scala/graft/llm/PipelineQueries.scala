@@ -1111,9 +1111,135 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("source")
   }
 
+  /** The curation FUNNEL — the integration artifact every dataset
+    * release ships: sequential gates (length ≥ 30 tokens → type-token
+    * quality ≥ 4000 bp → substring-duplication ≤ 2000 bp among the
+    * gate survivors → per-source 500-token best-first budget) with
+    * per-stage survivor doc/token counts. Composes the engine's own
+    * stages (q_text_stats / q_pipe_token_budget shapes and the
+    * q_dedup_substring coverage pipeline via
+    * [[DedupQueries.substringCoverageOver]]) into one five-row report.
+    *
+    * Scale design: all four gates are evaluated as FLAGS in one pass
+    * (a doc carries p1..p4 booleans; conditional aggregates produce
+    * every stage's totals from a single frame) — the per-stage counts
+    * never re-scan the corpus. The only non-map-side stages are the
+    * coverage pipeline's window-text groupBy (the q_dedup_substring
+    * shape, sparse equi-join, never all-pairs) and the budget's
+    * per-source running-sum window (one shuffle keyed by source);
+    * non-surviving rows contribute 0 to the budget window, so no
+    * second survivor-only pass exists.
+    */
+  private val curationFunnel = Q(
+    "q_pipe_curation_funnel",
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n,
+      |    len(list_distinct(string_split(text, ' '))) AS nd
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, source, toks, n, (10000 * nd) // n AS ttr FROM t
+      |), s2 AS (
+      |  SELECT * FROM f WHERE n >= 30 AND ttr >= 4000
+      |), occ AS (
+      |  SELECT doc_id, i AS p,
+      |    concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+      |      toks[i+5]) AS g
+      |  FROM s2, unnest(generate_series(0, n - 5)) AS u(i)
+      |  WHERE n >= 5
+      |), dup AS (
+      |  SELECT g FROM occ GROUP BY g HAVING count(*) > 1
+      |), hits AS (
+      |  SELECT o.doc_id, o.p FROM occ o JOIN dup USING (g)
+      |), cov AS (
+      |  SELECT doc_id,
+      |    greatest(0, (p + 5) - greatest(p,
+      |      coalesce(max(p + 5) OVER (PARTITION BY doc_id ORDER BY p
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)))
+      |      AS c
+      |  FROM hits
+      |), per AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+      |  FROM cov GROUP BY doc_id
+      |), dbp AS (
+      |  SELECT s2.doc_id,
+      |    CAST((10000 * coalesce(per.dup_tokens, 0) + s2.n // 2) // s2.n
+      |      AS BIGINT) AS dup_bp
+      |  FROM s2 LEFT JOIN per USING (doc_id)
+      |), fl AS (
+      |  SELECT f.doc_id, f.source, f.n, f.ttr,
+      |    f.n >= 30 AS p1,
+      |    f.n >= 30 AND f.ttr >= 4000 AS p2,
+      |    f.n >= 30 AND f.ttr >= 4000
+      |      AND coalesce(d.dup_bp <= 2000, FALSE) AS p3
+      |  FROM f LEFT JOIN dbp d USING (doc_id)
+      |), fb AS (
+      |  SELECT *,
+      |    sum(CASE WHEN p3 THEN n ELSE 0 END) OVER (PARTITION BY source
+      |      ORDER BY ttr DESC, doc_id ROWS UNBOUNDED PRECEDING)
+      |      - CASE WHEN p3 THEN n ELSE 0 END AS tok_before
+      |  FROM fl
+      |), fx AS (
+      |  SELECT *, p3 AND tok_before + n <= 500 AS p4 FROM fb
+      |), a AS (
+      |  SELECT count(*) AS d0, CAST(sum(n) AS BIGINT) AS t0,
+      |    count(CASE WHEN p1 THEN 1 END) AS d1,
+      |    CAST(coalesce(sum(CASE WHEN p1 THEN n END), 0) AS BIGINT) AS t1,
+      |    count(CASE WHEN p2 THEN 1 END) AS d2,
+      |    CAST(coalesce(sum(CASE WHEN p2 THEN n END), 0) AS BIGINT) AS t2,
+      |    count(CASE WHEN p3 THEN 1 END) AS d3,
+      |    CAST(coalesce(sum(CASE WHEN p3 THEN n END), 0) AS BIGINT) AS t3,
+      |    count(CASE WHEN p4 THEN 1 END) AS d4,
+      |    CAST(coalesce(sum(CASE WHEN p4 THEN n END), 0) AS BIGINT) AS t4
+      |  FROM fx
+      |)
+      |SELECT 0 AS stage_ord, 'ingest' AS stage, d0 AS docs, t0 AS tokens
+      |FROM a
+      |UNION ALL SELECT 1, 'length', d1, t1 FROM a
+      |UNION ALL SELECT 2, 'quality', d2, t2 FROM a
+      |UNION ALL SELECT 3, 'dedup', d3, t3 FROM a
+      |UNION ALL SELECT 4, 'budget', d4, t4 FROM a
+      |ORDER BY stage_ord""".stripMargin
+  ) { (s, dir) =>
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).as("n"),
+        size(array_distinct(split(col("text"), " "))).as("nd"))
+      .withColumn("ttr", expr("(10000 * nd) div n"))
+    val s2 = f.filter(col("n") >= 30 && col("ttr") >= 4000)
+    val dbp = DedupQueries.substringCoverageOver(
+        s2.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("dup_bp"))
+    val fl = f.join(dbp, Seq("doc_id"), "left")
+      .withColumn("p1", col("n") >= 30)
+      .withColumn("p2", col("p1") && col("ttr") >= 4000)
+      .withColumn("p3",
+        col("p2") && coalesce(col("dup_bp") <= 2000, lit(false)))
+    val w = Window.partitionBy("source")
+      .orderBy(desc("ttr"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val contrib = when(col("p3"), col("n")).otherwise(lit(0))
+    val fx = fl
+      .withColumn("tok_before", sum(contrib).over(w) - contrib)
+      .withColumn("p4",
+        col("p3") && (col("tok_before") + col("n")) <= 500)
+    def dt(p: String, i: Int) = Seq(
+      count(when(col(p), 1)).as(s"d$i"),
+      coalesce(sum(when(col(p), col("n"))), lit(0)).cast("bigint")
+        .as(s"t$i"))
+    val aggs = Seq(sum("n").cast("bigint").as("t0")) ++
+      dt("p1", 1) ++ dt("p2", 2) ++ dt("p3", 3) ++ dt("p4", 4)
+    val a = fx.agg(count(lit(1)).as("d0"), aggs: _*)
+    a.selectExpr(
+      "stack(5, 0, 'ingest', d0, t0, 1, 'length', d1, t1, " +
+        "2, 'quality', d2, t2, 3, 'dedup', d3, t3, " +
+        "4, 'budget', d4, t4) AS (stage_ord, stage, docs, tokens)")
+      .orderBy("stage_ord")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
     logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
     mixture, interleave, mixInterleave, stratified, datasetCard,
-    tokenBudget)
+    tokenBudget, curationFunnel)
 }
