@@ -678,25 +678,29 @@ object SimilarityQueries extends QueryCatalog {
       }
       acc
     }
-    // The argmin quantizes each embedding ELEMENT in place rather than
-    // referencing the materialized q column: Catalyst inlines q
-    // (= transform(embedding, ...)) into the pushed-down filter, and
-    // element_at over an inlined transform rebuilds the whole 64-wide
-    // array per access — 64× redundant work per (cell, dim) probe.
-    val quantAt =
-      "CAST(round(CAST(element_at(embedding, d + 1) AS DOUBLE) * 1000)" +
-        " AS BIGINT)"
-    val homeExpr = expr(
-      s"""array_sort(transform(__cents, c -> struct(
-        |  aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, d) ->
-        |    a + ($quantAt - element_at(c._2, d + 1))
-        |      * ($quantAt - element_at(c._2, d + 1))) AS dist,
-        |  c._1 AS cid)))[0].cid""".stripMargin)
+    // Coarse argmin through the codegen'd vec_dot kernel, not an
+    // interpreted per-element HOF: quantized values are exact integers
+    // in double space (the q_sim_kmeans discipline), and the row-
+    // constant |q|² term CANCELS in the argmin, so cell i's score is
+    // just |c_i|² − 2·q·c_i — one kernel dot against a per-cell array
+    // literal. The first cut of this query aggregated element-wise
+    // with q referenced as a column: Catalyst inlined the quantizing
+    // transform into the pushed-down filter and rebuilt the 64-wide
+    // array per element_at — interpreted AND 64× redundant (~2.4 s at
+    // sf0.1; this shape ~0.6 s).
+    val qd = expr("transform(embedding, x -> round(CAST(x AS DOUBLE)" +
+      " * 1000))")
+    val centStructs = seeds.map { case (cid, c) =>
+      val cv: Seq[Double] = c.map(_.toDouble).toSeq
+      val cc = c.map(x => x.toDouble * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * vec.dot(s, qd, typedlit(cv))).as("dist"),
+        lit(cid).as("cid"))
+    }
     Tables.embeddings(s, dir)
       .filter(col("vec_id") =!= 0)
-      .withColumn("__cents",
-        typedlit(seeds.map { case (cid, c) => (cid, c.toSeq) }.toSeq))
-      .withColumn("cell", homeExpr)
+      .withColumn("cell",
+        array_min(array(centStructs: _*)).getField("cid"))
       .filter(col("cell").isin(probes.map(Long.box): _*))
       .select(col("vec_id"), col("cell"),
         vec.pqAdc(s,
