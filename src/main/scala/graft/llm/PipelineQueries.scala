@@ -1237,9 +1237,48 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("stage_ord")
   }
 
+  /** Sequence-length bucketing + padding-waste report — the batch-
+    * efficiency metric sequence packing (q_pipe_pack) exists to fix:
+    * docs bucket to the next power-of-two-ish boundary (16/32/64/128
+    * tokens), and each bucket reports real vs padded token volume and
+    * the waste in half-up basis points. Pure map-side bucketing + one
+    * bounded groupBy (≤4 groups at any SF), all-integer math. */
+  private val lengthBuckets = Q(
+    "q_pipe_length_buckets",
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+      |), b AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+      |         WHEN n <= 64 THEN 64 ELSE 128 END AS bucket
+      |  FROM t
+      |)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS real_tokens,
+      |  CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+      |  (10000 * (count(*) * bucket - CAST(sum(n) AS BIGINT))
+      |    + count(*) * bucket // 2) // (count(*) * bucket) AS waste_bp
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    t.withColumn("bucket",
+        when(col("n") <= 16, 16).when(col("n") <= 32, 32)
+          .when(col("n") <= 64, 64).otherwise(128))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast("bigint").as("real_tokens"))
+      .withColumn("padded_tokens",
+        (col("n_docs") * col("bucket")).cast("bigint"))
+      .withColumn("waste_bp", expr(
+        "(10000 * (padded_tokens - real_tokens) + padded_tokens div 2)" +
+          " div padded_tokens"))
+      .orderBy("bucket")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
     logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
     mixture, interleave, mixInterleave, stratified, datasetCard,
-    tokenBudget, curationFunnel)
+    tokenBudget, curationFunnel, lengthBuckets)
 }
