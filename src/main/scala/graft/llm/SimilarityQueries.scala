@@ -843,10 +843,56 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("cluster_id")
   }
 
+  /** ANN recall report — the evaluation loop a real pipeline runs
+    * BEFORE choosing an index: top-10 overlap of each oracled ANN
+    * method (1-bit Hamming, PQ/ADC, IVF-PQ) against the exact cosine
+    * top-10, composed from the SAME builders and the SAME oracle SQL
+    * as the methods themselves (each oracle text embeds as a
+    * subquery), so the report can never drift from the queries it
+    * grades. Overlap, not rank correlation: the methods rank by
+    * different distances (Hamming / L2-on-the-grid), and top-k set
+    * recall is the standard ANN quality metric.
+    *
+    * Scale shape: each method pipeline ends in TakeOrderedAndProject,
+    * so the join inputs are k-row frames — the report costs the sum
+    * of its methods plus three broadcast joins of 10-row sides.
+    *
+    * Expected numbers are LOW (sf0.01: adc 0, ivfpq 2, hamming 3 of
+    * 10) and that is the report doing its job: the PQ codebook is the
+    * fixed demo lattice, not trained on the data (training = the
+    * q_sim_kmeans primitive), the seed coarse cells are untrained
+    * too, and ADC ranks by grid L2 while brute ranks by cosine. A
+    * production index would feed k-means codebooks in and re-run
+    * exactly this query until recall clears its serving bar. */
+  private val recall = Q(
+    "q_sim_recall", {
+      def one(m: String, sql: String) =
+        s"""SELECT '$m' AS method, count(*) AS overlap10
+           |FROM ($sql) x WHERE x.vec_id IN
+           |  (SELECT vec_id FROM (${topkBrute.oracle.get}))""".stripMargin
+      Seq(one("adc", topkAdc.oracle.get),
+        one("hamming", topkHamming.oracle.get),
+        one("ivfpq", topkIvfPq.oracle.get))
+        .mkString("", "\nUNION ALL ", "\nORDER BY method")
+    }
+  ) { (s, dir) =>
+    val bruteIds = broadcast(
+      topkBrute.build(s, dir).select(col("vec_id")))
+    def one(m: String, q: Q): DataFrame =
+      q.build(s, dir).select("vec_id")
+        .join(bruteIds, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("overlap10"))
+        .select(lit(m).as("method"), col("overlap10"))
+    one("adc", topkAdc)
+      .unionAll(one("hamming", topkHamming))
+      .unionAll(one("ivfpq", topkIvfPq))
+      .orderBy("method")
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc, topkIvfPq, kmeans)
+      topkAdc, topkIvfPq, kmeans, recall)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
