@@ -843,6 +843,122 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("cluster_id")
   }
 
+  /** PQ with a TRAINED codebook — one Lloyd iteration per subspace
+    * (assign every subvector to its nearest lattice codeword with the
+    * pq_encode kernel, recompute each codeword as the floor-mean of
+    * its assigned subvectors, empty codewords keep their lattice
+    * seed), then encode + ADC-serve with the trained book. This is
+    * the missing third of the PQ story: q_sim_pq_codes/q_sim_topk_adc
+    * pin the ENCODE/SERVE machinery on a fixed lattice, q_sim_kmeans
+    * pins Lloyd training — here they compose, and q_sim_recall shows
+    * the payoff (ADC top-10 recall 0/10 untrained → 3/10 after ONE
+    * iteration at sf0.01).
+    *
+    * Determinism: all distances/argmins are exact integer math on the
+    * shared milli grid; the recompute mean is TRUNCATING division —
+    * measured, not assumed: DuckDB `//` truncates toward zero on
+    * negatives (-7 // 2 = -3), matching Scala Long./, NOT
+    * Math.floorDiv (q values are unshifted and sums go negative;
+    * q_sim_kmeans sidesteps this with its +5000 shift).
+    * Scale shape: training is one
+    * corpus pass (kernel assignment, map-side m-explode, partial-agg
+    * sums into ≤128 groups) + a 128-row collect (the kmeans
+    * precedent: codebooks are metadata-sized); serving is the same
+    * zero-shuffle kernel plan as q_sim_topk_adc. */
+  private val pqTrained = Q(
+    "q_sim_pq_trained",
+    pqSqlGrid + """, asn AS (
+      |  SELECT vec_id, m, k FROM (
+      |    SELECT vec_id, m, k,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k)
+      |        AS rn FROM g) WHERE rn = 1
+      |), dims AS (
+      |  SELECT t.vec_id, a.m, a.k, d.d, t.q[8*a.m + d.d + 1] AS v
+      |  FROM t JOIN asn a USING (vec_id),
+      |    (SELECT unnest(range(0, 8)) AS d) d
+      |), newcb AS (
+      |  SELECT m, k, d, CAST(sum(v) // count(*) AS BIGINT) AS c
+      |  FROM dims GROUP BY m, k, d
+      |), cb2 AS (
+      |  SELECT gr.m, gr.k, gr.d,
+      |    coalesce(n.c, CAST((((gr.k*31 + gr.m*17 + gr.d*13) % 21) - 10)
+      |      * 50 AS BIGINT)) AS c
+      |  FROM (SELECT m.m, k.k, d.d
+      |        FROM (SELECT unnest(range(0, 8)) AS m) m,
+      |          (SELECT unnest(range(0, 16)) AS k) k,
+      |          (SELECT unnest(range(0, 8)) AS d) d) gr
+      |  LEFT JOIN newcb n ON n.m = gr.m AND n.k = gr.k AND n.d = gr.d
+      |), g2 AS (
+      |  SELECT t.vec_id, c.m, c.k,
+      |    CAST(sum((t.q[8*c.m + c.d + 1] - c.c)
+      |      * (t.q[8*c.m + c.d + 1] - c.c)) AS BIGINT) AS dist
+      |  FROM t, cb2 c GROUP BY 1, 2, 3
+      |), best2 AS (
+      |  SELECT vec_id, m, k AS code, dist FROM (
+      |    SELECT vec_id, m, k, dist,
+      |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k)
+      |        AS rn FROM g2) WHERE rn = 1
+      |), lut2 AS (
+      |  SELECT m, k, dist AS qd FROM g2 WHERE vec_id = 0
+      |)
+      |SELECT b.vec_id, CAST(sum(l.qd) AS BIGINT) AS adc
+      |FROM (SELECT * FROM best2 WHERE vec_id <> 0) b
+      |JOIN lut2 l ON l.m = b.m AND l.k = b.code
+      |GROUP BY 1 ORDER BY adc, b.vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) => topkAdcTrained(s, dir) }
+
+  /** Trained-codebook ADC top-10 (the q_sim_pq_trained pipeline),
+    * factored so q_sim_recall can grade it. */
+  private[llm] def topkAdcTrained(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.vec
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+    // one Lloyd iteration: kernel assignment under the lattice book,
+    // per-(m, k) floor-mean of the assigned subvectors
+    val asn = base
+      .select(col("q"),
+        element_at(vec.pqEncode(s, col("q"), pqCodebook), 1).as("codes"))
+      .select(col("q"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, " +
+          "CAST(shiftrightunsigned(codes, m * 4) & 15 AS INT) AS k))"))
+        .as("a"))
+      .select(col("a.m").as("m"), col("a.k").as("k"), col("q"))
+    val sums = asn.groupBy("m", "k")
+      .agg(count(lit(1)).as("cnt"),
+        (0 until 8).map(d =>
+          sum(expr(s"element_at(q, 8 * m + $d + 1)")).as(s"s$d")): _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), (0 until 8).map(d => r.getLong(3 + d)).toArray))
+      .toMap
+    val cb2: Array[Long] = Array.tabulate(8 * 16 * 8) { i =>
+      val m = i / (16 * 8); val k = (i / 8) % 16; val d = i % 8
+      sums.get((m, k)) match {
+        case Some((n, sv)) => sv(d) / n
+        case None => pqCodebook((m * 16 + k) * 8 + d)
+      }
+    }
+    val qv = base.filter(col("vec_id") === 0).collect()
+      .head.getSeq[Long](1).toArray
+    val lut2: Array[Long] = Array.tabulate(8 * 16) { i =>
+      val m = i / 16; val k = i % 16
+      var acc = 0L; var d = 0
+      while (d < 8) {
+        val diff = qv(m * 8 + d) - cb2((m * 16 + k) * 8 + d)
+        acc += diff * diff; d += 1
+      }
+      acc
+    }
+    base.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        vec.pqAdc(s,
+          element_at(vec.pqEncode(s, col("q"), cb2), 1),
+          typedlit(lut2.toSeq)).as("adc"))
+      .orderBy("adc", "vec_id")
+      .limit(10)
+  }
+
   /** ANN recall report — the evaluation loop a real pipeline runs
     * BEFORE choosing an index: top-10 overlap of each oracled ANN
     * method (1-bit Hamming, PQ/ADC, IVF-PQ) against the exact cosine
@@ -857,13 +973,14 @@ object SimilarityQueries extends QueryCatalog {
     * so the join inputs are k-row frames — the report costs the sum
     * of its methods plus three broadcast joins of 10-row sides.
     *
-    * Expected numbers are LOW (sf0.01: adc 0, ivfpq 2, hamming 3 of
-    * 10) and that is the report doing its job: the PQ codebook is the
-    * fixed demo lattice, not trained on the data (training = the
-    * q_sim_kmeans primitive), the seed coarse cells are untrained
-    * too, and ADC ranks by grid L2 while brute ranks by cosine. A
-    * production index would feed k-means codebooks in and re-run
-    * exactly this query until recall clears its serving bar. */
+    * Expected numbers are LOW (sf0.01: adc 0, ivfpq 2, hamming 3,
+    * adc_trained 3 of 10) and that is the report doing its job: the
+    * raw PQ codebook is the fixed demo lattice, the seed coarse cells
+    * are untrained, and ADC ranks by grid L2 while brute ranks by
+    * cosine. The adc → adc_trained row pair IS the payoff line: one
+    * Lloyd iteration (q_sim_pq_trained) lifts ADC recall 0 → 3; a
+    * production index iterates training and re-runs exactly this
+    * query until recall clears its serving bar. */
   private val recall = Q(
     "q_sim_recall", {
       def one(m: String, sql: String) =
@@ -871,6 +988,7 @@ object SimilarityQueries extends QueryCatalog {
            |FROM ($sql) x WHERE x.vec_id IN
            |  (SELECT vec_id FROM (${topkBrute.oracle.get}))""".stripMargin
       Seq(one("adc", topkAdc.oracle.get),
+        one("adc_trained", pqTrained.oracle.get),
         one("hamming", topkHamming.oracle.get),
         one("ivfpq", topkIvfPq.oracle.get))
         .mkString("", "\nUNION ALL ", "\nORDER BY method")
@@ -884,6 +1002,7 @@ object SimilarityQueries extends QueryCatalog {
         .agg(count(lit(1)).as("overlap10"))
         .select(lit(m).as("method"), col("overlap10"))
     one("adc", topkAdc)
+      .unionAll(one("adc_trained", pqTrained))
       .unionAll(one("hamming", topkHamming))
       .unionAll(one("ivfpq", topkIvfPq))
       .orderBy("method")
@@ -892,7 +1011,7 @@ object SimilarityQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc, topkIvfPq, kmeans, recall)
+      topkAdc, topkIvfPq, pqTrained, kmeans, recall)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
