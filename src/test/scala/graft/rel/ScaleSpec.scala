@@ -41,6 +41,56 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime: the hot-key " +
+    "partition subdivides (skew=true in the final plan), result " +
+    "unchanged — the join-side complement to saltedAgg") {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def put(k: String, v: String): Unit = spark.conf.set(k, v)
+    put("spark.sql.adaptive.enabled", "true")
+    put("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds lowered so the synthetic hot key qualifies as skewed
+    // at test scale — on a real cluster the defaults (factor 5,
+    // 256 MB) fire on genuinely pathological keys only
+    put("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    put("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "16384")
+    put("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    put("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    put("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      import spark.implicits._
+      // 200k rows, ~50% on ONE key — the shape AQE skew-join exists
+      // for: one reducer would take half the join alone
+      val left = spark.range(200000)
+        .select(when($"id" % 2 === 0, lit(7L)).otherwise($"id").as("k"),
+          $"id".as("v"))
+      val right = spark.range(64).select($"id".as("k"), ($"id" * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS QueryExecution (count() would plan a separate
+      // one and leave joined's adaptive plan unexecuted)
+      val got = joined.collect().length.toLong
+      // expected: key 7 matches 100000 left rows x 1 right row; odd
+      // ids < 64 match once each (32 of them)
+      val want = 100000L + (1 until 64 by 2).size
+      assert(got == want, s"skew-join result drifted: $got != $want")
+      // the FINAL adaptive plan must show the skew split
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the hot partition as skewed:\n" + finalPlan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals direct aggregation on the skewed key") {
     val ev = Tables.events(spark, dir)
     val direct = ev.groupBy("user_id")
