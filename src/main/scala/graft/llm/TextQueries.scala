@@ -469,7 +469,95 @@ object TextQueries extends QueryCatalog {
       .limit(30)
   }
 
+  /** Language-metadata QA: the confusion matrix between the corpus's
+    * DECLARED lang column and the engine's own langid prediction —
+    * the standard check that catches mislabeled sources and broken
+    * upstream language tags before they poison per-lang sampling
+    * weights. Composed ON TOP of q_text_langid (same builder, oracle
+    * embeds the same SQL — the q_sim_recall pattern, so the report
+    * cannot drift from the classifier it audits); the matrix itself
+    * is a ≤\|langs\|² aggregate with half-up-bp per-declared-lang
+    * agreement shares. */
+  private val langMismatch = Q(
+    "q_text_lang_mismatch",
+    s"""WITH pred AS (${langId.oracle.get}
+       |)
+       |SELECT lang, pred_lang, count(*) AS n,
+       |  (10000 * count(*)
+       |    + CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT) // 2)
+       |    // CAST(sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS share_bp
+       |FROM pred GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  ) { (s, dir) =>
+    val w = Window.partitionBy("lang")
+    langId.build(s, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(w))
+      .withColumn("share_bp", expr("(10000 * n + tot div 2) div tot"))
+      .drop("tot")
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Zipf / vocabulary-coverage curve — the artifact behind every
+    * vocab-size decision: what share of token OCCURRENCES the top-K
+    * types capture, for K in {5, 10, 20}
+    * (the synthetic corpus has ~31 types; real corpora use 100k-scale Ks). One corpus token
+    * pass into a partial-agg type-count table; the global rank window
+    * runs over the VOCABULARY (Zipf-bounded — at 100 TB the exact
+    * global sort would swap for a two-phase top-K, same outputs for
+    * any K below the cut), and the coverage sums are conditional
+    * aggregates over that bounded table. Half-up integer bp. */
+  private val vocabCoverage = Q(
+    "q_text_vocab_coverage",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), cnt AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |), rk AS (
+      |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS t,
+      |    CAST(count(*) AS BIGINT) AS n_types FROM cnt
+      |)
+      |SELECT k.k AS vocab_size,
+      |  CAST(coalesce(sum(CASE WHEN rk.r <= k.k THEN rk.c END), 0)
+      |    AS BIGINT) AS covered_tokens,
+      |  any_value(tot.t) AS total_tokens,
+      |  any_value(tot.n_types) AS n_types,
+      |  (10000 * CAST(coalesce(sum(CASE WHEN rk.r <= k.k THEN rk.c END),
+      |     0) AS BIGINT) + any_value(tot.t) // 2) // any_value(tot.t)
+      |    AS coverage_bp
+      |FROM rk CROSS JOIN (SELECT unnest([5, 10, 20]) AS k) k
+      |CROSS JOIN tot
+      |GROUP BY k.k ORDER BY vocab_size""".stripMargin
+  ) { (s, dir) =>
+    val cnt = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val rk = cnt.withColumn("r",
+      row_number().over(Window.orderBy(desc("c"), asc("tok"))))
+    val tot = cnt.agg(sum("c").cast("bigint").as("t"),
+      count(lit(1)).cast("bigint").as("n_types"))
+    val sizes = s.range(1).selectExpr(
+      "explode(array(5, 10, 20)) AS k")
+    rk.crossJoin(broadcast(sizes))
+      .groupBy(col("k").as("vocab_size"))
+      .agg(coalesce(sum(when(col("r") <= col("k"), col("c"))), lit(0))
+        .cast("bigint").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("vocab_size"),
+        col("covered_tokens"),
+        col("t").as("total_tokens"),
+        col("n_types"),
+        expr("(10000 * covered_tokens + t div 2) div t")
+          .as("coverage_bp"))
+      .orderBy("vocab_size")
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
-      fingerprintMd5, repetition, entropy, hashClassifier, bpePairs)
+      fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
+      langMismatch, vocabCoverage)
 }
