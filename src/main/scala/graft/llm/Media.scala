@@ -165,6 +165,75 @@ object Media {
     }
   }
 
+  final case class Thumb(doc_id: Long, source: String, tw: Int, th: Int,
+      thumb: Array[Byte], mean_byte: Double)
+
+  /** Nearest-neighbor resize to a (tw x th) gray thumbnail — the
+    * preprocessing step every vision pipeline runs before feature
+    * extraction / embedding. Decodable images sample the real raster
+    * (same JDK codec as [[decodeImage]]); opaque payloads are treated
+    * as a row-major gray raster of the SAME stub dimensions
+    * [[decodeStub]] reports (cyclic byte sampling), so both paths are
+    * deterministic and schema-identical. Narrow map — payload-heavy
+    * rows never shuffle; the thumbnail is 256 bytes regardless of
+    * input size, so anything grouped downstream moves ~1/1000th of
+    * the media volume. */
+  private[llm] def resizeBytes(bytes: Array[Byte], tw: Int,
+      th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    val dec =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Throwable => None }
+    dec match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val rgb = img.getRGB(x * w / tw, y * h / th)
+            val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3
+            out(y * tw + x) = g.toByte
+            x += 1
+          }
+          y += 1
+        }
+      case None =>
+        val n = bytes.length
+        val w = 64 + (n % 512)
+        val h = 64 + (if (n > 0) bytes(0) & 0x3f else 0)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val g =
+              if (n == 0) 0
+              else bytes(((y * h / th) * w + (x * w / tw)) % n) & 0xff
+            out(y * tw + x) = g.toByte
+            x += 1
+          }
+          y += 1
+        }
+    }
+    out
+  }
+
+  def resize(ds: Dataset[MediaRecord], tw: Int, th: Int): Dataset[Thumb] = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val t = resizeBytes(r.media, tw, th)
+        var sum = 0L; var i = 0
+        while (i < t.length) { sum += t(i) & 0xff; i += 1 }
+        val mean = if (t.isEmpty) 0.0 else sum.toDouble / t.length
+        Thumb(r.doc_id, r.source, tw, th, t, mean)
+      }
+    }
+  }
+
   /** Frame sampling: slice the payload into fixed-size frames and keep
     * every `stride`-th one (video keyframe analog). Narrow flatMap —
     * output rows stay on their input partition.

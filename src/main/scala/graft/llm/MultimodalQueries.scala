@@ -73,5 +73,25 @@ object MultimodalQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
-  override def all: Seq[Q] = Seq(mmJoin, mmDecode, mmFrames)
+  /** Resize every payload to a 16x16 gray thumbnail ([[Media.resize]]:
+    * real raster sampling for decodable images, deterministic stub
+    * raster otherwise), then per-source thumbnail stats INCLUDING a
+    * distinct-thumbnail count — the perceptual-dedup shape: identical
+    * payloads collapse to one md5(thumb) key, and at 100 TB only the
+    * 256-byte thumbnails (1/1000th of the media volume) reach the
+    * shuffle. No oracle (byte-level decode); LlmSpec pins resize
+    * semantics on an authored PNG and on the stub path. */
+  private val mmResize = Q.noOracle("q_mm_resize") { (s, dir) =>
+    Media.resize(Media.attach(Tables.documents(s, dir)), 16, 16)
+      .toDF()
+      .select(col("source"), md5(col("thumb")).as("tkey"),
+        col("mean_byte"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("tkey")).as("n_distinct_thumbs"),
+        round(avg(col("mean_byte")), 4).as("avg_thumb_byte"))
+      .orderBy("source")
+  }
+
+  override def all: Seq[Q] = Seq(mmJoin, mmDecode, mmFrames, mmResize)
 }

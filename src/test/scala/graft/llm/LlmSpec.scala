@@ -373,6 +373,40 @@ class LlmSpec extends SparkSuite {
       Media.decodeStub("plain text".getBytes("UTF-8")))
   }
 
+  test("media resize: nearest-neighbor thumbnail samples the real " +
+    "raster for a PNG and the deterministic stub raster for text") {
+    // the SAME 10x20 gray ramp as the decode test, resized to 4x4 —
+    // nearest-neighbor grays are exactly computable
+    val img = new java.awt.image.BufferedImage(10, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 10) {
+      val g = (x + y) * 8 % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val thumb = Media.resizeBytes(bos.toByteArray, 4, 4)
+    val want = for (y <- 0 until 4; x <- 0 until 4)
+      yield ((x * 10 / 4 + y * 20 / 4) * 8 % 256).toByte
+    assert(thumb.toSeq == want,
+      "PNG thumbnail must sample the decoded raster nearest-neighbor")
+    // stub path: text payload resizes via the decodeStub raster shape
+    val txt = "abcd".getBytes("UTF-8")
+    val n = txt.length
+    val w = 64 + (n % 512); val h = 64 + (txt(0) & 0x3f)
+    val wantStub = for (y <- 0 until 4; x <- 0 until 4)
+      yield txt(((y * h / 4) * w + (x * w / 4)) % n)
+    assert(Media.resizeBytes(txt, 4, 4).toSeq == wantStub)
+    // distributed path carries thumbnail + mean through mapPartitions
+    import spark.implicits._
+    val t = Media.resize(spark.createDataset(Seq(
+      Media.MediaRecord(9L, "png-src", "img/png", bos.toByteArray))),
+      4, 4).collect().head
+    assert(t.thumb.toSeq == want && t.tw == 4 && t.th == 4)
+    assert(math.abs(t.mean_byte -
+      want.map(_ & 0xff).sum.toDouble / want.length) < 1e-9)
+  }
+
   test("frame sampling: counts follow ceil arithmetic, frames cover payload") {
     import spark.implicits._
     val rec = Media.MediaRecord(1L, "s", "img/fake", Array.range(0, 37).map(_.toByte))
