@@ -83,4 +83,39 @@ class TablesSpec extends SparkSuite {
       assert(df.limit(5).count() > 0)
     }
   }
+
+  test("embeddings encoding drift insurance: an array<double> " +
+    "embeddings fixture flows through the vec kernels and the " +
+    "similarity pipelines' quantization unchanged") {
+    // the r7 events lesson, applied pre-emptively: if a driver refresh
+    // ships embedding as list<double> instead of list<float>, every
+    // consumer must keep resolving — vec_dot/vec_signpack accept both
+    // element types, and the PQ/kmeans paths quantize via
+    // CAST(x AS DOUBLE) which is encoding-neutral
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("emb-double-")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    val rows = (0L until 4L).map(i =>
+      Row(i, (0 until 64).map(d => (i + d).toDouble / 64).asJava
+        .asScala.toSeq, (i % 2).toInt))
+    spark.createDataFrame(rows.asJava, schema)
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = Tables.embeddings(spark, dir.toString)
+    import graft.functions.vec
+    val dots = e.select(
+        vec.dot(spark, col("embedding"), col("embedding")).as("dd"),
+        vec.signpack(spark, col("embedding"), 0).as("sp"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+          " * 1000) AS BIGINT))").as("q"))
+      .collect()
+    assert(dots.length == 4)
+    // vec_id 0: dot = sum (d/64)^2, exactly computable
+    val want = (0 until 64).map(d => math.pow(d / 64.0, 2)).sum
+    val d0 = e.filter(col("vec_id") === 0)
+      .select(vec.dot(spark, col("embedding"), col("embedding")))
+      .head().getDouble(0)
+    assert(math.abs(d0 - want) < 1e-12)
+  }
 }
