@@ -364,6 +364,28 @@ class PlanSpec extends SparkSuite {
       "native PQ kernel not in the encode plan:\n" + pc)
   }
 
+  test("token-budget selection is one corpus shuffle: the per-source " +
+    "aggregate reuses the budget window's exchange") {
+    val p = plan("q_pipe_token_budget")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 2, s"corpus scanned ${scans / 2} times:\n" + p)
+    // formatted mode names each Exchange twice: window shuffle + the
+    // bounded final sort = 2 exchanges; a third would mean the
+    // source-keyed groupBy re-shuffled data the window already keyed
+    val ex = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(ex <= 4, s"budget selection grew an extra shuffle:\n" + p)
+  }
+
+  test("curation funnel evaluates all stages as flags — no per-stage " +
+    "corpus re-scan (4 scans: flags pass + the coverage pipeline)") {
+    val p = plan("q_pipe_curation_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 8, s"funnel re-scans per stage (${scans / 2}):\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "funnel degenerated to all-pairs:\n" + p)
+  }
+
   test("IVF-PQ serving plan is one scan, zero exchanges: map-side " +
     "coarse argmin + probe filter + kernel ADC into TakeOrdered") {
     val p = plan("q_sim_topk_ivfpq")
