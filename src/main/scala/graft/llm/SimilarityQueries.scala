@@ -843,6 +843,70 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("cluster_id")
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of the
+    * n-gram `q_pipe_decontaminate`: rank training vectors by their
+    * similarity to the held-out eval slice (vec_id % 10 == 0 stands
+    * in for the benchmark set) and surface the top-20 with their
+    * nearest eval item — the leakage-review list a release runs when
+    * paraphrased contamination slips past exact n-gram matching.
+    * Threshold-free by design: the corpus has no cross-slice
+    * near-dups (max cosine ≈ 0.49 at sf0.01), and a ranking needs no
+    * tuned τ to stay meaningful at any SF.
+    *
+    * Scale shape: the eval side is small (benchmark sets are) —
+    * broadcast; the per-train-vector max is a partial-aggregated
+    * max(struct(cos, eval_id)) — the combiner collapses the
+    * |train|×|eval| pair stream to one row per train vector BEFORE
+    * any shuffle (no per-vector rank window); top-20 is
+    * TakeOrderedAndProject. Struct-max ties (equal cosine) take the
+    * larger eval_id, mirrored in the oracle's eval_id DESC tiebreak.
+    */
+  private val semanticDecon = Q(
+    "q_sim_decontaminate",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      AS nrm
+      |  FROM embeddings
+      |), ev AS (
+      |  SELECT vec_id AS eval_id, v AS w, nrm AS wn FROM e
+      |  WHERE vec_id % 10 = 0
+      |), tr AS (
+      |  SELECT * FROM e WHERE vec_id % 10 <> 0
+      |), p AS (
+      |  SELECT tr.vec_id, ev.eval_id,
+      |    list_dot_product(tr.v, ev.w) / (tr.nrm * ev.wn) AS cosd
+      |  FROM tr, ev
+      |), r AS (
+      |  SELECT vec_id, eval_id, cosd,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cosd DESC, eval_id DESC) AS rk
+      |  FROM p
+      |)
+      |SELECT vec_id, eval_id AS nearest_eval_id,
+      |  round(cosd, 4) AS cos_sim
+      |FROM r WHERE rk = 1
+      |ORDER BY cosd DESC, vec_id LIMIT 20""".stripMargin
+  ) { (s, dir) =>
+    val e = emb(s, dir)
+    val ev = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("w"),
+        col("nrm").as("wn"))
+    e.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        graft.functions.vec.cosine(s, col("v"), col("w"),
+          col("nrm"), col("wn")).as("cosd"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosd"), col("eval_id"))).as("m"))
+      .select(col("vec_id"), col("m.eval_id").as("nearest_eval_id"),
+        col("m.cosd").as("cosd"))
+      .orderBy(desc("cosd"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("nearest_eval_id"),
+        round(col("cosd"), 4).as("cos_sim"))
+  }
+
   /** PQ with a TRAINED codebook — one Lloyd iteration per subspace
     * (assign every subvector to its nearest lattice codeword with the
     * pq_encode kernel, recompute each codeword as the floor-mean of
@@ -1011,7 +1075,7 @@ object SimilarityQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc, topkIvfPq, pqTrained, kmeans, recall)
+      topkAdc, topkIvfPq, pqTrained, kmeans, recall, semanticDecon)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
