@@ -614,7 +614,77 @@ object DedupQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy (edit-distance) dedup: the verification metric n-gram
+    * Jaccard cannot express — character-level Levenshtein similarity,
+    * which catches small in-place edits (typo/noise variants) that
+    * shift every surrounding shingle. Candidate generation stays
+    * sparse: only pairs sharing >= 2 distinct trigram shingles (the
+    * same equi-join as the Jaccard family — candidates materialize on
+    * shingle collisions, never all-pairs); each candidate is then
+    * verified with exact `levenshtein` and reported as half-up
+    * basis-point similarity 1 - dist/max(len). Threshold-free top-20
+    * ranking (the q_sim_decontaminate pattern) so the report stays
+    * meaningful at any SF.
+    *
+    * Scale design (100 TB): the verify cost is O(len²) per CANDIDATE,
+    * and candidates are bounded by the shingle-collision join, not n².
+    * At scale the Spark side would pass `levenshtein(l, r, threshold)`
+    * (early-exit band algorithm, Spark 3.5+) — kept un-thresholded
+    * here because DuckDB's oracle fn has no threshold form.
+    */
+  private val fuzzy = Q(
+    "q_dedup_fuzzy",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(count(*) AS BIGINT) AS shared
+      |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), v AS (
+      |  SELECT id_a, id_b, shared,
+      |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+      |    greatest(length(ta.text), length(tb.text)) AS maxlen
+      |  FROM cand
+      |  JOIN documents ta ON ta.doc_id = id_a
+      |  JOIN documents tb ON tb.doc_id = id_b
+      |)
+      |SELECT id_a, id_b, shared, edit_dist,
+      |  (10000 * (maxlen - edit_dist) + maxlen // 2) // maxlen AS sim_bp
+      |FROM v ORDER BY sim_bp DESC, id_a, id_b LIMIT 20""".stripMargin
+  ) { (s, dir) => fuzzyPairsOver(Tables.documents(s, dir)) }
+
+  private[graft] def fuzzyPairsOver(docs: DataFrame): DataFrame = {
+    val dt = shingleSetsMaterialized(docs)
+    val cand = dt.as("a")
+      .join(dt.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val txt = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("id_b") === col("tb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("shared"),
+        levenshtein(col("ta.text"), col("tb.text")).cast("long")
+          .as("edit_dist"),
+        greatest(length(col("ta.text")), length(col("tb.text")))
+          .cast("long").as("maxlen"))
+      .withColumn("sim_bp",
+        expr("(10000 * (maxlen - edit_dist) + maxlen div 2) div maxlen"))
+      .drop("maxlen")
+      .orderBy(desc("sim_bp"), col("id_a"), col("id_b"))
+      .limit(20)
+  }
+
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    embeddingNearDup, substringCoverage, substringRewrite, incremental)
+    embeddingNearDup, substringCoverage, substringRewrite, incremental,
+    fuzzy)
 }

@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryCatalog}
@@ -556,8 +557,101 @@ object TextQueries extends QueryCatalog {
       .orderBy("vocab_size")
   }
 
+  /** BPE merge TRAINING loop (Sennrich et al. 2016): three full
+    * iterations of count-pairs → argmax → apply-merge, the step
+    * q_text_bpe_pairs only counts once. Words become delimited symbol
+    * sequences (`||a||b||c||`); applying merge (x,y) is one
+    * `replace('|x||y|' -> '|xy|')` over the VOCABULARY — left-to-right
+    * non-overlapping, which is exactly BPE's greedy within-word
+    * semantics (the double-delimiter encoding keeps runs like
+    * `b b b b -> bb bb` correct because each side of the pattern
+    * leaves one delimiter unconsumed; TextSpec pins the run case in
+    * both engines' scan order). Argmax is a total (count DESC, pair)
+    * order + limit 1 cross-joined back as a 1-row broadcast — no
+    * driver loop, the 3 rounds are ONE Catalyst plan.
+    *
+    * Scale design (100 TB): the corpus contributes exactly one
+    * word-count shuffle (checkpointed once, the shingle-family idiom);
+    * every merge round then touches only vocab-sized data (|V| rows),
+    * so extra rounds cost vocab-sized work, not corpus passes. */
+  private val bpeRounds = 3
+
+  private val bpeTrain = Q(
+    "q_text_bpe_train", {
+      val rounds = (1 to bpeRounds).map { i =>
+        s"""p$i AS (
+           |  SELECT syms[i] AS l, syms[i+1] AS r,
+           |    CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, list_filter(string_split(rep, '||'),
+           |          x -> x <> '') AS syms FROM r${i - 1}) t,
+           |    unnest(generate_series(1, len(t.syms) - 1)) AS u(i)
+           |  WHERE len(t.syms) >= 2
+           |  GROUP BY 1, 2
+           |), b$i AS (
+           |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
+           |), r$i AS (
+           |  SELECT w, freq, replace(rep,
+           |    '|' || b.l || '||' || b.r || '|',
+           |    '|' || b.l || b.r || '|') AS rep
+           |  FROM r${i - 1}, b$i b
+           |)""".stripMargin
+      }.mkString(", ")
+      val out = (1 to bpeRounds).map(i =>
+        s"SELECT $i AS step, l, r, l || r AS merged, cnt AS merge_count " +
+          s"FROM b$i").mkString("\nUNION ALL ")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  ) GROUP BY w
+         |), r0 AS (
+         |  SELECT w, freq, '||' || array_to_string(list_transform(
+         |    generate_series(1, length(w)), i -> substring(w, i, 1)),
+         |    '||') || '||' AS rep
+         |  FROM words
+         |), $rounds
+         |$out
+         |ORDER BY step""".stripMargin
+    }
+  ) { (s, dir) => bpeTrainOver(Tables.documents(s, dir)) }
+
+  private[graft] def bpeTrainOver(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // one corpus pass; rounds reuse the |V|-row table
+    val r0 = words.select(col("w"), col("freq"), expr(
+      "'||' || array_join(transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)), '||') || '||'").as("rep"))
+    def pairCounts(rep: DataFrame): DataFrame = rep
+      .select(col("freq"),
+        expr("filter(split(rep, '\\\\|\\\\|'), x -> x != '')").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(" +
+          "element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").cast("long").as("cnt"))
+    val (_, bests) =
+      (1 to bpeRounds).foldLeft((r0, Seq.empty[DataFrame])) {
+        case ((rep, acc), _) =>
+          val best = pairCounts(rep)
+            .orderBy(desc("cnt"), col("l"), col("r")).limit(1)
+          val next = rep.crossJoin(broadcast(best))
+            .select(col("w"), col("freq"), expr(
+              "replace(rep, '|' || l || '||' || r || '|', " +
+                "'|' || l || r || '|')").as("rep"))
+          (next, acc :+ best)
+      }
+    bests.zipWithIndex.map { case (b, i) =>
+      b.select(lit(i + 1).as("step"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"),
+        col("cnt").as("merge_count"))
+    }.reduce(_ unionByName _).orderBy("step")
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
-      langMismatch, vocabCoverage)
+      bpeTrain, langMismatch, vocabCoverage)
 }

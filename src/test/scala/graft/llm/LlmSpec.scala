@@ -418,4 +418,45 @@ class LlmSpec extends SparkSuite {
     val sampled = Media.sampleFrames(ds, 16, 4).collect()
     assert(sampled.length == 1 && sampled.head.frame_idx == 0)
   }
+
+  test("BPE train: Spark replace applies merges greedily left-to-right " +
+    "on symbol runs (the DuckDB scan order), hand-computed 3 rounds") {
+    import spark.implicits._
+    // The run case that breaks single-delimiter encodings: b b b b must
+    // merge to bb bb, each pattern side leaving one '|' unconsumed.
+    val run = spark.sql(
+      "SELECT replace('||b||b||b||b||', '|b||b|', '|bb|') AS r")
+      .head().getString(0)
+    assert(run == "||bb||bb||")
+    // low x2, lower x1, bbbb x1. Pair stats count every adjacent
+    // occurrence (pre-application, overlapping included), so (b,b) = 3
+    // ties with (l,o) = 3 and (o,w) = 3 and wins on the (l, r) tiebreak.
+    // Round 2: bbbb is now bb|bb so (bb,bb) = 1; (l,o) = 3 wins.
+    // Round 3: (lo,w) = 3 wins.
+    val docs = Seq((1L, "low low lower"), (2L, "bbbb"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.bpeTrainOver(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "b", "b", "bb", 3L),
+      (2, "l", "o", "lo", 3L),
+      (3, "lo", "w", "low", 3L)))
+  }
+
+  test("fuzzy dedup: levenshtein-verified pairs need >= 2 shared " +
+    "trigrams; hand-computed distance and half-up sim_bp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),   // 25 chars
+      (2L, "the quick brown fox jumped"),  // 26 chars, lev 2 from doc 1
+      (3L, "z1 z2 the quick brown z3 z4")  // 1 shared trigram: excluded
+    ).toDF("doc_id", "text")
+    val got = DedupQueries.fuzzyPairsOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // docs 1-2 share "the quick brown" and "quick brown fox" (2); the
+    // third trigrams differ. sim_bp = (10000*(26-2) + 13) div 26.
+    assert(got.toSeq == Seq((1L, 2L, 2L, 2L, 9231L)))
+  }
 }
