@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Partition-transform clustering fields (Iceberg's transform
   * vocabulary over GraftLake's range-clustered file layout): the
   * `write.clustered-by` property holds a comma-separated list of
-  * specs — `col` (identity), `days(col)`, `bucket(n,col)`,
-  * `truncate(w,col)` — and every append range-clusters files on the
-  * TRANSFORMED values, so per-file stats prune like partition pruning
-  * without a directory layout:
+  * specs — `col` (identity), `hours(col)`/`days(col)`/`months(col)`/
+  * `years(col)`, `bucket(n,col)`, `truncate(w,col)` — and every append
+  * range-clusters files on the TRANSFORMED values, so per-file stats
+  * prune like partition pruning without a directory layout:
   *
-  *  - `days(ts)`: files cover day-aligned timestamp ranges; the raw
-  *    ts min/max stats are day-tight, so existing stats pruning
-  *    answers day predicates exactly.
+  *  - `days(ts)` (and the hours/months/years ladder): files cover
+  *    time-aligned timestamp ranges; the raw ts min/max stats are
+  *    granule-tight, so existing stats pruning answers time
+  *    predicates exactly.
   *  - `truncate(w,col)`: files cover truncated-prefix ranges; raw
   *    stats stay prefix-tight, so prefix/range predicates prune.
   *  - `bucket(n,col)`: files cover hash-bucket ranges. Raw min/max is
@@ -57,6 +58,51 @@ final case class DaysField(column: String) extends ClusterField {
   def withColumn(c: String): ClusterField = copy(column = c)
 }
 
+/** `hours(ts)`: files cover hour-aligned ranges — the finer end of
+  * Iceberg's time-transform ladder, for streams where a day of data is
+  * too much to scan per predicate. Same stats story as days(): range
+  * clustering on the truncated value keeps raw ts min/max hour-tight.
+  */
+final case class HoursField(column: String) extends ClusterField {
+  def spec: String = s"hours($column)"
+  def expr(dt: DataType, c: Column): Column = dt match {
+    case TimestampType | TimestampNTZType => date_trunc("HOUR", c)
+    case other => throw new IllegalArgumentException(
+      s"hours() needs a timestamp column; $column is " +
+        other.simpleString)
+  }
+  def withColumn(c: String): ClusterField = copy(column = c)
+}
+
+/** `months(ts)`: month-aligned file ranges (coarse time layout for
+  * long-retention tables). Raw stats stay month-tight under the range
+  * clustering, so any predicate at month-or-coarser granularity prunes
+  * from the existing min/max — no derived stat needed. */
+final case class MonthsField(column: String) extends ClusterField {
+  def spec: String = s"months($column)"
+  def expr(dt: DataType, c: Column): Column = dt match {
+    case TimestampType | TimestampNTZType | DateType =>
+      trunc(c.cast("date"), "MM")
+    case other => throw new IllegalArgumentException(
+      s"months() needs a timestamp/date column; $column is " +
+        other.simpleString)
+  }
+  def withColumn(c: String): ClusterField = copy(column = c)
+}
+
+/** `years(ts)`: year-aligned file ranges; see [[MonthsField]]. */
+final case class YearsField(column: String) extends ClusterField {
+  def spec: String = s"years($column)"
+  def expr(dt: DataType, c: Column): Column = dt match {
+    case TimestampType | TimestampNTZType | DateType =>
+      trunc(c.cast("date"), "YYYY")
+    case other => throw new IllegalArgumentException(
+      s"years() needs a timestamp/date column; $column is " +
+        other.simpleString)
+  }
+  def withColumn(c: String): ClusterField = copy(column = c)
+}
+
 final case class BucketField(n: Int, column: String) extends ClusterField {
   require(n > 0, s"bucket count must be positive, got $n")
   def spec: String = s"bucket($n,$column)"
@@ -86,11 +132,17 @@ final case class TruncateField(width: Int, column: String)
 object ClusterSpec {
   private val Bucket = """(?i)bucket\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
   private val Days = """(?i)days\(\s*([^)]+?)\s*\)""".r
+  private val Hours = """(?i)hours\(\s*([^)]+?)\s*\)""".r
+  private val Months = """(?i)months\(\s*([^)]+?)\s*\)""".r
+  private val Years = """(?i)years\(\s*([^)]+?)\s*\)""".r
   private val Trunc = """(?i)truncate\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
 
   def parse(s: String): ClusterField = s.trim match {
     case Bucket(n, c) => BucketField(n.toInt, c)
     case Days(c) => DaysField(c)
+    case Hours(c) => HoursField(c)
+    case Months(c) => MonthsField(c)
+    case Years(c) => YearsField(c)
     case Trunc(w, c) => TruncateField(w.toInt, c)
     case c => IdentityField(c)
   }

@@ -1759,6 +1759,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
             java.time.LocalDate.ofEpochDay(days).toString
           } catch { case _: NumberFormatException => s }
         }.getOrElse("null")
+        case _: HoursField => raw.map { s =>
+          try { // timestamps only: stat space is epoch micros
+            val hours = Math.floorDiv(BigDecimal(s).toLong, 3600000000L)
+            java.time.LocalDateTime
+              .ofEpochSecond(hours * 3600L, 0, java.time.ZoneOffset.UTC)
+              .toString
+          } catch { case _: NumberFormatException => s }
+        }.getOrElse("null")
+        case mf @ (_: MonthsField | _: YearsField) => raw.map { s =>
+          try {
+            val days = field.map(_.dataType) match {
+              case Some(DateType) => s.toLong
+              case _ => Math.floorDiv(BigDecimal(s).toLong, 86400000000L)
+            }
+            val d = java.time.LocalDate.ofEpochDay(days)
+            (if (mf.isInstanceOf[MonthsField]) d.withDayOfMonth(1)
+             else d.withDayOfYear(1)).toString
+          } catch { case _: NumberFormatException => s }
+        }.getOrElse("null")
         case t: TruncateField => raw.map { s =>
           field.map(_.dataType) match {
             case Some(StringType) => s.take(t.width)

@@ -202,9 +202,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     // clusters files on these fields so per-file stats prune like
     // partition pruning — without directory explosion on
     // high-cardinality keys (the 100 TB ingest path, now SQL-visible).
-    // Transforms days()/bucket()/truncate() carry through to
-    // ClusterSpec; years/months/hours are not supported (days covers
-    // the pruning need — raw ts stats answer any coarser granularity).
+    // The full Iceberg transform ladder carries through to
+    // ClusterSpec: identity, hours/days/months/years, bucket, truncate.
     val clusterCols = partitions.toSeq.map { tr =>
       def ref: String = tr.references().head.fieldNames().mkString(".")
       def intArg: Int = tr.arguments().collectFirst {
@@ -218,12 +217,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           tr.describe()))
       tr.name() match {
         case "identity" => ref
+        case "hours" => s"hours($ref)"
         case "days" => s"days($ref)"
+        case "months" => s"months($ref)"
+        case "years" => s"years($ref)"
         case "bucket" => s"bucket($intArg,$ref)"
         case "truncate" => s"truncate($intArg,$ref)"
         case other => throw new UnsupportedOperationException(
-          s"GraftLake supports identity, days, bucket, and truncate " +
-            s"PARTITIONED BY transforms; got $other in ${tr.describe()}")
+          s"GraftLake supports identity, hours, days, months, years, " +
+            s"bucket, and truncate PARTITIONED BY transforms; got " +
+            s"$other in ${tr.describe()}")
       }
     }
     if (cat.tableExists(nsPath(ident.namespace), ident.name))

@@ -59,11 +59,14 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
       : Array[org.apache.spark.sql.connector.expressions.Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import _root_.graft.lake.{BucketField, ClusterSpec, DaysField,
-      IdentityField, TruncateField}
+      HoursField, IdentityField, MonthsField, TruncateField, YearsField}
     graft.properties.get("write.clustered-by")
       .map(ClusterSpec.parseList(_).map {
         case IdentityField(c) => Expressions.identity(c)
+        case HoursField(c) => Expressions.hours(c)
         case DaysField(c) => Expressions.days(c)
+        case MonthsField(c) => Expressions.months(c)
+        case YearsField(c) => Expressions.years(c)
         case BucketField(n, c) => Expressions.bucket(n, c)
         case TruncateField(w, c) => Expressions.apply(
           "truncate", Expressions.literal(w), Expressions.column(c))

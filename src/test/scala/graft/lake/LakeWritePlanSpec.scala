@@ -287,6 +287,66 @@ class LakeWritePlanSpec extends SparkSuite {
       < all.size)
   }
 
+  test("months(ts) / hours(ts) transforms: month-aligned files prune " +
+    "month predicates; partitions table renders month starts; hours " +
+    "clusters sub-day and SQL PARTITIONED BY accepts the full ladder") {
+    val sch = StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
+    val wh = Files.createTempDirectory("graft-months-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
+      Map("write.clustered-by" -> "months(ts)",
+        "write.clustered-by.files" -> "12"))
+    val base = java.time.LocalDateTime.of(2024, 1, 15, 0, 0)
+    t.append(spark.createDataFrame((0 until 4000).map { i =>
+      Row(i.toLong, base.plusMonths(i % 5).plusMinutes(i % 300),
+        i.toLong % 97)
+    }.asJava, sch))
+    val all = dataFilePaths(t).keySet
+    assert(all.size === 5, s"one file per month expected, got ${all.size}")
+    val (n, qes) = capturing {
+      t.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-04-01 00:00:00")))
+        .count()
+    }
+    assert(n === 800)
+    assert(scannedFiles(qes).intersect(all.map(Io.normalize)).size === 1,
+      "month predicate must scan exactly the one month-aligned file")
+    // partitions relation renders month-start dates in both bounds
+    val parts = t.partitionsTable.collect()
+    assert(parts.forall(_.getAs[String]("cluster_columns") === "months(ts)"))
+    val mins = parts.map(_.getAs[String]("range_min")).toSeq
+    assert(mins.contains("2024-01-01") && mins.contains("2024-05-01"),
+      s"expected month-start ranges, got $mins")
+    assert(parts.forall(r =>
+      r.getAs[String]("range_min") === r.getAs[String]("range_max")))
+    // hours(ts): one day of data splits into hour-aligned files
+    val th = GraftTable.create(spark, wh.resolve("th"), "default.th", sch,
+      Map("write.clustered-by" -> "hours(ts)",
+        "write.clustered-by.files" -> "8"))
+    th.append(spark.createDataFrame((0 until 1200).map { i =>
+      Row(i.toLong, base.plusHours(i % 4).plusSeconds(i % 3000),
+        i.toLong % 97)
+    }.asJava, sch))
+    assert(dataFilePaths(th).keySet.size === 4,
+      "one file per distinct hour expected")
+    val (nH, qesH) = capturing {
+      th.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-15 02:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-01-15 03:00:00")))
+        .count()
+    }
+    assert(nH === 300)
+    assert(scannedFiles(qesH)
+      .intersect(dataFilePaths(th).keySet.map(Io.normalize)).size === 1,
+      "hour predicate must scan exactly one hour-aligned file")
+    // round-trip: parse/render keeps the ladder specs canonical
+    import _root_.graft.lake.ClusterSpec
+    assert(ClusterSpec.render(ClusterSpec.parseList(
+      "hours(a), months(b), years(c), days(d)"))
+      === "hours(a),months(b),years(c),days(d)")
+  }
+
   test("partition spec evolution: days(ts) files keep day-pruning " +
     "after the spec changes to bucket(8,user_id); new files bucket-" +
     "prune; both coexist in one table") {

@@ -72,12 +72,14 @@ class GraftSqlSpec extends SparkSuite {
     assert(parts.forall(_.getAs[String]("cluster_columns") ===
       "days(ts),bucket(4,user_id)"))
     assert(parts.exists(_.getAs[String]("range_min").startsWith("2024-03-")))
-    // unsupported transform granularity is rejected loudly
-    val err = intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.$ns.bad (ts TIMESTAMP_NTZ) " +
-        "USING graft PARTITIONED BY (months(ts))")
-    }
-    assert(err.getMessage.contains("months"))
+    // the full time ladder is accepted and round-trips canonically
+    spark.sql(s"CREATE TABLE graft.$ns.ladder (ts TIMESTAMP_NTZ) " +
+      "USING graft PARTITIONED BY (hours(ts))")
+    spark.sql(s"CREATE TABLE graft.$ns.ladder2 (ts TIMESTAMP_NTZ) " +
+      "USING graft PARTITIONED BY (months(ts), years(ts))")
+    val p2 = spark.sql(s"SHOW TBLPROPERTIES graft.$ns.ladder2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(p2("write.clustered-by") === "months(ts),years(ts)")
   }
 
   test("CALL expire_snapshots with retain_last only: keeps the newest n, " +
