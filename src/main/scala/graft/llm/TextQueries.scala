@@ -576,45 +576,104 @@ object TextQueries extends QueryCatalog {
     * so extra rounds cost vocab-sized work, not corpus passes. */
   private val bpeRounds = 3
 
+  /** The words → r0 → (p_i, b_i, r_i)* oracle scaffolding shared by
+    * the train and apply queries. */
+  private def bpeOracleCtes: String = {
+    val rounds = (1 to bpeRounds).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, list_filter(string_split(rep, '||'),
+         |          x -> x <> '') AS syms FROM r${i - 1}) t,
+         |    unnest(generate_series(1, len(t.syms) - 1)) AS u(i)
+         |  WHERE len(t.syms) >= 2
+         |  GROUP BY 1, 2
+         |), b$i AS (
+         |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
+         |), r$i AS (
+         |  SELECT w, freq, replace(rep,
+         |    '|' || b.l || '||' || b.r || '|',
+         |    '|' || b.l || b.r || '|') AS rep
+         |  FROM r${i - 1}, b$i b
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""words AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |  ) GROUP BY w
+       |), r0 AS (
+       |  SELECT w, freq, '||' || array_to_string(list_transform(
+       |    generate_series(1, length(w)), i -> substring(w, i, 1)),
+       |    '||') || '||' AS rep
+       |  FROM words
+       |), $rounds""".stripMargin
+  }
+
   private val bpeTrain = Q(
     "q_text_bpe_train", {
-      val rounds = (1 to bpeRounds).map { i =>
-        s"""p$i AS (
-           |  SELECT syms[i] AS l, syms[i+1] AS r,
-           |    CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT freq, list_filter(string_split(rep, '||'),
-           |          x -> x <> '') AS syms FROM r${i - 1}) t,
-           |    unnest(generate_series(1, len(t.syms) - 1)) AS u(i)
-           |  WHERE len(t.syms) >= 2
-           |  GROUP BY 1, 2
-           |), b$i AS (
-           |  SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1
-           |), r$i AS (
-           |  SELECT w, freq, replace(rep,
-           |    '|' || b.l || '||' || b.r || '|',
-           |    '|' || b.l || b.r || '|') AS rep
-           |  FROM r${i - 1}, b$i b
-           |)""".stripMargin
-      }.mkString(", ")
       val out = (1 to bpeRounds).map(i =>
         s"SELECT $i AS step, l, r, l || r AS merged, cnt AS merge_count " +
           s"FROM b$i").mkString("\nUNION ALL ")
-      s"""WITH words AS (
-         |  SELECT w, count(*) AS freq FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
-         |  ) GROUP BY w
-         |), r0 AS (
-         |  SELECT w, freq, '||' || array_to_string(list_transform(
-         |    generate_series(1, length(w)), i -> substring(w, i, 1)),
-         |    '||') || '||' AS rep
-         |  FROM words
-         |), $rounds
+      s"""WITH $bpeOracleCtes
          |$out
          |ORDER BY step""".stripMargin
     }
   ) { (s, dir) => bpeTrainOver(Tables.documents(s, dir)) }
 
-  private[graft] def bpeTrainOver(docs: DataFrame): DataFrame = {
+  /** BPE APPLY — the serving half of the tokenizer story: re-tokenize
+    * the corpus under the 3 trained merges and report, per source, the
+    * whitespace-token / character / post-merge-symbol volumes and the
+    * half-up-bp symbol saving vs char-level. The corpus is touched
+    * twice (the word-count shuffle inside the train fold, then one
+    * (source, word) pass); the trained vocabulary joins back as a
+    * broadcast — per-word symbol counts are computed once on \|V\| rows,
+    * never per occurrence. This is the compression payoff number a
+    * tokenizer build is judged by (more rounds ⇒ bigger saving; 3
+    * demo rounds ≈ 8% here). */
+  private val bpeApply = Q(
+    "q_text_bpe_apply",
+    s"""WITH $bpeOracleCtes,
+       |vocab AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS chars,
+       |    CAST(len(list_filter(string_split(rep, '||'),
+       |      x -> x <> '')) AS BIGINT) AS symbols
+       |  FROM r$bpeRounds
+       |), docsw AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS ws_tokens,
+       |    CAST(sum(v.chars) AS BIGINT) AS chars,
+       |    CAST(sum(v.symbols) AS BIGINT) AS symbols
+       |  FROM docsw d JOIN vocab v ON d.w = v.w
+       |  GROUP BY source
+       |)
+       |SELECT source, ws_tokens, chars, symbols,
+       |  (10000 * (chars - symbols) + chars // 2) // chars AS saved_bp
+       |FROM agg ORDER BY source""".stripMargin
+  ) { (s, dir) => bpeApplyOver(Tables.documents(s, dir)) }
+
+  private[graft] def bpeApplyOver(docs: DataFrame): DataFrame = {
+    val vocab = bpeFold(docs)._2
+      .select(col("w"), length(col("w")).cast("long").as("chars"),
+        expr("size(filter(split(rep, '\\\\|\\\\|'), x -> x != ''))")
+          .cast("long").as("symbols"))
+    val docsw = docs.select(col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    docsw.join(broadcast(vocab), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum("chars").cast("long").as("chars"),
+        sum("symbols").cast("long").as("symbols"))
+      .withColumn("saved_bp",
+        expr("(10000 * (chars - symbols) + chars div 2) div chars"))
+      .orderBy("source")
+  }
+
+  /** The train fold shared by q_text_bpe_train (the merges) and
+    * q_text_bpe_apply (the final per-word representation): returns
+    * (merge argmax per round, vocabulary with post-merge `rep`). */
+  private def bpeFold(docs: DataFrame): (Seq[DataFrame], DataFrame) = {
     val words = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -632,7 +691,7 @@ object TextQueries extends QueryCatalog {
         .as("p"))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum("freq").cast("long").as("cnt"))
-    val (_, bests) =
+    val (rep3, bests) =
       (1 to bpeRounds).foldLeft((r0, Seq.empty[DataFrame])) {
         case ((rep, acc), _) =>
           val best = pairCounts(rep)
@@ -643,15 +702,18 @@ object TextQueries extends QueryCatalog {
                 "'|' || l || r || '|')").as("rep"))
           (next, acc :+ best)
       }
-    bests.zipWithIndex.map { case (b, i) =>
+    (bests, rep3)
+  }
+
+  private[graft] def bpeTrainOver(docs: DataFrame): DataFrame =
+    bpeFold(docs)._1.zipWithIndex.map { case (b, i) =>
       b.select(lit(i + 1).as("step"), col("l"), col("r"),
         concat(col("l"), col("r")).as("merged"),
         col("cnt").as("merge_count"))
     }.reduce(_ unionByName _).orderBy("step")
-  }
 
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
-      bpeTrain, langMismatch, vocabCoverage)
+      bpeTrain, bpeApply, langMismatch, vocabCoverage)
 }

@@ -444,6 +444,21 @@ class LlmSpec extends SparkSuite {
       (3, "lo", "w", "low", 3L)))
   }
 
+  test("BPE apply: per-source symbol volumes under the trained merges, " +
+    "hand-computed") {
+    import spark.implicits._
+    // merges (from the train test): bb, lo, low. Final reps:
+    // low = 1 symbol, lower = low|e|r = 3, bbbb = bb|bb = 2.
+    val docs = Seq((1L, "low low lower", "s1"), (2L, "bbbb", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.llm.TextQueries.bpeApplyOver(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("s1", 3L, 11L, 5L, 5455L),  // (10000*6 + 5) div 11
+      ("s2", 1L, 4L, 2L, 5000L)))  // (10000*2 + 2) div 4
+  }
+
   test("fuzzy dedup: levenshtein-verified pairs need >= 2 shared " +
     "trigrams; hand-computed distance and half-up sim_bp") {
     import spark.implicits._
