@@ -729,40 +729,47 @@ object SimilarityQueries extends QueryCatalog {
     * once into a materialized (q, qd, qq) table shared by both
     * iterations — at 10^9 vectors each iteration is one map pass
     * plus a k×64-cell aggregate. */
+  /** The dims → c0 → (assign, recompute) → a2 oracle scaffolding for
+    * the k-means family: a2 is the final (vec_id, cid) assignment,
+    * shared by q_sim_kmeans and the q_pipe_topic_mix composition. */
+  private def kmeansOracleCtes: String = {
+    def dist(cent: String) =
+      s"""SELECT v.vec_id, c.cid,
+         |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+         |  FROM dims v JOIN $cent c USING (d) GROUP BY 1, 2""".stripMargin
+    def argmin(d: String) =
+      s"""SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cid) AS rn FROM $d) WHERE rn = 1""".stripMargin
+    s"""dims AS (
+       |  SELECT vec_id, i - 1 AS d,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+       |      + 5000 AS q
+       |  FROM embeddings,
+       |    unnest(generate_series(1, len(embedding))) AS u(i)
+       |), c0 AS (
+       |  SELECT vec_id AS cid, d, q AS c FROM dims WHERE vec_id < 8
+       |), d1 AS (
+       |  ${dist("c0")}
+       |), a1 AS (
+       |  ${argmin("d1")}
+       |), m1 AS (
+       |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
+       |  FROM a1 a JOIN dims v USING (vec_id) GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT s.cid, s.d, coalesce(m.c, s.c) AS c
+       |  FROM c0 s LEFT JOIN m1 m ON m.cid = s.cid AND m.d = s.d
+       |), d2 AS (
+       |  ${dist("c1")}
+       |), a2 AS (
+       |  ${argmin("d2")}
+       |)""".stripMargin
+  }
+
   private val kmeans = Q(
-    "q_sim_kmeans", {
-      def dist(cent: String) =
-        s"""SELECT v.vec_id, c.cid,
-           |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
-           |  FROM dims v JOIN $cent c USING (d) GROUP BY 1, 2""".stripMargin
-      def argmin(d: String) =
-        s"""SELECT vec_id, cid FROM (
-           |  SELECT vec_id, cid,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY dist, cid) AS rn FROM $d) WHERE rn = 1""".stripMargin
-      s"""WITH dims AS (
-         |  SELECT vec_id, i - 1 AS d,
-         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
-         |      + 5000 AS q
-         |  FROM embeddings,
-         |    unnest(generate_series(1, len(embedding))) AS u(i)
-         |), c0 AS (
-         |  SELECT vec_id AS cid, d, q AS c FROM dims WHERE vec_id < 8
-         |), d1 AS (
-         |  ${dist("c0")}
-         |), a1 AS (
-         |  ${argmin("d1")}
-         |), m1 AS (
-         |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
-         |  FROM a1 a JOIN dims v USING (vec_id) GROUP BY 1, 2
-         |), c1 AS (
-         |  SELECT s.cid, s.d, coalesce(m.c, s.c) AS c
-         |  FROM c0 s LEFT JOIN m1 m ON m.cid = s.cid AND m.d = s.d
-         |), d2 AS (
-         |  ${dist("c1")}
-         |), a2 AS (
-         |  ${argmin("d2")}
-         |), m2 AS (
+    "q_sim_kmeans",
+    s"""WITH $kmeansOracleCtes, m2 AS (
          |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
          |  FROM a2 a JOIN dims v USING (vec_id) GROUP BY 1, 2
          |), c2 AS (
@@ -776,8 +783,25 @@ object SimilarityQueries extends QueryCatalog {
          |  CAST(sum(abs(c2.c - 5000)) AS BIGINT) AS l1
          |FROM c2 LEFT JOIN sizes ON sizes.cid = c2.cid
          |GROUP BY c2.cid ORDER BY cluster_id""".stripMargin
-    }
   ) { (s, dir) =>
+    val (c2, asn2) = kmeansFit(s, dir)
+    val sizes = asn2.groupBy("cid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    c2.zipWithIndex.map { case (cv, cid) =>
+      (cid.toLong, sizes.getOrElse(cid.toLong, 0L),
+        cv.map(x => math.abs(x - 5000L)).sum)
+    }.toSeq.toDF("cluster_id", "n_members", "l1")
+      .orderBy("cluster_id")
+  }
+
+  /** Two unrolled Lloyd iterations (the q_sim_kmeans engine): returns
+    * (final centroids, final (vec_id, cid, q) assignment — the Spark
+    * twin of oracle CTE a2). Per-iteration centroid recompute is a
+    * k×64-cell aggregate collected driver-side (metadata-sized by
+    * construction: k is bounded). */
+  private def kmeansFit(s: SparkSession, dir: String)
+      : (Array[Array[Long]], DataFrame) = {
     import graft.functions.vec
     val Dim = 64
     val K = 8
@@ -832,15 +856,46 @@ object SimilarityQueries extends QueryCatalog {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Long](1).toArray)
     val (c1, _) = step(seeds)
-    val (c2, asn2) = step(c1)
-    val sizes = asn2.groupBy("cid").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    import s.implicits._
-    c2.zipWithIndex.map { case (cv, cid) =>
-      (cid.toLong, sizes.getOrElse(cid.toLong, 0L),
-        cv.map(x => math.abs(x - 5000L)).sum)
-    }.toSeq.toDF("cluster_id", "n_members", "l1")
-      .orderBy("cluster_id")
+    step(c1)
+  }
+
+  /** Topic-mix curation report: cross-tabulate the k-means clusters
+    * (semantic "topics") against the declared `source` column — the
+    * "what is actually in my dataset" artifact a release consults
+    * before balancing a training mix (and the embedding-space
+    * counterpart of q_pipe_mixture's source shares). Composed from the
+    * SAME fit as q_sim_kmeans (builder reuses kmeansFit; oracle embeds
+    * the same CTEs through the final assignment a2 — the q_sim_recall
+    * no-drift pattern). Documents join their embedding's cluster by
+    * id; per-(cluster, source) doc counts carry a half-up-bp share of
+    * the cluster. Output is ≤ k·|sources| rows; the join shuffles
+    * only (id, source, cid).
+    */
+  private val topicMix = Q(
+    "q_pipe_topic_mix",
+    s"""WITH $kmeansOracleCtes, j AS (
+       |  SELECT a2.cid AS cluster_id, d.source
+       |  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+       |), g AS (
+       |  SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(count(*)) OVER (PARTITION BY cluster_id) AS BIGINT)
+       |      AS tot
+       |  FROM j GROUP BY cluster_id, source
+       |)
+       |SELECT cluster_id, source, n_docs,
+       |  (10000 * n_docs + tot // 2) // tot AS share_bp
+       |FROM g ORDER BY cluster_id, source""".stripMargin
+  ) { (s, dir) =>
+    val asn = kmeansFit(s, dir)._2.select(col("vec_id"), col("cid"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy("cluster_id")
+    asn.join(docs, col("doc_id") === col("vec_id"))
+      .groupBy(col("cid").as("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("tot", sum("n_docs").over(w))
+      .withColumn("share_bp", expr("(10000 * n_docs + tot div 2) div tot"))
+      .drop("tot")
+      .orderBy("cluster_id", "source")
   }
 
   /** SEMANTIC decontamination — the embedding-space twin of the
@@ -1075,7 +1130,8 @@ object SimilarityQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc, topkIvfPq, pqTrained, kmeans, recall, semanticDecon)
+      topkAdc, topkIvfPq, pqTrained, kmeans, topicMix, recall,
+      semanticDecon)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
