@@ -117,6 +117,38 @@ object AggQueries extends QueryCatalog {
       .orderBy("l_returnflag")
   }
 
+  /** A5 companion: MERGEABLE distinct-count sketches (DataSketches HLL
+    * via hll_sketch_agg / hll_union_agg) — the 100 TB rollup pattern
+    * approx_count_distinct cannot express: per-slice sketch BINARIES
+    * are storable (a lake table column, one row per source/day), and
+    * any slice union answers "distinct across these slices" by merging
+    * registers — no re-scan of the fact data. Here: per-source token
+    * sketches, plus an 'ALL' row whose estimate comes from
+    * hll_union_agg over the 20 per-source sketches (never from the
+    * corpus); exact counts ride along to expose the half-up-bp error.
+    * Sketches are order-independent (max-register per bucket), so the
+    * output is deterministic at any parallelism. No DuckDB oracle
+    * (sketch internals are engine-specific): rows-only check + the
+    * AggSketchSpec bounds (err < 5%, union ≡ direct global sketch). */
+  private val hllSketch = Q.noOracle("q_agg_hll_sketch") { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val per = toks.groupBy("source")
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"),
+        countDistinct(col("tok")).as("exact"))
+    val perOut = per.select(col("source"),
+      hll_sketch_estimate(col("sk")).as("est"), col("exact"))
+    val allOut = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(lit("ALL").as("source"), col("est"))
+      .crossJoin(broadcast(
+        toks.agg(countDistinct(col("tok")).as("exact"))))
+    perOut.unionByName(allOut)
+      .withColumn("err_bp", expr(
+        "(10000 * abs(est - exact) + exact div 2) div exact"))
+      .orderBy("source")
+  }
+
   /** A6: ROLLUP — multi-level summaries. Group keys are COALESCEd to a
     * sentinel so Spark/DuckDB NULL-ordering differences can't bite. */
   private val rollupQ = Q(
@@ -309,6 +341,6 @@ object AggQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
-    approxDistinct, rollupQ, cubeQ, groupingSetsQ, histogram, pivotQ,
-    unpivotQ, corrMoments)
+    approxDistinct, hllSketch, rollupQ, cubeQ, groupingSetsQ, histogram,
+    pivotQ, unpivotQ, corrMoments)
 }
