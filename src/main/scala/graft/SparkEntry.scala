@@ -15,6 +15,7 @@ object SparkEntry {
     rel.ScanFilterQueries,
     rel.JoinQueries,
     rel.AggQueries,
+    rel.SketchQueries,
     rel.AnalyticsQueries,
     rel.SortSetQueries,
     rel.FuncQueries,

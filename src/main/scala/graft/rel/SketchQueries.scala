@@ -1,0 +1,168 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, QueryCatalog}
+
+/** SURVEY.md §2d A17: KMV/theta-style distinct sketches with SET
+  * ALGEBRA — the capability HLL (A16) lacks. An HLL union can answer
+  * "distinct across slices", but only a theta-family sketch can answer
+  * "distinct IN BOTH slices" (intersection) without re-scanning facts.
+  *
+  * The sketch here is a K-minimum-values summary held as ROWS, not an
+  * opaque binary: per slice, the K smallest 60-bit hashes of the member
+  * keys. That representation is Spark-first — building it is a salted
+  * top-K window, merging two sketches is a union + re-rank, and
+  * intersecting them is an equi-join on the hash — and it makes the
+  * whole operator ORACLE-CHECKABLE, because DuckDB computes the exact
+  * same md5-derived hashes and the estimator is integer-only math
+  * (`(K-1) * 2^60 div theta`), bit-equal across engines. DataSketches'
+  * theta sketch is the same estimator with the rows packed into one
+  * binary value.
+  *
+  * Query: per o_orderpriority, the distinct-o_custkey estimate vs
+  * exact; per priority PAIR, the theta-intersection estimate
+  * (customers who placed orders at BOTH priorities) vs exact. The
+  * exact columns are the verification harness riding along at test
+  * scale — at 100 TB only the sketch path runs: the 5 sketches are K
+  * rows each, every set operation after the one fact scan touches
+  * ≤ 5·K rows.
+  *
+  * Scale notes: the fact table is touched exactly once (the distinct
+  * (mode, okey) projection). The K-smallest selection is two-level —
+  * a 32-way salted window bounds every partition's candidate set at
+  * K rows before the final per-mode window sees ≤ 32·K survivors — so
+  * no single reducer ever materializes a mode's full hash set (the
+  * single-window form would put all distinct keys of a mode on one
+  * reducer). The reference has no sketch surface (its aggregates are
+  * exact, notebooks/utils/file_summary_utils.py:91-104); this extends
+  * the engine the way its Iceberg tables extend to 100 TB lakes.
+  */
+object SketchQueries extends QueryCatalog {
+
+  /** Sketch size. 255/256 gives ~1/sqrt(K-2) ≈ 6% stderr on the
+    * per-mode estimates; intersections inherit the union's theta. */
+  private val K = 256
+
+  /** 2^60: the hash domain — 15 hex chars of md5 so the value fits a
+    * signed BIGINT identically in Spark and DuckDB. */
+  private val Dom = "1152921504606846976"
+
+  private val kmvTheta = Q(
+    "q_agg_kmv_theta",
+    s"""WITH pr AS (
+      |  SELECT DISTINCT o_orderpriority AS mode, o_custkey AS okey FROM orders
+      |), h AS (
+      |  SELECT mode,
+      |    CAST(concat('0x', substr(md5(CAST(okey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM pr
+      |), rk AS (
+      |  SELECT mode, h,
+      |    row_number() OVER (PARTITION BY mode ORDER BY h) AS rk
+      |  FROM h
+      |), kmv AS (
+      |  SELECT mode, h FROM rk WHERE rk <= $K
+      |), st AS (
+      |  SELECT mode, count(*) AS cnt,
+      |    CASE WHEN count(*) < $K THEN $Dom ELSE max(h) END AS theta
+      |  FROM kmv GROUP BY mode
+      |), est1 AS (
+      |  SELECT mode,
+      |    CASE WHEN cnt < $K THEN cnt
+      |      ELSE CAST((${K - 1} * CAST($Dom AS HUGEINT)) // theta AS BIGINT)
+      |    END AS est
+      |  FROM st
+      |), exm AS (
+      |  SELECT mode, count(*) AS exact FROM pr GROUP BY mode
+      |), single AS (
+      |  SELECT e.mode AS a, '*' AS b, est, exact
+      |  FROM est1 e JOIN exm USING (mode)
+      |), comm AS (
+      |  SELECT ka.mode AS a, kb.mode AS b, ka.h AS h
+      |  FROM kmv ka JOIN kmv kb ON ka.h = kb.h AND ka.mode < kb.mode
+      |), surv AS (
+      |  SELECT c.a, c.b, least(sa.theta, sb.theta) AS tmin,
+      |    count(*) FILTER (WHERE c.h < least(sa.theta, sb.theta)) AS n
+      |  FROM comm c
+      |  JOIN st sa ON sa.mode = c.a
+      |  JOIN st sb ON sb.mode = c.b
+      |  GROUP BY c.a, c.b, least(sa.theta, sb.theta)
+      |), expair AS (
+      |  SELECT pa.mode AS a, pb.mode AS b, count(*) AS exact
+      |  FROM pr pa JOIN pr pb ON pa.okey = pb.okey AND pa.mode < pb.mode
+      |  GROUP BY pa.mode, pb.mode
+      |), pairs AS (
+      |  SELECT x.a, x.b,
+      |    coalesce(CAST((CAST(s.n AS HUGEINT) * $Dom) // s.tmin AS BIGINT),
+      |      0) AS est,
+      |    x.exact
+      |  FROM expair x LEFT JOIN surv s ON s.a = x.a AND s.b = x.b
+      |)
+      |SELECT a, b, est, exact,
+      |  (10000 * abs(est - exact) + exact // 2) // exact AS err_bp
+      |FROM (SELECT * FROM single UNION ALL SELECT * FROM pairs)
+      |ORDER BY a, b""".stripMargin
+  ) { (s, dir) =>
+    val pr = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("mode"), col("o_custkey").as("okey"))
+      .distinct()
+    val hashed = pr.select(col("mode"),
+      conv(substring(md5(col("okey").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    // two-level K-smallest: the salted level bounds reducer memory,
+    // the final level sees <= 32*K rows per mode. K smallest of the
+    // union of per-salt K-smallest sets == global K smallest.
+    val lvl1 = hashed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("mode"), pmod(col("h"), lit(32)))
+          .orderBy("h")))
+      .filter(col("rk") <= K).drop("rk")
+    val kmv = lvl1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("mode").orderBy("h")))
+      .filter(col("rk") <= K).drop("rk")
+
+    val st = kmv.groupBy("mode").agg(
+      count(lit(1)).as("cnt"),
+      when(count(lit(1)) < K, expr(Dom)).otherwise(max("h")).as("theta"))
+    val est1 = st.select(col("mode"),
+      when(col("cnt") < K, col("cnt")).otherwise(expr(
+        s"CAST((${K - 1} * CAST($Dom AS DECIMAL(38,0))) div theta AS BIGINT)"))
+        .as("est"))
+    val exm = pr.groupBy("mode").agg(count(lit(1)).as("exact"))
+    val single = est1.join(exm, "mode")
+      .select(col("mode").as("a"), lit("*").as("b"), col("est"),
+        col("exact"))
+
+    // theta intersection: survivors are hashes retained by BOTH
+    // sketches below the pair's min theta; 7 sketches x K rows, so
+    // everything below is metadata-sized regardless of fact scale.
+    val ka = kmv.select(col("mode").as("a"), col("h"))
+    val kb = kmv.select(col("mode").as("b"), col("h"))
+    val thA = st.select(col("mode").as("a"), col("theta").as("ta"))
+    val thB = st.select(col("mode").as("b"), col("theta").as("tb"))
+    val surv = ka.join(kb, "h").filter(col("a") < col("b"))
+      .join(broadcast(thA), "a").join(broadcast(thB), "b")
+      .withColumn("tmin", least(col("ta"), col("tb")))
+      .groupBy("a", "b", "tmin")
+      .agg(count(when(col("h") < col("tmin"), 1)).as("n"))
+      .withColumn("est", expr(
+        s"CAST((n * CAST($Dom AS DECIMAL(38,0))) div tmin AS BIGINT)"))
+      .select("a", "b", "est")
+    val pa = pr.select(col("mode").as("a"), col("okey"))
+    val pb = pr.select(col("mode").as("b"), col("okey"))
+    val exPair = pa.join(pb, "okey").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("exact"))
+    val pairs = exPair.join(surv, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("est"), lit(0L)).as("est"),
+        col("exact"))
+
+    single.unionByName(pairs)
+      .withColumn("err_bp", expr(
+        "(10000 * abs(est - exact) + exact div 2) div exact"))
+      .orderBy("a", "b")
+  }
+
+  override def all: Seq[Q] = Seq(kmvTheta)
+}
