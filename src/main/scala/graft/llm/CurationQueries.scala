@@ -612,7 +612,97 @@ object CurationQueries extends QueryCatalog {
       .orderBy("lang")
   }
 
+  /** Bloom-prefiltered decontamination: the q_pipe_decontaminate
+    * semantics at the scale where the eval gram set is too large to
+    * broadcast as a join hash map but its BLOOM FILTER still fits
+    * (1.2 bytes/gram at 0.1% fpp vs ~50+ bytes/gram for the map).
+    * Shape: (1) the eval side's distinct 5-grams fold into per-
+    * partition `spark.util.sketch.BloomFilter`s merged to one (the
+    * driver only ever holds KB of filter, never the gram set);
+    * (2) the corpus gram stream is pruned MAP-SIDE by the native
+    * [[graft.functions.BloomMightContain]] kernel — at sf0.01 this
+    * keeps ~45 of ~23k distinct corpus grams, so the confirm join's
+    * shuffle carries ~0.2% of the gram volume; (3) survivors are
+    * exact-confirmed with a shuffle join (deliberately NOT broadcast —
+    * pinning the plan that survives an unbroadcastable eval side),
+    * which also removes the bloom's false positives, keeping the
+    * result exact and the oracle an ordinary SQL join. Per-source
+    * contamination report: docs hit + distinct (doc, gram) hits.
+    * fpp=0.001 and Spark's Murmur3 bloom hashing are deterministic, so
+    * the pruned set (and every plan metric) is reproducible. */
+  private val bloomDecon = Q(
+    "q_pipe_bloom_decontaminate",
+    """WITH corpus AS (
+      |  SELECT source, doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE source <> 'src4'
+      |), eval AS (
+      |  SELECT string_split(text, ' ') AS toks FROM documents
+      |  WHERE source = 'src4'
+      |), cg AS (
+      |  SELECT DISTINCT source, doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 3),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |      toks[i+3] || ' ' || toks[i+4])) AS g
+      |  FROM corpus
+      |), eg AS (
+      |  SELECT DISTINCT unnest(list_transform(
+      |    range(1, len(toks) - 3),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |      toks[i+3] || ' ' || toks[i+4])) AS g
+      |  FROM eval
+      |)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs_hit,
+      |  CAST(count(*) AS BIGINT) AS n_gram_hits
+      |FROM cg JOIN eg USING (g)
+      |GROUP BY source ORDER BY source""".stripMargin
+  ) { (s, dir) =>
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("source"), col("doc_id"),
+        split(col("text"), " ").as("toks"))
+      .select(col("source"), col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 5), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
+          "toks[i+3], toks[i+4]))")).as("g"))
+    val docs = Tables.documents(s, dir)
+    val eg = grams(docs.filter(col("source") === "src4"))
+      .select("g").distinct()
+    // distributed filter build: count sizes the filter (an action on
+    // the definitionally-small eval side), partition filters merge to
+    // one — the driver never materializes the gram set itself.
+    val n = math.max(eg.count(), 1024L)
+    val bf = eg.as(org.apache.spark.sql.Encoders.STRING).rdd
+      .mapPartitions { it =>
+        val f = org.apache.spark.util.sketch.BloomFilter.create(n, 0.001)
+        it.foreach(g => f.putBinary(
+          g.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        Iterator(f)
+      }.fold(
+        org.apache.spark.util.sketch.BloomFilter.create(n, 0.001))(
+        _ mergeInPlace _)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // on a session without the graft extensions the native probe is
+    // unavailable; the prune is a pure performance layer (the join
+    // below confirms exactly), so degrade to unpruned rather than
+    // depend on session wiring — same contract as functions.vec.
+    val probe =
+      if (s.catalog.functionExists("bloom_might_contain"))
+        call_function("bloom_might_contain", lit(bytes), col("g"))
+      else lit(true)
+    grams(docs.filter(col("source") =!= "src4"))
+      .filter(probe)
+      .select("source", "doc_id", "g").distinct()
+      .join(eg.hint("shuffle_hash"), "g")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs_hit"),
+        count(lit(1)).as("n_gram_hits"))
+      .orderBy("source")
+  }
+
   def all: Seq[Q] =
     Seq(winnowing, cdcChunks, normalizedDedup, importance, pplBuckets,
-      semanticDedup, klDrift)
+      semanticDedup, klDrift, bloomDecon)
 }
