@@ -35,7 +35,12 @@ class LakeWritePlanSpec extends SparkSuite {
   private def df(prefix: String, n: Int) =
     spark.createDataFrame(rows(prefix, n).asJava, schema)
 
-  /** Run `op` while capturing every QueryExecution it triggers. */
+  /** Run `op` while capturing every QueryExecution it triggers.
+    * Streaming-origin executions (IncrementalExecution micro-batches)
+    * are excluded: the listener is session-global and the shared test
+    * session may still be draining async micro-batch events from an
+    * earlier streaming suite's teardown — those would flakily fail the
+    * exact execution-count assertions below without being ours. */
   private def capturing[A](op: => A): (A, Seq[QueryExecution]) = {
     val captured = new ConcurrentLinkedQueue[QueryExecution]()
     val listener = new QueryExecutionListener {
@@ -48,7 +53,11 @@ class LakeWritePlanSpec extends SparkSuite {
     try {
       val result = op
       TestListenerBus.flush(spark.sparkContext)
-      (result, captured.asScala.toSeq)
+      val batchOnly = captured.asScala.toSeq.filterNot(qe =>
+        qe.isInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime
+            .IncrementalExecution])
+      (result, batchOnly)
     } finally spark.listenerManager.unregister(listener)
   }
 
