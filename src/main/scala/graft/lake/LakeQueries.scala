@@ -605,10 +605,110 @@ object LakeQueries extends QueryCatalog {
     pii.read().orderBy("case_id")
   }
 
+  /** KMV sketches STORED in a lake table and maintained incrementally —
+    * the production shape behind SketchQueries' A17 operator: one row
+    * per (slice, retained-hash), ≤ K rows per slice, upserted per
+    * ingest window from the window's NEW keys only (KMV folding is
+    * associative: k-smallest of old-sketch ∪ window-hashes). Distinct
+    * questions — per slice AND across slices — are then answered from
+    * the sketch table alone, never re-scanning facts; because the
+    * sketch lives in a snapshot-versioned lake table, time travel
+    * answers "distinct as of window 1" for free from K rows. KMV (like
+    * all theta-family sketches) is insert-only — deletes require a
+    * rebuild — so ingest here is append-only by design. Each window
+    * cross-checks the sketch-table answers against a full recompute
+    * bound (exact ride-along) and fails loudly if the estimate leaves
+    * ±25%; emitted rows are the per-window report. */
+  private val sketchRollup = Q.noOracle("q_lake_sketch_rollup") { (s, _) =>
+    val K = 128
+    val dom = "1152921504606846976" // 2^60, matches SketchQueries
+    val factSchema = StructType.fromDDL("slice STRING, key BIGINT")
+    val skSchema = StructType.fromDDL("slice STRING, h BIGINT")
+    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    cat.createNamespace("default")
+    val fact = cat.createTable("default", "fact", factSchema)
+    val sk = cat.createTable("default", "sketches", skSchema)
+    def hashes(df: DataFrame): DataFrame = df.select(col("slice"),
+      conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    def kSmallest(df: DataFrame, part: Seq[String]): DataFrame = df
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(part.map(col): _*).orderBy("h")))
+      .filter(col("rk") <= K).drop("rk")
+    def estOf(df: DataFrame): Map[String, Long] = df
+      .groupBy("slice")
+      .agg(count(lit(1)).as("cnt"),
+        when(count(lit(1)) < K, expr(dom)).otherwise(max("h"))
+          .as("theta"))
+      .select(col("slice"),
+        when(col("cnt") < K, col("cnt")).otherwise(expr(
+          s"CAST((${K - 1} * CAST($dom AS DECIMAL(38,0))) div theta " +
+            "AS BIGINT)")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ingest(rows: Seq[(String, Long)]): Unit = {
+      import s.implicits._
+      val w = rows.toDF("slice", "key")
+      fact.append(w)
+      // fold: k-smallest of stored sketch UNION window hashes
+      sk.overwriteAll(kSmallest(
+        sk.read().unionByName(hashes(w).distinct()).distinct(),
+        Seq("slice")))
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long)]
+    def report(phase: String): Unit = {
+      val stored = sk.read()
+      // per-slice + ALL (k-smallest of the union of slice sketches =
+      // the global sketch — the KMV merge law) from STORED rows only
+      val est = estOf(stored) ++ estOf(
+        kSmallest(stored.select("h").distinct()
+          .withColumn("slice", lit("ALL")), Seq("slice")))
+      val exact = fact.read().select("slice", "key").distinct()
+        .groupBy("slice").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++
+        Map("ALL" -> fact.read().select("key").distinct().count())
+      est.toSeq.sortBy(_._1).foreach { case (slice, e) =>
+        val x = exact(slice)
+        require(math.abs(e - x) * 4 <= x,
+          s"$phase/$slice: sketch answer $e left ±25% of exact $x")
+        out += ((phase, slice, e, x))
+      }
+    }
+    ingest((1L to 500L).map(k => ("s1", k)) ++
+      (301L to 800L).map(k => ("s2", k)))
+    report("w1-seed")
+    val w1Snap = sk.currentSnapshot.get.snapshotId
+    ingest((501L to 900L).map(k => ("s1", k)) ++
+      (701L to 1200L).map(k => ("s2", k)))
+    report("w2-grow")
+    // re-ingesting known keys must not move any sketch (set semantics)
+    ingest((200L to 600L).map(k => ("s1", k)))
+    report("w3-idempotent-refeed")
+    Seq("s1", "s2", "ALL").foreach { sl =>
+      def estAt(ph: String) =
+        out.find(o => o._1 == ph && o._2 == sl).get._3
+      require(estAt("w3-idempotent-refeed") == estAt("w2-grow"),
+        s"refeed of known keys moved the $sl sketch")
+    }
+    // storability across time: window-1's answers re-derive from the
+    // sketch table's OLD SNAPSHOT — K rows, no fact history needed
+    val w1est = estOf(sk.readAt(w1Snap))
+    Seq("s1", "s2").foreach { sl =>
+      require(w1est(sl) == out.find(o => o._1 == "w1-seed" && o._2 == sl)
+        .get._3, s"time-travel sketch answer drifted for $sl")
+      out += (("w4-travel-to-w1", sl, w1est(sl), out.find(o =>
+        o._1 == "w1-seed" && o._2 == sl).get._4))
+    }
+    import s.implicits._
+    out.toSeq.toDF("phase", "scope", "est", "exact")
+      .orderBy("phase", "scope")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
     schemaEvolution, wap, incrementalAgg, incrementalMinhash,
-    metadataRetention, streamErasure)
+    metadataRetention, streamErasure, sketchRollup)
 }
