@@ -169,6 +169,80 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("user_id", "event_type")
   }
 
+  /** Batch twin of [[Streams.KmvDistinctProcessor]]: per-event-type
+    * distinct-user KMV estimates (K=64), the same 60-bit md5 hashing
+    * and integer estimator as rel.SketchQueries A17 — so the streaming
+    * state fold, this batch plan, and the DuckDB oracle all agree
+    * bit-for-bit. Two-level salted K-smallest as in A17: no reducer
+    * ever holds a type's full distinct-user hash set. StreamingSpec
+    * proves the live transformWithState fold's tail emissions equal
+    * these rows regardless of micro-batch boundaries. */
+  private val kmvDistinctQ = Q(
+    "q_stream_kmv_distinct",
+    """WITH pr AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), h AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM pr
+      |), rk AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h
+      |), st AS (
+      |  SELECT event_type, count(*) AS cnt,
+      |    CASE WHEN count(*) < 64 THEN 1152921504606846976
+      |      ELSE max(h) END AS theta
+      |  FROM rk WHERE rk <= 64 GROUP BY event_type
+      |), est1 AS (
+      |  SELECT event_type, cnt AS n_retained,
+      |    CASE WHEN cnt < 64 THEN cnt
+      |      ELSE CAST((63 * CAST(1152921504606846976 AS HUGEINT))
+      |        // theta AS BIGINT)
+      |    END AS est
+      |  FROM st
+      |), exm AS (
+      |  SELECT event_type, count(*) AS exact FROM pr GROUP BY event_type
+      |)
+      |SELECT e.event_type, n_retained, est, exact,
+      |  (10000 * abs(est - exact) + exact // 2) // exact AS err_bp
+      |FROM est1 e JOIN exm USING (event_type)
+      |ORDER BY event_type""".stripMargin
+  ) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val K = 64
+    val dom = "1152921504606846976"
+    val pr = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val hashed = pr.select(col("event_type"),
+      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val lvl1 = hashed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"), pmod(col("h"), lit(32)))
+          .orderBy("h")))
+      .filter(col("rk") <= K).drop("rk")
+    val st = lvl1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rk") <= K)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        when(count(lit(1)) < K, expr(dom)).otherwise(max("h"))
+          .as("theta"))
+    val est1 = st.select(col("event_type"), col("cnt").as("n_retained"),
+      when(col("cnt") < K, col("cnt")).otherwise(expr(
+        s"CAST((${K - 1} * CAST($dom AS DECIMAL(38,0))) div theta " +
+          "AS BIGINT)")).as("est"))
+    val exm = pr.groupBy("event_type").agg(count(lit(1)).as("exact"))
+    est1.join(exm, "event_type")
+      .withColumn("err_bp", expr(
+        "(10000 * abs(est - exact) + exact div 2) div exact"))
+      .orderBy("event_type")
+  }
+
   override def all: Seq[Q] =
-    Seq(tumbling, sliding, session, streamJoin, milestonesQ, firstSeenQ)
+    Seq(tumbling, sliding, session, streamJoin, milestonesQ, firstSeenQ,
+      kmvDistinctQ)
 }

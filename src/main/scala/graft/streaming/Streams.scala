@@ -328,6 +328,75 @@ object Streams {
       .select(col("purchase_id"), col("view_id"), col("user_id"))
   }
 
+  final case class KmvOut(event_type: String, n_retained: Long, est: Long)
+
+  /** 2^60 — the KMV hash domain shared with rel.SketchQueries. */
+  private val KmvDom = 1152921504606846976L
+
+  /** 60-bit md5 hash, bit-identical to the SQL-side
+    * `conv(substring(md5(cast(x as string)), 1, 15), 16, 10)` used by
+    * the batch twin and its DuckDB oracle: lowercase-hex md5 of the
+    * UTF-8 bytes, first 15 hex digits as a long. */
+  private[streaming] def kmvHash60(key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex digits = first 7 bytes + the high nibble of byte 8
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  private[streaming] def kmvEstimate(retained: Array[Long], k: Int): Long =
+    if (retained.length < k) retained.length.toLong
+    else (BigInt(k - 1) * BigInt(KmvDom) / BigInt(retained.last)).toLong
+
+  /** Streaming distinct-count state: one KMV sketch (the K smallest
+    * 60-bit hashes, a sorted Array[Long]) per event_type — the
+    * streaming form of the A17 theta/KMV operator. Folding a batch is
+    * set union + re-truncate, so state is O(K) per key FOREVER (a
+    * distinct-count via dropDuplicates state would grow with the true
+    * cardinality — unbounded on a 100 TB/day stream); each batch emits
+    * the key's running estimate. KMV folding is associative and
+    * order-independent, so the emitted tail estimate equals the batch
+    * twin (q_stream_kmv_distinct) exactly, whatever the micro-batch
+    * boundaries were — pinned in StreamingSpec across 4 chronological
+    * batches. */
+  class KmvDistinctProcessor(k: Int)
+      extends StatefulProcessor[String, Ev, KmvOut] {
+    @transient private var retained: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      retained = getHandle.getValueState[Array[Long]]("kmv",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(
+        eventType: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[KmvOut] = {
+      val incoming = rows.map(e => kmvHash60(e.user_id.toString))
+      val prev: Array[Long] =
+        if (retained.exists()) retained.get() else Array.empty[Long]
+      val merged = (prev.iterator ++ incoming).toArray
+        .distinct.sorted.take(k)
+      retained.update(merged)
+      Iterator.single(
+        KmvOut(eventType, merged.length.toLong, kmvEstimate(merged, k)))
+    }
+  }
+
+  /** Running per-event-type distinct-user estimates; see
+    * [[KmvDistinctProcessor]]. */
+  def kmvDistinct(events: DataFrame, k: Int = 64): Dataset[KmvOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.event_type)
+      .transformWithState(new KmvDistinctProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Drain a streaming Dataset through a named memory sink, processing
     * all currently-available input (AvailableNow = run to completion in
     * maxFilesPerTrigger-sized batches, then stop).

@@ -658,4 +658,70 @@ class StreamingSpec extends SparkSuite {
     assert(cases(pii) === Seq("case-1", "case-2", "case-3", "case-6"),
       "a post-erasure re-insert must be visible (sequence rule)")
   }
+
+  test("transformWithState KMV distinct-count: streamed tail estimates " +
+    "equal the batch twin's math regardless of micro-batch boundaries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // k=8 < the fixture's 15 distinct users, so the ESTIMATING branch
+      // runs here (the production K=64 twin estimates at sf>=0.01)
+      val k = 8
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.kmvDistinct(stream, k),
+        "kmv_distinct", OutputMode.Append)
+      val got = spark.table("kmv_distinct").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // state must actually carry across the 4 chronological batches
+      val perType = got.groupBy(_._1)
+      assert(perType.values.forall(_.length >= 2),
+        "each type must emit from more than one micro-batch")
+      val finals = perType.view.mapValues(
+        _.maxBy(_._2)).toMap.values.map(t => (t._1, t._2, t._3)).toSet
+
+      // batch expectation: same hashes, same estimator, one pass
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("h")
+      val want = batchEvents
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("h"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          when(count(lit(1)) < k, lit(1152921504606846976L))
+            .otherwise(max("h")).as("theta"))
+        .select(col("event_type"), col("cnt"),
+          when(col("cnt") < k, col("cnt")).otherwise(expr(
+            s"CAST((${k - 1} * CAST(1152921504606846976 AS " +
+              "DECIMAL(38,0))) div theta AS BIGINT)")).as("est"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(finals === want)
+      assert(want.exists(_._2 == k.toLong),
+        "fixture must push at least one type into the estimating branch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("kmvHash60 is bit-identical to the SQL md5/conv hash the batch " +
+    "twin and its oracle use") {
+    val viaSql = batchEvents.select(col("user_id").cast("string").as("u"))
+      .distinct()
+      .select(col("u"),
+        conv(substring(md5(col("u")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(viaSql.nonEmpty)
+    viaSql.foreach { case (u, h) =>
+      assert(Streams.kmvHash60(u) === h, s"hash mismatch for user $u")
+    }
+  }
 }
