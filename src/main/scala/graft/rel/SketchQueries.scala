@@ -164,5 +164,77 @@ object SketchQueries extends QueryCatalog {
       .orderBy("a", "b")
   }
 
-  override def all: Seq[Q] = Seq(kmvTheta)
+  /** A18: count-min sketch — mergeable FREQUENCY estimates, the third
+    * sketch capability (HLL/KMV answer "how many distinct", CMS answers
+    * "how often does X occur" from d·w counters regardless of corpus
+    * size; merging slices is counter addition). Unlike HLL, CMS is
+    * fully deterministic AND integer-only — counters are plain sums
+    * over fixed md5-derived bucket hashes — so like KMV it oracles
+    * bit-for-bit in DuckDB.
+    *
+    * Build: each token occurrence lands in one bucket per depth row
+    * (d=4 independent hashes, w=64 buckets); the sketch is the
+    * (depth, bucket) → count table — 256 rows total, produced by ONE
+    * shuffle whose map-side partial aggregation collapses every
+    * partition to ≤ 256 rows, so the exchange is O(d·w·partitions) no
+    * matter the corpus. Probe: est(tok) = min over depths of its
+    * bucket's counter — ≥ exact always (only hash collisions inflate,
+    * never deflate); the query probes the full 31-type vocabulary and
+    * reports est vs exact with the overcount. The exact side is the
+    * test-scale harness; at 100 TB only the 256-row sketch is stored
+    * and probed.
+    */
+  private val cmsFreq = Q(
+    "q_agg_cms_freq",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), b AS (
+      |  SELECT tok, d.d,
+      |    CAST(concat('0x', substr(md5(d.d || ':' || tok), 1, 15))
+      |      AS BIGINT) % 64 AS bucket
+      |  FROM tok, (VALUES (0), (1), (2), (3)) AS d(d)
+      |), cms AS (
+      |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY d, bucket
+      |), probes AS (
+      |  SELECT DISTINCT tok FROM tok
+      |), pb AS (
+      |  SELECT p.tok, d.d,
+      |    CAST(concat('0x', substr(md5(d.d || ':' || p.tok), 1, 15))
+      |      AS BIGINT) % 64 AS bucket
+      |  FROM probes p, (VALUES (0), (1), (2), (3)) AS d(d)
+      |), est AS (
+      |  SELECT pb.tok, min(cms.c) AS est
+      |  FROM pb JOIN cms USING (d, bucket) GROUP BY pb.tok
+      |), ex AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS exact
+      |  FROM tok GROUP BY tok
+      |)
+      |SELECT e.tok, est, exact, est - exact AS overcount
+      |FROM est e JOIN ex USING (tok)
+      |ORDER BY tok""".stripMargin
+  ) { (s, dir) =>
+    val D = 4
+    val W = 64
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tok"), posexplode(array((0 until D).map(d =>
+        pmod(conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 15),
+          16, 10).cast("long"), lit(W))): _*)).as(Seq("d", "bucket")))
+    // the CMS: one shuffle, map-side combine collapses each partition
+    // to <= D*W rows before the exchange
+    val cms = bucketed(toks)
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val probes = toks.distinct()
+    val est = bucketed(probes)
+      .join(cms, Seq("d", "bucket"))
+      .groupBy("tok").agg(min("c").as("est"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+    est.join(exact, "tok")
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy("tok")
+  }
+
+  override def all: Seq[Q] = Seq(kmvTheta, cmsFreq)
 }

@@ -48,6 +48,17 @@ class KmvSketchSpec extends SparkSuite {
     }
   }
 
+  test("count-min never underestimates, and most of the 31-type " +
+    "vocabulary probes exact at d=4/w=64") {
+    val rows = graft.SparkEntry.queries("q_agg_cms_freq")(spark, dir)
+      .collect()
+    assert(rows.length === 31)
+    assert(rows.forall(_.getAs[Long]("overcount") >= 0L),
+      "CMS can only overcount — an underestimate means broken hashing")
+    assert(rows.count(_.getAs[Long]("overcount") == 0L) >= 28,
+      "too many collisions for 31 keys in 4x64 counters")
+  }
+
   test("KMV merge law: K smallest of the union of per-slice K-smallest " +
     "sets equals the direct global K-smallest set") {
     val perSlice = hashes(pr)
