@@ -102,4 +102,37 @@ class ScaleSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(salted == direct)
   }
+
+  test("KMV two-level salted K-smallest at 1M keys: level 1 bounds " +
+    "every candidate set, and the result is exactly the single-level " +
+    "global K-smallest") {
+    val K = 256
+    import spark.implicits._
+    // 1M distinct keys over 4 slices — the shape where a single
+    // per-slice window would put 250k hashes on one reducer
+    val hashed = spark.range(0, 1000000L, 1, 16)
+      .select(concat(lit("s"), pmod(col("id"), lit(4))).as("slice"),
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("slice"), pmod(col("h"), lit(32))).orderBy("h")
+    val lvl1 = hashed.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= K).drop("rk")
+    val l1Sizes = lvl1.groupBy("slice").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(l1Sizes.values.forall(_ <= 32L * K),
+      s"level-1 survivor sets not bounded: $l1Sizes")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("slice").orderBy("h")
+    val two = lvl1.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= K)
+      .select("slice", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val one = hashed.withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= K)
+      .select("slice", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(two === one,
+      "two-level K-smallest must equal the global K-smallest per slice")
+  }
 }
