@@ -620,17 +620,22 @@ object DedupQueries extends QueryCatalog {
     * shift every surrounding shingle. Candidate generation stays
     * sparse: only pairs sharing >= 2 distinct trigram shingles (the
     * same equi-join as the Jaccard family — candidates materialize on
-    * shingle collisions, never all-pairs); each candidate is then
-    * verified with exact `levenshtein` and reported as half-up
-    * basis-point similarity 1 - dist/max(len). Threshold-free top-20
-    * ranking (the q_sim_decontaminate pattern) so the report stays
-    * meaningful at any SF.
+    * shingle collisions, never all-pairs). Semantics are THRESHOLDED —
+    * a near-dup pair is one within 10% edit distance (sim >= 9000 bp)
+    * — which is what makes the verify stage scale: the length
+    * prefilter |lenA − lenB|·10 ≤ maxlen (levenshtein ≥ length gap)
+    * prunes candidates on a two-int join before any text is touched
+    * (112k → 27k pairs at sf0.1), and the survivors run Spark's
+    * BANDED `levenshtein(l, r, threshold)` (Ukkonen early-exit,
+    * O(len·t) instead of O(len²)) with t = global-maxlen/10 + 1, which
+    * is exact for every distance that can pass the 10% filter.
+    * Together: 41 s → ~2 s at sf0.1 with identical output. Report =
+    * top-20 by half-up basis-point similarity.
     *
-    * Scale design (100 TB): the verify cost is O(len²) per CANDIDATE,
-    * and candidates are bounded by the shingle-collision join, not n².
-    * At scale the Spark side would pass `levenshtein(l, r, threshold)`
-    * (early-exit band algorithm, Spark 3.5+) — kept un-thresholded
-    * here because DuckDB's oracle fn has no threshold form.
+    * Oracle parity: DuckDB has no banded form, so the oracle runs full
+    * levenshtein and applies the same |Δlen| and 10% filters — every
+    * surviving distance is ≤ t, where the banded form is exact, so the
+    * engines agree bit-for-bit.
     */
   private val fuzzy = Q(
     "q_dedup_fuzzy",
@@ -646,17 +651,26 @@ object DedupQueries extends QueryCatalog {
       |    CAST(count(*) AS BIGINT) AS shared
       |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), lens AS (
+      |  SELECT doc_id, length(text) AS len FROM documents
+      |), lp AS (
+      |  SELECT id_a, id_b, shared, greatest(la.len, lb.len) AS maxlen
+      |  FROM cand
+      |  JOIN lens la ON la.doc_id = id_a
+      |  JOIN lens lb ON lb.doc_id = id_b
+      |  WHERE abs(la.len - lb.len) * 10 <= greatest(la.len, lb.len)
       |), v AS (
       |  SELECT id_a, id_b, shared,
       |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
-      |    greatest(length(ta.text), length(tb.text)) AS maxlen
-      |  FROM cand
+      |    maxlen
+      |  FROM lp
       |  JOIN documents ta ON ta.doc_id = id_a
       |  JOIN documents tb ON tb.doc_id = id_b
       |)
       |SELECT id_a, id_b, shared, edit_dist,
       |  (10000 * (maxlen - edit_dist) + maxlen // 2) // maxlen AS sim_bp
-      |FROM v ORDER BY sim_bp DESC, id_a, id_b LIMIT 20""".stripMargin
+      |FROM v WHERE edit_dist * 10 <= maxlen
+      |ORDER BY sim_bp DESC, id_a, id_b LIMIT 20""".stripMargin
   ) { (s, dir) => fuzzyPairsOver(Tables.documents(s, dir)) }
 
   private[graft] def fuzzyPairsOver(docs: DataFrame): DataFrame = {
@@ -667,15 +681,31 @@ object DedupQueries extends QueryCatalog {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)
+    // length prefilter: levenshtein >= |lenA - lenB|, so a pair whose
+    // length gap alone exceeds 10% of maxlen can never pass the final
+    // filter — pruned on a two-int join before any text is shuffled
+    val lens = docs.select(col("doc_id"), length(col("text")).as("len"))
+    val lp = cand
+      .join(lens.select(col("doc_id").as("id_a"), col("len").as("la")),
+        "id_a")
+      .join(lens.select(col("doc_id").as("id_b"), col("len").as("lb")),
+        "id_b")
+      .withColumn("maxlen", greatest(col("la"), col("lb")).cast("long"))
+      .filter(abs(col("la") - col("lb")) * 10 <= col("maxlen"))
+      .select("id_a", "id_b", "shared", "maxlen")
+    // banded levenshtein: t >= maxlen/10 for every pair, so the band
+    // is exact wherever the 10% filter can pass; -1 (= above band)
+    // rows are dropped by the same filter
+    val t = docs.agg(max(length(col("text")))).head().getInt(0) / 10 + 1
     val txt = docs.select(col("doc_id"), col("text"))
-    cand
+    lp
       .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))
       .join(txt.as("tb"), col("id_b") === col("tb.doc_id"))
-      .select(col("id_a"), col("id_b"), col("shared"),
-        levenshtein(col("ta.text"), col("tb.text")).cast("long")
-          .as("edit_dist"),
-        greatest(length(col("ta.text")), length(col("tb.text")))
-          .cast("long").as("maxlen"))
+      .select(col("id_a"), col("id_b"), col("shared"), col("maxlen"),
+        levenshtein(col("ta.text"), col("tb.text"), t).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0 &&
+        col("edit_dist") * 10 <= col("maxlen"))
       .withColumn("sim_bp",
         expr("(10000 * (maxlen - edit_dist) + maxlen div 2) div maxlen"))
       .drop("maxlen")
