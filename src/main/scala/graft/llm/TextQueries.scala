@@ -712,8 +712,96 @@ object TextQueries extends QueryCatalog {
         col("cnt").as("merge_count"))
     }.reduce(_ unionByName _).orderBy("step")
 
+  /** Query-time BM25 retrieval: top-10 documents for a fixed 3-term
+    * query ("dup merge scan" — one rare, two common terms, so idf does
+    * real work on the Zipf corpus). Okapi BM25 with the Lucene
+    * non-negative idf ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2, b=0.75.
+    *
+    * Determinism contract: the transcendental (ln) follows the
+    * q_text_logprob precedent — each TERM's idf is scaled to an
+    * integer (×10⁶) before anything distributed touches it; the tf
+    * normalization is a fixed tree of correctly-rounded double ops on
+    * exactly-representable ints (dl, tf, avgdl = one division of two
+    * exact ints), identical in both engines; the per-(doc,term)
+    * product rounds to integer micros BEFORE the per-doc sum, which
+    * is then exact BIGINT addition. ORDER BY the exact integer score.
+    *
+    * Scale design (100 TB): the query-term stats (df per term, N,
+    * avgdl) are a 3-row + 1-row broadcast; the corpus is scanned once,
+    * filtered to query-term tokens MAP-SIDE (a 3-element IN list), and
+    * only (doc, term, tf) survivors — bounded by docs containing a
+    * query term — reach the shuffle. Top-10 is TakeOrderedAndProject,
+    * never a global sort.
+    */
+  private val bm25 = Q(
+    "q_text_bm25",
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM dt GROUP BY doc_id
+      |), stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+      |), qt AS (
+      |  SELECT unnest(['dup', 'merge', 'scan']) AS tok
+      |), df AS (
+      |  SELECT dt.tok, count(DISTINCT doc_id) AS df
+      |  FROM dt JOIN qt USING (tok) GROUP BY dt.tok
+      |), idf AS (
+      |  SELECT tok,
+      |    CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000)
+      |      AS BIGINT) AS idf_micro
+      |  FROM df, stats
+      |), tf AS (
+      |  SELECT doc_id, dt.tok, count(*) AS tf
+      |  FROM dt JOIN qt USING (tok) GROUP BY doc_id, dt.tok
+      |), scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(idf_micro * (tf * 2.2) /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)
+      |      AS s_micro
+      |  FROM tf
+      |  JOIN idf USING (tok)
+      |  JOIN dl ON dl.doc_id = tf.doc_id, stats
+      |)
+      |SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro,
+      |  round(sum(s_micro) / 1000000.0, 4) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val terms = Seq("dup", "merge", "scan")
+    val dt = Tables.documents(s, dir).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val dl = dt.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qdt = dt.filter(col("tok").isin(terms: _*))
+    val df = qdt.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log(lit(1) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1000000)
+          .cast("bigint").as("idf_micro"))
+    val tf = qdt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .select(col("doc_id"),
+        round(col("idf_micro") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast("bigint").as("s_micro"))
+      .groupBy("doc_id")
+      .agg(sum("s_micro").cast("bigint").as("score_micro"),
+        round(sum("s_micro") / 1000000.0, 4).as("score"))
+      .orderBy(desc("score_micro"), col("doc_id"))
+      .limit(10)
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
-      bpeTrain, bpeApply, langMismatch, vocabCoverage)
+      bpeTrain, bpeApply, langMismatch, vocabCoverage, bm25)
 }
