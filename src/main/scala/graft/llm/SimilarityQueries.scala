@@ -1127,11 +1127,131 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("method")
   }
 
+  /** Hybrid retrieval: Reciprocal Rank Fusion of the BM25 text leg
+    * (q_text_bm25's fixed 3-term query, via TextQueries.bm25Scores)
+    * and the cosine vector leg (query = vec 0's embedding, the
+    * q_sim_topk_brute convention, vec_id ≡ doc_id) — how modern
+    * retrieval serves "keyword AND semantic" without score
+    * calibration: each leg contributes 1/(60+rank) for its top-100,
+    * ranks fuse, scores never mix. Missing-from-a-leg contributes 0
+    * (the standard RRF convention).
+    *
+    * Determinism: ranks are integers from total orders with id
+    * tiebreaks; each leg's contribution rounds 10⁶/(60+rank) — one
+    * correctly-rounded division of exact ints — to an integer before
+    * the fusion sum, so the fused score is exact BIGINT math in both
+    * engines.
+    *
+    * Scale shape: each leg is its own top-100 (TakeOrderedAndProject
+    * / pruned window), so the fusion join touches ≤ 200 rows no
+    * matter the corpus; the legs themselves carry the scale story
+    * (BM25's map-side term filter, the broadcast query vector). */
+  private val hybridRrf = Q(
+    "q_sim_hybrid_rrf",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0
+      |), p AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS cosd
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      |), vleg AS (
+      |  SELECT doc_id, vrank FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY cosd DESC, doc_id) AS vrank
+      |    FROM p) WHERE vrank <= 100
+      |), dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM dt GROUP BY doc_id
+      |), stats AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+      |), qt AS (
+      |  SELECT unnest(['dup', 'merge', 'scan']) AS tok
+      |), df AS (
+      |  SELECT dt.tok, count(DISTINCT doc_id) AS df
+      |  FROM dt JOIN qt USING (tok) GROUP BY dt.tok
+      |), idf AS (
+      |  SELECT tok,
+      |    CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000)
+      |      AS BIGINT) AS idf_micro
+      |  FROM df, stats
+      |), tf AS (
+      |  SELECT doc_id, dt.tok, count(*) AS tf
+      |  FROM dt JOIN qt USING (tok) GROUP BY doc_id, dt.tok
+      |), scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(idf_micro * (tf * 2.2) /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)
+      |      AS s_micro
+      |  FROM tf
+      |  JOIN idf USING (tok)
+      |  JOIN dl ON dl.doc_id = tf.doc_id, stats
+      |), tscore AS (
+      |  SELECT doc_id, CAST(sum(s_micro) AS BIGINT) AS score_micro
+      |  FROM scored WHERE doc_id <> 0 GROUP BY doc_id
+      |), tleg AS (
+      |  SELECT doc_id, trank FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY score_micro DESC, doc_id)
+      |        AS trank
+      |    FROM tscore) WHERE trank <= 100
+      |), fused AS (
+      |  SELECT doc_id,
+      |    coalesce(vrank, 0) AS vrank, coalesce(trank, 0) AS trank,
+      |    coalesce(CAST(round(1000000.0 / (60 + vrank)) AS BIGINT), 0)
+      |      + coalesce(CAST(round(1000000.0 / (60 + trank)) AS BIGINT),
+      |        0) AS rrf_micro
+      |  FROM vleg FULL JOIN tleg USING (doc_id)
+      |)
+      |SELECT doc_id, vrank, trank, rrf_micro FROM fused
+      |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    // each leg: TakeOrdered top-100 first, THEN rank the tiny result —
+    // the selection is the prefix of the same total order, so ranks
+    // match the oracle's rank-then-filter formulation
+    val vtop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"), cosCol(s).as("cosd"))
+      .orderBy(desc("cosd"), col("doc_id")).limit(100)
+    val vleg = vtop.withColumn("vrank",
+      row_number().over(Window.orderBy(desc("cosd"), col("doc_id")))
+        .cast("bigint"))
+      .select("doc_id", "vrank")
+    val ttop = TextQueries.bm25Scores(s, dir)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(desc("score_micro"), col("doc_id")).limit(100)
+    val tleg = ttop.withColumn("trank",
+      row_number().over(
+        Window.orderBy(desc("score_micro"), col("doc_id")))
+        .cast("bigint"))
+      .select("doc_id", "trank")
+    def contrib(rank: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1000000.0) / (lit(60) + rank)).cast("bigint"),
+        lit(0L))
+    vleg.join(tleg, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("vrank"), lit(0L)).as("vrank"),
+        coalesce(col("trank"), lit(0L)).as("trank"),
+        (contrib(col("vrank")) + contrib(col("trank")))
+          .as("rrf_micro"))
+      .orderBy(desc("rrf_micro"), col("doc_id"))
+      .limit(10)
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, pqTrained, kmeans, topicMix, recall,
-      semanticDecon)
+      semanticDecon, hybridRrf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

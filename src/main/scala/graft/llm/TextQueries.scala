@@ -733,6 +733,38 @@ object TextQueries extends QueryCatalog {
     * query term — reach the shuffle. Top-10 is TakeOrderedAndProject,
     * never a global sort.
     */
+  /** Per-doc integer BM25 scores for the fixed query — the unlimited
+    * score table behind q_text_bm25, shared with the hybrid-retrieval
+    * fusion (q_sim_hybrid_rrf). */
+  private[llm] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val terms = Seq("dup", "merge", "scan")
+    val dt = Tables.documents(s, dir).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val dl = dt.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qdt = dt.filter(col("tok").isin(terms: _*))
+    val df = qdt.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log(lit(1) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1000000)
+          .cast("bigint").as("idf_micro"))
+    val tf = qdt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    tf
+      .join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select("avgdl")))
+      .select(col("doc_id"),
+        round(col("idf_micro") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .cast("bigint").as("s_micro"))
+      .groupBy("doc_id")
+      .agg(sum("s_micro").cast("bigint").as("score_micro"))
+  }
+
   private val bm25 = Q(
     "q_text_bm25",
     """WITH dt AS (
@@ -770,32 +802,8 @@ object TextQueries extends QueryCatalog {
       |FROM scored GROUP BY doc_id
       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
   ) { (s, dir) =>
-    val terms = Seq("dup", "merge", "scan")
-    val dt = Tables.documents(s, dir).select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val dl = dt.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val qdt = dt.filter(col("tok").isin(terms: _*))
-    val df = qdt.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-    val idf = df.crossJoin(broadcast(stats))
-      .select(col("tok"),
-        round(log(lit(1) + (col("n") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))) * 1000000)
-          .cast("bigint").as("idf_micro"))
-    val tf = qdt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    tf
-      .join(broadcast(idf), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats.select("avgdl")))
-      .select(col("doc_id"),
-        round(col("idf_micro") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-          .cast("bigint").as("s_micro"))
-      .groupBy("doc_id")
-      .agg(sum("s_micro").cast("bigint").as("score_micro"),
-        round(sum("s_micro") / 1000000.0, 4).as("score"))
+    bm25Scores(s, dir)
+      .withColumn("score", round(col("score_micro") / 1000000.0, 4))
       .orderBy(desc("score_micro"), col("doc_id"))
       .limit(10)
   }
