@@ -705,10 +705,109 @@ object LakeQueries extends QueryCatalog {
       .orderBy("phase", "scope")
   }
 
+  /** Inverted index maintained in lake tables — the production
+    * retrieval architecture behind q_text_bm25: postings
+    * (doc_id, tok, tf) and doc lengths live in graft tables, serving
+    * reads ONLY the index (query-term postings + stats; nothing
+    * tokenizes at query time), and the index is maintained from the
+    * corpus table's CDC windows — inserted docs tokenize map-side
+    * (changed docs only), deleted docs drop their index rows via an
+    * EQUALITY DELETE on doc_id (the engine's own DML doing the index
+    * maintenance). Each window serves the fixed BM25 query from the
+    * stored index and requires bit-identical scores vs a direct
+    * corpus-scan BM25 — the associativity that makes index-serving
+    * trustworthy. Emitted rows: the per-window top-5. */
+  private val invertedIndex = Q.noOracle("q_lake_inverted_index") { (s, _) =>
+    invertedIndexScenario(s, crossCheck = false)
+  }
+
+  /** The q_lake_inverted_index scenario. `crossCheck = true` (the
+    * InvertedIndexSpec run) additionally recomputes BM25 directly over
+    * the corpus table after the mixed window and requires bit-equality
+    * with the index-served scores for EVERY doc — kept out of the
+    * bench path because the recompute doubles the query's job count
+    * for an invariant the spec pins on every `sbt test`. */
+  private[lake] def invertedIndexScenario(
+      s: org.apache.spark.sql.SparkSession,
+      crossCheck: Boolean): DataFrame = {
+    import graft.llm.TextQueries
+    val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    cat.createNamespace("default")
+    val corpus = cat.createTable("default", "corpus", docSchema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    // the postings table is the WHOLE index: per-doc lengths (and so
+    // N / avgdl) derive from it as sum(tf) per doc — one table, one
+    // maintenance path, no second relation to keep consistent
+    val postings = cat.createTable("default", "postings",
+      StructType.fromDDL("doc_id BIGINT, tok STRING, tf BIGINT"))
+    var from: Option[Long] = None
+    def maintain(firstWindow: Boolean): Unit = {
+      val head = corpus.currentSnapshot.get.snapshotId
+      val delta = corpus.changes(from, Some(head))
+      from = Some(head)
+      // last change per doc wins; insert beats delete at one ordinal
+      val last = delta.groupBy("doc_id")
+        .agg(max(struct(col("_change_ordinal"),
+          (col("_change_type") === "insert").cast("int").as("is_ins"),
+          col("text"))).as("m"))
+        .select(col("doc_id"), col("m.is_ins").as("is_ins"),
+          col("m.text").as("text"))
+      // drop the changed docs' old index rows — skipped on the seed
+      // window, where the index is empty and there is nothing to drop
+      if (!firstWindow) postings.equalityDelete(last.select("doc_id"))
+      val upserts = last.filter(col("is_ins") === 1)
+        .select("doc_id", "text")
+      val (p, _) = TextQueries.bm25Index(upserts)
+      postings.append(p.select(col("doc_id"), col("tok"),
+        col("tf").cast("long").as("tf")))
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)]
+    def serve(phase: String, check: Boolean): Unit = {
+      val stored = postings.read()
+      val docLens = stored.groupBy("doc_id")
+        .agg(sum("tf").cast("long").as("dl"))
+      val fromIndex = TextQueries.bm25FromIndex(stored, docLens)
+        .orderBy(desc("score_micro"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      require(fromIndex.nonEmpty, s"empty index serve at $phase")
+      if (check && crossCheck) {
+        val direct = TextQueries.bm25ScoresOver(corpus.read())
+          .orderBy(desc("score_micro"), col("doc_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(fromIndex.sameElements(direct),
+          s"index-served BM25 diverged at $phase: " +
+            s"index=${fromIndex.take(8).toSeq} " +
+            s"direct=${direct.take(8).toSeq}")
+      }
+      fromIndex.take(5).zipWithIndex.foreach { case ((id, sc), i) =>
+        out += ((phase, i + 1L, id, sc))
+      }
+    }
+    val docs = graft.rel.Tables
+      .documents(s, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    corpus.append(docs.filter(col("doc_id") < 250))
+    maintain(firstWindow = true)
+    serve("w1-seed", check = false)
+    // a MIXED window: new docs land AND existing docs are deleted —
+    // both maintenance paths (tokenize-inserted, equality-delete
+    // dropped) fold from one changelog slice; the cross-check compares
+    // EVERY doc's score, not just the top-5
+    corpus.append(docs.filter(col("doc_id") >= 250))
+    corpus.delete(col("doc_id") % 7 === 0)
+    maintain(firstWindow = false)
+    serve("w2-grow-delete", check = true)
+    import s.implicits._
+    out.toSeq.toDF("phase", "rank", "doc_id", "score_micro")
+      .orderBy("phase", "rank")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
     schemaEvolution, wap, incrementalAgg, incrementalMinhash,
-    metadataRetention, streamErasure, sketchRollup)
+    metadataRetention, streamErasure, sketchRollup, invertedIndex)
 }

@@ -733,28 +733,29 @@ object TextQueries extends QueryCatalog {
     * query term — reach the shuffle. Top-10 is TakeOrderedAndProject,
     * never a global sort.
     */
-  /** Per-doc integer BM25 scores for the fixed query — the unlimited
-    * score table behind q_text_bm25, shared with the hybrid-retrieval
-    * fusion (q_sim_hybrid_rrf). */
-  private[llm] def bm25Scores(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val terms = Seq("dup", "merge", "scan")
-    val dt = Tables.documents(s, dir).select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val dl = dt.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n"),
+  private[graft] val Bm25Terms = Seq("dup", "merge", "scan")
+
+  /** BM25 from INDEX relations — postings (doc_id, tok, tf) and
+    * per-doc lengths (doc_id, dl) — the serving form: at query time
+    * nothing tokenizes, the postings for the 3 query terms are the
+    * only rows read. [[bm25ScoresOver]] derives both relations from
+    * raw text and delegates here; the lake inverted-index scenario
+    * (q_lake_inverted_index) feeds STORED tables instead and must get
+    * bit-identical scores. */
+  private[graft] def bm25FromIndex(postings: DataFrame,
+      docLens: DataFrame): DataFrame = {
+    val stats = docLens.agg(count(lit(1)).as("n"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val qdt = dt.filter(col("tok").isin(terms: _*))
-    val df = qdt.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val qp = postings.filter(col("tok").isin(Bm25Terms: _*))
+    val df = qp.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(stats))
       .select(col("tok"),
         round(log(lit(1) + (col("n") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) * 1000000)
           .cast("bigint").as("idf_micro"))
-    val tf = qdt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    tf
+    qp
       .join(broadcast(idf), "tok")
-      .join(dl, "doc_id")
+      .join(docLens, "doc_id")
       .crossJoin(broadcast(stats.select("avgdl")))
       .select(col("doc_id"),
         round(col("idf_micro") * (col("tf") * lit(2.2)) /
@@ -764,6 +765,27 @@ object TextQueries extends QueryCatalog {
       .groupBy("doc_id")
       .agg(sum("s_micro").cast("bigint").as("score_micro"))
   }
+
+  /** The index relations of [[bm25FromIndex]] derived from raw text —
+    * what an indexing job computes per document, map-side. */
+  private[graft] def bm25Index(docs: DataFrame): (DataFrame, DataFrame) = {
+    val dt = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    (dt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")),
+      dt.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** Per-doc integer BM25 scores for the fixed query — the unlimited
+    * score table behind q_text_bm25, shared with the hybrid-retrieval
+    * fusion (q_sim_hybrid_rrf). */
+  private[graft] def bm25ScoresOver(docs: DataFrame): DataFrame = {
+    val (postings, lens) = bm25Index(docs)
+    bm25FromIndex(postings, lens)
+  }
+
+  private[llm] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    bm25ScoresOver(Tables.documents(s, dir))
 
   private val bm25 = Q(
     "q_text_bm25",
