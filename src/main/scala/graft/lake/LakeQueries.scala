@@ -804,10 +804,118 @@ object LakeQueries extends QueryCatalog {
       .orderBy("phase", "rank")
   }
 
+  private val vectorIndex = Q.noOracle("q_lake_vector_index") { (s, _) =>
+    vectorIndexScenario(s, crossCheck = false)
+  }
+
+  /** IVF-PQ vector index AS a lake table — the vector twin of
+    * [[invertedIndexScenario]], and the layout a billion-vector store
+    * actually persists: the index table holds (vec_id, cell, codes) —
+    * two BIGINTs per vector (coarse cell + packed 4-bit PQ codes, the
+    * expensive encode paid ONCE at index time) — maintained from the
+    * raw-vector table's CDC windows (inserted vectors encode map-side
+    * through the native pq_encode kernel and the vec_dot coarse
+    * argmin; deleted vectors drop their index row via equality
+    * delete). Serving never touches raw vectors: probes = 2 nearest
+    * seed cells (driver metadata math), stats-pruned scan of the index
+    * table filtered to probed cells, ADC scoring via the pq_adc kernel
+    * against the query LUT literal, top-10 TakeOrderedAndProject.
+    * Seeds (the "trained" coarse quantizer, vec 0..7) and the query
+    * (vec 0) are fixed at index creation — the realistic contract.
+    * VectorIndexSpec runs this with crossCheck = true: index-served
+    * top-10 must be bit-identical to the same IVF-PQ pipeline
+    * recomputed from the CURRENT raw vectors. */
+  private[lake] def vectorIndexScenario(
+      s: org.apache.spark.sql.SparkSession,
+      crossCheck: Boolean): DataFrame = {
+    import graft.functions.vec
+    import graft.llm.SimilarityQueries._
+    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    cat.createNamespace("default")
+    val vecs = cat.createTable("default", "vectors",
+      StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    val index = cat.createTable("default", "vector_index",
+      StructType.fromDDL("vec_id BIGINT, cell BIGINT, codes BIGINT"))
+    val emb = graft.rel.Tables
+      .embeddings(s, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    // the coarse quantizer + query, fixed at index-creation time
+    val seeds: Array[(Long, Array[Long])] = emb
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val (probes, lut) =
+      ivfpqProbesAndLut(seeds, seeds.find(_._1 == 0L).get._2, 2)
+    var from: Option[Long] = None
+    def maintain(firstWindow: Boolean): Unit = {
+      val head = vecs.currentSnapshot.get.snapshotId
+      val delta = vecs.changes(from, Some(head))
+      from = Some(head)
+      val last = delta.groupBy("vec_id")
+        .agg(max(struct(col("_change_ordinal"),
+          (col("_change_type") === "insert").cast("int").as("is_ins"),
+          col("embedding"))).as("m"))
+        .select(col("vec_id"), col("m.is_ins").as("is_ins"),
+          col("m.embedding").as("embedding"))
+      if (!firstWindow) index.equalityDelete(last.select("vec_id"))
+      index.append(last.filter(col("is_ins") === 1)
+        .select(col("vec_id"),
+          coarseCellCol(s, seeds).cast("long").as("cell"),
+          element_at(
+            vec.pqEncode(s, expr(pqQuantExpr), pqCodebook), 1)
+            .as("codes")))
+    }
+    def served(): Array[(Long, Long, Long)] = index.read()
+      .filter(col("vec_id") =!= 0 &&
+        col("cell").isin(probes.map(Long.box): _*))
+      .select(col("vec_id"), col("cell"),
+        vec.pqAdc(s, col("codes"), typedlit(lut.toSeq)).as("adc"))
+      .orderBy("adc", "vec_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Long)]
+    def serve(phase: String, check: Boolean): Unit = {
+      val top = served()
+      require(top.nonEmpty, s"empty index serve at $phase")
+      if (check && crossCheck) {
+        val direct = vecs.read()
+          .filter(col("vec_id") =!= 0)
+          .withColumn("cell", coarseCellCol(s, seeds))
+          .filter(col("cell").isin(probes.map(Long.box): _*))
+          .select(col("vec_id"), col("cell").cast("long"),
+            vec.pqAdc(s,
+              element_at(
+                vec.pqEncode(s, expr(pqQuantExpr), pqCodebook), 1),
+              typedlit(lut.toSeq)).as("adc"))
+          .orderBy("adc", "vec_id").limit(10)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        require(top.sameElements(direct),
+          s"index-served IVF-PQ diverged at $phase: " +
+            s"index=${top.toSeq} direct=${direct.toSeq}")
+      }
+      top.zipWithIndex.foreach { case ((id, cell, adc), i) =>
+        out += ((phase, i + 1L, id, cell, adc))
+      }
+    }
+    vecs.append(emb.filter(col("vec_id") < 250))
+    maintain(firstWindow = true)
+    serve("w1-seed", check = false)
+    // mixed window: new vectors land AND indexed vectors are deleted
+    vecs.append(emb.filter(col("vec_id") >= 250))
+    vecs.delete(col("vec_id") % 7 === 0 && col("vec_id") >= 8)
+    maintain(firstWindow = false)
+    serve("w2-grow-delete", check = true)
+    import s.implicits._
+    out.toSeq.toDF("phase", "rank", "vec_id", "cell", "adc")
+      .orderBy("phase", "rank")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
     schemaEvolution, wap, incrementalAgg, incrementalMinhash,
-    metadataRetention, streamErasure, sketchRollup, invertedIndex)
+    metadataRetention, streamErasure, sketchRollup, invertedIndex,
+    vectorIndex)
 }

@@ -489,13 +489,59 @@ object SimilarityQueries extends QueryCatalog {
     * LUT), and the inline formula in `pqSqlGrid` (the DuckDB oracle).
     * Codeword value at (m, k, d) = (((k*31 + m*17 + d*13) % 21) - 10) * 50.
     */
-  private val pqQuantExpr =
+  private[graft] val pqQuantExpr =
     "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)" +
       " AS BIGINT))"
   /** Flattened codebook, layout cb[(m*16 + k)*8 + d]. */
-  private lazy val pqCodebook: Array[Long] =
+  private[graft] lazy val pqCodebook: Array[Long] =
     (for (m <- 0 until 8; k <- 0 until 16; d <- 0 until 8)
       yield ((((k * 31 + m * 17 + d * 13) % 21) - 10) * 50).toLong).toArray
+
+  /** Map-side coarse-cell assignment for an `embedding` column against
+    * a bounded seed-centroid set: the row-constant |v|² cancels in the
+    * argmin, so each cell's score is |c|² − 2·v·c — one codegen'd
+    * vec_dot per cell against an array literal, argmin via array_min
+    * over (dist, cid) structs. Shared by q_sim_topk_ivfpq and the lake
+    * vector index (q_lake_vector_index). */
+  private[graft] def coarseCellCol(s: SparkSession,
+      seeds: Array[(Long, Array[Long])]): org.apache.spark.sql.Column = {
+    import graft.functions.vec
+    val qd = expr("transform(embedding, x -> round(CAST(x AS DOUBLE)" +
+      " * 1000))")
+    val centStructs = seeds.map { case (cid, c) =>
+      val cv: Seq[Double] = c.map(_.toDouble).toSeq
+      val cc = c.map(x => x.toDouble * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * vec.dot(s, qd, typedlit(cv))).as("dist"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(centStructs: _*)).getField("cid")
+  }
+
+  /** Driver-side query planning for IVF-PQ serving: the nprobe nearest
+    * seed cells and the 8×16 ADC lookup table for a quantized query
+    * vector — metadata-sized integer math, embedded as plan literals. */
+  private[graft] def ivfpqProbesAndLut(
+      seeds: Array[(Long, Array[Long])], qv: Array[Long],
+      nprobe: Int): (Array[Long], Array[Long]) = {
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val probes = seeds.map { case (cid, c) => (d2(qv, c), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val lut: Array[Long] = Array.tabulate(8 * 16) { i =>
+      val m = i / 16; val k = i % 16
+      var acc = 0L; var d = 0
+      while (d < 8) {
+        val diff = qv(m * 8 + d) - pqCodebook((m * 16 + k) * 8 + d)
+        acc += diff * diff; d += 1
+      }
+      acc
+    }
+    (probes, lut)
+  }
   private val pqDistsExpr =
     """transform(sequence(0, 7), m ->
       |  transform(sequence(0, 15), k ->
@@ -653,7 +699,7 @@ object SimilarityQueries extends QueryCatalog {
       |ORDER BY adc, b.vec_id LIMIT 10""".stripMargin
   ) { (s, dir) =>
     import graft.functions.vec
-    val K = 8; val NProbe = 2; val M = 8; val Ksub = 16; val Dsub = 8
+    val K = 8; val NProbe = 2
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(pqQuantExpr).as("q"))
     // coarse codebook + query: k+1 metadata-sized rows to the driver
@@ -661,46 +707,17 @@ object SimilarityQueries extends QueryCatalog {
       .filter(col("vec_id") < K).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     val qv = seeds.find(_._1 == 0L).get._2
-    def d2(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
-    val probes: Array[Long] = seeds.map { case (cid, c) => (d2(qv, c), cid) }
-      .sorted.take(NProbe).map(_._2)
-    // query LUT: exact grid distance to each of the 8x16 codewords
-    val lut: Array[Long] = Array.tabulate(M * Ksub) { i =>
-      val m = i / Ksub; val k = i % Ksub
-      var acc = 0L; var d = 0
-      while (d < Dsub) {
-        val diff = qv(m * Dsub + d) - pqCodebook((m * Ksub + k) * Dsub + d)
-        acc += diff * diff; d += 1
-      }
-      acc
-    }
-    // Coarse argmin through the codegen'd vec_dot kernel, not an
-    // interpreted per-element HOF: quantized values are exact integers
-    // in double space (the q_sim_kmeans discipline), and the row-
-    // constant |q|² term CANCELS in the argmin, so cell i's score is
-    // just |c_i|² − 2·q·c_i — one kernel dot against a per-cell array
-    // literal. The first cut of this query aggregated element-wise
-    // with q referenced as a column: Catalyst inlined the quantizing
-    // transform into the pushed-down filter and rebuilt the 64-wide
-    // array per element_at — interpreted AND 64× redundant (~2.4 s at
-    // sf0.1; this shape ~0.6 s).
-    val qd = expr("transform(embedding, x -> round(CAST(x AS DOUBLE)" +
-      " * 1000))")
-    val centStructs = seeds.map { case (cid, c) =>
-      val cv: Seq[Double] = c.map(_.toDouble).toSeq
-      val cc = c.map(x => x.toDouble * x).sum
-      struct(
-        (lit(cc) - lit(2.0) * vec.dot(s, qd, typedlit(cv))).as("dist"),
-        lit(cid).as("cid"))
-    }
+    // Probes + LUT are driver-side metadata math; the coarse argmin
+    // runs through the codegen'd vec_dot kernel, not an interpreted
+    // per-element HOF (see coarseCellCol — the first cut of this query
+    // aggregated element-wise with q referenced as a column: Catalyst
+    // inlined the quantizing transform into the pushed-down filter and
+    // rebuilt the 64-wide array per element_at — interpreted AND 64×
+    // redundant, ~2.4 s at sf0.1; this shape ~0.6 s).
+    val (probes, lut) = ivfpqProbesAndLut(seeds, qv, NProbe)
     Tables.embeddings(s, dir)
       .filter(col("vec_id") =!= 0)
-      .withColumn("cell",
-        array_min(array(centStructs: _*)).getField("cid"))
+      .withColumn("cell", coarseCellCol(s, seeds))
       .filter(col("cell").isin(probes.map(Long.box): _*))
       .select(col("vec_id"), col("cell"),
         vec.pqAdc(s,
