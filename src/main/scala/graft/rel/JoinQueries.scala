@@ -405,8 +405,73 @@ object JoinQueries extends QueryCatalog {
       .orderBy("event_id")
   }
 
+  /** J17: LATERAL correlated subquery join — "top-2 line items per
+    * order" as the per-row dependent subquery a SQL user writes, not
+    * the rank-window rewrite. Catalyst DECORRELATES it into exactly
+    * that window plan (DomainJoin → rank filter), so the lateral form
+    * costs the same as the hand-written window at any scale; the point
+    * of the operator is accepting the surface. Both engines spell the
+    * identical SQL. */
+  private val lateralTopN = Q(
+    "q_join_lateral",
+    """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+      |FROM orders o,
+      |LATERAL (
+      |  SELECT l_linenumber, l_extendedprice FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+      |WHERE o.o_totalprice > 400000
+      |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM orders o,
+        |LATERAL (
+        |  SELECT l_linenumber, l_extendedprice FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |WHERE o.o_totalprice > 400000
+        |ORDER BY o.o_orderkey, l.l_extendedprice DESC, l.l_linenumber""".stripMargin)
+  }
+
+  /** J18: null-safe equality join (`<=>` / IS NOT DISTINCT FROM):
+    * NULL keys MATCH each other instead of vanishing — the semantics
+    * merge/upsert pipelines need when the business key is nullable.
+    * Key = nullif(o_orderstatus, 'O'), so the NULL population is the
+    * open orders (~half the table) and an ordinary equi-join would
+    * silently drop them all. The aggregate shape keeps the NULL-key
+    * fanout bounded: both sides collapse to per-key counts BEFORE the
+    * join, so the null bucket joins 1×1 instead of n×m — the same
+    * discipline a skewed hot key needs at 100 TB. */
+  private val nullSafeJoin = Q(
+    "q_join_null_safe",
+    """WITH a AS (
+      |  SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_a
+      |  FROM orders GROUP BY 1
+      |), b AS (
+      |  SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_b
+      |  FROM orders WHERE o_totalprice > 150000 GROUP BY 1
+      |)
+      |SELECT coalesce(a.k, '<null>') AS k, n_a, n_b
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+      |ORDER BY k""".stripMargin
+  ) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val a = o.select(nullif(col("o_orderstatus"), lit("O")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_a"))
+    val b = o.filter(col("o_totalprice") > 150000)
+      .select(nullif(col("o_orderstatus"), lit("O")).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(coalesce(a("k"), lit("<null>")).as("k"),
+        col("n_a"), col("n_b"))
+      .orderBy("k")
+  }
+
   override def all: Seq[Q] = Seq(
     leftChain, innerUsing, semi, anti, interval, asof, summaryDiff,
     rangeBinned, fullOuter, crossDims, scalarSubquerySelect, notIn,
-    asofNearest)
+    asofNearest, lateralTopN, nullSafeJoin)
 }
