@@ -277,7 +277,60 @@ object WindowQueries extends QueryCatalog {
       .orderBy("user_id", "day")
   }
 
+  /** WITH RECURSIVE (Spark 4 recursive CTEs): the calendar-spine
+    * gap-fill written the way a SQL user generates rows that exist in
+    * no table — a LINEAR recursion (one row per step, UNION ALL, the
+    * terminating shape Spark supports) walking day by day from the
+    * corpus min to max date, left-joined to a sparse slice's daily
+    * counts so absent days surface as explicit zeros (at sf0.001 the
+    * slice misses 10 of 30 days; at larger SFs the spine degenerates
+    * to the observed days — same semantics). The engines spell
+    * date stepping differently (Spark `date_add(d, 1)`, DuckDB
+    * `d + 1`), so the two SQL texts differ in that one token; the
+    * recursion shape and results are identical. Scale note: the
+    * recursion materializes O(days) rows on the driver-side plan —
+    * a spine is metadata-sized by construction; the fact table is
+    * touched once for bounds and once for the aggregate. */
+  private val recursiveSpine = Q(
+    "q_sql_recursive_spine",
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+      |  FROM events
+      |), spine(d, d1) AS (
+      |  SELECT d0, d1 FROM bounds
+      |  UNION ALL
+      |  SELECT d + 1, d1 FROM spine WHERE d < d1
+      |), daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'purchase' AND value > 90
+      |  GROUP BY 1
+      |)
+      |SELECT s.d, coalesce(daily.n, 0) AS n
+      |FROM spine s LEFT JOIN daily ON daily.d = s.d
+      |ORDER BY s.d""".stripMargin
+  ) { (s, dir) =>
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    s.sql(
+      """WITH RECURSIVE bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |  FROM events
+        |), spine(d, d1) AS (
+        |  SELECT d0, d1 FROM bounds
+        |  UNION ALL
+        |  SELECT date_add(d, 1), d1 FROM spine WHERE d < d1
+        |), daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type = 'purchase' AND value > 90
+        |  GROUP BY 1
+        |)
+        |SELECT s.d, coalesce(daily.n, 0) AS n
+        |FROM spine s LEFT JOIN daily ON daily.d = s.d
+        |ORDER BY s.d""".stripMargin)
+  }
+
   override def all: Seq[Q] = Seq(
     ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast,
-    sessionizeSql, timeRange, gapFill)
+    sessionizeSql, timeRange, gapFill, recursiveSpine)
 }
