@@ -127,6 +127,48 @@ object FuncQueries extends QueryCatalog {
       .orderBy("k")
   }
 
+  /** F19 [EXT]: the VARIANT type (Spark 4 semi-structured columns) —
+    * `parse_json` decodes each props string ONCE into the binary
+    * variant encoding, then every extraction (`variant_get`, typed or
+    * try_) is a cheap path lookup on the decoded value: the 100 TB
+    * contract for semi-structured columns, where repeated
+    * `get_json_object` calls re-parse the string per extraction.
+    * Exercises typed extraction (int and string views of one field),
+    * try_variant_get null-on-missing-path semantics, and aggregation
+    * over variant-derived keys. DuckDB has no variant type; the
+    * oracle runs the same extractions through its JSON functions —
+    * the VALUES must agree even though the encodings differ.
+    */
+  private val variantQ = Q(
+    "q_func_variant",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+      |    AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+      |    AS BIGINT) AS sum_k,
+      |  count(*) FILTER (WHERE length(json_extract_string(props, '$.k'))
+      |    = 2) AS two_digit,
+      |  count(json_extract_string(props, '$.missing')) AS missing_hits
+      |FROM events
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val v = parse_json(col("props"))
+    val k = expr("variant_get(v, '$.k', 'int')")
+    Tables.events(s, dir)
+      .withColumn("v", v)
+      .select(
+        (k / 10).cast("int").as("bucket"),
+        k.as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("ks"),
+        expr("try_variant_get(v, '$.missing', 'string')").as("miss"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        sum("k").cast("bigint").as("sum_k"),
+        count(when(length(col("ks")) === 2, 1)).as("two_digit"),
+        count(col("miss")).as("missing_hits"))
+      .orderBy("bucket")
+  }
+
   /** F15 [EXT]: string ops + explode generator — token frequencies. */
   private val tokensQ = Q(
     "q_func_tokens",
@@ -227,6 +269,6 @@ object FuncQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] = Seq(
-    dateTrunc, condExpr, dateParts, coalesceKey, regexpQ, jsonQ, tokensQ,
-    arrayMath, structMap, dateArith)
+    dateTrunc, condExpr, dateParts, coalesceKey, regexpQ, jsonQ, variantQ,
+    tokensQ, arrayMath, structMap, dateArith)
 }
