@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BloomMightContain, DotProduct, PqAdc, PqEncode, SignPack, SimHash64}
+import graft.functions.{BloomMightContain, DotProduct, NGrams, PqAdc, PqEncode, SignPack, SimHash64}
 
 /** Engine extension point, applied via
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getCanonicalName, "pq_encode"),
       (children: Seq[Expression]) => PqEncode(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NGrams].getCanonicalName, "ngrams"),
+      (children: Seq[Expression]) => NGrams(children.head, children(1))))
     ext.injectFunction((
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getCanonicalName,

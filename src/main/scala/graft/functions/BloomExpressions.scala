@@ -42,7 +42,7 @@ case class BloomMightContain(filter: Expression, value: Expression)
             "a per-row filter would deserialize per row")
       case (f, v) => TypeCheckResult.TypeCheckFailure(
         s"bloom_might_contain needs (binary, string) inputs, got " +
-          s"${f.simpleString(10)} and ${v.simpleString(10)}")
+          s"${f.simpleString} and ${v.simpleString}")
     }
 
   override def dataType: DataType = BooleanType

@@ -169,6 +169,52 @@ object FuncQueries extends QueryCatalog {
       .orderBy("bucket")
   }
 
+  /** F20 [EXT]: custom native GENERATOR — word 3-grams emitted as rows
+    * straight from [[graft.functions.NGrams]] inside GenerateExec,
+    * instead of materializing the gram array per document and
+    * exploding it (the HOF form buffers every gram twice). Falls back
+    * to the HOF form on a session without the graft extensions — same
+    * contract as the scalar kernels; NGramsSpec pins bit-equality of
+    * the two forms plus null/short-document edges. */
+  private val ngramsNative = Q(
+    "q_func_ngrams_native",
+    """SELECT g.gram, count(*) AS freq
+      |FROM (
+      |  SELECT unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+      |) g
+      |GROUP BY g.gram
+      |ORDER BY freq DESC, g.gram LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val grams =
+      if (s.catalog.functionExists("ngrams"))
+        call_function("ngrams", col("text"), lit(3))
+      else ngramsHof(col("text"), 3)
+    Tables.documents(s, dir)
+      .select(grams.as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(10)
+  }
+
+  /** HOF twin of the native ngrams generator (explode of the
+    * materialized gram array) — the fallback and the spec's
+    * bit-equality reference. NULL and sub-n-token inputs emit no rows,
+    * exactly like the generator (size(NULL) = -1 takes the empty
+    * branch; sequence() would otherwise count DOWN for short docs). */
+  private[graft] def ngramsHof(text: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val toks = split(text, " ")
+    val arr = when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ",
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    explode(arr)
+  }
+
   /** F15 [EXT]: string ops + explode generator — token frequencies. */
   private val tokensQ = Q(
     "q_func_tokens",
@@ -270,5 +316,5 @@ object FuncQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     dateTrunc, condExpr, dateParts, coalesceKey, regexpQ, jsonQ, variantQ,
-    tokensQ, arrayMath, structMap, dateArith)
+    tokensQ, arrayMath, structMap, dateArith, ngramsNative)
 }

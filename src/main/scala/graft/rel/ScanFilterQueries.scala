@@ -168,7 +168,44 @@ object ScanFilterQueries extends QueryCatalog {
     reads.reduce(_.unionByName(_)).orderBy("fmt", "status")
   }
 
+  /** P9 [EXT]: SQL session variables + EXECUTE IMMEDIATE (Spark 4
+    * scripting surface) — a threshold DECLAREd and SET as a session
+    * variable, referenced by name in one query, then the same query
+    * run through parameterized EXECUTE IMMEDIATE ... USING with the
+    * variable as the bind argument; the two result sets are unioned
+    * with a method tag and must agree row-for-row. The variable folds
+    * to a literal at analysis, so the plan is the ordinary
+    * pushed-filter scan — the surface costs nothing. Oracle: the
+    * constant inlined (DuckDB has no session variables). */
+  private val sqlVariables = Q(
+    "q_sql_variables",
+    """WITH q AS (
+      |  SELECT o_orderpriority, count(*) AS n FROM orders
+      |  WHERE o_totalprice > 400000 GROUP BY 1
+      |)
+      |SELECT 'execute_immediate' AS method, o_orderpriority, n FROM q
+      |UNION ALL
+      |SELECT 'session_variable' AS method, o_orderpriority, n FROM q
+      |ORDER BY method, o_orderpriority""".stripMargin
+  ) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0")
+    s.sql("SET VAR price_floor = 400000")
+    val byVar = s.sql(
+      """SELECT 'session_variable' AS method, o_orderpriority,
+        |  count(*) AS n
+        |FROM orders WHERE o_totalprice > price_floor
+        |GROUP BY 2""".stripMargin)
+    val byExec = s.sql(
+      """EXECUTE IMMEDIATE
+        |'SELECT ''execute_immediate'' AS method, o_orderpriority,
+        |   count(*) AS n
+        | FROM orders WHERE o_totalprice > ? GROUP BY 2'
+        |USING price_floor""".stripMargin)
+    byExec.unionByName(byVar).orderBy("method", "o_orderpriority")
+  }
+
   override def all: Seq[Q] = Seq(
     projection, filterIn, filterEq, filterNotNull, filterNeq, litColumn,
-    distinctProj, filterLike, sourceFormats)
+    distinctProj, filterLike, sourceFormats, sqlVariables)
 }
