@@ -242,7 +242,27 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("event_type")
   }
 
+  /** Batch twin of [[Streams.nationEnrich]] — stream-STATIC dimension
+    * join, the everyday streaming enrichment: the static side is a
+    * broadcast available to every micro-batch (no state, no
+    * watermark), so this costs exactly a map-side hash probe per
+    * event at any stream rate. StreamingSpec proves the live
+    * micro-batched run emits the identical enriched rows. */
+  private val staticJoinQ = Q(
+    "q_stream_static_join",
+    """SELECT n.n_name, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+  ) { (s, dir) =>
+    Streams.nationEnrich(Tables.events(s, dir), Tables.nation(s, dir))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("n_name")
+  }
+
   override def all: Seq[Q] =
     Seq(tumbling, sliding, session, streamJoin, milestonesQ, firstSeenQ,
-      kmvDistinctQ)
+      kmvDistinctQ, staticJoinQ)
 }

@@ -397,6 +397,16 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Stream-STATIC dimension enrichment — the most common production
+    * streaming join: each micro-batch broadcast-joins the static
+    * nation dimension (no state, no watermark — the static side is
+    * simply available to every batch), keyed on user_id % 25. Shared
+    * by the batch twin (q_stream_static_join) and the StreamingSpec
+    * live run, which must agree exactly. */
+  def nationEnrich(events: DataFrame, nation: DataFrame): DataFrame =
+    events.join(broadcast(nation),
+      pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+
   /** Drain a streaming Dataset through a named memory sink, processing
     * all currently-available input (AvailableNow = run to completion in
     * maxFilesPerTrigger-sized batches, then stop).

@@ -724,4 +724,21 @@ class StreamingSpec extends SparkSuite {
       assert(Streams.kmvHash60(u) === h, s"hash mismatch for user $u")
     }
   }
+
+  test("stream-static dimension join: each micro-batch broadcast-joins " +
+    "the static nation table; enriched rows equal the batch twin") {
+    val nation = graft.rel.Tables.nation(spark, "/root/testdata/sf0.001")
+    val stream = Streams.readEvents(spark, stageDir.toString)
+    Streams.runToMemory(
+      Streams.nationEnrich(stream, nation)
+        .select(col("event_id"), col("n_name")),
+      "static_join", OutputMode.Append)
+    val got = spark.table("static_join").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = Streams.nationEnrich(batchEvents, nation)
+      .select(col("event_id"), col("n_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
