@@ -3,7 +3,7 @@ package graft.rel
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryCatalog}
 
-/** SURVEY.md §2d aggregation operators (A1–A6) on the driver corpus.
+/** SURVEY.md §2d aggregation operators (A1–A16) on the driver corpus.
   *
   * Scale notes (100 TB): every query here is a single hash aggregate —
   * Spark plans partial (map-side) aggregation before the shuffle, so the

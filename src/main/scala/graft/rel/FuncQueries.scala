@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.{Q, QueryCatalog}
 
 /** SURVEY.md §2g scalar functions — date/time, conditional, string,
-  * regex, JSON, and array/vector math (F1–F16).
+  * regex, JSON, and array/vector math, VARIANT, and the native ngrams generator (F1–F20).
   *
   * Everything here is a built-in (codegen'd) function over a single
   * scan + one hash aggregate at most — no UDFs, so the whole pipeline

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{Q, QueryCatalog}
 
-/** SURVEY.md §2c join operators (J1–J9) plus the diff_utils.py port.
+/** SURVEY.md §2c join operators (J1–J18) plus the diff_utils.py port.
   *
   * Scale notes: dimension sides (region/nation/customer/supplier) are
   * explicitly `broadcast()` — at 100 TB the fact side never shuffles for

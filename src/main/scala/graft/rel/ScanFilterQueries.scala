@@ -3,7 +3,7 @@ package graft.rel
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryCatalog}
 
-/** SURVEY.md §2b projection / filter / predicate operators (P1–P7).
+/** SURVEY.md §2b projection / filter / predicate operators (P1–P9, incl. the SQL-variables surface).
   *
   * Scale notes: all of these compile to a single parquet scan with the
   * filter and projection pushed into the reader (`PushedFilters` /
