@@ -620,31 +620,22 @@ object LakeQueries extends QueryCatalog {
     * bound (exact ride-along) and fails loudly if the estimate leaves
     * ±25%; emitted rows are the per-window report. */
   private val sketchRollup = Q.noOracle("q_lake_sketch_rollup") { (s, _) =>
+    import graft.rel.Kmv
     val K = 128
-    val dom = "1152921504606846976" // 2^60, matches SketchQueries
     val factSchema = StructType.fromDDL("slice STRING, key BIGINT")
     val skSchema = StructType.fromDDL("slice STRING, h BIGINT")
     val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
     cat.createNamespace("default")
     val fact = cat.createTable("default", "fact", factSchema)
     val sk = cat.createTable("default", "sketches", skSchema)
-    def hashes(df: DataFrame): DataFrame = df.select(col("slice"),
-      conv(substring(md5(col("key").cast("string")), 1, 15), 16, 10)
-        .cast("long").as("h"))
-    def kSmallest(df: DataFrame, part: Seq[String]): DataFrame = df
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(part.map(col): _*).orderBy("h")))
-      .filter(col("rk") <= K).drop("rk")
+    def hashes(df: DataFrame): DataFrame =
+      df.select(col("slice"), Kmv.hash60(col("key")).as("h"))
+    def kSmallest(df: DataFrame, part: Seq[String]): DataFrame =
+      Kmv.kSmallest(df, K, part)
     def estOf(df: DataFrame): Map[String, Long] = df
       .groupBy("slice")
-      .agg(count(lit(1)).as("cnt"),
-        when(count(lit(1)) < K, expr(dom)).otherwise(max("h"))
-          .as("theta"))
-      .select(col("slice"),
-        when(col("cnt") < K, col("cnt")).otherwise(expr(
-          s"CAST((${K - 1} * CAST($dom AS DECIMAL(38,0))) div theta " +
-            "AS BIGINT)")).as("est"))
+      .agg(Kmv.thetaAggs(K).head, Kmv.thetaAggs(K).tail: _*)
+      .select(col("slice"), Kmv.estimate(K).as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     def ingest(rows: Seq[(String, Long)]): Unit = {
       import s.implicits._
@@ -717,8 +708,8 @@ object LakeQueries extends QueryCatalog {
     * stored index and requires bit-identical scores vs a direct
     * corpus-scan BM25 — the associativity that makes index-serving
     * trustworthy. Emitted rows: the per-window top-5. */
-  private val invertedIndex = Q.noOracle("q_lake_inverted_index") { (s, _) =>
-    invertedIndexScenario(s, crossCheck = false)
+  private val invertedIndex = Q.noOracle("q_lake_inverted_index") { (s, dir) =>
+    invertedIndexScenario(s, dir, crossCheck = false)
   }
 
   /** The q_lake_inverted_index scenario. `crossCheck = true` (the
@@ -728,7 +719,7 @@ object LakeQueries extends QueryCatalog {
     * bench path because the recompute doubles the query's job count
     * for an invariant the spec pins on every `sbt test`. */
   private[lake] def invertedIndexScenario(
-      s: org.apache.spark.sql.SparkSession,
+      s: org.apache.spark.sql.SparkSession, dir: String,
       crossCheck: Boolean): DataFrame = {
     import graft.llm.TextQueries
     val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
@@ -785,9 +776,11 @@ object LakeQueries extends QueryCatalog {
         out += ((phase, i + 1L, id, sc))
       }
     }
-    val docs = graft.rel.Tables
-      .documents(s, "/root/testdata/sf0.001")
-      .select("doc_id", "text")
+    // bounded slice of the configured corpus: the scenario is a
+    // fixed-size lifecycle demo like the rest of the lake family, so
+    // its cost must not scale with SPARK_GRAFT_SF_DIR
+    val docs = graft.rel.Tables.documents(s, dir)
+      .filter(col("doc_id") < 500).select("doc_id", "text")
     corpus.append(docs.filter(col("doc_id") < 250))
     maintain(firstWindow = true)
     serve("w1-seed", check = false)
@@ -804,8 +797,8 @@ object LakeQueries extends QueryCatalog {
       .orderBy("phase", "rank")
   }
 
-  private val vectorIndex = Q.noOracle("q_lake_vector_index") { (s, _) =>
-    vectorIndexScenario(s, crossCheck = false)
+  private val vectorIndex = Q.noOracle("q_lake_vector_index") { (s, dir) =>
+    vectorIndexScenario(s, dir, crossCheck = false)
   }
 
   /** IVF-PQ vector index AS a lake table — the vector twin of
@@ -826,7 +819,7 @@ object LakeQueries extends QueryCatalog {
     * top-10 must be bit-identical to the same IVF-PQ pipeline
     * recomputed from the CURRENT raw vectors. */
   private[lake] def vectorIndexScenario(
-      s: org.apache.spark.sql.SparkSession,
+      s: org.apache.spark.sql.SparkSession, dir: String,
       crossCheck: Boolean): DataFrame = {
     import graft.functions.vec
     import graft.llm.SimilarityQueries._
@@ -837,9 +830,10 @@ object LakeQueries extends QueryCatalog {
       Map("write.delete.mode" -> "merge-on-read"))
     val index = cat.createTable("default", "vector_index",
       StructType.fromDDL("vec_id BIGINT, cell BIGINT, codes BIGINT"))
-    val emb = graft.rel.Tables
-      .embeddings(s, "/root/testdata/sf0.001")
-      .select("vec_id", "embedding")
+    // bounded slice of the configured embeddings (see the inverted
+    // index note); seeds/query stay vec 0..7 at every SF
+    val emb = graft.rel.Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 500).select("vec_id", "embedding")
     // the coarse quantizer + query, fixed at index-creation time
     val seeds: Array[(Long, Array[Long])] = emb
       .filter(col("vec_id") < 8)

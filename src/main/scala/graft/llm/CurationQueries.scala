@@ -656,16 +656,18 @@ object CurationQueries extends QueryCatalog {
       |FROM cg JOIN eg USING (g)
       |GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("source"), col("doc_id"),
-        split(col("text"), " ").as("toks"))
-      .select(col("source"), col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 5), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
-          "toks[i+3], toks[i+4]))")).as("g"))
+    // guarded 5-gram builder (ngramsHof: sub-5-token and NULL docs
+    // emit nothing, matching the oracle's range(); the unguarded
+    // sequence() form would count DOWN and throw under ANSI)
+    def grams(df: DataFrame): DataFrame = df.select(
+      col("source"), col("doc_id"),
+      graft.rel.FuncQueries.ngramsHof(col("text"), 5).as("g"))
     val docs = Tables.documents(s, dir)
+    // eval grams feed three consumers (the sizing count, the RDD
+    // bloom build, the confirm join) — materialize once, the
+    // shingleSets idiom
     val eg = grams(docs.filter(col("source") === "src4"))
-      .select("g").distinct()
+      .select("g").distinct().localCheckpoint()
     // distributed filter build: count sizes the filter (an action on
     // the definitionally-small eval side), partition filters merge to
     // one — the driver never materializes the gram set itself.

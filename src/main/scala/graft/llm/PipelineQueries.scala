@@ -577,11 +577,8 @@ object PipelineQueries extends QueryCatalog {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     def grams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 5), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
-          "toks[i+3], toks[i+4]))")).as("g"))
+      .select(col("doc_id"),
+        graft.rel.FuncQueries.ngramsHof(col("text"), 5).as("g"))
     val docs = Tables.documents(s, dir)
     // The benchmark side is small by definition — broadcast its gram
     // set and filter the corpus BEFORE any corpus-wide shuffle: the

@@ -44,9 +44,7 @@ object SketchQueries extends QueryCatalog {
     * per-mode estimates; intersections inherit the union's theta. */
   private val K = 256
 
-  /** 2^60: the hash domain — 15 hex chars of md5 so the value fits a
-    * signed BIGINT identically in Spark and DuckDB. */
-  private val Dom = "1152921504606846976"
+  private val Dom = Kmv.DomStr
 
   private val kmvTheta = Q(
     "q_agg_kmv_theta",
@@ -107,36 +105,20 @@ object SketchQueries extends QueryCatalog {
     val pr = Tables.orders(s, dir)
       .select(col("o_orderpriority").as("mode"), col("o_custkey").as("okey"))
       .distinct()
-    val hashed = pr.select(col("mode"),
-      conv(substring(md5(col("okey").cast("string")), 1, 15), 16, 10)
-        .cast("long").as("h"))
-    // two-level K-smallest: the salted level bounds reducer memory,
-    // the final level sees <= 32*K rows per mode. K smallest of the
-    // union of per-salt K-smallest sets == global K smallest.
-    val lvl1 = hashed
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("mode"), pmod(col("h"), lit(32)))
-          .orderBy("h")))
-      .filter(col("rk") <= K).drop("rk")
-    val kmv = lvl1
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("mode").orderBy("h")))
-      .filter(col("rk") <= K).drop("rk")
+    val hashed = pr.select(col("mode"), Kmv.hash60(col("okey")).as("h"))
+    // two-level salted K-smallest: see Kmv.kSmallest (ScaleSpec-proven)
+    val kmv = Kmv.kSmallest(hashed, K, Seq("mode"))
 
     val st = kmv.groupBy("mode").agg(
-      count(lit(1)).as("cnt"),
-      when(count(lit(1)) < K, expr(Dom)).otherwise(max("h")).as("theta"))
-    val est1 = st.select(col("mode"),
-      when(col("cnt") < K, col("cnt")).otherwise(expr(
-        s"CAST((${K - 1} * CAST($Dom AS DECIMAL(38,0))) div theta AS BIGINT)"))
-        .as("est"))
+      Kmv.thetaAggs(K).head, Kmv.thetaAggs(K).tail: _*)
+    val est1 = st.select(col("mode"), Kmv.estimate(K).as("est"))
     val exm = pr.groupBy("mode").agg(count(lit(1)).as("exact"))
     val single = est1.join(exm, "mode")
       .select(col("mode").as("a"), lit("*").as("b"), col("est"),
         col("exact"))
 
     // theta intersection: survivors are hashes retained by BOTH
-    // sketches below the pair's min theta; 7 sketches x K rows, so
+    // sketches below the pair's min theta; 5 sketches x K rows, so
     // everything below is metadata-sized regardless of fact scale.
     val ka = kmv.select(col("mode").as("a"), col("h"))
     val kb = kmv.select(col("mode").as("b"), col("h"))

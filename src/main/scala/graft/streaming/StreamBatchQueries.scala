@@ -210,31 +210,17 @@ object StreamBatchQueries extends QueryCatalog {
       |FROM est1 e JOIN exm USING (event_type)
       |ORDER BY event_type""".stripMargin
   ) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+    import graft.rel.Kmv
     val K = 64
-    val dom = "1152921504606846976"
     val pr = Tables.events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
     val hashed = pr.select(col("event_type"),
-      conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long").as("h"))
-    val lvl1 = hashed
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("event_type"), pmod(col("h"), lit(32)))
-          .orderBy("h")))
-      .filter(col("rk") <= K).drop("rk")
-    val st = lvl1
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("event_type").orderBy("h")))
-      .filter(col("rk") <= K)
+      Kmv.hash60(col("user_id")).as("h"))
+    val st = Kmv.kSmallest(hashed, K, Seq("event_type"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("cnt"),
-        when(count(lit(1)) < K, expr(dom)).otherwise(max("h"))
-          .as("theta"))
+      .agg(Kmv.thetaAggs(K).head, Kmv.thetaAggs(K).tail: _*)
     val est1 = st.select(col("event_type"), col("cnt").as("n_retained"),
-      when(col("cnt") < K, col("cnt")).otherwise(expr(
-        s"CAST((${K - 1} * CAST($dom AS DECIMAL(38,0))) div theta " +
-          "AS BIGINT)")).as("est"))
+      Kmv.estimate(K).as("est"))
     val exm = pr.groupBy("event_type").agg(count(lit(1)).as("exact"))
     est1.join(exm, "event_type")
       .withColumn("err_bp", expr(

@@ -330,8 +330,8 @@ object Streams {
 
   final case class KmvOut(event_type: String, n_retained: Long, est: Long)
 
-  /** 2^60 — the KMV hash domain shared with rel.SketchQueries. */
-  private val KmvDom = 1152921504606846976L
+  /** 2^60 — the KMV hash domain, from the shared rel.Kmv contract. */
+  private val KmvDom = graft.rel.Kmv.Dom
 
   /** 60-bit md5 hash, bit-identical to the SQL-side
     * `conv(substring(md5(cast(x as string)), 1, 15), 16, 10)` used by

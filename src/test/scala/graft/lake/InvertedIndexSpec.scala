@@ -14,7 +14,8 @@ import graft.SparkSuite
 class InvertedIndexSpec extends SparkSuite {
   test("index-served BM25 equals direct corpus-scan BM25 for every doc " +
     "after a mixed insert+delete maintenance window") {
-    val rows = LakeQueries.invertedIndexScenario(spark, crossCheck = true)
+    val rows = LakeQueries.invertedIndexScenario(spark,
+      "/root/testdata/sf0.001", crossCheck = true)
       .collect()
     // both windows emitted a top-5 (the cross-check ran inside serve)
     assert(rows.length === 10)

@@ -13,7 +13,8 @@ import graft.SparkSuite
 class VectorIndexSpec extends SparkSuite {
   test("index-served IVF-PQ top-10 equals the raw-vector recompute " +
     "after a mixed insert+delete maintenance window") {
-    val rows = LakeQueries.vectorIndexScenario(spark, crossCheck = true)
+    val rows = LakeQueries.vectorIndexScenario(spark,
+      "/root/testdata/sf0.001", crossCheck = true)
       .collect()
     assert(rows.length === 20) // top-10 per window
     assert(rows.map(_.getAs[String]("phase")).distinct.sorted ===

@@ -22,11 +22,8 @@ class BloomDeconSpec extends SparkSuite {
 
   private def grams(srcFilter: org.apache.spark.sql.Column) =
     Tables.documents(spark, dir).filter(srcFilter)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 5), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], " +
-          "toks[i+3], toks[i+4]))")).as("g"))
+      .select(col("doc_id"),
+        graft.rel.FuncQueries.ngramsHof(col("text"), 5).as("g"))
 
   private def evalFilter(): BloomFilter = {
     val egs = grams(col("source") === "src4").select("g").distinct()

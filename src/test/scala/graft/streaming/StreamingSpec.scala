@@ -679,7 +679,13 @@ class StreamingSpec extends SparkSuite {
       assert(perType.values.forall(_.length >= 2),
         "each type must emit from more than one micro-batch")
       val finals = perType.view.mapValues(
-        _.maxBy(_._2)).toMap.values.map(t => (t._1, t._2, t._3)).toSet
+        // the final state per type: retained-set growth is monotone, and
+        // once saturated at k the estimate still grows as theta shrinks,
+        // so the lexicographic (n_retained, est) max IS the last state —
+        // maxBy(n_retained) alone would pick an arbitrary tied earlier
+        // batch whenever saturation happens before the final one
+        _.maxBy(t => (t._2, t._3))).toMap.values
+        .map(t => (t._1, t._2, t._3)).toSet
 
       // batch expectation: same hashes, same estimator, one pass
       val w = org.apache.spark.sql.expressions.Window
