@@ -656,12 +656,11 @@ object CurationQueries extends QueryCatalog {
       |FROM cg JOIN eg USING (g)
       |GROUP BY source ORDER BY source""".stripMargin
   ) { (s, dir) =>
-    // guarded 5-gram builder (ngramsHof: sub-5-token and NULL docs
-    // emit nothing, matching the oracle's range(); the unguarded
-    // sequence() form would count DOWN and throw under ANSI)
-    def grams(df: DataFrame): DataFrame = df.select(
-      col("source"), col("doc_id"),
-      graft.rel.FuncQueries.ngramsHof(col("text"), 5).as("g"))
+    // guarded 5-gram builder (DedupQueries.wordGrams: single split
+    // per row, sub-5-token and NULL docs emit nothing — matching the
+    // oracle's range(), which yields an empty list for short docs)
+    def grams(df: DataFrame): DataFrame =
+      DedupQueries.wordGrams(df, 5, Seq("source", "doc_id"))
     val docs = Tables.documents(s, dir)
     // eval grams feed three consumers (the sizing count, the RDD
     // bloom build, the confirm join) — materialize once, the

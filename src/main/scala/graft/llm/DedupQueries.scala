@@ -46,6 +46,25 @@ object DedupQueries extends QueryCatalog {
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
       .distinct()
 
+  /** Exploded word n-grams of `df` (the generalized [[shingleSets]]
+    * shape): the token array is projected ONCE by name and the lambda
+    * indexes it as `__toks[i + j]`, so the split evaluates once per
+    * row. Do NOT rebuild this with a Column-level lambda that closes
+    * over `split(text)` — CollapseProject inlines the split into every
+    * element_at, re-splitting the string per gram element (measured 5×
+    * on q_pipe_decontaminate at sf0.1). Sub-n-token and NULL docs emit
+    * nothing (the filter is also the ANSI guard: sequence() would
+    * count DOWN for short docs). */
+  private[graft] def wordGrams(df: DataFrame, n: Int,
+      keep: Seq[String], as: String = "g"): DataFrame = {
+    val parts = (0 until n).map(j => s"__toks[i + $j]").mkString(", ")
+    df.select(keep.map(col) :+ split(col("text"), " ").as("__toks"): _*)
+      .filter(size(col("__toks")) >= n)
+      .select(keep.map(col) :+ explode(expr(
+        s"transform(sequence(0, size(__toks) - $n), " +
+          s"i -> concat_ws(' ', $parts))")).as(as): _*)
+  }
+
   /** [[shingleSets]] materialized ONCE per invocation with an eager
     * localCheckpoint (the q_dedup_semantic idiom). Every consumer in the
     * dedup family reads the shingle table 3–4 times (signature agg, both

@@ -576,9 +576,8 @@ object PipelineQueries extends QueryCatalog {
       |FROM cg JOIN eg USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
-    def grams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col("doc_id"),
-        graft.rel.FuncQueries.ngramsHof(col("text"), 5).as("g"))
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      DedupQueries.wordGrams(df, 5, Seq("doc_id"))
     val docs = Tables.documents(s, dir)
     // The benchmark side is small by definition — broadcast its gram
     // set and filter the corpus BEFORE any corpus-wide shuffle: the

@@ -204,7 +204,15 @@ object FuncQueries extends QueryCatalog {
     * materialized gram array) — the fallback and the spec's
     * bit-equality reference. NULL and sub-n-token inputs emit no rows,
     * exactly like the generator (size(NULL) = -1 takes the empty
-    * branch; sequence() would otherwise count DOWN for short docs). */
+    * branch; sequence() would otherwise count DOWN for short docs).
+    *
+    * PERF WARNING: this Column-level lambda closes over `split(text)`,
+    * and CollapseProject inlines that split into EVERY element_at —
+    * the string re-splits per gram element (measured 5× on
+    * q_pipe_decontaminate at sf0.1 before it moved to
+    * DedupQueries.wordGrams). Fine as the generator's correctness
+    * fallback; for hot paths use wordGrams (token array projected once
+    * by name) or the native generator. */
   private[graft] def ngramsHof(text: org.apache.spark.sql.Column,
       n: Int): org.apache.spark.sql.Column = {
     val toks = split(text, " ")

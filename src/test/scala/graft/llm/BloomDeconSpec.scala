@@ -21,9 +21,8 @@ class BloomDeconSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.01"
 
   private def grams(srcFilter: org.apache.spark.sql.Column) =
-    Tables.documents(spark, dir).filter(srcFilter)
-      .select(col("doc_id"),
-        graft.rel.FuncQueries.ngramsHof(col("text"), 5).as("g"))
+    DedupQueries.wordGrams(
+      Tables.documents(spark, dir).filter(srcFilter), 5, Seq("doc_id"))
 
   private def evalFilter(): BloomFilter = {
     val egs = grams(col("source") === "src4").select("g").distinct()
