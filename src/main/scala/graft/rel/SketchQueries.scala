@@ -218,5 +218,79 @@ object SketchQueries extends QueryCatalog {
       .orderBy("tok")
   }
 
-  override def all: Seq[Q] = Seq(kmvTheta, cmsFreq)
+  /** A19: heavy hitters via CMS candidates + exact verify — the
+    * classic count-min application, and the sound two-pass shape for
+    * 100 TB frequency mining: because CMS can only OVERcount, every
+    * true heavy hitter (exact > total/30) is necessarily a sketch
+    * candidate (est > total/30), so the expensive exact pass runs
+    * only over the candidate-filtered stream (a broadcast semi-join
+    * on the token, never a full-vocabulary aggregate) and the final
+    * exact filter removes collision-inflated false candidates. The
+    * threshold's total also comes FROM the sketch (sum of depth-0
+    * counters = total token occurrences) — no extra corpus pass.
+    * Deterministic integer math end to end; oracled like A18.
+    * Comparisons use `exact*20 > total` (cross-multiplied) so no
+    * division rounding can diverge. */
+  private val cmsHeavy = Q(
+    "q_agg_cms_heavy_hitters",
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), b AS (
+      |  SELECT tok, d.d,
+      |    CAST(concat('0x', substr(md5(d.d || ':' || tok), 1, 15))
+      |      AS BIGINT) % 64 AS bucket
+      |  FROM tok, (VALUES (0), (1), (2), (3)) AS d(d)
+      |), cms AS (
+      |  SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY d, bucket
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS total FROM cms WHERE d = 0
+      |), pb AS (
+      |  SELECT p.tok, d.d,
+      |    CAST(concat('0x', substr(md5(d.d || ':' || p.tok), 1, 15))
+      |      AS BIGINT) % 64 AS bucket
+      |  FROM (SELECT DISTINCT tok FROM tok) p,
+      |    (VALUES (0), (1), (2), (3)) AS d(d)
+      |), cand AS (
+      |  SELECT pb.tok FROM pb JOIN cms USING (d, bucket), tot
+      |  GROUP BY pb.tok, total HAVING min(cms.c) * 30 > total
+      |), ex AS (
+      |  SELECT t.tok, CAST(count(*) AS BIGINT) AS exact
+      |  FROM tok t JOIN cand ON cand.tok = t.tok
+      |  GROUP BY t.tok
+      |)
+      |SELECT tok, exact,
+      |  (10000 * exact + total // 2) // total AS share_bp
+      |FROM ex, tot WHERE exact * 30 > total
+      |ORDER BY exact DESC, tok""".stripMargin
+  ) { (s, dir) =>
+    val D = 4
+    val W = 64
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("tok"), posexplode(array((0 until D).map(d =>
+        pmod(conv(substring(md5(concat(lit(s"$d:"), col("tok"))), 1, 15),
+          16, 10).cast("long"), lit(W))): _*)).as(Seq("d", "bucket")))
+    val cms = bucketed(toks)
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val tot = cms.filter(col("d") === 0)
+      .agg(sum("c").cast("bigint").as("total"))
+    val cand = bucketed(toks.distinct())
+      .join(cms, Seq("d", "bucket"))
+      .crossJoin(broadcast(tot))
+      .groupBy("tok", "total")
+      .agg(min("c").as("est"))
+      .filter(col("est") * 30 > col("total"))
+      .select("tok")
+    toks.join(broadcast(cand), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("exact"))
+      .crossJoin(broadcast(tot))
+      .filter(col("exact") * 30 > col("total"))
+      .select(col("tok"), col("exact"),
+        expr("(10000 * exact + total div 2) div total").as("share_bp"))
+      .orderBy(desc("exact"), col("tok"))
+  }
+
+  override def all: Seq[Q] = Seq(kmvTheta, cmsFreq, cmsHeavy)
 }

@@ -59,6 +59,20 @@ class KmvSketchSpec extends SparkSuite {
       "too many collisions for 31 keys in 4x64 counters")
   }
 
+  test("CMS heavy hitters are sound AND complete vs a full exact " +
+    "count (overcount-only pruning can never drop a true hitter)") {
+    val got = graft.SparkEntry.queries("q_agg_cms_heavy_hitters")(
+      spark, dir).collect().map(_.getAs[String]("tok")).toSet
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = toks.map(_._2).sum
+    val want = toks.filter(_._2 * 30 > total).map(_._1).toSet
+    assert(want.nonEmpty, "fixture must have heavy hitters at 1/30")
+    assert(got === want)
+  }
+
   test("KMV merge law: K smallest of the union of per-slice K-smallest " +
     "sets equals the direct global K-smallest set") {
     val perSlice = hashes(pr)
