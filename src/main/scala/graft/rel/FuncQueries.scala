@@ -157,7 +157,9 @@ object FuncQueries extends QueryCatalog {
     Tables.events(s, dir)
       .withColumn("v", v)
       .select(
-        (k / 10).cast("int").as("bucket"),
+        // floor(), not cast-truncation: DuckDB's `//` floors, so a
+        // negative $.k would otherwise bucket differently per engine
+        floor(k / 10).cast("int").as("bucket"),
         k.as("k"),
         expr("variant_get(v, '$.k', 'string')").as("ks"),
         expr("try_variant_get(v, '$.missing', 'string')").as("miss"))

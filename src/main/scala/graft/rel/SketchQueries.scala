@@ -229,7 +229,7 @@ object SketchQueries extends QueryCatalog {
     * threshold's total also comes FROM the sketch (sum of depth-0
     * counters = total token occurrences) — no extra corpus pass.
     * Deterministic integer math end to end; oracled like A18.
-    * Comparisons use `exact*20 > total` (cross-multiplied) so no
+    * Comparisons use `exact*30 > total` (cross-multiplied) so no
     * division rounding can diverge. */
   private val cmsHeavy = Q(
     "q_agg_cms_heavy_hitters",
