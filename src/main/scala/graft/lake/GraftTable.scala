@@ -61,6 +61,34 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private val metaCache = GraftTable.lruCache[Int, TableMeta](8)
   private val manifestCache =
     GraftTable.lruCache[String, Seq[ManifestEntry]](64)
+  private val posDeleteCache =
+    GraftTable.lruCache[String, Seq[(String, Long)]](64)
+
+  /** Driver-side parse of one position-delete file's (file_path, pos)
+    * rows — used only when the manifest record counts prove the delete
+    * set is metadata-sized (MaxInlineDeleteRows), so the rows can fold
+    * into the read plan as a literal filter. Same parquet-java reader
+    * family as `statEntriesViaFooters`; results cache (delete files
+    * are immutable). */
+  private def readPosDeletesLocal(absPath: String): Seq[(String, Long)] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(absPath))
+      .withConf(spark.sessionState.newHadoopConf())
+      .build()
+    try {
+      val buf = Seq.newBuilder[(String, Long)]
+      var g = reader.read()
+      while (g != null) {
+        buf += ((g.getBinary("file_path", 0).toStringUsingUTF8,
+          g.getLong("pos", 0)))
+        g = reader.read()
+      }
+      buf.result()
+    } finally reader.close()
+  }
 
   private def metaAt(v: Int): TableMeta =
     metaCache.computeIfAbsent(v, _ => Json.readTableMeta(
@@ -725,12 +753,33 @@ class GraftTable(val spark: SparkSession, val root: Path,
         .withColumn(PosCol, lit(null).cast("long"))
     var df = scanParquet(data.map(abs), readSchema, m, lineage = true)
     if (posDel.nonEmpty) {
-      val delDf = spark.read.parquet(posDel.map(abs): _*)
-      val small = posDel.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
-      val d = if (small) broadcast(delDf) else delDf
-      df = df.join(d,
-        df(FileCol) === d("file_path") && df(PosCol) === d("pos"),
-        "left_anti")
+      // metadata-sized delete sets (manifest record counts are exact)
+      // fold into the scan as a literal NOT-filter instead of an
+      // anti-join: no schema-inference pass over the delete files, no
+      // broadcast-build job, no join in the plan — each extra plan
+      // node costs ~60-70 ms of driver work per action, the dominant
+      // cost of small-table DML walks like q_lake_wap. Delete files
+      // are immutable (UUID names), so the driver-side parse caches.
+      if (posDel.map(_.recordCount).sum <= GraftTable.MaxInlineDeleteRows) {
+        val pairs = posDel.flatMap(e =>
+          posDeleteCache.computeIfAbsent(abs(e), readPosDeletesLocal))
+        if (pairs.nonEmpty) {
+          val masked = pairs.groupBy(_._1).map { case (f, ps) =>
+            df(FileCol) === lit(f) &&
+              df(PosCol).isInCollection(ps.map(_._2))
+          }.reduce(_ || _)
+          df = df.filter(!masked)
+        }
+      } else {
+        val delDf = spark.read
+          .schema("file_path STRING, pos BIGINT")
+          .parquet(posDel.map(abs): _*)
+        val small = posDel.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
+        val d = if (small) broadcast(delDf) else delDf
+        df = df.join(d,
+          df(FileCol) === d("file_path") && df(PosCol) === d("pos"),
+          "left_anti")
+      }
     }
     // equality deletes: anti-join on the identity columns — but only
     // against rows from data files added BEFORE the delete (snapshot
@@ -2367,6 +2416,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
 }
 
 object GraftTable {
+  /** Position-delete sets at or below this many rows (by exact
+    * manifest record counts) apply as a literal scan filter instead of
+    * an anti-join — see readWithLineage. Bounds driver memory AND plan
+    * size; bigger MOR backlogs keep the distributed anti-join. */
+  private[lake] val MaxInlineDeleteRows = 4096L
+
   val FileCol = "__graft_file"
   val PosCol = "__graft_pos"
   val SeqCol = "__graft_seq"

@@ -231,6 +231,69 @@ object TextQueries extends QueryCatalog {
       topK = 20)
   }
 
+  /** Language ID over a BOUNDED 64-char prefix — the production form
+    * of q_text_langid_chargram (kept as the exhaustive twin): language
+    * is a document-level property, so scoring every character of every
+    * document shuffles ~corpus-chars rows for a per-doc label. Real
+    * langid (e.g. CLD/fastText serving) samples a bounded prefix; this
+    * caps BOTH the profile-training and the scoring explode at 63
+    * gram rows per document, making per-doc cost a constant instead of
+    * O(doc length) — the difference between a bounded and an unbounded
+    * shuffle at 100 TB. (The bound must be well under the corpus mean
+    * of ~300 chars to actually bound anything — a 256-char prefix cut
+    * only 14% of the gram rows here.) Same corpus-trained integer
+    * argmax; the two dialects' substr/substring agree (1-based,
+    * length-capped).
+    */
+  private val langIdSampled = Q(
+    "q_text_langid_sampled",
+    """WITH grams AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(range(1, length(substr(text, 1, 64))),
+      |      i -> substr(substr(text, 1, 64), CAST(i AS INTEGER), 2)))
+      |      AS bg
+      |  FROM documents
+      |), top20 AS (
+      |  SELECT lang AS cand_lang, bg FROM (
+      |    SELECT lang, bg, row_number() OVER (
+      |      PARTITION BY lang ORDER BY count(*) DESC, bg) AS rk
+      |    FROM grams GROUP BY lang, bg
+      |  ) WHERE rk <= 20
+      |), dg AS (
+      |  SELECT DISTINCT doc_id, bg FROM grams
+      |), scores AS (
+      |  SELECT dg.doc_id, top20.cand_lang, count(*) AS score
+      |  FROM dg JOIN top20 ON dg.bg = top20.bg
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT d.doc_id, d.lang, l.cand_lang
+      |  FROM documents d CROSS JOIN (SELECT DISTINCT lang AS cand_lang
+      |                               FROM documents) l
+      |), ranked AS (
+      |  SELECT g.doc_id, g.lang, g.cand_lang,
+      |    coalesce(s.score, 0) AS score,
+      |    row_number() OVER (PARTITION BY g.doc_id
+      |      ORDER BY coalesce(s.score, 0) DESC, g.cand_lang) AS rk
+      |  FROM grid g LEFT JOIN scores s
+      |    ON s.doc_id = g.doc_id AND s.cand_lang = g.cand_lang
+      |)
+      |SELECT doc_id, lang, cand_lang AS pred_lang, score
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    // the prefix is projected ONCE by name before the gram transform
+    // (the wordGrams idiom) — inlining the substring into the lambda
+    // would re-slice the document per gram element under
+    // CollapseProject (measured ~2.3x at sf0.1)
+    profileArgmax(docs,
+      docs.select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 64).as("__pre"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(__pre) - 1), " +
+            "i -> substring(__pre, i, 2))")).as("item")),
+      topK = 20)
+  }
+
   /** Document fingerprint: order-sensitive rolling hash folded over the
     * token sequence (polynomial in a large modulus over salted
     * xxhash64). Unlike SimHash/Jaccard this distinguishes permuted
@@ -831,7 +894,8 @@ object TextQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] =
-    Seq(stats, quality, tokenCounts, langId, langIdChargram, fingerprint,
+    Seq(stats, quality, tokenCounts, langId, langIdChargram,
+      langIdSampled, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
       bpeTrain, bpeApply, langMismatch, vocabCoverage, bm25)
 }
