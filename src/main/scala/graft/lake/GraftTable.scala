@@ -1428,18 +1428,88 @@ class GraftTable(val spark: SparkSession, val root: Path,
     removed.map(_.snapshotId)
   }
 
-  /** Roll the current pointer back to an earlier (still-retained)
-    * snapshot — Iceberg's rollback_to_snapshot. Nothing is deleted:
-    * later snapshots stay in the log (and remain expirable), so the
-    * demo's forensic point holds — a MOR "delete" is undone by a
-    * rollback until expire+rewrite make it permanent. */
+  /** Roll the current pointer back to an ANCESTOR of the current
+    * state — Iceberg's rollback_to_snapshot (its SetSnapshotOperation
+    * refuses non-ancestors; arbitrary jumps are set_current_snapshot's
+    * job). Nothing is deleted: later snapshots stay in the log (and
+    * remain expirable), so the demo's forensic point holds — a MOR
+    * "delete" is undone by a rollback until expire+rewrite make it
+    * permanent. */
   def rollbackTo(snapshotId: Long): SnapshotMeta = {
     val b = captureBase()
     val snap = b.meta.snapshots.find(_.snapshotId == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"Cannot roll back to unknown snapshot $snapshotId"))
+    var cursor = b.meta.currentSnapshotId
+    var ancestor = false
+    while (!ancestor && cursor.isDefined) {
+      if (cursor.contains(snapshotId)) ancestor = true
+      else cursor = b.meta.snapshots
+        .find(_.snapshotId == cursor.get).flatMap(_.parentId)
+    }
+    require(ancestor, s"Cannot roll back to snapshot $snapshotId: " +
+      "not an ancestor of the current state " +
+      "(use set_current_snapshot for arbitrary jumps)")
     commitMeta(b, b.meta.copy(currentSnapshotId = Some(snapshotId)))
     snap
+  }
+
+  /** Set the current pointer to ANY retained snapshot — Iceberg's
+    * set_current_snapshot: unlike rollback this can jump FORWARD again
+    * (undo the undo) or sideways onto a branch/WAP snapshot, making it
+    * the general escape hatch of the snapshot-management trio. */
+  def setCurrentSnapshot(snapshotId: Long): SnapshotMeta = {
+    val b = captureBase()
+    val snap = b.meta.snapshots.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Cannot set current snapshot to unknown snapshot $snapshotId"))
+    commitMeta(b, b.meta.copy(currentSnapshotId = Some(snapshotId)))
+    snap
+  }
+
+  /** Cherry-pick one snapshot's CHANGES onto the current head as a NEW
+    * commit (Iceberg's cherrypick_snapshot) — the other half of the
+    * WAP publish story: fast_forward moves the pointer onto the staged
+    * branch wholesale; cherry-pick replays just one staged commit's
+    * file delta while main keeps its own lineage. The delta is a
+    * manifest diff against the picked snapshot's parent; it applies
+    * cleanly only if every file it removes is still present (and none
+    * of its added files already are) at the head — otherwise this
+    * conflicts instead of silently double-applying. Picked entries
+    * keep their original addedSnapshotId, preserving the data-sequence
+    * rule equality deletes rely on (Iceberg likewise keeps sequence
+    * numbers on cherry-pick). */
+  def cherrypickSnapshot(snapshotId: Long): SnapshotMeta = {
+    val b = captureBase()
+    val m = b.meta
+    val snap = m.snapshots.find(_.snapshotId == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Cannot cherry-pick unknown snapshot $snapshotId"))
+    val target = manifestOf(snap)
+    val parentEntries: Seq[ManifestEntry] = snap.parentId match {
+      case None => Nil
+      case Some(pid) => m.snapshots.find(_.snapshotId == pid) match {
+        case Some(p) => manifestOf(p)
+        case None => throw new IllegalStateException(
+          s"cannot cherry-pick snapshot $snapshotId: its parent $pid " +
+            "was expired, so its file delta is unrecoverable")
+      }
+    }
+    val parentPaths = parentEntries.map(_.path).toSet
+    val targetPaths = target.map(_.path).toSet
+    val added = target.filterNot(e => parentPaths.contains(e.path))
+    val removed = parentPaths -- targetPaths
+    val headPaths = b.entries.map(_.path).toSet
+    require(removed.subsetOf(headPaths),
+      s"cannot cherry-pick snapshot $snapshotId: it removes files " +
+        "no longer present at the current head")
+    require(!added.exists(e => headPaths.contains(e.path)),
+      s"cannot cherry-pick snapshot $snapshotId: its added files are " +
+        "already present at the current head")
+    val newEntries = b.entries.filterNot(e =>
+      removed.contains(e.path)) ++ added
+    commitSnapshot(b, nextSnapshotHint, snap.operation, newEntries,
+      Map("cherry-picked-snapshot-id" -> snapshotId.toString))
   }
 
   // ---- refs (branches / tags) ----

@@ -398,6 +398,46 @@ object LakeQueries extends QueryCatalog {
       .toDF("phase", "case_id").orderBy("phase", "case_id")
   }
 
+  /** Snapshot-management trio — the UNDO half of the permanent-delete
+    * story the reference demos (demo.py:289-296 shows only expiry;
+    * Iceberg core pairs expiry with rollback): `rollback_to_snapshot`
+    * walks the pointer back to an ancestor (a MOR delete is undone —
+    * the forensic point: nothing is gone until expire+rewrite),
+    * `set_current_snapshot` jumps it FORWARD again (the redo rollback
+    * refuses), and `cherrypick_snapshot` replays ONE staged branch
+    * commit onto main as a new commit — the surgical alternative to
+    * fastForward when a WAP branch holds more than one audited change.
+    * Phases prove the visible row set at every step; all pointer moves
+    * are metadata-only commits (zero jobs). GraftSqlSpec drives the
+    * same trio through CALL procedures; GraftTablePropSpec pins that
+    * rollback can never resurrect PII once erase+expire ran. */
+  private val rollback = Q.noOracle("q_lake_rollback") { (s, _) =>
+    import s.implicits._
+    val t = newTable(s)
+    val s0 = t.currentSnapshot.get.snapshotId
+    t.delete(col("case_id") === "case-2")
+    val s1 = t.currentSnapshot.get.snapshotId
+    def phase(name: String): Array[(String, String)] =
+      t.read().select("case_id").as[String].collect().sorted
+        .map((name, _))
+    val afterDelete = phase("1-after-delete")
+    t.rollbackTo(s0) // the MOR delete is undone by a pointer move
+    val afterRollback = phase("2-after-rollback")
+    t.setCurrentSnapshot(s1) // redo: the forward jump rollback refuses
+    val afterRedo = phase("3-after-set-current")
+    t.createBranch("wap")
+    t.appendToBranch("wap", s.createDataFrame(Seq(
+      Row("case-4", "Eve", "eve@example.com", "key4", "secret text 4",
+        "secret_key_4", java.sql.Date.valueOf("2023-02-01"))).asJava,
+      piiSchema))
+    val beforePick = phase("4-main-before-pick")
+    t.cherrypickSnapshot(t.refSnapshotId("wap"))
+    val afterPick = phase("5-after-cherrypick")
+    (afterDelete ++ afterRollback ++ afterRedo ++ beforePick ++
+      afterPick).toSeq
+      .toDF("phase", "case_id").orderBy("phase", "case_id")
+  }
+
   /** CDC-driven incremental aggregate maintenance — the canonical
     * 100 TB consumer of the changelog: a downstream per-group
     * (count, sum) is kept current by folding each commit window's
@@ -915,7 +955,7 @@ object LakeQueries extends QueryCatalog {
     lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
-    schemaEvolution, wap, incrementalAgg, incrementalMinhash,
+    schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, invertedIndex,
     vectorIndex)
 }

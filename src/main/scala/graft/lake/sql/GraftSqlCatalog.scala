@@ -347,6 +347,7 @@ private object GraftProcedures {
   val names: Array[String] = Array("expire_snapshots",
     "remove_orphan_files", "rewrite_data_files",
     "rewrite_position_delete_files", "rollback_to_snapshot",
+    "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
     "drop_ref", "fast_forward", "add_files")
 
@@ -503,6 +504,24 @@ private object GraftProcedures {
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
         Seq(outRow(t.rollbackTo(args.getLong(1)).snapshotId))
+      }))
+    case "set_current_snapshot" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("snapshot_id", LongType)),
+      StructType.fromDDL("current_snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        Seq(outRow(t.setCurrentSnapshot(args.getLong(1)).snapshotId))
+      }))
+    case "cherrypick_snapshot" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("snapshot_id", LongType)),
+      StructType.fromDDL(
+        "source_snapshot_id BIGINT, current_snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val picked = args.getLong(1)
+        Seq(outRow(picked, t.cherrypickSnapshot(picked).snapshotId))
       }))
     case _ => None
   }

@@ -258,4 +258,77 @@ class GraftTablePropSpec extends SparkSuite {
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("∀ erase walks: rollback/set_current never resurrect erased " +
+    "PII — expired snapshots refuse both pointer moves, every " +
+    "retained snapshot reads clean, and no surviving parquet value " +
+    "carries the secret, even after post-erase rollback + re-expire") {
+    val secret = "SECRET-NAME"
+    val prop = Prop.forAll(Gen.choose(1, 4), Gen.oneOf(true, false),
+      Gen.choose(0, 2)) { (k, nullify, extra) =>
+      val wh = Files.createTempDirectory("graft-erase-")
+      val cat = new GraftCatalog(spark, wh)
+      cat.createNamespace("default")
+      val t = cat.createTable("default", "erase_t", schema,
+        Map("write.delete.mode" -> "merge-on-read"))
+      t.append(spark.createDataFrame(Seq(
+        Row("case-secret", secret,
+          java.sql.Date.valueOf("2023-01-01"))).asJava, schema))
+      (0 until k).foreach { i =>
+        t.append(spark.createDataFrame(Seq(
+          Row(s"case-$i", s"name-$i",
+            java.sql.Date.valueOf("2023-01-02"))).asJava, schema))
+      }
+      val preEraseIds = t.meta.snapshots.map(_.snapshotId)
+      Thread.sleep(5)
+      ErasePii.run(t, "case_id", "case-secret",
+        if (nullify) ErasePii.NullifyColumns(Seq("first_name"))
+        else ErasePii.DeleteRow)
+      val postEraseHead = t.currentSnapshot.get.snapshotId
+      // post-erase life goes on, then an undo cycle: rollback to the
+      // post-erase head and expire again — the exact sequence that
+      // would resurrect the PII if rollback could reach past the erase
+      (0 until extra).foreach { i =>
+        t.append(spark.createDataFrame(Seq(
+          Row(s"late-$i", s"late-name-$i",
+            java.sql.Date.valueOf("2023-02-01"))).asJava, schema))
+      }
+      if (extra > 0) {
+        t.rollbackTo(postEraseHead)
+        Thread.sleep(5)
+        t.expireSnapshots(olderThanMs = System.currentTimeMillis() + 1)
+      }
+      // expired pre-erase snapshots refuse both pointer moves
+      preEraseIds.foreach { id =>
+        intercept[Exception](t.rollbackTo(id))
+        intercept[Exception](t.setCurrentSnapshot(id))
+      }
+      // every retained snapshot replays clean
+      t.meta.snapshots.foreach { sn =>
+        val rows = t.readAt(sn.snapshotId).collect()
+        assert(!rows.exists(_.toSeq.exists(_ == secret)),
+          s"snapshot ${sn.snapshotId} still carries the erased value")
+        if (!nullify)
+          assert(!rows.exists(_.getString(0) == "case-secret"),
+            s"snapshot ${sn.snapshotId} resurrected the erased row")
+      }
+      // no byte of any surviving parquet file carries the secret:
+      // the orphan sweep must have physically removed pre-erase files
+      val parquets = Files.walk(wh).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq
+      parquets.foreach { p =>
+        val vals = spark.read.parquet(p.toString).collect()
+          .flatMap(_.toSeq).map(String.valueOf)
+        assert(!vals.contains(secret),
+          s"surviving file $p still carries the erased value")
+      }
+      true
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(6)
+      .withInitialSeed(Seed(11L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -744,6 +744,54 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT operation FROM $tbl.snapshots").count() === 2)
   }
 
+  test("CALL set_current_snapshot redoes the jump rollback refuses; " +
+    "CALL cherrypick_snapshot publishes one staged WAP commit") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val preDelete = snapshotIds(tbl).last
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    val postDelete = snapshotIds(tbl).last
+    spark.sql("CALL graft.system.rollback_to_snapshot(" +
+      s"table => '$ns.pii_data', snapshot_id => $preDelete)").collect()
+    assert(ids(tbl) === Seq("case-1", "case-2", "case-3"))
+    // rollback only walks BACK: postDelete is not an ancestor of the
+    // rolled-back head
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.rollback_to_snapshot(" +
+        s"table => '$ns.pii_data', snapshot_id => $postDelete)")
+      .collect())
+    assert(e.getMessage.contains("not an ancestor"), e.getMessage)
+    // set_current_snapshot is the redo
+    val cur = spark.sql("CALL graft.system.set_current_snapshot(" +
+      s"table => '$ns.pii_data', snapshot_id => $postDelete)").collect()
+    assert(cur.head.getLong(0) === postDelete)
+    assert(ids(tbl) === Seq("case-1", "case-3"))
+    // stage ONE commit on a WAP branch via the session conf, then
+    // cherry-pick it onto main — main gains its own new commit while
+    // the branch pointer stays where it was
+    spark.conf.set("spark.wap.branch", "fixes")
+    try spark.sql(s"INSERT INTO $tbl VALUES ('case-6','Fay'," +
+      "'f@example.com','k6','s6','sk6',DATE'2024-05-05')")
+    finally spark.conf.unset("spark.wap.branch")
+    assert(ids(tbl) === Seq("case-1", "case-3"),
+      "staged commit must be invisible on main before the pick")
+    val staged = spark.sql(
+      s"SELECT snapshot_id FROM $tbl.refs WHERE name = 'fixes'")
+      .collect().head.getLong(0)
+    val picked = spark.sql("CALL graft.system.cherrypick_snapshot(" +
+      s"table => '$ns.pii_data', snapshot_id => $staged)").collect()
+    assert(picked.head.getLong(0) === staged)
+    assert(picked.head.getLong(1) !== staged,
+      "cherry-pick must mint a NEW commit, not move the pointer")
+    assert(ids(tbl) === Seq("case-1", "case-3", "case-6"))
+    // double-pick conflicts instead of double-applying
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.cherrypick_snapshot(" +
+        s"table => '$ns.pii_data', snapshot_id => $staged)").collect())
+    assert(e2.getMessage.contains("already present"), e2.getMessage)
+  }
+
   test("SQL reads keep parquet pushdown and codegen through the " +
     "substitution rule: filters reach the scan, columns are pruned") {
     val ns = freshNs()
