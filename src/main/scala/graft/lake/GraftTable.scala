@@ -1699,7 +1699,18 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val snapId = nextSnapshotHint
     val toWrite = options.get("sort-order") match {
       case Some(spec) => layoutForRewrite(rows, spec, nParts, candidates)
-      case None => rows.repartition(nParts)
+      // a clustered table compacts INTO the current clustering, not
+      // into random files: after partition-spec evolution this is what
+      // restores pruning for pre-evolution files (their old layout
+      // gave the new spec's derived stats nothing to prune on — the
+      // rewrite re-buckets them and statEntries records tight stats
+      // under the CURRENT spec). Plain tables keep the size-balanced
+      // repartition.
+      case None => clusterFields match {
+        case Some(fields) =>
+          clustered(rows, fields, math.max(nParts, clusterFileCount))
+        case None => rows.repartition(nParts)
+      }
     }
     val moved = writeDataFiles(toWrite)
     val keep = entries.filter(e => e.content == 0 && !candidateSet(abs(e)))

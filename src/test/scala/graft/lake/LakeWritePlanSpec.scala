@@ -405,6 +405,36 @@ class LakeWritePlanSpec extends SparkSuite {
     assert(eqScanned.intersect(newFiles.map(Io.normalize)).size
       < newFiles.size,
       "bucket pruning must engage on post-evolution files")
+    // COMPACTION RESTORES PRUNING: rewrite re-buckets everything under
+    // the CURRENT spec, so the old files' conservative full-scan
+    // penalty ends at the first compaction — bucket equality now
+    // prunes across the WHOLE table, and the day predicate still
+    // answers correctly from the re-clustered files
+    t.rewriteDataFiles(Map("rewrite-all" -> "true"))
+    val rewritten = dataFilePaths(t).keySet
+    assert(rewritten.intersect(oldFiles ++ newFiles).isEmpty,
+      "rewrite-all must replace every pre-rewrite file")
+    val (nEq2, qesEq2) = capturing {
+      t.readWhere(col("user_id") === 442L).count()
+    }
+    val (nEq3, qesEq3) = capturing {
+      t.readWhere(col("user_id") === 42L).count()
+    }
+    for ((qes2, what) <- Seq((qesEq2, "442"), (qesEq3, "42"))) {
+      val scanned2 = scannedFiles(qes2).intersect(
+        rewritten.map(Io.normalize))
+      assert(scanned2.size < rewritten.size,
+        s"user_id=$what scanned all ${rewritten.size} files after " +
+          "compaction — rewrite did not restore bucket pruning")
+    }
+    assert(nEq2 === 8 && nEq3 === 8 + 41) // 8 new-layout + 41 old (i%97)
+    val (nDay2, _) = capturing {
+      t.readWhere(
+        col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-04 00:00:00")) &&
+        col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-05 00:00:00")))
+        .count()
+    }
+    assert(nDay2 === 500)
   }
 
   test("truncate(w,col) partition transform: prefix-clustered files, " +
