@@ -1,5 +1,6 @@
 package graft.rel
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, QueryCatalog}
@@ -292,5 +293,183 @@ object SketchQueries extends QueryCatalog {
       .orderBy(desc("exact"), col("tok"))
   }
 
-  override def all: Seq[Q] = Seq(kmvTheta, cmsFreq, cmsHeavy)
+  /** Rows the quantile sketch retains per slice. Sample-quantile rank
+    * stderr is sqrt(p(1-p)/K) ≈ 2.2% at the median for K=512. */
+  private val QK = 512
+
+  /** A20 [EXT] MERGEABLE QUANTILE SKETCH — completes the sketch family
+    * (HLL/KMV cover distinct, CMS covers frequency; quantiles were
+    * exact-only): a bottom-K-by-hash uniform ROW sample (Cohen &
+    * Kaplan's bottom-k sampling applied to rank queries), the KMV
+    * trick pointed at order statistics. Each slice retains the K rows
+    * with the smallest 60-bit md5 hash of a row-unique key — a uniform
+    * multiset sample whose order statistics estimate the slice's
+    * quantiles — and the sketch is AS ROWS, so it stores per-slice in
+    * a lake table exactly like q_lake_sketch_rollup's KMV rows.
+    *
+    * MERGE = union the sketches, keep the K smallest hashes: the
+    * bottom-K of a union of bottom-Ks is exactly the bottom-K of the
+    * union (same closure KMV relies on), so per-day/per-file sketches
+    * fold into any rollup without touching raw data — the ALL row
+    * here is computed ONLY from the three slice sketches.
+    * QuantileSketchSpec pins the merge law exactly and the rank-error
+    * bound; determinism is by construction (md5, no RNG).
+    *
+    * Determinism: values are integer cents, hashes are the shared
+    * Kmv.hash60, quantile selection is the pure-integer order
+    * statistic rn = (m-1)·p div 100 + 1 under the total order (v, h) —
+    * no interpolation, no floats, so DuckDB matches bit-for-bit.
+    * The exact_p50 column is the test-scale verification ride-along,
+    * computed by histogram refinement (coarse bucket counts locate
+    * the median's bucket, row_number runs only inside it — never a
+    * corpus-wide sort); at 100 TB only the sketch path runs.
+    * Scale shape: the K-smallest selection is the salted
+    * two-level Kmv.kSmallest ladder (no reducer ever holds a slice's
+    * full hash set); everything after the one fact scan touches
+    * ≤ 4·K rows. */
+  private val quantileSketch = Q(
+    "q_agg_quantile_sketch",
+    s"""WITH f AS (
+      |  SELECT l_returnflag AS slice,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(concat('0x', substr(md5(concat(
+      |      CAST(l_orderkey AS VARCHAR), ':',
+      |      CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem
+      |), rk AS (
+      |  SELECT slice, v, h,
+      |    row_number() OVER (PARTITION BY slice ORDER BY h) AS rk
+      |  FROM f
+      |), sk AS (
+      |  SELECT slice, v, h FROM rk WHERE rk <= $QK
+      |), mrk AS (
+      |  SELECT v, h, row_number() OVER (ORDER BY h) AS rk FROM sk
+      |), un AS (
+      |  SELECT * FROM sk
+      |  UNION ALL SELECT 'ALL' AS slice, v, h FROM mrk WHERE rk <= $QK
+      |), ord AS (
+      |  SELECT slice, v,
+      |    row_number() OVER (PARTITION BY slice ORDER BY v, h) AS rn,
+      |    count(*) OVER (PARTITION BY slice) AS m
+      |  FROM un
+      |), qs AS (
+      |  SELECT slice, CAST(max(m) AS BIGINT) AS n_retained,
+      |    CAST(max(CASE WHEN rn = (m-1) * 25 // 100 + 1 THEN v END)
+      |      AS BIGINT) AS p25,
+      |    CAST(max(CASE WHEN rn = (m-1) * 50 // 100 + 1 THEN v END)
+      |      AS BIGINT) AS p50,
+      |    CAST(max(CASE WHEN rn = (m-1) * 75 // 100 + 1 THEN v END)
+      |      AS BIGINT) AS p75,
+      |    CAST(max(CASE WHEN rn = (m-1) * 90 // 100 + 1 THEN v END)
+      |      AS BIGINT) AS p90
+      |  FROM ord GROUP BY slice
+      |), bkt AS (
+      |  SELECT slice, v, h, v // 16384 AS b FROM f
+      |), bcs AS (
+      |  SELECT slice, b, count(*) AS bc FROM bkt GROUP BY slice, b
+      |), bc AS (
+      |  SELECT * FROM bcs
+      |  UNION ALL SELECT 'ALL' AS slice, b, CAST(sum(bc) AS BIGINT) AS bc
+      |  FROM bcs GROUP BY b
+      |), ns AS (
+      |  SELECT slice, (CAST(sum(bc) AS BIGINT) - 1) * 50 // 100 + 1 AS r
+      |  FROM bc GROUP BY slice
+      |), cum AS (
+      |  SELECT slice, b, bc, sum(bc) OVER (PARTITION BY slice ORDER BY b
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM bc
+      |), tgt AS (
+      |  SELECT c.slice, c.b, n.r - (c.cum - c.bc) AS rr
+      |  FROM cum c JOIN ns n USING (slice)
+      |  WHERE c.cum >= n.r AND c.cum - c.bc < n.r
+      |), inb AS (
+      |  SELECT t.slice, k.v, t.rr, row_number() OVER (
+      |    PARTITION BY t.slice ORDER BY k.v, k.h) AS rn
+      |  FROM bkt k JOIN tgt t
+      |    ON t.b = k.b AND (t.slice = k.slice OR t.slice = 'ALL')
+      |), ex AS (
+      |  SELECT slice, CAST(v AS BIGINT) AS exact_p50 FROM inb
+      |  WHERE rn = rr
+      |)
+      |SELECT qs.slice, n_retained, p25, p50, p75, p90, ex.exact_p50
+      |FROM qs JOIN ex USING (slice) ORDER BY qs.slice""".stripMargin
+  ) { (s, dir) => quantileSketchReport(s, dir) }
+
+  /** The q_agg_quantile_sketch engine, factored so QuantileSketchSpec
+    * can drive the same builders over arbitrary inputs. */
+  private[graft] def quantileRows(df: DataFrame): DataFrame =
+    df.select(col("l_returnflag").as("slice"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+      Kmv.hash60(concat_ws(":", col("l_orderkey"),
+        col("l_linenumber"))).as("h"))
+
+  /** Bottom-K row sample per slice — the sketch itself (K rows of
+    * (slice, v, h)); merge = union + another pass through this. */
+  private[graft] def quantileSketchOf(df: DataFrame,
+      slice: Seq[String] = Seq("slice")): DataFrame =
+    Kmv.kSmallest(df, QK, slice)
+
+  /** Order statistics (p25/50/75/90) of a retained sample. */
+  private[graft] def quantilesOf(sample: DataFrame): DataFrame = {
+    val w = Window.partitionBy("slice")
+    val ord = sample
+      .withColumn("rn", row_number().over(w.orderBy("v", "h")))
+      .withColumn("m", count(lit(1)).over(w))
+    ord.groupBy("slice").agg(
+      max("m").cast("long").as("n_retained"),
+      Seq(25, 50, 75, 90).map(p =>
+        max(when(col("rn") === expr(s"(m-1) * $p div 100 + 1"),
+          col("v"))).cast("long").as(s"p$p")): _*)
+  }
+
+  private[graft] def quantileSketchReport(s: org.apache.spark.sql
+      .SparkSession, dir: String): DataFrame = {
+    // (slice, v, h) is read by the sketch ladder AND the three exact-
+    // median aggregates — materialize the projection (and its md5)
+    // once instead of rescanning the fact per consumer (the
+    // shingleSetsMaterialized idiom; 4.3 s → 1.3 s at sf0.1)
+    val f = quantileRows(Tables.lineitem(s, dir)).localCheckpoint()
+    val sk = quantileSketchOf(f)
+    // the ALL row merges the three SLICE SKETCHES, never the fact
+    val merged = quantileSketchOf(
+      sk.withColumn("slice", lit("ALL")))
+    val qs = quantilesOf(sk.unionByName(merged))
+    // exact-median ride-along via HISTOGRAM REFINEMENT, not a global
+    // sort: a corpus-wide row_number would put each slice on one
+    // reducer (6.5 s at sf0.1). Instead: coarse per-(slice, bucket)
+    // counts locate the bucket holding the target rank (cumulative
+    // window over ~700 bucket rows), then row_number runs only INSIDE
+    // that bucket (~n/buckets rows) — the scalable exact-order-
+    // statistic plan (0.9 s at sf0.1).
+    // the ALL histogram derives from the per-slice bucket counts (an
+    // aggregate of the aggregate) — the corpus is bucketed ONCE, never
+    // unioned with itself
+    val bkt = f.withColumn("b", expr("v div 16384"))
+    val bcs = bkt.groupBy("slice", "b").agg(count(lit(1)).as("bc"))
+    val bc = bcs.unionByName(bcs.groupBy("b")
+      .agg(sum("bc").cast("long").as("bc"))
+      .withColumn("slice", lit("ALL"))
+      .select("slice", "b", "bc"))
+    val ns = bc.groupBy("slice").agg(
+      expr("(CAST(sum(bc) AS BIGINT) - 1) * 50 div 100 + 1").as("r"))
+    val cum = bc.withColumn("cum", sum("bc").over(
+      Window.partitionBy("slice").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tgt = cum.join(ns, "slice")
+      .filter(col("cum") >= col("r") && col("cum") - col("bc") < col("r"))
+      .select(col("slice").as("tslice"), col("b"),
+        (col("r") - (col("cum") - col("bc"))).as("rr"))
+    val ex = bkt.join(broadcast(tgt),
+        bkt("b") === tgt("b") &&
+          (col("tslice") === bkt("slice") || col("tslice") === "ALL"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("tslice").orderBy("v", "h")))
+      .filter(col("rn") === col("rr"))
+      .select(col("tslice").as("slice"),
+        col("v").cast("long").as("exact_p50"))
+    qs.join(ex, "slice").orderBy("slice")
+  }
+
+  override def all: Seq[Q] =
+    Seq(kmvTheta, cmsFreq, cmsHeavy, quantileSketch)
 }
