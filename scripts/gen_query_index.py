@@ -13,7 +13,7 @@ import re
 import subprocess
 import sys
 
-HEADER = "### 2z. Query-name index (generated round 5)"
+HEADER = "### 2z. Query-name index (regenerated per round by scripts/gen_query_index.py)"
 END = "## 3. Query lifecycle"
 
 
