@@ -88,8 +88,11 @@ case class GraftSqlResolution(session: SparkSession)
     case m @ MergeIntoTable(target, source, cond, matchedActs,
         notMatchedActs, nmbsActs, withSchemaEvolution)
         if m.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
-      if (withSchemaEvolution) throw new UnsupportedOperationException(
-        "MERGE WITH SCHEMA EVOLUTION is not supported by GraftLake")
+      // WITH SCHEMA EVOLUTION needs no handling here: by the time the
+      // MergeIntoTable is resolved, ResolveMergeIntoSchemaEvolution
+      // has already ADD-COLUMNed the extra source columns into the
+      // target (gated on the AUTOMATIC_SCHEMA_EVOLUTION capability),
+      // so the command sees the evolved schema like any other merge.
       val (_, t) = GraftRel.unapply(stripAlias(target)).get
       def assignName(key: Expression): String = key match {
         case a: AttributeReference => a.name

@@ -49,8 +49,15 @@ class GraftSqlTable(identName: String, val graft: GraftTable,
     graft.enrichedProperties.asJava
 
   override def capabilities(): JSet[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark 4's MERGE WITH SCHEMA
+    // EVOLUTION: the analyzer's ResolveMergeIntoSchemaEvolution
+    // computes the extra source columns and routes them through our
+    // TableCatalog.alterTable (the existing ADD COLUMN physical-name
+    // machinery) BEFORE the merge resolves — old snapshots keep
+    // reading pre-evolution bytes exactly as with a manual ALTER.
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** Declared clustering surfaces as partitioning (identity or
     * transform) so DESCRIBE and SHOW CREATE TABLE reflect the physical

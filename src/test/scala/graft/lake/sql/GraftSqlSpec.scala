@@ -792,6 +792,46 @@ class GraftSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("already present"), e2.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns " +
+    "through ALTER machinery; old snapshots keep the old schema") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    val preMerge = snapshotIds(tbl).last
+    spark.sql("CREATE OR REPLACE TEMP VIEW merge_evo_src AS " +
+      "SELECT * FROM VALUES ('case-2','flagged'),('case-6','fresh') " +
+      "AS v(case_id, note)")
+    // star actions are the canonical evolution trigger (Spark's
+    // ResolveMergeIntoSchemaEvolution keys on Update/InsertStarAction)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING merge_evo_src s
+         |ON t.case_id = s.case_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(
+      s"SELECT case_id, note FROM $tbl ORDER BY case_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows === Seq(
+      ("case-1", null), ("case-2", "flagged"), ("case-3", null),
+      ("case-6", "fresh")),
+      "evolved column must carry merge values, null elsewhere")
+    // untouched columns of the matched row survive the update
+    assert(spark.sql(s"SELECT first_name FROM $tbl " +
+      "WHERE case_id = 'case-2'").collect().head.getString(0) === "Jane")
+    // the pre-merge snapshot still reads with the pre-evolution schema
+    val back = spark.sql(s"SELECT * FROM $tbl VERSION AS OF $preMerge")
+    assert(!back.columns.contains("note"),
+      "pre-evolution snapshot must not surface the merged-in column")
+    assert(back.count() === 3)
+    // a second, plain MERGE (no evolution keyword) on the evolved
+    // schema behaves normally
+    spark.sql(
+      s"""MERGE INTO $tbl t USING merge_evo_src s
+         |ON t.case_id = s.case_id
+         |WHEN MATCHED THEN UPDATE SET t.note = 'seen'""".stripMargin)
+    assert(spark.sql(s"SELECT note FROM $tbl WHERE case_id = 'case-2'")
+      .collect().head.getString(0) === "seen")
+  }
+
   test("SQL reads keep parquet pushdown and codegen through the " +
     "substitution rule: filters reach the scan, columns are pruned") {
     val ns = freshNs()
