@@ -63,6 +63,38 @@ class GraftTable(val spark: SparkSession, val root: Path,
     GraftTable.lruCache[String, Seq[ManifestEntry]](64)
   private val posDeleteCache =
     GraftTable.lruCache[String, Seq[(String, Long)]](64)
+  private val eqKeyCache =
+    GraftTable.lruCache[String, Seq[Any]](64)
+
+  /** Driver-side parse of one single-column equality-delete file's key
+    * values (gated like readPosDeletesLocal on manifest record counts;
+    * cached — delete files are immutable). NULL keys are dropped: an
+    * equality delete can never match NULL (same as the join path). */
+  private def readEqKeysLocal(absPath: String, column: String,
+      dt: DataType): Seq[Any] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(absPath))
+      .withConf(spark.sessionState.newHadoopConf())
+      .build()
+    try {
+      val buf = Seq.newBuilder[Any]
+      var g = reader.read()
+      while (g != null) {
+        if (g.getFieldRepetitionCount(column) > 0) buf += (dt match {
+          case LongType => g.getLong(column, 0)
+          case IntegerType => g.getInteger(column, 0)
+          case StringType => g.getBinary(column, 0).toStringUsingUTF8
+          case other => throw new IllegalStateException(
+            s"unsupported inline eq-delete key type $other")
+        })
+        g = reader.read()
+      }
+      buf.result()
+    } finally reader.close()
+  }
 
   /** Driver-side parse of one position-delete file's (file_path, pos)
     * rows — used only when the manifest record counts prove the delete
@@ -792,32 +824,91 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // delete key carries the NEWEST delete sequence for that key, and
     // the join masks rows with rowSeq < max delete seq.
     if (eqDel.nonEmpty) {
-      val seqRows = data.flatMap(e =>
-        Io.uriForms(abs(e)).map(u => Row(u, e.addedSnapshotId)))
-      val seqDf = spark.createDataFrame(seqRows.asJava, StructType(Seq(
-        StructField("__graft_seq_file", StringType),
-        StructField(SeqCol, LongType))))
-      df = df.join(broadcast(seqDf), df(FileCol) === col("__graft_seq_file"),
-        "left").drop("__graft_seq_file")
       // equalityColumns (and the key files) use PHYSICAL names; the
       // data frame surfaces logical names — bridge via the reverse map
       val rev = m.map(_.swap)
-      for ((cols, files) <- eqDel.groupBy(_.equalityColumns)) {
-        val perFile = files.map { f =>
-          spark.read.parquet(abs(f))
-            .select(cols.map(c => col(c).as(s"__k_$c")): _*)
-            .withColumn("__k_seq", lit(f.addedSnapshotId))
-        }
-        val keys = perFile.reduce(_ unionByName _)
-          .groupBy(cols.map(c => col(s"__k_$c")): _*)
-          .agg(max(col("__k_seq")).as("__k_seq"))
-        val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
-        val cond = cols.map(c =>
-          df(rev.getOrElse(c, c)) === keys(s"__k_$c")).reduce(_ && _) &&
-          col(SeqCol) < keys("__k_seq")
-        df = df.join(if (small) broadcast(keys) else keys, cond, "left_anti")
+      val physS = physSchema(schema, m)
+      // metadata-sized SINGLE-COLUMN eq-delete sets fold into the scan
+      // as two map-literal lookups (key → newest delete seq, file →
+      // data seq) instead of the seq-attach join + per-set anti-join —
+      // the same plan-size cut as the position-delete fast path. Only
+      // atomic long/int/string keys qualify (map-literal keys must be
+      // exact); multi-column sets, big key sets, or many-file tables
+      // keep the distributed joins.
+      def inlineable(cols: Seq[String], files: Seq[ManifestEntry])
+          : Boolean =
+        cols.size == 1 &&
+          files.map(_.recordCount).sum <= GraftTable.MaxInlineDeleteRows &&
+          data.size <= 512 &&
+          physS.fields.find(_.name == cols.head).exists(_.dataType match {
+            case LongType | IntegerType | StringType => true
+            case _ => false
+          })
+      val groups = eqDel.groupBy(_.equalityColumns).toSeq
+      val (inline, joined) = groups.partition { case (c, fs) =>
+        inlineable(c, fs)
       }
-      df = df.drop(SeqCol)
+      if (inline.nonEmpty) {
+        // file → data-seq map, shared by every inline set
+        val fileSeq: Map[String, Long] = data.flatMap(e =>
+          Io.uriForms(abs(e)).map(_ -> e.addedSnapshotId)).toMap
+        val fileSeqCol =
+          element_at(typedlit(fileSeq), df(FileCol))
+        for ((cols, files) <- inline) {
+          val c = cols.head
+          val dt = physS.fields.find(_.name == c).get.dataType
+          // newest delete seq per key, folded driver-side (key files
+          // are immutable → cached parses)
+          val keySeq: Map[Any, Long] = files
+            .flatMap(f => eqKeyCache
+              .computeIfAbsent(abs(f), p => readEqKeysLocal(p, c, dt))
+              .map(v => v -> f.addedSnapshotId))
+            .groupMapReduce(_._1)(_._2)(math.max)
+          val rowCol = df(rev.getOrElse(c, c))
+          val lookup = dt match {
+            case LongType => element_at(
+              typedlit(keySeq.map { case (k, v) =>
+                k.asInstanceOf[Long] -> v }), rowCol)
+            case IntegerType => element_at(
+              typedlit(keySeq.map { case (k, v) =>
+                k.asInstanceOf[Int] -> v }), rowCol)
+            case StringType => element_at(
+              typedlit(keySeq.map { case (k, v) =>
+                k.asInstanceOf[String] -> v }), rowCol)
+            case other => throw new IllegalStateException(
+              s"unreachable: $other gated by inlineable")
+          }
+          df = df.filter(
+            !(lookup.isNotNull && fileSeqCol < lookup))
+        }
+      }
+      if (joined.nonEmpty) {
+        val seqRows = data.flatMap(e =>
+          Io.uriForms(abs(e)).map(u => Row(u, e.addedSnapshotId)))
+        val seqDf = spark.createDataFrame(seqRows.asJava, StructType(Seq(
+          StructField("__graft_seq_file", StringType),
+          StructField(SeqCol, LongType))))
+        df = df.join(broadcast(seqDf),
+          df(FileCol) === col("__graft_seq_file"),
+          "left").drop("__graft_seq_file")
+        for ((cols, files) <- joined) {
+          val perFile = files.map { f =>
+            spark.read.parquet(abs(f))
+              .select(cols.map(c => col(c).as(s"__k_$c")): _*)
+              .withColumn("__k_seq", lit(f.addedSnapshotId))
+          }
+          val keys = perFile.reduce(_ unionByName _)
+            .groupBy(cols.map(c => col(s"__k_$c")): _*)
+            .agg(max(col("__k_seq")).as("__k_seq"))
+          val small = files.map(_.fileSizeBytes).sum < 64L * 1024 * 1024
+          val cond = cols.map(c =>
+            df(rev.getOrElse(c, c)) === keys(s"__k_$c")).reduce(_ && _) &&
+            col(SeqCol) < keys("__k_seq")
+          df = df.join(if (small) broadcast(keys) else keys, cond,
+            "left_anti")
+        }
+        df = df.drop(SeqCol)
+      }
     }
     df
   }

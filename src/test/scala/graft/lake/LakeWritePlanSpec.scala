@@ -184,11 +184,30 @@ class LakeWritePlanSpec extends SparkSuite {
     assert(got.map(_._1).toSeq === Seq("k-00002", "k-00003"))
     assert(got.toMap.apply("k-00002") === "v3",
       "latest re-insert must win over older equality deletes")
-    // 4 delete snapshots, same column set → exactly ONE anti-join
+    // 4 delete snapshots, same column set, metadata-sized keys →
+    // the whole set folds into ONE map-literal scan filter (round 9's
+    // inline fast path): no anti-join, no seq-attach join, just two
+    // element_at lookups (key → newest delete seq, file → data seq)
     val plan = t.read().queryExecution.optimizedPlan.toString
-    val antiJoins = "LeftAnti".r.findAllIn(plan).size
-    assert(antiJoins === 1,
-      s"expected 1 anti-join for a single equality-column set, got $antiJoins\n$plan")
+    assert(!plan.contains("LeftAnti"),
+      s"inline eq-delete path must not plan an anti-join\n$plan")
+    assert(!plan.contains("Join"),
+      s"inline eq-delete path must not plan any join\n$plan")
+    val lookups = "element_at".r.findAllIn(plan).size
+    assert(lookups >= 2,
+      s"expected the two map-literal lookups in the filter\n$plan")
+    // a key set past the inline bound still collapses to ONE anti-join
+    val big = spark.createDataFrame(
+      (0 until 5000).map(i => Row(f"x-$i%05d")).asJava,
+      StructType.fromDDL("case_id STRING"))
+    t.equalityDelete(big)
+    t.equalityDelete(key("k-00003"))
+    val plan2 = t.read().queryExecution.optimizedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan2).size === 1,
+      s"expected 1 anti-join once keys exceed the inline bound\n$plan2")
+    assert(t.read().collect().map(_.getString(0)).toSeq ===
+      Seq("k-00002"),
+      "join path must drop k-00003 and keep the re-inserted k-00002")
   }
 
   test("write.bloom-columns writes parquet bloom filters under the " +
