@@ -228,6 +228,71 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("event_type")
   }
 
+  /** Batch twin of [[Streams.QuantileSketchProcessor]]: per-event-type
+    * running sample median from the A20 mergeable quantile sketch
+    * (bottom-K=64 rows by md5(event_id), keyed by hash with a min-v
+    * tiebreak so hash collisions and re-deliveries are deterministic),
+    * median = the integer order statistic under the (v, h) total
+    * order. Same hashing, same rounding (HALF_UP cents), same
+    * selection as the streaming state fold and the DuckDB oracle —
+    * StreamingSpec proves the live transformWithState tail equals
+    * these rows across any micro-batch boundaries. */
+  private val quantileQ = Q(
+    "q_stream_quantile",
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events
+      |), hh AS (
+      |  SELECT event_type, h, CAST(min(v) AS BIGINT) AS v
+      |  FROM h GROUP BY event_type, h
+      |), rk AS (
+      |  SELECT event_type, h, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM hh
+      |), sk AS (
+      |  SELECT event_type, h, v FROM rk WHERE rk <= 64
+      |), ord AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS m
+      |  FROM sk
+      |), ns AS (
+      |  SELECT event_type, count(*) AS n_seen FROM events
+      |  GROUP BY event_type
+      |)
+      |SELECT o.event_type, CAST(max(ns.n_seen) AS BIGINT) AS n_seen,
+      |  CAST(max(m) AS BIGINT) AS n_retained,
+      |  CAST(max(CASE WHEN rn = (m-1) * 50 // 100 + 1 THEN v END)
+      |    AS BIGINT) AS p50
+      |FROM ord o JOIN ns ON ns.event_type = o.event_type
+      |GROUP BY o.event_type ORDER BY o.event_type""".stripMargin
+  ) { (s, dir) =>
+    import graft.rel.Kmv
+    val K = 64
+    val ev = Tables.events(s, dir)
+    val hh = ev
+      .select(col("event_type"), Kmv.hash60(col("event_id")).as("h"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      .groupBy("event_type", "h").agg(min("v").cast("long").as("v"))
+    val sk = Kmv.kSmallest(hh, K, Seq("event_type"))
+    val ns = ev.groupBy("event_type").agg(count(lit(1)).as("n_seen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    sk.withColumn("rn", row_number().over(w.orderBy("v", "h")))
+      .withColumn("m", count(lit(1)).over(w))
+      .groupBy("event_type")
+      .agg(max("m").cast("long").as("n_retained"),
+        max(when(col("rn") === expr("(m-1) * 50 div 100 + 1"),
+          col("v"))).cast("long").as("p50"))
+      .join(broadcast(ns), "event_type")
+      .select(col("event_type"), col("n_seen").cast("long"),
+        col("n_retained"), col("p50"))
+      .orderBy("event_type")
+  }
+
   /** Batch twin of [[Streams.nationEnrich]] — stream-STATIC dimension
     * join, the everyday streaming enrichment: the static side is a
     * broadcast available to every micro-batch (no state, no
@@ -250,5 +315,5 @@ object StreamBatchQueries extends QueryCatalog {
 
   override def all: Seq[Q] =
     Seq(tumbling, sliding, session, streamJoin, milestonesQ, firstSeenQ,
-      kmvDistinctQ, staticJoinQ)
+      kmvDistinctQ, quantileQ, staticJoinQ)
 }

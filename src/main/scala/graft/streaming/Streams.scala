@@ -384,6 +384,79 @@ object Streams {
     }
   }
 
+  final case class QuantOut(event_type: String, n_seen: Long,
+      n_retained: Long, p50: Long)
+
+  /** Half-away-from-zero integer cents of a double — bit-identical to
+    * the batch twin's `CAST(round(value * 100) AS BIGINT)` (Spark
+    * HALF_UP ≡ DuckDB round on doubles). scala math.round floors at
+    * .5 for negatives, so it is NOT usable here. */
+  private[streaming] def centsHalfUp(x: Double): Long = {
+    val s = x * 100
+    if (s >= 0) math.floor(s + 0.5).toLong else math.ceil(s - 0.5).toLong
+  }
+
+  /** Streaming MERGEABLE QUANTILE state: one bottom-K-by-hash row
+    * sample per event_type (the A20 q_agg_quantile_sketch structure as
+    * transformWithState state) — running quantiles with O(K) state per
+    * key forever, where exact quantiles would buffer every value.
+    * State is the K (hash, value) pairs with smallest 60-bit md5 of
+    * the row-unique event_id, packed [h0,v0,h1,v1,…] sorted by h;
+    * folding a batch is union + keep-K — associative and
+    * order-independent, so the emitted tail equals the batch twin
+    * whatever the micro-batch boundaries (StreamingSpec). Entries key
+    * by h with min-v tiebreak, making re-delivered events no-ops
+    * (exactly-once for free, like the KMV sketch) and hash collisions
+    * deterministic in both engines. Emits the running sample median
+    * (integer order statistic under the (v, h) total order) plus a
+    * monotone rows-folded counter (`n_seen`) that identifies the tail
+    * emission — the retained set's median is NOT monotone, so without
+    * it a consumer could not tell which emission is current. State is
+    * packed [n_seen, h0, v0, h1, v1, …] sorted by h. */
+  class QuantileSketchProcessor(k: Int)
+      extends StatefulProcessor[String, Ev, QuantOut] {
+    @transient private var retained: ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      retained = getHandle.getValueState[Array[Long]]("qsketch",
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(
+        eventType: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[QuantOut] = {
+      val inc = rows.map(e =>
+        (kmvHash60(e.event_id.toString), centsHalfUp(e.value))).toArray
+      val prev: Array[Long] =
+        if (retained.exists()) retained.get() else Array(0L)
+      val seen = prev(0) + inc.length
+      val prevPairs = prev.drop(1).grouped(2).map(a => (a(0), a(1)))
+      val merged = (prevPairs ++ inc).toSeq
+        .groupMapReduce(_._1)(_._2)(math.min)
+        .toArray.sortBy(_._1).take(k)
+      retained.update(
+        Array(seen) ++ merged.flatMap(p => Array(p._1, p._2)))
+      val byV = merged.map { case (h, v) => (v, h) }.sorted
+      val m = byV.length
+      val rn = ((m - 1) * 50 / 100) + 1
+      Iterator.single(
+        QuantOut(eventType, seen, m.toLong, byV(rn - 1)._1))
+    }
+  }
+
+  /** Running per-event-type sample-median estimates; see
+    * [[QuantileSketchProcessor]]. */
+  def quantileSketch(events: DataFrame, k: Int = 64)
+      : Dataset[QuantOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.event_type)
+      .transformWithState(new QuantileSketchProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Running per-event-type distinct-user estimates; see
     * [[KmvDistinctProcessor]]. */
   def kmvDistinct(events: DataFrame, k: Int = 64): Dataset[KmvOut] = {

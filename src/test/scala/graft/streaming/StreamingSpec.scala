@@ -717,6 +717,65 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState quantile sketch: streamed tail medians " +
+    "equal the batch twin's math regardless of micro-batch boundaries") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      // k=8 < every type's event count, so the sample actually
+      // truncates here (the production K=64 twin truncates at sf>=0.01)
+      val k = 8
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.quantileSketch(stream, k),
+        "quantile_sketch", OutputMode.Append)
+      val got = spark.table("quantile_sketch").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val perType = got.groupBy(_._1)
+      assert(perType.values.forall(_.length >= 2),
+        "each type must emit from more than one micro-batch")
+      // the tail emission per type = max n_seen (the monotone
+      // rows-folded counter; the median itself is NOT monotone)
+      val finals = perType.view.mapValues(_.maxBy(_._2)).toMap
+      // batch expectation: same hash/round/keep-K/min-v/order-stat
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val seen = batchEvents.groupBy("event_type")
+        .agg(count(lit(1)).as("n_seen"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = batchEvents
+        .select(col("event_type"),
+          conv(substring(md5(col("event_id").cast("string")), 1, 15),
+            16, 10).cast("long").as("h"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .groupBy("event_type", "h").agg(min("v").as("v"))
+        .withColumn("rk", row_number().over(w.orderBy("h")))
+        .filter(col("rk") <= k)
+        .withColumn("rn", row_number().over(w.orderBy("v", "h")))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(m-1) * 50 div 100 + 1"))
+        .select(col("event_type"), col("m").cast("long"),
+          col("v").cast("long"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(want.nonEmpty)
+      want.foreach { case (t, (m, p50)) =>
+        val (_, gseen, gm, gp) = finals(t)
+        assert(gseen === seen(t) && gm === m && gp === p50,
+          s"type $t: streamed tail ($gseen, $gm, $gp) != batch " +
+            s"(${seen(t)}, $m, $p50)")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("kmvHash60 is bit-identical to the SQL md5/conv hash the batch " +
     "twin and its oracle use") {
     val viaSql = batchEvents.select(col("user_id").cast("string").as("u"))
