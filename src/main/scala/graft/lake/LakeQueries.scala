@@ -736,6 +736,118 @@ object LakeQueries extends QueryCatalog {
       .orderBy("phase", "scope")
   }
 
+  /** D38: QUANTILE sketches stored in a graft table — the A20
+    * mergeable bottom-K row sample as lake-resident state, completing
+    * the lake sketch-rollup story (D34 stores KMV distinct sketches;
+    * this stores the quantile sample the same way): ≤K rows per slice
+    * of (slice, h, v), folded incrementally per ingest window
+    * (k-smallest of stored ∪ window — the same closure), entries keyed
+    * by md5(key) with a min-v tiebreak so refeeding known rows is a
+    * no-op. Every report answers medians (per-slice AND ALL via the
+    * merge law) from the SKETCH TABLE ONLY — the fact table could be
+    * 100 TB of history; the quantile state a reader needs is K rows —
+    * with an exact ride-along computed from the fact at test scale and
+    * a rank-error guard (the reported median's true rank must sit
+    * within ±15% of 0.5). Time travel re-derives window-1 medians from
+    * the sketch table's old snapshot. */
+  private val quantileRollup =
+    Q.noOracle("q_lake_quantile_rollup") { (s, _) =>
+    import graft.rel.Kmv
+    val K = 128
+    val factSchema = StructType.fromDDL(
+      "slice STRING, key BIGINT, v BIGINT")
+    val skSchema = StructType.fromDDL("slice STRING, h BIGINT, v BIGINT")
+    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    cat.createNamespace("default")
+    val fact = cat.createTable("default", "qfact", factSchema)
+    val sk = cat.createTable("default", "qsketches", skSchema)
+    def hashed(df: DataFrame): DataFrame = df
+      // hash the (slice, key) ROW identity, not the bare key: slices
+      // share key spaces, and a key-only hash would collapse
+      // cross-slice rows in the ALL merge (a sample of distinct keys
+      // instead of rows — measured 0.27 rank fraction for the median)
+      .select(col("slice"),
+        Kmv.hash60(concat_ws(":", col("slice"), col("key"))).as("h"),
+        col("v"))
+      .groupBy("slice", "h").agg(min("v").cast("long").as("v"))
+    def fold(stored: DataFrame, window: DataFrame): DataFrame =
+      Kmv.kSmallest(
+        stored.unionByName(window)
+          .groupBy("slice", "h").agg(min("v").cast("long").as("v")),
+        K, Seq("slice"))
+    def ingest(rows: Seq[(String, Long, Long)]): Unit = {
+      import s.implicits._
+      val w = rows.toDF("slice", "key", "v")
+      fact.append(w)
+      sk.overwriteAll(fold(sk.read(), hashed(w)))
+    }
+    def medians(stored: DataFrame): Map[String, (Long, Long)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("slice")
+      stored
+        .withColumn("rn", row_number().over(w.orderBy("v", "h")))
+        .withColumn("m", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(m - 1) * 50 div 100 + 1"))
+        .select(col("slice"), col("m").cast("long"),
+          col("v").cast("long"))
+        .collect().map(r =>
+          r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Long, Long, Long)]
+    def report(phase: String): Unit = {
+      val stored = sk.read()
+      // per-slice + ALL — ALL merges the SLICE SKETCHES (merge law),
+      // never the fact table
+      val est = medians(stored) ++ medians(
+        Kmv.kSmallest(
+          stored.groupBy("h").agg(min("v").cast("long").as("v"))
+            .withColumn("slice", lit("ALL")),
+          K, Seq("slice")))
+      val f = fact.read().groupBy("slice", "key")
+        .agg(min("v").as("v"))
+      est.toSeq.sortBy(_._1).foreach { case (slice, (m, p50)) =>
+        val sl = if (slice == "ALL") f else f.filter(col("slice") === slice)
+        val n = sl.count()
+        val below = sl.filter(col("v") <= p50).count()
+        val frac = below.toDouble / n
+        require(math.abs(frac - 0.5) < 0.15,
+          s"$phase/$slice: sketch median $p50 has rank fraction $frac")
+        out += ((phase, slice, m, p50, below))
+      }
+    }
+    def rows(slice: String, keys: Range, f: Long => Long) =
+      keys.map(k => (slice, k.toLong, f(k.toLong)))
+    ingest(rows("s1", 1 to 500, k => k * 7 % 1000) ++
+      rows("s2", 1 to 400, k => 500 + k % 300))
+    report("w1-seed")
+    val w1Snap = sk.currentSnapshot.get.snapshotId
+    ingest(rows("s1", 501 to 900, k => k % 200) ++
+      rows("s2", 401 to 800, k => 800 + k % 100))
+    report("w2-grow")
+    // refeeding known (key, v) rows must not move any sketch
+    ingest(rows("s1", 100 to 400, k => k * 7 % 1000))
+    report("w3-idempotent-refeed")
+    Seq("s1", "s2", "ALL").foreach { sl =>
+      def at(ph: String) =
+        out.find(o => o._1 == ph && o._2 == sl).get
+      require(at("w3-idempotent-refeed")._4 == at("w2-grow")._4 &&
+        at("w3-idempotent-refeed")._3 == at("w2-grow")._3,
+        s"refeed of known rows moved the $sl quantile sketch")
+    }
+    // storability: window-1 medians re-derive from the old snapshot
+    val w1est = medians(sk.readAt(w1Snap))
+    Seq("s1", "s2").foreach { sl =>
+      require(w1est(sl)._2 == out.find(o =>
+        o._1 == "w1-seed" && o._2 == sl).get._4,
+        s"time-travel quantile answer drifted for $sl")
+      out += (("w4-travel-to-w1", sl, w1est(sl)._1, w1est(sl)._2, -1L))
+    }
+    import s.implicits._
+    out.toSeq.toDF("phase", "scope", "n_retained", "p50", "n_below")
+      .orderBy("phase", "scope")
+  }
+
   /** Inverted index maintained in lake tables — the production
     * retrieval architecture behind q_text_bm25: postings
     * (doc_id, tok, tf) and doc lengths live in graft tables, serving
@@ -956,6 +1068,7 @@ object LakeQueries extends QueryCatalog {
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
-    metadataRetention, streamErasure, sketchRollup, invertedIndex,
+    metadataRetention, streamErasure, sketchRollup, quantileRollup,
+    invertedIndex,
     vectorIndex)
 }
