@@ -961,11 +961,13 @@ object LakeQueries extends QueryCatalog {
     * raw-vector table's CDC windows (inserted vectors encode map-side
     * through the native pq_encode kernel and the vec_dot coarse
     * argmin; deleted vectors drop their index row via equality
-    * delete). Serving never touches raw vectors: probes = 2 nearest
-    * cells (driver metadata math), stats-pruned scan of the index
-    * table filtered to probed cells, ADC scoring via the pq_adc kernel
-    * against per-cell residual LUT literals, top-10
-    * TakeOrderedAndProject.
+    * delete). Serving: probes = 2 nearest cells (driver metadata
+    * math), stats-pruned scan of the index table filtered to probed
+    * cells, ADC scoring via the pq_adc kernel against per-cell
+    * residual LUT literals into a 50-row shortlist, then REFINE — the
+    * shortlist joins the raw-vector table for exact grid distances
+    * (production IVFADC: the index prunes everything, the raw table is
+    * touched for <=50 rows), top-10 by exact distance.
     *
     * The model is TRAINED at index creation on the bootstrap window
     * ([[graft.llm.SimilarityQueries.ivfPqTrain]]: kmeans coarse cells
@@ -1022,32 +1024,51 @@ object LakeQueries extends QueryCatalog {
       if (!firstWindow) index.equalityDelete(last.select("vec_id"))
       index.append(encoded(last.filter(col("is_ins") === 1)))
     }
-    def served(): Array[(Long, Long, Long)] = index.read()
+    // serve = ADC shortlist from the INDEX (50 rows), then REFINE:
+    // fetch only the shortlist's raw vectors from the vecs table and
+    // re-rank by exact grid distance — the production IVFADC serve
+    // (the q_sim_topk_ivfpq_trained refine step, against lake tables:
+    // the index prunes, the raw table is touched for ≤50 rows)
+    val qvd = typedlit(qv.map(_.toDouble).toSeq)
+    val qq = qv.map(x => x.toDouble * x).sum
+    def refined(shortlist: DataFrame): Array[(Long, Long, Long)] =
+      shortlist
+        .join(vecs.read().select(col("vec_id"), col("embedding")),
+          "vec_id")
+        .withColumn("qd", expr(
+          "transform(" + pqQuantExpr + ", x -> CAST(x AS DOUBLE))"))
+        .withColumn("d2",
+          (vec.dot(s, col("qd"), col("qd"))
+            - lit(2.0) * vec.dot(s, col("qd"), qvd) + lit(qq))
+            .cast("long"))
+        .orderBy("d2", "vec_id").limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("d2")))
+    def served(): Array[(Long, Long, Long)] = refined(index.read()
       .filter(col("vec_id") =!= 0 &&
         col("cell").isin(probes.map(Long.box): _*))
       .select(col("vec_id"), col("cell"),
         ivfPqAdcCol(s, plan).as("adc"))
-      .orderBy("adc", "vec_id").limit(10)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .orderBy("adc", "vec_id").limit(50))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Long, Long)]
     def serve(phase: String, check: Boolean): Unit = {
       val top = served()
       require(top.nonEmpty, s"empty index serve at $phase")
       if (check && crossCheck) {
-        val direct = encoded(vecs.read().select("vec_id", "embedding"))
-          .filter(col("vec_id") =!= 0 &&
-            col("cell").isin(probes.map(Long.box): _*))
-          .select(col("vec_id"), col("cell"),
-            ivfPqAdcCol(s, plan).as("adc"))
-          .orderBy("adc", "vec_id").limit(10)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val direct = refined(
+          encoded(vecs.read().select("vec_id", "embedding"))
+            .filter(col("vec_id") =!= 0 &&
+              col("cell").isin(probes.map(Long.box): _*))
+            .select(col("vec_id"), col("cell"),
+              ivfPqAdcCol(s, plan).as("adc"))
+            .orderBy("adc", "vec_id").limit(50))
         require(top.sameElements(direct),
           s"index-served IVF-PQ diverged at $phase: " +
             s"index=${top.toSeq} direct=${direct.toSeq}")
       }
-      top.zipWithIndex.foreach { case ((id, cell, adc), i) =>
-        out += ((phase, i + 1L, id, cell, adc))
+      top.zipWithIndex.foreach { case ((id, cell, d2), i) =>
+        out += ((phase, i + 1L, id, cell, d2))
       }
     }
     vecs.append(emb.filter(col("vec_id") < 250))
@@ -1059,7 +1080,7 @@ object LakeQueries extends QueryCatalog {
     maintain(firstWindow = false)
     serve("w2-grow-delete", check = true)
     import s.implicits._
-    out.toSeq.toDF("phase", "rank", "vec_id", "cell", "adc")
+    out.toSeq.toDF("phase", "rank", "vec_id", "cell", "d2")
       .orderBy("phase", "rank")
   }
 
