@@ -115,6 +115,37 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** Batch twin of the watermarked stream-stream LEFT OUTER join
+    * ([[Streams.purchaseViewJoinOuter]] builds this plan): purchases
+    * with their preceding-hour views, PLUS purchases with no such
+    * view (null view side) — the outer-join capability inner
+    * stream-stream joins lack (a "purchases without prior engagement"
+    * report needs exactly the null rows). Aggregated per user for the
+    * hash compare; StreamingSpec proves the live run emits the
+    * matched rows plus null rows for every unmatched purchase the
+    * final watermark has expired, and nothing else. */
+  private val streamJoinOuter = Q(
+    "q_stream_join_outer",
+    """WITH j AS (
+      |  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+      |    p.user_id
+      |  FROM events p LEFT JOIN events v
+      |    ON p.user_id = v.user_id AND v.event_type = 'view'
+      |    AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL '1 hour'
+      |  WHERE p.event_type = 'purchase'
+      |)
+      |SELECT user_id, count(view_id) AS n_pairs,
+      |  count(*) FILTER (WHERE view_id IS NULL) AS n_unmatched
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    Streams.purchaseViewJoinOuter(ev, ev)
+      .groupBy("user_id")
+      .agg(count(col("view_id")).as("n_pairs"),
+        count(when(col("view_id").isNull, 1)).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
   /** Batch twin of the transformWithState milestone counter
     * ([[Streams.milestones]]): the event completing every 25th event
     * per user, defined over total (ts, event_id) event-time order. In
@@ -314,6 +345,7 @@ object StreamBatchQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] =
-    Seq(tumbling, sliding, session, streamJoin, milestonesQ, firstSeenQ,
+    Seq(tumbling, sliding, session, streamJoin, streamJoinOuter,
+      milestonesQ, firstSeenQ,
       kmvDistinctQ, quantileQ, staticJoinQ)
 }

@@ -328,6 +328,33 @@ object Streams {
       .select(col("purchase_id"), col("view_id"), col("user_id"))
   }
 
+  /** LEFT OUTER flavor of [[purchaseViewJoin]] — the "purchases with
+    * no prior view" detector: same watermarks and time-range
+    * condition, but unmatched purchases ALSO emit, with a null
+    * view_id. In streaming the null row for an unmatched purchase can
+    * only be emitted once the watermark proves no matching view can
+    * still arrive (purchase ts < watermark); purchases younger than
+    * the final watermark stay withheld in state — the contract
+    * StreamingSpec pins against the batch twin. Carries `pts` so
+    * consumers (and the spec) can apply the watermark cutoff. */
+  def purchaseViewJoinOuter(left: DataFrame,
+      right: DataFrame): DataFrame = {
+    val p = left.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("user_id"))
+    val v = right.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("vts") <= col("pts") &&
+        col("vts") > col("pts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        col("pts"))
+  }
+
   final case class KmvOut(event_type: String, n_retained: Long, est: Long)
 
   /** 2^60 — the KMV hash domain, from the shared rel.Kmv contract. */

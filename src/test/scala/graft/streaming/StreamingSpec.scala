@@ -167,6 +167,44 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty, "no purchase/view pairs in the staged corpus")
   }
 
+  test("stream-stream LEFT OUTER join: matched pairs equal the batch " +
+    "join; null-view rows appear exactly for unmatched purchases the " +
+    "final watermark expired") {
+    val left = Streams.readEvents(spark, stageDir.toString)
+    val right = Streams.readEvents(spark, stageDir.toString)
+    Streams.runToMemory(Streams.purchaseViewJoinOuter(left, right),
+      "pv_outer_stream", OutputMode.Append)
+    val got = spark.table("pv_outer_stream").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_ => r.getLong(1)),
+        r.getLong(2), r.getTimestamp(3)))
+    val want = Streams.purchaseViewJoinOuter(batchEvents, batchEvents)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_ => r.getLong(1)),
+        r.getLong(2), r.getTimestamp(3)))
+    // matched pairs emit eagerly: must equal the batch join's matches
+    val gotMatched = got.filter(_._2.isDefined).toSet
+    val wantMatched = want.filter(_._2.isDefined).toSet
+    assert(gotMatched === wantMatched)
+    assert(gotMatched.nonEmpty)
+    // null rows emit only once the watermark proves no view can still
+    // arrive: exactly the batch-unmatched purchases older than the
+    // final watermark (max event time − 2h delay); younger unmatched
+    // purchases stay withheld in state — THE outer-join contract
+    val maxTs = batchEvents.agg(max("ts")).collect().head
+      .getTimestamp(0).getTime
+    val cutoff = maxTs - 2L * 3600 * 1000
+    val gotNull = got.filter(_._2.isEmpty).map(_._1).toSet
+    val wantNullEmitted = want.filter(t =>
+      t._2.isEmpty && t._4.getTime < cutoff).map(_._1).toSet
+    val wantNullAll = want.filter(_._2.isEmpty).map(_._1).toSet
+    assert(gotNull.subsetOf(wantNullAll),
+      "a null row emitted for a purchase that HAS a prior-hour view")
+    assert(wantNullEmitted.subsetOf(gotNull),
+      s"unmatched purchases past the watermark must emit null rows; " +
+        s"missing ${(wantNullEmitted -- gotNull).take(5)}")
+    assert(wantNullAll.nonEmpty, "fixture must have unmatched purchases")
+  }
+
   test("GraftLake round trip: readStream of appends feeds an " +
     "exactly-once append sink") {
     import org.apache.spark.sql.types.StructType
