@@ -93,6 +93,49 @@ object LakeQueries extends QueryCatalog {
     t.read().orderBy("case_id")
   }
 
+  /** D17 companion — GDPR SUBJECT-ACCESS AUDIT: for one data subject,
+    * walk every retained snapshot and report whether (and with what
+    * visibility) the subject's row exists there — the "where does this
+    * person's data still live" question a DSAR or a deletion
+    * verification asks, and the forensic complement of the
+    * permanent-delete demo (a MOR delete hides the row from NEW
+    * snapshots while OLD snapshots still reach it; after
+    * erase+expire, NO snapshot does). Each probe is a stats-pruned
+    * point read at one snapshot; output is one row per (phase,
+    * snapshot ordinal). The walk is metadata-bounded: retained
+    * snapshot count × a pruned point lookup. */
+  private val subjectAccess =
+    Q.noOracle("q_lake_subject_access") { (s, _) =>
+    val t = newTable(s)
+    t.delete(col("case_id") === "case-2") // MOR hide
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, String)]
+    def audit(phase: String): Unit = {
+      val snaps = t.meta.snapshots.map(_.snapshotId).sorted
+      snaps.zipWithIndex.foreach { case (id, i) =>
+        val hit = t.readAt(id).filter(col("case_id") === "case-2")
+          .select("first_name").collect()
+        val state =
+          if (hit.isEmpty) "absent"
+          else if (hit.head.isNullAt(0)) "present-nullified"
+          else "present"
+        out += ((phase, i.toLong, hit.length.toLong, state))
+      }
+    }
+    audit("1-after-mor-delete") // old snapshots still reach the row
+    ErasePii.run(t, "case_id", "case-2", ErasePii.DeleteRow)
+    audit("2-after-erase") // no retained snapshot reaches it
+    require(out.filter(_._1 == "2-after-erase").forall(_._4 == "absent"),
+      "erase+expire left the subject reachable from a snapshot")
+    require(out.filter(_._1 == "1-after-mor-delete").exists(
+      _._4 == "present"),
+      "pre-erase history must still reach the subject (the forensic " +
+        "point)")
+    import s.implicits._
+    out.toSeq.toDF("phase", "snapshot_ordinal", "n_rows", "state")
+      .orderBy("phase", "snapshot_ordinal")
+  }
+
   /** E2: summarize_files + diff port over live metadata tables —
     * returns the diff with volatile columns projected away. */
   private val summaryDiff = Q.noOracle("q_lake_file_summary_diff") { (s, _) =>
@@ -1085,7 +1128,8 @@ object LakeQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] = Seq(
-    lifecycle, timeTravel, metadataFiles, rewrite, erase, summaryDiff,
+    lifecycle, timeTravel, metadataFiles, rewrite, erase,
+    subjectAccess, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
     streamRoundTrip, changelog, streamChanges, partitionsRel,
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
