@@ -792,9 +792,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       // node costs ~60-70 ms of driver work per action, the dominant
       // cost of small-table DML walks like q_lake_wap. Delete files
       // are immutable (UUID names), so the driver-side parse caches.
-      if (posDel.map(_.recordCount).sum <= GraftTable.MaxInlineDeleteRows) {
-        val pairs = posDel.flatMap(e =>
-          posDeleteCache.computeIfAbsent(abs(e), readPosDeletesLocal))
+      // The filter costs one string-equality per DISTINCT deleted file
+      // per row, so it is additionally gated on the victim-file fanout
+      // — a delete set spraying hundreds of files pays less through
+      // the hashed anti-join than through a wide OR chain.
+      val inlinePairs =
+        if (posDel.map(_.recordCount).sum
+            <= GraftTable.MaxInlineDeleteRows)
+          Some(posDel.flatMap(e =>
+            posDeleteCache.computeIfAbsent(abs(e), readPosDeletesLocal)))
+            .filter(_.map(_._1).distinct.size <= 32)
+        else None
+      if (inlinePairs.isDefined) {
+        val pairs = inlinePairs.get
         if (pairs.nonEmpty) {
           val masked = pairs.groupBy(_._1).map { case (f, ps) =>
             df(FileCol) === lit(f) &&
@@ -835,11 +845,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
       // atomic long/int/string keys qualify (map-literal keys must be
       // exact); multi-column sets, big key sets, or many-file tables
       // keep the distributed joins.
+      // the two map-literal lookups cost O(entries) string/key
+      // compares PER ROW (ArrayBasedMapData is a linear scan), so the
+      // inline form is additionally bounded by file count AND total
+      // data rows — a wide or deep table pays less through the hashed
+      // joins than through per-row literal-map scans
       def inlineable(cols: Seq[String], files: Seq[ManifestEntry])
           : Boolean =
         cols.size == 1 &&
           files.map(_.recordCount).sum <= GraftTable.MaxInlineDeleteRows &&
-          data.size <= 512 &&
+          data.size <= 64 &&
+          data.map(_.recordCount).sum <= 262144 &&
           physS.fields.find(_.name == cols.head).exists(_.dataType match {
             case LongType | IntegerType | StringType => true
             case _ => false
