@@ -842,17 +842,36 @@ object LakeQueries extends QueryCatalog {
       val stored = sk.read()
       // per-slice + ALL — ALL merges the SLICE SKETCHES (merge law),
       // never the fact table
-      val est = medians(stored) ++ medians(
-        Kmv.kSmallest(
-          stored.groupBy("h").agg(min("v").cast("long").as("v"))
-            .withColumn("slice", lit("ALL")),
-          K, Seq("slice")))
-      val f = fact.read().groupBy("slice", "key")
+      // ONE medians job over slices ∪ the merged-ALL sketch (the ALL
+      // kSmallest plans into the same pass)
+      val est = medians(stored.unionByName(Kmv.kSmallest(
+        stored.groupBy("h").agg(min("v").cast("long").as("v"))
+          .withColumn("slice", lit("ALL"))
+          .select("slice", "h", "v"),
+        K, Seq("slice"))))
+      // ONE aggregation job answers every rank guard (per-slice AND
+      // ALL): each row compares v against its slice's sketch median
+      // (tiny map literal) and against the global one (per-slice
+      // count() loops cost 8 jobs per report — 3x the scenario time)
+      val sliceP50 = typedlit(est.collect {
+        case (sl, (_, p)) if sl != "ALL" => sl -> p
+      })
+      val allP50 = est("ALL")._2
+      val stats = fact.read().groupBy("slice", "key")
         .agg(min("v").as("v"))
+        .groupBy("slice")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("v") <= element_at(sliceP50, col("slice")), 1))
+            .as("below_own"),
+          count(when(col("v") <= lit(allP50), 1)).as("below_all"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val allN = stats.values.map(_._1).sum
+      val allBelow = stats.values.map(_._3).sum
       est.toSeq.sortBy(_._1).foreach { case (slice, (m, p50)) =>
-        val sl = if (slice == "ALL") f else f.filter(col("slice") === slice)
-        val n = sl.count()
-        val below = sl.filter(col("v") <= p50).count()
+        val (n, below) =
+          if (slice == "ALL") (allN, allBelow)
+          else (stats(slice)._1, stats(slice)._2)
         val frac = below.toDouble / n
         require(math.abs(frac - 0.5) < 0.15,
           s"$phase/$slice: sketch median $p50 has rank fraction $frac")
