@@ -165,6 +165,79 @@ object Media {
     }
   }
 
+  final case class AudioFeat(
+      doc_id: Long, source: String, n_windows: Long,
+      mean_energy_milli: Long, peak_window: Int, peak_energy_milli: Long,
+      zcr_milli: Long)
+
+  /** PCM amplitudes 0..255: real audio decodes through javax.sound
+    * (the decodeAudio path); any other payload treats its raw bytes as
+    * the stub PCM — deterministic and schema-identical either way
+    * (the decode/resize convention). */
+  private[llm] def pcmSamples(bytes: Array[Byte]): Array[Int] =
+    (if (looksLikeAudio(bytes))
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      } catch { case _: Throwable => bytes }
+    else bytes).map(_ & 0xff)
+
+  /** Windowed audio features — the classic pre-embedding / VAD
+    * descriptors, in pure integer math so every path is reproducible:
+    * per window of `win` samples (trailing partial window dropped),
+    * energy = Σ(s−128)²; report the half-up-milli mean per-sample
+    * energy, the argmax window (ties → earliest), its energy, and the
+    * whole-clip zero-crossing rate of (s−128) in half-up milli
+    * crossings per transition slot. Clips shorter than one window
+    * report zeros. */
+  private[llm] def audioFeatures(samples: Array[Int], win: Int)
+      : (Long, Long, Int, Long, Long) = {
+    val nw = samples.length / win
+    if (nw == 0) return (0L, 0L, -1, 0L, 0L)
+    var peakW = 0
+    var peakE = Long.MinValue
+    var total = 0L
+    var w = 0
+    while (w < nw) {
+      var e = 0L
+      var i = w * win
+      val end = i + win
+      while (i < end) {
+        val d = samples(i) - 128L
+        e += d * d
+        i += 1
+      }
+      if (e > peakE) { peakE = e; peakW = w }
+      total += e
+      w += 1
+    }
+    val denom = nw.toLong * win
+    val meanMilli = (1000L * total + denom / 2) / denom
+    var crossings = 0L
+    var i = 1
+    val n = nw * win
+    while (i < n) {
+      if ((samples(i - 1) - 128 >= 0) != (samples(i) - 128 >= 0))
+        crossings += 1
+      i += 1
+    }
+    val zcrMilli = (1000L * crossings + (n - 1) / 2) / (n - 1)
+    (nw.toLong, meanMilli, peakW, peakE, zcrMilli)
+  }
+
+  /** Distributed audio feature extraction: narrow mapPartitions, the
+    * payload never shuffles — only 5 integers per clip move. */
+  def audioFeat(ds: Dataset[MediaRecord], win: Int): Dataset[AudioFeat] = {
+    val s = ds.sparkSession
+    import s.implicits._
+    ds.mapPartitions(_.map { r =>
+      val (nw, mean, peakW, peakE, zcr) =
+        audioFeatures(pcmSamples(r.media), win)
+      AudioFeat(r.doc_id, r.source, nw, mean, peakW, peakE, zcr)
+    })
+  }
+
   final case class Thumb(doc_id: Long, source: String, tw: Int, th: Int,
       thumb: Array[Byte], mean_byte: Double)
 

@@ -93,5 +93,29 @@ object MultimodalQueries extends QueryCatalog {
       .orderBy("source")
   }
 
-  override def all: Seq[Q] = Seq(mmJoin, mmDecode, mmFrames, mmResize)
+  /** Windowed audio features per source — the classic pre-embedding /
+    * voice-activity descriptors (per-window energy, peak window,
+    * zero-crossing rate), extracted in ONE narrow mapPartitions pass:
+    * the payload never shuffles, 5 integers per clip do. Real WAV
+    * payloads decode through javax.sound; the demo corpus' text bytes
+    * take the deterministic stub-PCM path (the decode/resize
+    * convention). Pure integer milli-scaled math end to end; LlmSpec
+    * pins exact windowed values on an authored WAV and stub
+    * determinism. */
+  private val mmAudio = Q.noOracle("q_mm_audio_features") { (s, dir) =>
+    Media.audioFeat(Media.attach(Tables.documents(s, dir)), 64)
+      .toDF()
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_windows").cast("long").as("n_windows"),
+        expr("CAST((1000 * sum(mean_energy_milli) + count(*) div 2) " +
+          "div count(*) AS BIGINT)").as("avg_energy_micro"),
+        max("peak_energy_milli").cast("long").as("max_peak_energy"),
+        expr("CAST((1000 * sum(zcr_milli) + count(*) div 2) " +
+          "div count(*) AS BIGINT)").as("avg_zcr_micro"))
+      .orderBy("source")
+  }
+
+  override def all: Seq[Q] =
+    Seq(mmJoin, mmDecode, mmFrames, mmResize, mmAudio)
 }

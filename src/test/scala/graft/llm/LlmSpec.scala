@@ -373,6 +373,54 @@ class LlmSpec extends SparkSuite {
       Media.decodeStub("plain text".getBytes("UTF-8")))
   }
 
+  test("audio features: windowed energy / peak / zero-crossings are " +
+    "exact on an authored WAV; text payloads take the stub-PCM path " +
+    "and the distributed pass equals the driver-side math") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 256 mono 8-bit samples: 128 quiet (ramp around 128) then 128
+    // loud (square wave) — the peak window is provably the loud half
+    val pcm = Array.tabulate[Byte](256) { i =>
+      if (i < 128) (120 + (i % 16)).toByte
+      else if (i % 2 == 0) 28.toByte else 228.toByte
+    }
+    val fmt = new AudioFormat(8000f, 8, 1, false, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 256),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val samples = pcm.map(_ & 0xff)
+    // reference math, independently in the test
+    val win = 64
+    def energy(w: Int) = (w * win until (w + 1) * win)
+      .map(i => { val d = samples(i) - 128L; d * d }).sum
+    val energies = (0 until 4).map(energy)
+    val total = energies.sum
+    val meanMilli = (1000L * total + 128) / 256
+    val peakW = energies.indexOf(energies.max)
+    val crossings = (1 until 256).count(i =>
+      (samples(i - 1) - 128 >= 0) != (samples(i) - 128 >= 0))
+    val zcrMilli = (1000L * crossings + 127) / 255
+    val got = Media.audioFeatures(Media.pcmSamples(wav), win)
+    assert(got === ((4L, meanMilli, peakW, energies.max, zcrMilli)))
+    assert(peakW >= 2, "the loud square-wave half must hold the peak")
+    // distributed pass = same math; stub path deterministic for text
+    import spark.implicits._
+    val row = Media.audioFeat(spark.createDataset(Seq(
+      Media.MediaRecord(9L, "wav-src", "audio/wav", wav))), win)
+      .collect().head
+    assert((row.n_windows, row.mean_energy_milli, row.peak_window,
+      row.peak_energy_milli, row.zcr_milli) ===
+      ((4L, meanMilli, peakW, energies.max, zcrMilli)))
+    val txt = "some plain text payload, long enough for one window " +
+      "of sixty-four bytes at least"
+    assert(Media.audioFeatures(Media.pcmSamples(txt.getBytes("UTF-8")), win)
+      === Media.audioFeatures(txt.getBytes("UTF-8").map(_ & 0xff), win))
+    // clips shorter than one window report zeros, not a crash
+    assert(Media.audioFeatures(Array(1, 2, 3), win) ===
+      ((0L, 0L, -1, 0L, 0L)))
+  }
+
   test("media resize: nearest-neighbor thumbnail samples the real " +
     "raster for a PNG and the deterministic stub raster for text") {
     // the SAME 10x20 gray ramp as the decode test, resized to 4x4 —
