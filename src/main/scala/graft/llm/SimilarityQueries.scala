@@ -1372,6 +1372,112 @@ object SimilarityQueries extends QueryCatalog {
         col("d2"))
   }
 
+  /** Deterministic ±1 sign matrix for the JL projection: sign(j, d) =
+    * +1 iff the first hex digit of md5("j:d") is even — the same
+    * parity rule the DuckDB oracle evaluates with its own md5, so the
+    * "random" matrix is a shared constant of both engines. */
+  private[graft] lazy val jlSigns: Array[Array[Long]] =
+    Array.tabulate(16) { j =>
+      Array.tabulate(64) { d =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$d".getBytes("UTF-8"))
+        if (((h(0) & 0xf0) >> 4) % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION 64→16 with a
+    * distance-preservation report — the "make the vectors 4× cheaper
+    * before ANN" move a 100 TB pipeline applies before brute/IVF
+    * scoring: project every vector map-side through a ±1 sign matrix
+    * (p_j = Σ_d ±q_d — 16 codegen'd vec_dot kernel calls per row
+    * against sign-vector literals; Achlioptas 2003 shows ±1 entries
+    * suffice), then compare squared distances before/after for 50
+    * deterministic probe pairs (vec i vs i+250). E[‖p_a−p_b‖²] =
+    * 16·‖q_a−q_b‖², so ratio_bp = 10000·d16²/(16·d64²) centers on
+    * 10000 with the k=16 JL spread (~35% per pair — the report shows
+    * the accuracy/cost tradeoff honestly; production picks k per its
+    * tolerance). All integer math on the shared milli grid: the ±1
+    * sums, both squared distances, and the half-up-bp ratio are
+    * bit-equal in DuckDB, so the whole pipeline is oracle-checked.
+    * Scale shape: projection is one map pass; the probe join touches
+    * 50-row sides. */
+  private val randomProjection = Q(
+    "q_sim_random_projection",
+    """WITH dims AS (
+      |  SELECT vec_id, i - 1 AS d,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i)
+      |), sgn AS (
+      |  SELECT j.j, d.d,
+      |    CASE WHEN CAST(concat('0x', substr(md5(concat(
+      |        CAST(j.j AS VARCHAR), ':', CAST(d.d AS VARCHAR))), 1, 1))
+      |        AS INTEGER) % 2 = 0
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 16)) AS j) j,
+      |    (SELECT unnest(range(0, 64)) AS d) d
+      |), proj AS (
+      |  SELECT v.vec_id, g.j,
+      |    CAST(sum(v.q * g.s) AS BIGINT) AS p
+      |  FROM dims v JOIN sgn g USING (d) GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM (SELECT DISTINCT vec_id FROM dims WHERE vec_id < 50) a
+      |  JOIN (SELECT DISTINCT vec_id FROM dims) b
+      |    ON b.vec_id = a.vec_id + 250
+      |), d64 AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(sum((va.q - vb.q) * (va.q - vb.q)) AS BIGINT) AS d64_sq
+      |  FROM pairs p
+      |  JOIN dims va ON va.vec_id = p.id_a
+      |  JOIN dims vb ON vb.vec_id = p.id_b AND vb.d = va.d
+      |  GROUP BY 1, 2
+      |), d16 AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(sum((pa.p - pb.p) * (pa.p - pb.p)) AS BIGINT) AS d16_sq
+      |  FROM pairs p
+      |  JOIN proj pa ON pa.vec_id = p.id_a
+      |  JOIN proj pb ON pb.vec_id = p.id_b AND pb.j = pa.j
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d64.id_a, d64.id_b, d64_sq, d16_sq,
+      |  (10000 * d16_sq + (16 * d64_sq) // 2) // (16 * d64_sq)
+      |    AS ratio_bp
+      |FROM d64 JOIN d16 ON d16.id_a = d64.id_a AND d16.id_b = d64.id_b
+      |ORDER BY d64.id_a""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+    // 16 kernel dots against sign-vector literals, exact in double
+    val projected = base.select(
+      col("vec_id") +: col("q") +: jlSigns.zipWithIndex.map {
+        case (row, j) =>
+          vec.dot(s, col("qd"),
+            typedlit(row.map(_.toDouble).toSeq))
+            .cast("long").as(s"p$j")
+      }: _*)
+    val a = projected.filter(col("vec_id") < 50)
+      .select(Seq(col("vec_id").as("id_a"), col("q").as("qa")) ++
+        (0 until 16).map(j => col(s"p$j").as(s"pa$j")): _*)
+    val b = projected
+      .select(Seq(col("vec_id").as("id_b"), col("q").as("qb")) ++
+        (0 until 16).map(j => col(s"p$j").as(s"pb$j")): _*)
+    a.join(b, col("id_b") === col("id_a") + 250)
+      .withColumn("d64_sq", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("d16_sq", (0 until 16).map(j =>
+        (col(s"pa$j") - col(s"pb$j")) * (col(s"pa$j") - col(s"pb$j")))
+        .reduce(_ + _))
+      .select(col("id_a"), col("id_b"), col("d64_sq"), col("d16_sq"),
+        expr("(10000 * d16_sq + (16 * d64_sq) div 2) div (16 * d64_sq)")
+          .as("ratio_bp"))
+      .orderBy("id_a")
+  }
+
   /** ANN recall report — the evaluation loop a real pipeline runs
     * BEFORE choosing an index: top-10 overlap of each oracled ANN
     * method (1-bit Hamming, PQ/ADC, IVF-PQ) against the exact cosine
@@ -1550,7 +1656,7 @@ object SimilarityQueries extends QueryCatalog {
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
-      topicMix, recall, semanticDecon, hybridRrf)
+      topicMix, recall, randomProjection, semanticDecon, hybridRrf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
