@@ -1376,14 +1376,15 @@ object SimilarityQueries extends QueryCatalog {
     * +1 iff the first hex digit of md5("j:d") is even — the same
     * parity rule the DuckDB oracle evaluates with its own md5, so the
     * "random" matrix is a shared constant of both engines. */
-  private[graft] lazy val jlSigns: Array[Array[Long]] =
-    Array.tabulate(16) { j =>
+  private[graft] def jlSignRows(k: Int): Array[Array[Long]] =
+    Array.tabulate(k) { j =>
       Array.tabulate(64) { d =>
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$j:$d".getBytes("UTF-8"))
         if (((h(0) & 0xf0) >> 4) % 2 == 0) 1L else -1L
       }
     }
+  private[graft] lazy val jlSigns: Array[Array[Long]] = jlSignRows(16)
 
   /** JOHNSON–LINDENSTRAUSS RANDOM PROJECTION 64→16 with a
     * distance-preservation report — the "make the vectors 4× cheaper
@@ -1476,6 +1477,93 @@ object SimilarityQueries extends QueryCatalog {
         expr("(10000 * d16_sq + (16 * d64_sq) div 2) div (16 * d64_sq)")
           .as("ratio_bp"))
       .orderBy("id_a")
+  }
+
+  /** JL-PROJECTED TOP-K — the projection composed into serving the
+    * way q_sim_topk_ivfpq_trained composes PQ: score the corpus by
+    * k=32-dim projected distance (half the arithmetic per row, and at
+    * 100 TB a 32-dim copy of the corpus is half the IO), keep a
+    * 200-row shortlist, then re-rank by exact 64-dim distance. k and
+    * the shortlist are the accuracy dial the q_sim_random_projection
+    * report quantifies: 9/10 top-10 recall at sf0.01, 5/10 at sf0.1 —
+    * honestly weak at the larger SF because this corpus (uniform
+    * random unit vectors) is the JL WORST case: distances concentrate,
+    * so neighbor gaps are small relative to the ±1/sqrt(k) distortion.
+    * Structured-exploiting methods (the trained IVF-PQ) serve better
+    * here; JL earns its keep as the cheap linear pre-filter and on
+    * corpora with real cluster structure. Query = vec 0, projected
+    * DRIVER-SIDE through the same sign matrix into 32 literals. All
+    * integer; oracled end to end. */
+  private val topkJl = Q(
+    "q_sim_topk_jl",
+    """WITH dims AS (
+      |  SELECT vec_id, i - 1 AS d,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+      |      AS q
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) AS u(i)
+      |), sgn AS (
+      |  SELECT j.j, d.d,
+      |    CASE WHEN CAST(concat('0x', substr(md5(concat(
+      |        CAST(j.j AS VARCHAR), ':', CAST(d.d AS VARCHAR))), 1, 1))
+      |        AS INTEGER) % 2 = 0
+      |      THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 32)) AS j) j,
+      |    (SELECT unnest(range(0, 64)) AS d) d
+      |), proj AS (
+      |  SELECT v.vec_id, g.j,
+      |    CAST(sum(v.q * g.s) AS BIGINT) AS p
+      |  FROM dims v JOIN sgn g USING (d) GROUP BY 1, 2
+      |), qp AS (
+      |  SELECT j, p FROM proj WHERE vec_id = 0
+      |), d16 AS (
+      |  SELECT pr.vec_id,
+      |    CAST(sum((pr.p - qp.p) * (pr.p - qp.p)) AS BIGINT) AS d16_sq
+      |  FROM proj pr JOIN qp USING (j)
+      |  WHERE pr.vec_id <> 0 GROUP BY 1
+      |), sl AS (
+      |  SELECT vec_id, d16_sq FROM d16
+      |  ORDER BY d16_sq, vec_id LIMIT 200
+      |), q0 AS (
+      |  SELECT d, q FROM dims WHERE vec_id = 0
+      |), ex AS (
+      |  SELECT v.vec_id,
+      |    CAST(sum((v.q - q0.q) * (v.q - q0.q)) AS BIGINT) AS d64_sq
+      |  FROM dims v JOIN q0 USING (d)
+      |  WHERE v.vec_id IN (SELECT vec_id FROM sl)
+      |  GROUP BY 1
+      |)
+      |SELECT sl.vec_id, sl.d16_sq, ex.d64_sq
+      |FROM sl JOIN ex USING (vec_id)
+      |ORDER BY ex.d64_sq, sl.vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    import graft.functions.vec
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+    val qv = base.filter(col("vec_id") === 0)
+      .select("q").collect().head.getSeq[Long](0).toArray
+    val signs = jlSignRows(32)
+    val qp: Array[Long] = signs.map(row =>
+      row.indices.map(d => row(d) * qv(d)).sum)
+    val d16 = signs.indices.map { j =>
+      val pj = vec.dot(s, col("qd"),
+        typedlit(signs(j).map(_.toDouble).toSeq)).cast("long")
+      (pj - lit(qp(j))) * (pj - lit(qp(j)))
+    }.reduce(_ + _)
+    val qvLit = typedlit(qv.map(_.toDouble).toSeq)
+    val qq = qv.map(x => x.toDouble * x).sum
+    base.filter(col("vec_id") =!= 0)
+      .withColumn("d16_sq", d16)
+      .orderBy("d16_sq", "vec_id")
+      .limit(200)
+      .withColumn("d64_sq",
+        (vec.dot(s, col("qd"), col("qd"))
+          - lit(2.0) * vec.dot(s, col("qd"), qvLit) + lit(qq))
+          .cast("long"))
+      .orderBy("d64_sq", "vec_id")
+      .limit(10)
+      .select("vec_id", "d16_sq", "d64_sq")
   }
 
   /** ANN recall report — the evaluation loop a real pipeline runs
@@ -1656,7 +1744,8 @@ object SimilarityQueries extends QueryCatalog {
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
-      topicMix, recall, randomProjection, semanticDecon, hybridRrf)
+      topicMix, recall, randomProjection, topkJl, semanticDecon,
+      hybridRrf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
