@@ -71,4 +71,41 @@ class ScaleSpec extends SparkSuite {
     assert(e.getMessage.contains("maxResultSize") ||
       e.getMessage.contains("bigger than"), e.getMessage)
   }
+
+  test("IVF-PQ training at 100k vectors stays metadata-bounded on the " +
+    "driver: every collect is k-bounded (centroids, codebook sums) " +
+    "under the 32 MiB cap, and serving yields a full top-10") {
+    // 100k deterministic 64-dim vectors in [-1, 1] — 200x the sf0.01
+    // corpus the trainers usually see; the 32m maxResultSize cap
+    // (SparkSuite) proves no training step materializes O(corpus)
+    val emb = spark.range(0, 100000L, 1, 16)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 63), d -> " +
+          "CAST((pmod(hash(id, d), 2001) - 1000) / 1000.0 AS FLOAT))")
+          .as("embedding"))
+    val (model, rbase) = SimilarityQueries.ivfPqTrain(spark, emb)
+    assert(model.cents.length == 8 &&
+      model.cents.forall(_.length == 64))
+    assert(model.cb.length == 8 * 16 * 8)
+    // the trained codebook must differ from the lattice seed (the
+    // corpus is nothing like the lattice) — training actually ran
+    assert(model.cb.toSeq != SimilarityQueries.pqCodebook.toSeq)
+    // coarse cells genuinely partition the corpus
+    val cells = rbase.select("cell").distinct().count()
+    assert(cells >= 4, s"only $cells coarse cells used")
+    // serving: probes + per-cell LUTs from the model, ADC over the
+    // probed cells, top-10 — all distributed, 10-row collect
+    val qv = rbase.filter(col("vec_id") === 0)
+      .select("q").collect().head.getSeq[Long](0).toArray
+    val plan = SimilarityQueries.ivfPqQueryPlan(model, qv, 2)
+    import graft.functions.vec
+    val top = rbase.filter(col("vec_id") =!= 0)
+      .filter(col("cell").isin(plan.map(p => Long.box(p._1)): _*))
+      .withColumn("codes",
+        element_at(vec.pqEncode(spark, col("r"), model.cb), 1))
+      .withColumn("adc", SimilarityQueries.ivfPqAdcCol(spark, plan))
+      .orderBy("adc", "vec_id").limit(10)
+      .select("vec_id").collect()
+    assert(top.length == 10)
+  }
 }
