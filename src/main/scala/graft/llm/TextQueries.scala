@@ -893,9 +893,68 @@ object TextQueries extends QueryCatalog {
       .limit(10)
   }
 
+  /** Per-document TF-IDF keyword extraction — the tagging/metadata op
+    * between raw text and retrieval: each doc's top-3 tokens by
+    * tf·idf, the classic summary terms a corpus card or a faceted
+    * browser surfaces. Follows q_text_bm25's determinism discipline
+    * exactly: idf = round(ln(N/df)·10⁶) as BIGINT micro-units (the
+    * logprob scale-to-int precedent; the only float op is one ln on
+    * identical doubles), scores are pure integer products, and the
+    * per-doc rank breaks ties by token. Scale shape: one token pass
+    * into (doc, tok, tf); df/idf live on the VOCABULARY (Zipf-bounded)
+    * and broadcast; the rank window partitions per doc over its ~40
+    * distinct tokens — never the corpus. */
+  private val keywords = Q(
+    "q_text_keywords",
+    """WITH dt AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2
+      |), df AS (
+      |  SELECT tok, count(DISTINCT doc_id) AS df FROM dt GROUP BY tok
+      |), n AS (
+      |  SELECT count(*) AS n FROM documents
+      |), idf AS (
+      |  SELECT tok,
+      |    CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
+      |      AS idf_micro
+      |  FROM df, n
+      |), rk AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * idf.idf_micro DESC, tf.tok) AS rk
+      |  FROM tf JOIN idf USING (tok)
+      |)
+      |SELECT doc_id, rk AS rank, tok, score_micro
+      |FROM rk WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = dt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val idf = dt.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), expr(
+        s"CAST(round(ln(CAST($n AS DOUBLE) / df) * 1000000) AS BIGINT)")
+        .as("idf_micro"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_micro"), asc("tok"))
+    tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro",
+        (col("tf") * col("idf_micro")).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").as("rank"), col("tok"),
+        col("score_micro"))
+      .orderBy("doc_id", "rank")
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram,
       langIdSampled, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
-      bpeTrain, bpeApply, langMismatch, vocabCoverage, bm25)
+      bpeTrain, bpeApply, langMismatch, vocabCoverage, bm25, keywords)
 }
