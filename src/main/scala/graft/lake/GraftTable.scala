@@ -726,6 +726,24 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .select(schema.fieldNames.map(n => col(quoted(n))) ++ metaCols: _*)
   }
 
+  /** The refined changelog Iceberg's `create_changelog_view` serves:
+    * [[changes]] with carryover delete+insert pairs cancelled and —
+    * when `identifierCols` is non-empty (Iceberg's
+    * `compute_updates => true, identifier_columns => ...`) — same-key
+    * delete+insert pairs within a commit window folded into
+    * `update_before`/`update_after` images. Computing updates forces
+    * carryover removal first (a carried row would pair with itself as
+    * a no-op update), matching Iceberg. Signed-weight consumers
+    * (incremental aggregate/minhash maintenance) keep reading the raw
+    * [[changes]] — ±1 weights absorb update pairs natively. */
+  def changelogView(identifierCols: Seq[String] = Nil,
+      fromExclusive: Option[Long] = None,
+      toInclusive: Option[Long] = None): DataFrame = {
+    val net = Changelog.removeCarryovers(changes(fromExclusive, toInclusive))
+    if (identifierCols.isEmpty) net
+    else Changelog.computeUpdates(net, identifierCols)
+  }
+
   /** Stats-prune data entries that provably contain no row matching
     * `pred`; delete entries (content != 0) always survive so MOR masks
     * still apply to whatever remains. Shared by readWhere and every
@@ -894,8 +912,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
             case other => throw new IllegalStateException(
               s"unreachable: $other gated by inlineable")
           }
+          // coalesce: a row whose file misses the file→seq map yields
+          // NULL for fileSeqCol < lookup; the join path KEEPS such
+          // rows (a NULL SeqCol never matches the anti-join), so the
+          // inline path must too — not silently drop them.
           df = df.filter(
-            !(lookup.isNotNull && fileSeqCol < lookup))
+            !(lookup.isNotNull &&
+              coalesce(fileSeqCol < lookup, lit(false))))
         }
       }
       if (joined.nonEmpty) {
@@ -1585,13 +1608,24 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * conflicts instead of silently double-applying. Picked entries
     * keep their original addedSnapshotId, preserving the data-sequence
     * rule equality deletes rely on (Iceberg likewise keeps sequence
-    * numbers on cherry-pick). */
+    * numbers on cherry-pick). Like Iceberg, only APPEND snapshots are
+    * pickable: a delete snapshot's added delete files reference victim
+    * data files by path/key, and the path-set conflict check cannot
+    * see that a victim was meanwhile compacted away on main — the
+    * pick would commit a delete file that silently no-ops. Iceberg's
+    * CherryPickOperation refuses non-append snapshots for exactly
+    * this reason. */
   def cherrypickSnapshot(snapshotId: Long): SnapshotMeta = {
     val b = captureBase()
     val m = b.meta
     val snap = m.snapshots.find(_.snapshotId == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"Cannot cherry-pick unknown snapshot $snapshotId"))
+    require(snap.operation == "append",
+      s"cannot cherry-pick snapshot $snapshotId: only append " +
+        s"snapshots can be cherry-picked, got '${snap.operation}' " +
+        "(delete/overwrite/replace file deltas may reference data " +
+        "files rewritten on the target branch)")
     val target = manifestOf(snap)
     val parentEntries: Seq[ManifestEntry] = snap.parentId match {
       case None => Nil

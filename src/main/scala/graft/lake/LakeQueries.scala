@@ -344,6 +344,50 @@ object LakeQueries extends QueryCatalog {
       .orderBy("_change_ordinal", "_change_type", "case_id")
   }
 
+  /** CDC with UPDATE IMAGES — the same demo walk read through
+    * `changelogView(identifier_columns => case_id)` (Iceberg
+    * `create_changelog_view(compute_updates => true)`): the COW
+    * nullify's carried case-3 delete+insert pair cancels, and its
+    * case-1 delete+insert pair folds into update_before/update_after
+    * — the re-pair-by-hand work a production UPSERT consumer
+    * otherwise does on every COW commit. In-query requires prove the
+    * raw changelog DID carry case-3 rows in the update window (so the
+    * cancellation is real), that the update images carry the right
+    * before/after values, and that no carryover survives. */
+  private val changelogUpdates =
+    Q.noOracle("q_lake_changelog_updates") { (s, _) =>
+      val t = newTable(s)
+      t.delete(col("case_id") === "case-2")
+      t.update(col("case_id") === "case-1",
+        Map("first_name" -> lit(null), "email_address" -> lit(null),
+          "secure_txt" -> lit(null)))
+      val raw = t.changes()
+      // the COW rewrite window (last ordinal) re-emits carried case-3
+      val lastOrd = 2
+      require(raw.filter(col("_change_ordinal") === lastOrd &&
+        col("case_id") === "case-3").count() == 2,
+        "raw changelog must carry case-3 delete+insert in the COW window")
+      val view = t.changelogView(Seq("case_id"))
+      val updWindow = view.filter(col("_change_ordinal") === lastOrd)
+        .select("case_id", "_change_type", "email_address")
+        .collect().sortBy(_.getString(1))
+      require(updWindow.length == 2 &&
+        updWindow.forall(_.getString(0) == "case-1"),
+        "update window must hold exactly the case-1 image pair, got " +
+          updWindow.mkString("; "))
+      require(updWindow(0).getString(1) == "update_after" &&
+        updWindow(0).isNullAt(2),
+        "update_after must carry the nullified email")
+      require(updWindow(1).getString(1) == "update_before" &&
+        updWindow(1).getString(2) == "john.doe@example.com",
+        "update_before must carry the pre-image email")
+      view
+        .select(col("case_id"), col("first_name"),
+          col("email_address").isNull.as("email_nulled"),
+          col("_change_type"), col("_change_ordinal"))
+        .orderBy("_change_ordinal", "_change_type", "case_id")
+    }
+
   /** Streaming CDC: the changelog walk of q_lake_changelog consumed
     * through a live graft-changes stream — micro-batch offsets are
     * main-head snapshot ids, each batch plans only the files its
@@ -1045,6 +1089,15 @@ object LakeQueries extends QueryCatalog {
       crossCheck: Boolean): DataFrame = {
     import graft.functions.vec
     import graft.llm.SimilarityQueries._
+    // dev-only per-action profile (the WapProfile pattern):
+    //   GRAFT_PROFILE=1 sbt "Test/runMain graft.tools.TimeOne q_lake_vector_index"
+    val __profile = sys.env.contains("GRAFT_PROFILE")
+    var __last = System.nanoTime()
+    def mark(what: String): Unit = if (__profile) {
+      val now = System.nanoTime()
+      println(f"[vector_index] $what: ${(now - __last) / 1e6}%.0f ms")
+      __last = now
+    }
     val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
     cat.createNamespace("default")
     val vecs = cat.createTable("default", "vectors",
@@ -1059,11 +1112,14 @@ object LakeQueries extends QueryCatalog {
     // TRAIN at index creation on the bootstrap window, then freeze:
     // kmeans coarse cells + residual PQ codebook (ivfPqTrain), query
     // plan = 2 probe cells with per-cell residual LUTs
+    mark("create-tables")
     val (model, _) = ivfPqTrain(s, emb.filter(col("vec_id") < 250))
+    mark("ivfPqTrain")
     val qv: Array[Long] = emb.filter(col("vec_id") === 0)
       .select(expr(pqQuantExpr)).collect().head.getSeq[Long](0).toArray
     val plan = ivfPqQueryPlan(model, qv, 2)
     val probes = plan.map(_._1)
+    mark("query-plan")
     // frozen-model encode of a batch of (vec_id, embedding) rows
     def encoded(rows: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = rows
@@ -1083,8 +1139,10 @@ object LakeQueries extends QueryCatalog {
           col("embedding"))).as("m"))
         .select(col("vec_id"), col("m.is_ins").as("is_ins"),
           col("m.embedding").as("embedding"))
-      if (!firstWindow) index.equalityDelete(last.select("vec_id"))
+      if (!firstWindow) { index.equalityDelete(last.select("vec_id"))
+        mark("maintain:eqDelete") }
       index.append(encoded(last.filter(col("is_ins") === 1)))
+      mark("maintain:append")
     }
     // serve = ADC shortlist from the INDEX (50 rows), then REFINE:
     // fetch only the shortlist's raw vectors from the vecs table and
@@ -1116,6 +1174,7 @@ object LakeQueries extends QueryCatalog {
       .empty[(String, Long, Long, Long, Long)]
     def serve(phase: String, check: Boolean): Unit = {
       val top = served()
+      mark(s"serve:$phase")
       require(top.nonEmpty, s"empty index serve at $phase")
       if (check && crossCheck) {
         val direct = refined(
@@ -1134,11 +1193,13 @@ object LakeQueries extends QueryCatalog {
       }
     }
     vecs.append(emb.filter(col("vec_id") < 250))
+    mark("w1:append-vecs")
     maintain(firstWindow = true)
     serve("w1-seed", check = false)
     // mixed window: new vectors land AND indexed vectors are deleted
     vecs.append(emb.filter(col("vec_id") >= 250))
     vecs.delete(col("vec_id") % 7 === 0 && col("vec_id") >= 8)
+    mark("w2:append+delete-vecs")
     maintain(firstWindow = false)
     serve("w2-grow-delete", check = true)
     import s.implicits._
@@ -1150,7 +1211,8 @@ object LakeQueries extends QueryCatalog {
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
-    streamRoundTrip, changelog, streamChanges, partitionsRel,
+    streamRoundTrip, changelog, changelogUpdates, streamChanges,
+    partitionsRel,
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, quantileRollup,
     invertedIndex,

@@ -487,14 +487,30 @@ private object GraftProcedures {
         // -1 means unbounded (start-snapshot-id is EXCLUSIVE,
         // end-snapshot-id INCLUSIVE, the Iceberg convention)
         paramD("start_snapshot_id", LongType, "-1"),
-        paramD("end_snapshot_id", LongType, "-1")),
+        paramD("end_snapshot_id", LongType, "-1"),
+        // Iceberg options: net_changes keeps the raw delete+insert
+        // stream (carryovers included); compute_updates pairs
+        // same-identifier delete+insert within a commit window into
+        // update_before/update_after images (and implies carryover
+        // removal)
+        paramD("compute_updates", BooleanType, "false"),
+        paramD("identifier_columns", StringType, "''")),
       StructType.fromDDL("changelog_view STRING"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
         val view = args.getUTF8String(1).toString
         val from = Some(args.getLong(2)).filter(_ >= 0)
         val to = Some(args.getLong(3)).filter(_ >= 0)
-        t.changes(from, to).createOrReplaceTempView(view)
+        val computeUpdates = args.getBoolean(4)
+        val idCols = args.getUTF8String(5).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val df =
+          if (computeUpdates) {
+            require(idCols.nonEmpty, "compute_updates => true " +
+              "requires identifier_columns")
+            t.changelogView(idCols, from, to)
+          } else t.changes(from, to)
+        df.createOrReplaceTempView(view)
         Seq(outRow(view))
       }))
     case "rollback_to_snapshot" => Some(procedure(name,

@@ -222,7 +222,10 @@ object Media {
         crossings += 1
       i += 1
     }
-    val zcrMilli = (1000L * crossings + (n - 1) / 2) / (n - 1)
+    // n == 1 (win=1, single-sample clip) has zero transition slots —
+    // report zcr 0 instead of dividing by zero.
+    val zcrMilli =
+      if (n > 1) (1000L * crossings + (n - 1) / 2) / (n - 1) else 0L
     (nw.toLong, meanMilli, peakW, peakE, zcrMilli)
   }
 

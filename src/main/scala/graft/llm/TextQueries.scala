@@ -224,10 +224,14 @@ object TextQueries extends QueryCatalog {
       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
+    // length >= 2 guard: Spark's sequence(1, 0) is DESCENDING ([1,0])
+    // and would emit spurious grams for empty/1-char docs where the
+    // oracle's range(1, len) emits none.
     profileArgmax(docs,
-      docs.select(col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 1), " +
-          "i -> substring(text, i, 2))")).as("item")),
+      docs.filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 1), " +
+            "i -> substring(text, i, 2))")).as("item")),
       topK = 20)
   }
 
@@ -285,9 +289,13 @@ object TextQueries extends QueryCatalog {
     // (the wordGrams idiom) — inlining the substring into the lambda
     // would re-slice the document per gram element under
     // CollapseProject (measured ~2.3x at sf0.1)
+    // length >= 2 guard: same descending-sequence edge as the
+    // exhaustive twin (sequence(1, 0) = [1,0] would emit spurious
+    // grams for empty/1-char docs; the oracle's range emits none).
     profileArgmax(docs,
       docs.select(col("doc_id"), col("lang"),
           substring(col("text"), 1, 64).as("__pre"))
+        .filter(length(col("__pre")) >= 2)
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(__pre) - 1), " +
             "i -> substring(__pre, i, 2))")).as("item")),

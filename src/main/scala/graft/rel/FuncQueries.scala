@@ -157,9 +157,10 @@ object FuncQueries extends QueryCatalog {
     Tables.events(s, dir)
       .withColumn("v", v)
       .select(
-        // floor(), not cast-truncation: DuckDB's `//` floors, so a
-        // negative $.k would otherwise bucket differently per engine
-        floor(k / 10).cast("int").as("bucket"),
+        // cast-truncation, not floor(): DuckDB's `//` truncates toward
+        // zero on negatives (-7//10 = 0, measured), matching Long./ —
+        // floor(-0.7) = -1 would bucket a negative $.k differently.
+        (k / 10).cast("int").as("bucket"),
         k.as("k"),
         expr("variant_get(v, '$.k', 'string')").as("ks"),
         expr("try_variant_get(v, '$.missing', 'string')").as("miss"))

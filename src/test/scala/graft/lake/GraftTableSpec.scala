@@ -916,6 +916,27 @@ class GraftTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.createBranch("y", Some(12345L)))
   }
 
+  test("cherry-pick refuses non-append snapshots: a delete snapshot's " +
+    "file delta could reference data files compacted away on main") {
+    val t = newTable()
+    t.append(seedDf)
+    t.createBranch("wip")
+    // stage a MOR delete on the branch — its snapshot adds a delete
+    // file whose victim data file main could meanwhile rewrite
+    t.deleteOnBranch("wip", col("case_id") === "case-2")
+    val staged = t.refSnapshotId("wip")
+    val e = intercept[IllegalArgumentException](
+      t.cherrypickSnapshot(staged))
+    assert(e.getMessage.contains("only append"), e.getMessage)
+    // append snapshots still pick fine
+    t.appendToBranch("wip", spark.createDataFrame(Seq(
+      Row("case-9", "Nina", "n@example.com", "k9", "s9", "sk9",
+        java.sql.Date.valueOf("2024-01-01"))).asJava, piiSchema))
+    t.cherrypickSnapshot(t.refSnapshotId("wip"))
+    assert(t.read().select("case_id").collect().map(_.getString(0))
+      .sorted.toSeq === Seq("case-1", "case-2", "case-3", "case-9"))
+  }
+
   test("write-audit-publish: append to a branch is invisible on main " +
     "until fast_forward publishes it; tags reject writes") {
     val t = newTable()

@@ -275,6 +275,40 @@ class GraftSqlSpec extends SparkSuite {
       ("delete", "case-2")))
   }
 
+  test("CALL create_changelog_view(compute_updates => true) pairs a " +
+    "COW update's delete+insert into update images and drops carryovers") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read', " +
+        "'write.update.mode'='copy-on-write')")
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    spark.sql(s"UPDATE $tbl SET email_address = NULL " +
+      "WHERE case_id = 'case-1'")
+    // compute_updates without identifiers must refuse
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.create_changelog_view(table => '$tbl', " +
+        "changelog_view => 'bad_view', compute_updates => true)")
+      .collect())
+    assert(e.getMessage.contains("identifier_columns"), e.getMessage)
+    spark.sql(
+      s"CALL graft.system.create_changelog_view(table => '$tbl', " +
+        "changelog_view => 'pii_updates', compute_updates => true, " +
+        "identifier_columns => 'case_id')").collect()
+    val got = spark.sql(
+      "SELECT _change_type, case_id, email_address IS NULL " +
+        "FROM pii_updates " +
+        "ORDER BY _change_ordinal, _change_type, case_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(got === Seq(
+      ("insert", "case-1", false), ("insert", "case-2", false),
+      ("insert", "case-3", false),
+      ("delete", "case-2", false),
+      // the COW window: ONLY the case-1 image pair — case-3's carried
+      // delete+insert pair is gone
+      ("update_after", "case-1", true),
+      ("update_before", "case-1", false)))
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
     "tables through SQL") {
     val ns = freshNs()

@@ -511,6 +511,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("CDC stream + Changelog transforms: per-micro-batch update " +
+    "images equal the batch changelogView") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Dataset, Row}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.{Changelog, GraftTable}
+    val schema = StructType.fromDDL("k STRING, v BIGINT")
+    val wh = Files.createTempDirectory("graft-cdc-upd-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "d.upd", schema,
+      Map("write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "copy-on-write"))
+    t.append(spark.createDataFrame(Seq(
+      Row("a-1", 1L), Row("a-2", 2L), Row("a-3", 3L)).asJava, schema))
+    // the transforms are pure DataFrame functions, so the STREAM
+    // applies them per micro-batch — a micro-batch always holds whole
+    // commit windows, and both transforms only combine rows within
+    // one window, so streamed output must equal the batch view
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, String)]()
+    val q = GraftTableStreaming.readChanges(spark, t.root)
+      .writeStream.foreachBatch { (df: Dataset[Row], _: Long) =>
+        Changelog.computeUpdates(Changelog.removeCarryovers(df), Seq("k"))
+          .select("k", "v", "_change_type").collect()
+          .foreach(r => got.add(
+            (r.getString(0), r.getLong(1), r.getString(2))))
+      }.start()
+    try {
+      q.processAllAvailable()
+      t.delete(col("k") === "a-2")
+      q.processAllAvailable()
+      t.update(col("k") === "a-1", Map("v" -> lit(99L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = t.changelogView(Seq("k"))
+      .select("k", "v", "_change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.asScala.toSeq.sorted === want.toSeq.sorted,
+      "streamed per-batch update images must equal the batch view")
+    // and the images really surfaced: the COW update streamed as a
+    // before/after pair, the carried a-3 row as nothing
+    assert(got.asScala.count(e => e._1 == "a-1" &&
+      e._3 == "update_before" && e._2 == 1L) === 1)
+    assert(got.asScala.count(e => e._1 == "a-1" &&
+      e._3 == "update_after" && e._2 == 99L) === 1)
+    assert(!got.asScala.exists(e => e._1 == "a-3" && e._3 == "delete"))
+  }
+
   test("CDC stream across a mid-stream RENAME COLUMN: rows keep " +
     "arriving under the query's start-time schema, values correct") {
     import org.apache.spark.sql.types.StructType
