@@ -1379,6 +1379,69 @@ class GraftTable(val spark: SparkSession, val root: Path,
     })
   }
 
+  /** Single-commit upsert — Iceberg's RowDelta / the Flink
+    * upsert-writer commit shape: ONE snapshot carrying an
+    * equality-delete file on `keys` plus the data files of `rows`.
+    * Because equality deletes mask only rows whose file has a STRICTLY
+    * SMALLER data sequence (addedSnapshotId, see the read path above),
+    * the rows committed here are visible while every older row
+    * matching a key is masked. Equivalent table state to
+    * `equalityDelete(keys)` then `append(rows)`, at half the commit
+    * cost (one metadata write, one manifest, one optimistic-concurrency
+    * window — the difference an index-maintenance loop commits per CDC
+    * window at 100 TB). CDC reads fall out right with no special case:
+    * the added delete file kills matching PARENT rows, the added data
+    * files emit as inserts. Degenerates to a plain append when `keys`
+    * is empty (the empty delete file is dropped). */
+  def rowDelta(keys: DataFrame, rows: DataFrame,
+      extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
+    val logicalCols = keys.schema.fieldNames.toSeq
+    require(logicalCols.toSet.subsetOf(schema.fieldNames.toSet),
+      s"row-delta key columns $logicalCols not in table schema")
+    val m = meta.physicalNames
+    val cols = logicalCols.map(physName(m))
+    val aligned = clusterFields match {
+      case Some(fields) =>
+        clustered(alignToSchema(rows), fields, clusterFileCount)
+      case None => alignToSchema(rows)
+    }
+    val branch = resolveBranch(None)
+    val b = captureBase()
+    val base = branch match {
+      case None => b.entries
+      case Some(br) => manifestOf(branchHead(b, br))
+    }
+    val staged = stageDir()
+    keys.distinct()
+      .select(logicalCols.zip(cols).map { case (l, p) =>
+        col(quoted(l)).as(p) }: _*)
+      .coalesce(1).write.parquet(staged.toString)
+    val movedKeys = moveStaged(staged, "eqdelete")
+    val snapId = nextSnapshotHint
+    val delEntries = {
+      val es = statEntries(movedKeys, content = 2, snapId)
+        .map(_.copy(equalityColumns = cols))
+      if (es.map(_.recordCount).sum == 0) {
+        movedKeys.foreach(p => Files.deleteIfExists(Path.of(p))); Nil
+      } else es
+    }
+    val movedData = writeDataFiles(aligned)
+    val dataEntries = statEntries(movedData, content = 0, snapId)
+    val summary = extraSummary ++
+      Map("added-data-files" -> dataEntries.size.toString,
+        "added-records" -> dataEntries.map(_.recordCount).sum.toString) ++
+      (if (delEntries.isEmpty) Map.empty[String, String]
+       else Map("mode" -> "equality",
+         "equality-columns" -> cols.mkString(",")))
+    val op = if (delEntries.isEmpty) "append" else "overwrite"
+    branch match {
+      case None => commitSnapshot(b, snapId, op,
+        base ++ delEntries ++ dataEntries, summary)
+      case Some(br) => commitSnapshotOnBranch(b, snapId, op, br,
+        base ++ delEntries ++ dataEntries, summary)
+    }
+  }
+
   /** Generic COW transaction: `f` receives the base snapshot's entries
     * plus a lineage-read planner, and decides (affected file set,
     * replacement rows, summary); the transaction then commits a

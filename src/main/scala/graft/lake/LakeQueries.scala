@@ -1110,13 +1110,17 @@ object LakeQueries extends QueryCatalog {
     val emb = graft.rel.Tables.embeddings(s, dir)
       .filter(col("vec_id") < 500).select("vec_id", "embedding")
     // TRAIN at index creation on the bootstrap window, then freeze:
-    // kmeans coarse cells + residual PQ codebook (ivfPqTrain), query
-    // plan = 2 probe cells with per-cell residual LUTs
+    // kmeans coarse cells + residual PQ codebook. The bootstrap is
+    // metadata-sized BY CONSTRUCTION (fixed 250 vectors at every SF),
+    // so training runs driver-side on one collected sample — the
+    // FAISS train-on-sample pattern, bit-equal to the distributed
+    // ivfPqTrain (LlmSpec pins it); query plan = 2 probe cells with
+    // per-cell residual LUTs
     mark("create-tables")
-    val (model, _) = ivfPqTrain(s, emb.filter(col("vec_id") < 250))
+    val (model, trainRows) =
+      ivfPqTrainLocal(s, emb.filter(col("vec_id") < 250))
     mark("ivfPqTrain")
-    val qv: Array[Long] = emb.filter(col("vec_id") === 0)
-      .select(expr(pqQuantExpr)).collect().head.getSeq[Long](0).toArray
+    val qv: Array[Long] = trainRows.find(_._1 == 0L).get._2
     val plan = ivfPqQueryPlan(model, qv, 2)
     val probes = plan.map(_._1)
     mark("query-plan")
@@ -1133,16 +1137,25 @@ object LakeQueries extends QueryCatalog {
       val head = vecs.currentSnapshot.get.snapshotId
       val delta = vecs.changes(from, Some(head))
       from = Some(head)
-      val last = delta.groupBy("vec_id")
+      val folded = delta.groupBy("vec_id")
         .agg(max(struct(col("_change_ordinal"),
           (col("_change_type") === "insert").cast("int").as("is_ins"),
           col("embedding"))).as("m"))
         .select(col("vec_id"), col("m.is_ins").as("is_ins"),
           col("m.embedding").as("embedding"))
-      if (!firstWindow) { index.equalityDelete(last.select("vec_id"))
-        mark("maintain:eqDelete") }
-      index.append(encoded(last.filter(col("is_ins") === 1)))
-      mark("maintain:append")
+      // a non-first window reads the delta twice (retract + upsert) —
+      // materialize the CDC fold once instead of re-planning the MOR
+      // changes read for each commit
+      val last = if (firstWindow) folded else folded.localCheckpoint()
+      if (firstWindow)
+        index.append(encoded(last.filter(col("is_ins") === 1)))
+      else
+        // single-commit upsert (RowDelta): retract every changed key,
+        // re-insert the survivors' fresh encodings — one snapshot, not
+        // a delete commit followed by an append commit
+        index.rowDelta(last.select("vec_id"),
+          encoded(last.filter(col("is_ins") === 1)))
+      mark("maintain:commit")
     }
     // serve = ADC shortlist from the INDEX (50 rows), then REFINE:
     // fetch only the shortlist's raw vectors from the vecs table and

@@ -1180,6 +1180,108 @@ object SimilarityQueries extends QueryCatalog {
     (IvfPqModel(cents, cb2), rbase)
   }
 
+  /** Driver-side twin of [[ivfPqTrain]] for METADATA-SIZED training
+    * corpora — the FAISS train-on-sample pattern a 100 TB index
+    * actually uses: codebooks train on a bounded sample (here the
+    * lake vector index's fixed 250-vector bootstrap window), the
+    * corpus itself never flows through training. ONE Spark job
+    * (collect the quantized sample), then the identical Lloyd math in
+    * memory: same shifted-grid kmeans (floor means on non-negative
+    * values, argmin ties to the smallest cid), same coarse-cell
+    * assignment (|c|² − 2 q·c, ties to the smallest cid — exact
+    * integer arithmetic, which is also what the double-typed
+    * column-kernel path computes since every intermediate is an
+    * integer below 2^53), same PqEncode assignment (first k wins
+    * ties), same truncating-mean codeword recompute. Bit-equal to
+    * [[ivfPqTrain]] — LlmSpec pins cents and cb equality on the test
+    * corpus. Returns the model plus the collected (vec_id, q) rows so
+    * callers read query vectors without another job. The DISTRIBUTED
+    * trainer stays the oracled q_sim_topk_ivfpq_trained path for
+    * corpora too large to sample driver-side. */
+  private[graft] def ivfPqTrainLocal(s: SparkSession, embDf: DataFrame)
+      : (IvfPqModel, Array[(Long, Array[Long])]) = {
+    val rows: Array[(Long, Array[Long])] = embDf
+      .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val K = 8; val Dim = 64
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // kmeansFitOn on the shifted grid: q+5000, two Lloyd steps
+    val shifted = rows.map { case (id, q) => (id, q.map(_ + 5000L)) }
+    val seeds: Array[Array[Long]] = shifted.filter(_._1 < K)
+      .sortBy(_._1).map(_._2)
+    require(seeds.length == K, s"kmeans seeds need vec_id 0..${K - 1}")
+    def kmStep(cents: Array[Array[Long]]): Array[Array[Long]] = {
+      val n = Array.ofDim[Long](K)
+      val sums = Array.ofDim[Long](K, Dim)
+      shifted.foreach { case (_, q) =>
+        var best = 0; var bestD = sqd(q, cents(0)); var c = 1
+        while (c < K) {
+          val d = sqd(q, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        n(best) += 1
+        var d = 0
+        while (d < Dim) { sums(best)(d) += q(d); d += 1 }
+      }
+      Array.tabulate(K) { c =>
+        if (n(c) == 0) cents(c) // empty cluster keeps its centroid
+        else Array.tabulate(Dim)(d => sums(c)(d) / n(c)) // floor: >= 0
+      }
+    }
+    val cents = kmStep(kmStep(seeds)).map(_.map(_ - 5000L))
+    // residual base: coarse cell on the UNSHIFTED grid, r = q − cent
+    val rbase: Array[Array[Long]] = rows.map { case (_, q) =>
+      var best = 0; var bestT = Long.MaxValue; var c = 0
+      while (c < K) {
+        var t = 0L; var d = 0
+        while (d < Dim) {
+          val cd = cents(c)(d); t += cd * cd - 2L * q(d) * cd; d += 1
+        }
+        if (t < bestT) { bestT = t; best = c }
+        c += 1
+      }
+      Array.tabulate(Dim)(d => q(d) - cents(best)(d))
+    }
+    // lloydPqStep ×2: PqEncode assignment, truncating-mean recompute
+    def pqStep(cb: Array[Long]): Array[Long] = {
+      val n = Array.ofDim[Long](8 * 16)
+      val sums = Array.ofDim[Long](8 * 16, 8)
+      rbase.foreach { r =>
+        var m = 0
+        while (m < 8) {
+          var bestK = 0; var bestD = Long.MaxValue; var k = 0
+          while (k < 16) {
+            var sAcc = 0L; var i = 0
+            while (i < 8) {
+              val diff = r(m * 8 + i) - cb((m * 16 + k) * 8 + i)
+              sAcc += diff * diff; i += 1
+            }
+            if (sAcc < bestD) { bestD = sAcc; bestK = k }
+            k += 1
+          }
+          n(m * 16 + bestK) += 1
+          var i = 0
+          while (i < 8) {
+            sums(m * 16 + bestK)(i) += r(m * 8 + i); i += 1
+          }
+          m += 1
+        }
+      }
+      Array.tabulate(8 * 16 * 8) { i =>
+        val mk = i / 8; val d = i % 8
+        if (n(mk) == 0) cb(i) // empty codeword keeps its value
+        else sums(mk)(d) / n(mk) // truncating ÷, the lloydPqStep rule
+      }
+    }
+    (IvfPqModel(cents, pqStep(pqStep(pqCodebook))), rows)
+  }
+
   /** Driver-side query planning against a trained model: the nprobe
     * nearest cells, each with its RESIDUAL ADC lookup table (the query
     * re-expressed relative to that cell's centroid — per-cell LUTs are

@@ -1078,6 +1078,59 @@ class GraftTableSpec extends SparkSuite {
       r.getAs[String]("_change_type") == "delete") === 1)
   }
 
+  test("rowDelta: single-commit upsert — one snapshot carries the " +
+    "equality-delete file and the new data files; new rows visible, " +
+    "older matches masked; state equals delete-then-append; CDC " +
+    "emits delete-of-old + insert-of-new") {
+    val t = newTable()
+    t.append(seedDf)
+    // twin table for the two-commit equivalent
+    val t2 = newTable()
+    t2.append(seedDf)
+    val upsert = spark.createDataFrame(Seq(
+      Row("case-2", "Janet", "janet@example.com", "key2", "rotated 2",
+        "secret_key_2b", java.sql.Date.valueOf("2023-02-01")),
+      Row("case-4", "Dave", "dave@example.com", "key4", "secret text 4",
+        "secret_key_4", java.sql.Date.valueOf("2023-02-02"))).asJava,
+      piiSchema)
+    val before = t.meta.snapshots.size
+    val snap = t.rowDelta(upsert.select("case_id"), upsert)
+    assert(t.meta.snapshots.size === before + 1,
+      "row delta must be exactly one commit")
+    assert(snap.operation === "overwrite")
+    assert(snap.summary("equality-columns").nonEmpty)
+    // upserted image visible, old case-2 masked, untouched rows intact
+    val got = t.read().orderBy("case_id").collect()
+    assert(got.map(_.getString(0)).toSeq ===
+      Seq("case-1", "case-2", "case-3", "case-4"))
+    assert(got.find(_.getString(0) == "case-2").get
+      .getAs[String]("first_name") === "Janet",
+      "same-snapshot data files must NOT be masked by the delete")
+    // bit-equal to the two-commit path
+    t2.equalityDelete(upsert.select("case_id"))
+    t2.append(upsert)
+    assert(t.read().orderBy("case_id").collect().toSeq ===
+      t2.read().orderBy("case_id").collect().toSeq)
+    // CDC: the delta window emits delete(old case-2) + inserts(new)
+    val win = t.changes(Some(t.meta.snapshots(before - 1).snapshotId))
+      .collect()
+    assert(win.count(r => r.getAs[String]("case_id") == "case-2" &&
+      r.getAs[String]("_change_type") == "delete" &&
+      r.getAs[String]("first_name") == "Jane") === 1)
+    assert(win.count(r => r.getAs[String]("_change_type") == "insert")
+      === 2)
+    // empty key set degenerates to a plain append (no delete file)
+    val extra = spark.createDataFrame(Seq(
+      Row("case-5", "Eve", "eve@example.com", "key5", "secret text 5",
+        "secret_key_5", java.sql.Date.valueOf("2023-02-03"))).asJava,
+      piiSchema)
+    val snap2 = t.rowDelta(extra.limit(0).select("case_id"), extra)
+    assert(snap2.operation === "append")
+    assert(t.files.filter("content = 2").count() === 1,
+      "empty key set must not add a delete file")
+    assert(t.read().count() === 5)
+  }
+
   test("add_files imports external parquet without rewrite: bytes " +
     "copied, footer stats committed, pruning + snapshots work; type " +
     "drift rejected") {

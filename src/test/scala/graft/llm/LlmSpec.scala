@@ -13,6 +13,25 @@ class LlmSpec extends SparkSuite {
   private def run(name: String): DataFrame =
     graft.SparkEntry.queries(name)(spark, dir)
 
+  test("ivfPqTrainLocal is bit-equal to the distributed ivfPqTrain: " +
+    "same centroids, same codebook, same collected query vectors") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.rel.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 250).select("vec_id", "embedding")
+    val (distModel, rbase) = SimilarityQueries.ivfPqTrain(spark, emb)
+    val (localModel, rows) = SimilarityQueries.ivfPqTrainLocal(spark, emb)
+    assert(localModel.cents.map(_.toSeq).toSeq ===
+      distModel.cents.map(_.toSeq).toSeq, "coarse centroids diverged")
+    assert(localModel.cb.toSeq === distModel.cb.toSeq,
+      "PQ codebook diverged")
+    // the returned sample rows match the distributed residual base's
+    // quantized vectors (the scenario reads its query vector here)
+    val want = rbase.select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    assert(rows.length === want.size)
+    rows.foreach { case (id, q) => assert(q.toSeq === want(id)) }
+  }
+
   test("shingleSets emits no shingles (and no ANSI error) for docs with" +
     " fewer than 3 tokens") {
     import spark.implicits._
