@@ -825,38 +825,47 @@ object SimilarityQueries extends QueryCatalog {
     * corpus-parameterized form the IVF-PQ trainer and the lake vector
     * index bootstrap share (their training corpus is an index slice,
     * not the whole embeddings table). */
+  /** The shifted quantized base kmeansFitOn trains over — checkpointed
+    * once so every Lloyd pass (and, in the IVF-PQ trainer, the
+    * residual-base derivation) reads materialized blocks instead of
+    * re-scanning and re-quantizing the parquet. */
+  private[graft] def kmeansShiftedBase(embDf: DataFrame): DataFrame =
+    embDf
+      .select(col("vec_id"), expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 5000)").as("q"))
+      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+      .localCheckpoint()
+
   private[graft] def kmeansFitOn(s: SparkSession, embDf: DataFrame)
+      : (Array[Array[Long]], DataFrame) =
+    kmeansFitOnBase(s, kmeansShiftedBase(embDf))
+
+  private[graft] def kmeansFitOnBase(s: SparkSession, base: DataFrame)
       : (Array[Array[Long]], DataFrame) = {
     import graft.functions.vec
     val Dim = 64
     val K = 8
-    val base = embDf
-      .select(col("vec_id"), expr("transform(embedding, x -> " +
-        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 5000)").as("q"))
-      .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
-      .localCheckpoint() // scanned once, read by both iterations
-    val qq = vec.dot(s, col("qd"), col("qd"))
-    def centsDf(c: Array[Array[Long]]): DataFrame = {
-      val rows = c.zipWithIndex.map { case (cv, cid) =>
-        org.apache.spark.sql.Row(cid.toLong, cv.map(_.toDouble).toSeq,
-          cv.map(x => x.toDouble * x).sum)
+    // map-side assignment: the k centroids are PLAN LITERALS (the
+    // coarseCellCol shape), so the per-row argmin is a kernel
+    // projection — no crossJoin row blowup, no groupBy(vec_id)
+    // shuffle of the full corpus per Lloyd step. Ordering is
+    // identical to the old broadcast-join argmin: |c|² − 2 q·c drops
+    // only the per-row constant |q|², every intermediate is an
+    // integer below 2^53 (exact in doubles), and the struct min ties
+    // (dist, cid) ascending — smallest cid wins ties, as before.
+    def assign(cents: Array[Array[Long]]): DataFrame = {
+      val centStructs = cents.zipWithIndex.map { case (c, cid) =>
+        val cv: Seq[Double] = c.map(_.toDouble).toSeq
+        val cc = c.map(x => x.toDouble * x).sum
+        struct(
+          (lit(cc) - lit(2.0) * vec.dot(s, col("qd"), typedlit(cv)))
+            .as("dist"),
+          lit(cid.toLong).as("cid"))
       }
-      s.createDataFrame(
-        java.util.Arrays.asList(rows: _*),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "cid BIGINT, cv ARRAY<DOUBLE>, cc DOUBLE"))
+      base.select(col("vec_id"),
+        array_min(array(centStructs: _*)).getField("cid").as("cid"),
+        col("q"))
     }
-    // map-side assignment: k broadcast centroid rows, exact-integer
-    // double distances through the vec_dot kernel, partial-agg argmin
-    def assign(cents: Array[Array[Long]]): DataFrame =
-      base.crossJoin(broadcast(centsDf(cents)))
-        .select(col("vec_id"), col("q"),
-          col("cid"), (qq - lit(2.0) * vec.dot(s, col("qd"), col("cv")) +
-            col("cc")).as("dist"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"),
-          first(col("q")).as("q"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("q"))
     def step(cents: Array[Array[Long]])
         : (Array[Array[Long]], DataFrame) = {
       val asn = assign(cents)
@@ -1056,8 +1065,12 @@ object SimilarityQueries extends QueryCatalog {
   private[llm] def topkAdcTrained(s: SparkSession,
       dir: String): DataFrame = {
     import graft.functions.vec
+    // checkpointed once: the Lloyd pass, the query-vector collect and
+    // the final encode+rank all read this frame — without it each is
+    // its own parquet scan + re-quantize
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), expr(pqQuantExpr).as("q"))
+      .localCheckpoint()
     // one Lloyd iteration: kernel assignment under the lattice book,
     // per-(m, k) floor-mean of the assigned subvectors
     val asn = base
@@ -1168,11 +1181,32 @@ object SimilarityQueries extends QueryCatalog {
     * Cost: one kmeans fit + two (map pass + 128-group aggregate). */
   private[graft] def ivfPqTrain(s: SparkSession, embDf: DataFrame)
       : (IvfPqModel, DataFrame) = {
-    val cents = kmeansFitOn(s, embDf)._1.map(_.map(_ - 5000L))
+    import graft.functions.vec
+    // ONE scan+quantize: the kmeans base is checkpointed and the
+    // residual base derives from it (unshift is x − 5000; the cell
+    // argmin runs on the SHIFTED grid against the shifted centroids,
+    // which is exactly the unshifted assignment — |q−c|² is invariant
+    // under the common +5000 shift, and every intermediate stays an
+    // exact integer in doubles, so ties break identically).
+    val base = kmeansShiftedBase(embDf)
+    val centsShifted = kmeansFitOnBase(s, base)._1
+    val cents = centsShifted.map(_.map(_ - 5000L))
+    val cellCol = {
+      val centStructs = centsShifted.zipWithIndex.map { case (c, cid) =>
+        val cv: Seq[Double] = c.map(_.toDouble).toSeq
+        val cc = c.map(x => x.toDouble * x).sum
+        struct(
+          (lit(cc) - lit(2.0) * vec.dot(s, col("qd"), typedlit(cv)))
+            .as("dist"),
+          lit(cid.toLong).as("cid"))
+      }
+      array_min(array(centStructs: _*)).getField("cid")
+    }
     val m0 = IvfPqModel(cents, pqCodebook)
-    val rbase = embDf
-      .withColumn("cell", coarseCellCol(s, m0.seeds))
-      .select(col("vec_id"), expr(pqQuantExpr).as("q"), col("cell"))
+    val rbase = base
+      .withColumn("cell", cellCol)
+      .select(col("vec_id"),
+        expr("transform(q, x -> x - 5000)").as("q"), col("cell"))
       .withColumn("r", residualCol(m0))
       .localCheckpoint()
     val cb1 = lloydPqStep(s, rbase, pqCodebook)
@@ -1707,18 +1741,32 @@ object SimilarityQueries extends QueryCatalog {
         .mkString("", "\nUNION ALL ", "\nORDER BY method")
     }
   ) { (s, dir) =>
-    val bruteIds = broadcast(
-      topkBrute.build(s, dir).select(col("vec_id")))
-    def one(m: String, q: Q): DataFrame =
-      q.build(s, dir).select("vec_id")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Each leg's build runs its own driver-side collects (two of them
+    // full trainings); building the legs CONCURRENTLY overlaps those
+    // Spark jobs on the local scheduler instead of serializing six
+    // pipelines end to end. Results are unchanged — every leg is still
+    // self-contained against its own oracle text; only wall-clock
+    // moves. (Spark job submission is thread-safe; the fair scheduler
+    // interleaves the stages.)
+    val fBrute =
+      Future(topkBrute.build(s, dir).select(col("vec_id")))
+    val fLegs = Seq(
+      "adc" -> Future(topkAdc.build(s, dir)),
+      "adc_trained" -> Future(pqTrained.build(s, dir)),
+      "hamming" -> Future(topkHamming.build(s, dir)),
+      "ivfpq" -> Future(topkIvfPq.build(s, dir)),
+      "ivfpq_trained" -> Future(topkIvfPqTrained.build(s, dir)))
+    val bruteIds = broadcast(Await.result(fBrute, Duration.Inf))
+    def one(m: String, leg: DataFrame): DataFrame =
+      leg.select("vec_id")
         .join(bruteIds, Seq("vec_id"), "left_semi")
         .agg(count(lit(1)).as("overlap10"))
         .select(lit(m).as("method"), col("overlap10"))
-    one("adc", topkAdc)
-      .unionAll(one("adc_trained", pqTrained))
-      .unionAll(one("hamming", topkHamming))
-      .unionAll(one("ivfpq", topkIvfPq))
-      .unionAll(one("ivfpq_trained", topkIvfPqTrained))
+    fLegs.map { case (m, f) => one(m, Await.result(f, Duration.Inf)) }
+      .reduce(_ unionAll _)
       .orderBy("method")
   }
 
