@@ -593,54 +593,6 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
-  /** Keyword extraction: each document's top-3 terms by TF-IDF (term
-    * frequency integer, IDF from the corpus df table). The idf join
-    * broadcasts the vocabulary; ranking is a per-doc window (doc_id
-    * partitions are token-count sized, never skewed). Ties broken by
-    * token text so both engines rank identically; the score is
-    * integer-TF times a 6-decimal-rounded IDF — deterministic without
-    * a distributed double sum. */
-  private val keywords = Q(
-    "q_pipe_keywords",
-    """WITH dt AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-      |  FROM documents
-      |), tf AS (
-      |  SELECT doc_id, tok, count(*) AS tf FROM dt GROUP BY 1, 2
-      |), df AS (
-      |  SELECT tok, count(DISTINCT doc_id) AS df FROM dt GROUP BY tok
-      |), n AS (SELECT count(*) AS total FROM documents),
-      |scored AS (
-      |  SELECT doc_id, tok,
-      |    tf * round(ln(CAST(total AS DOUBLE) / df), 6) AS score
-      |  FROM tf JOIN df USING (tok) CROSS JOIN n
-      |), ranked AS (
-      |  SELECT doc_id, tok, round(score, 4) AS tfidf,
-      |    row_number() OVER (PARTITION BY doc_id
-      |      ORDER BY score DESC, tok) AS rk
-      |  FROM scored
-      |)
-      |SELECT doc_id, tok, tfidf, rk FROM ranked WHERE rk <= 3
-      |ORDER BY doc_id, rk""".stripMargin
-  ) { (s, dir) =>
-    val dt = Tables.documents(s, dir).select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val tf = dt.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = dt.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("total"))
-    val scored = tf.join(broadcast(df), "tok").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"),
-        (col("tf") * round(log(col("total").cast("double") / col("df")),
-          6)).as("score"))
-    scored
-      .select(col("doc_id"), col("tok"), round(col("score"), 4).as("tfidf"),
-        row_number().over(Window.partitionBy("doc_id")
-          .orderBy(desc("score"), asc("tok"))).as("rk"))
-      .filter(col("rk") <= 3)
-      .orderBy("doc_id", "rk")
-  }
-
   /** MinHash+LSH with md5-derived hash functions — the fully
     * oracle-checkable twin of q_dedup_minhash_lsh (whose xxhash64 has
     * no DuckDB equivalent). 16 minhashes (h_i = first 15 hex digits of
@@ -1274,7 +1226,7 @@ object PipelineQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
     vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
-    logprobBigram, decontaminate, keywords, minhashMd5, upsample, chunk,
+    logprobBigram, decontaminate, minhashMd5, upsample, chunk,
     mixture, interleave, mixInterleave, stratified, datasetCard,
     tokenBudget, curationFunnel, lengthBuckets)
 }
