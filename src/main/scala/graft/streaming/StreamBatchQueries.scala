@@ -146,6 +146,47 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("user_id")
   }
 
+  /** Batch twin of the watermarked stream-stream FULL OUTER join
+    * ([[Streams.purchaseViewJoinFull]] builds this plan) — the last
+    * cell of the join matrix: matched purchase/view pairs, purchases
+    * with no prior-hour view (null view side), AND views no purchase
+    * followed within the hour (null purchase side). A production
+    * engagement audit needs all three at once: conversion pairs,
+    * cold purchases, and abandoned views. Aggregated per user for the
+    * hash compare; StreamingSpec pins the live contract per side. */
+  private val streamJoinFull = Q(
+    "q_stream_join_full",
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, ts AS pts, user_id AS p_user
+      |  FROM events WHERE event_type = 'purchase'
+      |), v AS (
+      |  SELECT event_id AS view_id, ts AS vts, user_id AS v_user
+      |  FROM events WHERE event_type = 'view'
+      |), j AS (
+      |  SELECT purchase_id, view_id,
+      |    coalesce(p_user, v_user) AS user_id
+      |  FROM p FULL JOIN v
+      |    ON p_user = v_user AND vts <= pts
+      |    AND vts > pts - INTERVAL '1 hour'
+      |)
+      |SELECT user_id,
+      |  count(*) FILTER (WHERE purchase_id IS NOT NULL
+      |                     AND view_id IS NOT NULL) AS n_pairs,
+      |  count(*) FILTER (WHERE view_id IS NULL) AS n_cold_purchases,
+      |  count(*) FILTER (WHERE purchase_id IS NULL) AS n_abandoned_views
+      |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin
+  ) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    Streams.purchaseViewJoinFull(ev, ev)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("purchase_id").isNotNull &&
+          col("view_id").isNotNull, 1)).as("n_pairs"),
+        count(when(col("view_id").isNull, 1)).as("n_cold_purchases"),
+        count(when(col("purchase_id").isNull, 1)).as("n_abandoned_views"))
+      .orderBy("user_id")
+  }
+
   /** Batch twin of the transformWithState milestone counter
     * ([[Streams.milestones]]): the event completing every 25th event
     * per user, defined over total (ts, event_id) event-time order. In
@@ -346,6 +387,6 @@ object StreamBatchQueries extends QueryCatalog {
 
   override def all: Seq[Q] =
     Seq(tumbling, sliding, session, streamJoin, streamJoinOuter,
-      milestonesQ, firstSeenQ,
+      streamJoinFull, milestonesQ, firstSeenQ,
       kmvDistinctQ, quantileQ, staticJoinQ)
 }

@@ -355,6 +355,36 @@ object Streams {
         col("pts"))
   }
 
+  /** FULL OUTER flavor of [[purchaseViewJoin]] — completes the
+    * stream-stream join matrix: matched pairs emit eagerly, unmatched
+    * purchases emit a null view_id once the watermark proves no view
+    * can still arrive (pts < watermark), and unmatched VIEWS emit a
+    * null purchase_id once no purchase can still match (a matching
+    * purchase has pts in [vts, vts+1h), so the view expires when the
+    * watermark passes vts + 1h). Both sides carry their event time
+    * (pts / vts) so consumers and StreamingSpec can apply each side's
+    * watermark cutoff. State stays bounded exactly as in the inner
+    * join: the time-range conjunct lets Spark evict both buffers at
+    * the watermark horizon. */
+  def purchaseViewJoinFull(left: DataFrame,
+      right: DataFrame): DataFrame = {
+    val p = left.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+        col("user_id"))
+    val v = right.filter(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("ts").as("vts"),
+        col("user_id").as("v_user"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("vts") <= col("pts") &&
+        col("vts") > col("pts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("purchase_id"), col("view_id"),
+        coalesce(col("user_id"), col("v_user")).as("user_id"),
+        col("pts"), col("vts"))
+  }
+
   final case class KmvOut(event_type: String, n_retained: Long, est: Long)
 
   /** 2^60 — the KMV hash domain, from the shared rel.Kmv contract. */

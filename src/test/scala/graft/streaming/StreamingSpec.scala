@@ -205,6 +205,58 @@ class StreamingSpec extends SparkSuite {
     assert(wantNullAll.nonEmpty, "fixture must have unmatched purchases")
   }
 
+  test("stream-stream FULL OUTER join: matched pairs equal the batch " +
+    "join; each side's null rows appear exactly for the unmatched rows " +
+    "the final watermark expired") {
+    val left = Streams.readEvents(spark, stageDir.toString)
+    val right = Streams.readEvents(spark, stageDir.toString)
+    Streams.runToMemory(Streams.purchaseViewJoinFull(left, right),
+      "pv_full_stream", OutputMode.Append)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (Option(r.get(0)).map(_ => r.getLong(0)),
+        Option(r.get(1)).map(_ => r.getLong(1)),
+        r.getLong(2),
+        Option(r.get(3)).map(_ => r.getTimestamp(3).getTime),
+        Option(r.get(4)).map(_ => r.getTimestamp(4).getTime)))
+    val got = rows(spark.table("pv_full_stream"))
+    val want = rows(Streams.purchaseViewJoinFull(batchEvents, batchEvents))
+    // matched pairs emit eagerly: must equal the batch join's matches
+    val gotMatched = got.filter(t => t._1.isDefined && t._2.isDefined).toSet
+    val wantMatched =
+      want.filter(t => t._1.isDefined && t._2.isDefined).toSet
+    assert(gotMatched === wantMatched)
+    assert(gotMatched.nonEmpty)
+    val maxTs = batchEvents.agg(max("ts")).collect().head
+      .getTimestamp(0).getTime
+    val cutoff = maxTs - 2L * 3600 * 1000 // final watermark
+    // purchase side: a null-view row may emit only for a purchase the
+    // batch join leaves unmatched, and MUST emit once the watermark
+    // passes pts (views only precede purchases)
+    val gotColdP = got.filter(_._2.isEmpty).flatMap(_._1).toSet
+    val wantColdPAll = want.filter(_._2.isEmpty).flatMap(_._1).toSet
+    val wantColdPExpired = want.filter(t =>
+      t._2.isEmpty && t._4.exists(_ < cutoff)).flatMap(_._1).toSet
+    assert(gotColdP.subsetOf(wantColdPAll),
+      "a null-view row emitted for a purchase that HAS a prior-hour view")
+    assert(wantColdPExpired.subsetOf(gotColdP),
+      s"expired unmatched purchases must emit; " +
+        s"missing ${(wantColdPExpired -- gotColdP).take(5)}")
+    // view side: a matching purchase has pts in [vts, vts+1h), so the
+    // view's null row is due once the watermark passes vts + 1h
+    val gotColdV = got.filter(_._1.isEmpty).flatMap(_._2).toSet
+    val wantColdVAll = want.filter(_._1.isEmpty).flatMap(_._2).toSet
+    val wantColdVExpired = want.filter(t =>
+      t._1.isEmpty && t._5.exists(_ + 3600 * 1000L < cutoff))
+      .flatMap(_._2).toSet
+    assert(gotColdV.subsetOf(wantColdVAll),
+      "a null-purchase row emitted for a view a purchase followed")
+    assert(wantColdVExpired.subsetOf(gotColdV),
+      s"expired unmatched views must emit; " +
+        s"missing ${(wantColdVExpired -- gotColdV).take(5)}")
+    assert(wantColdPAll.nonEmpty && wantColdVAll.nonEmpty,
+      "fixture must have unmatched rows on both sides")
+  }
+
   test("GraftLake round trip: readStream of appends feeds an " +
     "exactly-once append sink") {
     import org.apache.spark.sql.types.StructType
