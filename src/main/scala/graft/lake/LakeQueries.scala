@@ -32,7 +32,7 @@ object LakeQueries extends QueryCatalog {
       "secret_key_3", java.sql.Date.valueOf("2023-01-03")))
 
   private def newTable(s: SparkSession): GraftTable = {
-    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val t = cat.createTable("default", "pii_data", piiSchema,
       Map("write.delete.mode" -> "merge-on-read",
@@ -175,7 +175,7 @@ object LakeQueries extends QueryCatalog {
       s.conf.set("spark.sql.catalog.graft",
         "graft.lake.sql.GraftSqlCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse",
-        Files.createTempDirectory("graft-sqlwh-").toString)
+        graft.ScratchDirs.create("graft-sqlwh-").toString)
     }
 
   /** The demo lifecycle driven ENTIRELY through spark.sql — the
@@ -214,7 +214,7 @@ object LakeQueries extends QueryCatalog {
   private val metadataRetention =
     Q.noOracle("q_lake_metadata_retention") { (s, _) =>
       import s.implicits._
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
       cat.createNamespace("default")
       val t = cat.createTable("default", "pii_data", piiSchema,
         Map("write.delete.mode" -> "merge-on-read",
@@ -306,7 +306,7 @@ object LakeQueries extends QueryCatalog {
     * exercised end-to-end through a real StreamingQuery. */
   private val streamRoundTrip = Q.noOracle("q_lake_stream_roundtrip") { (s, _) =>
     import graft.streaming.GraftTableStreaming
-    val wh = Files.createTempDirectory("graft-rt-wh-")
+    val wh = graft.ScratchDirs.create("graft-rt-wh-")
     val cat = new GraftCatalog(s, wh)
     cat.createNamespace("default")
     val src = cat.createTable("default", "src", piiSchema)
@@ -315,7 +315,7 @@ object LakeQueries extends QueryCatalog {
     val q = GraftTableStreaming.appendSink(
       GraftTableStreaming.readAppends(s, src.root), dst, "q_rt")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-rt-ck-").toString)
+        graft.ScratchDirs.create("graft-rt-ck-").toString)
       .start()
     try {
       q.processAllAvailable()
@@ -428,7 +428,7 @@ object LakeQueries extends QueryCatalog {
     * SHOW PARTITIONS answer for a format that clusters by sorted
     * range instead of partition tuple. */
   private val partitionsRel = Q.noOracle("q_lake_partitions") { (s, _) =>
-    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     // partition-transform clustering: file ranges render in the
     // TRANSFORMED spaces (days → dates, truncate → prefixes)
@@ -543,7 +543,7 @@ object LakeQueries extends QueryCatalog {
     Q.noOracle("q_lake_incremental_agg") { (s, _) =>
       val factSchema = StructType.fromDDL(
         "id STRING, grp STRING, amount BIGINT")
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
       cat.createNamespace("default")
       val t = cat.createTable("default", "fact", factSchema,
         Map("write.delete.mode" -> "merge-on-read"))
@@ -644,7 +644,7 @@ object LakeQueries extends QueryCatalog {
     Q.noOracle("q_lake_incremental_minhash") { (s, _) =>
       val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
       def sigsOf(docs: DataFrame): DataFrame = minhashSigs(docs)
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
       cat.createNamespace("default")
       val t = cat.createTable("default", "docs", docSchema,
         Map("write.delete.mode" -> "merge-on-read",
@@ -707,7 +707,7 @@ object LakeQueries extends QueryCatalog {
     */
   private val streamErasure = Q.noOracle("q_lake_stream_erasure") { (s, _) =>
     import graft.streaming.GraftTableStreaming
-    val wh = Files.createTempDirectory("graft-er-wh-")
+    val wh = graft.ScratchDirs.create("graft-er-wh-")
     val cat = new GraftCatalog(s, wh)
     cat.createNamespace("default")
     val pii = cat.createTable("default", "pii", piiSchema)
@@ -720,7 +720,7 @@ object LakeQueries extends QueryCatalog {
         pii.equalityDelete(batch.select("case_id")); ()
       }
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-er-ck-").toString)
+        graft.ScratchDirs.create("graft-er-ck-").toString)
       .start()
     try {
       req.append(s.createDataFrame(Seq(Row("case-2")).asJava, reqSchema))
@@ -751,7 +751,7 @@ object LakeQueries extends QueryCatalog {
     val K = 128
     val factSchema = StructType.fromDDL("slice STRING, key BIGINT")
     val skSchema = StructType.fromDDL("slice STRING, h BIGINT")
-    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val fact = cat.createTable("default", "fact", factSchema)
     val sk = cat.createTable("default", "sketches", skSchema)
@@ -844,7 +844,7 @@ object LakeQueries extends QueryCatalog {
     val factSchema = StructType.fromDDL(
       "slice STRING, key BIGINT, v BIGINT")
     val skSchema = StructType.fromDDL("slice STRING, h BIGINT, v BIGINT")
-    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val fact = cat.createTable("default", "qfact", factSchema)
     val sk = cat.createTable("default", "qsketches", skSchema)
@@ -981,7 +981,7 @@ object LakeQueries extends QueryCatalog {
       crossCheck: Boolean): DataFrame = {
     import graft.llm.TextQueries
     val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
-    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val corpus = cat.createTable("default", "corpus", docSchema,
       Map("write.delete.mode" -> "merge-on-read"))
@@ -1098,7 +1098,7 @@ object LakeQueries extends QueryCatalog {
       println(f"[vector_index] $what: ${(now - __last) / 1e6}%.0f ms")
       __last = now
     }
-    val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val vecs = cat.createTable("default", "vectors",
       StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>"),

@@ -155,7 +155,7 @@ object ScanFilterQueries extends QueryCatalog {
         sum(round(col("o_totalprice") * 100).cast("bigint"))
           .as("total_cents"))
     val schema = base.schema
-    val out = java.nio.file.Files.createTempDirectory("graft-fmt-")
+    val out = graft.ScratchDirs.create("graft-fmt-")
     val reads = Seq("csv", "json", "orc").map { fmt =>
       val path = out.resolve(fmt).toString
       val w = base.write.mode("overwrite").format(fmt)

@@ -19,7 +19,7 @@ object SparkSuite {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.catalog.graft", "graft.lake.sql.GraftSqlCatalog")
     .config("spark.sql.catalog.graft.warehouse",
-      java.nio.file.Files.createTempDirectory("graft-sqlwh-").toString)
+      graft.ScratchDirs.create("graft-sqlwh-").toString)
     .config("spark.ui.enabled", "false")
     // Standing guard: no engine code path may funnel a large result
     // through the driver. Any test that tries to collect >32 MiB of

@@ -110,7 +110,7 @@ class ChangelogSpec extends SparkSuite {
       "case_id STRING, first_name STRING, email_address STRING, " +
         "key_nm STRING, secure_txt STRING, secure_key STRING, " +
         "update_date DATE")
-    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(spark, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val t = cat.createTable("default", "pii", piiSchema,
       Map("write.delete.mode" -> "merge-on-read",
@@ -153,7 +153,7 @@ class ChangelogSpec extends SparkSuite {
   test("changelogView with no identifiers = net changes only " +
     "(carryovers gone, no update pairing)") {
     val piiSchema = StructType.fromDDL("case_id STRING, v STRING")
-    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-wh-"))
+    val cat = new GraftCatalog(spark, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
     val t = cat.createTable("default", "t", piiSchema,
       Map("write.update.mode" -> "copy-on-write"))

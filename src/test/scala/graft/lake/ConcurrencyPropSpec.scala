@@ -47,7 +47,7 @@ class ConcurrencyPropSpec extends SparkSuite {
     Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, genOp))
 
   private def runRace(s1: List[WOp], s2: List[WOp]): Boolean = {
-    val root = Files.createTempDirectory("graft-race-")
+    val root = graft.ScratchDirs.create("graft-race-")
       .resolve("default").resolve("race")
     GraftTable.create(spark, root, "default.race", schema,
       Map("write.delete.mode" -> "merge-on-read"))

@@ -14,7 +14,7 @@ class FileSummarySinkSpec extends SparkSuite {
 
   test("persist appends run_id partitions; empty-frame union keeps schema") {
     import scala.jdk.CollectionConverters._
-    val out = Files.createTempDirectory("graft-summary-sink").toString
+    val out = graft.ScratchDirs.create("graft-summary-sink").toString
     val schema = StructType.fromDDL(FileSummary.summarySchemaDdl)
     def mk(runId: String, n: Long) = spark.createDataFrame(Seq(
       Row("wh/data", "data", "parquet",

@@ -18,7 +18,7 @@ class ForensicsSpec extends SparkSuite {
     "case_id STRING, first_name STRING, update_date DATE")
 
   private def mkTable(): GraftTable = {
-    val cat = new GraftCatalog(spark, Files.createTempDirectory("graft-fx-"))
+    val cat = new GraftCatalog(spark, graft.ScratchDirs.create("graft-fx-"))
     cat.createNamespace("default")
     val t = cat.createTable("default", "pii", schema,
       Map("write.delete.mode" -> "merge-on-read"))

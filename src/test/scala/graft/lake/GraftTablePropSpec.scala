@@ -65,7 +65,7 @@ class GraftTablePropSpec extends SparkSuite {
   } yield Map("write.delete.mode" -> del, "write.update.mode" -> upd)
 
   private def runSequence(modes: Map[String, String], ops: List[Op]): Boolean = {
-    val wh = Files.createTempDirectory("graft-prop-")
+    val wh = graft.ScratchDirs.create("graft-prop-")
     val cat = new GraftCatalog(spark, wh)
     cat.createNamespace("default")
     val t = cat.createTable("default", "prop_t", schema, modes)
@@ -223,7 +223,7 @@ class GraftTablePropSpec extends SparkSuite {
   test("∀ (k appends, n): expireSnapshots(retainLast = n) keeps exactly " +
     "the newest min(n, k) snapshots, all replayable") {
     val prop = Prop.forAll(Gen.choose(2, 8), Gen.choose(1, 9)) { (k, n) =>
-      val wh = Files.createTempDirectory("graft-retain-")
+      val wh = graft.ScratchDirs.create("graft-retain-")
       val cat = new GraftCatalog(spark, wh)
       cat.createNamespace("default")
       val t = cat.createTable("default", "retain_t", schema)
@@ -266,7 +266,7 @@ class GraftTablePropSpec extends SparkSuite {
     val secret = "SECRET-NAME"
     val prop = Prop.forAll(Gen.choose(1, 4), Gen.oneOf(true, false),
       Gen.choose(0, 2)) { (k, nullify, extra) =>
-      val wh = Files.createTempDirectory("graft-erase-")
+      val wh = graft.ScratchDirs.create("graft-erase-")
       val cat = new GraftCatalog(spark, wh)
       cat.createNamespace("default")
       val t = cat.createTable("default", "erase_t", schema,

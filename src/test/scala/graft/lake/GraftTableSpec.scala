@@ -15,7 +15,7 @@ import graft.SparkSuite
 class GraftTableSpec extends SparkSuite {
 
   private def freshWarehouse(): Path =
-    Files.createTempDirectory("graft-wh-")
+    graft.ScratchDirs.create("graft-wh-")
 
   private val piiSchema = StructType.fromDDL(
     "case_id STRING, first_name STRING, email_address STRING, " +
@@ -740,7 +740,7 @@ class GraftTableSpec extends SparkSuite {
   test("warehouse path with a space: MOR deletes still mask rows " +
     "(Spark URL-encodes _metadata.file_path, so the delete anti-join " +
     "must match the %20 spelling too)") {
-    val wh = Files.createTempDirectory("graft wh spaced ")
+    val wh = graft.ScratchDirs.create("graft wh spaced ")
     val cat = new GraftCatalog(spark, wh)
     cat.createNamespace("default")
     val t = cat.createTable("default", "pii_data", piiSchema,
@@ -1134,7 +1134,7 @@ class GraftTableSpec extends SparkSuite {
   test("add_files imports external parquet without rewrite: bytes " +
     "copied, footer stats committed, pruning + snapshots work; type " +
     "drift rejected") {
-    val external = Files.createTempDirectory("graft-import-src")
+    val external = graft.ScratchDirs.create("graft-import-src")
     spark.range(0, 1000)
       .selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
       .repartitionByRange(4, col("k"))
@@ -1158,7 +1158,7 @@ class GraftTableSpec extends SparkSuite {
     t.delete(col("k") === 3L)
     assert(t.read().filter(col("k") === 3L).count() === 0)
     // type drift rejected before any commit
-    val bad = Files.createTempDirectory("graft-import-bad")
+    val bad = graft.ScratchDirs.create("graft-import-bad")
     spark.range(0, 5).selectExpr("CAST(id AS INT) AS k",
       "CAST(id AS STRING) AS tag")
       .write.parquet(bad.resolve("t").toString)

@@ -28,7 +28,7 @@ class LakeWritePlanSpec extends SparkSuite {
     (1 to n).map(i => Row(f"$prefix-$i%05d", s"payload $prefix $i"))
 
   private def newTable(props: Map[String, String] = Map.empty): GraftTable = {
-    val wh = Files.createTempDirectory("graft-wpln-")
+    val wh = graft.ScratchDirs.create("graft-wpln-")
     GraftTable.create(spark, wh.resolve("t"), "default.t", schema, props)
   }
 
@@ -250,7 +250,7 @@ class LakeWritePlanSpec extends SparkSuite {
     "a day predicate prunes the scan, partitions table shows dates") {
     val sch = StructType.fromDDL(
       "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
-    val wh = Files.createTempDirectory("graft-days-")
+    val wh = graft.ScratchDirs.create("graft-days-")
     val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
       Map("write.clustered-by" -> "days(ts)",
         // over-partition vs the 8 distinct days: range boundaries then
@@ -289,7 +289,7 @@ class LakeWritePlanSpec extends SparkSuite {
   test("bucket(n,col) partition transform: derived bucket stats prune " +
     "equality lookups that raw min/max cannot") {
     val sch = StructType.fromDDL("user_id BIGINT, payload STRING")
-    val wh = Files.createTempDirectory("graft-bucket-")
+    val wh = graft.ScratchDirs.create("graft-bucket-")
     val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
       Map("write.clustered-by" -> "bucket(8,user_id)",
         "write.clustered-by.files" -> "8"))
@@ -320,7 +320,7 @@ class LakeWritePlanSpec extends SparkSuite {
     "clusters sub-day and SQL PARTITIONED BY accepts the full ladder") {
     val sch = StructType.fromDDL(
       "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
-    val wh = Files.createTempDirectory("graft-months-")
+    val wh = graft.ScratchDirs.create("graft-months-")
     val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
       Map("write.clustered-by" -> "months(ts)",
         "write.clustered-by.files" -> "12"))
@@ -380,7 +380,7 @@ class LakeWritePlanSpec extends SparkSuite {
     "prune; both coexist in one table") {
     val sch = StructType.fromDDL(
       "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT")
-    val wh = Files.createTempDirectory("graft-evo-")
+    val wh = graft.ScratchDirs.create("graft-evo-")
     val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
       Map("write.clustered-by" -> "days(ts)",
         "write.clustered-by.files" -> "16"))
@@ -459,7 +459,7 @@ class LakeWritePlanSpec extends SparkSuite {
   test("truncate(w,col) partition transform: prefix-clustered files, " +
     "prefix predicates prune via raw stats, partitions table truncates") {
     val sch = StructType.fromDDL("word STRING, payload STRING")
-    val wh = Files.createTempDirectory("graft-trunc-")
+    val wh = graft.ScratchDirs.create("graft-trunc-")
     val t = GraftTable.create(spark, wh.resolve("t"), "default.t", sch,
       Map("write.clustered-by" -> "truncate(3,word)",
         "write.clustered-by.files" -> "8"))

@@ -353,7 +353,7 @@ class GraftSqlSpec extends SparkSuite {
     spark.sql(s"CREATE NAMESPACE graft.$ns")
     spark.sql(s"CREATE TABLE graft.$ns.imp (k BIGINT, tag STRING) " +
       "USING graft")
-    val src = Files.createTempDirectory("graft-sql-import")
+    val src = graft.ScratchDirs.create("graft-sql-import")
     spark.range(0, 100)
       .selectExpr("id AS k", "CAST(id % 3 AS STRING) AS tag")
       .write.parquet(src.resolve("t").toString)

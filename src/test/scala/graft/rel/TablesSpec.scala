@@ -27,7 +27,7 @@ class TablesSpec extends SparkSuite {
   private val usEpoch = 1704164645123456L
 
   test("events loader: TIMESTAMP(NANOS) int64 encoding") {
-    val dir = Files.createTempDirectory("graft-ev-nanos-").toString
+    val dir = graft.ScratchDirs.create("graft-ev-nanos-").toString
     val schema = Types.buildMessage()
       .required(PrimitiveType.PrimitiveTypeName.INT64).named("event_id")
       .required(PrimitiveType.PrimitiveTypeName.INT64)
@@ -56,7 +56,7 @@ class TablesSpec extends SparkSuite {
   }
 
   test("events loader: timestamp[us] encoding, conf untouched") {
-    val dir = Files.createTempDirectory("graft-ev-us-").toString
+    val dir = graft.ScratchDirs.create("graft-ev-us-").toString
     spark.conf.unset(NanosConf)
     import spark.implicits._
     Seq(1L, 2L).toDF("event_id")
@@ -94,7 +94,7 @@ class TablesSpec extends SparkSuite {
     // CAST(x AS DOUBLE) which is encoding-neutral
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._
-    val dir = java.nio.file.Files.createTempDirectory("emb-double-")
+    val dir = graft.ScratchDirs.create("emb-double-")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
     val rows = (0L until 4L).map(i =>

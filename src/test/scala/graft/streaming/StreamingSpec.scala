@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.OutputMode
 class StreamingSpec extends SparkSuite {
 
   private lazy val stageDir: Path = {
-    val dir = Files.createTempDirectory("graft-stream-events")
+    val dir = graft.ScratchDirs.create("graft-stream-events")
     val ev = graft.rel.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("ts_us"),
@@ -24,7 +24,7 @@ class StreamingSpec extends SparkSuite {
       .collect()
     val chunks = ev.grouped(math.ceil(ev.length / 4.0).toInt).toSeq
     chunks.zipWithIndex.foreach { case (rows, i) =>
-      val tmp = Files.createTempDirectory(s"graft-chunk$i")
+      val tmp = graft.ScratchDirs.create(s"graft-chunk$i")
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), Streams.eventSchema)
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -78,12 +78,12 @@ class StreamingSpec extends SparkSuite {
     // batches after the max-raising events because Spark applies an
     // updated watermark with one batch of lag (the filter for batch N
     // uses the watermark committed after batch N-1).
-    val dir = Files.createTempDirectory("graft-stream-late")
+    val dir = graft.ScratchDirs.create("graft-stream-late")
     val base = java.time.Instant.parse("2024-06-10T00:00:00Z")
     def us(i: java.time.Instant): Long =
       i.getEpochSecond * 1000000L + i.getNano / 1000
     def stage(idx: Int, rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
-      val tmp = Files.createTempDirectory(s"graft-late$idx")
+      val tmp = graft.ScratchDirs.create(s"graft-late$idx")
       import scala.jdk.CollectionConverters._
       val df = spark.createDataFrame(rows.map { case (id, ts, u, t, v) =>
         org.apache.spark.sql.Row(id, ts, u, t, v) }.asJava,
@@ -124,7 +124,7 @@ class StreamingSpec extends SparkSuite {
     "dropped, first arrival wins, dedup state is watermark-bounded") {
     // stage the event files TWICE (a replayed source): every id arrives
     // at least twice across micro-batches
-    val dir = Files.createTempDirectory("graft-dedup-stream")
+    val dir = graft.ScratchDirs.create("graft-dedup-stream")
     var i = 0
     Files.list(stageDir).sorted().forEach { p =>
       if (p.toString.endsWith(".parquet")) {
@@ -267,14 +267,14 @@ class StreamingSpec extends SparkSuite {
     def rows(prefix: String, n: Int) =
       spark.createDataFrame(
         (1 to n).map(i => Row(s"$prefix-$i", i.toLong)).asJava, schema)
-    val wh = Files.createTempDirectory("graft-rt-")
+    val wh = graft.ScratchDirs.create("graft-rt-")
     val src = GraftTable.create(spark, wh.resolve("src"), "d.src", schema)
     val dst = GraftTable.create(spark, wh.resolve("dst"), "d.dst", schema)
     src.append(rows("a", 3))
     val q = GraftTableStreaming.appendSink(
       GraftTableStreaming.readAppends(spark, src.root), dst, "rt-query")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-rt-ckpt-").toString)
+        graft.ScratchDirs.create("graft-rt-ckpt-").toString)
       .start()
     try {
       q.processAllAvailable()
@@ -297,7 +297,7 @@ class StreamingSpec extends SparkSuite {
       .option("path", dst2.root.toString)
       .option("queryId", "rt-sink")
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-rt-ckpt2-").toString)
+        graft.ScratchDirs.create("graft-rt-ckpt2-").toString)
       .start()
     try {
       q2.processAllAvailable()
@@ -311,7 +311,7 @@ class StreamingSpec extends SparkSuite {
     // older query's epochs), and with neither it fails fast instead of
     // silently sharing a constant across unrelated pipelines
     val dst3 = GraftTable.create(spark, wh.resolve("dst3"), "d.dst3", schema)
-    val ckpt3 = Files.createTempDirectory("graft-rt-ckpt3-")
+    val ckpt3 = graft.ScratchDirs.create("graft-rt-ckpt3-")
     val q3 = GraftTableStreaming.readAppends(spark, src.root)
       .writeStream.format("graft-appends")
       .option("path", dst3.root.toString)
@@ -504,7 +504,7 @@ class StreamingSpec extends SparkSuite {
     def rows(prefix: String, n: Int) =
       spark.createDataFrame(
         (1 to n).map(i => Row(s"$prefix-$i", i.toLong)).asJava, schema)
-    val wh = Files.createTempDirectory("graft-cdc-")
+    val wh = graft.ScratchDirs.create("graft-cdc-")
     val t = GraftTable.create(spark, wh.resolve("src"), "d.cdc", schema)
     t.setProperties(Map("write.delete.mode" -> "merge-on-read"))
     t.append(rows("a", 3))
@@ -570,7 +570,7 @@ class StreamingSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import graft.lake.{Changelog, GraftTable}
     val schema = StructType.fromDDL("k STRING, v BIGINT")
-    val wh = Files.createTempDirectory("graft-cdc-upd-")
+    val wh = graft.ScratchDirs.create("graft-cdc-upd-")
     val t = GraftTable.create(spark, wh.resolve("t"), "d.upd", schema,
       Map("write.delete.mode" -> "merge-on-read",
         "write.update.mode" -> "copy-on-write"))
@@ -617,7 +617,7 @@ class StreamingSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import graft.lake.GraftTable
     val schema = StructType.fromDDL("k STRING, v BIGINT")
-    val wh = Files.createTempDirectory("graft-cdc-ren-")
+    val wh = graft.ScratchDirs.create("graft-cdc-ren-")
     val t = GraftTable.create(spark, wh.resolve("t"), "d.ren", schema)
     t.append(spark.createDataFrame(Seq(Row("a", 1L)).asJava, schema))
     val q = GraftTableStreaming.readChanges(spark, t.root)
@@ -647,7 +647,7 @@ class StreamingSpec extends SparkSuite {
     import graft.lake.{GraftTable, LakeQueries}
     import org.apache.spark.sql.functions._
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
-    val wh = Files.createTempDirectory("graft-isig-")
+    val wh = graft.ScratchDirs.create("graft-isig-")
     val t = GraftTable.create(spark, wh.resolve("docs"), "d.docs", schema,
       Map("write.delete.mode" -> "merge-on-read",
         "write.update.mode" -> "copy-on-write"))
@@ -705,7 +705,7 @@ class StreamingSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import graft.lake.GraftTable
     val schema = StructType.fromDDL("k STRING, v BIGINT")
-    val wh = Files.createTempDirectory("graft-rate-")
+    val wh = graft.ScratchDirs.create("graft-rate-")
     val t = GraftTable.create(spark, wh.resolve("src"), "d.rate", schema)
     (1 to 5).foreach(i => t.append(spark.createDataFrame(
       Seq(Row(s"c$i-1", i.toLong), Row(s"c$i-2", i.toLong)).asJava,
@@ -751,7 +751,7 @@ class StreamingSpec extends SparkSuite {
     import scala.jdk.CollectionConverters._
     import graft.lake.GraftCatalog
     val piiSchema = StructType.fromDDL("case_id STRING, email STRING")
-    val wh = Files.createTempDirectory("graft-erasure-")
+    val wh = graft.ScratchDirs.create("graft-erasure-")
     val cat = new GraftCatalog(spark, wh)
     cat.createNamespace("default")
     val pii = cat.createTable("default", "pii", piiSchema)
@@ -771,7 +771,7 @@ class StreamingSpec extends SparkSuite {
         pii.equalityDelete(b.select("case_id")); ()
       }
       .option("checkpointLocation",
-        Files.createTempDirectory("graft-er-ck-").toString)
+        graft.ScratchDirs.create("graft-er-ck-").toString)
       .start()
     try {
       req.append(reqRows("case-2", "case-4"))

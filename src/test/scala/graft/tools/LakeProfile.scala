@@ -22,11 +22,11 @@ object LakeProfile {
       (0 until n).map(i => Row(s"r$i", "g", i.toLong)).asJava, sch)
     // warm
     (1 to 3).foreach { _ =>
-      val d = java.nio.file.Files.createTempDirectory("lp-")
+      val d = graft.ScratchDirs.create("lp-")
       df(3).write.mode("overwrite").parquet(d.toString + "/w")
     }
     (1 to 3).foreach { i =>
-      val d = java.nio.file.Files.createTempDirectory("lp-")
+      val d = graft.ScratchDirs.create("lp-")
       time(s"tiny write.parquet #$i") {
         df(3).write.parquet(d.toString + "/t") }
       time(s"tiny collect #$i") { df(3).collect() }
@@ -35,7 +35,7 @@ object LakeProfile {
       time(s"read back collect #$i") {
         spark.read.parquet(d.toString + "/t").collect() }
     }
-    val wh = java.nio.file.Files.createTempDirectory("lp-wh-")
+    val wh = graft.ScratchDirs.create("lp-wh-")
     val t = time("GraftTable.create") {
       graft.lake.GraftTable.create(spark, wh.resolve("t"), "t", sch) }
     (1 to 3).foreach { i =>

@@ -40,7 +40,7 @@ object WapProfile {
         println(f"[$label] $what: ${(now - last) / 1e6}%.0f ms")
         last = now
       }
-      val cat = new GraftCatalog(s, Files.createTempDirectory("graft-wh-"))
+      val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
       cat.createNamespace("default")
       val t = cat.createTable("default", "pii_data", piiSchema,
         Map("write.delete.mode" -> "merge-on-read",
