@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session =>
       graft.lake.sql.GraftSqlResolution(session))
+    // plans the bucket-local (storage-partitioned) scan claim — see
+    // graft.plans.ClaimHashPartitioned
+    ext.injectPlannerStrategy(_ =>
+      graft.plans.ClaimHashPartitionedStrategy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),

@@ -306,6 +306,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
     require(ok, s"unsupported type change for $column: " +
       s"${field.dataType.simpleString} -> ${to.simpleString} " +
       "(only widening promotions are metadata-safe)")
+    // bucket(n,col) hashing is TYPE-SENSITIVE (Spark murmur3 hashes
+    // int 5 and long 5L differently, unlike Iceberg's spec hash):
+    // widening a bucketed column would silently invalidate every
+    // file's recorded bucket stat — equality pruning and bucket-local
+    // reads would both go wrong on existing data. Refuse; the caller
+    // must drop the bucket clustering (and rely on compaction to
+    // restat) before widening.
+    if (field.dataType != to)
+      clusterFields.getOrElse(Nil).collect {
+        case bf: BucketField if bf.column.equalsIgnoreCase(column) => bf
+      }.foreach(bf => throw new IllegalArgumentException(
+        s"cannot widen $column while it is clustered ${bf.spec}: " +
+          "bucket hashing is type-sensitive and existing files' " +
+          "bucket stats would become wrong; drop the bucket " +
+          "clustering first"))
     val next = StructType(cur.fields.map(f =>
       if (f.name == field.name) f.copy(dataType = to) else f))
     commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
@@ -528,6 +543,66 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // time travel across later renames still reads the right bytes
     readEntries(manifestOf(s), schemaAt(snapshotId),
       s.physicalNames.getOrElse(Map.empty))
+  }
+
+  /** Bucket-local (storage-partitioned) read — the shuffle-free join
+    * path for tables clustered `bucket(n, key)`: returns a scan whose
+    * i-th partition reads EXACTLY bucket i's data files (the same
+    * pre-plan file-group assignment stats pruning uses, applied to
+    * layout), declared to Catalyst as `HashPartitioning(key, n)` via
+    * [[graft.plans.ClaimHashPartitioned]]. The bucket transform is
+    * Spark's own shuffle function (pmod(hash(col), n)), so a join of
+    * two co-bucketed reads on `key` satisfies both sides' required
+    * distribution as-is: EnsureRequirements inserts NO Exchange, only
+    * per-partition local sorts. At 100 TB that removes the full-table
+    * shuffle of both sides of a fact-fact equi-join; parallelism is n,
+    * so pick the bucket count for the cluster, not the laptop.
+    *
+    * Opt-in and self-vetting: returns None (caller falls back to the
+    * ordinary shuffled [[read]]) unless the layout is provable — no
+    * delete files (MOR masks would reshape rows), no foreign/imported
+    * files without the derived bucket stat, and `key` actually
+    * bucket-clustered. Range-clustered appends cut files by row count,
+    * not bucket edges, so a file may STRADDLE adjacent buckets; such a
+    * file feeds every partition its stat range covers, behind an exact
+    * `pmod(hash(key), n) = i` residual filter — boundary files read
+    * once per straddled bucket (~2× for range layouts, 1× after a
+    * bucket-aligned rewrite), which at scale is noise next to the two
+    * table-sized shuffles this path deletes. Requires GraftExtensions
+    * (plans the claim).
+    */
+  def bucketLocalRead(key: String): Option[DataFrame] = {
+    val bucket = clusterFields.getOrElse(Nil).collectFirst {
+      case b: BucketField if b.column.equalsIgnoreCase(key) => b
+    }.getOrElse(return None)
+    val entries = currentEntries
+    if (entries.isEmpty || entries.exists(_.content != 0)) return None
+    val m = meta.physicalNames
+    val statKey = bucket.statKey(physName(m)(key))
+    val ranges = entries.map { e =>
+      val st = e.stats.getOrElse(statKey, return None)
+      (e, st.min.toInt, st.max.toInt)
+    }
+    val slices = (0 until bucket.n).map { i =>
+      val touching = ranges.filter { case (_, lo, hi) => lo <= i && i <= hi }
+      if (touching.isEmpty)
+        // empty bucket: a 1-partition RDD-backed frame — deliberately
+        // NOT a LocalRelation, which PropagateEmptyRelation would fold
+        // away and break the partition-index-is-bucket-id invariant
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+      else {
+        val scan = scanParquet(touching.map(t => abs(t._1)), schema, m)
+        // exact files (the whole slice is bucket i) skip the residual
+        val exact = touching.forall { case (_, lo, hi) => lo == hi }
+        if (exact) scan
+        else scan.filter(pmod(hash(col(quoted(key))), lit(bucket.n))
+          === i)
+      }
+    }
+    Some(org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      graft.plans.ClaimHashPartitioned(key,
+        slices.map(_.queryExecution.analyzed))))
   }
 
   /** Stats-pruned read: min/max manifest stats choose the file list

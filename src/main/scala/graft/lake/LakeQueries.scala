@@ -1220,6 +1220,65 @@ object LakeQueries extends QueryCatalog {
       .orderBy("phase", "rank")
   }
 
+  /** D40: the bucket-local (storage-partitioned) join — the 100 TB
+    * read-path depth two co-bucketed fact tables unlock: customer and
+    * orders both clustered `bucket(4, custkey)` join WITHOUT
+    * exchanging either side (GraftTable.bucketLocalRead claims the
+    * layout as HashPartitioning, so EnsureRequirements plans only
+    * per-partition local sorts). In-query requires pin the plan shape
+    * (zero Exchange under the join) and bit-equality of the aggregate
+    * against the ordinary shuffled plan; BucketLocalJoinSpec holds the
+    * fallback gates (deletes / no clustering / rename / widen). */
+  private val bucketJoin = Q.noOracle("q_lake_bucket_join") { (s, dir) =>
+    import graft.rel.Tables
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
+    cat.createNamespace("default")
+    val custDf = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ordDf = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+    val cust = cat.createTable("default", "customer", custDf.schema,
+      Map("write.clustered-by" -> "bucket(4,c_custkey)"))
+    cust.append(custDf)
+    val ords = cat.createTable("default", "orders", ordDf.schema,
+      Map("write.clustered-by" -> "bucket(4,o_custkey)"))
+    ords.append(ordDf)
+    val lc = cust.bucketLocalRead("c_custkey").getOrElse(
+      throw new IllegalStateException("customer not bucket-local"))
+    val lo = ords.bucketLocalRead("o_custkey").getOrElse(
+      throw new IllegalStateException("orders not bucket-local"))
+    def agg(j: DataFrame): DataFrame = j
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+      .orderBy("c_mktsegment")
+    // pin the shuffle-free shape with broadcast disabled (a broadcast
+    // join would ALSO avoid the shuffle but is not the 100 TB shape
+    // this scenario exists to prove); restore the session conf after.
+    // The claimed plan carries one relation per bucket per side —
+    // build the join ONCE and reuse it for the plan check, the
+    // aggregate, and the output schema (plan construction is the
+    // dominant driver cost at this table size).
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (out, sch) = try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = lo.join(lc, lo("o_custkey") === lc("c_custkey"))
+      val joinExchanges = j.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange"))
+      require(joinExchanges == 0,
+        s"bucket-local join planned $joinExchanges exchanges")
+      val local = agg(j)
+      val rc = cust.read(); val ro = ords.read()
+      val shuffled =
+        agg(ro.join(rc, ro("o_custkey") === rc("c_custkey")))
+      val got = local.collect().toSeq
+      require(got == shuffled.collect().toSeq,
+        "bucket-local join diverged from the shuffled plan")
+      (got, local.schema)
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    s.createDataFrame(out.asJava, sch).orderBy("c_mktsegment")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
@@ -1229,5 +1288,5 @@ object LakeQueries extends QueryCatalog {
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, quantileRollup,
     invertedIndex,
-    vectorIndex)
+    vectorIndex, bucketJoin)
 }

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.rdd.{RDD, UnionRDD}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** The storage-partitioned-join primitive: declares that partition i
+  * of this node — the i-th child, coalesced to one partition — holds
+  * exactly the rows with `pmod(hash(key), children.size) == i`.
+  *
+  * GraftLake tables clustered `bucket(n, k)` record each data file's
+  * bucket-id range as a derived manifest stat, and
+  * [[graft.lake.GraftTable.bucketLocalRead]] assembles one child scan
+  * per bucket from those stats — the same pre-plan file-group
+  * assignment the stats-pruning path uses, applied to layout instead
+  * of selection. The bucket transform IS Spark's shuffle function
+  * (`pmod(hash(col), n)`, murmur3 seed 42 — ClusterSpec.BucketField),
+  * so the claimed `HashPartitioning(key, n)` is literally the layout
+  * EnsureRequirements would otherwise shuffle both sides to produce:
+  * a join of two co-bucketed reads plans with ZERO Exchange nodes,
+  * just per-partition local sorts. At 100 TB this removes the
+  * full-table shuffle of BOTH sides of a fact-fact equi-join.
+  *
+  * The node unions its children's RDDs ITSELF (child i → coalesce(1)
+  * → partition i) rather than planning a Union of Coalesce(1) slices:
+  * UnionExec under `spark.sql.unionOutputPartitioning` (Spark 4
+  * default) zips same-partitioned children, which would merge every
+  * SinglePartition slice into ONE partition and break the
+  * index-is-bucket-id invariant.
+  *
+  * Trust contract: the node asserts what the builder guarantees —
+  * only construct it over per-bucket slices that provably contain
+  * bucket i alone (bucketLocalRead checks every live file's recorded
+  * bucket stat, refuses delete files and statless foreign files, and
+  * residual-filters files that straddle buckets).
+  */
+final case class ClaimHashPartitioned(keyName: String,
+    children: Seq[LogicalPlan]) extends LogicalPlan {
+  override def output: Seq[Attribute] = children.head.output
+  // like Union, rows are consumed POSITIONALLY from every child under
+  // the head's attribute names — declare each child's full output
+  // referenced, or ColumnPruning sees children 2..n's attributes as
+  // unused and prunes their scans to zero columns (the consumer then
+  // reads fields off empty rows)
+  override def references: org.apache.spark.sql.catalyst.expressions
+    .AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      children.flatMap(_.output))
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): ClaimHashPartitioned =
+    copy(children = newChildren)
+}
+
+final case class ClaimHashPartitionedExec(keyName: String,
+    children: Seq[SparkPlan]) extends SparkPlan {
+  override def output: Seq[Attribute] = children.head.output
+
+  override def outputPartitioning: Partitioning =
+    output.find(_.name.equalsIgnoreCase(keyName))
+      // column pruning may drop the key (e.g. a bare count()) — the
+      // layout claim is then unmakeable AND unneeded
+      .map(key => HashPartitioning(Seq(key), children.size))
+      .getOrElse(UnknownPartitioning(children.size))
+
+  override protected def doExecute(): RDD[InternalRow] =
+    new UnionRDD(sparkContext, children.map { c =>
+      val r = c.execute()
+      // coalesce(1) of a 0-partition RDD stays 0-partition and would
+      // shift every later bucket's index — pad instead
+      if (r.getNumPartitions == 0)
+        sparkContext.parallelize(Seq.empty[InternalRow], 1)
+      else r.coalesce(1, shuffle = false)
+    })
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): ClaimHashPartitionedExec =
+    copy(children = newChildren)
+}
+
+/** Plans the logical claim 1:1 onto the physical one; injected via
+  * GraftExtensions. */
+object ClaimHashPartitionedStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case ClaimHashPartitioned(k, children) =>
+      ClaimHashPartitionedExec(k, children.map(planLater)) :: Nil
+    case _ => Nil
+  }
+}
