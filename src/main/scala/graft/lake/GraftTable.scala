@@ -1696,6 +1696,68 @@ class GraftTable(val spark: SparkSession, val root: Path,
     removed.map(_.snapshotId)
   }
 
+  /** Targeted expiry — Iceberg's `expire_snapshots(snapshot_ids =>
+    * …)`: remove exactly the named snapshots instead of a time
+    * horizon. Protected snapshots REFUSE loudly (Iceberg's
+    * RemoveSnapshots likewise refuses the current snapshot; we extend
+    * the refusal to branch/tag-pinned ones rather than silently
+    * skipping — a GDPR workflow that thinks it purged a pinned
+    * snapshot must hear otherwise). Same publish-then-delete ordering
+    * as the time-based [[expireSnapshots]]: metadata first, physical
+    * file removal only for files no retained snapshot still reaches.
+    */
+  def expireSnapshotsByIds(ids: Seq[Long]): Seq[Long] = {
+    if (ids.isEmpty) return Nil
+    val b = captureBase()
+    val m = b.meta
+    val known = m.snapshots.map(_.snapshotId).toSet
+    ids.foreach(id => require(known(id),
+      s"Cannot expire unknown snapshot $id"))
+    m.currentSnapshotId.filter(ids.contains).foreach(id =>
+      throw new IllegalArgumentException(
+        s"Cannot expire the current snapshot $id " +
+          "(roll back or set_current first)"))
+    for ((refName, ref) <- m.refs if ids.contains(ref.snapshotId))
+      throw new IllegalArgumentException(
+        s"Cannot expire snapshot ${ref.snapshotId}: pinned by " +
+          s"${ref.refType} '$refName' (drop the ref first)")
+    val drop = ids.toSet
+    val (removed, retained) = m.snapshots.partition(s =>
+      drop(s.snapshotId))
+    val removedManifests = removed.map(s =>
+      (root.resolve(s.manifestList), manifestOf(s)))
+    val reachable = retained.flatMap(manifestOf).map(abs).toSet
+    commitMeta(b, m.copy(snapshots = retained))
+    for ((manifestPath, entries) <- removedManifests) {
+      for (e <- entries if !reachable(abs(e)))
+        Files.deleteIfExists(Path.of(abs(e)))
+      Files.deleteIfExists(manifestPath)
+    }
+    removed.map(_.snapshotId)
+  }
+
+  /** Ancestry walk — Iceberg's `ancestors_of` metadata procedure: the
+    * chain of snapshots from `snapshotId` (default: current) back
+    * through parent links, newest first. Stops gracefully where the
+    * chain leaves the retained log (an expired ancestor ends the
+    * walk, exactly like Iceberg's SnapshotUtil.ancestorsOf). */
+  def ancestorsOf(snapshotId: Option[Long] = None): Seq[SnapshotMeta] = {
+    val m = meta
+    val start = snapshotId.orElse(m.currentSnapshotId)
+      .getOrElse(return Nil)
+    require(m.snapshots.exists(_.snapshotId == start),
+      s"Cannot find snapshot with ID $start (expired or never existed)")
+    var chain = Vector.empty[SnapshotMeta]
+    var cursor: Option[Long] = Some(start)
+    while (cursor.isDefined) {
+      m.snapshots.find(_.snapshotId == cursor.get) match {
+        case Some(s) => chain :+= s; cursor = s.parentId
+        case None => cursor = None // expired ancestor: end of walk
+      }
+    }
+    chain
+  }
+
   /** Roll the current pointer back to an ANCESTOR of the current
     * state — Iceberg's rollback_to_snapshot (its SetSnapshotOperation
     * refuses non-ancestors; arbitrary jumps are set_current_snapshot's

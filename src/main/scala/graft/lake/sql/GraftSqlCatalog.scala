@@ -349,7 +349,7 @@ private object GraftProcedures {
     "rewrite_position_delete_files", "rollback_to_snapshot",
     "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
-    "drop_ref", "fast_forward", "add_files")
+    "drop_ref", "fast_forward", "add_files", "ancestors_of")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -381,15 +381,35 @@ private object GraftProcedures {
     case "expire_snapshots" => Some(procedure(name,
       Seq(param("table", StringType),
         paramD("older_than", TimestampType, "NULL"),
-        paramD("retain_last", IntegerType, "1")),
+        paramD("retain_last", IntegerType, "1"),
+        // Iceberg's targeted form: expire EXACTLY these ids (refuses
+        // the current snapshot and ref-pinned ones); when given, the
+        // time-horizon knobs are ignored
+        paramD("snapshot_ids", ArrayType(LongType), "NULL")),
       StructType.fromDDL("expired_snapshot_id BIGINT"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
-        val olderThanMs =
-          if (args.isNullAt(1)) System.currentTimeMillis()
-          else args.getLong(1) / 1000L
-        val retain = args.getInt(2)
-        t.expireSnapshots(olderThanMs, retain).map(id => outRow(id))
+        if (!args.isNullAt(3)) {
+          val ids = args.getArray(3).toLongArray().toSeq
+          t.expireSnapshotsByIds(ids).map(id => outRow(id))
+        } else {
+          val olderThanMs =
+            if (args.isNullAt(1)) System.currentTimeMillis()
+            else args.getLong(1) / 1000L
+          val retain = args.getInt(2)
+          t.expireSnapshots(olderThanMs, retain).map(id => outRow(id))
+        }
+      }))
+    case "ancestors_of" => Some(procedure(name,
+      Seq(param("table", StringType),
+        paramD("snapshot_id", LongType, "NULL")),
+      StructType.fromDDL(
+        "snapshot_id BIGINT, timestamp_ms BIGINT, parent_id BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val start = if (args.isNullAt(1)) None else Some(args.getLong(1))
+        t.ancestorsOf(start).map(s =>
+          outRow(s.snapshotId, s.timestampMs, s.parentId.orNull))
       }))
     case "remove_orphan_files" => Some(procedure(name,
       Seq(param("table", StringType),

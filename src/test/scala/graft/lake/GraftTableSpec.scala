@@ -69,6 +69,51 @@ class GraftTableSpec extends SparkSuite {
     assert(delRows.count() === 1)
   }
 
+  test("D37+ targeted expiry (snapshot_ids) + ancestors_of: named " +
+    "snapshots expire exactly, protected ones refuse, the ancestry " +
+    "walk stops at the expiry boundary, and no surviving parquet " +
+    "byte carries the purged PII") {
+    val t = newTable()
+    val s0 = t.append(seedDf).snapshotId
+    t.delete(col("case_id") === "case-2") // MOR delete
+    val s1 = t.currentSnapshot.get.snapshotId
+    t.rewriteDataFiles() // compaction drops the masked row's bytes
+    val head = t.currentSnapshot.get.snapshotId
+    assert(t.ancestorsOf().map(_.snapshotId) === Seq(head, s1, s0),
+      "ancestors_of walks newest-first through parent links")
+    assert(t.ancestorsOf(Some(s1)).map(_.snapshotId) === Seq(s1, s0))
+    // protected snapshots refuse loudly
+    val eCur = intercept[IllegalArgumentException](
+      t.expireSnapshotsByIds(Seq(head)))
+    assert(eCur.getMessage.contains("current"))
+    t.createTag("audit-hold", Some(s1))
+    val ePin = intercept[IllegalArgumentException](
+      t.expireSnapshotsByIds(Seq(s1)))
+    assert(ePin.getMessage.contains("audit-hold"))
+    t.dropRef("audit-hold")
+    intercept[IllegalArgumentException](
+      t.expireSnapshotsByIds(Seq(999999L)))
+    // the targeted purge: exactly the named pre-compaction history
+    val removed = t.expireSnapshotsByIds(Seq(s0, s1))
+    assert(removed.toSet === Set(s0, s1))
+    intercept[IllegalArgumentException](t.readAt(s0))
+    intercept[Exception](t.rollbackTo(s0))
+    intercept[Exception](t.setCurrentSnapshot(s1))
+    assert(t.ancestorsOf().map(_.snapshotId) === Seq(head),
+      "walk must end gracefully at the expired ancestor")
+    // physical permanence (the PII-resurrection property's sweep):
+    // case-2's secret survives in NO parquet byte under the table
+    val parquets = Files.walk(t.root).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    parquets.foreach { p =>
+      val vals = spark.read.parquet(p.toString).collect()
+        .flatMap(_.toSeq).map(String.valueOf)
+      assert(!vals.contains("secret text 2"),
+        s"surviving file $p still carries the purged value")
+    }
+    assert(t.read().count() === 2)
+  }
+
   test("S2 time travel sees pre-delete state; D10 expire makes it fail " +
       "(demo.py:254-262,300-306)") {
     val t = newTable()

@@ -826,6 +826,44 @@ class GraftSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("already present"), e2.getMessage)
   }
 
+  test("CALL ancestors_of walks the lineage; CALL expire_snapshots(" +
+    "snapshot_ids => ...) purges exactly the named history and the " +
+    "walk then stops at the boundary") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    val s0 = snapshotIds(tbl).last
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    val s1 = snapshotIds(tbl).last
+    spark.sql(s"INSERT INTO $tbl VALUES ('case-9','Ida'," +
+      "'i@example.com','k9','s9','sk9',DATE'2024-06-06')")
+    val head = snapshotIds(tbl).last
+    val chain = spark.sql("CALL graft.system.ancestors_of(" +
+      s"table => '$ns.pii_data')").collect()
+    assert(chain.map(_.getLong(0)).toSeq === Seq(head, s1, s0),
+      "ancestors_of must walk newest-first")
+    assert(chain.last.isNullAt(2), "root ancestor has no parent")
+    val fromS1 = spark.sql("CALL graft.system.ancestors_of(" +
+      s"table => '$ns.pii_data', snapshot_id => $s1)").collect()
+    assert(fromS1.map(_.getLong(0)).toSeq === Seq(s1, s0))
+    // targeted purge of the pre-insert history
+    val expired = spark.sql("CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.pii_data', snapshot_ids => array(${s0}L, ${s1}L))")
+      .collect().map(_.getLong(0)).toSet
+    assert(expired === Set(s0, s1))
+    val after = spark.sql("CALL graft.system.ancestors_of(" +
+      s"table => '$ns.pii_data')").collect()
+    assert(after.map(_.getLong(0)).toSeq === Seq(head),
+      "walk must stop at the expiry boundary")
+    // the current snapshot refuses targeted expiry
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.expire_snapshots(" +
+        s"table => '$ns.pii_data', snapshot_ids => array(${head}L))")
+      .collect())
+    assert(e.getMessage.contains("current"), e.getMessage)
+    assert(ids(tbl) === Seq("case-1", "case-3", "case-9"))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns " +
     "through ALTER machinery; old snapshots keep the old schema") {
     val ns = freshNs()
