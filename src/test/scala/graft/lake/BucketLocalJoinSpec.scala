@@ -72,6 +72,19 @@ class BucketLocalJoinSpec extends SparkSuite {
       sessionThreshold)
   }
 
+  test("bucket-local read also feeds key-grouped AGGREGATION without " +
+    "an exchange (partial+final collapse into one stage)") {
+    val (ta, _) = mkTables()
+    val la = ta.bucketLocalRead("k").get
+    val agg = la.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(exchanges(agg) === 0,
+      s"grouped agg on the bucket key must not shuffle:\n" +
+        agg.queryExecution.executedPlan)
+    val want = ta.read().groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k").collect().toSeq
+    assert(agg.orderBy("k").collect().toSeq === want)
+  }
+
   test("bucket-local read survives a RENAME of the key column " +
     "(stat keys are physical-name stable)") {
     val (ta, tb) = mkTables()
