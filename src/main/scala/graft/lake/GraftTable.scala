@@ -575,7 +575,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val bucket = clusterFields.getOrElse(Nil).collectFirst {
       case b: BucketField if b.column.equalsIgnoreCase(key) => b
     }.getOrElse(return None)
-    val entries = currentEntries
+    // same spark.wap.branch audit routing as read()/readWhere — an
+    // audit session must never silently serve main through this path
+    val entries = wapBranch.filter(meta.refs.contains) match {
+      case Some(br) => manifestOf(snapshotOrFail(refSnapshotId(br)))
+      case None => currentEntries
+    }
     if (entries.isEmpty || entries.exists(_.content != 0)) return None
     val m = meta.physicalNames
     val statKey = bucket.statKey(physName(m)(key))
