@@ -126,11 +126,80 @@ case class GraftSqlResolution(session: SparkSession)
     case other if !other.exists(n => n.isInstanceOf[UpdateTable] ||
         n.isInstanceOf[DeleteFromTable] ||
         n.isInstanceOf[MergeIntoTable]) =>
+      val local = bucketLocalAssignments(other)
       other.transformUp {
-        case GraftRel(r, t) => substitute(r, t.read())
+        case GraftRel(r, t) =>
+          substitute(r, local.getOrElse(r, t.read()))
         case GraftMetaRel(r, t) => substitute(r, t.df)
       }
     case other => other
+  }
+
+  /** SQL-path storage-partitioned joins, behind the opt-in session
+    * conf `spark.graft.bucketLocalJoin=true`: when a Join's two sides
+    * are (alias/filter-wrapped) Graft relations whose equi-join keys
+    * are both clustered `bucket(n, key)` with the SAME n, substitute
+    * each side with [[GraftTable.bucketLocalRead]] instead of the
+    * plain read — the claimed HashPartitioning survives the
+    * re-aliasing Project (ProjectExec is alias-aware), so
+    * EnsureRequirements plans the join with zero Exchange nodes.
+    * Everything ineligible (deletes, straddle-only stats, pinned
+    * snapshots, different n) silently keeps the ordinary shuffled
+    * read — this is a layout fast path, never a semantics change. */
+  private def bucketLocalAssignments(plan: LogicalPlan)
+      : Map[DataSourceV2Relation, DataFrame] = {
+    if (!session.conf.getOption("spark.graft.bucketLocalJoin")
+        .exists(_.equalsIgnoreCase("true"))) return Map.empty
+    // a join side qualifies if the relation is reachable through
+    // nodes that neither rename nor drop the key attribute
+    def side(p: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
+      p match {
+        case SubqueryAlias(_, c) => side(c)
+        case Filter(_, c) => side(c)
+        case GraftRel(r, t) if t.pinnedSnapshot.isEmpty => Some((r, t))
+        case _ => None
+      }
+    def bucketOf(t: GraftSqlTable, key: String)
+        : Option[graft.lake.BucketField] =
+      t.graft.enrichedProperties.get("write.clustered-by")
+        .map(graft.lake.ClusterSpec.parseList).getOrElse(Nil)
+        .collectFirst {
+          case b: graft.lake.BucketField
+            if b.column.equalsIgnoreCase(key) => b
+        }
+    val out = scala.collection.mutable
+      .Map.empty[DataSourceV2Relation, DataFrame]
+    plan.foreach {
+      case j: Join if j.condition.isDefined =>
+        (side(j.left), side(j.right)) match {
+          case (Some((lr, lt)), Some((rr, rt)))
+              if !out.contains(lr) && !out.contains(rr) =>
+            // find one equi-conjunct pairing the two relations
+            val pairs = j.condition.get.collect {
+              case org.apache.spark.sql.catalyst.expressions
+                  .EqualTo(a: AttributeReference, b: AttributeReference)
+                  if lr.outputSet.contains(a) && rr.outputSet.contains(b)
+                => (a.name, b.name)
+              case org.apache.spark.sql.catalyst.expressions
+                  .EqualTo(a: AttributeReference, b: AttributeReference)
+                  if rr.outputSet.contains(a) && lr.outputSet.contains(b)
+                => (b.name, a.name)
+            }
+            pairs.headOption.foreach { case (lk, rk) =>
+              (bucketOf(lt, lk), bucketOf(rt, rk)) match {
+                case (Some(lb), Some(rb)) if lb.n == rb.n =>
+                  for (ld <- lt.graft.bucketLocalRead(lk);
+                       rd <- rt.graft.bucketLocalRead(rk)) {
+                    out(lr) = ld; out(rr) = rd
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toMap
   }
 
   private def trueColumn: Column =

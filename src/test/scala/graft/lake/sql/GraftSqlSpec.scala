@@ -864,6 +864,51 @@ class GraftSqlSpec extends SparkSuite {
     assert(ids(tbl) === Seq("case-1", "case-3", "case-9"))
   }
 
+  test("spark.graft.bucketLocalJoin routes a SQL join of co-bucketed " +
+    "tables through the storage-partitioned path: zero Exchange, " +
+    "identical rows, ineligible shapes untouched") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    spark.sql(s"CREATE TABLE graft.$ns.f (k BIGINT, a BIGINT) " +
+      "USING graft PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE graft.$ns.d (k BIGINT, b STRING) " +
+      "USING graft PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO graft.$ns.f SELECT id % 97, id " +
+      "FROM range(2000)")
+    spark.sql(s"INSERT INTO graft.$ns.d SELECT id % 53, " +
+      "concat('d', id) FROM range(500)")
+    val q = s"SELECT f.k, count(*) AS n, sum(f.a) AS s " +
+      s"FROM graft.$ns.f f JOIN graft.$ns.d d ON f.k = d.k " +
+      "GROUP BY f.k ORDER BY f.k"
+    val want = spark.sql(q).collect().toSeq
+    val savedB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.graft.bucketLocalJoin", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val routed = spark.sql(q)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(plan.contains("ClaimHashPartitioned"),
+        s"join was not routed through the bucket-local path:\n$plan")
+      // join AND group-by (keyed on the join key) both collapse
+      // shuffle-free; the only Exchange left is the global ORDER BY's
+      // rangepartitioning, which no partitioning claim can remove
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket-local SQL join must not hash-shuffle:\n$plan")
+      assert(plan.split("\n").count(_.contains("Exchange")) === 1,
+        s"only the ORDER BY exchange may remain:\n$plan")
+      assert(routed.collect().toSeq === want)
+      // ineligible: joining on a NON-bucketed key keeps the plain path
+      val off = spark.sql(s"SELECT count(*) FROM graft.$ns.f f " +
+        s"JOIN graft.$ns.d d ON f.a = d.k")
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("ClaimHashPartitioned"))
+      off.collect()
+    } finally {
+      spark.conf.unset("spark.graft.bucketLocalJoin")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
+    }
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns " +
     "through ALTER machinery; old snapshots keep the old schema") {
     val ns = freshNs()
