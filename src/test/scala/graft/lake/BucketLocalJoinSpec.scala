@@ -132,6 +132,38 @@ class BucketLocalJoinSpec extends SparkSuite {
     assert(j.count() === rc.join(rb, rc("k") === rb("k")).count())
   }
 
+  test("scale shape: 32-bucket layout over many files assembles from " +
+    "manifest metadata alone and still joins exchange-free") {
+    val wh = graft.ScratchDirs.create("graft-blj-scale-")
+    val props = Map("write.clustered-by" -> "bucket(32,k)",
+      "write.clustered-by.files" -> "16")
+    val ta = GraftTable.create(spark, wh.resolve("a"), "d.a", schemaA,
+      props)
+    val tb = GraftTable.create(spark, wh.resolve("b"), "d.b", schemaB,
+      props)
+    // 4 appends x 16 files = 64 files per side, buckets straddled
+    (1 to 4).foreach { w =>
+      ta.append(spark.createDataFrame((1L to 20000L)
+        .map(i => Row(i % 4999, s"a$w-$i")).asJava, schemaA))
+      tb.append(spark.createDataFrame((1L to 10000L)
+        .map(i => Row(i % 997, i)).asJava, schemaB))
+    }
+    assert(ta.files.filter("content = 0").count() >= 32)
+    val la = ta.bucketLocalRead("k")
+    val lb = tb.bucketLocalRead("k")
+    assert(la.isDefined && lb.isDefined)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = la.get.join(lb.get, "k")
+      assert(exchanges(j) === 0)
+      assert(j.rdd.getNumPartitions === 32)
+      val ra = ta.read(); val rb = tb.read()
+      assert(j.count() === ra.join(rb, "k").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      saved)
+  }
+
   test("widening a bucket-clustered key is refused (type-sensitive " +
     "hash would falsify every file's bucket stat)") {
     val wh = graft.ScratchDirs.create("graft-blj-widen-")
