@@ -132,6 +132,29 @@ class BucketLocalJoinSpec extends SparkSuite {
     assert(j.count() === rc.join(rb, rc("k") === rb("k")).count())
   }
 
+  test("lifecycle: a MOR delete disables the bucket-local path and " +
+    "compaction restores it (masks folded, stats re-derived)") {
+    val wh = graft.ScratchDirs.create("graft-blj-life-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "d.t", schemaB,
+      Map("write.clustered-by" -> "bucket(8,k)",
+        "write.delete.mode" -> "merge-on-read"))
+    t.append(spark.createDataFrame(
+      (1L to 2000L).map(i => Row(i % 499, i)).asJava, schemaB))
+    assert(t.bucketLocalRead("k").isDefined)
+    t.delete(col("b") % 10L === 0L)
+    assert(t.bucketLocalRead("k").isEmpty,
+      "delete files must disable the layout claim")
+    t.rewriteDataFiles()
+    val la = t.bucketLocalRead("k")
+    assert(la.isDefined,
+      "compaction folds the masks and re-derives bucket stats")
+    assert(la.get.count() === t.read().count())
+    assert(la.get.select(spark_partition_id().as("p"),
+      pmod(hash(col("k")), lit(8)).as("b"))
+      .filter(col("p") =!= col("b")).count() === 0,
+      "post-compaction layout claim must hold row-for-row")
+  }
+
   test("scale shape: 32-bucket layout over many files assembles from " +
     "manifest metadata alone and still joins exchange-free") {
     val wh = graft.ScratchDirs.create("graft-blj-scale-")
