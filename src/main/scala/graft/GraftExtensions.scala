@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.ClaimHashPartitioned
     ext.injectPlannerStrategy(_ =>
       graft.plans.ClaimHashPartitionedStrategy)
+    // distribute filters/projections over the claim so pushdown and
+    // column pruning reach the per-bucket parquet scans
+    ext.injectOptimizerRule(_ => graft.plans.ClaimPushdown)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "vec_dot"),

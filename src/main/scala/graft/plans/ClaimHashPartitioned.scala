@@ -89,3 +89,68 @@ object ClaimHashPartitionedStrategy extends SparkStrategy {
     case _ => Nil
   }
 }
+
+/** Filters and projections DISTRIBUTE over the claim exactly as over
+  * a Union — push them into every per-bucket child so they reach the
+  * parquet scans (PushedFilters + pruned ReadSchema). Catalyst's own
+  * pushdown rules stop at unknown nodes, so without this a filtered
+  * bucket-local read scans every column of every row and filters
+  * above — the difference between a stats-pruned column-pruned scan
+  * and a full-table read at 100 TB. Injected via GraftExtensions
+  * (injectOptimizerRule, so it runs inside the operator-optimization
+  * fixpoint alongside CollapseProject and PushDownPredicates).
+  *
+  * Filtering never invalidates the layout claim (a subset of rows
+  * with pmod(hash(key),n)=i still satisfies it). A projection may
+  * RENAME the key — the claim's keyName follows the alias (today the
+  * alias-aware ProjectExec preserved the partitioning from ABOVE; the
+  * pushed form must preserve it from within) — or drop it, in which
+  * case the exec already degrades to UnknownPartitioning. */
+object ClaimPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def rebind(e: Expression, from: Seq[Attribute],
+      to: Seq[Attribute]): Expression = {
+    val idx = from.zipWithIndex.map { case (a, i) => a.exprId -> i }.toMap
+    e.transform {
+      case a: AttributeReference if idx.contains(a.exprId) =>
+        to(idx(a.exprId))
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case Filter(cond, c: ClaimHashPartitioned) if cond.deterministic =>
+        c.copy(children = c.children.zipWithIndex.map { case (ch, i) =>
+          // child 0 owns the claim's output attrs: condition as-is
+          Filter(if (i == 0) cond else rebind(cond, c.output, ch.output),
+            ch)
+        })
+      case Project(list, c: ClaimHashPartitioned)
+          if list.forall(_.deterministic) =>
+        val newKey = list.collectFirst {
+          case a: AttributeReference
+            if a.name.equalsIgnoreCase(c.keyName) => a.name
+          case al @ Alias(a: AttributeReference, _)
+            if a.name.equalsIgnoreCase(c.keyName) => al.name
+        }.getOrElse(c.keyName) // dropped key → exec degrades anyway
+        ClaimHashPartitioned(newKey,
+          c.children.zipWithIndex.map { case (ch, i) =>
+            // child 0 keeps the projection verbatim so the claim's
+            // output exprIds are exactly the old Project's; siblings
+            // mint fresh alias ids (their outputs are never referenced)
+            val bound =
+              if (i == 0) list
+              else list.map { ne =>
+                rebind(ne, c.output, ch.output) match {
+                  case a: AttributeReference => a
+                  case al: Alias => Alias(al.child, al.name)()
+                  case other => Alias(other, ne.name)()
+                }
+              }
+            Project(bound, ch)
+          })
+    }
+}

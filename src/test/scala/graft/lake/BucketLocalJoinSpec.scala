@@ -132,6 +132,40 @@ class BucketLocalJoinSpec extends SparkSuite {
     assert(j.count() === rc.join(rb, rc("k") === rb("k")).count())
   }
 
+  test("pushdown distributes over the claim: a filter over a " +
+    "bucket-local read reaches every per-bucket parquet scan, column " +
+    "pruning trims the ReadSchema, and the layout claim survives a " +
+    "key rename through the pushed projection") {
+    val (ta, tb) = mkTables()
+    val la = ta.bucketLocalRead("k").get
+    val filtered = la.filter(col("k") > 100L).select("k")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThan(k,100)]"),
+      s"filter must reach the parquet scans:\n$plan")
+    assert(plan.contains("ReadSchema: struct<k:bigint>"),
+      s"projection must prune the scans to the key column:\n$plan")
+    assert(filtered.count() ===
+      ta.read().filter(col("k") > 100L).count())
+    // a renaming projection pushes below AND the claim follows the
+    // alias: the join on the renamed key still plans exchange-free
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ra = ta.bucketLocalRead("k").get
+        .select(col("k").as("kk"), col("a"))
+        .filter(col("kk") < 400L)
+      val rb = tb.bucketLocalRead("k").get.filter(col("k") < 400L)
+      val j = ra.join(rb, ra("kk") === rb("k"))
+      assert(exchanges(j) === 0,
+        s"claim must survive the pushed rename:\n" +
+          j.queryExecution.executedPlan)
+      val pa = ta.read(); val pb = tb.read()
+      assert(j.count() === pa.filter(col("k") < 400L)
+        .join(pb.filter(col("k") < 400L), pa("k") === pb("k")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      saved)
+  }
+
   test("lifecycle: a MOR delete disables the bucket-local path and " +
     "compaction restores it (masks folded, stats re-derived)") {
     val wh = graft.ScratchDirs.create("graft-blj-life-")
