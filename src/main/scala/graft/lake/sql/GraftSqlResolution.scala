@@ -122,8 +122,13 @@ case class GraftSqlResolution(session: SparkSession)
         notMatched = notMatchedActs.map(insertSpec),
         notMatchedBySource = nmbsActs.map(whenSpec))
     // substitute read relations — but never while an unrewritten
-    // row-level command still owns its target relation
-    case other if !other.exists(n => n.isInstanceOf[UpdateTable] ||
+    // row-level command still owns its target relation, and only once
+    // the plan is RESOLVED: substituting relations mid-analysis would
+    // run the bucket-local join detector before join conditions have
+    // attributes (the fixpoint reaches this case regardless — V2
+    // relations analyze fine unsubstituted, they just can't plan)
+    case other if other.resolved &&
+        !other.exists(n => n.isInstanceOf[UpdateTable] ||
         n.isInstanceOf[DeleteFromTable] ||
         n.isInstanceOf[MergeIntoTable]) =>
       val local = bucketLocalAssignments(other)
@@ -150,13 +155,24 @@ case class GraftSqlResolution(session: SparkSession)
       : Map[DataSourceV2Relation, DataFrame] = {
     if (!session.conf.getOption("spark.graft.bucketLocalJoin")
         .exists(_.equalsIgnoreCase("true"))) return Map.empty
-    // a join side qualifies if the relation is reachable through
-    // nodes that neither rename nor drop the key attribute
-    def side(p: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
+    // trace a join-key attribute down through aliases, filters, and
+    // projection renames to the graft relation column it reads — a
+    // side qualifies however the query dressed it, as long as the key
+    // survives the walk
+    def trace(p: LogicalPlan, attr: AttributeReference)
+        : Option[(DataSourceV2Relation, GraftSqlTable, String)] =
       p match {
-        case SubqueryAlias(_, c) => side(c)
-        case Filter(_, c) => side(c)
-        case GraftRel(r, t) if t.pinnedSnapshot.isEmpty => Some((r, t))
+        case SubqueryAlias(_, c) => trace(c, attr)
+        case Filter(_, c) => trace(c, attr)
+        case Project(list, c) =>
+          list.find(_.exprId == attr.exprId).flatMap {
+            case a: AttributeReference => trace(c, a)
+            case Alias(a: AttributeReference, _) => trace(c, a)
+            case _ => None // computed key: no storage column behind it
+          }
+        case GraftRel(r, t)
+            if t.pinnedSnapshot.isEmpty && r.outputSet.contains(attr) =>
+          Some((r, t, attr.name))
         case _ => None
       }
     def bucketOf(t: GraftSqlTable, key: String)
@@ -171,29 +187,29 @@ case class GraftSqlResolution(session: SparkSession)
       .Map.empty[DataSourceV2Relation, DataFrame]
     plan.foreach {
       case j: Join if j.condition.isDefined =>
-        (side(j.left), side(j.right)) match {
-          case (Some((lr, lt)), Some((rr, rt)))
-              if !out.contains(lr) && !out.contains(rr) =>
-            // find one equi-conjunct pairing the two relations
-            val pairs = j.condition.get.collect {
-              case org.apache.spark.sql.catalyst.expressions
-                  .EqualTo(a: AttributeReference, b: AttributeReference)
-                  if lr.outputSet.contains(a) && rr.outputSet.contains(b)
-                => (a.name, b.name)
-              case org.apache.spark.sql.catalyst.expressions
-                  .EqualTo(a: AttributeReference, b: AttributeReference)
-                  if rr.outputSet.contains(a) && lr.outputSet.contains(b)
-                => (b.name, a.name)
-            }
-            pairs.headOption.foreach { case (lk, rk) =>
-              (bucketOf(lt, lk), bucketOf(rt, rk)) match {
-                case (Some(lb), Some(rb)) if lb.n == rb.n =>
-                  for (ld <- lt.graft.bucketLocalRead(lk);
-                       rd <- rt.graft.bucketLocalRead(rk)) {
-                    out(lr) = ld; out(rr) = rd
-                  }
-                case _ => ()
+        // find one equi-conjunct whose two attributes trace to two
+        // DISTINCT graft relations (one per join side, either order)
+        val pairs = j.condition.get.collect {
+          case org.apache.spark.sql.catalyst.expressions
+              .EqualTo(a: AttributeReference, b: AttributeReference) =>
+            (trace(j.left, a), trace(j.right, b)) match {
+              case (Some(l), Some(r)) => Some((l, r))
+              case _ => (trace(j.left, b), trace(j.right, a)) match {
+                case (Some(l), Some(r)) => Some((l, r))
+                case _ => None
               }
+            }
+        }.flatten
+        pairs.headOption.foreach {
+          case ((lr, lt, lk), (rr, rt, rk))
+              if lr != rr && !out.contains(lr) && !out.contains(rr) =>
+            (bucketOf(lt, lk), bucketOf(rt, rk)) match {
+              case (Some(lb), Some(rb)) if lb.n == rb.n =>
+                for (ld <- lt.graft.bucketLocalRead(lk);
+                     rd <- rt.graft.bucketLocalRead(rk)) {
+                  out(lr) = ld; out(rr) = rd
+                }
+              case _ => ()
             }
           case _ => ()
         }

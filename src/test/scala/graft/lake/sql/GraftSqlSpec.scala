@@ -897,6 +897,26 @@ class GraftSqlSpec extends SparkSuite {
       assert(plan.split("\n").count(_.contains("Exchange")) === 1,
         s"only the ORDER BY exchange may remain:\n$plan")
       assert(routed.collect().toSeq === want)
+      // a subquery that RENAMES the key still routes: the detector
+      // traces the join attribute through projection aliases
+      val renamed = spark.sql(
+        s"SELECT x.kk, count(*) AS n FROM " +
+          s"(SELECT k AS kk FROM graft.$ns.f WHERE a > 10) x " +
+          s"JOIN graft.$ns.d d ON x.kk = d.k GROUP BY x.kk")
+      val rplan = renamed.queryExecution.executedPlan.toString
+      assert(rplan.contains("ClaimHashPartitioned"),
+        s"renamed-key subquery must still route:\n$rplan")
+      assert(!rplan.contains("Exchange hashpartitioning"), rplan)
+      val wantRenamed = {
+        spark.conf.unset("spark.graft.bucketLocalJoin")
+        try spark.sql(
+          s"SELECT x.kk, count(*) AS n FROM " +
+            s"(SELECT k AS kk FROM graft.$ns.f WHERE a > 10) x " +
+            s"JOIN graft.$ns.d d ON x.kk = d.k GROUP BY x.kk")
+          .collect().toSet
+        finally spark.conf.set("spark.graft.bucketLocalJoin", "true")
+      }
+      assert(renamed.collect().toSet === wantRenamed)
       // ineligible: joining on a NON-bucketed key keeps the plain path
       val off = spark.sql(s"SELECT count(*) FROM graft.$ns.f f " +
         s"JOIN graft.$ns.d d ON f.a = d.k")
