@@ -572,15 +572,29 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * (plans the claim).
     */
   def bucketLocalRead(key: String): Option[DataFrame] = {
-    val bucket = clusterFields.getOrElse(Nil).collectFirst {
-      case b: BucketField if b.column.equalsIgnoreCase(key) => b
-    }.getOrElse(return None)
     // same spark.wap.branch audit routing as read()/readWhere — an
     // audit session must never silently serve main through this path
     val entries = wapBranch.filter(meta.refs.contains) match {
       case Some(br) => manifestOf(snapshotOrFail(refSnapshotId(br)))
       case None => currentEntries
     }
+    bucketLocalReadEntries(entries, key, lineage = false)
+  }
+
+  /** The bucket field clustering `key`, if any. */
+  private[lake] def bucketFieldOf(key: String): Option[BucketField] =
+    clusterFields.getOrElse(Nil).collectFirst {
+      case b: BucketField if b.column.equalsIgnoreCase(key) => b
+    }
+
+  /** [[bucketLocalRead]] over an explicit entry list (a transaction's
+    * captured snapshot, a victim-file subset), optionally carrying the
+    * (file, position) lineage columns — the MERGE discovery join reads
+    * its target this way so only the SOURCE side shuffles. The extra
+    * metadata columns don't disturb the layout claim. */
+  private[lake] def bucketLocalReadEntries(entries: Seq[ManifestEntry],
+      key: String, lineage: Boolean): Option[DataFrame] = {
+    val bucket = bucketFieldOf(key).getOrElse(return None)
     if (entries.isEmpty || entries.exists(_.content != 0)) return None
     val m = meta.physicalNames
     val statKey = bucket.statKey(physName(m)(key))
@@ -588,6 +602,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val st = e.stats.getOrElse(statKey, return None)
       (e, st.min.toInt, st.max.toInt)
     }
+    val outSchema =
+      if (!lineage) schema
+      else StructType(schema.fields ++ Seq(
+        StructField(GraftTable.FileCol, StringType),
+        StructField(GraftTable.PosCol, LongType)))
     val slices = (0 until bucket.n).map { i =>
       val touching = ranges.filter { case (_, lo, hi) => lo <= i && i <= hi }
       if (touching.isEmpty)
@@ -595,9 +614,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
         // NOT a LocalRelation, which PropagateEmptyRelation would fold
         // away and break the partition-index-is-bucket-id invariant
         spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq.empty[Row], 1), schema)
+          spark.sparkContext.parallelize(Seq.empty[Row], 1), outSchema)
       else {
-        val scan = scanParquet(touching.map(t => abs(t._1)), schema, m)
+        val scan = scanParquet(touching.map(t => abs(t._1)), schema, m,
+          lineage = lineage)
         // exact files (the whole slice is bucket i) skip the residual
         val exact = touching.forall { case (_, lo, hi) => lo == hi }
         if (exact) scan

@@ -96,6 +96,30 @@ case class GraftMergeCommand(
       s: MergeWhenSpec): Column =
     s.cond.map(reb(tgt, src)).getOrElse(lit(true))
 
+  /** Target column of an ON equi-conjunct that is bucket-clustered —
+    * the storage-partitioned MERGE opportunity: reading the target
+    * through its claimed bucket layout leaves only the SOURCE side of
+    * the discovery join to shuffle. */
+  private def bucketKey(g: GraftTable): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    onCond.e.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetIds(a.exprId) && sourceIds(b.exprId) => a.name
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if sourceIds(a.exprId) && targetIds(b.exprId) => b.name
+    }.find(g.bucketFieldOf(_).isDefined)
+  }
+
+  /** The target's lineage read for the discovery join: the claimed
+    * bucket-local form when the layout is provable (no delete files,
+    * stats on every file), else the plain read. Pure physical choice —
+    * identical rows either way. */
+  private def targetFrame(g: GraftTable, entries: Seq[graft.lake.ManifestEntry],
+      readLin: Seq[graft.lake.ManifestEntry] => DataFrame): DataFrame =
+    bucketKey(g)
+      .flatMap(k => g.bucketLocalReadEntries(entries, k, lineage = true))
+      .getOrElse(readLin(entries))
+
   /** First-match clause disposition code: update i → i+offset, delete
     * i → DELBASE+offset+i, no clause applies → KEEP. */
   private def dispositionChain(tgt: DataFrame, src: DataFrame,
@@ -179,7 +203,8 @@ case class GraftMergeCommand(
     var joinedCached: DataFrame = null
     try g.cowTransaction("merge") { (entries, readLin) =>
       val src = sourceFrame(session)
-      val tgt1 = readLin(entries).withColumn(TgtMark, lit(true))
+      val tgt1 = targetFrame(g, entries, readLin)
+        .withColumn(TgtMark, lit(true))
       val joined = tgt1.join(src, reb(tgt1, src)(onCond), "full_outer")
         .persist()
       joinedCached = joined
@@ -205,8 +230,8 @@ case class GraftMergeCommand(
       else {
         // rewrite ONLY the affected files, re-joined for disposition
         val rewritten: DataFrame = if (affected.isEmpty) null else {
-          val tgt2 = readLin(g.victimEntries(entries, affected))
-            .withColumn(TgtMark, lit(true))
+          val tgt2 = targetFrame(g, g.victimEntries(entries, affected),
+            readLin).withColumn(TgtMark, lit(true))
           val j2 = tgt2.join(src, reb(tgt2, src)(onCond), "left_outer")
           val m2 = col(SrcMark).isNotNull
           j2.withColumn(ActCol,
@@ -237,7 +262,8 @@ case class GraftMergeCommand(
     try {
       g.morTransaction("merge") { (entries, readLin) =>
         val src = sourceFrame(session)
-        val tgt = readLin(entries).withColumn(TgtMark, lit(true))
+        val tgt = targetFrame(g, entries, readLin)
+          .withColumn(TgtMark, lit(true))
         val joined = tgt.join(src, reb(tgt, src)(onCond), "full_outer")
           .persist()
         joinedCached = joined

@@ -929,6 +929,55 @@ class GraftSqlSpec extends SparkSuite {
     }
   }
 
+  test("storage-partitioned MERGE: a bucket-clustered target's " +
+    "discovery join reads through the claimed layout (only the source " +
+    "shuffles) in BOTH write modes, results identical to the plain path") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val ns = freshNs()
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      spark.sql(s"CREATE TABLE graft.$ns.t (k BIGINT, v STRING) " +
+        "USING graft PARTITIONED BY (bucket(4, k)) " +
+        s"TBLPROPERTIES ('write.merge.mode'='$mode')")
+      spark.sql(s"INSERT INTO graft.$ns.t SELECT id, concat('v', id) " +
+        "FROM range(500)")
+      val captured = new ConcurrentLinkedQueue[String]()
+      val listener = new QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution,
+            d: Long): Unit =
+          captured.add(qe.executedPlan.toString)
+        override def onFailure(f: String, qe: QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        spark.sql(
+          s"""MERGE INTO graft.$ns.t t USING (
+             |  SELECT id AS k, concat('u', id) AS v
+             |  FROM range(400, 600)) s
+             |ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET v = s.v
+             |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+             |""".stripMargin)
+        org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+        import scala.jdk.CollectionConverters._
+        assert(captured.asScala.exists(_.contains("ClaimHashPartitioned")),
+          s"[$mode] discovery join must read the target through the " +
+            "claimed bucket layout")
+      } finally spark.listenerManager.unregister(listener)
+      val got = spark.sql(s"SELECT * FROM graft.$ns.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.size === 600)
+      assert(got.take(400) ===
+        (0L until 400L).map(i => (i, s"v$i")))
+      assert(got.drop(400) ===
+        (400L until 600L).map(i => (i, s"u$i")),
+        s"[$mode] matched rows must be updated, unmatched inserted")
+    }
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION auto-adds source-only columns " +
     "through ALTER machinery; old snapshots keep the old schema") {
     val ns = freshNs()
