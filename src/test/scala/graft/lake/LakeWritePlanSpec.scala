@@ -49,6 +49,11 @@ class LakeWritePlanSpec extends SparkSuite {
       override def onFailure(funcName: String, qe: QueryExecution,
           exception: Exception): Unit = captured.add(qe)
     }
+    // drain events still in flight from EARLIER suites before
+    // registering, or a stale execution (e.g. another spec's
+    // deliberate analysis failure) leaks into this capture — the
+    // session-global listener bus delivers asynchronously
+    TestListenerBus.flush(spark.sparkContext)
     spark.listenerManager.register(listener)
     try {
       val result = op
