@@ -630,6 +630,18 @@ class GraftTable(val spark: SparkSession, val root: Path,
         slices.map(_.queryExecution.analyzed))))
   }
 
+  /** Lineage read through the claimed bucket layout when `claimKey`
+    * names a provably-clustered column, else the plain lineage read —
+    * the self-vetting physical choice shared by MERGE discovery and
+    * the claimed DELETE/UPDATE hit-discovery paths. Identical rows
+    * either way. */
+  private def claimedOr(entries: Seq[ManifestEntry],
+      claimKey: Option[String],
+      fallback: Seq[ManifestEntry] => DataFrame =
+        es => readWithLineage(es)): DataFrame =
+    claimKey.flatMap(k => bucketLocalReadEntries(entries, k,
+      lineage = true)).getOrElse(fallback(entries))
+
   /** Stats-pruned read: min/max manifest stats choose the file list
     * before the scan (the Iceberg manifest-pruning analog, SURVEY §4);
     * the predicate is then applied in full inside the scan. */
@@ -639,7 +651,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case Some(br) => manifestOf(snapshotOrFail(refSnapshotId(br)))
       case None => currentEntries
     }
-    readEntries(pruneByPredicate(entries, pred)).filter(pred)
+    readEntries(pruneByPredicate(entries, _ => pred)).filter(pred)
   }
 
   /** Incremental changelog (CDC) read — the Iceberg
@@ -851,8 +863,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * this is what turns `UPDATE ... WHERE case_id='x'` into a scan of
     * the files whose min/max admit 'x', not a full-table scan. */
   private def pruneByPredicate(entries: Seq[ManifestEntry],
-      pred: Column): Seq[ManifestEntry] = {
-    val conjuncts = analyzeConjuncts(pred)
+      bind: DataFrame => Column): Seq[ManifestEntry] = {
+    val conjuncts = analyzeConjuncts(bind)
     // hoisted: each `meta` access re-reads and re-parses the metadata
     // file — per-entry-per-conjunct lookups would dominate pruning on
     // a many-thousand-file table
@@ -1264,30 +1276,59 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * ALTER TABLE (demo.py:166-171): merge-on-read emits position-delete
     * files; copy-on-write rewrites the affected data files. */
   def delete(pred: Column): Option[SnapshotMeta] =
+    deleteBind(_ => pred, None)
+
+  /** Binder form of DELETE: the predicate re-resolves against the
+    * exact frame being filtered, so conditions carrying correlated
+    * subqueries (whose outer references must point at THAT frame's
+    * attributes) work — the SQL row-level commands route through here.
+    * `claimKey`: a bucket-clustered column the condition's subquery
+    * equi-correlates on; hit discovery then reads the target through
+    * its claimed bucket layout ([[bucketLocalReadEntries]]) so only
+    * the subquery side of the semi-join shuffles. Self-vetting: any
+    * ineligible layout falls back to the plain lineage read. */
+  private[lake] def deleteBind(bind: DataFrame => Column,
+      claimKey: Option[String]): Option[SnapshotMeta] =
     if (properties.getOrElse("write.delete.mode", "copy-on-write")
-        == "merge-on-read") morDelete(pred)
-    else cowRewrite(pred, rows => rows.filter(!pred), "delete")
+        == "merge-on-read") morDelete(bind, claimKey = claimKey)
+    // keep rows where pred is NOT TRUE — a bare !pred drops
+    // pred-evaluates-to-NULL rows, silently deleting rows the
+    // predicate never matched (the MOR path has always kept them:
+    // filter(pred) doesn't hit on NULL)
+    else cowRewrite(bind,
+      rows => rows.filter(!(bind(rows) <=> lit(true))), "delete",
+      claimKey)
 
   /** D7 UPDATE ... SET — honors `write.update.mode` (demo.py:228-235
     * runs copy-on-write). `set` maps column name → new value expression
     * applied only where `pred` holds. */
-  def update(pred: Column, set: Map[String, Column]): Option[SnapshotMeta] = {
-    val transform = updateTransform(pred, set)
+  def update(pred: Column, set: Map[String, Column]): Option[SnapshotMeta] =
+    updateBind(_ => pred,
+      set.map { case (k, v) => k -> ((_: DataFrame) => v) }, None)
+
+  /** Binder form of UPDATE (see [[deleteBind]]): condition AND
+    * assignment values re-resolve per frame, so both may carry
+    * correlated subqueries. */
+  private[lake] def updateBind(bind: DataFrame => Column,
+      set: Map[String, DataFrame => Column],
+      claimKey: Option[String]): Option[SnapshotMeta] = {
+    val transform = updateTransform(bind, set)
     if (properties.getOrElse("write.update.mode", "copy-on-write")
-        == "merge-on-read") morUpdate(pred, transform)
-    else cowRewrite(pred, transform, "overwrite")
+        == "merge-on-read") morUpdate(bind, transform, claimKey = claimKey)
+    else cowRewrite(bind, transform, "overwrite", claimKey)
   }
 
-  private def updateTransform(pred: Column,
-      set: Map[String, Column]): DataFrame => DataFrame = {
+  private def updateTransform(bind: DataFrame => Column,
+      set: Map[String, DataFrame => Column]): DataFrame => DataFrame = {
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns: ${set.keySet -- schema.fieldNames}")
     rows => {
+      val pred = bind(rows)
       val cols = schema.fieldNames.map { f =>
         set.get(f) match {
-          case Some(v) => when(pred, v.cast(schema(f).dataType))
-            .otherwise(col(f)).as(f)
-          case None => col(f)
+          case Some(v) => when(pred, v(rows).cast(schema(f).dataType))
+            .otherwise(col(quoted(f))).as(f)
+          case None => col(quoted(f))
         }
       }
       rows.select(cols.toSeq: _*)
@@ -1301,18 +1342,22 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * `write.update.mode` exactly like the main-branch twins, so a
     * table tuned for merge-on-read stages position-delete files on
     * the branch instead of paying a COW rewrite pre-publish. */
-  def deleteOnBranch(branch: String, pred: Column): Option[SnapshotMeta] =
+  def deleteOnBranch(branch: String, pred: Column): Option[SnapshotMeta] = {
+    val bind = (_: DataFrame) => pred
     if (properties.getOrElse("write.delete.mode", "copy-on-write")
-        == "merge-on-read") morDelete(pred, Some(branch))
-    else cowRewriteOn(Some(branch), pred, rows => rows.filter(!pred),
-      "delete")
+        == "merge-on-read") morDelete(bind, Some(branch))
+    else cowRewriteOn(Some(branch), bind,
+      rows => rows.filter(!(pred <=> lit(true))), "delete")
+  }
 
   def updateOnBranch(branch: String, pred: Column,
       set: Map[String, Column]): Option[SnapshotMeta] = {
-    val transform = updateTransform(pred, set)
+    val bind = (_: DataFrame) => pred
+    val transform = updateTransform(bind,
+      set.map { case (k, v) => k -> ((_: DataFrame) => v) })
     if (properties.getOrElse("write.update.mode", "copy-on-write")
-        == "merge-on-read") morUpdate(pred, transform, Some(branch))
-    else cowRewriteOn(Some(branch), pred, transform, "overwrite")
+        == "merge-on-read") morUpdate(bind, transform, Some(branch))
+    else cowRewriteOn(Some(branch), bind, transform, "overwrite")
   }
 
   /** Target rows per position-delete file; delete-file writes scale
@@ -1365,16 +1410,18 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * Hit discovery scans only stats-pruned candidate files. With a
     * branch, hits come from the BRANCH head's manifest and the commit
     * is branch-parented (main readers untouched until publish). */
-  private def morDelete(pred: Column,
-      explicitBranch: Option[String] = None): Option[SnapshotMeta] = {
+  private def morDelete(bind: DataFrame => Column,
+      explicitBranch: Option[String] = None,
+      claimKey: Option[String] = None): Option[SnapshotMeta] = {
     val branch = resolveBranch(explicitBranch)
     val b = captureBase()
     val entries = branch match {
       case None => b.entries
       case Some(br) => manifestOf(branchHead(b, br))
     }
-    val pruned = pruneByPredicate(entries, pred)
-    val hits = readWithLineage(pruned).filter(pred)
+    val pruned = pruneByPredicate(entries, bind)
+    val tgt = claimedOr(pruned, claimKey)
+    val hits = tgt.filter(bind(tgt))
       .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
       .persist()
     try {
@@ -1400,17 +1447,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** MOR update: position-deletes for the old rows + append of the
     * transformed rows, in one snapshot (branch-parented when `branch`
     * is set, like morDelete). */
-  private def morUpdate(pred: Column,
+  private def morUpdate(bind: DataFrame => Column,
       transform: DataFrame => DataFrame,
-      explicitBranch: Option[String] = None): Option[SnapshotMeta] = {
+      explicitBranch: Option[String] = None,
+      claimKey: Option[String] = None): Option[SnapshotMeta] = {
     val branch = resolveBranch(explicitBranch)
     val b = captureBase()
     val entries = branch match {
       case None => b.entries
       case Some(br) => manifestOf(branchHead(b, br))
     }
-    val pruned = pruneByPredicate(entries, pred)
-    val hits = readWithLineage(pruned).filter(pred).cache()
+    val pruned = pruneByPredicate(entries, bind)
+    val tgt = claimedOr(pruned, claimKey)
+    val hits = tgt.filter(bind(tgt)).cache()
     try {
       val bound = pruned.filter(_.content == 0).map(_.recordCount).sum
       val (delMoved, n) = writeDeleteFiles(
@@ -1662,26 +1711,117 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * rewrite read re-plans over JUST the affected data files (plus
     * delete files so MOR masks apply) — the file list is chosen
     * pre-plan, so no post-scan path filter exists at all. */
-  private def cowRewrite(pred: Column, transform: DataFrame => DataFrame,
-      operation: String): Option[SnapshotMeta] =
-    cowRewriteOn(None, pred, transform, operation)
+  private def cowRewrite(bind: DataFrame => Column,
+      transform: DataFrame => DataFrame, operation: String,
+      claimKey: Option[String] = None): Option[SnapshotMeta] =
+    cowRewriteOn(None, bind, transform, operation, claimKey)
 
-  private def cowRewriteOn(branch: Option[String], pred: Column,
-      transform: DataFrame => DataFrame,
-      operation: String): Option[SnapshotMeta] =
+  private def cowRewriteOn(branch: Option[String],
+      bind: DataFrame => Column, transform: DataFrame => DataFrame,
+      operation: String,
+      claimKey: Option[String] = None): Option[SnapshotMeta] =
     cowTransaction(operation, branch) { (entries, readLin) =>
-      val affected = readLin(pruneByPredicate(entries, pred))
-        .filter(pred).select(FileCol).distinct()
+      val tgt = claimedOr(pruneByPredicate(entries, bind), claimKey,
+        readLin)
+      val affected = tgt.filter(bind(tgt)).select(FileCol).distinct()
         .collect().map(r => Io.normalize(r.getString(0))).toSet
       if (affected.isEmpty) None
       else Some((affected,
-        transform(readLin(victimEntries(entries, affected))
-          .drop(FileCol, PosCol)),
+        transform(claimedOr(victimEntries(entries, affected), claimKey,
+          readLin).drop(FileCol, PosCol)),
         Map("rewritten-files" -> affected.size.toString,
           "mode" -> "copy-on-write")))
     }
 
   // ---- maintenance ----
+
+  /** Policy-driven maintenance runner — the scheduler hook a
+    * production deployment wires to a cron: ONE call inspects the
+    * table against per-table policy properties and runs whichever
+    * maintenance actions have tripped, compaction first (so join
+    * eligibility and read amplification recover before anything else),
+    * then snapshot expiry, then orphan cleanup. Policies travel WITH
+    * the table (TBLPROPERTIES), not with the caller, so a single
+    * fleet-wide scheduler loop services heterogeneous tables.
+    *
+    *  - `maintenance.compact.min-delete-files` (default 1): compact
+    *    when at least this many MOR delete files exist — the action
+    *    that restores bucket-local (storage-partitioned) join
+    *    eligibility after merge-on-read DML, and caps per-read
+    *    delete-mask cost.
+    *  - `maintenance.compact.min-small-files` (default 8): bin-pack
+    *    when at least this many data files sit under half of
+    *    `maintenance.compact.target-file-size-bytes` (default 128 MiB)
+    *    AND compacting would actually shrink the file count — the
+    *    guard that makes a quiet table a no-op (a clustered table
+    *    compacts into `write.clustered-by.files` outputs, so small
+    *    counts at or below that are already optimal).
+    *  - `maintenance.expire.max-age-ms` (unset = never): expire
+    *    snapshots older than now − maxAge, retaining
+    *    `maintenance.expire.retain-last` (default 1) — bounds
+    *    metadata growth and makes GDPR erasure durable on schedule.
+    *  - `maintenance.orphans.older-than-ms` (unset = never): remove
+    *    orphan files older than the horizon (safety refusal below 3
+    *    days still applies — a misconfigured horizon fails loudly).
+    *
+    * Returns one (action, detail) row per action RUN; empty = healthy.
+    * Idempotent on a quiet table: an immediate second call does
+    * nothing. Each action is its own snapshot/commit wrapped in
+    * [[GraftTable.retryOnConflict]] — a scheduler loop racing live
+    * ingest writers loses the occasional CAS and simply recomputes
+    * from the winner's state, never failing the sweep. */
+  def maintain(): Seq[(String, String)] = {
+    val report = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val props = properties
+    def intProp(k: String, d: Int): Int = props.get(k).map(_.toInt).getOrElse(d)
+    val target = props.get("maintenance.compact.target-file-size-bytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    val entries = currentEntries
+    val delFiles = entries.count(_.content != 0)
+    val small = entries.filter(e =>
+      e.content == 0 && e.fileSizeBytes < target / 2)
+    // expected bin-pack output count: size-driven, floored at the
+    // declared clustering fan-out (clustered rewrites land there)
+    val sizeParts = math.max(1, math.ceil(
+      small.map(_.fileSizeBytes).sum.toDouble / target).toInt)
+    val expectedOut = clusterFields match {
+      case Some(_) => math.max(sizeParts, clusterFileCount)
+      case None => sizeParts
+    }
+    if (delFiles >= intProp("maintenance.compact.min-delete-files", 1)) {
+      GraftTable.retryOnConflict()(rewriteDataFiles(
+        Map("target-file-size-bytes" -> target.toString))).foreach { s =>
+        report += ("compact-deletes" ->
+          (s"applied $delFiles delete file(s); rewrote " +
+            s"${s.summary.getOrElse("rewritten-data-files", "?")} data " +
+            s"file(s) in snapshot ${s.snapshotId}"))
+      }
+    } else if (small.size >=
+        intProp("maintenance.compact.min-small-files", 8) &&
+        small.size > expectedOut) {
+      GraftTable.retryOnConflict()(rewriteDataFiles(
+        Map("target-file-size-bytes" -> target.toString))).foreach { s =>
+        report += ("compact-small-files" ->
+          (s"bin-packed ${small.size} small file(s) into " +
+            s"~$expectedOut in snapshot ${s.snapshotId}"))
+      }
+    }
+    props.get("maintenance.expire.max-age-ms").foreach { age =>
+      val retain = intProp("maintenance.expire.retain-last", 1)
+      val expired = GraftTable.retryOnConflict()(
+        expireSnapshots(now() - age.toLong, retain))
+      if (expired.nonEmpty)
+        report += ("expire-snapshots" ->
+          s"expired ${expired.size} snapshot(s): ${expired.mkString(",")}")
+    }
+    props.get("maintenance.orphans.older-than-ms").foreach { h =>
+      // orphan removal is FS-side only (no table commit) — no CAS race
+      val removed = removeOrphanFiles(now() - h.toLong)
+      if (removed.nonEmpty)
+        report += ("remove-orphans" -> s"removed ${removed.size} file(s)")
+    }
+    report.toSeq
+  }
 
   /** D10 expire_snapshots (ref demo.py:289-296): drop snapshots older
     * than the cutoff (always keeping the current one and the newest
@@ -2769,8 +2909,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * inserts exactly this cast when an NTZ column (Spark 4's parquet
     * inference) meets an LTZ literal, which would otherwise defeat the
     * AttributeReference patterns in mayMatch. */
-  private def analyzeConjuncts(pred: Column): Seq[Expression] = {
-    val analyzed = emptyDf.filter(pred).queryExecution.analyzed
+  private def analyzeConjuncts(bind: DataFrame => Column)
+      : Seq[Expression] = {
+    val df = emptyDf
+    val analyzed = df.filter(bind(df)).queryExecution.analyzed
     val conds = analyzed.collect { case f: logical.Filter => f.condition }
     def split(e: Expression): Seq[Expression] = e match {
       case And(l, r) => split(l) ++ split(r)

@@ -1289,6 +1289,107 @@ object LakeQueries extends QueryCatalog {
     s.createDataFrame(out.asJava, sch).orderBy("c_mktsegment")
   }
 
+  /** D41: the policy-driven maintenance scheduler
+    * ([[GraftTable.maintain]] / `CALL graft.system.maintain`) walked
+    * through a full fleet-scheduler lifecycle: a healthy table no-ops;
+    * a merge-on-read GDPR delete leaves delete files that break
+    * bucket-local (storage-partitioned) join eligibility, and ONE
+    * maintain() call compacts them away and restores it; the expiry
+    * policy makes the erasure durable (time travel to the pre-delete
+    * snapshot fails); small-file churn from many thin appends
+    * bin-packs back to the clustered layout; an aged orphan file is
+    * swept; and a quiet table's next call reports nothing. Policies
+    * live in TBLPROPERTIES, so one cron loop services every table.
+    *
+    * Scale: each trigger reads only manifest metadata (file counts /
+    * sizes / delete-file counts) — deciding "nothing to do" on a
+    * 100 TB table costs zero data IO; the actions themselves are the
+    * already-bounded maintenance ops. */
+  private val maintenance = Q.noOracle("q_lake_maintenance") { (s, _) =>
+    import s.implicits._
+    import java.nio.file.attribute.FileTime
+    val schema = StructType.fromDDL("k BIGINT, v STRING")
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
+    cat.createNamespace("default")
+    val threeDaysMs = 3L * 24 * 3600 * 1000
+    val t = cat.createTable("default", "events", schema, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.clustered-by" -> "bucket(4,k)",
+      "write.clustered-by.files" -> "4",
+      "maintenance.compact.min-small-files" -> "8",
+      "maintenance.expire.max-age-ms" -> "1",
+      "maintenance.expire.retain-last" -> "2",
+      "maintenance.orphans.older-than-ms" -> threeDaysMs.toString))
+    def rowsOf(r: Range): DataFrame = s.createDataFrame(
+      r.map(i => Row(i.toLong, s"v$i")).asJava, schema)
+    t.append(rowsOf(0 until 400))
+    val s0 = t.currentSnapshot.get.snapshotId
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def fact(phase: String, k: String, v: Long): Unit =
+      out += ((phase, k, v))
+    def eligible: Long = if (t.bucketLocalRead("k").isDefined) 1L else 0L
+    // commits must be strictly older than the 1 ms expiry horizon
+    def settle(): Unit = Thread.sleep(10)
+
+    settle()
+    val r0 = t.maintain() // healthy: nothing trips
+    fact("1-fresh", "actions", r0.size)
+    require(r0.isEmpty, s"healthy table must no-op, got $r0")
+
+    t.delete(col("k") % 100 === 3) // MOR: 4 position-deleted rows
+    fact("2-mor-delete", "eligible", eligible)
+    fact("2-mor-delete", "delete-files", t.deleteFiles.count())
+    val preRows = t.read().agg(count(lit(1)), sum("k")).head()
+
+    settle()
+    val r1 = t.maintain()
+    fact("3-maintain", "compact-deletes",
+      r1.count(_._1 == "compact-deletes"))
+    fact("3-maintain", "eligible", eligible)
+    fact("3-maintain", "delete-files", t.deleteFiles.count())
+    val postRows = t.read().agg(count(lit(1)), sum("k")).head()
+    require(preRows == postRows,
+      s"compaction changed visible rows: $preRows -> $postRows")
+    require(eligible == 1L,
+      "compaction must restore bucket-local eligibility")
+    // the expiry policy (retain_last=2) made the erasure durable
+    fact("4-expired", "history", t.history.count())
+    val travel = scala.util.Try(t.readAt(s0).count())
+    require(travel.isFailure,
+      "pre-delete snapshot must be unreachable after policy expiry")
+
+    settle()
+    val r2 = t.maintain() // quiet again: idempotent
+    fact("5-idempotent", "actions", r2.size)
+    require(r2.isEmpty, s"second maintain must no-op, got $r2")
+
+    // thin-append churn: 2 appends x 4 clustered files each — with the
+    // 4 files already present, 12 small files clear the
+    // min-small-files=8 policy floor and exceed the 4-file clustered
+    // target, so bin-packing actually shrinks the layout
+    (0 until 2).foreach(i =>
+      t.append(rowsOf(400 + i * 10 until 410 + i * 10)))
+    settle()
+    val r3 = t.maintain()
+    fact("6-small", "compact-small-files",
+      r3.count(_._1 == "compact-small-files"))
+    fact("6-small", "data-files", t.dataFiles.count())
+    fact("6-small", "rows", t.read().count())
+
+    // an aged orphan inside the data dir is swept by the policy (no
+    // settle: nothing committed since r3's expiry pass)
+    val orphan = t.root.resolve("data/orphan-planted.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphan,
+      FileTime.fromMillis(System.currentTimeMillis() - 4 * 24 * 3600 * 1000L))
+    val r4 = t.maintain()
+    fact("7-orphans", "removed", r4.count(_._1 == "remove-orphans"))
+    require(!Files.exists(orphan), "aged orphan must be swept")
+
+    out.toSeq.toDF("phase", "fact", "value").orderBy("phase", "fact")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
@@ -1298,5 +1399,5 @@ object LakeQueries extends QueryCatalog {
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, quantileRollup,
     invertedIndex,
-    vectorIndex, bucketJoin)
+    vectorIndex, bucketJoin, maintenance)
 }

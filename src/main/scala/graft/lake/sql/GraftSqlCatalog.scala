@@ -349,7 +349,8 @@ private object GraftProcedures {
     "rewrite_position_delete_files", "rollback_to_snapshot",
     "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
-    "drop_ref", "fast_forward", "add_files", "ancestors_of")
+    "drop_ref", "fast_forward", "add_files", "ancestors_of",
+    "maintain")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -441,6 +442,18 @@ private object GraftProcedures {
         val n = snap.flatMap(_.summary.get("rewritten-data-files"))
           .map(_.toInt).getOrElse(0)
         Seq(outRow(n))
+      }))
+    // the scheduler entry point: evaluate the table's TBLPROPERTIES
+    // maintenance policies and run whatever tripped (GraftTable
+    // .maintain scaladoc documents the policy surface) — a cron loop
+    // over `CALL graft.system.maintain(table => ...)` is the whole
+    // fleet scheduler
+    case "maintain" => Some(procedure(name,
+      Seq(param("table", StringType)),
+      StructType.fromDDL("action STRING, detail STRING"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        t.maintain().map { case (a, d) => outRow(a, d) }
       }))
     case "rewrite_position_delete_files" => Some(procedure(name,
       Seq(param("table", StringType)),

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, ExprId, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.ColumnBridge
@@ -74,17 +74,19 @@ case class GraftSqlResolution(session: SparkSession)
       val (_, t) = GraftRel.unapply(stripAlias(target)).get
       val sets = assignments.map { a =>
         a.key match {
-          case attr: AttributeReference => attr.name -> unresolve(a.value)
+          case attr: AttributeReference => attr.name -> ExprBox(a.value)
           case other => throw new UnsupportedOperationException(
             s"UPDATE of nested field $other is not supported")
         }
       }.toMap
       GraftUpdateCommand(t, sets,
-        condition.map(unresolve).getOrElse(trueColumn))
+        ExprBox(condition.getOrElse(Literal.TrueLiteral)),
+        target.output.map(_.exprId).toSet)
     case d @ DeleteFromTable(target, condition)
         if d.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
       val (_, t) = GraftRel.unapply(stripAlias(target)).get
-      GraftDeleteCommand(t, unresolve(condition))
+      GraftDeleteCommand(t, ExprBox(condition),
+        target.output.map(_.exprId).toSet)
     case m @ MergeIntoTable(target, source, cond, matchedActs,
         notMatchedActs, nmbsActs, withSchemaEvolution)
         if m.resolved && GraftRel.unapply(stripAlias(target)).isDefined =>
@@ -218,19 +220,19 @@ case class GraftSqlResolution(session: SparkSession)
     out.toMap
   }
 
-  private def trueColumn: Column =
-    ColumnBridge.column(Literal.TrueLiteral)
-
-  /** Re-bind an expression from the relation's attributes to plain
-    * column names, so it can filter/transform any fresh read of the
-    * table inside the write paths. */
-  private def unresolve(e: Expression): Column =
-    ColumnBridge.column(e.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-    })
-
   private def substitute(r: DataSourceV2Relation,
-      df: DataFrame): LogicalPlan = {
+      df: DataFrame): LogicalPlan =
+    GraftRelSubstitution.substitute(r, df)
+}
+
+/** Shared relation substitution: a graft V2 relation (or metadata
+  * relation) becomes the table's composed Spark read plan, re-aliased
+  * to the relation's attribute ids. The row-level commands apply it to
+  * subquery plans captured before substitution ran — the analyzer
+  * never re-enters an already-resolved subquery, so the command does
+  * it at bind time. */
+private[sql] object GraftRelSubstitution {
+  def substitute(r: DataSourceV2Relation, df: DataFrame): LogicalPlan = {
     val src = df.queryExecution.analyzed
     val byName = src.output.map(a => a.name.toLowerCase -> a).toMap
     Project(r.output.map { o =>
@@ -240,18 +242,91 @@ case class GraftSqlResolution(session: SparkSession)
       Alias(a, o.name)(exprId = o.exprId)
     }, src)
   }
+
+  def substituteAll(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable => substitute(r, t.read())
+      case t: GraftMetadataSqlTable => substitute(r, t.df)
+      case _ => r
+    }
+  }
+}
+
+/** Re-binding shared by the row-level UPDATE/DELETE commands: the
+  * condition (and assignment values) were resolved against the
+  * original target relation, but execute against fresh discovery /
+  * rewrite frames inside the write paths. Target attributes — at the
+  * top level AND as correlated outer references inside subquery plans
+  * — re-resolve by name against the frame in hand, so `DELETE ...
+  * WHERE EXISTS (SELECT ... WHERE r.k = t.k)` works without any name
+  * scoping hazard (everything stays resolved; an unresolve-by-name
+  * round-trip would let an inner column capture the outer name).
+  * Graft relations inside subquery plans are substituted here too. */
+private[sql] trait GraftRowLevelBinding {
+  import org.apache.spark.sql.catalyst.expressions.{EqualTo, Exists,
+    InSubquery, NamedExpression, OuterReference, SubqueryExpression}
+
+  def targetIds: Set[ExprId]
+
+  private def attrOf(df: DataFrame, name: String) =
+    ColumnBridge.expression(df(name))
+
+  private def rebindPlan(p: LogicalPlan, df: DataFrame): LogicalPlan =
+    GraftRelSubstitution.substituteAll(p).transformAllExpressions {
+      case OuterReference(a: AttributeReference) if targetIds(a.exprId) =>
+        OuterReference(attrOf(df, a.name)
+          .asInstanceOf[NamedExpression])
+      case s: SubqueryExpression => s.withNewPlan(rebindPlan(s.plan, df))
+    }
+
+  private def rebind(e: Expression, df: DataFrame): Expression =
+    e.transformUp {
+      case a: AttributeReference if targetIds(a.exprId) =>
+        attrOf(df, a.name)
+      case s: SubqueryExpression => s.withNewPlan(rebindPlan(s.plan, df))
+    }
+
+  protected def binder(box: ExprBox): DataFrame => Column =
+    df => ColumnBridge.column(rebind(box.e, df))
+
+  /** Bucket-clustered target column the condition equi-joins through a
+    * subquery (IN-list value, or a correlated EXISTS equality) — the
+    * claimed hit-discovery opportunity: the semi-join then shuffles
+    * only the subquery side. Plain predicates return None (discovery
+    * is a scan+filter; there is no shuffle for the claim to delete). */
+  protected def claimedKey(g: GraftTable, cond: ExprBox): Option[String] = {
+    val names = cond.e.collect {
+      case InSubquery(values, _) => values.collect {
+        case a: AttributeReference if targetIds(a.exprId) => a.name
+      }
+      case e: Exists =>
+        e.plan.collect { case f: Filter => f.condition }.flatMap(_.collect {
+          case EqualTo(OuterReference(a: AttributeReference), _)
+              if targetIds(a.exprId) => a.name
+          case EqualTo(_, OuterReference(a: AttributeReference))
+              if targetIds(a.exprId) => a.name
+        })
+    }.flatten
+    names.find(g.bucketFieldOf(_).isDefined)
+  }
 }
 
 /** `UPDATE <graft table> SET ... WHERE ...` lowered to the COW/MOR
-  * update path (ref demo.py:228-235). */
+  * update path (ref demo.py:228-235). Conditions and SET values may
+  * carry (correlated) subqueries; when the condition subquery-joins on
+  * a bucket-clustered column, hit discovery reads the target through
+  * its claimed layout. */
 case class GraftUpdateCommand(table: GraftSqlTable,
-    sets: Map[String, Column], condition: Column)
-    extends LeafRunnableCommand {
+    sets: Map[String, ExprBox], condition: ExprBox,
+    targetIds: Set[ExprId])
+    extends LeafRunnableCommand with GraftRowLevelBinding {
   override def run(session: SparkSession): Seq[Row] = {
     if (table.pinnedSnapshot.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot UPDATE ${table.name()} at a pinned snapshot")
-    table.graft.update(condition, sets)
+    table.graft.updateBind(binder(condition),
+      sets.map { case (k, v) => k -> binder(v) },
+      claimedKey(table.graft, condition))
     Nil
   }
   override def simpleString(maxFields: Int): String =
@@ -260,14 +335,18 @@ case class GraftUpdateCommand(table: GraftSqlTable,
 
 /** `DELETE FROM <graft table> WHERE ...` lowered to the mode-aware
   * delete path (ref demo.py:177-180); handles predicates
-  * SupportsDeleteV2 cannot translate. */
-case class GraftDeleteCommand(table: GraftSqlTable, condition: Column)
-    extends LeafRunnableCommand {
+  * SupportsDeleteV2 cannot translate, including (correlated)
+  * subqueries — the GDPR `WHERE id IN (SELECT id FROM requests)`
+  * shape — with claimed hit discovery on bucket-clustered keys. */
+case class GraftDeleteCommand(table: GraftSqlTable, condition: ExprBox,
+    targetIds: Set[ExprId])
+    extends LeafRunnableCommand with GraftRowLevelBinding {
   override def run(session: SparkSession): Seq[Row] = {
     if (table.pinnedSnapshot.nonEmpty)
       throw new UnsupportedOperationException(
         s"cannot DELETE from ${table.name()} at a pinned snapshot")
-    table.graft.delete(condition)
+    table.graft.deleteBind(binder(condition),
+      claimedKey(table.graft, condition))
     Nil
   }
   override def simpleString(maxFields: Int): String =

@@ -1122,4 +1122,157 @@ class GraftSqlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("Cannot find snapshot"))
   }
+
+  test("CALL maintain runs the table's policy-tripped actions and " +
+    "no-ops when healthy") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.ev"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, concat('v', id) FROM range(200)")
+    // healthy: no actions
+    assert(spark.sql(s"CALL graft.system.maintain(table => '$ns.ev')")
+      .collect().isEmpty)
+    spark.sql(s"DELETE FROM $tbl WHERE k < 10") // MOR delete file
+    val acts = spark.sql(s"CALL graft.system.maintain(table => '$ns.ev')")
+      .collect().map(_.getString(0)).toSeq
+    assert(acts === Seq("compact-deletes"),
+      s"delete-file policy must trip compaction, got $acts")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl.delete_files")
+      .collect()(0).getLong(0) === 0)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0)
+      .getLong(0) === 190)
+    // quiet again
+    assert(spark.sql(s"CALL graft.system.maintain(table => '$ns.ev')")
+      .collect().isEmpty)
+  }
+
+  test("DELETE with a predicate evaluating to NULL keeps the row in " +
+    "BOTH write modes (COW must not drop what the predicate never " +
+    "matched)") {
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val ns = freshNs()
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      val tbl = s"graft.$ns.nd"
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, v STRING) USING graft " +
+        s"TBLPROPERTIES ('write.delete.mode'='$mode')")
+      spark.sql(s"INSERT INTO $tbl VALUES (1,'a'), (2,NULL), (3,'x')")
+      spark.sql(s"DELETE FROM $tbl WHERE v = 'x'")
+      assert(spark.sql(s"SELECT id FROM $tbl ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L, 2L),
+        s"[$mode] the NULL-v row must survive a DELETE it never matched")
+    }
+  }
+
+  test("row-level DML with subqueries: IN-list, correlated EXISTS " +
+    "(inner column name collides with the outer), NOT EXISTS UPDATE " +
+    "with a scalar-subquery SET — correct in BOTH write modes") {
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val ns = freshNs()
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      val tbl = s"graft.$ns.sq"
+      val req = s"graft.$ns.req"
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, v STRING) USING graft " +
+        s"TBLPROPERTIES ('write.delete.mode'='$mode'," +
+        s"'write.update.mode'='$mode')")
+      spark.sql(
+        s"INSERT INTO $tbl SELECT id, concat('v', id) FROM range(100)")
+      spark.sql(s"CREATE TABLE $req (id BIGINT) USING graft")
+      spark.sql(s"INSERT INTO $req VALUES (3), (7), (250)")
+
+      // the GDPR shape: erase every subject on the request list
+      spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT id FROM $req)")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0)
+        .getLong(0) === 98, s"[$mode] IN-subquery delete (3, 7)")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id IN (3, 7)")
+        .collect()(0).getLong(0) === 0, s"[$mode] listed ids gone")
+
+      // correlated EXISTS whose inner relation ALSO has a column named
+      // `id`: outer references must stay bound to the target, not be
+      // captured by the inner scope
+      spark.sql(
+        s"""DELETE FROM $tbl WHERE EXISTS (
+           |  SELECT 1 FROM $req r WHERE r.id = $tbl.id - 1)""".stripMargin)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0)
+        .getLong(0) === 96, s"[$mode] correlated EXISTS delete (4, 8)")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id IN (4, 8)")
+        .collect()(0).getLong(0) === 0, s"[$mode] 4 and 8 deleted")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id = 5")
+        .collect()(0).getLong(0) === 1,
+        s"[$mode] inner-scope capture would have deleted id=5 too")
+
+      // NOT EXISTS condition + scalar subquery in SET
+      spark.sql(
+        s"""UPDATE $tbl
+           |SET v = concat('m', CAST((SELECT max(id) FROM $req) AS STRING))
+           |WHERE id < 5 AND NOT EXISTS (
+           |  SELECT 1 FROM $req r WHERE r.id = $tbl.id)""".stripMargin)
+      assert(spark.sql(s"SELECT id FROM $tbl WHERE v = 'm250' ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L),
+        s"[$mode] NOT EXISTS update with scalar-subquery SET")
+    }
+  }
+
+  test("claimed hit-discovery: DELETE/UPDATE whose subquery joins on " +
+    "the bucket key read the target through the claimed layout; " +
+    "results identical") {
+    import java.util.concurrent.ConcurrentLinkedQueue
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val ns = freshNs()
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      val tbl = s"graft.$ns.bt"
+      val req = s"graft.$ns.req"
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, v STRING) USING graft " +
+        "PARTITIONED BY (bucket(4, id)) " +
+        s"TBLPROPERTIES ('write.delete.mode'='$mode'," +
+        s"'write.update.mode'='$mode')")
+      spark.sql(
+        s"INSERT INTO $tbl SELECT id, concat('v', id) FROM range(1000)")
+      spark.sql(s"CREATE TABLE $req (id BIGINT) USING graft")
+      spark.sql(s"INSERT INTO $req VALUES (30), (70), (2500)")
+
+      val captured = new ConcurrentLinkedQueue[String]()
+      val listener = new QueryExecutionListener {
+        override def onSuccess(f: String, qe: QueryExecution,
+            d: Long): Unit = captured.add(qe.executedPlan.toString)
+        override def onFailure(f: String, qe: QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        spark.sql(s"DELETE FROM $tbl WHERE id IN (SELECT id FROM $req)")
+        org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+        import scala.jdk.CollectionConverters._
+        assert(captured.asScala.exists(_.contains("ClaimHashPartitioned")),
+          s"[$mode] subquery-on-bucket-key DELETE must claim the layout")
+        captured.clear()
+        // MOR left a delete file: UPDATE must self-vet and fall back
+        // (COW rewrote files, stays eligible) — either way, correct
+        // the correlation keys the target on its BARE bucket column
+        // (arithmetic lives on the subquery side) — a `r.id =
+        // $tbl.id + 29` form must NOT claim: the semi-join key would
+        // be id+29, which the bucket(id) layout cannot satisfy
+        spark.sql(
+          s"""UPDATE $tbl SET v = 'u' WHERE EXISTS (
+             |  SELECT 1 FROM $req r WHERE r.id - 29 = $tbl.id)""".stripMargin)
+        org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+        val claimedUpd =
+          captured.asScala.exists(_.contains("ClaimHashPartitioned"))
+        if (mode == "copy-on-write")
+          assert(claimedUpd,
+            "[cow] EXISTS-on-bucket-key UPDATE must claim the layout")
+        else
+          assert(!claimedUpd,
+            "[mor] delete files present: claim must self-vet and fall back")
+      } finally spark.listenerManager.unregister(listener)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0)
+        .getLong(0) === 998, s"[$mode] 30 and 70 deleted")
+      assert(spark.sql(s"SELECT id FROM $tbl WHERE v = 'u' ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L, 41L),
+        s"[$mode] ids 1 and 41 updated (30-29, 70-29)")
+    }
+  }
 }

@@ -1,7 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** Dev scratchpad: schema/plan inspection while building queries.
   * Not part of the engine surface.
@@ -16,54 +18,54 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    import graft.lake._
 
     def time[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"  $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    time("warmup count")(docs.count())
+    // warm
+    spark.range(10).selectExpr("count(*)").collect()
 
-    // A: current HOF formulation, no distinct
-    val hofNoDistinct = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
-    (1 to 2).foreach(i => time(s"A hof no-distinct $i")(hofNoDistinct.count()))
-
-    // B: with distinct
-    (1 to 2).foreach(i => time(s"B hof distinct $i")(hofNoDistinct.distinct().count()))
-
-    // C: posexplode + window-free shingling via substring over rejoined text?
-    //    Instead: slice-based — explode positions, 3 array reads outside lambda
-    val c = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), size(col("toks")) - 3)).as("i"))
-      .select(col("doc_id"), concat_ws(" ",
-        element_at(col("toks"), col("i") + 1),
-        element_at(col("toks"), col("i") + 2),
-        element_at(col("toks"), col("i") + 3)).as("sh"))
-    (1 to 2).foreach(i => time(s"C posexplode $i")(c.count()))
-    (1 to 2).foreach(i => time(s"C distinct $i")(c.distinct().count()))
-
-    // D: typed flatMap
-    import spark.implicits._
-    val d = docs.select(col("doc_id").cast("long"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val t = text.split(' ')
-        if (t.length < 3) Iterator.empty
-        else t.iterator.sliding(3).map(w => (id, w.mkString(" ")))
-      }.toDF("doc_id", "sh")
-    (1 to 2).foreach(i => time(s"D flatMap $i")(d.count()))
-    (1 to 2).foreach(i => time(s"D distinct $i")(d.distinct().count()))
-
+    for (round <- 1 to 2) {
+      println(s"--- round $round ---")
+      val schema = StructType.fromDDL("k BIGINT, v STRING")
+      val cat = new GraftCatalog(spark,
+        graft.ScratchDirs.create("graft-wh-"))
+      cat.createNamespace("default")
+      val threeDaysMs = 3L * 24 * 3600 * 1000
+      val t = time("create")(cat.createTable("default", "events", schema, Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.clustered-by" -> "bucket(4,k)",
+        "write.clustered-by.files" -> "4",
+        "maintenance.compact.min-small-files" -> "8",
+        "maintenance.expire.max-age-ms" -> "1",
+        "maintenance.expire.retain-last" -> "2",
+        "maintenance.orphans.older-than-ms" -> threeDaysMs.toString)))
+      def rowsOf(r: Range): DataFrame = spark.createDataFrame(
+        r.map(i => Row(i.toLong, s"v$i")).asJava, schema)
+      time("append 400")(t.append(rowsOf(0 until 400)))
+      Thread.sleep(10)
+      time("maintain fresh")(t.maintain())
+      time("mor delete")(t.delete(col("k") % 100 === 3))
+      time("eligible check")(t.bucketLocalRead("k").isDefined)
+      time("deleteFiles count")(t.deleteFiles.count())
+      time("pre agg")(t.read().agg(count(lit(1)), sum("k")).head())
+      Thread.sleep(10)
+      time("maintain compact")(t.maintain())
+      time("post agg")(t.read().agg(count(lit(1)), sum("k")).head())
+      time("history")(t.history.count())
+      Thread.sleep(10)
+      time("maintain idle")(t.maintain())
+      time("4 thin appends")((0 until 4).foreach(i =>
+        t.append(rowsOf(400 + i * 10 until 410 + i * 10))))
+      Thread.sleep(10)
+      time("maintain small")(t.maintain())
+      time("dataFiles count")(t.dataFiles.count())
+      time("read count")(t.read().count())
+      time("maintain orphan")(t.maintain())
+    }
     spark.stop()
   }
 }
