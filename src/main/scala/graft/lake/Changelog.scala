@@ -56,6 +56,35 @@ object Changelog {
       .select((dataCols ++ MetaCols).map(q): _*)
   }
 
+  /** Net changes across the WHOLE window (Iceberg's `net_changes =>
+    * true`): the same multiplicity netting as [[removeCarryovers]]
+    * but keyed by row content ONLY — a row inserted then deleted by
+    * later commits in the window vanishes; a row updated twice
+    * surfaces once as its final insert (the intermediate images net
+    * out); a pre-window row deleted inside the window stays a delete.
+    * Survivors carry the metadata of their LATEST change in the
+    * window (max ordinal + that commit's snapshot), matching Iceberg
+    * ChangelogIterator.removeNetCarryovers. Mutually exclusive with
+    * [[computeUpdates]] (Iceberg refuses the combination too: net
+    * rows no longer share a commit window to pair within). */
+  def removeNetCarryovers(changes: DataFrame): DataFrame = {
+    val dataCols = dataColsOf(changes)
+    changes
+      .groupBy(dataCols.map(q): _*)
+      .agg(
+        (count(when(col("_change_type") === "insert", 1)) -
+          count(when(col("_change_type") === "delete", 1))).as("__net"),
+        max(col("_change_ordinal")).as("_change_ordinal"),
+        max_by(col("_commit_snapshot_id"), col("_change_ordinal"))
+          .as("_commit_snapshot_id"))
+      .filter(col("__net") =!= 0)
+      .withColumn("_change_type",
+        when(col("__net") > 0, "insert").otherwise("delete"))
+      .withColumn("__copy",
+        explode(sequence(lit(1L), abs(col("__net")))))
+      .select((dataCols ++ MetaCols).map(q): _*)
+  }
+
   /** Pair delete+insert rows sharing an identifier tuple within one
     * commit window into update_before/update_after images (Iceberg
     * ChangelogIterator.computeUpdates). Rows rank per (identifier,

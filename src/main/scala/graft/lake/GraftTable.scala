@@ -847,13 +847,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * carryover removal first (a carried row would pair with itself as
     * a no-op update), matching Iceberg. Signed-weight consumers
     * (incremental aggregate/minhash maintenance) keep reading the raw
-    * [[changes]] — ±1 weights absorb update pairs natively. */
+    * [[changes]] — ±1 weights absorb update pairs natively.
+    * `netChanges` (Iceberg's `net_changes => true`) nets by content
+    * across the WHOLE window instead — the final state of every row
+    * delta — and refuses update images like Iceberg does (netted rows
+    * no longer share a commit window to pair within). */
   def changelogView(identifierCols: Seq[String] = Nil,
       fromExclusive: Option[Long] = None,
-      toInclusive: Option[Long] = None): DataFrame = {
-    val net = Changelog.removeCarryovers(changes(fromExclusive, toInclusive))
-    if (identifierCols.isEmpty) net
-    else Changelog.computeUpdates(net, identifierCols)
+      toInclusive: Option[Long] = None,
+      netChanges: Boolean = false): DataFrame = {
+    val raw = changes(fromExclusive, toInclusive)
+    if (netChanges) {
+      require(identifierCols.isEmpty,
+        "net_changes cannot be combined with compute_updates")
+      Changelog.removeNetCarryovers(raw)
+    } else {
+      val net = Changelog.removeCarryovers(raw)
+      if (identifierCols.isEmpty) net
+      else Changelog.computeUpdates(net, identifierCols)
+    }
   }
 
   /** Stats-prune data entries that provably contain no row matching

@@ -521,12 +521,14 @@ private object GraftProcedures {
         // end-snapshot-id INCLUSIVE, the Iceberg convention)
         paramD("start_snapshot_id", LongType, "-1"),
         paramD("end_snapshot_id", LongType, "-1"),
-        // Iceberg options: net_changes keeps the raw delete+insert
-        // stream (carryovers included); compute_updates pairs
-        // same-identifier delete+insert within a commit window into
+        // Iceberg options: compute_updates pairs same-identifier
+        // delete+insert within a commit window into
         // update_before/update_after images (and implies carryover
-        // removal)
+        // removal); net_changes nets by content across the WHOLE
+        // window (final state of every row delta) and refuses
+        // compute_updates, like Iceberg
         paramD("compute_updates", BooleanType, "false"),
+        paramD("net_changes", BooleanType, "false"),
         paramD("identifier_columns", StringType, "''")),
       StructType.fromDDL("changelog_view STRING"),
       (args: InternalRow) => {
@@ -535,14 +537,19 @@ private object GraftProcedures {
         val from = Some(args.getLong(2)).filter(_ >= 0)
         val to = Some(args.getLong(3)).filter(_ >= 0)
         val computeUpdates = args.getBoolean(4)
-        val idCols = args.getUTF8String(5).toString
+        val netChanges = args.getBoolean(5)
+        val idCols = args.getUTF8String(6).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(!(computeUpdates && netChanges),
+          "net_changes cannot be combined with compute_updates")
         val df =
           if (computeUpdates) {
             require(idCols.nonEmpty, "compute_updates => true " +
               "requires identifier_columns")
             t.changelogView(idCols, from, to)
-          } else t.changes(from, to)
+          } else if (netChanges)
+            t.changelogView(Nil, from, to, netChanges = true)
+          else t.changes(from, to)
         df.createOrReplaceTempView(view)
         Seq(outRow(view))
       }))

@@ -46,6 +46,45 @@ class ChangelogSpec extends SparkSuite {
       (Some(3), "c", "delete", 1)))
   }
 
+  test("removeNetCarryovers nets by content across the WHOLE window: " +
+    "insert-then-delete vanishes, updates keep only the final image, " +
+    "survivors carry their latest change's metadata") {
+    val raw = cl(
+      // row (1, a) inserted in w0, deleted in w2 -> vanishes
+      (1, "a", "insert", 0), (1, "a", "delete", 2),
+      // row (2, b) inserted in w0, updated twice: b->b2 (w1), b2->b3
+      // (w2); intermediate images net out, final insert survives
+      (2, "b", "insert", 0),
+      (2, "b", "delete", 1), (2, "b2", "insert", 1),
+      (2, "b2", "delete", 2), (2, "b3", "insert", 2),
+      // pre-window row deleted in w1 -> stays a delete
+      (3, "c", "delete", 1),
+      // duplicated content: two inserts, one delete -> one net insert
+      (4, "d", "insert", 0), (4, "d", "insert", 0), (4, "d", "delete", 1))
+    assert(collected(Changelog.removeNetCarryovers(raw)) === Seq(
+      (Some(2), "b3", "insert", 2),
+      (Some(3), "c", "delete", 1),
+      (Some(4), "d", "insert", 1)).sortBy(t =>
+      (t._4, t._3, t._1.getOrElse(-1), t._2)))
+    // survivor metadata = the LATEST change of that content: (4, d)
+    // last changed at ordinal 1 (the delete), so snapshot 101
+    val d = Changelog.removeNetCarryovers(raw)
+      .filter(col("k") === 4).collect()
+    assert(d.map(r => (r.getInt(3), r.getLong(4))).toSeq ===
+      Seq((1, 101L)))
+  }
+
+  test("changelogView(netChanges) refuses identifier columns, " +
+    "matching Iceberg's net_changes/compute_updates exclusion") {
+    val sch = StructType.fromDDL("k INT, v STRING")
+    val cat = new GraftCatalog(spark, graft.ScratchDirs.create("graft-wh-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "x", sch, Map.empty)
+    t.append(spark.createDataFrame(Seq(Row(1, "a")).asJava, sch))
+    intercept[IllegalArgumentException](
+      t.changelogView(Seq("k"), netChanges = true))
+  }
+
   test("computeUpdates pairs same-key delete+insert within a window; " +
     "unpaired rows keep their type; windows never mix") {
     val raw = cl(
@@ -148,6 +187,32 @@ class ChangelogSpec extends SparkSuite {
       .select(piiSchema.fieldNames.map(col): _*)
     val want = t.read().orderBy("case_id").collect().toSeq
     assert(applied.orderBy("case_id").collect().toSeq === want)
+  }
+
+  test("end-to-end netChanges: the view IS the final state delta — " +
+    "a row inserted then deleted inside the window vanishes; an " +
+    "updated row surfaces once with its final image") {
+    val sch = StructType.fromDDL("case_id STRING, v STRING")
+    val cat = new GraftCatalog(spark, graft.ScratchDirs.create("graft-wh-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "t", sch,
+      Map("write.update.mode" -> "copy-on-write",
+        "write.delete.mode" -> "copy-on-write"))
+    t.append(spark.createDataFrame(Seq(
+      Row("a", "1"), Row("b", "2"), Row("c", "3")).asJava, sch))
+    t.update(col("case_id") === "a", Map("v" -> lit("9")))
+    t.delete(col("case_id") === "b")
+    val net = t.changelogView(netChanges = true)
+    val got = net.select("case_id", "v", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    // b: inserted w0, deleted w2 -> gone entirely; a: only the final
+    // image; c: untouched seed insert (carried pairs netted out)
+    assert(got === Seq(("a", "9", "insert"), ("c", "3", "insert")))
+    // the net inserts exactly reproduce the current table
+    assert(net.filter(col("_change_type") === "insert")
+      .select("case_id", "v").orderBy("case_id").collect().toSeq ===
+      t.read().orderBy("case_id").collect().toSeq)
   }
 
   test("changelogView with no identifiers = net changes only " +

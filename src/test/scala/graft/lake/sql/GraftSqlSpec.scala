@@ -309,6 +309,35 @@ class GraftSqlSpec extends SparkSuite {
       ("update_before", "case-1", false)))
   }
 
+  test("CALL create_changelog_view(net_changes => true) nets to the " +
+    "final state delta and refuses compute_updates") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('write.delete.mode'='copy-on-write', " +
+        "'write.update.mode'='copy-on-write')")
+    spark.sql(s"UPDATE $tbl SET email_address = NULL " +
+      "WHERE case_id = 'case-1'")
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+    spark.sql(
+      s"CALL graft.system.create_changelog_view(table => '$tbl', " +
+        "changelog_view => 'pii_net', net_changes => true)").collect()
+    val got = spark.sql(
+      "SELECT _change_type, case_id, email_address IS NULL " +
+        "FROM pii_net ORDER BY case_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    // case-2 inserted then deleted inside the window -> vanishes;
+    // case-1 surfaces ONCE with its final (nullified) image; case-3
+    // keeps only its seed insert (COW carried copies netted out)
+    assert(got === Seq(
+      ("insert", "case-1", true), ("insert", "case-3", false)))
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.create_changelog_view(table => '$tbl', " +
+        "changelog_view => 'bad', net_changes => true, " +
+        "compute_updates => true, identifier_columns => 'case_id')")
+      .collect())
+    assert(e.getMessage.contains("net_changes"), e.getMessage)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
     "tables through SQL") {
     val ns = freshNs()
