@@ -654,6 +654,47 @@ class GraftTable(val spark: SparkSession, val root: Path,
     readEntries(pruneByPredicate(entries, _ => pred)).filter(pred)
   }
 
+  /** Runtime join-driven file pruning — the dynamic-partition-pruning
+    * / runtime-filtering analog for graft tables: before planning a
+    * fact⋈dim join, collect the dim side's (bounded) distinct key set
+    * and prune THIS table's manifest to the files whose min/max range
+    * — and bucket stat, when the key is bucket-clustered — can contain
+    * one of those keys. The IN filter is then also pushed into the
+    * parquet scan, so row-group stats and bloom filters bite on
+    * whatever files survive. At 100 TB this turns "join the fact
+    * against a filtered dim" from a full fact scan into a
+    * metadata-decided scan of just the admissible files — the same
+    * trick Spark's DPP plays on hive-partitioned tables, decided here
+    * from manifest stats so it works for RANGE- and BUCKET-clustered
+    * layouts too, not just partition columns.
+    *
+    * Contract: the returned frame is equivalent to [[read]] ONLY
+    * under a subsequent join that keeps just key-matched fact rows
+    * (INNER / LEFT SEMI on `keyCol`); rows whose key is absent from
+    * `dim` may or may not be present (the over-`maxKeys` fallback
+    * returns them all). Do NOT use it as the preserved side of an
+    * outer join.
+    *
+    * Self-vetting: more than `maxKeys` distinct dim keys abandons the
+    * collect and returns the plain scan-all read — the shuffled join
+    * stays the 100 TB fallback, mirroring how broadcast joins degrade
+    * to shuffles past the size threshold. */
+  def readForJoin(keyCol: String, dim: DataFrame, dimKeyCol: String,
+      maxKeys: Int = 10000): DataFrame = {
+    require(schema.fieldNames.exists(_.equalsIgnoreCase(keyCol)),
+      s"unknown join key column: $keyCol")
+    val collected = dim.select(col(dimKeyCol)).distinct()
+      .limit(maxKeys + 1).collect().map(_.get(0))
+    // truncation check BEFORE dropping nulls — a null hiding in a
+    // truncated batch must not make the set look complete
+    if (collected.length > maxKeys) read()
+    else {
+      val keys = collected.filter(_ != null) // nulls never equi-match
+      if (keys.isEmpty) read().where(lit(false))
+      else readWhere(col(quoted(keyCol)).isin(keys.toSeq: _*))
+    }
+  }
+
   /** Incremental changelog (CDC) read — the Iceberg
     * `create_changelog_view` semantics: every row change committed in
     * `(fromExclusive, toInclusive]`, tagged with `_change_type`

@@ -1390,6 +1390,75 @@ object LakeQueries extends QueryCatalog {
     out.toSeq.toDF("phase", "fact", "value").orderBy("phase", "fact")
   }
 
+  /** D42: runtime join-driven file pruning ([[GraftTable.readForJoin]])
+    * — the dynamic-partition-pruning analog decided from manifest
+    * stats: orders is range-clustered by o_custkey (each data file
+    * carries a disjoint custkey band), the dim is a "campaign cohort"
+    * (the lowest ~5% of custkeys), and the fact read prunes to the
+    * files whose recorded key range intersects the cohort BEFORE the
+    * join plans — a metadata-only decision, the 100 TB shape where a
+    * filtered dim cuts the fact scan to a sliver. In-query requires:
+    * strictly fewer files scanned, join results identical to the
+    * scan-all plan, the over-`maxKeys` fallback scans everything, and
+    * an empty dim joins to nothing. */
+  private val runtimePrune = Q.noOracle("q_lake_runtime_prune") { (s, dir) =>
+    import s.implicits._
+    import graft.rel.Tables
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
+    cat.createNamespace("default")
+    val ordDf = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val ords = cat.createTable("default", "orders", ordDf.schema,
+      Map("write.clustered-by" -> "o_custkey",
+        "write.clustered-by.files" -> "8"))
+    ords.append(ordDf)
+    val maxCust = Tables.customer(s, dir)
+      .agg(max(col("c_custkey"))).head().getLong(0)
+    val cohort = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= maxCust / 20)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def fact(phase: String, k: String, v: Long): Unit =
+      out += ((phase, k, v))
+
+    val allFiles = ords.read().inputFiles.length
+    val pruned = ords.readForJoin("o_custkey", cohort, "c_custkey")
+    val prunedFiles = pruned.inputFiles.length
+    fact("1-prune", "files-total", allFiles)
+    fact("1-prune", "files-scanned", prunedFiles)
+    require(prunedFiles < allFiles,
+      s"cohort join must prune files: $prunedFiles vs $allFiles")
+
+    def agg(j: DataFrame): Seq[Row] = j
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val got = agg(pruned.join(cohort,
+      pruned("o_custkey") === cohort("c_custkey")))
+    val ro = ords.read()
+    val want = agg(ro.join(cohort, ro("o_custkey") === cohort("c_custkey")))
+    require(got == want, "pruned join diverged from the scan-all join")
+    fact("2-equal", "segments", got.size)
+    require(got.nonEmpty, "cohort join must produce rows")
+
+    // over-budget fallback: the collect is abandoned, everything scans
+    val fb = ords.readForJoin("o_custkey", cohort, "c_custkey",
+      maxKeys = 1)
+    fact("3-fallback", "files-scanned", fb.inputFiles.length)
+    require(fb.inputFiles.length == allFiles,
+      "over-maxKeys fallback must scan all files")
+
+    // empty dim: nothing can match, nothing scans
+    val none = ords.readForJoin("o_custkey",
+      cohort.filter(lit(false)), "c_custkey")
+    fact("4-empty-dim", "rows", none.count())
+    require(none.count() == 0L, "empty dim must read no rows")
+
+    out.toSeq.toDF("phase", "fact", "value").orderBy("phase", "fact")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
@@ -1399,5 +1468,5 @@ object LakeQueries extends QueryCatalog {
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, quantileRollup,
     invertedIndex,
-    vectorIndex, bucketJoin, maintenance)
+    vectorIndex, bucketJoin, maintenance, runtimePrune)
 }

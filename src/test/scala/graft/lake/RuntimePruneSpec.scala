@@ -1,0 +1,106 @@
+package graft.lake
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Runtime join-driven file pruning ([[GraftTable.readForJoin]]) —
+  * the DPP / runtime-filtering analog over manifest stats: a bounded
+  * dim key set prunes the fact's file list pre-plan (range stats for
+  * range-clustered layouts, bucket stats for bucket-clustered ones)
+  * and the IN filter still reaches the parquet scan. Pins pruning on
+  * both layouts, the over-budget and null-masking fallbacks, empty /
+  * all-null dims, and filter pushdown in the executed plan. */
+class RuntimePruneSpec extends SparkSuite {
+
+  private val factSchema = StructType.fromDDL("k BIGINT, v BIGINT")
+  private val dimSchema = StructType.fromDDL("dk BIGINT, tag STRING")
+
+  private def mkFact(props: Map[String, String]): GraftTable = {
+    val wh = graft.ScratchDirs.create("graft-rtp-")
+    val t = GraftTable.create(spark, wh.resolve("fact"), "d.fact",
+      factSchema, props ++ Map("write.clustered-by.files" -> "8"))
+    t.append(spark.createDataFrame(
+      (0L until 8000L).map(i => Row(i, i * 3)).asJava, factSchema))
+    t
+  }
+
+  private def dimOf(keys: Seq[java.lang.Long]): DataFrame =
+    spark.createDataFrame(
+      keys.map(k => Row(k, "t")).asJava, dimSchema)
+
+  test("range-clustered fact: a narrow dim key band prunes to the " +
+    "files whose recorded range intersects it; join rows identical") {
+    val t = mkFact(Map("write.clustered-by" -> "k"))
+    val all = t.read().inputFiles.length
+    assert(all >= 8, s"expected >=8 clustered files, got $all")
+    val dim = dimOf((100L to 140L).map(Long.box))
+    val pruned = t.readForJoin("k", dim, "dk")
+    assert(pruned.inputFiles.length < all,
+      s"narrow band must prune: ${pruned.inputFiles.length} vs $all")
+    val got = pruned.join(dim, pruned("k") === dim("dk"))
+      .select("k", "v").orderBy("k").collect().toSeq
+    val ro = t.read()
+    val want = ro.join(dim, ro("k") === dim("dk"))
+      .select("k", "v").orderBy("k").collect().toSeq
+    assert(got === want)
+    assert(got.size === 41)
+  }
+
+  test("bucket-clustered fact: scattered keys prune by bucket stat " +
+    "(range stats are useless there)") {
+    val t = mkFact(Map("write.clustered-by" -> "bucket(8,k)"))
+    val all = t.read().inputFiles.length
+    assert(all >= 4, s"expected several bucket files, got $all")
+    // two keys land in at most two buckets; six-plus files prune
+    val dim = dimOf(Seq(Long.box(17L), Long.box(4242L)))
+    val pruned = t.readForJoin("k", dim, "dk")
+    assert(pruned.inputFiles.length < all,
+      s"bucket stats must prune: ${pruned.inputFiles.length} vs $all")
+    val got = pruned.join(dim, pruned("k") === dim("dk")).count()
+    assert(got === 2L)
+  }
+
+  test("the IN filter reaches the parquet scan (PushedFilters)") {
+    val t = mkFact(Map("write.clustered-by" -> "k"))
+    // two keys: a single-element IN would fold to EqualTo in Catalyst
+    val pruned = t.readForJoin("k",
+      dimOf(Seq(Long.box(5L), Long.box(7L))), "dk")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(k"),
+      s"IN must push to the scan:\n$plan")
+  }
+
+  test("over-maxKeys falls back to the scan-all read; a null in a " +
+    "TRUNCATED key batch must not make the set look complete") {
+    val t = mkFact(Map("write.clustered-by" -> "k"))
+    val all = t.read().inputFiles.length
+    val wide = dimOf((0L to 50L).map(Long.box))
+    assert(t.readForJoin("k", wide, "dk", maxKeys = 10)
+      .inputFiles.length === all)
+    // 3 distinct values (1, 2, null) with maxKeys = 2: the collect is
+    // truncated; dropping the null first would leave exactly 2 keys
+    // and silently prune against an incomplete set
+    val withNull = dimOf(Seq(Long.box(1L), Long.box(2L), null))
+    assert(t.readForJoin("k", withNull, "dk", maxKeys = 2)
+      .inputFiles.length === all)
+  }
+
+  test("empty and all-null dims read no rows (an equi-join can never " +
+    "match them)") {
+    val t = mkFact(Map("write.clustered-by" -> "k"))
+    assert(t.readForJoin("k", dimOf(Nil), "dk").count() === 0L)
+    assert(t.readForJoin("k", dimOf(Seq(null, null)), "dk")
+      .count() === 0L)
+  }
+
+  test("unknown key column refuses loudly") {
+    val t = mkFact(Map("write.clustered-by" -> "k"))
+    intercept[IllegalArgumentException](
+      t.readForJoin("nope", dimOf(Seq(Long.box(1L))), "dk"))
+  }
+}
