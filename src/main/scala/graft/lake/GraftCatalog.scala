@@ -37,11 +37,46 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
       properties)
   }
 
+  /** A registered (pointer) entry holds only `location.text` naming
+    * the real table root; everything else resolves through it. */
+  private def resolvedOf(dir: Path): Path = {
+    val ptr = dir.resolve("location.text")
+    if (Files.exists(ptr))
+      Path.of(new String(Files.readAllBytes(ptr), "UTF-8").trim)
+    else dir
+  }
+
   def tableExists(ns: String, name: String): Boolean =
-    Files.exists(tableDir(ns, name).resolve("metadata/version-hint.text"))
+    Files.exists(resolvedOf(tableDir(ns, name))
+      .resolve("metadata/version-hint.text"))
 
   def loadTable(ns: String, name: String): GraftTable =
-    GraftTable.load(spark, tableDir(ns, name))
+    GraftTable.load(spark, resolvedOf(tableDir(ns, name)))
+
+  /** register_table (Iceberg SparkCatalog procedure parity): adopt an
+    * EXISTING graft table directory into this catalog as `ns.name`
+    * WITHOUT copying or moving anything — the catalog records a
+    * location pointer and every read/write resolves through it. The
+    * workflows this serves: a table restored from backup, produced in
+    * another pipeline's warehouse, or handed between catalogs.
+    * Registering one table in several catalogs is safe: all handles
+    * share one metadata directory and the fail-if-exists version
+    * publish arbitrates concurrent commits exactly as it does for
+    * same-catalog writers. [[dropTable]] on a registered entry deletes
+    * only the pointer, never the target's data — Iceberg's
+    * drop-without-purge semantics, automatically. */
+  def registerTable(ns: String, name: String, location: Path): GraftTable = {
+    require(namespaceExists(ns), s"namespace $ns does not exist")
+    require(!tableExists(ns, name),
+      s"table $ns.$name already exists")
+    require(Files.exists(location.resolve("metadata/version-hint.text")),
+      s"$location is not a graft table (no metadata/version-hint.text)")
+    val dir = tableDir(ns, name)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("location.text"),
+      location.toAbsolutePath.toString.getBytes("UTF-8"))
+    loadTable(ns, name)
+  }
 
   /** D3: DROP TABLE IF EXISTS (demo.py:70) — recursive delete, like the
     * demo's REST purge (demo.py:67). */
@@ -58,7 +93,8 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
   def listTables(ns: String): Seq[String] =
     if (!namespaceExists(ns)) Nil
     else Files.list(nsDir(ns)).iterator().asScala
-      .filter(p => Files.exists(p.resolve("metadata/version-hint.text")))
+      .filter(p => Files.exists(
+        resolvedOf(p).resolve("metadata/version-hint.text")))
       .map(_.getFileName.toString).toSeq.sorted
 
   /** D4: ALTER TABLE SET TBLPROPERTIES (demo.py:166-171). */

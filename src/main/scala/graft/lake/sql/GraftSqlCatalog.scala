@@ -337,6 +337,17 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
       s"table argument must be <namespace>.<table>, got '$tableName'")
     cat.loadTable(cleaned.init.mkString("/"), cleaned.last)
   }
+
+  private[sql] def registerTableArg(tableName: String,
+      location: String): GraftTable = {
+    val parts = tableName.split("\\.").toSeq
+    val cleaned = if (parts.headOption.contains(catalogName))
+      parts.tail else parts
+    require(cleaned.length >= 2,
+      s"table argument must be <namespace>.<table>, got '$tableName'")
+    cat.registerTable(cleaned.init.mkString("/"), cleaned.last,
+      Path.of(location))
+  }
 }
 
 /** The maintenance procedures the reference invokes via SQL CALL
@@ -350,7 +361,7 @@ private object GraftProcedures {
     "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
     "drop_ref", "fast_forward", "add_files", "ancestors_of",
-    "maintain")
+    "maintain", "register_table")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -448,6 +459,21 @@ private object GraftProcedures {
     // .maintain scaladoc documents the policy surface) — a cron loop
     // over `CALL graft.system.maintain(table => ...)` is the whole
     // fleet scheduler
+    // Iceberg SparkCatalog register_table parity: adopt an existing
+    // table directory into the catalog (location = the table root; our
+    // metadata is a directory, not a single metadata_file) — no data
+    // moves, drop removes only the pointer
+    case "register_table" => Some(procedure(name,
+      Seq(param("table", StringType),
+        param("location", StringType)),
+      StructType.fromDDL("table STRING, current_snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val tbl = args.getUTF8String(0).toString
+        val t = catalog.registerTableArg(tbl,
+          args.getUTF8String(1).toString)
+        Seq(outRow(tbl,
+          t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      }))
     case "maintain" => Some(procedure(name,
       Seq(param("table", StringType)),
       StructType.fromDDL("action STRING, detail STRING"),

@@ -338,6 +338,43 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("net_changes"), e.getMessage)
   }
 
+  test("CALL register_table adopts an external table without moving " +
+    "data: SQL reads/writes flow through, drop removes only the " +
+    "pointer, the original handle shares commits") {
+    import org.apache.spark.sql.types.StructType
+    import graft.lake.GraftTable
+    import scala.jdk.CollectionConverters._
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    // a table living OUTSIDE the catalog warehouse (another pipeline's
+    // output, a restored backup...)
+    val ext = graft.ScratchDirs.create("graft-reg-").resolve("t")
+    val sch = StructType.fromDDL("k BIGINT, v STRING")
+    val orig = GraftTable.create(spark, ext, "x.t", sch, Map.empty)
+    orig.append(spark.createDataFrame(
+      Seq(Row(1L, "a"), Row(2L, "b")).asJava, sch))
+    val snap = spark.sql(
+      s"CALL graft.system.register_table(table => '$ns.reg', " +
+        s"location => '$ext')").collect().head.getLong(1)
+    assert(snap === orig.currentSnapshot.get.snapshotId)
+    // reads and writes flow through the catalog name...
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.reg")
+      .collect()(0).getLong(0) === 2L)
+    spark.sql(s"INSERT INTO graft.$ns.reg VALUES (3, 'c')")
+    // ...and the ORIGINAL handle sees them (one shared metadata dir)
+    assert(orig.read().count() === 3L)
+    // double registration refuses
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.register_table(table => '$ns.reg', " +
+        s"location => '$ext')").collect())
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // drop removes only the pointer — the external table survives
+    spark.sql(s"DROP TABLE graft.$ns.reg")
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.$ns.reg").collect())
+    assert(GraftTable.load(spark, ext).read().count() === 3L)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
     "tables through SQL") {
     val ns = freshNs()
