@@ -328,6 +328,57 @@ object LakeQueries extends QueryCatalog {
     dst.read().orderBy("case_id")
   }
 
+  /** Streaming UPSERT sink (CDC apply): a change feed — upserts plus
+    * tombstones — streams into a graft table through
+    * [[graft.streaming.GraftTableStreaming.upsertSink]], ONE RowDelta
+    * commit per micro-batch (equality-delete masks older versions of
+    * every touched key, tombstoned keys vanish, the window's rows
+    * land). The Flink-upsert-writer / Iceberg-RowDelta pattern a CDC
+    * consumer runs at 100 TB: commit cost per WINDOW, not per key.
+    * In-query requires: final state equals the fold of the feed,
+    * exactly one snapshot per non-empty window, and a crash-replayed
+    * epoch is a no-op (exactly-once). */
+  private val streamUpsert = Q.noOracle("q_lake_stream_upsert") { (s, _) =>
+    import graft.streaming.GraftTableStreaming
+    val feedSchema = StructType.fromDDL("k STRING, v STRING, op STRING")
+    val tblSchema = StructType.fromDDL("k STRING, v STRING")
+    val wh = graft.ScratchDirs.create("graft-ups-wh-")
+    val cat = new GraftCatalog(s, wh)
+    cat.createNamespace("default")
+    val feed = cat.createTable("default", "feed", feedSchema)
+    val dst = cat.createTable("default", "dst", tblSchema)
+    def rows(r: (String, String, String)*): DataFrame =
+      s.createDataFrame(r.map { case (k, v, op) =>
+        Row(k, v, op) }.asJava, feedSchema)
+    feed.append(rows(("a", "1", "U"), ("b", "2", "U"), ("c", "3", "U")))
+    val in = GraftTableStreaming.readAppends(s, feed.root)
+      .withColumn("_del", col("op") === "D").drop("op")
+    val q = GraftTableStreaming.upsertSink(in, dst, "q_ups",
+      Seq("k"), Some("_del"))
+      .option("checkpointLocation",
+        graft.ScratchDirs.create("graft-ups-ck-").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // window 2: update a, tombstone b, insert d
+      feed.append(rows(("a", "9", "U"), ("b", "", "D"), ("d", "4", "U")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = dst.read().orderBy("k").collect().toSeq
+    require(got == Seq(Row("a", "9"), Row("c", "3"), Row("d", "4")),
+      s"upsert fold diverged: $got")
+    val snaps = dst.meta.snapshots.size
+    require(snaps == 2, s"one commit per window, got $snaps")
+    // crash replay: re-deliver epoch 0 — the sink must skip it
+    GraftTableStreaming.upsertBatch(dst, "q_ups", Seq("k"), Some("_del"))(
+      rows(("z", "666", "U")).withColumn("_del", col("op") === "D")
+        .drop("op"), 0L)
+    require(dst.meta.snapshots.size == snaps &&
+      dst.read().filter(col("k") === "z").count() == 0L,
+      "replayed epoch must be a no-op")
+    dst.read().orderBy("k")
+  }
+
   /** CDC: the demo walk's full changelog — append 3 rows, MOR-delete
     * one, COW-nullify another — read back as insert/delete row events
     * (Iceberg create_changelog_view semantics). Values deterministic;
@@ -1468,5 +1519,5 @@ object LakeQueries extends QueryCatalog {
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, quantileRollup,
     invertedIndex,
-    vectorIndex, bucketJoin, maintenance, runtimePrune)
+    vectorIndex, bucketJoin, maintenance, runtimePrune, streamUpsert)
 }

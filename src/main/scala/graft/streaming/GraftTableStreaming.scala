@@ -59,6 +59,46 @@ object GraftTableStreaming {
       queryId: String): DataStreamWriter[Row] =
     df.writeStream.foreachBatch(appendBatch(t, queryId) _)
 
+  /** Exactly-once micro-batch UPSERT — CDC apply, the Flink
+    * upsert-writer / Iceberg RowDelta pattern as a streaming sink:
+    * each micro-batch commits ONE [[GraftTable.rowDelta]] snapshot
+    * whose equality-delete file masks every OLDER row matching a
+    * batch key and whose data files carry the batch's upsert rows.
+    * Rows with `deleteFlagCol` true are tombstones: their key is
+    * deleted and no replacement is written. Epochs at or below the
+    * last committed one are skipped (the [[appendBatch]] crash-replay
+    * contract), so a retried micro-batch is a no-op, never a
+    * double-apply. One commit per window is the 100 TB shape: one
+    * metadata write, one optimistic-concurrency race, regardless of
+    * how many keys the window touched. */
+  def upsertBatch(t: GraftTable, queryId: String,
+      identifierCols: Seq[String],
+      deleteFlagCol: Option[String] = None)(
+      batch: DataFrame, epochId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    require(identifierCols.nonEmpty,
+      "upsert needs at least one identifier column")
+    if (lastCommittedEpoch(t, queryId).exists(_ >= epochId)) return
+    if (batch.isEmpty) return // nothing to commit; replay is identical
+    val upserts = deleteFlagCol match {
+      case Some(f) => batch.filter(!coalesce(col(f), lit(false))).drop(f)
+      case None => batch
+    }
+    // keys = every identifier the window touched: upserted keys mask
+    // their older versions, tombstoned keys just vanish
+    val keys = batch.select(identifierCols.map(col): _*)
+    t.rowDelta(keys, upserts,
+      Map(QueryKey -> queryId, EpochKey -> epochId.toString))
+  }
+
+  /** writeStream upsert sink: `upsertSink(df, t, "q", Seq("id"),
+    * Some("_deleted")).start()`. */
+  def upsertSink(df: Dataset[Row], t: GraftTable, queryId: String,
+      identifierCols: Seq[String],
+      deleteFlagCol: Option[String] = None): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch(
+      upsertBatch(t, queryId, identifierCols, deleteFlagCol) _)
+
   /** readStream entry point (programmatic form of format(...)). */
   def readAppends(spark: SparkSession, root: Path): DataFrame =
     spark.readStream.format("graft-appends")

@@ -943,4 +943,44 @@ class StreamingSpec extends SparkSuite {
     assert(got.nonEmpty)
     assert(got === want)
   }
+
+  test("upsert sink: per-window RowDelta commits fold a CDC feed; the " +
+    "table's OWN changelog then reads as delete+insert per touched " +
+    "key; a tombstone for an absent key is harmless") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    import graft.streaming.GraftTableStreaming.upsertBatch
+    val sch = StructType.fromDDL("id BIGINT, v STRING")
+    val t = GraftTable.create(spark,
+      graft.ScratchDirs.create("graft-ups-").resolve("t"), "d.t", sch,
+      Map.empty)
+    def batch(rows: (Long, String, Boolean)*): DataFrame =
+      spark.createDataFrame(rows.map { case (k, v, d) =>
+        Row(Long.box(k), v, Boolean.box(d)) }.asJava,
+        StructType.fromDDL("id BIGINT, v STRING, _del BOOLEAN"))
+    // window 0: seed; window 1: update 1, tombstone 2, tombstone an
+    // ABSENT key 99 (CDC feeds deliver deletes for rows a consumer
+    // never saw — must be a no-op, not an error)
+    upsertBatch(t, "q", Seq("id"), Some("_del"))(
+      batch((1L, "a", false), (2L, "b", false)), 0L)
+    upsertBatch(t, "q", Seq("id"), Some("_del"))(
+      batch((1L, "a2", false), (2L, "", true), (99L, "", true)), 1L)
+    assert(t.read().orderBy("id").collect().toSeq ===
+      Seq(Row(1L, "a2")))
+    // the upserted table is itself CDC-readable: window 1 emits the
+    // masked parents as deletes and the new image as an insert
+    val w1 = t.changes().filter(col("_change_ordinal") === 1)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(w1.toSeq === Seq(
+      ("delete", 1L, "a"), ("delete", 2L, "b"), ("insert", 1L, "a2")))
+    // exactly-once: replaying window 1 with different rows is skipped
+    val snaps = t.meta.snapshots.size
+    upsertBatch(t, "q", Seq("id"), Some("_del"))(
+      batch((7L, "ghost", false)), 1L)
+    assert(t.meta.snapshots.size === snaps)
+    assert(t.read().filter(col("id") === 7L).count() === 0L)
+  }
 }
