@@ -134,9 +134,10 @@ case class GraftSqlResolution(session: SparkSession)
         n.isInstanceOf[DeleteFromTable] ||
         n.isInstanceOf[MergeIntoTable]) =>
       val local = bucketLocalAssignments(other)
+      val assigned = local ++ runtimePruneAssignments(other, local.keySet)
       other.transformUp {
         case GraftRel(r, t) =>
-          substitute(r, local.getOrElse(r, t.read()))
+          substitute(r, assigned.getOrElse(r, t.read()))
         case GraftMetaRel(r, t) => substitute(r, t.df)
       }
     case other => other
@@ -153,30 +154,31 @@ case class GraftSqlResolution(session: SparkSession)
     * Everything ineligible (deletes, straddle-only stats, pinned
     * snapshots, different n) silently keeps the ordinary shuffled
     * read — this is a layout fast path, never a semantics change. */
+  /** Trace a join-key attribute down through aliases, filters, and
+    * projection renames to the graft relation column it reads — a
+    * side qualifies however the query dressed it, as long as the key
+    * survives the walk. */
+  private def trace(p: LogicalPlan, attr: AttributeReference)
+      : Option[(DataSourceV2Relation, GraftSqlTable, String)] =
+    p match {
+      case SubqueryAlias(_, c) => trace(c, attr)
+      case Filter(_, c) => trace(c, attr)
+      case Project(list, c) =>
+        list.find(_.exprId == attr.exprId).flatMap {
+          case a: AttributeReference => trace(c, a)
+          case Alias(a: AttributeReference, _) => trace(c, a)
+          case _ => None // computed key: no storage column behind it
+        }
+      case GraftRel(r, t)
+          if t.pinnedSnapshot.isEmpty && r.outputSet.contains(attr) =>
+        Some((r, t, attr.name))
+      case _ => None
+    }
+
   private def bucketLocalAssignments(plan: LogicalPlan)
       : Map[DataSourceV2Relation, DataFrame] = {
     if (!session.conf.getOption("spark.graft.bucketLocalJoin")
         .exists(_.equalsIgnoreCase("true"))) return Map.empty
-    // trace a join-key attribute down through aliases, filters, and
-    // projection renames to the graft relation column it reads — a
-    // side qualifies however the query dressed it, as long as the key
-    // survives the walk
-    def trace(p: LogicalPlan, attr: AttributeReference)
-        : Option[(DataSourceV2Relation, GraftSqlTable, String)] =
-      p match {
-        case SubqueryAlias(_, c) => trace(c, attr)
-        case Filter(_, c) => trace(c, attr)
-        case Project(list, c) =>
-          list.find(_.exprId == attr.exprId).flatMap {
-            case a: AttributeReference => trace(c, a)
-            case Alias(a: AttributeReference, _) => trace(c, a)
-            case _ => None // computed key: no storage column behind it
-          }
-        case GraftRel(r, t)
-            if t.pinnedSnapshot.isEmpty && r.outputSet.contains(attr) =>
-          Some((r, t, attr.name))
-        case _ => None
-      }
     def bucketOf(t: GraftSqlTable, key: String)
         : Option[graft.lake.BucketField] =
       t.graft.enrichedProperties.get("write.clustered-by")
@@ -214,6 +216,69 @@ case class GraftSqlResolution(session: SparkSession)
               case _ => ()
             }
           case _ => ()
+        }
+      case _ => ()
+    }
+    out.toMap
+  }
+
+  /** SQL-path runtime join pruning (the DPP analog, D42), behind the
+    * opt-in conf `spark.graft.runtimeJoinPrune=true`: for an INNER or
+    * LEFT SEMI equi-join where one key traces to a CLUSTERED graft
+    * column, substitute that side with [[GraftTable.readForJoin]]
+    * against the other side's key set — the other side's subplan runs
+    * once pre-plan to collect (bounded) keys, which is the DPP
+    * tradeoff the opt-in buys; over-`maxKeys` sides fall back to the
+    * scan-all read inside readForJoin. Outer joins never route (the
+    * pruned side might be preserved), and relations the bucket-local
+    * router already claimed are left alone — the co-bucketed
+    * zero-shuffle plan is strictly better. */
+  private def runtimePruneAssignments(plan: LogicalPlan,
+      claimed: collection.Set[DataSourceV2Relation])
+      : Map[DataSourceV2Relation, DataFrame] = {
+    if (!session.conf.getOption("spark.graft.runtimeJoinPrune")
+        .exists(_.equalsIgnoreCase("true"))) return Map.empty
+    val maxKeys = session.conf
+      .getOption("spark.graft.runtimeJoinPrune.maxKeys")
+      .map(_.toInt).getOrElse(10000)
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+    def clustered(t: GraftSqlTable, key: String): Boolean =
+      t.graft.enrichedProperties.get("write.clustered-by")
+        .map(graft.lake.ClusterSpec.parseList).getOrElse(Nil)
+        .exists(_.column.equalsIgnoreCase(key))
+    def dimKeys(side: LogicalPlan, attr: AttributeReference): DataFrame =
+      ColumnBridge.ofRows(session, Project(Seq(attr),
+        GraftRelSubstitution.substituteAll(side)))
+    val out = scala.collection.mutable
+      .Map.empty[DataSourceV2Relation, DataFrame]
+    plan.foreach {
+      case j: Join if (j.joinType == Inner || j.joinType == LeftSemi)
+          && j.condition.isDefined =>
+        val routes = j.condition.get.collect {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            Seq((trace(j.left, a), b, j.right),
+              (trace(j.left, b), a, j.right),
+              (trace(j.right, a), b, j.left),
+              (trace(j.right, b), a, j.left))
+        }.flatten.collect {
+          // the dim-side key must be an output of the dim side, or the
+          // conjunct isn't an equi-key BETWEEN the two sides
+          case (Some((r, t, key)), dimAttr, dimSide)
+              if dimSide.outputSet.contains(dimAttr) &&
+                !claimed.contains(r) && !out.contains(r) &&
+                clustered(t, key) =>
+            (r, t, key, dimAttr, dimSide)
+        }
+        routes.headOption.foreach { case (r, t, key, dimAttr, dimSide) =>
+          // a self-join side must not prune by its own relation's
+          // keys; a dim subplan this rule can't execute pre-plan
+          // (e.g. carrying its own subqueries) skips the route — a
+          // fast path must never fail a query that planned fine
+          if (!dimSide.exists(_ eq r)) try {
+            out(r) = t.graft.readForJoin(key,
+              dimKeys(dimSide, dimAttr), dimAttr.name, maxKeys)
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
       case _ => ()
     }

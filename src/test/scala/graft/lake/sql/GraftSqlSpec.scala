@@ -338,6 +338,42 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("net_changes"), e.getMessage)
   }
 
+  test("spark.graft.runtimeJoinPrune routes an inner join through " +
+    "readForJoin: the clustered fact side scans fewer files, rows " +
+    "identical; outer joins and unclustered keys never route") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val fact = s"graft.$ns.fact"
+    val dim = s"graft.$ns.dim"
+    spark.sql(s"CREATE TABLE $fact (k BIGINT, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('write.clustered-by'='k'," +
+      "'write.clustered-by.files'='8')")
+    spark.sql(
+      s"INSERT INTO $fact SELECT id, id * 3 FROM range(8000)")
+    spark.sql(s"CREATE TABLE $dim (dk BIGINT, tag STRING) USING graft")
+    spark.sql(s"INSERT INTO $dim SELECT id, concat('t', id) " +
+      "FROM range(100, 140)")
+    val q = s"SELECT k, v, tag FROM $fact JOIN $dim ON k = dk"
+    val want = spark.sql(q).orderBy("k").collect().toSeq
+    val allFiles = spark.sql(s"SELECT * FROM $fact").inputFiles.length
+    spark.conf.set("spark.graft.runtimeJoinPrune", "true")
+    try {
+      val routed = spark.sql(q)
+      assert(routed.inputFiles.count(_.contains("/fact/")) < allFiles,
+        s"fact side must scan fewer files:\n${routed.inputFiles.toSeq}")
+      assert(routed.orderBy("k").collect().toSeq === want)
+      // outer join: the fact side is preserved — must NOT route
+      val outer = spark.sql(
+        s"SELECT k, tag FROM $fact LEFT JOIN $dim ON k = dk")
+      assert(outer.inputFiles.count(_.contains("/fact/")) === allFiles)
+      assert(outer.count() === 8000L)
+      // unclustered key: no stats layout to prune by — no route
+      val unrouted = spark.sql(
+        s"SELECT v, tag FROM $fact JOIN $dim ON v = dk * 3")
+      assert(unrouted.inputFiles.count(_.contains("/fact/")) === allFiles)
+    } finally spark.conf.unset("spark.graft.runtimeJoinPrune")
+  }
+
   test("CALL register_table adopts an external table without moving " +
     "data: SQL reads/writes flow through, drop removes only the " +
     "pointer, the original handle shares commits") {
