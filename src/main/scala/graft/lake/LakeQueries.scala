@@ -1415,12 +1415,11 @@ object LakeQueries extends QueryCatalog {
     fact("5-idempotent", "actions", r2.size)
     require(r2.isEmpty, s"second maintain must no-op, got $r2")
 
-    // thin-append churn: 2 appends x 4 clustered files each — with the
-    // 4 files already present, 12 small files clear the
+    // thin-append churn: one append of 4 clustered files — with the 4
+    // compacted files already present, 8 small files meet the
     // min-small-files=8 policy floor and exceed the 4-file clustered
     // target, so bin-packing actually shrinks the layout
-    (0 until 2).foreach(i =>
-      t.append(rowsOf(400 + i * 10 until 410 + i * 10)))
+    t.append(rowsOf(400 until 420))
     settle()
     val r3 = t.maintain()
     fact("6-small", "compact-small-files",
