@@ -78,6 +78,28 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     loadTable(ns, name)
   }
 
+  /** The Iceberg `snapshot` procedure: a zero-copy FORK of `source`
+    * as `ns.name` — the new table's first snapshot references the
+    * source's current data files in place (stats carried verbatim, so
+    * pruning and bucket-local eligibility survive), and its future
+    * writes land under its own directory without touching the source.
+    * The fork is created with `gc.enabled=false`: expiry on it refuses
+    * loudly, because it would delete bytes the SOURCE still owns —
+    * exactly Iceberg's snapshot-table contract. Unlike
+    * [[registerTable]] (one table, two names, shared commits), a fork
+    * is an independent table that merely starts from the source's
+    * bytes — the cheap staging/test copy a 100 TB migration rehearses
+    * on. */
+  def snapshotTable(ns: String, name: String,
+      source: GraftTable): GraftTable = {
+    require(namespaceExists(ns), s"namespace $ns does not exist")
+    require(!tableExists(ns, name), s"table $ns.$name already exists")
+    val t = GraftTable.create(spark, tableDir(ns, name), s"$ns.$name",
+      source.schema, source.properties + ("gc.enabled" -> "false"))
+    source.forkInto(t)
+    t
+  }
+
   /** D3: DROP TABLE IF EXISTS (demo.py:70) — recursive delete, like the
     * demo's REST purge (demo.py:67). */
   def dropTable(ns: String, name: String): Boolean = {

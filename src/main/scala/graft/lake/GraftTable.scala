@@ -1248,6 +1248,44 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * commit one append snapshot. The schema must match the table's by
     * name and type — a silent type drift would corrupt reads later, so
     * it is rejected here, not discovered at query time. */
+  /** Zero-copy fork (the commit half of the Iceberg `snapshot`
+    * procedure): publish THIS table's current data files into `target`
+    * as one append snapshot, bytes staying exactly where they are —
+    * entries carry absolute paths into this table's directory, and
+    * their stats (min/max AND bucket stats) travel verbatim, so
+    * manifest pruning and bucket-local eligibility survive the fork.
+    * The fork's future writes land under its own root; its COW
+    * rewrites merely dereference borrowed files (physical deletion
+    * only ever happens in expiry/orphan paths, which `gc.enabled=
+    * false` blocks on the fork).
+    *
+    * Refuses sources whose head isn't plain data: MOR delete files
+    * (the fork would resurrect masked rows) and renamed columns (the
+    * fork's identity logical→physical mapping would mis-read the
+    * source's physical layout) both say "compact first", loudly. */
+  private[lake] def forkInto(target: GraftTable): SnapshotMeta = {
+    val entries = currentEntries
+    require(entries.forall(_.content == 0),
+      s"cannot snapshot $name: merge-on-read delete files present; " +
+        "run rewrite_data_files first")
+    require(meta.physicalNames.forall { case (l, p) =>
+      l.equalsIgnoreCase(p) },
+      s"cannot snapshot $name: renamed columns give its files a " +
+        "different physical layout; run rewrite_data_files first")
+    target.adoptForeign(entries, root)
+  }
+
+  private def adoptForeign(entries: Seq[ManifestEntry],
+      sourceRoot: Path): SnapshotMeta = {
+    val b = captureBase()
+    val snapId = nextSnapshotHint
+    val adopted = entries.map(e => e.copy(
+      path = sourceRoot.resolve(e.path).toAbsolutePath.toString,
+      addedSnapshotId = snapId))
+    commitSnapshot(b, snapId, "append", b.entries ++ adopted,
+      Map("mode" -> "snapshot-fork", "source-table" -> sourceRoot.toString))
+  }
+
   def addFiles(sourceDir: Path): SnapshotMeta = {
     val files = Io.listRecursive(sourceDir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -1884,8 +1922,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * (README.md:88-93's companion signature) expires everything except
     * the newest `retainLast` plus the current head and ref-pinned
     * snapshots: `expireSnapshots(retainLast = n)`. */
+  /** `gc.enabled=false` (set automatically on snapshot-fork tables)
+    * refuses every operation that physically deletes referenced data
+    * files — a fork references bytes it does NOT own (they live under
+    * the source's directory), so expiry here could destroy the
+    * source's history. Iceberg's snapshot procedure makes the same
+    * promise the same way. */
+  private def requireGcEnabled(op: String): Unit =
+    require(properties.getOrElse("gc.enabled", "true").toBoolean,
+      s"Cannot $op on $name: gc.enabled=false (this table references " +
+        "data files it does not own — a snapshot fork's source would " +
+        "lose history)")
+
   def expireSnapshots(olderThanMs: Long = now(), retainLast: Int = 1)
       : Seq[Long] = {
+    requireGcEnabled("expire snapshots")
     val b = captureBase()
     val m = b.meta
     val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)
@@ -1926,6 +1977,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     */
   def expireSnapshotsByIds(ids: Seq[Long]): Seq[Long] = {
     if (ids.isEmpty) return Nil
+    requireGcEnabled("expire snapshots")
     val b = captureBase()
     val m = b.meta
     val known = m.snapshots.map(_.snapshotId).toSet

@@ -340,13 +340,23 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
 
   private[sql] def registerTableArg(tableName: String,
       location: String): GraftTable = {
+    val (ns, t) = splitTableArg(tableName)
+    cat.registerTable(ns, t, Path.of(location))
+  }
+
+  private[sql] def snapshotTableArg(sourceTable: String,
+      tableName: String): GraftTable = {
+    val (ns, t) = splitTableArg(tableName)
+    cat.snapshotTable(ns, t, resolveTableArg(sourceTable))
+  }
+
+  private def splitTableArg(tableName: String): (String, String) = {
     val parts = tableName.split("\\.").toSeq
     val cleaned = if (parts.headOption.contains(catalogName))
       parts.tail else parts
     require(cleaned.length >= 2,
       s"table argument must be <namespace>.<table>, got '$tableName'")
-    cat.registerTable(cleaned.init.mkString("/"), cleaned.last,
-      Path.of(location))
+    (cleaned.init.mkString("/"), cleaned.last)
   }
 }
 
@@ -361,7 +371,7 @@ private object GraftProcedures {
     "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
     "drop_ref", "fast_forward", "add_files", "ancestors_of",
-    "maintain", "register_table")
+    "maintain", "register_table", "snapshot")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -471,6 +481,19 @@ private object GraftProcedures {
         val tbl = args.getUTF8String(0).toString
         val t = catalog.registerTableArg(tbl,
           args.getUTF8String(1).toString)
+        Seq(outRow(tbl,
+          t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      }))
+    // Iceberg snapshot-procedure parity: zero-copy FORK (independent
+    // table starting from the source's bytes; gc disabled on the fork)
+    case "snapshot" => Some(procedure(name,
+      Seq(param("source_table", StringType),
+        param("table", StringType)),
+      StructType.fromDDL("table STRING, current_snapshot_id BIGINT"),
+      (args: InternalRow) => {
+        val tbl = args.getUTF8String(1).toString
+        val t = catalog.snapshotTableArg(
+          args.getUTF8String(0).toString, tbl)
         Seq(outRow(tbl,
           t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
       }))

@@ -411,6 +411,47 @@ class GraftSqlSpec extends SparkSuite {
     assert(GraftTable.load(spark, ext).read().count() === 3L)
   }
 
+  test("CALL snapshot forks a table zero-copy: same rows, independent " +
+    "writes, expiry on the fork refuses (gc.enabled=false), source " +
+    "untouched; MOR-delete sources refuse") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val src = s"graft.$ns.src"
+    spark.sql(s"CREATE TABLE $src (k BIGINT, v STRING) USING graft")
+    spark.sql(s"INSERT INTO $src SELECT id, concat('v', id) FROM range(100)")
+    val srcFilesBefore = spark.sql(s"SELECT * FROM $src").inputFiles.toSet
+    spark.sql(s"CALL graft.system.snapshot(" +
+      s"source_table => '$ns.src', table => '$ns.fork')").collect()
+    val fork = s"graft.$ns.fork"
+    // zero copy: the fork reads the SOURCE's files
+    assert(spark.sql(s"SELECT * FROM $fork").inputFiles.toSet ===
+      srcFilesBefore)
+    assert(spark.sql(s"SELECT count(*) FROM $fork").collect()(0)
+      .getLong(0) === 100L)
+    // independent writes: fork DML never shows up in the source
+    spark.sql(s"INSERT INTO $fork VALUES (777, 'fork-only')")
+    spark.sql(s"DELETE FROM $fork WHERE k < 10")
+    assert(spark.sql(s"SELECT count(*) FROM $fork").collect()(0)
+      .getLong(0) === 91L)
+    assert(spark.sql(s"SELECT count(*) FROM $src").collect()(0)
+      .getLong(0) === 100L)
+    assert(spark.sql(s"SELECT * FROM $src").inputFiles.toSet ===
+      srcFilesBefore, "source files must survive fork DML")
+    // gc refusal: expiry on the fork would delete borrowed bytes
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.expire_snapshots(table => '$ns.fork')")
+      .collect())
+    assert(e.getMessage.contains("gc.enabled"), e.getMessage)
+    // MOR-delete sources refuse until compacted
+    spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES " +
+      "('write.delete.mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $src WHERE k = 50")
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft.system.snapshot(" +
+        s"source_table => '$ns.src', table => '$ns.fork2')").collect())
+    assert(e2.getMessage.contains("rewrite_data_files"), e2.getMessage)
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
     "tables through SQL") {
     val ns = freshNs()
