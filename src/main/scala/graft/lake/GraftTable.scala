@@ -1897,14 +1897,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
             s"~$expectedOut in snapshot ${s.snapshotId}"))
       }
     }
-    props.get("maintenance.expire.max-age-ms").foreach { age =>
-      val retain = intProp("maintenance.expire.retain-last", 1)
-      val expired = GraftTable.retryOnConflict()(
-        expireSnapshots(now() - age.toLong, retain))
-      if (expired.nonEmpty)
-        report += ("expire-snapshots" ->
-          s"expired ${expired.size} snapshot(s): ${expired.mkString(",")}")
-    }
+    // a snapshot fork inherits the source's policies but owns none of
+    // its bytes (gc.enabled=false): the scheduler SKIPS expiry there
+    // instead of crashing the whole fleet sweep on the gc refusal
+    props.get("maintenance.expire.max-age-ms")
+      .filter(_ => props.getOrElse("gc.enabled", "true").toBoolean)
+      .foreach { age =>
+        val retain = intProp("maintenance.expire.retain-last", 1)
+        val expired = GraftTable.retryOnConflict()(
+          expireSnapshots(now() - age.toLong, retain))
+        if (expired.nonEmpty)
+          report += ("expire-snapshots" ->
+            s"expired ${expired.size} snapshot(s): ${expired.mkString(",")}")
+      }
     props.get("maintenance.orphans.older-than-ms").foreach { h =>
       // orphan removal is FS-side only (no table commit) — no CAS race
       val removed = removeOrphanFiles(now() - h.toLong)

@@ -84,11 +84,17 @@ object GraftTableStreaming {
       case Some(f) => batch.filter(!coalesce(col(f), lit(false))).drop(f)
       case None => batch
     }
-    // keys = every identifier the window touched: upserted keys mask
-    // their older versions, tombstoned keys just vanish
-    val keys = batch.select(identifierCols.map(col): _*)
-    t.rowDelta(keys, upserts,
-      Map(QueryKey -> queryId, EpochKey -> epochId.toString))
+    val summary = Map(QueryKey -> queryId, EpochKey -> epochId.toString)
+    // first load: nothing exists for an equality delete to mask, so
+    // the key file would be dead weight on every later read until a
+    // compaction — take the plain append path instead
+    if (t.currentSnapshot.isEmpty) t.append(upserts, summary)
+    else {
+      // keys = every identifier the window touched: upserted keys
+      // mask their older versions, tombstoned keys just vanish
+      val keys = batch.select(identifierCols.map(col): _*)
+      t.rowDelta(keys, upserts, summary)
+    }
   }
 
   /** writeStream upsert sink: `upsertSink(df, t, "q", Seq("id"),

@@ -442,6 +442,13 @@ class GraftSqlSpec extends SparkSuite {
       s"CALL graft.system.expire_snapshots(table => '$ns.fork')")
       .collect())
     assert(e.getMessage.contains("gc.enabled"), e.getMessage)
+    // the fleet scheduler must SKIP expiry on a fork, not crash: an
+    // inherited expire policy yields no expire action and no error
+    spark.sql(s"ALTER TABLE $fork SET TBLPROPERTIES " +
+      "('maintenance.expire.max-age-ms'='1')")
+    val acts = spark.sql(s"CALL graft.system.maintain(table => '$ns.fork')")
+      .collect().map(_.getString(0)).toSeq
+    assert(!acts.contains("expire-snapshots"), s"got $acts")
     // MOR-delete sources refuse until compacted
     spark.sql(s"ALTER TABLE $src SET TBLPROPERTIES " +
       "('write.delete.mode'='merge-on-read')")

@@ -983,4 +983,39 @@ class StreamingSpec extends SparkSuite {
     assert(t.meta.snapshots.size === snaps)
     assert(t.read().filter(col("id") === 7L).count() === 0L)
   }
+
+  test("upsert stream x maintenance x bucket-local: equality deletes " +
+    "suspend join eligibility, ONE maintain() compacts them away and " +
+    "restores it, rows unchanged (the full CDC-serving loop)") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    import graft.streaming.GraftTableStreaming.upsertBatch
+    val sch = StructType.fromDDL("id BIGINT, v STRING")
+    val t = GraftTable.create(spark,
+      graft.ScratchDirs.create("graft-upsm-").resolve("t"), "d.t", sch,
+      Map("write.clustered-by" -> "bucket(4,id)",
+        "write.clustered-by.files" -> "4",
+        "maintenance.compact.min-delete-files" -> "1"))
+    def batch(rows: (Long, String)*): DataFrame =
+      spark.createDataFrame(rows.map { case (k, v) =>
+        Row(Long.box(k), v) }.asJava, sch)
+    upsertBatch(t, "q", Seq("id"))(
+      batch((0L until 100L).map(k => (k, s"v$k")): _*), 0L)
+    assert(t.bucketLocalRead("id").isDefined,
+      "a pure-insert first window keeps the clustered layout eligible")
+    // window 1 rewrites 10 keys -> an equality-delete file lands
+    upsertBatch(t, "q", Seq("id"))(
+      batch((0L until 10L).map(k => (k, s"new$k")): _*), 1L)
+    assert(t.bucketLocalRead("id").isEmpty,
+      "equality deletes must suspend the layout claim")
+    val want = t.read().orderBy("id").collect().toSeq
+    val acts = t.maintain().map(_._1)
+    assert(acts.contains("compact-deletes"), s"got $acts")
+    assert(t.bucketLocalRead("id").isDefined,
+      "compaction must restore bucket-local eligibility")
+    assert(t.read().orderBy("id").collect().toSeq === want)
+    assert(t.read().filter(col("v") === "new3").count() === 1L)
+  }
 }
