@@ -126,6 +126,15 @@ object GraftTableStreaming {
       require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n")
       n
     }
+
+  /** `option("startSnapshotId", id)` — Iceberg's stream-from-snapshot
+    * knob: the stream's initial offset is the given snapshot
+    * (EXCLUSIVE, matching the batch incremental convention), so a new
+    * consumer skips the backfill and begins with the commits AFTER
+    * it. Only the FIRST batch is affected; a restarted query resumes
+    * from its checkpoint as usual. */
+  def startSnapshotId(parameters: Map[String, String]): Option[Long] =
+    parameters.get("startSnapshotId").map(_.toLong)
 }
 
 /** `format("graft-appends")` registration — source AND sink, so both
@@ -159,7 +168,8 @@ class GraftAppendStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftAppendSource(table(ctx, parameters),
-      GraftTableStreaming.maxSnapshotsPerTrigger(parameters))
+      GraftTableStreaming.maxSnapshotsPerTrigger(parameters),
+      GraftTableStreaming.startSnapshotId(parameters))
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -228,7 +238,8 @@ class GraftChangesStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new GraftChangesSource(table(ctx, parameters),
-      GraftTableStreaming.maxSnapshotsPerTrigger(parameters))
+      GraftTableStreaming.maxSnapshotsPerTrigger(parameters),
+      GraftTableStreaming.startSnapshotId(parameters))
 }
 
 object GraftChangesSource {
@@ -262,7 +273,9 @@ object GraftChangesSource {
   * logical name (values bind positionally and stay correct, proven in
   * StreamingSpec); restart the query to pick up the new name.
   */
-class GraftChangesSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
+class GraftChangesSource(t: GraftTable,
+    maxSnapshotsPerTrigger: Option[Int],
+    startSnapshotId: Option[Long] = None)
     extends Source {
 
   override def schema: StructType = GraftChangesSource.changesSchema(t)
@@ -281,7 +294,8 @@ class GraftChangesSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
       // walk fails (offset expired mid-stream), fall back to head and
       // let getBatch raise the precise error.
       val target =
-        try t.lineageAfter(lastEnd).take(n).lastOption
+        try t.lineageAfter(lastEnd.orElse(startSnapshotId)).take(n)
+          .lastOption
         catch { case _: Exception => t.meta.currentSnapshotId }
       target.orElse(lastEnd).map(LongOffset(_))
   }
@@ -296,7 +310,8 @@ class GraftChangesSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
       end: OffsetV1): DataFrame = {
     lastEnd = Some(toLong(end))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
-      t.changes(start.map(toLong), Some(toLong(end))))
+      t.changes(start.map(toLong).orElse(startSnapshotId),
+        Some(toLong(end))))
   }
 
   override def stop(): Unit = ()
@@ -304,7 +319,9 @@ class GraftChangesSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
 
 /** Snapshot-log-driven source: offset N = "all append snapshots with
   * id <= N have been emitted". */
-class GraftAppendSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
+class GraftAppendSource(t: GraftTable,
+    maxSnapshotsPerTrigger: Option[Int],
+    startSnapshotId: Option[Long] = None)
     extends Source {
 
   override def schema: StructType = t.schema
@@ -316,7 +333,7 @@ class GraftAppendSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
   override def getOffset: Option[OffsetV1] = maxSnapshotsPerTrigger match {
     case None => t.meta.snapshots.lastOption.map(s => LongOffset(s.snapshotId))
     case Some(n) =>
-      val from = lastEnd.getOrElse(Long.MinValue)
+      val from = lastEnd.orElse(startSnapshotId).getOrElse(Long.MinValue)
       val pending = t.meta.snapshots.map(_.snapshotId)
         .filter(_ > from).sorted
       pending.take(n).lastOption.orElse(lastEnd).map(LongOffset(_))
@@ -332,8 +349,8 @@ class GraftAppendSource(t: GraftTable, maxSnapshotsPerTrigger: Option[Int])
       end: OffsetV1): DataFrame = {
     lastEnd = Some(toLong(end))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
-      t.appendsBetween(start.map(toLong).getOrElse(Long.MinValue),
-        toLong(end)))
+      t.appendsBetween(start.map(toLong).orElse(startSnapshotId)
+        .getOrElse(Long.MinValue), toLong(end)))
   }
 
   override def stop(): Unit = ()

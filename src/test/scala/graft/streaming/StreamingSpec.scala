@@ -984,6 +984,51 @@ class StreamingSpec extends SparkSuite {
     assert(t.read().filter(col("id") === 7L).count() === 0L)
   }
 
+  test("startSnapshotId: a new consumer skips the backfill and " +
+    "streams only commits AFTER the named snapshot (appends + CDC)") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    val sch = StructType.fromDDL("k BIGINT, v STRING")
+    val t = GraftTable.create(spark,
+      graft.ScratchDirs.create("graft-ssi-").resolve("t"), "d.t", sch,
+      Map.empty)
+    def rows(r: (Long, String)*): DataFrame =
+      spark.createDataFrame(r.map { case (k, v) =>
+        Row(Long.box(k), v) }.asJava, sch)
+    t.append(rows((1L, "backfill-a")))
+    t.append(rows((2L, "backfill-b")))
+    val mark = t.currentSnapshot.get.snapshotId
+    t.append(rows((3L, "live-c")))
+    // one shared table across both formats: track what lives after
+    // the mark cumulatively (iteration 2 must also see iteration 1's
+    // live append — only the pre-mark backfill is skipped)
+    val afterMark =
+      scala.collection.mutable.ArrayBuffer[(Long, String)]((3L, "live-c"))
+    for ((fmt, i) <- Seq("graft-appends", "graft-changes").zipWithIndex) {
+      val in = spark.readStream.format(fmt)
+        .option("path", t.root.toString)
+        .option("startSnapshotId", mark.toString).load()
+      val name = s"ssi_${fmt.replace('-', '_')}"
+      val q = in.select("k", "v").writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          graft.ScratchDirs.create("graft-ssi-ck-").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        t.append(rows((4L + i, s"live-$i")))
+        afterMark += ((4L + i, s"live-$i"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got === afterMark.sorted.toSeq,
+        s"[$fmt] must skip the pre-mark backfill, got $got")
+    }
+  }
+
   test("upsert stream x maintenance x bucket-local: equality deletes " +
     "suspend join eligibility, ONE maintain() compacts them away and " +
     "restores it, rows unchanged (the full CDC-serving loop)") {
