@@ -1509,6 +1509,61 @@ object LakeQueries extends QueryCatalog {
     out.toSeq.toDF("phase", "fact", "value").orderBy("phase", "fact")
   }
 
+  /** D43+D44: the two zero-copy catalog adoption paths walked side by
+    * side. register_table = ONE table under a second name (shared
+    * commits: an insert through either handle is visible to both);
+    * snapshot = an independent FORK starting from the source's bytes
+    * (fork DML invisible to the source; expiry on the fork refuses —
+    * it doesn't own the bytes). Both move ZERO data: the register
+    * records a pointer, the fork's first snapshot references the
+    * source's files in place (in-query require pins inputFiles
+    * equality). The staging/migration story a 100 TB lake needs:
+    * adopt first, rehearse on a fork, never copy. */
+  private val tableClone = Q.noOracle("q_lake_table_clone") { (s, _) =>
+    import s.implicits._
+    val schema = StructType.fromDDL("k BIGINT, v STRING")
+    val wh = graft.ScratchDirs.create("graft-clone-")
+    val cat = new GraftCatalog(s, wh.resolve("warehouse"))
+    cat.createNamespace("default")
+    // the external table: another pipeline's output outside the
+    // warehouse
+    val ext = GraftTable.create(s, wh.resolve("external"), "x.t",
+      schema, Map.empty)
+    ext.append(s.createDataFrame(
+      (0L until 100L).map(i => Row(i, s"v$i")).asJava, schema))
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def fact(phase: String, k: String, v: Long): Unit =
+      out += ((phase, k, v))
+
+    // D43: adopt by pointer — shared commits both ways
+    val reg = cat.registerTable("default", "adopted", ext.root)
+    fact("1-register", "rows", reg.read().count())
+    reg.append(s.createDataFrame(Seq(Row(100L, "via-catalog")).asJava,
+      schema))
+    fact("1-register", "rows-after-insert", ext.read().count())
+    require(ext.read().count() == 101L,
+      "a registered table shares commits with the original handle")
+
+    // D44: fork zero-copy — same bytes, independent future
+    val fork = cat.snapshotTable("default", "rehearsal", ext)
+    require(fork.read().inputFiles.toSet == ext.read().inputFiles.toSet,
+      "the fork's first snapshot must reference the source's files")
+    fact("2-fork", "rows", fork.read().count())
+    fork.delete(col("k") < 50)
+    fact("3-fork-dml", "fork-rows", fork.read().count())
+    fact("3-fork-dml", "source-rows", ext.read().count())
+    require(ext.read().count() == 101L,
+      "fork DML must never reach the source")
+    val refused = scala.util.Try(fork.expireSnapshots()).isFailure
+    fact("4-gc", "expiry-refused", if (refused) 1L else 0L)
+    require(refused, "expiry on a fork must refuse (gc.enabled=false)")
+    // drop the pointer: the external table survives untouched
+    cat.dropTable("default", "adopted")
+    fact("5-drop-pointer", "source-rows", ext.read().count())
+    out.toSeq.toDF("phase", "fact", "value").orderBy("phase", "fact")
+  }
+
   override def all: Seq[Q] = Seq(
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
@@ -1518,5 +1573,6 @@ object LakeQueries extends QueryCatalog {
     schemaEvolution, wap, rollback, incrementalAgg, incrementalMinhash,
     metadataRetention, streamErasure, sketchRollup, quantileRollup,
     invertedIndex,
-    vectorIndex, bucketJoin, maintenance, runtimePrune, streamUpsert)
+    vectorIndex, bucketJoin, maintenance, runtimePrune, streamUpsert,
+    tableClone)
 }
