@@ -103,4 +103,47 @@ class RuntimePruneSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       t.readForJoin("nope", dimOf(Seq(Long.box(1L))), "dk"))
   }
+
+  test("∀ layout x random key set (incl. nulls, misses, duplicates, " +
+    "over-budget): readForJoin.join ≡ read.join — the pruned frame is " +
+    "always join-equivalent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.rng.Seed
+    // one table per layout, built once (the property varies only the
+    // dim side — layout correctness is what the generators stress)
+    val tables = Seq(
+      "range" -> mkFact(Map("write.clustered-by" -> "k")),
+      "bucket" -> mkFact(Map("write.clustered-by" -> "bucket(8,k)")),
+      "none" -> mkFact(Map.empty))
+    val genKey: Gen[java.lang.Long] = Gen.frequency(
+      (8, Gen.choose(0L, 7999L).map(Long.box)), // hits
+      (2, Gen.choose(8000L, 20000L).map(Long.box)), // misses
+      (1, Gen.const(null: java.lang.Long))) // nulls never match
+    val genKeys = Gen.choose(0, 40).flatMap(Gen.listOfN(_, genKey))
+    val genMax = Gen.oneOf(3, 10000) // force the fallback sometimes
+    val prop = Prop.forAll(genKeys, genMax) { (keys, maxKeys) =>
+      tables.forall { case (label, t) =>
+        val dim = dimOf(keys)
+        val pruned = t.readForJoin("k", dim, "dk", maxKeys)
+        val got = pruned.join(dim, pruned("k") === dim("dk"))
+          .select("k", "v").collect().map(r =>
+            (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val ro = t.read()
+        val want = ro.join(dim, ro("k") === dim("dk"))
+          .select("k", "v").collect().map(r =>
+            (r.getLong(0), r.getLong(1))).sorted.toSeq
+        if (got != want)
+          println(s"[$label] keys=$keys maxKeys=$maxKeys: " +
+            s"${got.size} vs ${want.size}")
+        got == want
+      }
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(
+        sys.props.get("graft.prune.runs").map(_.toInt).getOrElse(30))
+      .withInitialSeed(Seed(4242L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }
