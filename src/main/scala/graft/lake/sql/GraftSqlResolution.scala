@@ -190,6 +190,20 @@ case class GraftSqlResolution(session: SparkSession)
     val out = scala.collection.mutable
       .Map.empty[DataSourceV2Relation, DataFrame]
     plan.foreach {
+      // aggregate-only shape: GROUP BY on a bucket-clustered column
+      // needs ClusteredDistribution(groupKeys), and the claimed
+      // HashPartitioning(key, n) satisfies it whenever the clustered
+      // key is AMONG the grouping keys (same key ⇒ same partition) —
+      // the whole-table-aggregate exchange disappears
+      case a: Aggregate =>
+        a.groupingExpressions.collect {
+          case ar: AttributeReference => ar
+        }.iterator.flatMap(k => trace(a.child, k)).collectFirst {
+          case (r, t, key) if !out.contains(r) &&
+              bucketOf(t, key).isDefined => (r, t, key)
+        }.foreach { case (r, t, key) =>
+          t.graft.bucketLocalRead(key).foreach(out(r) = _)
+        }
       case j: Join if j.condition.isDefined =>
         // find one equi-conjunct whose two attributes trace to two
         // DISTINCT graft relations (one per join side, either order)

@@ -338,6 +338,36 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("net_changes"), e.getMessage)
   }
 
+  test("spark.graft.bucketLocalJoin also collapses a plain GROUP BY " +
+    "on the bucket-clustered key: zero Exchange, identical rows; " +
+    "grouping on another column keeps the shuffle") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.ev"
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('write.clustered-by'='bucket(4,k)')")
+    spark.sql(s"INSERT INTO $tbl SELECT id % 97, id FROM range(5000)")
+    val q = s"SELECT k, count(*) AS n, CAST(sum(v) AS BIGINT) AS s " +
+      s"FROM $tbl GROUP BY k"
+    val want = spark.sql(q).orderBy("k").collect().toSeq
+    spark.conf.set("spark.graft.bucketLocalJoin", "true")
+    try {
+      val routed = spark.sql(q)
+      val exchanges = routed.queryExecution.executedPlan.toString
+        .split("\n").count(_.contains("Exchange"))
+      assert(exchanges === 0,
+        s"claimed GROUP BY must not shuffle:\n" +
+          routed.queryExecution.executedPlan)
+      assert(routed.orderBy("k").collect().toSeq === want)
+      // grouping on an unclustered column: no claim, ordinary shuffle
+      val other = spark.sql(
+        s"SELECT v % 7 AS g, count(*) AS n FROM $tbl GROUP BY v % 7")
+      assert(other.queryExecution.executedPlan.toString
+        .split("\n").exists(_.contains("Exchange")))
+      assert(other.collect().map(_.getLong(1)).sum === 5000L)
+    } finally spark.conf.unset("spark.graft.bucketLocalJoin")
+  }
+
   test("spark.graft.runtimeJoinPrune routes an inner join through " +
     "readForJoin: the clustered fact side scans fewer files, rows " +
     "identical; outer joins and unclustered keys never route") {
