@@ -33,6 +33,12 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
       if (ifNotExists) return loadTable(ns, name)
       throw new IllegalArgumentException(s"table $ns.$name already exists")
     }
+    // a leftover registration pointer whose target vanished would make
+    // the new table unloadable (resolution always follows the pointer)
+    // — refuse loudly instead of creating an invisible table
+    require(!Files.exists(tableDir(ns, name).resolve("location.text")),
+      s"$ns.$name holds a stale registration pointer (its target is " +
+        "gone); DROP TABLE it before creating a table under this name")
     GraftTable.create(spark, tableDir(ns, name), s"$ns.$name", schema,
       properties)
   }

@@ -330,12 +330,8 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
           GraftProcedures.names.mkString(", ")))
 
   private[sql] def resolveTableArg(tableName: String): GraftTable = {
-    val parts = tableName.split("\\.").toSeq
-    val cleaned = if (parts.headOption.contains(catalogName))
-      parts.tail else parts
-    require(cleaned.length >= 2,
-      s"table argument must be <namespace>.<table>, got '$tableName'")
-    cat.loadTable(cleaned.init.mkString("/"), cleaned.last)
+    val (ns, t) = splitTableArg(tableName)
+    cat.loadTable(ns, t)
   }
 
   private[sql] def registerTableArg(tableName: String,
@@ -575,10 +571,12 @@ private object GraftProcedures {
         // update_before/update_after images (and implies carryover
         // removal); net_changes nets by content across the WHOLE
         // window (final state of every row delta) and refuses
-        // compute_updates, like Iceberg
+        // compute_updates, like Iceberg. net_changes is APPENDED
+        // after the pre-existing params so positional CALLs keep
+        // their meaning.
         paramD("compute_updates", BooleanType, "false"),
-        paramD("net_changes", BooleanType, "false"),
-        paramD("identifier_columns", StringType, "''")),
+        paramD("identifier_columns", StringType, "''"),
+        paramD("net_changes", BooleanType, "false")),
       StructType.fromDDL("changelog_view STRING"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
@@ -586,9 +584,9 @@ private object GraftProcedures {
         val from = Some(args.getLong(2)).filter(_ >= 0)
         val to = Some(args.getLong(3)).filter(_ >= 0)
         val computeUpdates = args.getBoolean(4)
-        val netChanges = args.getBoolean(5)
-        val idCols = args.getUTF8String(6).toString
+        val idCols = args.getUTF8String(5).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val netChanges = args.getBoolean(6)
         require(!(computeUpdates && netChanges),
           "net_changes cannot be combined with compute_updates")
         val df =

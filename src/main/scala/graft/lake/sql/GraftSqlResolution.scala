@@ -269,7 +269,19 @@ case class GraftSqlResolution(session: SparkSession)
     plan.foreach {
       case j: Join if (j.joinType == Inner || j.joinType == LeftSemi)
           && j.condition.isDefined =>
-        val routes = j.condition.get.collect {
+        // TOP-LEVEL conjuncts only: unlike the layout-only bucket
+        // claim, this substitution removes rows, so an equi-pair
+        // buried under OR/NOT must never route (`k = dk OR x = y`
+        // keeps rows the k-pruned read would drop)
+        val conjuncts = {
+          def split(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              split(l) ++ split(r)
+            case other => Seq(other)
+          }
+          split(j.condition.get)
+        }
+        val routes = conjuncts.collect {
           case EqualTo(a: AttributeReference, b: AttributeReference) =>
             Seq((trace(j.left, a), b, j.right),
               (trace(j.left, b), a, j.right),

@@ -70,19 +70,43 @@ object GraftTableStreaming {
     * contract), so a retried micro-batch is a no-op, never a
     * double-apply. One commit per window is the 100 TB shape: one
     * metadata write, one optimistic-concurrency race, regardless of
-    * how many keys the window touched. */
+    * how many keys the window touched.
+    *
+    * Within-batch ordering: rowDelta's equality delete masks only
+    * STRICTLY OLDER files, so nothing inside one batch masks anything
+    * else in the same batch — a consumer whose micro-batch coalesces
+    * several feed commits (downtime catch-up) can carry several
+    * events for one key. Pass `sequenceCol` (the feed's event
+    * order — a CDC LSN, a commit ordinal, a timestamp) and the sink
+    * keeps only each key's LATEST event per batch (ties broken by the
+    * remaining payload for determinism), making the commit the exact
+    * fold of the feed. Without it the caller promises at most one
+    * event per key per batch (a compacted feed). */
   def upsertBatch(t: GraftTable, queryId: String,
       identifierCols: Seq[String],
-      deleteFlagCol: Option[String] = None)(
+      deleteFlagCol: Option[String] = None,
+      sequenceCol: Option[String] = None)(
       batch: DataFrame, epochId: Long): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     require(identifierCols.nonEmpty,
       "upsert needs at least one identifier column")
     if (lastCommittedEpoch(t, queryId).exists(_ >= epochId)) return
     if (batch.isEmpty) return // nothing to commit; replay is identical
-    val upserts = deleteFlagCol match {
-      case Some(f) => batch.filter(!coalesce(col(f), lit(false))).drop(f)
+    val latest = sequenceCol match {
+      case Some(sc) =>
+        val payload = batch.columns.filterNot(c =>
+          c == sc || identifierCols.contains(c)).map(col).toSeq
+        val w = Window.partitionBy(identifierCols.map(col): _*)
+          .orderBy((col(sc).desc +: payload.map(_.desc)): _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", sc)
       case None => batch
+    }
+    val upserts = deleteFlagCol match {
+      case Some(f) =>
+        latest.filter(!coalesce(col(f), lit(false))).drop(f)
+      case None => latest
     }
     val summary = Map(QueryKey -> queryId, EpochKey -> epochId.toString)
     // first load: nothing exists for an equality delete to mask, so
@@ -92,18 +116,20 @@ object GraftTableStreaming {
     else {
       // keys = every identifier the window touched: upserted keys
       // mask their older versions, tombstoned keys just vanish
-      val keys = batch.select(identifierCols.map(col): _*)
+      val keys = latest.select(identifierCols.map(col): _*)
       t.rowDelta(keys, upserts, summary)
     }
   }
 
   /** writeStream upsert sink: `upsertSink(df, t, "q", Seq("id"),
-    * Some("_deleted")).start()`. */
+    * Some("_deleted"), Some("_seq")).start()`. */
   def upsertSink(df: Dataset[Row], t: GraftTable, queryId: String,
       identifierCols: Seq[String],
-      deleteFlagCol: Option[String] = None): DataStreamWriter[Row] =
+      deleteFlagCol: Option[String] = None,
+      sequenceCol: Option[String] = None): DataStreamWriter[Row] =
     df.writeStream.foreachBatch(
-      upsertBatch(t, queryId, identifierCols, deleteFlagCol) _)
+      upsertBatch(t, queryId, identifierCols, deleteFlagCol,
+        sequenceCol) _)
 
   /** readStream entry point (programmatic form of format(...)). */
   def readAppends(spark: SparkSession, root: Path): DataFrame =

@@ -401,6 +401,15 @@ class GraftSqlSpec extends SparkSuite {
       val unrouted = spark.sql(
         s"SELECT v, tag FROM $fact JOIN $dim ON v = dk * 3")
       assert(unrouted.inputFiles.count(_.contains("/fact/")) === allFiles)
+      // an equi-pair under OR must NOT route: pruning to k IN keys
+      // would drop the rows matching only the second disjunct
+      // (k = dk + 4000 hits k in 4100..4139 — outside the dim band)
+      val orJoin = spark.sql(s"SELECT k, tag FROM $fact JOIN $dim " +
+        "ON k = dk OR k = dk + 4000")
+      assert(orJoin.inputFiles.count(_.contains("/fact/")) === allFiles,
+        "disjunctive conditions must keep the scan-all read")
+      assert(orJoin.count() === 80L,
+        "both disjuncts' rows must survive (40 + 40)")
     } finally spark.conf.unset("spark.graft.runtimeJoinPrune")
   }
 
@@ -439,6 +448,30 @@ class GraftSqlSpec extends SparkSuite {
     intercept[Exception](
       spark.sql(s"SELECT * FROM graft.$ns.reg").collect())
     assert(GraftTable.load(spark, ext).read().count() === 3L)
+    // a STALE pointer (target vanished) must refuse CREATE TABLE
+    // under its name — the new table would be invisible behind it
+    val wh2 = graft.ScratchDirs.create("graft-reg2-")
+    val cat2 = new graft.lake.GraftCatalog(spark, wh2.resolve("wh"))
+    cat2.createNamespace("d")
+    val tgt = wh2.resolve("gone")
+    val src2 = GraftTable.create(spark, tgt, "x.g", sch, Map.empty)
+    src2.append(spark.createDataFrame(Seq(Row(1L, "a")).asJava, sch))
+    cat2.registerTable("d", "pt", tgt)
+    // simulate the target being rotated away
+    val walk = java.nio.file.Files.walk(tgt)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+    assert(!cat2.tableExists("d", "pt"))
+    val e3 = intercept[IllegalArgumentException](
+      cat2.createTable("d", "pt",
+        org.apache.spark.sql.types.StructType.fromDDL("x INT")))
+    assert(e3.getMessage.contains("stale registration pointer"),
+      e3.getMessage)
+    cat2.dropTable("d", "pt") // the documented remedy, then create works
+    cat2.createTable("d", "pt",
+      org.apache.spark.sql.types.StructType.fromDDL("x INT"))
+    assert(cat2.tableExists("d", "pt"))
   }
 
   test("CALL snapshot forks a table zero-copy: same rows, independent " +

@@ -1029,6 +1029,40 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("upsert sink with sequenceCol: a coalesced batch carrying " +
+    "several events per key folds to each key's LATEST event — " +
+    "upsert-then-tombstone deletes, tombstone-then-upsert lives") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    import graft.streaming.GraftTableStreaming.upsertBatch
+    val sch = StructType.fromDDL("id BIGINT, v STRING")
+    val t = GraftTable.create(spark,
+      graft.ScratchDirs.create("graft-upsq-").resolve("t"), "d.t", sch,
+      Map.empty)
+    def batch(rows: (Long, String, Boolean, Long)*): DataFrame =
+      spark.createDataFrame(rows.map { case (k, v, d, sq) =>
+        Row(Long.box(k), v, Boolean.box(d), Long.box(sq)) }.asJava,
+        StructType.fromDDL(
+          "id BIGINT, v STRING, _del BOOLEAN, _seq BIGINT"))
+    upsertBatch(t, "q", Seq("id"), Some("_del"), Some("_seq"))(
+      batch((1L, "a", false, 1L), (2L, "b", false, 1L)), 0L)
+    // one catch-up batch: key 1 updated twice (last wins), key 2
+    // upserted then tombstoned (dies), key 3 tombstoned then
+    // re-upserted (lives), key 4 plain insert
+    upsertBatch(t, "q", Seq("id"), Some("_del"), Some("_seq"))(
+      batch(
+        (1L, "a2", false, 10L), (1L, "a3", false, 11L),
+        (2L, "b2", false, 10L), (2L, "", true, 11L),
+        (3L, "", true, 10L), (3L, "c", false, 11L),
+        (4L, "d", false, 10L)), 1L)
+    assert(t.read().orderBy("id").collect().toSeq === Seq(
+      Row(1L, "a3"), Row(3L, "c"), Row(4L, "d")))
+    // exactly one row per surviving key — no within-batch duplicates
+    assert(t.read().count() === 3L)
+  }
+
   test("upsert stream x maintenance x bucket-local: equality deletes " +
     "suspend join eligibility, ONE maintain() compacts them away and " +
     "restores it, rows unchanged (the full CDC-serving loop)") {
