@@ -201,6 +201,24 @@ class GraftTablePropSpec extends SparkSuite {
     expired.foreach { id =>
       intercept[Exception](t.readAt(id).collect())
     }
+    // 5. the changelog is a COMPLETE account of the table: the signed
+    //    fold of changes() (insert +1 / delete −1 per row content)
+    //    nets to exactly the live rows — carried COW pairs cancel,
+    //    compactions contribute nothing, unpublished branch commits
+    //    never leak in. Only checkable while no history expired (the
+    //    changelog needs the full lineage).
+    if (expired.isEmpty && t.currentSnapshot.nonEmpty) {
+      val fnCol = t.schema.fieldNames
+        .find(n => n != "case_id" && n != "update_date").get
+      val w = when(col("_change_type") === "insert", 1).otherwise(-1)
+      val folded = t.changes()
+        .groupBy(col("case_id"), col(fnCol))
+        .agg(sum(w).as("net")).filter(col("net") > 0)
+        .collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(folded == modelRows,
+        s"changelog fold diverged from the table after $ops")
+    }
     true
   }
 
