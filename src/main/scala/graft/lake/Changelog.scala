@@ -34,6 +34,22 @@ object Changelog {
   private def dataColsOf(changes: DataFrame): Seq[String] =
     changes.columns.toSeq.filterNot(MetaCols.contains)
 
+  /** All three transforms group/order by FULL row content, which Spark
+    * refuses for map-typed columns — fail fast with the constraint
+    * instead of surfacing an analysis error from deep inside the plan
+    * (Iceberg's ChangelogIterator has the same orderable-types
+    * requirement). */
+  private def requireGroupable(changes: DataFrame, op: String): Unit = {
+    val maps = changes.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.MapType] => f.name
+    }
+    require(maps.isEmpty,
+      s"$op groups changelog rows by full row content, which cannot " +
+        s"include map-typed columns: ${maps.mkString(", ")} (drop or " +
+        "cast them to orderable types first)")
+  }
+
   /** Cancel carryover rows: a copy-on-write rewrite re-emits every
     * carried (untouched) row of a rewritten file as delete+insert;
     * within one commit window those pairs are content-identical and
@@ -42,6 +58,7 @@ object Changelog {
     * by full row content + commit window, net = inserts − deletes,
     * re-emit |net| copies of the surviving type. */
   def removeCarryovers(changes: DataFrame): DataFrame = {
+    requireGroupable(changes, "remove_carryovers")
     val dataCols = dataColsOf(changes)
     val keys = dataCols ++ Seq("_change_ordinal", "_commit_snapshot_id")
     changes
@@ -68,6 +85,7 @@ object Changelog {
     * [[computeUpdates]] (Iceberg refuses the combination too: net
     * rows no longer share a commit window to pair within). */
   def removeNetCarryovers(changes: DataFrame): DataFrame = {
+    requireGroupable(changes, "net_changes")
     val dataCols = dataColsOf(changes)
     changes
       .groupBy(dataCols.map(q): _*)
@@ -97,6 +115,7 @@ object Changelog {
     * types (no map columns), same as Iceberg's identifier ordering. */
   def computeUpdates(changes: DataFrame,
       identifierCols: Seq[String]): DataFrame = {
+    requireGroupable(changes, "compute_updates")
     val dataCols = dataColsOf(changes)
     require(identifierCols.nonEmpty,
       "compute_updates requires identifier_columns")

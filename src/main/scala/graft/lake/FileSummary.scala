@@ -16,22 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object FileSummary {
 
-  /** Metadata-side summary (file_summary_utils.py:45-105): manifest
-    * lists + metadata JSON bucketed by creation minute. Our manifests
-    * are JSON (not Avro), reflected in file_format. */
+  /** Metadata-side summary (file_summary_utils.py:45-105): the
+    * reference's three metadata CTEs — manifest LISTS (one per
+    * snapshot, from `snapshots.manifest_list`), manifest files (the
+    * entry SEGMENTS, from `all_manifests` joined to snapshots for
+    * their commit time, :62-79), and metadata JSON log entries —
+    * bucketed by creation minute. Our manifests are JSON (not Avro),
+    * reflected in file_format. */
   def metaSummary(t: GraftTable, runId: String, operation: String): DataFrame = {
     val snaps = t.snapshots
-    val mans = t.allManifests
-    val manifests = snaps
-      .join(mans, snaps("snapshot_id") === mans("added_snapshot_id"), "left")
+    val manifestLists = snaps
       .filter(col("manifest_list").isNotNull)
-      .select(col("path").as("file"), col("committed_at").as("created_at"),
+      .select(col("manifest_list").as("file"),
+        col("committed_at").as("created_at"),
         lit("manifest-list").as("file_type"), lit("json").as("file_format"))
+    val mans = t.allManifests
+    val manifests = mans
+      .join(snaps, mans("added_snapshot_id") === snaps("snapshot_id"), "left")
+      // a segment can outlive its creator snapshot (shared by later
+      // manifest lists after expiry); drop null buckets like the
+      // reference (:79 WHERE LEAST(...) IS NOT NULL)
+      .filter(col("committed_at").isNotNull)
+      .select(col("path").as("file"), col("committed_at").as("created_at"),
+        lit("manifest").as("file_type"), lit("json").as("file_format"))
     val metadataJson = t.metadataLogEntries
       .filter(col("file").isNotNull)
       .select(col("file"), col("timestamp").as("created_at"),
         lit("metadata-json").as("file_type"), lit("json").as("file_format"))
-    summarize(manifests.unionByName(metadataJson), runId, operation)
+    summarize(manifestLists.unionByName(manifests).unionByName(metadataJson),
+      runId, operation)
   }
 
   /** Data-side summary (file_summary_utils.py:116-159): every file ever

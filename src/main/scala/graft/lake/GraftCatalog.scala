@@ -102,7 +102,12 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     require(!tableExists(ns, name), s"table $ns.$name already exists")
     val t = GraftTable.create(spark, tableDir(ns, name), s"$ns.$name",
       source.schema, source.properties + ("gc.enabled" -> "false"))
-    source.forkInto(t)
+    // forkInto refuses ineligible sources (MOR delete files, renamed
+    // columns: "compact first"); don't leave the half-created empty
+    // fork registered — a retry after compaction would then fail with
+    // "table already exists"
+    try source.forkInto(t)
+    catch { case e: Throwable => dropTable(ns, name); throw e }
     t
   }
 

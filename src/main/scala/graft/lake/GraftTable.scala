@@ -61,6 +61,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private val metaCache = GraftTable.lruCache[Int, TableMeta](8)
   private val manifestCache =
     GraftTable.lruCache[String, Seq[ManifestEntry]](64)
+  // manifest LIST docs and entry SEGMENTS cache separately: a segment
+  // is shared by many snapshots, so its parse is paid once per file,
+  // not once per referencing snapshot
+  private val listDocCache = GraftTable.lruCache[String,
+    Either[Seq[ManifestEntry], Seq[ManifestSegmentRef]]](64)
+  private val segmentCache =
+    GraftTable.lruCache[String, Seq[ManifestEntry]](128)
   private val posDeleteCache =
     GraftTable.lruCache[String, Seq[(String, Long)]](64)
   private val eqKeyCache =
@@ -417,7 +424,30 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   def manifestOf(s: SnapshotMeta): Seq[ManifestEntry] =
     manifestCache.computeIfAbsent(s.manifestList, rel =>
-      Json.readManifest(Files.readString(root.resolve(rel))))
+      listDocOf(rel) match {
+        case Left(entries) => entries // pre-segment inline format
+        case Right(refs) => refs.flatMap(r => segmentEntries(r.path))
+      })
+
+  private def listDocOf(rel: String)
+      : Either[Seq[ManifestEntry], Seq[ManifestSegmentRef]] =
+    listDocCache.computeIfAbsent(rel, r =>
+      Json.readManifestDoc(Files.readString(root.resolve(r))))
+
+  /** The snapshot's manifest segments (empty for pre-segment inline
+    * manifests and empty tables). */
+  private[lake] def segmentsOf(s: SnapshotMeta): Seq[ManifestSegmentRef] =
+    listDocOf(s.manifestList).getOrElse(Nil)
+
+  private def segmentEntries(rel: String): Seq[ManifestEntry] =
+    segmentCache.computeIfAbsent(rel, r =>
+      Json.readManifest(Files.readString(root.resolve(r))))
+
+  /** Every metadata file a snapshot's manifest reaches (root-relative):
+    * the list itself plus its segments — the unit expiry and orphan
+    * scans reason over. */
+  private def manifestFilesOf(s: SnapshotMeta): Seq[String] =
+    s.manifestList +: segmentsOf(s).map(_.path)
 
   private def currentEntries: Seq[ManifestEntry] =
     currentSnapshot.map(manifestOf).getOrElse(Nil)
@@ -493,19 +523,83 @@ class GraftTable(val spark: SparkSession, val root: Path,
     "total-data-files" -> entries.count(_.content == 0).toString,
     "total-delete-files" -> entries.count(_.content != 0).toString)
 
-  private def commitSnapshot(base: Base, id: Long, operation: String,
+  /** Write one immutable entry segment and return its reference. */
+  private def writeSegment(id: Long,
+      entries: Seq[ManifestEntry]): ManifestSegmentRef = {
+    val rel = s"metadata/seg-$id-${UUID.randomUUID()}.json"
+    val target = root.resolve(rel)
+    Io.atomicWrite(target, Json.write(entries))
+    segmentCache.put(rel, entries)
+    ManifestSegmentRef(rel, id, entries.size,
+      entries.count(_.content == 0), entries.count(_.content != 0),
+      entries.filter(_.content == 0).map(_.recordCount).sum,
+      Files.size(target))
+  }
+
+  /** Compose the new snapshot's manifest as segment references against
+    * its PARENT's manifest list, writing only what changed (the
+    * Iceberg manifest-reuse discipline that keeps commit metadata
+    * O(delta), not O(table files)):
+    *   - a parent segment whose every entry survives unchanged is
+    *     referenced verbatim (zero bytes written for it);
+    *   - a segment that lost entries is rewritten with its survivors;
+    *   - all entries new to this commit land in ONE fresh segment.
+    * Self-vetting: the reuse plan is only used when the segments
+    * concatenate back to EXACTLY the passed entry list (commit shapes
+    * are `filter(parent) ++ additions`, which always does); anything
+    * else — including `compact = true`, the rewrite_manifests path —
+    * writes the full list as one fresh segment. */
+  private def composeSegments(parent: Option[SnapshotMeta], id: Long,
       entries: Seq[ManifestEntry],
-      summary: Map[String, String]): SnapshotMeta = {
+      compact: Boolean): Seq[ManifestSegmentRef] = {
+    if (entries.isEmpty) return Nil
+    val parentSegs = if (compact) Nil
+      else parent.map(segmentsOf).getOrElse(Nil)
+    if (parentSegs.isEmpty) return Seq(writeSegment(id, entries))
+    val parentOf: Map[String, (Int, ManifestEntry)] =
+      parentSegs.zipWithIndex.flatMap { case (ref, i) =>
+        segmentEntries(ref.path).map(e => e.path -> (i, e))
+      }.toMap
+    val survivors = Array.fill(parentSegs.size)(
+      Seq.newBuilder[ManifestEntry])
+    val newcomers = Seq.newBuilder[ManifestEntry]
+    for (e <- entries) parentOf.get(e.path) match {
+      // survival means the ENTRY is unchanged, not just the path —
+      // a same-path entry with different stats/content is a rewrite
+      case Some((i, pe)) if pe == e => survivors(i) += e
+      case _ => newcomers += e
+    }
+    val kept = parentSegs.zipWithIndex.flatMap { case (ref, i) =>
+      val s = survivors(i).result()
+      if (s.isEmpty) None
+      else if (s.size == ref.entryCount) Some(ref) // reused verbatim
+      else Some(writeSegment(id, s))
+    }
+    val added = newcomers.result()
+    val refs = kept ++ (if (added.isEmpty) Nil
+      else Seq(writeSegment(id, added)))
+    // order self-check: segment concatenation must BE the entry list
+    val flat = refs.flatMap(r => segmentEntries(r.path))
+    if (flat.map(_.path) == entries.map(_.path)) refs
+    else Seq(writeSegment(id, entries))
+  }
+
+  private def commitSnapshot(base: Base, id: Long, operation: String,
+      entries: Seq[ManifestEntry], summary: Map[String, String],
+      compactSegments: Boolean = false): SnapshotMeta = {
     val m = base.meta
+    val parent = m.currentSnapshotId
+      .flatMap(pid => m.snapshots.find(_.snapshotId == pid))
     // per-ATTEMPT unique manifest name: snapshot ids are time-derived,
     // so two same-millisecond racing writers can allocate the same id
     // — with a deterministic snap-<id>.json the loser's pre-publish
     // manifest write would silently overwrite the winner's manifest
     // (the winner's metadata then points at the loser's file list:
-    // lost data). A UUID suffix makes every attempt's manifest
-    // immutable; losers leave an unreferenced file for orphan cleanup.
-    val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
-    Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
+    // lost data). A UUID suffix makes every attempt's manifest list
+    // AND segments immutable; losers leave unreferenced files for
+    // orphan cleanup.
+    val manifestRel = writeManifestList(parent, id, entries,
+      compactSegments)
     val snap = SnapshotMeta(id, m.currentSnapshotId, now(), operation,
       manifestRel, summary ++ summaryTotals(entries),
       schemaDdl = Some(m.schemaDdl),
@@ -514,6 +608,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
     commitMeta(base, m.copy(snapshots = m.snapshots :+ snap,
       currentSnapshotId = Some(id)))
     snap
+  }
+
+  /** Segment composition + list write + cache priming, shared by the
+    * main and branch commit paths. */
+  private def writeManifestList(parent: Option[SnapshotMeta], id: Long,
+      entries: Seq[ManifestEntry], compact: Boolean): String = {
+    val refs = composeSegments(parent, id, entries, compact)
+    val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
+    Io.atomicWrite(root.resolve(manifestRel),
+      Json.write(ManifestListDoc(refs)))
+    listDocCache.put(manifestRel, Right(refs))
+    manifestCache.put(manifestRel, entries)
+    manifestRel
   }
 
   // ---- reads ----
@@ -625,9 +732,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
           === i)
       }
     }
+    val plans = slices.map(_.queryExecution.analyzed)
+    // the claim tracks its key by ATTRIBUTE (child 0 owns the node's
+    // output attributes) so later projections can neither hijack the
+    // claim by renaming another column to the key's name nor lose it
+    // across a legitimate rename
+    val keyAttr = plans.head.output.find(_.name.equalsIgnoreCase(key))
     Some(org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
-      graft.plans.ClaimHashPartitioned(key,
-        slices.map(_.queryExecution.analyzed))))
+      graft.plans.ClaimHashPartitioned(key, keyAttr, plans)))
   }
 
   /** Lineage read through the claimed bucket layout when `claimKey`
@@ -1734,9 +1846,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
       operation: String, branch: String, entries: Seq[ManifestEntry],
       summary: Map[String, String]): SnapshotMeta = {
     val head = branchHead(base, branch)
-    // unique per attempt — see commitSnapshot
-    val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
-    Io.atomicWrite(root.resolve(manifestRel), Json.write(entries))
+    // segment composition diffs against the BRANCH head (this commit's
+    // parent); unique names per attempt — see commitSnapshot
+    val manifestRel = writeManifestList(Some(head), id, entries,
+      compact = false)
     val snap = SnapshotMeta(id, Some(head.snapshotId), now(), operation,
       manifestRel,
       summary ++ Map("branch" -> branch) ++ summaryTotals(entries),
@@ -1847,6 +1960,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     *    guard that makes a quiet table a no-op (a clustered table
     *    compacts into `write.clustered-by.files` outputs, so small
     *    counts at or below that are already optimal).
+    *  - `maintenance.manifests.min-count` (unset = never): compact
+    *    the manifest-segment list ([[rewriteManifests]]) when the
+    *    current snapshot references at least this many segments —
+    *    bounds planning-time metadata reads after long runs of
+    *    O(delta) commits.
     *  - `maintenance.expire.max-age-ms` (unset = never): expire
     *    snapshots older than now − maxAge, retaining
     *    `maintenance.expire.retain-last` (default 1) — bounds
@@ -1895,6 +2013,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
         report += ("compact-small-files" ->
           (s"bin-packed ${small.size} small file(s) into " +
             s"~$expectedOut in snapshot ${s.snapshotId}"))
+      }
+    }
+    // segment sprawl: many O(delta) commits each left a small manifest
+    // segment; compact the current snapshot's list when it references
+    // at least min-count segments (metadata-only — data untouched)
+    props.get("maintenance.manifests.min-count").foreach { n =>
+      GraftTable.retryOnConflict()(
+        rewriteManifests(math.max(1, n.toInt))).foreach { s =>
+        report += ("rewrite-manifests" ->
+          (s"compacted ${s.summary.getOrElse("manifests-replaced", "?")} " +
+            s"manifest segment(s) into 1 in snapshot ${s.snapshotId}"))
       }
     }
     // a snapshot fork inherits the source's policies but owns none of
@@ -1959,13 +2088,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // points at deleted manifests, which would wedge every whole-log
     // operation (allEntries, orphan scans, file summaries).
     val removedManifests = removed.map(s =>
-      (root.resolve(s.manifestList), manifestOf(s)))
+      (manifestFilesOf(s), manifestOf(s)))
     val reachable = retained.flatMap(manifestOf).map(abs).toSet
+    // segments are SHARED across snapshots: only metadata files no
+    // retained snapshot's manifest list still reaches may be deleted
+    val retainedMeta = retained.flatMap(manifestFilesOf).toSet
     commitMeta(b, m.copy(snapshots = retained))
-    for ((manifestPath, entries) <- removedManifests) {
+    for ((metaFiles, entries) <- removedManifests) {
       for (e <- entries if !reachable(abs(e)))
         Files.deleteIfExists(Path.of(abs(e)))
-      Files.deleteIfExists(manifestPath)
+      for (rel <- metaFiles if !retainedMeta(rel))
+        Files.deleteIfExists(root.resolve(rel))
     }
     removed.map(_.snapshotId)
   }
@@ -2000,13 +2133,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val (removed, retained) = m.snapshots.partition(s =>
       drop(s.snapshotId))
     val removedManifests = removed.map(s =>
-      (root.resolve(s.manifestList), manifestOf(s)))
+      (manifestFilesOf(s), manifestOf(s)))
     val reachable = retained.flatMap(manifestOf).map(abs).toSet
+    val retainedMeta = retained.flatMap(manifestFilesOf).toSet
     commitMeta(b, m.copy(snapshots = retained))
-    for ((manifestPath, entries) <- removedManifests) {
+    for ((metaFiles, entries) <- removedManifests) {
       for (e <- entries if !reachable(abs(e)))
         Files.deleteIfExists(Path.of(abs(e)))
-      Files.deleteIfExists(manifestPath)
+      for (rel <- metaFiles if !retainedMeta(rel))
+        Files.deleteIfExists(root.resolve(rel))
     }
     removed.map(_.snapshotId)
   }
@@ -2234,21 +2369,23 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val a = p.toAbsolutePath.toString
       !referenced(a) && Files.getLastModifiedTime(p).toMillis < olderThanMs
     }
-    // Losing commit attempts leave unreferenced snap-*.json manifests
-    // (names are per-attempt unique, so they can never alias a live
-    // one). They are metadata orphans under the same age rule — the
-    // cutoff also protects a concurrent writer's manifest written but
-    // not yet published.
+    // Losing commit attempts leave unreferenced snap-*.json manifest
+    // lists AND seg-*.json segments (names are per-attempt unique, so
+    // they can never alias a live one). They are metadata orphans
+    // under the same age rule — the cutoff also protects a concurrent
+    // writer's manifest written but not yet published.
     val m = meta
     val liveManifests = m.snapshots
-      .map(s => root.resolve(s.manifestList).toAbsolutePath.toString)
+      .flatMap(manifestFilesOf)
+      .map(rel => root.resolve(rel).toAbsolutePath.toString)
       .toSet
     // swept regardless of the (data-)location parameter: loser
     // manifests live in metadata/ either way
     val manifestOrphans =
       Io.listRecursive(metadataDir).filter { p =>
         val nm = p.getFileName.toString
-        nm.startsWith("snap-") && nm.endsWith(".json") &&
+        (nm.startsWith("snap-") || nm.startsWith("seg-")) &&
+          nm.endsWith(".json") &&
           !liveManifests(p.toAbsolutePath.toString) &&
           Files.getLastModifiedTime(p).toMillis < olderThanMs
       }
@@ -2443,6 +2580,29 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "surviving-delete-records" -> n.toString)))
   }
 
+  /** rewrite_manifests (Iceberg's procedure of the same name): compact
+    * the CURRENT snapshot's manifest segments into one freshly written
+    * segment when at least `minSegments` exist. Data files are
+    * untouched — the commit is a `replace` snapshot whose entry list is
+    * bit-identical to its parent's, so reads, time travel, changelogs
+    * (no adds/removes to emit) and incremental scans are unaffected;
+    * only subsequent planning reads one segment instead of many. The
+    * segment-sprawl antidote for long-lived tables where thousands of
+    * O(delta) commits each left a small segment behind. */
+  def rewriteManifests(minSegments: Int = 2): Option[SnapshotMeta] = {
+    require(minSegments >= 1, s"minSegments must be >= 1")
+    val b = captureBase()
+    val cur = b.meta.currentSnapshotId
+      .flatMap(id => b.meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(return None)
+    val segs = segmentsOf(cur)
+    if (segs.size < minSegments) return None
+    Some(commitSnapshot(b, nextSnapshotHint, "replace", manifestOf(cur),
+      Map("manifests-replaced" -> segs.size.toString,
+        "manifests-created" -> "1"),
+      compactSegments = true))
+  }
+
   // ---- metadata tables (S3/D15) ----
 
   def history: DataFrame = {
@@ -2465,7 +2625,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "manifest_list", "summary")
   }
 
-  def files: DataFrame = filesOf(currentEntries)
+  def files: DataFrame = currentSnapshot match {
+    case Some(s) if serveDistributed(Seq(s)) =>
+      filesDistributed(segmentsOf(s).map(_.path))
+    case _ => filesOf(currentEntries)
+  }
 
   /** `<t>.partitions` stand-in: GraftLake clusters appends into sorted
     * key RANGES (appendClustered) rather than partition tuples, so the
@@ -2558,6 +2722,110 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "file_size_in_bytes")
   }
 
+  // ---- distributed metadata serving ----
+  // The entries-family relations (files / all_files / all_entries and
+  // their splits) default to driver-built frames — O(manifest) driver
+  // work, right for interactive tables and the per-query scenarios.
+  // Past `spark.graft.metadata.distributedThreshold` total entries
+  // (counted from segment REFS alone, no segment reads) they switch to
+  // `spark.read.json` over the segment files themselves, so a
+  // million-file table's metadata analytics run as executor-side scans
+  // the way Iceberg reads its manifests — the driver never
+  // materializes the entry list at all.
+
+  /** Manifest-entry shape as a Spark read schema (segments are JSON
+    * arrays of [[ManifestEntry]]). */
+  private val entryJsonSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("content", IntegerType),
+    StructField("recordCount", LongType),
+    StructField("fileSizeBytes", LongType),
+    StructField("addedSnapshotId", LongType),
+    StructField("stats", MapType(StringType, StructType(Seq(
+      StructField("min", StringType), StructField("max", StringType),
+      StructField("nullCount", LongType))))),
+    StructField("equalityColumns", ArrayType(StringType))))
+
+  /** Executor-side scan of manifest segments: one row per entry,
+    * tagged with the segment FILE NAME (globally unique by
+    * construction, so membership joins need no URI-form
+    * normalization). multiLine JSON: each top-level array element
+    * becomes a row. */
+  private def segmentEntriesDf(segRels: Seq[String]): DataFrame =
+    spark.read.schema(entryJsonSchema).option("multiLine", "true")
+      .json(segRels.map(r => root.resolve(r).toString): _*)
+      .withColumn("__seg",
+        element_at(split(input_file_name(), "/"), -1))
+
+  /** abs() as a column expression (absolute entry paths pass through,
+    * relative ones resolve against the table root). */
+  private def absCol(path: Column): Column =
+    when(path.startsWith("/"), path)
+      .otherwise(concat(
+        lit(root.toAbsolutePath.toString + "/"), path))
+
+  private def metadataDistributedThreshold: Long =
+    spark.conf.getOption("spark.graft.metadata.distributedThreshold")
+      .map(_.toLong).getOrElse(100000L)
+
+  /** Total entries across these snapshots' manifests from segment refs
+    * only; None when a legacy inline manifest hides the count. */
+  private def refEntryCount(snaps: Seq[SnapshotMeta]): Option[Long] = {
+    val per = snaps.map(s => listDocOf(s.manifestList) match {
+      case Right(refs) => Some(refs.map(_.entryCount.toLong).sum)
+      case Left(_) => None
+    })
+    if (per.contains(None)) None else Some(per.flatten.sum)
+  }
+
+  private def serveDistributed(snaps: Seq[SnapshotMeta]): Boolean =
+    refEntryCount(snaps).exists(_ >= metadataDistributedThreshold)
+
+  private def filesDistributed(segRels: Seq[String]): DataFrame =
+    if (segRels.isEmpty) filesOf(Nil)
+    else segmentEntriesDf(segRels).select(col("content"),
+      absCol(col("path")).as("file_path"),
+      lit("PARQUET").as("file_format"),
+      col("recordCount").as("record_count"),
+      col("fileSizeBytes").as("file_size_in_bytes"))
+
+  private def allEntriesDistributed(m: TableMeta): DataFrame = {
+    import spark.implicits._
+    val segRels = m.snapshots.flatMap(s => segmentsOf(s).map(_.path))
+      .distinct
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    def segName(rel: String): String = rel.split("/").last
+    // membership is metadata-sized (snapshots × segments): each row
+    // binds one segment's entries to one snapshot, either as its OWN
+    // manifest (__parent = false) or as its PARENT's (__parent = true,
+    // used only to derive DELETED rows)
+    val memb = m.snapshots.flatMap { s =>
+      val own = segmentsOf(s).map(r =>
+        (s.snapshotId, segName(r.path), false))
+      val par = s.parentId.flatMap(byId.get).toSeq.flatMap(p =>
+        segmentsOf(p).map(r => (s.snapshotId, segName(r.path), true)))
+      own ++ par
+    }.toDF("snapshot_id", "__seg", "__parent")
+    val joined = segmentEntriesDf(segRels)
+      .join(broadcast(memb), "__seg")
+    val fileStruct = struct(absCol(col("path")).as("file_path"),
+      col("content"),
+      col("recordCount").as("record_count"),
+      col("fileSizeBytes").as("file_size_in_bytes")).as("data_file")
+    val cur = joined.filter(!col("__parent"))
+    val addedOrExisting = cur.select(
+      when(col("addedSnapshotId") === col("snapshot_id"), 1)
+        .otherwise(3).as("status"),
+      col("snapshot_id"), fileStruct)
+    val deleted = joined.filter(col("__parent"))
+      .join(cur.select(col("snapshot_id").as("__sid"),
+        col("path").as("__path")),
+        col("snapshot_id") === col("__sid") &&
+          col("path") === col("__path"), "left_anti")
+      .select(lit(2).as("status"), col("snapshot_id"), fileStruct)
+    addedOrExisting.unionByName(deleted)
+  }
+
   /** `<t>.position_deletes` metadata table (Iceberg's relation of the
     * same name): every live position-delete row with the delete file
     * that carries it. */
@@ -2584,12 +2852,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
     (main ++ named).toDF("name", "type", "snapshot_id")
   }
 
+  /** all_manifests: every manifest SEGMENT any retained snapshot's
+    * manifest list references, one row per distinct file with the
+    * snapshot that wrote it (Iceberg's all_manifests; the manifest
+    * LISTS themselves surface as `snapshots.manifest_list`, exactly
+    * the two-level split file_summary_utils.py:45-79 queries). A
+    * pre-segment inline manifest surfaces as its own file. */
   def allManifests: DataFrame = {
     import spark.implicits._
-    meta.snapshots.map(s => (root.resolve(s.manifestList).toString,
-      s.snapshotId))
+    meta.snapshots.flatMap(segmentRows).distinct
       .toDF("path", "added_snapshot_id")
   }
+
+  private def segmentRows(s: SnapshotMeta): Seq[(String, Long)] =
+    listDocOf(s.manifestList) match {
+      case Left(_) => // inline format: the list file IS the manifest
+        Seq((root.resolve(s.manifestList).toString, s.snapshotId))
+      case Right(refs) => refs.map(r =>
+        (root.resolve(r.path).toString, r.addedSnapshotId))
+    }
 
   def metadataLogEntries: DataFrame = {
     import spark.implicits._
@@ -2608,13 +2889,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
       === cur)
   }
 
-  /** manifests: the current snapshot's manifest list (Iceberg's
-    * `manifests` table; one manifest per snapshot in this format). */
+  /** manifests: the segments the CURRENT snapshot's manifest list
+    * references (Iceberg's `manifests` table). */
   def manifests: DataFrame = {
     import spark.implicits._
     val m = meta
     m.snapshots.filter(s => m.currentSnapshotId.contains(s.snapshotId))
-      .map(s => (root.resolve(s.manifestList).toString, s.snapshotId))
+      .flatMap(segmentRows)
       .toDF("path", "added_snapshot_id")
   }
 
@@ -2630,8 +2911,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * retained snapshot, one row per path (Iceberg's all_files /
     * all_data_files / all_delete_files). Metadata-only — built from
     * the manifests, no data scan. */
-  def allFiles: DataFrame =
-    filesOf(meta.snapshots.flatMap(manifestOf).distinctBy(_.path))
+  def allFiles: DataFrame = {
+    val m = meta
+    if (serveDistributed(m.snapshots))
+      // distinct SEGMENTS can still repeat a path (an entry carried
+      // into a rewritten segment) — dedup rows like the driver path
+      // (identical per path, so any survivor is the right one)
+      filesDistributed(
+        m.snapshots.flatMap(s => segmentsOf(s).map(_.path)).distinct)
+        .dropDuplicates("file_path")
+    else filesOf(m.snapshots.flatMap(manifestOf).distinctBy(_.path))
+  }
   def allDataFiles: DataFrame =
     allFiles.filter(org.apache.spark.sql.functions.col("content") === 0)
   def allDeleteFiles: DataFrame =
@@ -2644,6 +2934,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def allEntries: DataFrame = {
     import spark.implicits._
     val m = meta
+    if (serveDistributed(m.snapshots)) return allEntriesDistributed(m)
     val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
     val rows = m.snapshots.flatMap { s =>
       val cur = manifestOf(s)
@@ -3135,6 +3426,8 @@ object GraftTable {
       })
     def computeIfAbsent(k: K, f: K => V): V =
       m.computeIfAbsent(k, k2 => f(k2))
+    /** Prime a just-written immutable file's parse result. */
+    def put(k: K, v: V): Unit = m.put(k, v)
   }
 
   private[lake] def lruCache[K, V](maxEntries: Int): LruCache[K, V] =

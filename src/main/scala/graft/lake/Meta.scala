@@ -13,14 +13,20 @@ import scala.jdk.CollectionConverters._
   *   table/
   *     data/      *.parquet          data (content=0) + delete files (1,2)
   *     metadata/  vN.metadata.json   table metadata (snapshot headers)
-  *                snap-<id>.json     manifest list: Seq[ManifestEntry]
+  *                snap-<id>.json     manifest LIST: segment references
+  *                seg-<id>.json      manifest segment: Seq[ManifestEntry]
   *                version-hint.text  pointer to current N (atomic rename)
   *
-  * Scale note: the snapshot header log stays O(snapshots); each
-  * snapshot's file inventory lives in its own manifest file (the
-  * Iceberg manifest-list analog), so commits don't rewrite file lists
-  * of other snapshots. Per-file min/max column stats ride on the
-  * manifest entries and drive pre-plan file pruning (SURVEY.md §4).
+  * Scale note: the snapshot header log stays O(snapshots), and each
+  * snapshot's file inventory is a manifest LIST referencing immutable
+  * entry SEGMENTS (Iceberg's manifest-list → manifest-file two-level
+  * structure, the shape file_summary_utils.py:62-79 queries): a commit
+  * reuses the parent's segments verbatim wherever every entry in them
+  * survives, rewrites only segments that lost entries, and writes one
+  * new segment for its added entries — manifest bytes per commit are
+  * O(change), never O(table files). `rewrite_manifests` compacts
+  * segment sprawl. Per-file min/max column stats ride on the manifest
+  * entries and drive pre-plan file pruning (SURVEY.md §4).
   */
 final case class ColStat(min: String, max: String, nullCount: Long)
 
@@ -35,6 +41,27 @@ final case class ManifestEntry(
     stats: Map[String, ColStat] = Map.empty,
     // equality deletes: the identity columns the delete file matches on
     equalityColumns: Seq[String] = Nil)
+
+/** One immutable manifest segment (the Iceberg manifest-file analog):
+  * a `metadata/seg-*.json` array of [[ManifestEntry]], referenced —
+  * and SHARED — verbatim by every snapshot whose manifest list
+  * includes it. The ref carries the aggregates commit summaries and
+  * the `manifests` relations need, so neither has to read the segment
+  * bytes. `addedSnapshotId` is the snapshot whose commit WROTE the
+  * segment file (provenance), not necessarily the one reading it. */
+final case class ManifestSegmentRef(
+    path: String, // metadata/seg-<id>-<uuid>.json, relative to root
+    addedSnapshotId: Long,
+    entryCount: Int,
+    dataFileCount: Int,
+    deleteFileCount: Int,
+    recordCount: Long, // data (content=0) record sum
+    sizeBytes: Long) // segment file length on disk
+
+/** The manifest-list document a `snap-*.json` holds. (Pre-segment
+  * metadata stored a bare entry ARRAY in the same file; readers sniff
+  * the first byte and accept both.) */
+final case class ManifestListDoc(segments: Seq[ManifestSegmentRef])
 
 final case class SnapshotMeta(
     snapshotId: Long,
@@ -93,6 +120,13 @@ object Json {
     mapper.readValue(s, classOf[TableMeta])
   def readManifest(s: String): Seq[ManifestEntry] =
     mapper.readValue(s, classOf[Array[ManifestEntry]]).toSeq
+  /** Parse a `snap-*.json`: Right(segment refs) for the manifest-list
+    * format, Left(entries) for the pre-segment inline-array format. */
+  def readManifestDoc(s: String)
+      : Either[Seq[ManifestEntry], Seq[ManifestSegmentRef]] =
+    if (s.dropWhile(_.isWhitespace).startsWith("["))
+      Left(readManifest(s))
+    else Right(mapper.readValue(s, classOf[ManifestListDoc]).segments)
 }
 
 /** The commit boundary of a GraftLake table — the one operation that

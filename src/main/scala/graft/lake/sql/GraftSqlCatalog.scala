@@ -363,7 +363,8 @@ private object GraftProcedures {
 
   val names: Array[String] = Array("expire_snapshots",
     "remove_orphan_files", "rewrite_data_files",
-    "rewrite_position_delete_files", "rollback_to_snapshot",
+    "rewrite_position_delete_files", "rewrite_manifests",
+    "rollback_to_snapshot",
     "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
     "drop_ref", "fast_forward", "add_files", "ancestors_of",
@@ -459,6 +460,23 @@ private object GraftProcedures {
         val n = snap.flatMap(_.summary.get("rewritten-data-files"))
           .map(_.toInt).getOrElse(0)
         Seq(outRow(n))
+      }))
+    // Iceberg rewrite_manifests parity: compact the current
+    // snapshot's manifest SEGMENTS into one (metadata-only; data
+    // files untouched) once at least min_count_to_rewrite exist
+    case "rewrite_manifests" => Some(procedure(name,
+      Seq(param("table", StringType),
+        paramD("min_count_to_rewrite", IntegerType, "2")),
+      StructType.fromDDL(
+        "rewritten_manifests_count INT, added_manifests_count INT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        t.rewriteManifests(args.getInt(1)) match {
+          case Some(s) => Seq(outRow(
+            s.summary.getOrElse("manifests-replaced", "0").toInt,
+            s.summary.getOrElse("manifests-created", "0").toInt))
+          case None => Seq(outRow(0, 0))
+        }
       }))
     // the scheduler entry point: evaluate the table's TBLPROPERTIES
     // maintenance policies and run whatever tripped (GraftTable

@@ -37,7 +37,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   * bucket stat, refuses delete files and statless foreign files, and
   * residual-filters files that straddle buckets).
   */
+/** `keyAttr` pins the claimed key to the ATTRIBUTE (by exprId) in
+  * `output` that actually carries bucketed values; `keyName` is only
+  * the human-readable label. Tracking by NAME alone is unsound: a
+  * projection can drop the bucketed key while aliasing a DIFFERENT
+  * column to its name (`select(other.as("k"))`), and a name-based
+  * claim would then bind HashPartitioning to the wrong attribute — a
+  * false layout claim that can elide a required Exchange and produce
+  * wrong join/aggregate results. The key is an EXPRESSION field (not
+  * a bare ExprId) so analyzer/optimizer attribute rewrites — e.g.
+  * self-join deduplication re-minting one side's ids — rewrite it in
+  * lockstep with the children; `None` (or an attr no longer in
+  * `output`) degrades the exec to UnknownPartitioning. */
 final case class ClaimHashPartitioned(keyName: String,
+    keyAttr: Option[Attribute],
     children: Seq[LogicalPlan]) extends LogicalPlan {
   override def output: Seq[Attribute] = children.head.output
   // like Union, rows are consumed POSITIONALLY from every child under
@@ -55,13 +68,15 @@ final case class ClaimHashPartitioned(keyName: String,
 }
 
 final case class ClaimHashPartitionedExec(keyName: String,
+    keyAttr: Option[Attribute],
     children: Seq[SparkPlan]) extends SparkPlan {
   override def output: Seq[Attribute] = children.head.output
 
   override def outputPartitioning: Partitioning =
-    output.find(_.name.equalsIgnoreCase(keyName))
-      // column pruning may drop the key (e.g. a bare count()) — the
-      // layout claim is then unmakeable AND unneeded
+    // bind by exprId, never by name (see the logical node's scaladoc);
+    // column pruning may drop the key (e.g. a bare count()) — the
+    // layout claim is then unmakeable AND unneeded
+    keyAttr.flatMap(a => output.find(_.exprId == a.exprId))
       .map(key => HashPartitioning(Seq(key), children.size))
       .getOrElse(UnknownPartitioning(children.size))
 
@@ -84,8 +99,8 @@ final case class ClaimHashPartitionedExec(keyName: String,
   * GraftExtensions. */
 object ClaimHashPartitionedStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case ClaimHashPartitioned(k, children) =>
-      ClaimHashPartitionedExec(k, children.map(planLater)) :: Nil
+    case ClaimHashPartitioned(k, attr, children) =>
+      ClaimHashPartitionedExec(k, attr, children.map(planLater)) :: Nil
     case _ => Nil
   }
 }
@@ -130,13 +145,18 @@ object ClaimPushdown
         })
       case Project(list, c: ClaimHashPartitioned)
           if list.forall(_.deterministic) =>
-        val newKey = list.collectFirst {
-          case a: AttributeReference
-            if a.name.equalsIgnoreCase(c.keyName) => a.name
+        // resolve the surviving key by EXPR ID: the projected column
+        // is the key iff its underlying attribute IS the claimed one.
+        // A different column aliased to the key's name must NOT keep
+        // the claim (false-layout hazard); a key that doesn't survive
+        // degrades the claim to UnknownPartitioning via keyId = None.
+        val newKey = c.keyAttr.flatMap(ka => list.collectFirst {
+          case a: AttributeReference if a.exprId == ka.exprId => a
           case al @ Alias(a: AttributeReference, _)
-            if a.name.equalsIgnoreCase(c.keyName) => al.name
-        }.getOrElse(c.keyName) // dropped key → exec degrades anyway
-        ClaimHashPartitioned(newKey,
+            if a.exprId == ka.exprId => al.toAttribute
+        })
+        ClaimHashPartitioned(
+          newKey.map(_.name).getOrElse(c.keyName), newKey,
           c.children.zipWithIndex.map { case (ch, i) =>
             // child 0 keeps the projection verbatim so the claim's
             // output exprIds are exactly the old Project's; siblings

@@ -92,33 +92,41 @@ object GraftTableStreaming {
     require(identifierCols.nonEmpty,
       "upsert needs at least one identifier column")
     if (lastCommittedEpoch(t, queryId).exists(_ >= epochId)) return
-    if (batch.isEmpty) return // nothing to commit; replay is identical
-    val latest = sequenceCol match {
-      case Some(sc) =>
-        val payload = batch.columns.filterNot(c =>
-          c == sc || identifierCols.contains(c)).map(col).toSeq
-        val w = Window.partitionBy(identifierCols.map(col): _*)
-          .orderBy((col(sc).desc +: payload.map(_.desc)): _*)
-        batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn", sc)
-      case None => batch
-    }
-    val upserts = deleteFlagCol match {
-      case Some(f) =>
-        latest.filter(!coalesce(col(f), lit(false))).drop(f)
-      case None => latest
-    }
-    val summary = Map(QueryKey -> queryId, EpochKey -> epochId.toString)
-    // first load: nothing exists for an equality delete to mask, so
-    // the key file would be dead weight on every later read until a
-    // compaction — take the plain append path instead
-    if (t.currentSnapshot.isEmpty) t.append(upserts, summary)
-    else {
-      // keys = every identifier the window touched: upserted keys
-      // mask their older versions, tombstoned keys just vanish
-      val keys = latest.select(identifierCols.map(col): _*)
-      t.rowDelta(keys, upserts, summary)
-    }
+    // persist BEFORE the emptiness probe: isEmpty is its own Spark job
+    // reading the source, and on a busy stream every row it touched
+    // would otherwise be recomputed by the dedup/commit jobs below —
+    // doubling source-side work per trigger for a check that only
+    // matters on idle windows
+    val cached = batch.persist()
+    try {
+      if (cached.isEmpty) return // nothing to commit; replay identical
+      val latest = sequenceCol match {
+        case Some(sc) =>
+          val payload = cached.columns.filterNot(c =>
+            c == sc || identifierCols.contains(c)).map(col).toSeq
+          val w = Window.partitionBy(identifierCols.map(col): _*)
+            .orderBy((col(sc).desc +: payload.map(_.desc)): _*)
+          cached.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", sc)
+        case None => cached
+      }
+      val upserts = deleteFlagCol match {
+        case Some(f) =>
+          latest.filter(!coalesce(col(f), lit(false))).drop(f)
+        case None => latest
+      }
+      val summary = Map(QueryKey -> queryId, EpochKey -> epochId.toString)
+      // first load: nothing exists for an equality delete to mask, so
+      // the key file would be dead weight on every later read until a
+      // compaction — take the plain append path instead
+      if (t.currentSnapshot.isEmpty) t.append(upserts, summary)
+      else {
+        // keys = every identifier the window touched: upserted keys
+        // mask their older versions, tombstoned keys just vanish
+        val keys = latest.select(identifierCols.map(col): _*)
+        t.rowDelta(keys, upserts, summary)
+      }
+    } finally cached.unpersist()
   }
 
   /** writeStream upsert sink: `upsertSink(df, t, "q", Seq("id"),

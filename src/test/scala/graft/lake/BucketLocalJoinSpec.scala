@@ -239,4 +239,30 @@ class BucketLocalJoinSpec extends SparkSuite {
       (1 to 10).map(i => Row(i, s"v$i")).asJava, sch))
     t2.widenColumn("v", StringType) // no-op same-type passes
   }
+
+  test("a projection aliasing a DIFFERENT column to the key's name " +
+    "must NOT keep the layout claim (key tracked by exprId, not name) " +
+    "— while a legitimate rename of the key itself does") {
+    val (ta, _) = mkTables()
+    val la = ta.bucketLocalRead("k").get
+    // hijack: drop the bucketed key, alias another column to its name.
+    // A name-based claim would bind HashPartitioning to the hijacker,
+    // elide the aggregation exchange, and return per-bucket partial
+    // groups (wrong results).
+    val hijacked = la.select(col("a").as("k"))
+    val agg = hijacked.groupBy("k").agg(count(lit(1)).as("n"))
+    assert(exchanges(agg) > 0,
+      "false layout claim elided a required exchange:\n" +
+        agg.queryExecution.executedPlan)
+    val expected = ta.read().select(col("a").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    assert(agg.orderBy("k").collect().toSeq ===
+      expected.orderBy("k").collect().toSeq)
+    // control: renaming the KEY keeps the claim (exprId survives)
+    val renamed = la.select(col("k").as("kk"))
+    val agg2 = renamed.groupBy("kk").agg(count(lit(1)).as("n"))
+    assert(exchanges(agg2) === 0,
+      "legitimate key rename must keep the zero-exchange claim:\n" +
+        agg2.queryExecution.executedPlan)
+  }
 }

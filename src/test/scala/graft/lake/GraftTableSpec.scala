@@ -474,9 +474,14 @@ class GraftTableSpec extends SparkSuite {
     // data_files + delete_files partition files exactly
     assert(t.dataFiles.count() + t.deleteFiles.count() === t.files.count())
     assert(t.deleteFiles.count() === 1, "MOR delete must show one tombstone")
-    // manifests: exactly the current snapshot's manifest list
+    // manifests: the current snapshot's manifest list references TWO
+    // segments — the append's (REUSED verbatim, still attributed to
+    // the append snapshot) plus the MOR delete's new tombstone segment
     val mf = t.manifests.collect()
-    assert(mf.length === 1 && mf.head.getLong(1) === curSnap)
+    val appendSnap = t.meta.snapshots.map(_.snapshotId).min
+    assert(mf.length === 2)
+    assert(mf.map(_.getLong(1)).toSet === Set(appendSnap, curSnap),
+      "segment provenance must name the snapshot that WROTE each segment")
     // all_files spans every snapshot's references, one row per path,
     // and is a superset of the live files
     val allPaths = t.allFiles.select("file_path").collect()
@@ -1266,5 +1271,145 @@ class GraftTableSpec extends SparkSuite {
     assert(again.root === t.root)
     assert(cat.dropTable("default", "pii_data"))
     assert(!cat.tableExists("default", "pii_data"))
+  }
+
+  // ---- incremental manifest segments (Iceberg manifest-reuse) ----
+
+  private def segFiles(t: GraftTable): Seq[Path] =
+    Io.listRecursive(t.root.resolve("metadata"))
+      .filter(_.getFileName.toString.startsWith("seg-"))
+
+  test("a commit writes manifest metadata O(delta), not O(table " +
+      "files): an append to an N-file table reuses the parent's " +
+      "segments verbatim and writes one segment for ONLY its new " +
+      "entries") {
+    val t = newTable()
+    // one append producing N=8 data files → one 8-entry segment
+    val wide = (1 to 64).map(i => Row(f"case-a$i%03d", s"N$i",
+      s"n$i@example.com", s"k$i", s"s$i", s"sk$i",
+      java.sql.Date.valueOf("2024-01-01")))
+    t.appendClustered(spark.createDataFrame(wide.asJava, piiSchema),
+      Seq("case_id"), nFiles = 8)
+    val s1 = t.currentSnapshot.get
+    val segs1 = t.segmentsOf(s1)
+    assert(segs1.size === 1 && segs1.head.entryCount === 8)
+    // a 1-row append: the 8-entry segment is referenced VERBATIM
+    // (same path — zero bytes rewritten for it) plus one new segment
+    // holding exactly the new entry
+    t.append(seedDf.limit(1))
+    val s2 = t.currentSnapshot.get
+    val segs2 = t.segmentsOf(s2)
+    assert(segs2.size === 2)
+    assert(segs2.head === segs1.head, "parent segment must be reused")
+    assert(segs2.last.entryCount === 1,
+      "the new segment must hold ONLY the commit's added entries")
+    // O(delta) in bytes too: the new segment is far smaller than the
+    // reused one (1 entry vs 8)
+    assert(segs2.last.sizeBytes < segs1.head.sizeBytes / 4)
+    // and the manifest LIST is O(segments), entries never inlined
+    assert(Files.size(t.root.resolve(s2.manifestList)) < 1024)
+    assert(t.read().count() === 65)
+  }
+
+  test("a COW delete rewrites ONLY the segment that lost entries; " +
+      "untouched segments stay shared by path") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("write.delete.mode" -> "copy-on-write"))
+    t.append(seedDf) // segment A (file holds case-1..3)
+    val segA = t.segmentsOf(t.currentSnapshot.get).head
+    val extra = Seq(Row("case-8", "Zed", "z@example.com", "key8", "s8",
+      "sk8", java.sql.Date.valueOf("2024-05-01")))
+    t.append(spark.createDataFrame(extra.asJava, piiSchema)) // segment B
+    t.delete(col("case_id") === "case-8") // rewrites only B's file
+    val segs = t.segmentsOf(t.currentSnapshot.get)
+    assert(segs.contains(segA),
+      "a segment whose entries all survive must be reused verbatim")
+    assert(t.read().count() === 3)
+  }
+
+  test("rewrite_manifests compacts segment sprawl into one segment: " +
+      "data untouched, reads bit-equal, changelog emits nothing") {
+    val t = newTable()
+    t.append(seedDf)
+    (1 to 3).foreach(i => t.append(spark.createDataFrame(Seq(
+      Row(s"case-x$i", s"N$i", s"n$i@example.com", s"k$i", s"s$i",
+        s"sk$i", java.sql.Date.valueOf("2024-01-01"))).asJava,
+      piiSchema)))
+    val before = t.currentSnapshot.get
+    assert(t.segmentsOf(before).size === 4)
+    val rowsBefore = t.read().orderBy("case_id").collect().toSeq
+    val s = t.rewriteManifests().get
+    assert(s.operation === "replace")
+    assert(s.summary("manifests-replaced") === "4")
+    val segs = t.segmentsOf(t.currentSnapshot.get)
+    assert(segs.size === 1 && segs.head.entryCount === 4)
+    assert(t.read().orderBy("case_id").collect().toSeq === rowsBefore)
+    // the compaction snapshot's entry list is bit-identical to its
+    // parent's → the changelog window over it emits zero row events
+    assert(t.changes(Some(before.snapshotId), Some(s.snapshotId))
+      .count() === 0)
+    // idempotent below the threshold: one segment < minSegments=2
+    assert(t.rewriteManifests().isEmpty)
+  }
+
+  test("expiry never deletes a segment a retained snapshot still " +
+      "references; unshared segments and list files of expired " +
+      "snapshots go") {
+    val t = newTable()
+    t.append(seedDf)
+    val s1 = t.currentSnapshot.get
+    t.append(spark.createDataFrame(Seq(
+      Row("case-9", "Ann", "a@example.com", "k9", "s9", "sk9",
+        java.sql.Date.valueOf("2024-01-01"))).asJava, piiSchema))
+    val s2 = t.currentSnapshot.get
+    val sharedSeg = t.segmentsOf(s1).head // also referenced by s2
+    assert(t.segmentsOf(s2).contains(sharedSeg))
+    t.expireSnapshots(retainLast = 1)
+    assert(t.meta.snapshots.map(_.snapshotId) === Seq(s2.snapshotId))
+    // s1's manifest LIST is gone, but the shared segment (and the
+    // data files it references) must survive for s2's reads
+    assert(!Files.exists(t.root.resolve(s1.manifestList)))
+    assert(Files.exists(t.root.resolve(sharedSeg.path)),
+      "expiry deleted a segment the retained snapshot still references")
+    assert(t.read().count() === 4)
+  }
+
+  test("maintenance.manifests.min-count policy compacts segments " +
+      "through maintain(); a compacted table is a no-op") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("maintenance.manifests.min-count" -> "3",
+        // keep the small-file policy out of the way
+        "maintenance.compact.min-small-files" -> "1000"))
+    t.append(seedDf)
+    t.append(seedDf.limit(1))
+    assert(t.maintain().isEmpty, "2 segments < min-count 3")
+    t.append(seedDf.limit(1))
+    val report = t.maintain()
+    assert(report.map(_._1) === Seq("rewrite-manifests"))
+    assert(t.segmentsOf(t.currentSnapshot.get).size === 1)
+    assert(t.maintain().isEmpty, "healthy table must be a no-op")
+    assert(t.read().count() === 5)
+  }
+
+  test("orphan removal sweeps unreferenced SEGMENT files (losing " +
+      "commit attempts) but never segments shared by live manifests") {
+    val t = newTable()
+    t.append(seedDf)
+    t.append(seedDf.limit(1))
+    val live = segFiles(t).map(_.toAbsolutePath.toString).toSet
+    val loser = t.root.resolve(
+      "metadata/seg-12345-deadbeef-0000-0000-0000-000000000000.json")
+    Files.writeString(loser, "[]")
+    val deleted = t.removeOrphanFiles(System.currentTimeMillis() + 1000,
+      force = true)
+    assert(deleted.contains(loser.toAbsolutePath.toString))
+    assert(!Files.exists(loser))
+    live.foreach(p => assert(Files.exists(Path.of(p)),
+      "a live segment was swept"))
+    assert(t.read().count() === 4)
   }
 }

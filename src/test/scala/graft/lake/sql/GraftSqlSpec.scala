@@ -166,6 +166,13 @@ class GraftSqlSpec extends SparkSuite {
     assert(nAll >= nFiles)
     assert(spark.sql(s"SELECT * FROM $tbl.entries").select("snapshot_id")
       .distinct().count() === 1)
+    // manifests = the current snapshot's manifest SEGMENTS: the MOR
+    // delete's tombstone segment (reused verbatim through the COW
+    // update) plus the update's new data segment
+    assert(spark.sql(s"SELECT * FROM $tbl.manifests").count() === 2)
+    // and the compaction procedure folds them back into one
+    spark.sql(
+      s"CALL graft.system.rewrite_manifests(table => '$ns.pii_data')")
     assert(spark.sql(s"SELECT * FROM $tbl.manifests").count() === 1)
   }
 
