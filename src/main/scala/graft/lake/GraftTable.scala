@@ -38,7 +38,8 @@ import org.apache.spark.sql.catalyst.plans.logical
   * assumption Iceberg's planner makes).
   */
 class GraftTable(val spark: SparkSession, val root: Path,
-    val commit: CommitProvider = LocalCommitProvider) {
+    val commit: CommitProvider = LocalCommitProvider)
+    extends org.apache.spark.internal.Logging {
   import GraftTable._
 
   private def metadataDir = root.resolve("metadata")
@@ -703,6 +704,32 @@ class GraftTable(val spark: SparkSession, val root: Path,
       key: String, lineage: Boolean): Option[DataFrame] = {
     val bucket = bucketFieldOf(key).getOrElse(return None)
     if (entries.isEmpty || entries.exists(_.content != 0)) return None
+    // operational contract (SURVEY D40): the claim fixes read
+    // parallelism at n — partition i reads ALL of bucket i, so a
+    // bucket's bytes are one task's input no matter how many
+    // executors exist. When manifest stats say buckets outgrew the
+    // target task size, the fix is re-clustering with a higher bucket
+    // count, not a bigger cluster: warn loudly, or — with
+    // `spark.graft.bucketLocalJoin.maxBucketBytes` set — refuse and
+    // fall back to the ordinary shuffled read (self-vetting, like
+    // every other eligibility gate here).
+    val perBucketBytes =
+      entries.map(_.fileSizeBytes).sum / math.max(1, bucket.n)
+    if (spark.conf.getOption("spark.graft.bucketLocalJoin.maxBucketBytes")
+        .map(_.toLong).exists(perBucketBytes > _)) {
+      logWarning(s"bucket-local read of $name refused: " +
+        s"~${perBucketBytes >> 20} MiB per bucket across ${bucket.n} " +
+        "buckets exceeds spark.graft.bucketLocalJoin.maxBucketBytes; " +
+        "falling back to the shuffled read — re-cluster with a higher " +
+        "bucket count to restore the shuffle-free path")
+      return None
+    }
+    if (perBucketBytes > BucketBytesWarn)
+      logWarning(s"bucket-local read of $name: " +
+        s"~${perBucketBytes >> 30} GiB per bucket across ${bucket.n} " +
+        "buckets — each bucket is ONE task; re-cluster with a higher " +
+        "bucket count to keep task inputs bounded (or set " +
+        "spark.graft.bucketLocalJoin.maxBucketBytes to refuse instead)")
     val m = meta.physicalNames
     val statKey = bucket.statKey(physName(m)(key))
     val ranges = entries.map { e =>
@@ -1960,6 +1987,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     *    guard that makes a quiet table a no-op (a clustered table
     *    compacts into `write.clustered-by.files` outputs, so small
     *    counts at or below that are already optimal).
+    *  - `maintenance.bucket.max-bytes-per-bucket` (default 4 GiB):
+    *    advisory row (no commit) when a bucket-clustered table's
+    *    per-bucket bytes exceed the cap — bucket-local reads would
+    *    hand each task a bucket-sized input; re-cluster to fix.
     *  - `maintenance.manifests.min-count` (unset = never): compact
     *    the manifest-segment list ([[rewriteManifests]]) when the
     *    current snapshot references at least this many segments —
@@ -2014,6 +2045,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
           (s"bin-packed ${small.size} small file(s) into " +
             s"~$expectedOut in snapshot ${s.snapshotId}"))
       }
+    }
+    // under-bucketing advisory (report-only, no commit): a
+    // bucket-clustered table whose per-bucket bytes exceed
+    // `maintenance.bucket.max-bytes-per-bucket` (default 4 GiB) has
+    // outgrown its bucket count — bucket-local joins would hand each
+    // task a bucket-sized input. The fleet sweep is where an operator
+    // hears this; the fix is a re-cluster, which only they can size.
+    clusterFields.getOrElse(Nil).collectFirst {
+      case b: BucketField => b
+    }.foreach { b =>
+      val cap = props.get("maintenance.bucket.max-bytes-per-bucket")
+        .map(_.toLong).getOrElse(GraftTable.BucketBytesWarn)
+      val perBucket = entries.filter(_.content == 0)
+        .map(_.fileSizeBytes).sum / math.max(1, b.n)
+      if (perBucket > cap)
+        report += ("bucket-load-warning" ->
+          (s"~$perBucket bytes per bucket across ${b.n} buckets " +
+            s"exceeds $cap; re-cluster with a higher bucket count to " +
+            "keep bucket-local task inputs bounded"))
     }
     // segment sprawl: many O(delta) commits each left a small manifest
     // segment; compact the current snapshot's list when it references
@@ -2073,14 +2123,35 @@ class GraftTable(val spark: SparkSession, val root: Path,
     requireGcEnabled("expire snapshots")
     val b = captureBase()
     val m = b.meta
+    // ref age retention (Iceberg's `history.expire.max-ref-age-ms`):
+    // a branch/tag whose snapshot committed more than max-ref-age ago
+    // LAPSES during expiry instead of pinning its snapshot forever —
+    // without this, one forgotten tag quietly pins PII history against
+    // every future erase+expire (the GDPR-durability hole). Fresh refs
+    // keep pinning; unset (the default) keeps refs immortal, exactly
+    // like Iceberg. Age is measured from the referenced snapshot's
+    // commit time, matching Iceberg's RemoveSnapshots.
+    val maxRefAge = m.properties.get("history.expire.max-ref-age-ms")
+      .map(_.toLong)
+    val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
+    val (lapsedRefs, liveRefs) = maxRefAge match {
+      case None => (Map.empty[String, RefMeta], m.refs)
+      case Some(age) => m.refs.partition { case (_, r) =>
+        byId.get(r.snapshotId).exists(_.timestampMs < now() - age)
+      }
+    }
     val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)
       .map(_.snapshotId)
       ++ m.currentSnapshotId.toSeq
-      ++ m.refs.values.map(_.snapshotId) // branches/tags pin snapshots
+      ++ liveRefs.values.map(_.snapshotId) // branches/tags pin snapshots
       ++ m.snapshots.sortBy(_.timestampMs).takeRight(retainLast)
         .map(_.snapshotId)).toSet
     val (retained, removed) = m.snapshots.partition(s => keepIds(s.snapshotId))
-    if (removed.isEmpty) return Nil
+    if (removed.isEmpty && lapsedRefs.isEmpty) return Nil
+    if (removed.isEmpty) { // only refs lapsed: commit the ref drop
+      commitMeta(b, m.copy(refs = liveRefs))
+      return Nil
+    }
     // Iceberg's ordering: swap the metadata FIRST, physically delete
     // only after the trimmed snapshot list is durably published. A
     // crash (or losing the commit race) in between leaves unreferenced
@@ -2093,7 +2164,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // segments are SHARED across snapshots: only metadata files no
     // retained snapshot's manifest list still reaches may be deleted
     val retainedMeta = retained.flatMap(manifestFilesOf).toSet
-    commitMeta(b, m.copy(snapshots = retained))
+    commitMeta(b, m.copy(snapshots = retained, refs = liveRefs))
     for ((metaFiles, entries) <- removedManifests) {
       for (e <- entries if !reachable(abs(e)))
         Files.deleteIfExists(Path.of(abs(e)))
@@ -3416,6 +3487,10 @@ object GraftTable {
   val PosCol = "__graft_pos"
   val SeqCol = "__graft_seq"
   val ClusterProp = "write.clustered-by"
+
+  /** Per-bucket byte load above which bucket-local reads warn that the
+    * table is under-bucketed (each bucket is ONE task). */
+  private[lake] val BucketBytesWarn = 4L * 1024 * 1024 * 1024
 
   /** Tiny synchronized LRU for immutable-file parse results. */
   private[lake] final class LruCache[K, V](maxEntries: Int) {

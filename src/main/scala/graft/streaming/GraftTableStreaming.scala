@@ -169,6 +169,25 @@ object GraftTableStreaming {
     * from its checkpoint as usual. */
   def startSnapshotId(parameters: Map[String, String]): Option[Long] =
     parameters.get("startSnapshotId").map(_.toLong)
+
+  /** The initial stream offset from either knob — `startSnapshotId`
+    * or Iceberg's `stream-from-timestamp` (epoch millis): the stream
+    * begins with commits AT OR AFTER the timestamp, i.e. the exclusive
+    * start offset is the newest snapshot committed strictly BEFORE it
+    * (none before it = stream from the beginning — a timestamp
+    * predating the table is the full backfill, like Iceberg). The two
+    * knobs contradict each other, so setting both refuses. */
+  def initialStartSnapshot(t: GraftTable,
+      parameters: Map[String, String]): Option[Long] = {
+    val byId = startSnapshotId(parameters)
+    val byTs = parameters.get("stream-from-timestamp").map(_.toLong)
+    require(byId.isEmpty || byTs.isEmpty,
+      "cannot set both startSnapshotId and stream-from-timestamp")
+    byId.orElse(byTs.flatMap(ts =>
+      t.meta.snapshots.filter(_.timestampMs < ts)
+        .maxByOption(s => (s.timestampMs, s.snapshotId))
+        .map(_.snapshotId)))
+  }
 }
 
 /** `format("graft-appends")` registration — source AND sink, so both
@@ -200,10 +219,12 @@ class GraftAppendStreamProvider extends StreamSourceProvider
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftAppendSource(table(ctx, parameters),
+      parameters: Map[String, String]): Source = {
+    val t = table(ctx, parameters)
+    new GraftAppendSource(t,
       GraftTableStreaming.maxSnapshotsPerTrigger(parameters),
-      GraftTableStreaming.startSnapshotId(parameters))
+      GraftTableStreaming.initialStartSnapshot(t, parameters))
+  }
 
   override def createSink(ctx: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
@@ -270,10 +291,12 @@ class GraftChangesStreamProvider extends StreamSourceProvider
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): Source =
-    new GraftChangesSource(table(ctx, parameters),
+      parameters: Map[String, String]): Source = {
+    val t = table(ctx, parameters)
+    new GraftChangesSource(t,
       GraftTableStreaming.maxSnapshotsPerTrigger(parameters),
-      GraftTableStreaming.startSnapshotId(parameters))
+      GraftTableStreaming.initialStartSnapshot(t, parameters))
+  }
 }
 
 object GraftChangesSource {

@@ -240,6 +240,32 @@ class BucketLocalJoinSpec extends SparkSuite {
     t2.widenColumn("v", StringType) // no-op same-type passes
   }
 
+  test("bucket-count operational guard: maxBucketBytes refuses an " +
+    "under-bucketed read (self-vetting fallback); maintain() surfaces " +
+    "the advisory") {
+    val (ta, tb) = mkTables(n = 2) // all bytes across only 2 buckets
+    val key = "spark.graft.bucketLocalJoin.maxBucketBytes"
+    try {
+      spark.conf.set(key, "1") // anything over 1 byte/bucket refuses
+      assert(ta.bucketLocalRead("k").isEmpty,
+        "over-cap bucket load must fall back to the shuffled read")
+      // the fallback is the ordinary read — nothing breaks, only the
+      // layout claim is withheld
+      assert(ta.read().count() === 6000)
+    } finally spark.conf.unset(key)
+    assert(ta.bucketLocalRead("k").isDefined, "uncapped read claims")
+    // fleet-sweep advisory: report-only row, no commit
+    val v0 = ta.version
+    ta.setProperties(Map(
+      "maintenance.bucket.max-bytes-per-bucket" -> "1",
+      "maintenance.compact.min-small-files" -> "1000",
+      "maintenance.compact.min-delete-files" -> "1000"))
+    val report = ta.maintain()
+    assert(report.map(_._1) === Seq("bucket-load-warning"))
+    assert(ta.version === v0 + 1,
+      "advisory must not commit (the only new version is setProperties')")
+  }
+
   test("a projection aliasing a DIFFERENT column to the key's name " +
     "must NOT keep the layout claim (key tracked by exprId, not name) " +
     "— while a legitimate rename of the key itself does") {

@@ -1273,6 +1273,40 @@ class GraftTableSpec extends SparkSuite {
     assert(!cat.tableExists("default", "pii_data"))
   }
 
+  test("ref age retention (history.expire.max-ref-age-ms): an " +
+      "aged-out tag LAPSES during expiry so it cannot pin PII history " +
+      "forever; fresh refs still pin; unset keeps refs immortal") {
+    val t = newTable()
+    t.append(seedDf)
+    val s0 = t.currentSnapshot.get.snapshotId
+    t.createTag("audit", Some(s0))
+    t.delete(col("case_id") === "case-2") // MOR hide
+    t.rewriteDataFiles(Map("rewrite-all" -> "true")) // drop the bytes
+    // default (unset): the tag pins s0 against expiry — the subject
+    // is still reachable through it (the GDPR-durability hole)
+    assert(!t.expireSnapshots(retainLast = 1).contains(s0))
+    assert(t.readRef("audit")
+      .filter(col("case_id") === "case-2").count() === 1)
+    // with a max ref age, the stale tag lapses and s0 finally expires:
+    // NO retained snapshot reaches the subject anymore
+    t.setProperties(Map("history.expire.max-ref-age-ms" -> "0"))
+    assert(t.expireSnapshots(retainLast = 1).contains(s0))
+    assert(!t.refs.contains("audit"))
+    for (s <- t.meta.snapshots)
+      assert(t.readAt(s.snapshotId)
+        .filter(col("case_id") === "case-2").count() === 0,
+        s"snapshot ${s.snapshotId} still reaches the erased subject")
+    // a FRESH tag (well under the age cap) keeps pinning
+    t.setProperties(Map("history.expire.max-ref-age-ms" -> "3600000"))
+    val s3 = t.append(seedDf.limit(1)).snapshotId
+    t.createTag("fresh", Some(s3))
+    t.append(seedDf.limit(1))
+    t.expireSnapshots(retainLast = 1)
+    assert(t.refs.contains("fresh"))
+    assert(t.meta.snapshots.exists(_.snapshotId === s3),
+      "a fresh tag must still pin its snapshot")
+  }
+
   // ---- incremental manifest segments (Iceberg manifest-reuse) ----
 
   private def segFiles(t: GraftTable): Seq[Path] =

@@ -1143,6 +1143,27 @@ class GraftSqlSpec extends SparkSuite {
       assert(!off.queryExecution.executedPlan.toString
         .contains("ClaimHashPartitioned"))
       off.collect()
+      // ineligible: a COMPUTED key in the projection has no storage
+      // column behind it — the trace stops, the route falls back, and
+      // results stay right (k+1 redistributes rows across buckets, so
+      // claiming the old layout would be wrong, not just slow)
+      val computed = spark.sql(
+        s"SELECT x.kk, count(*) AS n FROM " +
+          s"(SELECT k + 1 AS kk FROM graft.$ns.f) x " +
+          s"JOIN graft.$ns.d d ON x.kk = d.k GROUP BY x.kk")
+      assert(!computed.queryExecution.executedPlan.toString
+        .contains("ClaimHashPartitioned"),
+        "computed join keys must not route through the layout claim")
+      val wantComputed = {
+        spark.conf.unset("spark.graft.bucketLocalJoin")
+        try spark.sql(
+          s"SELECT x.kk, count(*) AS n FROM " +
+            s"(SELECT k + 1 AS kk FROM graft.$ns.f) x " +
+            s"JOIN graft.$ns.d d ON x.kk = d.k GROUP BY x.kk")
+          .collect().toSet
+        finally spark.conf.set("spark.graft.bucketLocalJoin", "true")
+      }
+      assert(computed.collect().toSet === wantComputed)
     } finally {
       spark.conf.unset("spark.graft.bucketLocalJoin")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)

@@ -1029,6 +1029,58 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-from-timestamp: the stream begins with commits AT or " +
+    "AFTER the timestamp on both formats; a timestamp predating the " +
+    "table is the full backfill; combining both start knobs refuses") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    val sch = StructType.fromDDL("k BIGINT, v STRING")
+    val t = GraftTable.create(spark,
+      graft.ScratchDirs.create("graft-sft-").resolve("t"), "d.t", sch,
+      Map.empty)
+    def rows(r: (Long, String)*): DataFrame =
+      spark.createDataFrame(r.map { case (k, v) =>
+        Row(Long.box(k), v) }.asJava, sch)
+    t.append(rows((1L, "backfill-a")))
+    t.append(rows((2L, "backfill-b")))
+    Thread.sleep(5) // distinct commit millisecond for the cutoff
+    t.append(rows((3L, "live-c")))
+    val ts = t.currentSnapshot.get.timestampMs // live-c's commit time
+    val afterTs =
+      scala.collection.mutable.ArrayBuffer[(Long, String)]((3L, "live-c"))
+    for ((fmt, i) <- Seq("graft-appends", "graft-changes").zipWithIndex) {
+      val in = spark.readStream.format(fmt)
+        .option("path", t.root.toString)
+        .option("stream-from-timestamp", ts.toString).load()
+      val name = s"sft_${fmt.replace('-', '_')}"
+      val q = in.select("k", "v").writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation",
+          graft.ScratchDirs.create("graft-sft-ck-").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        t.append(rows((4L + i, s"live-$i")))
+        afterTs += ((4L + i, s"live-$i"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got === afterTs.sorted.toSeq,
+        s"[$fmt] must skip commits before the timestamp, got $got")
+    }
+    // a timestamp from before the table existed = full backfill
+    assert(graft.streaming.GraftTableStreaming.initialStartSnapshot(t,
+      Map("stream-from-timestamp" -> "0")).isEmpty)
+    // the two start knobs contradict each other
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraftTableStreaming.initialStartSnapshot(t,
+        Map("startSnapshotId" -> "1", "stream-from-timestamp" -> "1"))
+    }
+  }
+
   test("upsert sink with sequenceCol: a coalesced batch carrying " +
     "several events per key folds to each key's LATEST event — " +
     "upsert-then-tombstone deletes, tombstone-then-upsert lives") {
