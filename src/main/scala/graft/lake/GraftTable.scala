@@ -679,14 +679,28 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * table-sized shuffles this path deletes. Requires GraftExtensions
     * (plans the claim).
     */
-  def bucketLocalRead(key: String): Option[DataFrame] = {
+  /** `splitFactor` (default 1) is the partially-clustered escape hatch
+    * for buckets that outgrew their count (Spark SPJ's
+    * partially-clustered analog, re-derived for the claim): the read
+    * is declared `HashPartitioning(key, n × f)` — literally true,
+    * because n divides n·f, so partition j holds exactly the rows with
+    * `pmod(hash(key), n·f) = j`, assembled from bucket (j mod n)'s
+    * files behind that exact residual filter. Parallelism becomes
+    * n × f tasks; the price is reading each bucket's files f times
+    * (column-pruned scans — at 100 TB still far cheaper than the two
+    * table-sized shuffles this path deletes, and each task now owns
+    * 1/f of a bucket's rows). Join sides must use the SAME factor to
+    * stay exchange-free (different partition counts co-satisfy the
+    * distribution but not each other — Spark shuffles one side). */
+  def bucketLocalRead(key: String,
+      splitFactor: Int = 1): Option[DataFrame] = {
     // same spark.wap.branch audit routing as read()/readWhere — an
     // audit session must never silently serve main through this path
     val entries = wapBranch.filter(meta.refs.contains) match {
       case Some(br) => manifestOf(snapshotOrFail(refSnapshotId(br)))
       case None => currentEntries
     }
-    bucketLocalReadEntries(entries, key, lineage = false)
+    bucketLocalReadEntries(entries, key, lineage = false, splitFactor)
   }
 
   /** The bucket field clustering `key`, if any. */
@@ -701,7 +715,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * its target this way so only the SOURCE side shuffles. The extra
     * metadata columns don't disturb the layout claim. */
   private[lake] def bucketLocalReadEntries(entries: Seq[ManifestEntry],
-      key: String, lineage: Boolean): Option[DataFrame] = {
+      key: String, lineage: Boolean,
+      splitFactor: Int = 1): Option[DataFrame] = {
+    require(splitFactor >= 1, s"splitFactor must be >= 1, got $splitFactor")
     val bucket = bucketFieldOf(key).getOrElse(return None)
     if (entries.isEmpty || entries.exists(_.content != 0)) return None
     // operational contract (SURVEY D40): the claim fixes read
@@ -741,7 +757,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
       else StructType(schema.fields ++ Seq(
         StructField(GraftTable.FileCol, StringType),
         StructField(GraftTable.PosCol, LongType)))
-    val slices = (0 until bucket.n).map { i =>
+    // nParts = n × splitFactor; partition j draws on bucket (j mod n)
+    // — sound because n divides nParts, so pmod(hash, nParts) = j
+    // implies pmod(hash, n) = j mod n
+    val nParts = bucket.n * splitFactor
+    val slices = (0 until nParts).map { j =>
+      val i = j % bucket.n
       val touching = ranges.filter { case (_, lo, hi) => lo <= i && i <= hi }
       if (touching.isEmpty)
         // empty bucket: a 1-partition RDD-backed frame — deliberately
@@ -753,10 +774,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
         val scan = scanParquet(touching.map(t => abs(t._1)), schema, m,
           lineage = lineage)
         // exact files (the whole slice is bucket i) skip the residual
-        val exact = touching.forall { case (_, lo, hi) => lo == hi }
+        // — only possible at factor 1, where slice j IS bucket i
+        val exact = splitFactor == 1 &&
+          touching.forall { case (_, lo, hi) => lo == hi }
         if (exact) scan
-        else scan.filter(pmod(hash(col(quoted(key))), lit(bucket.n))
-          === i)
+        else scan.filter(pmod(hash(col(quoted(key))), lit(nParts))
+          === j)
       }
     }
     val plans = slices.map(_.queryExecution.analyzed)

@@ -891,6 +891,18 @@ object LakeQueries extends QueryCatalog {
   private val quantileRollup =
     Q.noOracle("q_lake_quantile_rollup") { (s, _) =>
     import graft.rel.Kmv
+    // every frame here is sketch-sized (≤ K × slices rows): AQE's
+    // per-stage materialization turns each tiny action into 3-4 jobs
+    // whose ~60 ms driver-side planning gaps dominate the scenario
+    // (LakeJobProfile: 40 jobs, 1.8 s compute, 2.5 s gap). Disable it
+    // for the walk — all Spark work is eager inside the builder (the
+    // returned frame is a local report), so the finally restores the
+    // session before anything else runs.
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
     val K = 128
     val factSchema = StructType.fromDDL(
       "slice STRING, key BIGINT, v BIGINT")
@@ -1003,6 +1015,10 @@ object LakeQueries extends QueryCatalog {
     import s.implicits._
     out.toSeq.toDF("phase", "scope", "n_retained", "p50", "n_below")
       .orderBy("phase", "scope")
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** Inverted index maintained in lake tables — the production

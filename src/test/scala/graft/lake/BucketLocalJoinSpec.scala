@@ -240,6 +240,40 @@ class BucketLocalJoinSpec extends SparkSuite {
     t2.widenColumn("v", StringType) // no-op same-type passes
   }
 
+  test("partially-clustered read: splitFactor f claims " +
+    "HashPartitioning(key, n*f) — parallelism beyond the bucket " +
+    "count, zero exchanges when both sides share f, identical results") {
+    val (ta, tb) = mkTables(n = 4)
+    val sessionThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val la = ta.bucketLocalRead("k", splitFactor = 2).get
+      val lb = tb.bucketLocalRead("k", splitFactor = 2).get
+      // 4 buckets × factor 2 = 8 partitions: more tasks than buckets
+      assert(la.rdd.getNumPartitions === 8)
+      // the n*f claim is LITERALLY true: partition j holds exactly
+      // pmod(hash(k), 8) = j (each bucket's files re-read behind the
+      // finer residual)
+      val misplaced = la.select(
+        spark_partition_id().as("p"),
+        pmod(hash(col("k")), lit(8)).as("b"))
+        .filter(col("p") =!= col("b")).count()
+      assert(misplaced === 0)
+      val local = la.join(lb, "k")
+      assert(exchanges(local) === 0,
+        s"same-factor sides must stay exchange-free:\n" +
+          local.queryExecution.executedPlan)
+      val shuffled = ta.read().join(tb.read(), "k")
+      assert(grouped(local) === grouped(shuffled))
+      // MIXED factors (8-way vs 4-way) still return identical rows —
+      // Spark re-shuffles one side instead of mis-joining
+      val mixed = la.join(tb.bucketLocalRead("k").get, "k")
+      assert(grouped(mixed) === grouped(shuffled))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      sessionThreshold)
+  }
+
   test("bucket-count operational guard: maxBucketBytes refuses an " +
     "under-bucketed read (self-vetting fallback); maintain() surfaces " +
     "the advisory") {
