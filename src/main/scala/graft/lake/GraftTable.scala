@@ -450,6 +450,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def manifestFilesOf(s: SnapshotMeta): Seq[String] =
     s.manifestList +: segmentsOf(s).map(_.path)
 
+  /** Entries reachable from these snapshots, walked by DISTINCT
+    * segment — shared segments parse and traverse once, so the whole-
+    * log sweeps (expiry reachability, orphan reference sets, all_files)
+    * cost O(unique segments × entries), not O(snapshots × files).
+    * Legacy inline manifests contribute their entry arrays directly. */
+  private def entriesAcross(snaps: Seq[SnapshotMeta]): Seq[ManifestEntry] = {
+    val segRels = Seq.newBuilder[String]
+    val legacy = Seq.newBuilder[ManifestEntry]
+    for (s <- snaps) listDocOf(s.manifestList) match {
+      case Right(refs) => segRels ++= refs.map(_.path)
+      case Left(entries) => legacy ++= entries
+    }
+    segRels.result().distinct.flatMap(segmentEntries) ++ legacy.result()
+  }
+
   private def currentEntries: Seq[ManifestEntry] =
     currentSnapshot.map(manifestOf).getOrElse(Nil)
 
@@ -577,12 +592,54 @@ class GraftTable(val spark: SparkSession, val root: Path,
       else Some(writeSegment(id, s))
     }
     val added = newcomers.result()
-    val refs = kept ++ (if (added.isEmpty) Nil
-      else Seq(writeSegment(id, added)))
+    val refs = mergeSmallSegments(id, kept ++ (if (added.isEmpty) Nil
+      else Seq(writeSegment(id, added))))
     // order self-check: segment concatenation must BE the entry list
     val flat = refs.flatMap(r => segmentEntries(r.path))
     if (flat.map(_.path) == entries.map(_.path)) refs
     else Seq(writeSegment(id, entries))
+  }
+
+  /** Merge-on-commit (Iceberg's `commit.manifest-merge.enabled`,
+    * default true): once a commit's manifest list would reference at
+    * least `commit.manifests.min-count-to-merge` segments (default
+    * 100), ADJACENT small segments (each under
+    * `commit.manifests.target-size-bytes`, default 8 MiB) are binned
+    * into merged segments — so a long-lived table bounds its segment
+    * count automatically instead of waiting for a scheduler to run
+    * rewrite_manifests. Adjacency keeps concatenation order, so the
+    * commit's order self-check still holds; amortized cost is the
+    * Iceberg deal: most commits write O(delta), every ~min-count-th
+    * commit also folds the accumulated small segments once. */
+  private def mergeSmallSegments(id: Long,
+      refs: Seq[ManifestSegmentRef]): Seq[ManifestSegmentRef] = {
+    if (!properties.getOrElse("commit.manifest-merge.enabled", "true")
+        .toBoolean) return refs
+    val minCount = properties
+      .getOrElse("commit.manifests.min-count-to-merge", "100").toInt
+    if (refs.size < minCount) return refs
+    val target = properties
+      .getOrElse("commit.manifests.target-size-bytes",
+        (8L * 1024 * 1024).toString).toLong
+    val out = Seq.newBuilder[ManifestSegmentRef]
+    val bin = Seq.newBuilder[ManifestSegmentRef]
+    var binBytes = 0L
+    def flush(): Unit = {
+      val b = bin.result()
+      if (b.size > 1)
+        out += writeSegment(id, b.flatMap(r => segmentEntries(r.path)))
+      else out ++= b
+      bin.clear(); binBytes = 0L
+    }
+    for (r <- refs) {
+      if (r.sizeBytes >= target) { flush(); out += r }
+      else {
+        if (binBytes + r.sizeBytes > target) flush()
+        bin += r; binBytes += r.sizeBytes
+      }
+    }
+    flush()
+    out.result()
   }
 
   private def commitSnapshot(base: Base, id: Long, operation: String,
@@ -2183,7 +2240,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // operation (allEntries, orphan scans, file summaries).
     val removedManifests = removed.map(s =>
       (manifestFilesOf(s), manifestOf(s)))
-    val reachable = retained.flatMap(manifestOf).map(abs).toSet
+    val reachable = entriesAcross(retained).map(abs).toSet
     // segments are SHARED across snapshots: only metadata files no
     // retained snapshot's manifest list still reaches may be deleted
     val retainedMeta = retained.flatMap(manifestFilesOf).toSet
@@ -2228,7 +2285,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       drop(s.snapshotId))
     val removedManifests = removed.map(s =>
       (manifestFilesOf(s), manifestOf(s)))
-    val reachable = retained.flatMap(manifestOf).map(abs).toSet
+    val reachable = entriesAcross(retained).map(abs).toSet
     val retainedMeta = retained.flatMap(manifestFilesOf).toSet
     commitMeta(b, m.copy(snapshots = retained))
     for ((metaFiles, entries) <- removedManifests) {
@@ -2457,7 +2514,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "Cannot remove orphan files with an interval less than 3 days " +
         "(pass force=true to override, matching the reference's " +
         "Action-API bypass)")
-    val referenced = meta.snapshots.flatMap(manifestOf).map(abs).toSet
+    val referenced = entriesAcross(meta.snapshots).map(abs).toSet
     val dir = location.getOrElse(dataDir)
     val orphans = Io.listRecursive(dir).filter { p =>
       val a = p.toAbsolutePath.toString
@@ -3014,7 +3071,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       filesDistributed(
         m.snapshots.flatMap(s => segmentsOf(s).map(_.path)).distinct)
         .dropDuplicates("file_path")
-    else filesOf(m.snapshots.flatMap(manifestOf).distinctBy(_.path))
+    else filesOf(entriesAcross(m.snapshots).distinctBy(_.path))
   }
   def allDataFiles: DataFrame =
     allFiles.filter(org.apache.spark.sql.functions.col("content") === 0)

@@ -1388,6 +1388,33 @@ class GraftTableSpec extends SparkSuite {
     assert(t.rewriteManifests().isEmpty)
   }
 
+  test("merge-on-commit bounds segment sprawl: a commit whose list " +
+      "reaches min-count-to-merge folds adjacent small segments into " +
+      "one; below the threshold commits stay O(delta); disabling the " +
+      "knob keeps segments apart") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "pii_data", piiSchema,
+      Map("commit.manifests.min-count-to-merge" -> "4"))
+    t.append(seedDf)
+    (1 to 2).foreach(_ => t.append(seedDf.limit(1)))
+    assert(t.segmentsOf(t.currentSnapshot.get).size === 3,
+      "below min-count commits must keep writing O(delta) segments")
+    t.append(seedDf.limit(1)) // list would hit 4 → auto-merge
+    val merged = t.segmentsOf(t.currentSnapshot.get)
+    assert(merged.size === 1 && merged.head.entryCount === 4)
+    assert(t.read().count() === 6)
+    // the next commit is O(delta) again on top of the merged segment
+    t.append(seedDf.limit(1))
+    assert(t.segmentsOf(t.currentSnapshot.get).size === 2)
+    // knob off: sprawl is the scheduler's problem (rewrite_manifests)
+    val t2 = cat.createTable("default", "pii2", piiSchema,
+      Map("commit.manifests.min-count-to-merge" -> "4",
+        "commit.manifest-merge.enabled" -> "false"))
+    (1 to 5).foreach(_ => t2.append(seedDf.limit(1)))
+    assert(t2.segmentsOf(t2.currentSnapshot.get).size === 5)
+  }
+
   test("expiry never deletes a segment a retained snapshot still " +
       "references; unshared segments and list files of expired " +
       "snapshots go") {
