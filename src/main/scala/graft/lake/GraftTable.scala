@@ -3012,15 +3012,22 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def allManifests: DataFrame = {
     import spark.implicits._
     meta.snapshots.flatMap(segmentRows).distinct
-      .toDF("path", "added_snapshot_id")
+      .toDF("path", "added_snapshot_id", "length", "entry_count",
+        "data_file_count", "delete_file_count", "record_count")
   }
 
-  private def segmentRows(s: SnapshotMeta): Seq[(String, Long)] =
+  private def segmentRows(s: SnapshotMeta)
+      : Seq[(String, Long, Long, Int, Int, Int, Long)] =
     listDocOf(s.manifestList) match {
-      case Left(_) => // inline format: the list file IS the manifest
-        Seq((root.resolve(s.manifestList).toString, s.snapshotId))
+      case Left(entries) => // inline format: the list file IS the manifest
+        Seq((root.resolve(s.manifestList).toString, s.snapshotId,
+          Files.size(root.resolve(s.manifestList)), entries.size,
+          entries.count(_.content == 0), entries.count(_.content != 0),
+          entries.filter(_.content == 0).map(_.recordCount).sum))
       case Right(refs) => refs.map(r =>
-        (root.resolve(r.path).toString, r.addedSnapshotId))
+        (root.resolve(r.path).toString, r.addedSnapshotId, r.sizeBytes,
+          r.entryCount, r.dataFileCount, r.deleteFileCount,
+          r.recordCount))
     }
 
   def metadataLogEntries: DataFrame = {
@@ -3047,7 +3054,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val m = meta
     m.snapshots.filter(s => m.currentSnapshotId.contains(s.snapshotId))
       .flatMap(segmentRows)
-      .toDF("path", "added_snapshot_id")
+      .toDF("path", "added_snapshot_id", "length", "entry_count",
+        "data_file_count", "delete_file_count", "record_count")
   }
 
   /** data_files / delete_files: the content split of [[files]]

@@ -219,6 +219,27 @@ class GraftTablePropSpec extends SparkSuite {
       assert(folded == modelRows,
         s"changelog fold diverged from the table after $ops")
     }
+    // 6. O(delta) manifest discipline never silently degrades: for
+    //    every retained parent→child commit, a parent segment whose
+    //    entries ALL survive unchanged in the child manifest must be
+    //    referenced VERBATIM (same file) by the child's list — if the
+    //    composition fell back to a full rewrite, this catches it
+    val byId2 = t.meta.snapshots.map(s => s.snapshotId -> s).toMap
+    t.meta.snapshots.foreach { s =>
+      s.parentId.flatMap(byId2.get).foreach { p =>
+        val childEntries = t.manifestOf(s).toSet
+        val childSegs = t.segmentsOf(s).map(_.path).toSet
+        t.segmentsOf(p).foreach { ref =>
+          val segEntries = Json.readManifest(
+            Files.readString(t.root.resolve(ref.path)))
+          if (segEntries.forall(childEntries.contains))
+            assert(childSegs.contains(ref.path),
+              s"fully-surviving parent segment ${ref.path} was " +
+                s"rewritten instead of reused (commit " +
+                s"${p.snapshotId}→${s.snapshotId}) after $ops")
+        }
+      }
+    }
     true
   }
 
