@@ -40,9 +40,16 @@ object Changelog {
     * (Iceberg's ChangelogIterator has the same orderable-types
     * requirement). */
   private def requireGroupable(changes: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    // recursive: a map nested in a struct/array is just as ungroupable
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
     val maps = changes.schema.fields.collect {
-      case f if f.dataType.isInstanceOf[
-        org.apache.spark.sql.types.MapType] => f.name
+      case f if hasMap(f.dataType) => f.name
     }
     require(maps.isEmpty,
       s"$op groups changelog rows by full row content, which cannot " +

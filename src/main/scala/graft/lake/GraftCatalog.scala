@@ -105,9 +105,15 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     // forkInto refuses ineligible sources (MOR delete files, renamed
     // columns: "compact first"); don't leave the half-created empty
     // fork registered — a retry after compaction would then fail with
-    // "table already exists"
+    // "table already exists". A cleanup failure must not mask the
+    // actionable refusal: suppress it onto the original.
     try source.forkInto(t)
-    catch { case e: Throwable => dropTable(ns, name); throw e }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try dropTable(ns, name)
+        catch { case scala.util.control.NonFatal(c) => e.addSuppressed(c) }
+        throw e
+    }
     t
   }
 

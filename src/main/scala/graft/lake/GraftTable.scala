@@ -2747,7 +2747,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .flatMap(id => b.meta.snapshots.find(_.snapshotId == id))
       .getOrElse(return None)
     val segs = segmentsOf(cur)
-    if (segs.size < minSegments) return None
+    // a single-segment list is already compact: rewriting it would
+    // commit a pointless replace snapshot FOREVER on a scheduler loop
+    // whose policy says min-count=1 — floor the trigger at 2
+    if (segs.size < math.max(2, minSegments)) return None
     Some(commitSnapshot(b, nextSnapshotHint, "replace", manifestOf(cur),
       Map("manifests-replaced" -> segs.size.toString,
         "manifests-created" -> "1"),

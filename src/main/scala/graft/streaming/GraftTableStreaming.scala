@@ -183,8 +183,13 @@ object GraftTableStreaming {
     val byTs = parameters.get("stream-from-timestamp").map(_.toLong)
     require(byId.isEmpty || byTs.isEmpty,
       "cannot set both startSnapshotId and stream-from-timestamp")
+    // resolve against the MAIN ancestry chain only (Iceberg's
+    // SnapshotUtil walks ancestors the same way): branch-staged or
+    // rollback-orphaned snapshots sit in the log but are not on the
+    // stream's lineage — picking one as the start offset would make
+    // the CDC source's ancestry walk refuse on its first batch
     byId.orElse(byTs.flatMap(ts =>
-      t.meta.snapshots.filter(_.timestampMs < ts)
+      t.ancestorsOf(None).filter(_.timestampMs < ts)
         .maxByOption(s => (s.timestampMs, s.snapshotId))
         .map(_.snapshotId)))
   }
