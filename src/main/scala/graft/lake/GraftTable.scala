@@ -2211,14 +2211,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // keep pinning; unset (the default) keeps refs immortal, exactly
     // like Iceberg. Age is measured from the referenced snapshot's
     // commit time, matching Iceberg's RemoveSnapshots.
-    val maxRefAge = m.properties.get("history.expire.max-ref-age-ms")
+    val tableRefAge = m.properties.get("history.expire.max-ref-age-ms")
       .map(_.toLong)
     val byId = m.snapshots.map(s => s.snapshotId -> s).toMap
-    val (lapsedRefs, liveRefs) = maxRefAge match {
-      case None => (Map.empty[String, RefMeta], m.refs)
-      case Some(age) => m.refs.partition { case (_, r) =>
-        byId.get(r.snapshotId).exists(_.timestampMs < now() - age)
-      }
+    val (lapsedRefs, liveRefs) = m.refs.partition { case (_, r) =>
+      // per-ref RETAIN overrides the table default; no cap = immortal
+      r.maxRefAgeMs.orElse(tableRefAge).exists(age =>
+        byId.get(r.snapshotId).exists(_.timestampMs < now() - age))
     }
     val keepIds = (m.snapshots.filter(_.timestampMs >= olderThanMs)
       .map(_.snapshotId)
@@ -2421,8 +2420,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
   /** Create a branch or tag at `snapshotId` (default: current head).
     * Both pin the snapshot against expireSnapshots; a tag is an
     * immutable label, a branch can be fast-forwarded. */
+  /** `maxRefAgeMs` is Iceberg's per-ref RETAIN: this ref lapses during
+    * expire_snapshots once its snapshot is older than the cap,
+    * overriding the table-level `history.expire.max-ref-age-ms`. */
   def createRef(name: String, refType: String,
-      snapshotId: Option[Long] = None): RefMeta = {
+      snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): RefMeta = {
     require(refType == "branch" || refType == "tag",
       s"ref type must be branch or tag, got $refType")
     val b = captureBase()
@@ -2432,16 +2435,18 @@ class GraftTable(val spark: SparkSession, val root: Path,
         s"cannot create ref $name: table has no snapshots"))
     require(b.meta.snapshots.exists(_.snapshotId == id),
       s"Cannot find snapshot with ID $id (expired or never existed)")
-    val ref = RefMeta(id, refType)
+    val ref = RefMeta(id, refType, maxRefAgeMs)
     commitMeta(b, b.meta.copy(refs = b.meta.refs + (name -> ref)))
     ref
   }
 
-  def createBranch(name: String, snapshotId: Option[Long] = None): RefMeta =
-    createRef(name, "branch", snapshotId)
+  def createBranch(name: String, snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): RefMeta =
+    createRef(name, "branch", snapshotId, maxRefAgeMs)
 
-  def createTag(name: String, snapshotId: Option[Long] = None): RefMeta =
-    createRef(name, "tag", snapshotId)
+  def createTag(name: String, snapshotId: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): RefMeta =
+    createRef(name, "tag", snapshotId, maxRefAgeMs)
 
   def dropRef(name: String): Unit = {
     val b = captureBase()

@@ -84,8 +84,16 @@ final case class MetadataLogEntry(timestampMs: Long, file: String)
 /** A named snapshot pointer (the Iceberg branch/tag analog).
   * refType is "branch" or "tag"; both pin their snapshot against
   * expiration — the difference is intent (branches may be
-  * fast-forwarded, tags are immutable labels). */
-final case class RefMeta(snapshotId: Long, refType: String)
+  * fast-forwarded, tags are immutable labels). `maxRefAgeMs`
+  * (Iceberg's per-ref RETAIN) overrides the table-level
+  * `history.expire.max-ref-age-ms`: a ref whose snapshot committed
+  * longer ago than its cap lapses during expire_snapshots. */
+final case class RefMeta(snapshotId: Long, refType: String,
+    // contentAs: Jackson would otherwise deserialize small JSON
+    // numbers into Option[Integer] and the unbox would CCE at use
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    maxRefAgeMs: Option[Long] = None)
 
 final case class TableMeta(
     name: String,

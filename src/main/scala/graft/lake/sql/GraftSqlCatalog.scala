@@ -532,14 +532,18 @@ private object GraftProcedures {
       Seq(param("table", StringType),
         param("ref", StringType),
         // -1 means the current head
-        paramD("snapshot_id", LongType, "-1")),
+        paramD("snapshot_id", LongType, "-1"),
+        // Iceberg's RETAIN: ref lapses during expire_snapshots once
+        // its snapshot is older than this (-1 = table default/immortal)
+        paramD("max_ref_age_ms", LongType, "-1")),
       StructType.fromDDL("ref STRING, snapshot_id BIGINT"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
         val refName = args.getUTF8String(1).toString
         val snapId = Some(args.getLong(2)).filter(_ >= 0)
+        val refAge = Some(args.getLong(3)).filter(_ >= 0)
         val refType = if (name == "create_branch") "branch" else "tag"
-        val r = t.createRef(refName, refType, snapId)
+        val r = t.createRef(refName, refType, snapId, refAge)
         Seq(outRow(refName, r.snapshotId))
       }))
     case "add_files" => Some(procedure(name,

@@ -179,6 +179,13 @@ case class GraftSqlResolution(session: SparkSession)
       : Map[DataSourceV2Relation, DataFrame] = {
     if (!session.conf.getOption("spark.graft.bucketLocalJoin")
         .exists(_.equalsIgnoreCase("true"))) return Map.empty
+    // partially-clustered factor (default 1): routed reads claim
+    // HashPartitioning(key, n*f) for n*f-way parallelism when buckets
+    // outgrew their count — applied to BOTH join sides (same factor =
+    // still exchange-free) and to aggregate-only claims
+    val factor = session.conf
+      .getOption("spark.graft.bucketLocalJoin.splitFactor")
+      .map(_.toInt).getOrElse(1)
     def bucketOf(t: GraftSqlTable, key: String)
         : Option[graft.lake.BucketField] =
       t.graft.enrichedProperties.get("write.clustered-by")
@@ -202,7 +209,7 @@ case class GraftSqlResolution(session: SparkSession)
           case (r, t, key) if !out.contains(r) &&
               bucketOf(t, key).isDefined => (r, t, key)
         }.foreach { case (r, t, key) =>
-          t.graft.bucketLocalRead(key).foreach(out(r) = _)
+          t.graft.bucketLocalRead(key, factor).foreach(out(r) = _)
         }
       case j: Join if j.condition.isDefined =>
         // find one equi-conjunct whose two attributes trace to two
@@ -223,8 +230,8 @@ case class GraftSqlResolution(session: SparkSession)
               if lr != rr && !out.contains(lr) && !out.contains(rr) =>
             (bucketOf(lt, lk), bucketOf(rt, rk)) match {
               case (Some(lb), Some(rb)) if lb.n == rb.n =>
-                for (ld <- lt.graft.bucketLocalRead(lk);
-                     rd <- rt.graft.bucketLocalRead(rk)) {
+                for (ld <- lt.graft.bucketLocalRead(lk, factor);
+                     rd <- rt.graft.bucketLocalRead(rk, factor)) {
                   out(lr) = ld; out(rr) = rd
                 }
               case _ => ()

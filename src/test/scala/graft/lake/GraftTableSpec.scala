@@ -1300,11 +1300,28 @@ class GraftTableSpec extends SparkSuite {
     t.setProperties(Map("history.expire.max-ref-age-ms" -> "3600000"))
     val s3 = t.append(seedDf.limit(1)).snapshotId
     t.createTag("fresh", Some(s3))
+    // per-ref RETAIN overrides the table default BOTH ways: a 0 ms
+    // cap lapses under a generous table default, and a generous cap
+    // survives a table default of 0
+    val s3b = t.append(seedDf.limit(1)).snapshotId
+    t.createTag("ephemeral", Some(s3b), maxRefAgeMs = Some(0L))
+    Thread.sleep(2)
     t.append(seedDf.limit(1))
     t.expireSnapshots(retainLast = 1)
     assert(t.refs.contains("fresh"))
+    assert(!t.refs.contains("ephemeral"),
+      "a per-ref 0ms RETAIN must lapse under a generous table default")
     assert(t.meta.snapshots.exists(_.snapshotId === s3),
       "a fresh tag must still pin its snapshot")
+    t.setProperties(Map("history.expire.max-ref-age-ms" -> "0"))
+    val s4 = t.append(seedDf.limit(1)).snapshotId
+    t.createTag("durable", Some(s4), maxRefAgeMs = Some(3600000L))
+    Thread.sleep(2)
+    t.append(seedDf.limit(1))
+    t.expireSnapshots(retainLast = 1)
+    assert(t.refs.contains("durable") &&
+      t.meta.snapshots.exists(_.snapshotId === s4),
+      "a generous per-ref RETAIN must survive a table default of 0")
   }
 
   // ---- incremental manifest segments (Iceberg manifest-reuse) ----

@@ -1164,6 +1164,17 @@ class GraftSqlSpec extends SparkSuite {
         finally spark.conf.set("spark.graft.bucketLocalJoin", "true")
       }
       assert(computed.collect().toSet === wantComputed)
+      // partially-clustered via SQL: splitFactor=2 keeps the routed
+      // join exchange-free at 2x the parallelism, rows identical
+      spark.conf.set("spark.graft.bucketLocalJoin.splitFactor", "2")
+      try {
+        val split = spark.sql(q)
+        val splan = split.queryExecution.executedPlan.toString
+        assert(splan.contains("ClaimHashPartitioned"), splan)
+        assert(!splan.contains("Exchange hashpartitioning"), splan)
+        assert(split.collect().toSeq === want)
+      } finally
+        spark.conf.unset("spark.graft.bucketLocalJoin.splitFactor")
     } finally {
       spark.conf.unset("spark.graft.bucketLocalJoin")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedB)
