@@ -1890,11 +1890,60 @@ object SimilarityQueries extends QueryCatalog {
       .limit(10)
   }
 
+  /** Coreset / diversity downsample: the m most-CENTRAL vectors per
+    * k-means cell — the stratified representative selection a training
+    * mix uses to downsample a over-represented slice while keeping
+    * every semantic region covered (the greedy-k-center family's
+    * embarrassingly-parallel cousin: cells come from the shared
+    * [[kmeansFit]], selection is one bounded per-cell top-m). Exact
+    * integer math end to end: the per-row distance to the ASSIGNED
+    * cell's final centroid is a narrow zip_with kernel over the
+    * already-quantized vectors (no join — the k centroids ride as a
+    * map literal), and the per-cell top-m is a window over k cells,
+    * ties broken by vec_id. At 100 TB: one scan + one k-partition
+    * window; nothing all-pairs, nothing collected beyond k×m rows. */
+  private val coreset = Q(
+    "q_sim_coreset",
+    s"""WITH $kmeansOracleCtes, m2 AS (
+       |  SELECT a.cid, v.d, CAST(sum(v.q) // count(*) AS BIGINT) AS c
+       |  FROM a2 a JOIN dims v USING (vec_id) GROUP BY 1, 2
+       |), c2 AS (
+       |  SELECT s.cid, s.d, coalesce(m.c, s.c) AS c
+       |  FROM c1 s LEFT JOIN m2 m ON m.cid = s.cid AND m.d = s.d
+       |), own AS (
+       |  SELECT a.vec_id, a.cid,
+       |    CAST(sum((v.q - c.c) * (v.q - c.c)) AS BIGINT) AS dist
+       |  FROM a2 a
+       |  JOIN dims v ON v.vec_id = a.vec_id
+       |  JOIN c2 c ON c.cid = a.cid AND c.d = v.d
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cid AS cluster_id, vec_id, dist FROM (
+       |  SELECT own.*, row_number() OVER (PARTITION BY cid
+       |    ORDER BY dist, vec_id) AS rn FROM own)
+       |WHERE rn <= 2 ORDER BY cluster_id, vec_id""".stripMargin
+  ) { (s, dir) =>
+    val (c2, asn2) = kmeansFit(s, dir) // same fit as q_sim_kmeans
+    val centMap = typedlit(c2.zipWithIndex.map { case (c, cid) =>
+      cid.toLong -> c.toSeq
+    }.toMap)
+    val w = Window.partitionBy("cid").orderBy("dist", "vec_id")
+    asn2
+      .withColumn("__c", element_at(centMap, col("cid")))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q, __c, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("cid").as("cluster_id"), col("vec_id"), col("dist"))
+      .orderBy("cluster_id", "vec_id")
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
-      topicMix, recall, randomProjection, topkJl, semanticDecon,
+      coreset, topicMix, recall, randomProjection, topkJl, semanticDecon,
       hybridRrf)
 }
 
