@@ -735,8 +735,91 @@ object DedupQueries extends QueryCatalog {
       .limit(20)
   }
 
+  /** Boilerplate removal (the CCNet/RefinedWeb shingle-frequency
+    * filter, re-expressed at the token-shingle level this corpus
+    * supports): a $SubK-gram that appears in at least `MinDf` DISTINCT
+    * documents is boilerplate — navigation chrome, license footers,
+    * template headers — and EVERY occurrence is removed, first one
+    * included (the difference from [[substringRewrite]], which keeps
+    * a canonical first copy of duplicated content: boilerplate has no
+    * copy worth keeping). Same skew-immune shape as the rewrite: one
+    * shingle explosion, a distinct-doc-count aggregate (partial
+    * map-side), equi-join back, positional anti-join, ordered per-doc
+    * rebuild — every shuffle keyed, nothing all-pairs, so the plan is
+    * the 100 TB plan. */
+  private val BoilerMinDf = 3
+  private val boilerplate = Q(
+    "q_dedup_boilerplate",
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id, i AS p,
+       |    concat_ws(' ', toks[i+1], toks[i+2], toks[i+3], toks[i+4],
+       |      toks[i+5]) AS g
+       |  FROM t, unnest(generate_series(0, n - $SubK)) AS u(i)
+       |  WHERE n >= $SubK
+       |), boiler AS (
+       |  SELECT g FROM occ GROUP BY g
+       |  HAVING count(DISTINCT doc_id) >= $BoilerMinDf
+       |), covered AS (
+       |  SELECT DISTINCT o.doc_id, o.p + u.j AS pos
+       |  FROM occ o JOIN boiler b USING (g),
+       |    unnest(generate_series(0, ${SubK - 1})) AS u(j)
+       |), tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tk
+       |  FROM t, unnest(generate_series(1, n)) AS u(i)
+       |), rebuilt AS (
+       |  SELECT k.doc_id, string_agg(k.tk, ' ' ORDER BY k.pos) AS cleaned,
+       |    count(*) AS kept
+       |  FROM tok k
+       |  LEFT JOIN covered c ON c.doc_id = k.doc_id AND c.pos = k.pos
+       |  WHERE c.pos IS NULL
+       |  GROUP BY k.doc_id
+       |)
+       |SELECT t.doc_id, coalesce(r.cleaned, '') AS cleaned_text,
+       |  CAST(t.n - coalesce(r.kept, 0) AS BIGINT) AS removed_tokens
+       |FROM t LEFT JOIN rebuilt r USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val k = SubK
+    val docs = Tables.documents(s, dir)
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val occ = t.filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n - $k), i -> struct(i AS p, " +
+          s"concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
+          s"toks[i+4]) AS g))")).as("o"))
+      .select(col("doc_id"), col("o.p").as("p"), col("o.g").as("g"))
+    val boiler = occ.groupBy("g")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BoilerMinDf).select("g")
+    val covered = occ.join(boiler, "g")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(k - 1))).as("pos"))
+      .distinct()
+    val tok = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tk")))
+    val rebuilt = tok
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(array_sort(" +
+        "collect_list(struct(pos, tk))), x -> x.tk), ' ')").as("cleaned"),
+        count(lit(1)).as("kept"))
+    t.select(col("doc_id"), col("n"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"),
+        (col("n").cast("long") - coalesce(col("kept"), lit(0L)))
+          .as("removed_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    embeddingNearDup, substringCoverage, substringRewrite, incremental,
-    fuzzy)
+    embeddingNearDup, substringCoverage, substringRewrite, boilerplate,
+    incremental, fuzzy)
 }
