@@ -440,9 +440,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private[lake] def segmentsOf(s: SnapshotMeta): Seq[ManifestSegmentRef] =
     listDocOf(s.manifestList).getOrElse(Nil)
 
+  /** Segment-file parses (cache misses) — test instrumentation that
+    * lets specs prove the fast-append commit path reads ZERO parent
+    * segments (O(delta) driver work, not O(table files)). */
+  private[lake] val segmentLoads = new java.util.concurrent.atomic.AtomicLong
+
   private def segmentEntries(rel: String): Seq[ManifestEntry] =
-    segmentCache.computeIfAbsent(rel, r =>
-      Json.readManifest(Files.readString(root.resolve(r))))
+    segmentCache.computeIfAbsent(rel, r => {
+      segmentLoads.incrementAndGet()
+      Json.readManifest(Files.readString(root.resolve(r)))
+    })
 
   /** Every metadata file a snapshot's manifest reaches (root-relative):
     * the list itself plus its segments — the unit expiry and orphan
@@ -640,6 +647,69 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
     flush()
     out.result()
+  }
+
+  /** Post-commit table totals computed from segment REFS alone — the
+    * refs carry entry/record aggregates precisely so summaries never
+    * read segment bytes. Must agree with [[summaryTotals]]. */
+  private def totalsFromRefs(refs: Seq[ManifestSegmentRef])
+      : Map[String, String] = Map(
+    "total-records" -> refs.map(_.recordCount).sum.toString,
+    "total-data-files" -> refs.map(_.dataFileCount).sum.toString,
+    "total-delete-files" -> refs.map(_.deleteFileCount).sum.toString)
+
+  /** True O(delta) fast-append commit (Iceberg's fast-append): a pure
+    * append removes nothing, so the child manifest is provably
+    * `parent.refs :+ newSegment(added)` from the OPERATION SHAPE alone
+    * — no parent-segment reads, no parent entry-list materialization,
+    * no survivor diff, no concatenation self-check. Driver work and
+    * bytes written are O(added files); the parent manifest LIST (one
+    * small file, O(segments)) is the only parent metadata touched.
+    * Snapshot summary totals come from the refs' carried aggregates.
+    * Returns None — caller falls back to the checked full-list path —
+    * when the parent head still uses a pre-segment inline manifest
+    * (its entry order is only recoverable by reading it).
+    * Amortized exception, same deal as every commit: once refs reach
+    * `commit.manifests.min-count-to-merge`, [[mergeSmallSegments]]
+    * folds adjacent small segments (reading just the segments it
+    * bins). */
+  private def commitAppendFast(base: Base, id: Long,
+      branch: Option[String], added: Seq[ManifestEntry],
+      summary: Map[String, String]): Option[SnapshotMeta] = {
+    val m = base.meta
+    val parent = branch match {
+      case None => m.currentSnapshotId
+        .flatMap(pid => m.snapshots.find(_.snapshotId == pid))
+      case Some(br) => Some(branchHead(base, br))
+    }
+    val parentRefs = parent match {
+      case None => Nil
+      case Some(p) => listDocOf(p.manifestList) match {
+        case Right(refs) => refs
+        case Left(_) => return None // legacy inline parent
+      }
+    }
+    val refs = mergeSmallSegments(id, parentRefs ++
+      (if (added.isEmpty) Nil else Seq(writeSegment(id, added))))
+    val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
+    Io.atomicWrite(root.resolve(manifestRel),
+      Json.write(ManifestListDoc(refs)))
+    listDocCache.put(manifestRel, Right(refs))
+    val branchSummary = branch.map(br => Map("branch" -> br))
+      .getOrElse(Map.empty)
+    val snap = SnapshotMeta(id, parent.map(_.snapshotId), now(),
+      "append", manifestRel,
+      summary ++ branchSummary ++ totalsFromRefs(refs),
+      schemaDdl = Some(m.schemaDdl),
+      physicalNames =
+        if (m.physicalNames.isEmpty) None else Some(m.physicalNames))
+    commitMeta(base, branch match {
+      case None => m.copy(snapshots = m.snapshots :+ snap,
+        currentSnapshotId = Some(id))
+      case Some(br) => m.copy(snapshots = m.snapshots :+ snap,
+        refs = m.refs + (br -> m.refs(br).copy(snapshotId = id)))
+    })
+    Some(snap)
   }
 
   private def commitSnapshot(base: Base, id: Long, operation: String,
@@ -1400,21 +1470,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val aligned = alignToSchema(df)
     val branch = resolveBranch(None) // spark.wap.branch session routing
     val b = captureBase()
-    val base = branch match {
-      case None => b.entries
-      case Some(br) => manifestOf(branchHead(b, br))
-    }
+    branch.foreach(branchHead(b, _)) // validate before writing files
     val snapId = nextSnapshotHint
     val moved = writeDataFiles(aligned)
     val newEntries = statEntries(moved, content = 0, snapId)
     val summary = extraSummary ++
       Map("added-data-files" -> newEntries.size.toString,
         "added-records" -> newEntries.map(_.recordCount).sum.toString)
-    branch match {
-      case None => commitSnapshot(b, snapId, "append",
-        base ++ newEntries, summary)
-      case Some(br) => commitSnapshotOnBranch(b, snapId, "append", br,
-        base ++ newEntries, summary)
+    // O(delta) fast path: a pure append never reads parent segments
+    commitAppendFast(b, snapId, branch, newEntries, summary).getOrElse {
+      branch match { // legacy inline-manifest parent: checked path
+        case None => commitSnapshot(b, snapId, "append",
+          b.entries ++ newEntries, summary)
+        case Some(br) => commitSnapshotOnBranch(b, snapId, "append", br,
+          manifestOf(branchHead(b, br)) ++ newEntries, summary)
+      }
     }
   }
 
@@ -1501,8 +1571,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val adopted = entries.map(e => e.copy(
       path = sourceRoot.resolve(e.path).toAbsolutePath.toString,
       addedSnapshotId = snapId))
-    commitSnapshot(b, snapId, "append", b.entries ++ adopted,
-      Map("mode" -> "snapshot-fork", "source-table" -> sourceRoot.toString))
+    val summary = Map("mode" -> "snapshot-fork",
+      "source-table" -> sourceRoot.toString)
+    commitAppendFast(b, snapId, None, adopted, summary).getOrElse(
+      commitSnapshot(b, snapId, "append", b.entries ++ adopted, summary))
   }
 
   def addFiles(sourceDir: Path): SnapshotMeta = {
@@ -1538,10 +1610,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
       target.toAbsolutePath.toString
     }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
     val newEntries = statEntries(moved, content = 0, snapId)
-    commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
-      Map("operation-origin" -> "add_files",
-        "added-data-files" -> newEntries.size.toString,
-        "added-records" -> newEntries.map(_.recordCount).sum.toString))
+    val summary = Map("operation-origin" -> "add_files",
+      "added-data-files" -> newEntries.size.toString,
+      "added-records" -> newEntries.map(_.recordCount).sum.toString)
+    commitAppendFast(b, snapId, None, newEntries, summary).getOrElse(
+      commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
+        summary))
   }
 
   /** INSERT OVERWRITE (truncate + insert) as ONE atomic snapshot: the
@@ -2484,7 +2558,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
     val aligned = alignToSchema(df)
     val b = captureBase()
-    val headEntries = manifestOf(branchHead(b, branch))
+    branchHead(b, branch) // validate the ref before writing data files
     val snapId = nextSnapshotHint
     val toWrite = clusterFields match {
       case Some(fields) => clustered(aligned, fields, clusterFileCount)
@@ -2492,11 +2566,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
     val moved = writeDataFiles(toWrite)
     val newEntries = statEntries(moved, content = 0, snapId)
-    commitSnapshotOnBranch(b, snapId, "append", branch,
-      headEntries ++ newEntries,
-      extraSummary ++ Map(
-        "added-data-files" -> newEntries.size.toString,
-        "added-records" -> newEntries.map(_.recordCount).sum.toString))
+    val summary = extraSummary ++ Map(
+      "added-data-files" -> newEntries.size.toString,
+      "added-records" -> newEntries.map(_.recordCount).sum.toString)
+    commitAppendFast(b, snapId, Some(branch), newEntries, summary)
+      .getOrElse(commitSnapshotOnBranch(b, snapId, "append", branch,
+        manifestOf(branchHead(b, branch)) ++ newEntries, summary))
   }
 
   /** Read at a named ref — `SELECT ... VERSION AS OF 'ref-name'`. */

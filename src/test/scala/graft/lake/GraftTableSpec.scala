@@ -1362,6 +1362,33 @@ class GraftTableSpec extends SparkSuite {
     assert(t.read().count() === 65)
   }
 
+  test("fast-append is O(delta) DRIVER WORK too: an append to an " +
+      "N-segment table reads ZERO parent segments — the child list is " +
+      "the parent's refs verbatim plus one new segment, and summary " +
+      "totals come from the refs' carried aggregates") {
+    val t = newTable()
+    (1 to 5).foreach(_ => t.append(seedDf.limit(1)))
+    // a FRESH handle has empty parse caches, so any parent-segment
+    // read on the append path would show up as a segment load
+    val t2 = GraftTable.load(spark, t.root)
+    val parent = t2.currentSnapshot.get
+    val parentRefs = t2.segmentsOf(parent)
+    assert(parentRefs.size === 5)
+    val loadsBefore = t2.segmentLoads.get()
+    val snap = t2.append(seedDf.limit(1))
+    assert(t2.segmentLoads.get() === loadsBefore,
+      "a pure append must never read a parent segment's bytes")
+    val childRefs = t2.segmentsOf(t2.currentSnapshot.get)
+    assert(childRefs.take(5) === parentRefs,
+      "parent segments must be reused verbatim, in order")
+    assert(childRefs.size === 6 && childRefs.last.entryCount === 1)
+    // totals derived from segment-ref aggregates match the table state
+    assert(snap.summary("total-records") === "6")
+    assert(snap.summary("total-data-files") === "6")
+    assert(snap.summary("total-delete-files") === "0")
+    assert(t2.read().count() === 6)
+  }
+
   test("a COW delete rewrites ONLY the segment that lost entries; " +
       "untouched segments stay shared by path") {
     val cat = new GraftCatalog(spark, freshWarehouse())
