@@ -166,6 +166,69 @@ object ClusterSpec {
   def render(fields: Seq[ClusterField]): String =
     fields.map(_.spec).mkString(",")
 
+  /** Per-entry clustered-range display bound for the `partitions`
+    * relation: each field renders in its TRANSFORMED value space
+    * (days → dates, bucket → bucket ids, truncate → truncated values),
+    * identity stays raw — the ranges an operator actually partitioned
+    * by. None when the table is unclustered. STATIC — no table state —
+    * so the distributed partitions path renders bounds on executors
+    * with the EXACT function the driver path uses. */
+  def rangeBound(fields: Seq[ClusterField], sch: StructType,
+      mapping: Map[String, String])(e: ManifestEntry,
+      pick: ColStat => String): Option[String] = {
+    def display(f: ClusterField): String = {
+      val field = sch.fields.find(_.name.equalsIgnoreCase(f.column))
+      val phys = field.map(ff => mapping.getOrElse(ff.name, ff.name))
+        .getOrElse(f.column)
+      def raw: Option[String] = e.stats.get(phys).map(pick)
+      f match {
+        case b: BucketField =>
+          e.stats.get(b.statKey(phys)).map(pick).getOrElse("null")
+        case _: IdentityField => raw.getOrElse("null")
+        case _: DaysField => raw.map { s =>
+          try {
+            val days = field.map(_.dataType) match {
+              case Some(DateType) => s.toLong // stat space: epoch days
+              case _ => // timestamps: stat space is epoch micros
+                Math.floorDiv(BigDecimal(s).toLong, 86400000000L)
+            }
+            java.time.LocalDate.ofEpochDay(days).toString
+          } catch { case _: NumberFormatException => s }
+        }.getOrElse("null")
+        case _: HoursField => raw.map { s =>
+          try { // timestamps only: stat space is epoch micros
+            val hours = Math.floorDiv(BigDecimal(s).toLong, 3600000000L)
+            java.time.LocalDateTime
+              .ofEpochSecond(hours * 3600L, 0, java.time.ZoneOffset.UTC)
+              .toString
+          } catch { case _: NumberFormatException => s }
+        }.getOrElse("null")
+        case mf @ (_: MonthsField | _: YearsField) => raw.map { s =>
+          try {
+            val days = field.map(_.dataType) match {
+              case Some(DateType) => s.toLong
+              case _ => Math.floorDiv(BigDecimal(s).toLong, 86400000000L)
+            }
+            val d = java.time.LocalDate.ofEpochDay(days)
+            (if (mf.isInstanceOf[MonthsField]) d.withDayOfMonth(1)
+             else d.withDayOfYear(1)).toString
+          } catch { case _: NumberFormatException => s }
+        }.getOrElse("null")
+        case t: TruncateField => raw.map { s =>
+          field.map(_.dataType) match {
+            case Some(StringType) => s.take(t.width)
+            case _ => try {
+              val v = BigDecimal(s).toLong
+              (v - Math.floorMod(v, t.width.toLong)).toString
+            } catch { case _: NumberFormatException => s }
+          }
+        }.getOrElse("null")
+      }
+    }
+    if (fields.isEmpty) None
+    else Some(fields.map(display).mkString(","))
+  }
+
   /** Bucket id of a LITERAL under `bucket(n, col)` — driver-side twin
     * of the write path's `pmod(hash(col), n)` (murmur3, seed 42).
     * `v` is a Catalyst-internal value with its data type, exactly as

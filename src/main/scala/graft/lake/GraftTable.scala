@@ -936,11 +936,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * the predicate is then applied in full inside the scan. */
   def readWhere(pred: Column): DataFrame = {
     // same spark.wap.branch audit routing as read()
-    val entries = wapBranch.filter(meta.refs.contains) match {
-      case Some(br) => manifestOf(snapshotOrFail(refSnapshotId(br)))
-      case None => currentEntries
+    val snap = wapBranch.filter(meta.refs.contains) match {
+      case Some(br) => Some(snapshotOrFail(refSnapshotId(br)))
+      case None => currentSnapshot
     }
-    readEntries(pruneByPredicate(entries, _ => pred)).filter(pred)
+    val pruned = snap.map(prunedEntriesOf(_, _ => pred)).getOrElse(Nil)
+    readEntries(pruned).filter(pred)
   }
 
   /** Runtime join-driven file pruning — the dynamic-partition-pruning
@@ -1219,6 +1220,48 @@ class GraftTable(val spark: SparkSession, val root: Path,
       e.content != 0 ||
         conjuncts.forall(c => mayMatch(e, c, sch, m.physicalNames, buckets))
     }
+  }
+
+  /** Stats-prune a snapshot's manifest for a planned read WITHOUT
+    * materializing the full entry list on the driver when the table is
+    * big: past `spark.graft.metadata.distributedThreshold` entries
+    * (counted from segment refs alone — no segment reads) the per-entry
+    * overlap tests run as an executor-side scan of the segment files
+    * and only the SURVIVORS come back. Planning a selective read of a
+    * million-file table costs the driver O(survivors), not O(table).
+    * Below the threshold (or on a legacy inline manifest) this is
+    * exactly [[pruneByPredicate]] over [[manifestOf]]. */
+  private[lake] def prunedEntriesOf(s: SnapshotMeta,
+      bind: DataFrame => Column): Seq[ManifestEntry] =
+    listDocOf(s.manifestList) match {
+      case Right(refs)
+          if refs.map(_.entryCount.toLong).sum
+            >= metadataDistributedThreshold =>
+        prunedDistributed(refs, bind)
+      case _ => pruneByPredicate(manifestOf(s), bind)
+    }
+
+  /** Executor-side stats pruning: ships the analyzed conjuncts plus the
+    * schema/mapping/bucket context to a typed filter over the segment
+    * scan and collects the surviving entries. Runs the SAME static
+    * [[GraftTable.mayMatch]] the driver path runs — the two paths
+    * cannot disagree on a file. Survivors come back sorted by
+    * (content, path): entry ORDER is a commit-composition concern, and
+    * this path feeds reads only (file sets), never commits. */
+  private def prunedDistributed(refs: Seq[ManifestSegmentRef],
+      bind: DataFrame => Column): Seq[ManifestEntry] = {
+    val conjuncts = analyzeConjuncts(bind)
+    val m = meta
+    val sch = StructType.fromDDL(m.schemaDdl)
+    val mapping = m.physicalNames
+    val buckets = m.properties.get(ClusterProp)
+      .map(ClusterSpec.parseList).getOrElse(Nil)
+      .collect { case b: BucketField => b }
+    entriesDataset(refs.map(_.path))
+      .filter(e => e.content != 0 ||
+        conjuncts.forall(c =>
+          GraftTable.mayMatch(e, c, sch, mapping, buckets)))
+      .collect().toSeq.sortBy(e => (e.content, e.path))
   }
 
   private def emptyDf: DataFrame = emptyDfOf(schema)
@@ -2876,72 +2919,39 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * over manifest entries — bounded metadata, no file IO. */
   def partitionsTable: DataFrame = {
     import spark.implicits._
-    val data = currentEntries.filter(_.content == 0)
     val fields = clusterFields.getOrElse(Nil)
     val m = meta.physicalNames
     val sch = schema
-    // per-field display bound: transforms render in their TRANSFORMED
-    // value space (days → dates, bucket → bucket ids, truncate →
-    // truncated values), identity stays raw — the ranges an operator
-    // actually partitioned by
-    def display(f: ClusterField, e: ManifestEntry,
-        pick: ColStat => String): String = {
-      val field = sch.fields.find(_.name.equalsIgnoreCase(f.column))
-      val phys = physName(m)(field.map(_.name).getOrElse(f.column))
-      def raw: Option[String] = e.stats.get(phys).map(pick)
-      f match {
-        case b: BucketField =>
-          e.stats.get(b.statKey(phys)).map(pick).getOrElse("null")
-        case _: IdentityField => raw.getOrElse("null")
-        case _: DaysField => raw.map { s =>
-          try {
-            val days = field.map(_.dataType) match {
-              case Some(DateType) => s.toLong // stat space: epoch days
-              case _ => // timestamps: stat space is epoch micros
-                Math.floorDiv(BigDecimal(s).toLong, 86400000000L)
-            }
-            java.time.LocalDate.ofEpochDay(days).toString
-          } catch { case _: NumberFormatException => s }
-        }.getOrElse("null")
-        case _: HoursField => raw.map { s =>
-          try { // timestamps only: stat space is epoch micros
-            val hours = Math.floorDiv(BigDecimal(s).toLong, 3600000000L)
-            java.time.LocalDateTime
-              .ofEpochSecond(hours * 3600L, 0, java.time.ZoneOffset.UTC)
-              .toString
-          } catch { case _: NumberFormatException => s }
-        }.getOrElse("null")
-        case mf @ (_: MonthsField | _: YearsField) => raw.map { s =>
-          try {
-            val days = field.map(_.dataType) match {
-              case Some(DateType) => s.toLong
-              case _ => Math.floorDiv(BigDecimal(s).toLong, 86400000000L)
-            }
-            val d = java.time.LocalDate.ofEpochDay(days)
-            (if (mf.isInstanceOf[MonthsField]) d.withDayOfMonth(1)
-             else d.withDayOfYear(1)).toString
-          } catch { case _: NumberFormatException => s }
-        }.getOrElse("null")
-        case t: TruncateField => raw.map { s =>
-          field.map(_.dataType) match {
-            case Some(StringType) => s.take(t.width)
-            case _ => try {
-              val v = BigDecimal(s).toLong
-              (v - Math.floorMod(v, t.width.toLong)).toString
-            } catch { case _: NumberFormatException => s }
-          }
-        }.getOrElse("null")
+    // (lo, hi, files, records, bytes) per distinct clustered range —
+    // past the distributed threshold the per-entry bound rendering and
+    // the rollup run executor-side over the segment files (the driver
+    // sees only the range summaries, metadata-sized by construction);
+    // below it, driver-side over the manifest. Both run the SAME
+    // static ClusterSpec.rangeBound, so the rows are bit-identical.
+    val ranges: Seq[(Option[String], Option[String], Long, Long, Long)] =
+      currentSnapshot match {
+        case None => Nil
+        case Some(s) if serveDistributed(Seq(s)) =>
+          entriesDataset(segmentsOf(s).map(_.path))
+            .filter(_.content == 0)
+            .map(e => (ClusterSpec.rangeBound(fields, sch, m)(e, _.min),
+              ClusterSpec.rangeBound(fields, sch, m)(e, _.max),
+              1L, e.recordCount, e.fileSizeBytes))
+            .groupByKey(t => (t._1, t._2))
+            .reduceGroups((a, b) =>
+              (a._1, a._2, a._3 + b._3, a._4 + b._4, a._5 + b._5))
+            .map(_._2).collect().toSeq
+        case Some(s) =>
+          manifestOf(s).filter(_.content == 0)
+            .groupBy(e => (ClusterSpec.rangeBound(fields, sch, m)(e, _.min),
+              ClusterSpec.rangeBound(fields, sch, m)(e, _.max))).toSeq
+            .map { case ((lo, hi), es) => (lo, hi, es.size.toLong,
+              es.map(_.recordCount).sum, es.map(_.fileSizeBytes).sum) }
       }
-    }
-    def bound(e: ManifestEntry, pick: ColStat => String): Option[String] =
-      if (fields.isEmpty) None
-      else Some(fields.map(f => display(f, e, pick)).mkString(","))
-    val rows: Seq[(String, String, String, Long, Long, Long)] = data
-      .groupBy(e => (bound(e, _.min), bound(e, _.max))).toSeq
-      .map { case ((lo, hi), es) =>
+    val rows: Seq[(String, String, String, Long, Long, Long)] = ranges
+      .map { case (lo, hi, nf, nr, nb) =>
         (if (fields.isEmpty) null else ClusterSpec.render(fields),
-          lo.orNull, hi.orNull, es.size.toLong,
-          es.map(_.recordCount).sum, es.map(_.fileSizeBytes).sum)
+          lo.orNull, hi.orNull, nf, nr, nb)
       }
       .sortBy(r => (Option(r._2).getOrElse(""), Option(r._3).getOrElse("")))
     rows.toDF("cluster_columns", "range_min", "range_max",
@@ -2990,6 +3000,20 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .json(segRels.map(r => root.resolve(r).toString): _*)
       .withColumn("__seg",
         element_at(split(input_file_name(), "/"), -1))
+
+  /** Typed executor-side segment scan: the same rows as
+    * [[segmentEntriesDf]] decoded to [[ManifestEntry]], for paths that
+    * run DRIVER logic (stat pruning, partition-bound rendering) on the
+    * executors unchanged. Jackson always writes `stats`/
+    * `equalityColumns` (as `{}`/`[]` when empty), so the decode is
+    * total. */
+  private def entriesDataset(segRels: Seq[String])
+      : org.apache.spark.sql.Dataset[ManifestEntry] = {
+    import spark.implicits._
+    spark.read.schema(entryJsonSchema).option("multiLine", "true")
+      .json(segRels.map(r => root.resolve(r).toString): _*)
+      .as[ManifestEntry]
+  }
 
   /** abs() as a column expression (absolute entry paths pass through,
     * relative ones resolve against the table root). */
@@ -3064,11 +3088,27 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * same name): every live position-delete row with the delete file
     * that carries it. */
   def positionDeletes: DataFrame = {
-    val delFiles = currentEntries.filter(_.content == 1)
-    if (delFiles.isEmpty)
+    val delPaths: Seq[String] = currentSnapshot match {
+      case None => Nil
+      case Some(s) if serveDistributed(Seq(s)) =>
+        // ref-level prune first (segments whose ref says they carry no
+        // delete files are never read), then an executor-side scan of
+        // the carriers — the driver receives only the delete-file
+        // paths, never the table's entry list
+        val carrying = segmentsOf(s).filter(_.deleteFileCount > 0)
+        if (carrying.isEmpty) Nil
+        else {
+          import spark.implicits._
+          entriesDataset(carrying.map(_.path)).filter(_.content == 1)
+            .map(_.path).collect().toSeq.sorted
+            .map(p => root.resolve(p).toAbsolutePath.toString)
+        }
+      case Some(s) => manifestOf(s).filter(_.content == 1).map(abs)
+    }
+    if (delPaths.isEmpty)
       return emptyDfOf(StructType.fromDDL(
         "file_path STRING, pos BIGINT, delete_file_path STRING"))
-    spark.read.parquet(delFiles.map(abs): _*)
+    spark.read.parquet(delPaths: _*)
       .select(col("file_path"), col("pos"),
         col("_metadata.file_path").as("delete_file_path"))
   }
@@ -3539,11 +3579,6 @@ class GraftTable(val spark: SparkSession, val root: Path,
     case _ => None
   }
 
-  private def isNumericStat(dt: DataType): Boolean = dt match {
-    case StringType => false
-    case _ => true
-  }
-
   /** Resolve the predicate against the table schema (via an empty local
     * relation) and split the analyzed condition into conjuncts.
     * Casts between TIMESTAMP and TIMESTAMP_NTZ are stripped: the
@@ -3570,19 +3605,46 @@ class GraftTable(val spark: SparkSession, val root: Path,
     conds.flatMap(split).map(stripTsCasts)
   }
 
+}
+
+object GraftTable {
+  /** Position-delete sets at or below this many rows (by exact
+    * manifest record counts) apply as a literal scan filter instead of
+    * an anti-join — see readWithLineage. Bounds driver memory AND plan
+    * size; bigger MOR backlogs keep the distributed anti-join. */
+  private[lake] val MaxInlineDeleteRows = 4096L
+
+  val FileCol = "__graft_file"
+  val PosCol = "__graft_pos"
+  val SeqCol = "__graft_seq"
+  val ClusterProp = "write.clustered-by"
+
+  /** Per-bucket byte load above which bucket-local reads warn that the
+    * table is under-bucketed (each bucket is ONE task). */
+  private[lake] val BucketBytesWarn = 4L * 1024 * 1024 * 1024
+
+  private[lake] def isNumericStat(dt: DataType): Boolean = dt match {
+    case StringType => false
+    case _ => true
+  }
+
   /** Conservative overlap test: only prunes when the conjunct is a
     * simple comparison on a stats-tracked column; anything else keeps
     * the file. Equality/IN conjuncts additionally test the derived
     * bucket-id range when the column has `bucket(n,col)` clustering
-    * (raw min/max can't prune hashed layouts). */
-  private def mayMatch(e: ManifestEntry, conjunct: Expression,
+    * (raw min/max can't prune hashed layouts). STATIC — no table
+    * state — so executor-side planning (`prunedDistributed`) evaluates
+    * the EXACT same test the driver path does: the two paths can never
+    * disagree on a file. */
+  private[lake] def mayMatch(e: ManifestEntry, conjunct: Expression,
       sch: StructType, mapping: Map[String, String],
       buckets: Seq[BucketField] = Nil): Boolean = {
+    def physName(n: String): String = mapping.getOrElse(n, n)
     def bucketBound(name: String, v: Any, dt: DataType): Boolean =
       v == null || buckets.filter(_.column.equalsIgnoreCase(name))
         .forall { bf =>
           val phys = sch.fields.find(_.name.equalsIgnoreCase(name))
-            .map(f => physName(mapping)(f.name)).getOrElse(name)
+            .map(f => physName(f.name)).getOrElse(name)
           e.stats.get(bf.statKey(phys)) match {
             case Some(st) =>
               val b = ClusterSpec.bucketOfLiteral(bf.n, v, dt)
@@ -3594,7 +3656,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     def key(name: String): Option[(ColStat, DataType)] = for {
       f <- sch.fields.find(_.name.equalsIgnoreCase(name))
       // stats are keyed by the file-side (physical) column name
-      st <- e.stats.get(physName(mapping)(f.name))
+      st <- e.stats.get(physName(f.name))
     } yield (st, f.dataType)
     // string stats were computed by Spark min/max over UTF8String
     // (UTF-8 byte order), so compare in the SAME order — Java
@@ -3645,23 +3707,6 @@ class GraftTable(val spark: SparkSession, val root: Path,
     case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
     case other => other
   }
-}
-
-object GraftTable {
-  /** Position-delete sets at or below this many rows (by exact
-    * manifest record counts) apply as a literal scan filter instead of
-    * an anti-join — see readWithLineage. Bounds driver memory AND plan
-    * size; bigger MOR backlogs keep the distributed anti-join. */
-  private[lake] val MaxInlineDeleteRows = 4096L
-
-  val FileCol = "__graft_file"
-  val PosCol = "__graft_pos"
-  val SeqCol = "__graft_seq"
-  val ClusterProp = "write.clustered-by"
-
-  /** Per-bucket byte load above which bucket-local reads warn that the
-    * table is under-bucketed (each bucket is ONE task). */
-  private[lake] val BucketBytesWarn = 4L * 1024 * 1024 * 1024
 
   /** Tiny synchronized LRU for immutable-file parse results. */
   private[lake] final class LruCache[K, V](maxEntries: Int) {

@@ -92,4 +92,68 @@ class MetadataRelationsSpec extends SparkSuite {
     val plan2 = t.files.queryExecution.executedPlan.toString
     assert(!plan2.toLowerCase.contains("json"))
   }
+
+  test("executor-side scan PLANNING is bit-equal to the driver path: " +
+      "stats pruning picks the same file set, readWhere the same rows, " +
+      "position_deletes and partitions the same relations") {
+    val t = mkTable()
+    val pred = col("id") >= 150L && col("id") <= 260L
+    val driverPruned = t.prunedEntriesOf(t.currentSnapshot.get, _ => pred)
+    val driverRows = rowsOf(t.readWhere(pred))
+    val driverPos = rowsOf(t.positionDeletes)
+    val driverParts = rowsOf(t.partitionsTable)
+    withThreshold(0) {
+      val distPruned = t.prunedEntriesOf(t.currentSnapshot.get, _ => pred)
+      assert(distPruned.map(_.path).sorted === driverPruned.map(_.path).sorted,
+        "the two planning paths chose different files")
+      assert(distPruned.toSet === driverPruned.toSet)
+      assert(rowsOf(t.readWhere(pred)) === driverRows)
+      assert(rowsOf(t.positionDeletes) === driverPos)
+      assert(rowsOf(t.partitionsTable) === driverParts)
+    }
+    assert(driverPos.nonEmpty, "MOR table must have position deletes")
+  }
+
+  test("distributed planning on a clustered table: bucket + identity " +
+      "range bounds render identically on executors, and pruning still " +
+      "prunes (survivors < table files)") {
+    val wh = graft.ScratchDirs.create("graft-mrs-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "d.t", schema,
+      Map(GraftTable.ClusterProp -> "bucket(8,grp),id"))
+    t.appendClustered(spark.createDataFrame(
+      (1L to 4000L).map(i => Row(i, s"g${i % 13}", i)).asJava, schema),
+      Seq("id"), nFiles = 32)
+    val pred = col("id") === 1234L && col("grp") === "g12"
+    val driverPruned = t.prunedEntriesOf(t.currentSnapshot.get, _ => pred)
+    val driverParts = rowsOf(t.partitionsTable)
+    assert(driverPruned.size < 32, "stats pruning should prune")
+    withThreshold(0) {
+      val distPruned = t.prunedEntriesOf(t.currentSnapshot.get, _ => pred)
+      assert(distPruned.toSet === driverPruned.toSet)
+      assert(rowsOf(t.partitionsTable) === driverParts)
+      assert(rowsOf(t.readWhere(pred)) ===
+        Seq(Row(1234L, "g12", 1234L).toString))
+    }
+  }
+
+  test("past the threshold a FRESH handle plans reads, position_deletes " +
+      "and partitions with ZERO driver-side segment parses — planning is " +
+      "O(survivors) driver work, not O(table entries)") {
+    val wh = graft.ScratchDirs.create("graft-mrs-")
+    val t = GraftTable.create(spark, wh.resolve("t"), "d.t", schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.appendClustered(spark.createDataFrame(
+      (1L to 4000L).map(i => Row(i, s"g${i % 7}", i)).asJava, schema),
+      Seq("id"), nFiles = 64)
+    t.delete(col("id") === 17L) // one position-delete file
+    withThreshold(10) {
+      val t2 = GraftTable.load(spark, t.root) // empty parse caches
+      assert(t2.readWhere(col("id") === 42L).collect()
+        .map(_.getLong(0)).toSeq === Seq(42L))
+      assert(t2.positionDeletes.count() === 1)
+      assert(t2.partitionsTable.count() >= 1)
+      assert(t2.segmentLoads.get() === 0,
+        "distributed planning must not parse segments on the driver")
+    }
+  }
 }
