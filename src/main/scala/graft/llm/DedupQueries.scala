@@ -331,6 +331,60 @@ object DedupQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** SimHash twin with md5-derived 60-bit token hashes — the fully
+    * DuckDB-oracled form of [[simhash]] (whose xxhash64 kernel has no
+    * DuckDB equivalent; same md5 trick as q_dedup_minhash_md5). Same
+    * construction at 60 bits (md5's first 15 hex digits fit a signed
+    * BIGINT in both engines): fingerprint bit i is the majority vote
+    * of the distinct tokens' hash bit i. Exact integer ops only —
+    * votes and the final bit sum stay in BIGINT space cross-engine.
+    * Production keeps the one-pass native kernel; this twin pins the
+    * construction against DuckDB at hash level, and LlmSpec pins
+    * kernel/twin behavioral agreement (identical token sets ⇒ equal
+    * fingerprints under BOTH hash families; jaccard≥0.95 pairs are
+    * hamming-close under both). Scale shape: explode × 60 bits with
+    * map-side partial aggregation — the oracle-checkable stand-in;
+    * the kernel path is the zero-inflation production form. */
+  private val simhashMd5 = Q(
+    "q_dedup_simhash_md5",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), tok AS (
+      |  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM t
+      |), h AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT)::BIGINT AS h
+      |  FROM tok
+      |), votes AS (
+      |  SELECT doc_id, i,
+      |    CAST(sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS s
+      |  FROM h CROSS JOIN range(0, 60) r(i)
+      |  GROUP BY doc_id, i
+      |)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+      |    ELSE 0 END) AS BIGINT) AS simhash
+      |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    tokenSets(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("bigint").as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(expr("sequence(0, 59)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("CASE WHEN (shiftright(h, cast(i AS int)) & 1) = 1 " +
+          "THEN 1 ELSE -1 END").as("sgn"))
+      .groupBy("doc_id", "i").agg(sum(col("sgn")).as("s"))
+      .select(col("doc_id"), expr(
+        "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS int)) " +
+          "ELSE CAST(0 AS BIGINT) END").as("bit"))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(bit) AS BIGINT)").as("simhash"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup: top-100 same-label pairs by cosine.
     * `label` is the blocking key (stand-in for an LSH/IVF bucket at
     * scale) making this an equi-join, not a cross join. The pairwise
@@ -820,6 +874,6 @@ object DedupQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    embeddingNearDup, substringCoverage, substringRewrite, boilerplate,
-    incremental, fuzzy)
+    simhashMd5, embeddingNearDup, substringCoverage, substringRewrite,
+    boilerplate, incremental, fuzzy)
 }

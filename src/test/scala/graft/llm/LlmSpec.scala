@@ -236,6 +236,31 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("md5 simhash twin agrees with the xxhash64 kernel on flagged " +
+    "pairs: identical token sets fingerprint equal under BOTH hash " +
+    "families; jaccard>=0.95 near-dups are hamming-close under both") {
+    val kernel = run("q_dedup_simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twin = run("q_dedup_simhash_md5").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twin.keySet == kernel.keySet, "twin must cover every doc")
+    // 60-bit fingerprints stay in nonnegative signed-BIGINT space
+    assert(twin.values.forall(v => v >= 0L && (v >> 60) == 0L))
+    val uni = run("q_dedup_unigram_jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val identical = uni.filter(_._2 == 1.0)
+    assert(identical.nonEmpty, "fixture lost its jaccard-1.0 pairs")
+    identical.foreach { case ((a, b), _) =>
+      assert(twin(a) == twin(b) && kernel(a) == kernel(b),
+        s"identical sets must agree under both hash families: $a $b")
+    }
+    uni.filter(_._2 >= 0.95).foreach { case ((a, b), _) =>
+      val ham = java.lang.Long.bitCount(twin(a) ^ twin(b))
+      assert(ham <= 15, // 16/64-bit kernel bound scaled to 60 bits
+        s"jaccard>=0.95 pair ($a,$b) at md5-twin hamming $ham")
+    }
+  }
+
   test("IVF top-k: 10 rows, descending cosine, each cosine equal to the" +
     " brute-force value for that vector") {
     val ivf = run("q_sim_topk_ivf").collect()
