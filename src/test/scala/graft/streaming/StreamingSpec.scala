@@ -1149,4 +1149,81 @@ class StreamingSpec extends SparkSuite {
     assert(t.read().orderBy("id").collect().toSeq === want)
     assert(t.read().filter(col("v") === "new3").count() === 1L)
   }
+
+  test("streaming across SEGMENT compaction: rewrite_manifests and a " +
+    "merge-on-commit fold re-bin the manifest mid-stream; both sources' " +
+    "offsets stay stable and per-commit file deltas are unchanged " +
+    "(segment paths are storage, not lineage)") {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.{Dataset, Row}
+    import scala.jdk.CollectionConverters._
+    import graft.lake.GraftTable
+    val sch = StructType.fromDDL("k STRING, v BIGINT")
+    val wh = graft.ScratchDirs.create("graft-segstream-")
+    // min-count 3 so the FOURTH commit's list (3 small segments after
+    // the mid-stream rewrite_manifests) folds on commit
+    val t = GraftTable.create(spark, wh.resolve("src"), "d.seg", sch,
+      Map("write.delete.mode" -> "merge-on-read",
+        "commit.manifests.min-count-to-merge" -> "3"))
+    def append(c: Int): Unit = t.append(spark.createDataFrame(
+      Seq(Row(s"c$c-1", c.toLong), Row(s"c$c-2", c.toLong)).asJava, sch))
+    def headSegments(): Set[String] =
+      t.manifests.select("path").collect().map(_.getString(0)).toSet
+    append(1); append(2)
+    val appended = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val events =
+      scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    val qa = spark.readStream.format("graft-appends")
+      .option("path", t.root.toString).load()
+      .writeStream.foreachBatch { (df: Dataset[Row], _: Long) =>
+        df.collect().foreach(r =>
+          appended.updateWith(r.getString(0))(n => Some(n.getOrElse(0L) + 1)))
+        ()
+      }.start()
+    val qc = spark.readStream.format("graft-changes")
+      .option("path", t.root.toString).load()
+      .writeStream.foreachBatch { (df: Dataset[Row], _: Long) =>
+        df.collect().foreach { r =>
+          val key = (r.getString(0), r.getAs[String]("_change_type"))
+          events.updateWith(key)(n => Some(n.getOrElse(0L) + 1))
+        }
+        ()
+      }.start()
+    try {
+      qa.processAllAvailable(); qc.processAllAvailable()
+      assert(appended.keySet == Set("c1-1", "c1-2", "c2-1", "c2-2"))
+      val segsBefore = headSegments()
+      assert(segsBefore.size == 2, "two appends = two segments")
+      // metadata-only compaction mid-stream: op=replace, rows identical
+      assert(t.rewriteManifests(2).isDefined)
+      val segsCompacted = headSegments()
+      assert(segsCompacted.size == 1 &&
+        segsCompacted.intersect(segsBefore).isEmpty,
+        "rewrite_manifests must re-bin into fresh segment paths")
+      qa.processAllAvailable(); qc.processAllAvailable()
+      assert(appended.values.forall(_ == 1L),
+        s"replace commit re-emitted rows on graft-appends: $appended")
+      assert(!events.exists(_._1._2 != "insert"),
+        s"replace commit emitted change rows: $events")
+      // two more appends: the second one's 3-segment list trips
+      // merge-on-commit and folds mid-stream
+      append(3); append(4)
+      assert(headSegments().size < 3 &&
+        headSegments().intersect(segsCompacted).isEmpty,
+        "merge-on-commit must have folded the adjacent small segments")
+      qa.processAllAvailable(); qc.processAllAvailable()
+      assert(appended.keySet ==
+        Set("c1-1", "c1-2", "c2-1", "c2-2", "c3-1", "c3-2", "c4-1", "c4-2")
+        && appended.values.forall(_ == 1L),
+        s"fold changed the appends file delta: $appended")
+      assert(events.keySet.map(_._1) == appended.keySet &&
+        events.values.forall(_ == 1L),
+        s"fold changed the CDC delta: $events")
+      // MOR delete still lands as a delete event, never an append
+      t.delete(col("k") === "c3-1")
+      qa.processAllAvailable(); qc.processAllAvailable()
+      assert(events(("c3-1", "delete")) == 1L)
+      assert(appended(("c3-1")) == 1L, "a delete must not re-append")
+    } finally { qa.stop(); qc.stop() }
+  }
 }
