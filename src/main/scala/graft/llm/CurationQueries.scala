@@ -703,7 +703,136 @@ object CurationQueries extends QueryCatalog {
       .orderBy("source")
   }
 
+  /** URL/domain curation — the step a crawl pipeline runs BEFORE any
+    * text op: canonicalize each document's URL (lowercase host, strip
+    * scheme / `www.` / query / fragment, collapse duplicate slashes,
+    * drop the trailing slash), count the tracking params
+    * (`utm_*`/`fbclid`/`gclid`) the raw URL carried, dedup docs by
+    * canonical page, and apply a C4/RefinedWeb-style per-domain page
+    * cap (first 3 distinct pages per domain by first-seen doc order).
+    * The corpus is synthetic with no URL column, so — the
+    * q_text_pii_redact precedent — a deterministic messy URL is
+    * synthesized from real columns first (mixed-case host, duplicate
+    * slashes, tracking params, fragments), and the oracle replays both
+    * halves: the match is on the canonicalization logic, not the
+    * synthesis. Output is the per-domain curation report: doc/token
+    * volumes and half-up basis-point shares, distinct pages, URL-dup
+    * docs, tracking params stripped, docs kept under the cap.
+    *
+    * Scale (100 TB): synthesis + canonicalization are zero-shuffle
+    * map-side regex projections; the page window shuffles on the
+    * canonical page (high cardinality, well spread); the domain window
+    * is keyed by domain — a giant domain is the classic skew key, but
+    * the cap only needs rank <= 3, a bounded top-k a production run
+    * serves with a partial-agg min-k instead of a full sort; the final
+    * rollup is one partial-aggregated groupBy over domains. */
+  private val urlDomains = Q(
+    "q_curation_url_domains",
+    """WITH raw AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |    || source || '-' || CAST(doc_id % 20 AS VARCHAR)
+      |    || '.Example.COM'
+      |    || '/Articles//' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '/item' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      |    || (CASE WHEN doc_id % 4 = 0
+      |        THEN '?utm_source=feed&utm_campaign=x&ref=r'
+      |        ELSE '?ref=r' END)
+      |    || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      |  FROM documents
+      |), canon AS (
+      |  SELECT doc_id, n_toks,
+      |    len(regexp_extract_all(url,
+      |      '(utm_[a-z]+|fbclid|gclid)=')) AS n_track,
+      |    regexp_replace(lower(
+      |      regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+      |      '^www\.', '') AS domain,
+      |    regexp_replace(regexp_replace(
+      |      regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+      |      '/{2,}', '/', 'g'), '/$', '') AS pathn
+      |  FROM raw
+      |), pages AS (
+      |  SELECT doc_id, n_toks, n_track, domain,
+      |    domain || pathn AS page,
+      |    row_number() OVER (PARTITION BY domain || pathn
+      |      ORDER BY doc_id) AS url_rank,
+      |    min(doc_id) OVER (PARTITION BY domain || pathn) AS first_doc
+      |  FROM canon
+      |), ranked AS (
+      |  SELECT *, dense_rank() OVER (PARTITION BY domain
+      |    ORDER BY first_doc, page) AS page_rank
+      |  FROM pages
+      |), per_domain AS (
+      |  SELECT domain,
+      |    count(*) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |    count(DISTINCT page) AS n_pages,
+      |    count(*) - count(DISTINCT page) AS dup_url_docs,
+      |    CAST(sum(n_track) AS BIGINT) AS n_tracking_params,
+      |    CAST(sum(CASE WHEN url_rank = 1 AND page_rank <= 3
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM ranked GROUP BY domain
+      |)
+      |SELECT domain, n_docs, n_tokens,
+      |  CAST((10000 * n_docs + CAST(sum(n_docs) OVER () AS BIGINT) // 2)
+      |    // CAST(sum(n_docs) OVER () AS BIGINT) AS BIGINT)
+      |    AS doc_share_bp,
+      |  CAST((10000 * n_tokens
+      |      + CAST(sum(n_tokens) OVER () AS BIGINT) // 2)
+      |    // CAST(sum(n_tokens) OVER () AS BIGINT) AS BIGINT)
+      |    AS token_share_bp,
+      |  n_pages, dup_url_docs, n_tracking_params, n_kept
+      |FROM per_domain ORDER BY domain""".stripMargin
+  ) { (s, dir) =>
+    val raw = Tables.documents(s, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      concat(
+        when(col("doc_id") % 2 === 0, "https://").otherwise("http://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        col("source"), lit("-"), (col("doc_id") % 20).cast("string"),
+        lit(".Example.COM"),
+        lit("/Articles//"), (col("doc_id") % 5).cast("string"),
+        lit("/item"), (col("doc_id") % 50).cast("string"), lit("/"),
+        when(col("doc_id") % 4 === 0,
+          "?utm_source=feed&utm_campaign=x&ref=r").otherwise("?ref=r"),
+        when(col("doc_id") % 6 === 0, "#frag").otherwise("")).as("url"))
+    val canon = raw.select(col("doc_id"), col("n_toks"),
+      regexp_count(col("url"),
+        lit("(utm_[a-z]+|fbclid|gclid)=")).cast("long").as("n_track"),
+      regexp_replace(lower(
+        regexp_extract(col("url"), "^[a-z]+://([^/?#]+)", 1)),
+        "^www\\.", "").as("domain"),
+      regexp_replace(regexp_replace(
+        regexp_extract(col("url"), "^[a-z]+://[^/?#]+([^?#]*)", 1),
+        "/{2,}", "/"), "/$", "").as("pathn"))
+    val pages = canon
+      .withColumn("page", concat(col("domain"), col("pathn")))
+      .withColumn("url_rank", row_number().over(
+        Window.partitionBy("page").orderBy("doc_id")))
+      .withColumn("first_doc",
+        min("doc_id").over(Window.partitionBy("page")))
+    val ranked = pages.withColumn("page_rank", dense_rank().over(
+      Window.partitionBy("domain").orderBy("first_doc", "page")))
+    val perDomain = ranked.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").cast("long").as("n_tokens"),
+      countDistinct("page").as("n_pages"),
+      (count(lit(1)) - countDistinct("page")).as("dup_url_docs"),
+      sum("n_track").cast("long").as("n_tracking_params"),
+      sum(when(col("url_rank") === 1 && col("page_rank") <= 3, 1L)
+        .otherwise(0L)).cast("long").as("n_kept"))
+    perDomain.select(col("domain"), col("n_docs"), col("n_tokens"),
+      expr("CAST((10000 * n_docs + sum(n_docs) OVER () div 2) " +
+        "div sum(n_docs) OVER () AS BIGINT)").as("doc_share_bp"),
+      expr("CAST((10000 * n_tokens + sum(n_tokens) OVER () div 2) " +
+        "div sum(n_tokens) OVER () AS BIGINT)").as("token_share_bp"),
+      col("n_pages"), col("dup_url_docs"), col("n_tracking_params"),
+      col("n_kept"))
+      .orderBy("domain")
+  }
+
   def all: Seq[Q] =
     Seq(winnowing, cdcChunks, normalizedDedup, importance, pplBuckets,
-      semanticDedup, klDrift, bloomDecon)
+      semanticDedup, klDrift, bloomDecon, urlDomains)
 }
