@@ -1939,12 +1939,94 @@ object SimilarityQueries extends QueryCatalog {
       .orderBy("cluster_id", "vec_id")
   }
 
+  /** Greedy k-center (Gonzalez farthest-first, the classic
+    * 2-approximation): the most-DIVERSE selection complement of
+    * [[coreset]] (which picks the most-central member per cluster).
+    * Seeded at vec 0, each of the m−1 rounds picks the vector whose
+    * distance to the nearest already-chosen center is LARGEST
+    * (ties → smallest vec_id). Distances are exact integer squared L2
+    * on the same quantized grid as the k-means family (×1000 + 5000
+    * shift — the shift cancels in differences), so both engines agree
+    * bit-for-bit and the oracle replays the traversal as m−1 chained
+    * CTEs. Output: selection order, vec_id, and the covering radius at
+    * selection time (the max-min distance — the quantity k-center
+    * 2-approximates).
+    *
+    * Scale (100 TB): each round is ONE map pass — the chosen set is a
+    * plan literal (k·64 longs), the per-row min-distance a zip_with
+    * kernel, the argmax a TakeOrdered(1) — so m centers cost m
+    * linear passes and zero corpus shuffles; the chosen set never
+    * exceeds driver metadata size. */
+  private val KCenterM = 6
+  private val kcenter = Q(
+    "q_sim_kcenter", {
+      val rounds = (2 until KCenterM).map { k =>
+        s"""d$k AS (
+           |  SELECT v.vec_id,
+           |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS nd
+           |  FROM dims v JOIN dims c ON c.d = v.d
+           |    AND c.vec_id = (SELECT vec_id FROM p${k - 1})
+           |  GROUP BY 1
+           |), md$k AS (
+           |  SELECT m.vec_id, least(m.dist, d.nd) AS dist
+           |  FROM md${k - 1} m JOIN d$k d USING (vec_id)
+           |), p$k AS (
+           |  SELECT vec_id, dist FROM md$k
+           |  ORDER BY dist DESC, vec_id LIMIT 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val picks = (1 until KCenterM).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS sel_order, vec_id, dist FROM p$k")
+        .mkString("\n      |  UNION ALL ")
+      s"""WITH dims AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |      + 5000 AS q
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)
+         |), md1 AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+         |  FROM dims v JOIN dims c ON c.d = v.d AND c.vec_id = 0
+         |  GROUP BY 1
+         |), p1 AS (
+         |  SELECT vec_id, dist FROM md1 ORDER BY dist DESC, vec_id LIMIT 1
+         |), $rounds
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS sel_order, CAST(0 AS BIGINT)
+         |    AS vec_id, CAST(0 AS BIGINT) AS dist
+         |  UNION ALL $picks
+         |) ORDER BY sel_order""".stripMargin
+    }
+  ) { (s, dir) =>
+    import s.implicits._
+    val base = kmeansShiftedBase(Tables.embeddings(s, dir))
+    def distTo(c: Seq[Long]): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(col("q"), typedlit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val seedQ = base.filter(col("vec_id") === 0)
+      .select("q").head.getSeq[Long](0).toSeq
+    var chosen = Vector(seedQ)
+    var out = Vector((0L, 0L, 0L))
+    for (k <- 1 until KCenterM) {
+      // one job per round: min distance to the chosen plan-literals,
+      // argmax via TakeOrdered(1), winner's q rides along
+      val mind = array_min(array(chosen.map(distTo): _*))
+      val row = base.select(col("vec_id"), col("q"), mind.as("dist"))
+        .orderBy(col("dist").desc, col("vec_id")).limit(1).head
+      chosen :+= row.getSeq[Long](1).toSeq
+      out :+= ((k.toLong, row.getLong(0), row.getLong(2)))
+    }
+    out.toDF("sel_order", "vec_id", "dist").orderBy("sel_order")
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
-      coreset, topicMix, recall, randomProjection, topkJl, semanticDecon,
-      hybridRrf)
+      coreset, kcenter, topicMix, recall, randomProjection, topkJl,
+      semanticDecon, hybridRrf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
