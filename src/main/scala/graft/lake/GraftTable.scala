@@ -579,6 +579,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val parentSegs = if (compact) Nil
       else parent.map(segmentsOf).getOrElse(Nil)
     if (parentSegs.isEmpty) return Seq(writeSegment(id, entries))
+    val written = Seq.newBuilder[String]
+    def writeTracked(es: Seq[ManifestEntry]): ManifestSegmentRef = {
+      val r = writeSegment(id, es); written += r.path; r
+    }
     val parentOf: Map[String, (Int, ManifestEntry)] =
       parentSegs.zipWithIndex.flatMap { case (ref, i) =>
         segmentEntries(ref.path).map(e => e.path -> (i, e))
@@ -596,15 +600,33 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val s = survivors(i).result()
       if (s.isEmpty) None
       else if (s.size == ref.entryCount) Some(ref) // reused verbatim
-      else Some(writeSegment(id, s))
+      else Some(writeTracked(s))
     }
     val added = newcomers.result()
     val refs = mergeSmallSegments(id, kept ++ (if (added.isEmpty) Nil
-      else Seq(writeSegment(id, added))))
+      else Seq(writeTracked(added))), written)
     // order self-check: segment concatenation must BE the entry list
     val flat = refs.flatMap(r => segmentEntries(r.path))
-    if (flat.map(_.path) == entries.map(_.path)) refs
-    else Seq(writeSegment(id, entries))
+    val fin =
+      if (flat.map(_.path) == entries.map(_.path)) refs
+      else Seq(writeSegment(id, entries))
+    dropUnreferenced(written.result(), fin)
+    fin
+  }
+
+  /** Eagerly delete segment files written DURING this compose attempt
+    * that the final ref list does not reference (a merge bin folded
+    * them, or the self-check fell back) — they are unpublished
+    * this-attempt files no snapshot can reach, so deleting them saves
+    * metadata-dir litter the orphan sweep would otherwise carry until
+    * its age window passes. Best-effort: a failed delete just leaves
+    * an orphan for the sweep. */
+  private def dropUnreferenced(written: Seq[String],
+      fin: Seq[ManifestSegmentRef]): Unit = {
+    val keep = fin.map(_.path).toSet
+    for (rel <- written if !keep(rel))
+      try Files.deleteIfExists(root.resolve(rel))
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Merge-on-commit (Iceberg's `commit.manifest-merge.enabled`,
@@ -619,7 +641,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * Iceberg deal: most commits write O(delta), every ~min-count-th
     * commit also folds the accumulated small segments once. */
   private def mergeSmallSegments(id: Long,
-      refs: Seq[ManifestSegmentRef]): Seq[ManifestSegmentRef] = {
+      refs: Seq[ManifestSegmentRef],
+      written: scala.collection.mutable.Builder[String, Seq[String]])
+      : Seq[ManifestSegmentRef] = {
     if (!properties.getOrElse("commit.manifest-merge.enabled", "true")
         .toBoolean) return refs
     val minCount = properties
@@ -633,9 +657,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     var binBytes = 0L
     def flush(): Unit = {
       val b = bin.result()
-      if (b.size > 1)
-        out += writeSegment(id, b.flatMap(r => segmentEntries(r.path)))
-      else out ++= b
+      if (b.size > 1) {
+        val m = writeSegment(id, b.flatMap(r => segmentEntries(r.path)))
+        written += m.path
+        out += m
+      } else out ++= b
       bin.clear(); binBytes = 0L
     }
     for (r <- refs) {
@@ -689,8 +715,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
         case Left(_) => return None // legacy inline parent
       }
     }
-    val refs = mergeSmallSegments(id, parentRefs ++
-      (if (added.isEmpty) Nil else Seq(writeSegment(id, added))))
+    val written = Seq.newBuilder[String]
+    val addedRefs =
+      if (added.isEmpty) Nil
+      else {
+        val r = writeSegment(id, added); written += r.path; Seq(r)
+      }
+    val refs = mergeSmallSegments(id, parentRefs ++ addedRefs, written)
+    // a merge bin may have folded the just-written added segment —
+    // drop this-attempt files the final list does not reference
+    dropUnreferenced(written.result(), refs)
     val manifestRel = s"metadata/snap-$id-${UUID.randomUUID()}.json"
     Io.atomicWrite(root.resolve(manifestRel),
       Json.write(ManifestListDoc(refs)))
@@ -858,8 +892,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // every other eligibility gate here).
     val perBucketBytes =
       entries.map(_.fileSizeBytes).sum / math.max(1, bucket.n)
+    // unparseable values are ignored (the guard just doesn't engage)
+    // rather than failing the read — same never-crash contract as the
+    // splitFactor conf
     if (spark.conf.getOption("spark.graft.bucketLocalJoin.maxBucketBytes")
-        .map(_.toLong).exists(perBucketBytes > _)) {
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .exists(perBucketBytes > _)) {
       logWarning(s"bucket-local read of $name refused: " +
         s"~${perBucketBytes >> 20} MiB per bucket across ${bucket.n} " +
         "buckets exceeds spark.graft.bucketLocalJoin.maxBucketBytes; " +

@@ -889,20 +889,19 @@ object LakeQueries extends QueryCatalog {
     * within ±15% of 0.5). Time travel re-derives window-1 medians from
     * the sketch table's old snapshot. */
   private val quantileRollup =
-    Q.noOracle("q_lake_quantile_rollup") { (s, _) =>
+    Q.noOracle("q_lake_quantile_rollup") { (outer, _) =>
     import graft.rel.Kmv
     // every frame here is sketch-sized (≤ K × slices rows): AQE's
     // per-stage materialization turns each tiny action into 3-4 jobs
     // whose ~60 ms driver-side planning gaps dominate the scenario
     // (LakeJobProfile: 40 jobs, 1.8 s compute, 2.5 s gap). Disable it
-    // for the walk — all Spark work is eager inside the builder (the
-    // returned frame is a local report), so the finally restores the
-    // session before anything else runs.
-    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // on a scenario-PRIVATE session (same SparkContext and extensions,
+    // isolated SQL conf), so a query running concurrently on the
+    // caller's session never executes under the overrides and no
+    // restore is needed (r11 advice).
+    val s = outer.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.shuffle.partitions", "2")
-    try {
     val K = 128
     val factSchema = StructType.fromDDL(
       "slice STRING, key BIGINT, v BIGINT")
@@ -1012,13 +1011,11 @@ object LakeQueries extends QueryCatalog {
         s"time-travel quantile answer drifted for $sl")
       out += (("w4-travel-to-w1", sl, w1est(sl)._1, w1est(sl)._2, -1L))
     }
-    import s.implicits._
+    // the report is local rows — surface it on the CALLER's session so
+    // downstream writes run under the caller's conf, not the overrides
+    import outer.implicits._
     out.toSeq.toDF("phase", "scope", "n_retained", "p50", "n_below")
       .orderBy("phase", "scope")
-    } finally {
-      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
   }
 
   /** Inverted index maintained in lake tables — the production

@@ -534,14 +534,22 @@ private object GraftProcedures {
         // -1 means the current head
         paramD("snapshot_id", LongType, "-1"),
         // Iceberg's RETAIN: ref lapses during expire_snapshots once
-        // its snapshot is older than this (-1 = table default/immortal)
+        // its snapshot is older than this. -1 = inherit the table's
+        // history.expire.max-ref-age-ms (immortal when unset); 0 =
+        // explicit RETAIN FOREVER — the ref never lapses even on a
+        // table whose default ages refs out (Iceberg's 'RETAIN
+        // FOREVER' encoding for SQL callers)
         paramD("max_ref_age_ms", LongType, "-1")),
       StructType.fromDDL("ref STRING, snapshot_id BIGINT"),
       (args: InternalRow) => {
         val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
         val refName = args.getUTF8String(1).toString
         val snapId = Some(args.getLong(2)).filter(_ >= 0)
-        val refAge = Some(args.getLong(3)).filter(_ >= 0)
+        val refAge = args.getLong(3) match {
+          case -1 => None // inherit table default
+          case 0 => Some(Long.MaxValue) // explicit RETAIN FOREVER
+          case v => Some(v).filter(_ > 0)
+        }
         val refType = if (name == "create_branch") "branch" else "tag"
         val r = t.createRef(refName, refType, snapId, refAge)
         Seq(outRow(refName, r.snapshotId))

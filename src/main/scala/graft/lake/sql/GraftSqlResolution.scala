@@ -183,9 +183,13 @@ case class GraftSqlResolution(session: SparkSession)
     // HashPartitioning(key, n*f) for n*f-way parallelism when buckets
     // outgrew their count — applied to BOTH join sides (same factor =
     // still exchange-free) and to aggregate-only claims
+    // a typo'd or non-positive conf value degrades to factor 1 (the
+    // ordinary routed read) like every other eligibility gate on this
+    // path — a session conf must never fail query resolution
     val factor = session.conf
       .getOption("spark.graft.bucketLocalJoin.splitFactor")
-      .map(_.toInt).getOrElse(1)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(1)
     def bucketOf(t: GraftSqlTable, key: String)
         : Option[graft.lake.BucketField] =
       t.graft.enrichedProperties.get("write.clustered-by")

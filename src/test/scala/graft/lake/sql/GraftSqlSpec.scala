@@ -614,6 +614,29 @@ class GraftSqlSpec extends SparkSuite {
     assert(spark.sql(s"SELECT * FROM $tbl.refs").count() === 2)
   }
 
+  test("create_tag max_ref_age_ms => 0 is an explicit RETAIN FOREVER: " +
+    "the ref survives expiry on a table whose default ages refs out, " +
+    "while a sibling default-inheriting tag lapses") {
+    val ns = freshNs()
+    val tbl = createPii(ns,
+      "TBLPROPERTIES ('history.expire.max-ref-age-ms'='0')")
+    spark.sql(s"CALL graft.system.create_tag(table => '$tbl', " +
+      "ref => 'mortal')") // -1 default: inherits the 0 ms table cap
+    spark.sql(s"CALL graft.system.create_tag(table => '$tbl', " +
+      "ref => 'forever', max_ref_age_ms => 0)") // explicit immortal
+    Thread.sleep(2)
+    spark.sql(s"INSERT INTO $tbl VALUES ('case-9','Zed'," +
+      "'zed@example.com','key9','secret 9','sk9',DATE'2023-03-01')")
+    spark.sql(s"CALL graft.system.expire_snapshots(table => '$tbl', " +
+      "retain_last => 1)")
+    val refs = spark.sql(s"SELECT name FROM $tbl.refs ORDER BY name")
+      .collect().map(_.getString(0)).toSeq
+    assert(refs.contains("forever"),
+      "max_ref_age_ms => 0 must never lapse")
+    assert(!refs.contains("mortal"),
+      "the default-inheriting tag must lapse under the 0 ms table cap")
+  }
+
   test("spark.wap.branch session conf routes plain SQL DML and reads " +
     "to the audit branch (Iceberg WAP contract); unset sees main; " +
     "fast_forward publishes") {
