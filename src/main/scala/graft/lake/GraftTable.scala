@@ -684,23 +684,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
     "total-data-files" -> refs.map(_.dataFileCount).sum.toString,
     "total-delete-files" -> refs.map(_.deleteFileCount).sum.toString)
 
-  /** True O(delta) fast-append commit (Iceberg's fast-append): a pure
-    * append removes nothing, so the child manifest is provably
-    * `parent.refs :+ newSegment(added)` from the OPERATION SHAPE alone
-    * — no parent-segment reads, no parent entry-list materialization,
-    * no survivor diff, no concatenation self-check. Driver work and
-    * bytes written are O(added files); the parent manifest LIST (one
-    * small file, O(segments)) is the only parent metadata touched.
-    * Snapshot summary totals come from the refs' carried aggregates.
-    * Returns None — caller falls back to the checked full-list path —
-    * when the parent head still uses a pre-segment inline manifest
-    * (its entry order is only recoverable by reading it).
-    * Amortized exception, same deal as every commit: once refs reach
-    * `commit.manifests.min-count-to-merge`, [[mergeSmallSegments]]
-    * folds adjacent small segments (reading just the segments it
-    * bins). */
-  private def commitAppendFast(base: Base, id: Long,
-      branch: Option[String], added: Seq[ManifestEntry],
+  /** True O(delta) fast commit for ADD-ONLY operations (Iceberg's
+    * fast-append, generalized): any commit that removes no entries —
+    * a pure append, a MOR position-delete (op=delete), a MOR update
+    * or RowDelta (op=overwrite: delete file + new data files) — is
+    * provably `parent.refs :+ newSegment(added)` from the OPERATION
+    * SHAPE alone — no parent-segment reads, no parent entry-list
+    * materialization, no survivor diff, no concatenation self-check.
+    * Driver work and bytes written are O(added files); the parent
+    * manifest LIST (one small file, O(segments)) is the only parent
+    * metadata touched. Snapshot summary totals come from the refs'
+    * carried aggregates. Returns None — caller falls back to the
+    * checked full-list path — when the parent head still uses a
+    * pre-segment inline manifest (its entry order is only recoverable
+    * by reading it). Amortized exception, same deal as every commit:
+    * once refs reach `commit.manifests.min-count-to-merge`,
+    * [[mergeSmallSegments]] folds adjacent small segments (reading
+    * just the segments it bins). */
+  private def commitAddOnlyFast(base: Base, id: Long,
+      branch: Option[String], op: String, added: Seq[ManifestEntry],
       summary: Map[String, String]): Option[SnapshotMeta] = {
     val m = base.meta
     val parent = branch match {
@@ -732,7 +734,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val branchSummary = branch.map(br => Map("branch" -> br))
       .getOrElse(Map.empty)
     val snap = SnapshotMeta(id, parent.map(_.snapshotId), now(),
-      "append", manifestRel,
+      op, manifestRel,
       summary ++ branchSummary ++ totalsFromRefs(refs),
       schemaDdl = Some(m.schemaDdl),
       physicalNames =
@@ -1559,7 +1561,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       Map("added-data-files" -> newEntries.size.toString,
         "added-records" -> newEntries.map(_.recordCount).sum.toString)
     // O(delta) fast path: a pure append never reads parent segments
-    commitAppendFast(b, snapId, branch, newEntries, summary).getOrElse {
+    commitAddOnlyFast(b, snapId, branch, "append", newEntries, summary).getOrElse {
       branch match { // legacy inline-manifest parent: checked path
         case None => commitSnapshot(b, snapId, "append",
           b.entries ++ newEntries, summary)
@@ -1654,7 +1656,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       addedSnapshotId = snapId))
     val summary = Map("mode" -> "snapshot-fork",
       "source-table" -> sourceRoot.toString)
-    commitAppendFast(b, snapId, None, adopted, summary).getOrElse(
+    commitAddOnlyFast(b, snapId, None, "append", adopted, summary).getOrElse(
       commitSnapshot(b, snapId, "append", b.entries ++ adopted, summary))
   }
 
@@ -1694,7 +1696,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val summary = Map("operation-origin" -> "add_files",
       "added-data-files" -> newEntries.size.toString,
       "added-records" -> newEntries.map(_.recordCount).sum.toString)
-    commitAppendFast(b, snapId, None, newEntries, summary).getOrElse(
+    commitAddOnlyFast(b, snapId, None, "append", newEntries, summary).getOrElse(
       commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
         summary))
   }
@@ -1880,11 +1882,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
       claimKey: Option[String] = None): Option[SnapshotMeta] = {
     val branch = resolveBranch(explicitBranch)
     val b = captureBase()
-    val entries = branch match {
-      case None => b.entries
-      case Some(br) => manifestOf(branchHead(b, br))
-    }
-    val pruned = pruneByPredicate(entries, bind)
+    // a MOR delete is ADD-ONLY (it only appends position-delete files),
+    // so neither planning nor commit needs the full entry list: hit
+    // discovery prunes through prunedEntriesOf (executor-side past the
+    // distributed threshold) and the commit takes the O(delta) fast
+    // path — whole-op driver work is O(candidates + new files)
+    val headSnap = headSnapshot(b, branch)
+    val pruned = headSnap.map(prunedEntriesOf(_, bind)).getOrElse(Nil)
     val tgt = claimedOr(pruned, claimKey)
     val hits = tgt.filter(bind(tgt))
       .select(col(FileCol).as("file_path"), col(PosCol).as("pos"))
@@ -1898,15 +1902,27 @@ class GraftTable(val spark: SparkSession, val root: Path,
       if (n == 0) return None
       val snapId = nextSnapshotHint
       val delEntries = statEntries(moved, content = 1, snapId)
-      val all = entries ++ delEntries
       val summary =
         Map("deleted-records" -> n.toString, "mode" -> "merge-on-read")
-      Some(branch match {
-        case None => commitSnapshot(b, snapId, "delete", all, summary)
-        case Some(br) =>
-          commitSnapshotOnBranch(b, snapId, "delete", br, all, summary)
+      Some(commitAddOnlyFast(b, snapId, branch, "delete", delEntries,
+        summary).getOrElse {
+        val all = headSnap.map(manifestOf).getOrElse(Nil) ++ delEntries
+        branch match {
+          case None => commitSnapshot(b, snapId, "delete", all, summary)
+          case Some(br) =>
+            commitSnapshotOnBranch(b, snapId, "delete", br, all, summary)
+        }
       })
     } finally hits.unpersist()
+  }
+
+  /** The snapshot a DML operation reads/commits against: the branch
+    * head when routed, else the base's current snapshot. */
+  private def headSnapshot(b: Base,
+      branch: Option[String]): Option[SnapshotMeta] = branch match {
+    case None => b.meta.currentSnapshotId
+      .flatMap(id => b.meta.snapshots.find(_.snapshotId == id))
+    case Some(br) => Some(branchHead(b, br))
   }
 
   /** MOR update: position-deletes for the old rows + append of the
@@ -1918,11 +1934,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
       claimKey: Option[String] = None): Option[SnapshotMeta] = {
     val branch = resolveBranch(explicitBranch)
     val b = captureBase()
-    val entries = branch match {
-      case None => b.entries
-      case Some(br) => manifestOf(branchHead(b, br))
-    }
-    val pruned = pruneByPredicate(entries, bind)
+    // add-only like morDelete (position-delete files + new data files):
+    // pruned planning + O(delta) fast commit
+    val headSnap = headSnapshot(b, branch)
+    val pruned = headSnap.map(prunedEntriesOf(_, bind)).getOrElse(Nil)
     val tgt = claimedOr(pruned, claimKey)
     val hits = tgt.filter(bind(tgt)).cache()
     try {
@@ -1935,12 +1950,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val snapId = nextSnapshotHint
       val delEntries = statEntries(delMoved, content = 1, snapId)
       val dataEntries = statEntries(newMoved, content = 0, snapId)
-      val all = entries ++ delEntries ++ dataEntries
+      val added = delEntries ++ dataEntries
       val summary = Map("mode" -> "merge-on-read")
-      Some(branch match {
-        case None => commitSnapshot(b, snapId, "overwrite", all, summary)
-        case Some(br) =>
-          commitSnapshotOnBranch(b, snapId, "overwrite", br, all, summary)
+      Some(commitAddOnlyFast(b, snapId, branch, "overwrite", added,
+        summary).getOrElse {
+        val all = headSnap.map(manifestOf).getOrElse(Nil) ++ added
+        branch match {
+          case None =>
+            commitSnapshot(b, snapId, "overwrite", all, summary)
+          case Some(br) => commitSnapshotOnBranch(b, snapId,
+            "overwrite", br, all, summary)
+        }
       })
     } finally hits.unpersist()
   }
@@ -1979,18 +1999,20 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .map(_.copy(equalityColumns = cols))
     val n = entries.map(_.recordCount).sum
     if (n == 0) { moved.foreach(p => Files.deleteIfExists(Path.of(p))); return None }
-    val baseEntries = branch match {
-      case None => b.entries
-      case Some(br) => manifestOf(branchHead(b, br))
-    }
     val summary =
       Map("mode" -> "equality", "equality-columns" -> cols.mkString(","))
-    Some(branch match {
-      case None => commitSnapshot(b, snapId, "delete",
-        baseEntries ++ entries, summary)
-      case Some(br) => commitSnapshotOnBranch(b, snapId, "delete", br,
-        baseEntries ++ entries, summary)
-    })
+    // add-only (one equality-delete file): O(delta) fast commit
+    Some(commitAddOnlyFast(b, snapId, branch, "delete", entries, summary)
+      .getOrElse {
+        val baseEntries = headSnapshot(b, branch).map(manifestOf)
+          .getOrElse(Nil)
+        branch match {
+          case None => commitSnapshot(b, snapId, "delete",
+            baseEntries ++ entries, summary)
+          case Some(br) => commitSnapshotOnBranch(b, snapId, "delete",
+            br, baseEntries ++ entries, summary)
+        }
+      })
   }
 
   /** Single-commit upsert — Iceberg's RowDelta / the Flink
@@ -2021,10 +2043,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }
     val branch = resolveBranch(None)
     val b = captureBase()
-    val base = branch match {
-      case None => b.entries
-      case Some(br) => manifestOf(branchHead(b, br))
-    }
+    branch.foreach(branchHead(b, _)) // validate before writing files
     val staged = stageDir()
     keys.distinct()
       .select(logicalCols.zip(cols).map { case (l, p) =>
@@ -2048,11 +2067,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
        else Map("mode" -> "equality",
          "equality-columns" -> cols.mkString(",")))
     val op = if (delEntries.isEmpty) "append" else "overwrite"
-    branch match {
-      case None => commitSnapshot(b, snapId, op,
-        base ++ delEntries ++ dataEntries, summary)
-      case Some(br) => commitSnapshotOnBranch(b, snapId, op, br,
-        base ++ delEntries ++ dataEntries, summary)
+    val added = delEntries ++ dataEntries
+    // add-only (delete file + new data files): O(delta) fast commit
+    commitAddOnlyFast(b, snapId, branch, op, added, summary).getOrElse {
+      val base = headSnapshot(b, branch).map(manifestOf).getOrElse(Nil)
+      branch match {
+        case None => commitSnapshot(b, snapId, op, base ++ added,
+          summary)
+        case Some(br) => commitSnapshotOnBranch(b, snapId, op, br,
+          base ++ added, summary)
+      }
     }
   }
 
@@ -2650,7 +2674,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val summary = extraSummary ++ Map(
       "added-data-files" -> newEntries.size.toString,
       "added-records" -> newEntries.map(_.recordCount).sum.toString)
-    commitAppendFast(b, snapId, Some(branch), newEntries, summary)
+    commitAddOnlyFast(b, snapId, Some(branch), "append", newEntries, summary)
       .getOrElse(commitSnapshotOnBranch(b, snapId, "append", branch,
         manifestOf(branchHead(b, branch)) ++ newEntries, summary))
   }

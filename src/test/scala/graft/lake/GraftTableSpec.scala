@@ -1389,6 +1389,49 @@ class GraftTableSpec extends SparkSuite {
     assert(t2.read().count() === 6)
   }
 
+  test("MOR DML is O(delta) too: past the distributed threshold a " +
+      "fresh handle plans and commits a MOR delete, an equality " +
+      "delete, and a rowDelta upsert with ZERO parent-segment reads — " +
+      "parent refs reuse verbatim, one new segment per commit") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("d")
+    val t = cat.createTable("d", "t", seedDf.schema,
+      Map("write.delete.mode" -> "merge-on-read"))
+    (1 to 4).foreach(_ => t.append(seedDf))
+    val key = "spark.graft.metadata.distributedThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val t2 = GraftTable.load(spark, t.root)
+      val parentRefs = t2.segmentsOf(t2.currentSnapshot.get)
+      assert(parentRefs.size === 4)
+      t2.delete(col("case_id") === "case-1") // MOR position delete
+      assert(t2.segmentLoads.get() === 0,
+        "MOR delete must not read parent segments")
+      val afterDel = t2.segmentsOf(t2.currentSnapshot.get)
+      assert(afterDel.take(4) === parentRefs && afterDel.size === 5)
+      import scala.jdk.CollectionConverters._
+      t2.equalityDelete(spark.createDataFrame(
+        Seq(org.apache.spark.sql.Row("case-2")).asJava,
+        StructType.fromDDL("case_id STRING")))
+      t2.rowDelta(
+        spark.createDataFrame(
+          Seq(org.apache.spark.sql.Row("case-3")).asJava,
+          StructType.fromDDL("case_id STRING")),
+        seedDf.limit(1))
+      assert(t2.segmentLoads.get() === 0,
+        "equality delete / rowDelta must not read parent segments")
+      assert(t2.segmentsOf(t2.currentSnapshot.get).take(4) === parentRefs,
+        "parent segments must stay shared verbatim across MOR DML")
+    } finally spark.conf.unset(key)
+    // rows are correct through the masks (this read parses segments):
+    // the 4 case-1 copies are position-deleted but rowDelta re-added
+    // one (new files outrank older deletes); case-2 equality-deleted;
+    // case-3's older copies masked by rowDelta's key file
+    assert(t.read().filter(col("case_id") === "case-1").count() === 1)
+    assert(t.read().filter(col("case_id") === "case-2").count() === 0)
+    assert(t.read().filter(col("case_id") === "case-3").count() === 0)
+  }
+
   test("a COW delete rewrites ONLY the segment that lost entries; " +
       "untouched segments stay shared by path") {
     val cat = new GraftCatalog(spark, freshWarehouse())
