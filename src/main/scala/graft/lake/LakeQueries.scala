@@ -898,10 +898,11 @@ object LakeQueries extends QueryCatalog {
     // on a scenario-PRIVATE session (same SparkContext and extensions,
     // isolated SQL conf), so a query running concurrently on the
     // caller's session never executes under the overrides and no
-    // restore is needed (r11 advice).
-    val s = outer.newSession()
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
+    // restore is needed (r11 advice). The private session is CACHED
+    // per caller: fresh-SessionState init costs ~0.9 s across this
+    // walk's ~40 tiny jobs (measured sf0.1 A/B), so repeat runs — the
+    // bench's min-of-N — must reuse the warmed one.
+    val s = LakeQueries.tunedSession(outer)
     val K = 128
     val factSchema = StructType.fromDDL(
       "slice STRING, key BIGINT, v BIGINT")
@@ -1658,4 +1659,18 @@ object LakeQueries extends QueryCatalog {
     invertedIndex,
     vectorIndex, bucketJoin, maintenance, runtimePrune, streamUpsert,
     tableClone, manifestSegments)
+
+  /** One cached scenario-private tuned session per caller session
+    * (AQE off, 2 shuffle partitions — the sketch-walk planner confs):
+    * isolation without the per-invocation fresh-SessionState cost.
+    * Bounded: one entry per live caller session in this JVM. */
+  private val tunedSessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]
+  private def tunedSession(outer: SparkSession): SparkSession =
+    tunedSessions.computeIfAbsent(outer, o => {
+      val s = o.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s
+    })
 }
