@@ -1122,19 +1122,49 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val slices = chain
       .filter(_.operation != "replace")
       .zipWithIndex.flatMap { case (s, ord) =>
-        val cur = manifestOf(s)
-        val parentEntries = s.parentId
-          .map(pid => manifestOf(snapshotOrFail(pid))).getOrElse(Nil)
-        val curPaths = cur.map(_.path).toSet
-        val parentPaths = parentEntries.map(_.path).toSet
-        val addedData = cur.filter(e =>
-          e.content == 0 && !parentPaths(e.path))
-        val removedData = parentEntries.filter(e =>
-          e.content == 0 && !curPaths(e.path))
-        val addedPosDel = cur.filter(e =>
-          e.content == 1 && !parentPaths(e.path))
-        val addedEqDel = cur.filter(e =>
-          e.content == 2 && !parentPaths(e.path))
+        val parentSnap = s.parentId.map(snapshotOrFail)
+        // Per-commit file deltas at SEGMENT granularity when both
+        // sides are segment-form: a segment referenced by BOTH lists
+        // contributes identical paths to both sides, so it cancels in
+        // every diff — only the non-shared segments need reading.
+        // (Entry paths are unique within a manifest, so a path in a
+        // child-only segment cannot also live in a shared one.) For
+        // the dominant CDC window shape — fast-path add-only commits —
+        // the child-only set is the ONE new segment and the parent-
+        // only set is empty: a changelog/streaming micro-batch costs
+        // O(delta) driver work, never O(table entries). The FULL
+        // parent list stays lazy — materialized only by slices that
+        // must replay deletes against parent state.
+        val (addedData, removedData, addedPosDel, addedEqDel) =
+          (listDocOf(s.manifestList),
+            parentSnap.map(p => listDocOf(p.manifestList))) match {
+            case (Right(cRefs), pDoc)
+                if pDoc.forall(_.isRight) =>
+              val pRefs = pDoc.map(_.toOption.get).getOrElse(Nil)
+              val cSet = cRefs.map(_.path).toSet
+              val pSet = pRefs.map(_.path).toSet
+              val childOnly = cRefs.filterNot(r => pSet(r.path))
+                .flatMap(r => segmentEntries(r.path))
+              val parentOnly = pRefs.filterNot(r => cSet(r.path))
+                .flatMap(r => segmentEntries(r.path))
+              val cPaths = childOnly.map(_.path).toSet
+              val pPaths = parentOnly.map(_.path).toSet
+              (childOnly.filter(e => e.content == 0 && !pPaths(e.path)),
+                parentOnly.filter(e => e.content == 0 && !cPaths(e.path)),
+                childOnly.filter(e => e.content == 1 && !pPaths(e.path)),
+                childOnly.filter(e => e.content == 2 && !pPaths(e.path)))
+            case _ => // legacy inline manifest on either side
+              val cur = manifestOf(s)
+              val par = parentSnap.map(manifestOf).getOrElse(Nil)
+              val curPaths = cur.map(_.path).toSet
+              val parentPaths = par.map(_.path).toSet
+              (cur.filter(e => e.content == 0 && !parentPaths(e.path)),
+                par.filter(e => e.content == 0 && !curPaths(e.path)),
+                cur.filter(e => e.content == 1 && !parentPaths(e.path)),
+                cur.filter(e => e.content == 2 && !parentPaths(e.path)))
+          }
+        lazy val parentEntries =
+          parentSnap.map(manifestOf).getOrElse(Nil)
         def tag(df: DataFrame, tpe: String): DataFrame = df
           .select(schema.fieldNames.map(n => col(quoted(n))): _*)
           .withColumn("_change_type", lit(tpe))
@@ -1590,7 +1620,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       s.snapshotId > fromExclusive && s.snapshotId <= toInclusive &&
         s.operation == "append" && !s.summary.contains("branch"))
     val appendIds = snaps.map(_.snapshotId).toSet
-    val entries = snaps.flatMap(manifestOf)
+    // ref-provenance prune: within snapshot A's own manifest, A's
+    // additions live only in segments A itself wrote (the fast-path
+    // new segment, or a merge-on-commit bin — both carry
+    // ref.addedSnapshotId == A), so parent-written segments are never
+    // read. A streaming micro-batch over appends costs O(delta)
+    // driver work, not O(commits × table entries). The entry-level
+    // addedSnapshotId filter still applies after the read (a merged
+    // bin also carries older entries).
+    val entries = snaps.flatMap(s => listDocOf(s.manifestList) match {
+      case Right(refs) => refs.filter(r => appendIds(r.addedSnapshotId))
+        .flatMap(r => segmentEntries(r.path))
+      case Left(es) => es // legacy inline manifest
+    })
       .filter(e => e.content == 0 && appendIds(e.addedSnapshotId))
       .distinctBy(_.path)
     if (entries.isEmpty) emptyDf

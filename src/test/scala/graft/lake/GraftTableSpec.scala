@@ -1389,6 +1389,24 @@ class GraftTableSpec extends SparkSuite {
     assert(t2.read().count() === 6)
   }
 
+  test("CDC and appends-between windows are O(delta) metadata: an " +
+      "appends-only window on an N-segment table reads ONLY each " +
+      "commit's own new segment — shared parent segments cancel in " +
+      "the slice diff and are never parsed") {
+    val t = newTable()
+    val snaps = (1 to 6).map(_ => t.append(seedDf.limit(1)).snapshotId)
+    val from = snaps(3) // window = the last two commits
+    val t2 = GraftTable.load(spark, t.root) // empty parse caches
+    assert(t2.changes(Some(from)).count() === 2)
+    assert(t2.segmentLoads.get() === 2,
+      "an appends-only CDC window must read exactly the window's own " +
+        s"new segments, got ${t2.segmentLoads.get()}")
+    assert(t2.appendsBetween(from, snaps.last).count() === 2)
+    assert(t2.segmentLoads.get() === 2,
+      "appendsBetween must reuse the same two segments (ref-provenance " +
+        "prune: parent-written refs never read)")
+  }
+
   test("MOR DML is O(delta) too: past the distributed threshold a " +
       "fresh handle plans and commits a MOR delete, an equality " +
       "delete, and a rowDelta upsert with ZERO parent-segment reads — " +
