@@ -1135,34 +1135,30 @@ class GraftTable(val spark: SparkSession, val root: Path,
         // O(delta) driver work, never O(table entries). The FULL
         // parent list stays lazy — materialized only by slices that
         // must replay deletes against parent state.
-        val (addedData, removedData, addedPosDel, addedEqDel) =
+        val (childSide, parentSide) =
           (listDocOf(s.manifestList),
             parentSnap.map(p => listDocOf(p.manifestList))) match {
-            case (Right(cRefs), pDoc)
-                if pDoc.forall(_.isRight) =>
+            case (Right(cRefs), pDoc) if pDoc.forall(_.isRight) =>
               val pRefs = pDoc.map(_.toOption.get).getOrElse(Nil)
               val cSet = cRefs.map(_.path).toSet
               val pSet = pRefs.map(_.path).toSet
-              val childOnly = cRefs.filterNot(r => pSet(r.path))
-                .flatMap(r => segmentEntries(r.path))
-              val parentOnly = pRefs.filterNot(r => cSet(r.path))
-                .flatMap(r => segmentEntries(r.path))
-              val cPaths = childOnly.map(_.path).toSet
-              val pPaths = parentOnly.map(_.path).toSet
-              (childOnly.filter(e => e.content == 0 && !pPaths(e.path)),
-                parentOnly.filter(e => e.content == 0 && !cPaths(e.path)),
-                childOnly.filter(e => e.content == 1 && !pPaths(e.path)),
-                childOnly.filter(e => e.content == 2 && !pPaths(e.path)))
+              (cRefs.filterNot(r => pSet(r.path))
+                .flatMap(r => segmentEntries(r.path)),
+                pRefs.filterNot(r => cSet(r.path))
+                  .flatMap(r => segmentEntries(r.path)))
             case _ => // legacy inline manifest on either side
-              val cur = manifestOf(s)
-              val par = parentSnap.map(manifestOf).getOrElse(Nil)
-              val curPaths = cur.map(_.path).toSet
-              val parentPaths = par.map(_.path).toSet
-              (cur.filter(e => e.content == 0 && !parentPaths(e.path)),
-                par.filter(e => e.content == 0 && !curPaths(e.path)),
-                cur.filter(e => e.content == 1 && !parentPaths(e.path)),
-                cur.filter(e => e.content == 2 && !parentPaths(e.path)))
+              (manifestOf(s), parentSnap.map(manifestOf).getOrElse(Nil))
           }
+        val childPaths = childSide.map(_.path).toSet
+        val parentPaths = parentSide.map(_.path).toSet
+        val addedData = childSide.filter(e =>
+          e.content == 0 && !parentPaths(e.path))
+        val removedData = parentSide.filter(e =>
+          e.content == 0 && !childPaths(e.path))
+        val addedPosDel = childSide.filter(e =>
+          e.content == 1 && !parentPaths(e.path))
+        val addedEqDel = childSide.filter(e =>
+          e.content == 2 && !parentPaths(e.path))
         lazy val parentEntries =
           parentSnap.map(manifestOf).getOrElse(Nil)
         def tag(df: DataFrame, tpe: String): DataFrame = df
@@ -3726,6 +3722,16 @@ object GraftTable {
   /** Per-bucket byte load above which bucket-local reads warn that the
     * table is under-bucketed (each bucket is ONE task). */
   private[lake] val BucketBytesWarn = 4L * 1024 * 1024 * 1024
+
+  /** Per-ref RETAIN cap meaning "never lapses": a cap no snapshot age
+    * can exceed (`ts < now - MaxValue` is always false — no overflow:
+    * now ≥ 0 keeps the difference inside Long range). The SQL
+    * create_branch/create_tag procedures translate their
+    * `max_ref_age_ms => 0` RETAIN-FOREVER sentinel to this value; note
+    * the deliberate asymmetry with the TABLE property
+    * `history.expire.max-ref-age-ms`, where 0 follows Iceberg's
+    * positive-milliseconds contract and lapses refs immediately. */
+  val RetainForever: Long = Long.MaxValue
 
   private[lake] def isNumericStat(dt: DataType): Boolean = dt match {
     case StringType => false

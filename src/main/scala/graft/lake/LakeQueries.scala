@@ -1663,14 +1663,27 @@ object LakeQueries extends QueryCatalog {
   /** One cached scenario-private tuned session per caller session
     * (AQE off, 2 shuffle partitions — the sketch-walk planner confs):
     * isolation without the per-invocation fresh-SessionState cost.
-    * Bounded: one entry per live caller session in this JVM. */
-  private val tunedSessions = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, SparkSession]
+    * The caller's RUNTIME conf is copied onto the twin first, so a
+    * conf set after session creation (timezone, ANSI mode) still
+    * governs the scenario — newSession() alone inherits only
+    * builder-time options. WEAK keys: a stopped/discarded caller
+    * session must not be pinned (nor its twin) by this cache. */
+  private val tunedSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession])
   private def tunedSession(outer: SparkSession): SparkSession =
-    tunedSessions.computeIfAbsent(outer, o => {
-      val s = o.newSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
-      s
-    })
+    tunedSessions.synchronized {
+      val cached = tunedSessions.get(outer)
+      if (cached != null) cached
+      else {
+        val s = outer.newSession()
+        outer.conf.getAll.foreach { case (k, v) =>
+          try s.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () } // static conf
+        }
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        tunedSessions.put(outer, s)
+        s
+      }
+    }
 }

@@ -547,7 +547,10 @@ private object GraftProcedures {
         val snapId = Some(args.getLong(2)).filter(_ >= 0)
         val refAge = args.getLong(3) match {
           case -1 => None // inherit table default
-          case 0 => Some(Long.MaxValue) // explicit RETAIN FOREVER
+          // explicit RETAIN FOREVER (procedure-arg sentinel ONLY — the
+          // TABLE property keeps Iceberg's contract where 0 ms lapses
+          // refs immediately; see GraftTable.RetainForever)
+          case 0 => Some(GraftTable.RetainForever)
           case v => Some(v).filter(_ > 0)
         }
         val refType = if (name == "create_branch") "branch" else "tag"
