@@ -385,6 +385,59 @@ object DedupQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Cross-source overlap matrix — the "who copies from whom" artifact
+    * that decides source-level dedup priority before any per-doc pass:
+    * for every source pair, the count of distinct word-trigram shingles
+    * present in BOTH sources and the set-Jaccard in half-up basis
+    * points. High off-diagonal mass = mirrored feeds / shared
+    * boilerplate; a release dedups or down-weights the dominated
+    * source first. Scale (100 TB): distinct (source, shingle) is a
+    * map-side partial-agg distinct; the pair join is keyed on the
+    * shingle with per-gram fanout bounded by |sources|² (sources are
+    * few); the matrix is |sources|²-bounded. */
+  private val sourceOverlap = Q(
+    "q_dedup_source_overlap",
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT DISTINCT source, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t
+      |), sz AS (
+      |  SELECT source, count(*) AS n FROM g GROUP BY source
+      |), p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    count(*) AS shared_shingles
+      |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT src_a, src_b, shared_shingles,
+      |  CAST((10000 * shared_shingles
+      |      + (sa.n + sb.n - shared_shingles) // 2)
+      |    // (sa.n + sb.n - shared_shingles) AS BIGINT) AS jaccard_bp
+      |FROM p
+      |JOIN sz sa ON sa.source = src_a
+      |JOIN sz sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin
+  ) { (s, dir) =>
+    val g = wordGrams(Tables.documents(s, dir), 3, Seq("source"))
+      .distinct()
+    val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(sz).as("sa"), col("src_a") === col("sa.source"))
+      .join(broadcast(sz).as("sb"), col("src_b") === col("sb.source"))
+      .select(col("src_a"), col("src_b"), col("shared_shingles"),
+        expr("CAST((10000 * shared_shingles + " +
+          "(sa.n + sb.n - shared_shingles) div 2) div " +
+          "(sa.n + sb.n - shared_shingles) AS BIGINT)").as("jaccard_bp"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Embedding-cosine near-dup: top-100 same-label pairs by cosine.
     * `label` is the blocking key (stand-in for an LSH/IVF bucket at
     * scale) making this an equi-join, not a cross join. The pairwise
@@ -874,6 +927,6 @@ object DedupQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
-    simhashMd5, embeddingNearDup, substringCoverage, substringRewrite,
-    boilerplate, incremental, fuzzy)
+    simhashMd5, sourceOverlap, embeddingNearDup, substringCoverage,
+    substringRewrite, boilerplate, incremental, fuzzy)
 }
