@@ -1663,27 +1663,28 @@ object LakeQueries extends QueryCatalog {
   /** One cached scenario-private tuned session per caller session
     * (AQE off, 2 shuffle partitions — the sketch-walk planner confs):
     * isolation without the per-invocation fresh-SessionState cost.
-    * The caller's RUNTIME conf is copied onto the twin first, so a
-    * conf set after session creation (timezone, ANSI mode) still
-    * governs the scenario — newSession() alone inherits only
-    * builder-time options. WEAK keys: a stopped/discarded caller
-    * session must not be pinned (nor its twin) by this cache. */
-  private val tunedSessions = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, SparkSession])
+    * The caller's RUNTIME conf is re-copied onto the twin on EVERY
+    * call (a few hundred conf sets — noise next to the walk), so a
+    * conf the caller changes between invocations (timezone, ANSI
+    * mode) still governs the next run; the two scenario overrides are
+    * re-applied last. WEAK keys: a stopped/discarded caller session
+    * must not be pinned (nor its twin) by this cache; all access is
+    * under the map's monitor. */
+  private val tunedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
   private def tunedSession(outer: SparkSession): SparkSession =
     tunedSessions.synchronized {
-      val cached = tunedSessions.get(outer)
-      if (cached != null) cached
-      else {
-        val s = outer.newSession()
-        outer.conf.getAll.foreach { case (k, v) =>
-          try s.conf.set(k, v)
-          catch { case scala.util.control.NonFatal(_) => () } // static conf
-        }
-        s.conf.set("spark.sql.adaptive.enabled", "false")
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        tunedSessions.put(outer, s)
-        s
+      val s = Option(tunedSessions.get(outer)).getOrElse {
+        val fresh = outer.newSession()
+        tunedSessions.put(outer, fresh)
+        fresh
       }
+      outer.conf.getAll.foreach { case (k, v) =>
+        try s.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => () } // static conf
+      }
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s
     }
 }

@@ -551,7 +551,10 @@ private object GraftProcedures {
           // TABLE property keeps Iceberg's contract where 0 ms lapses
           // refs immediately; see GraftTable.RetainForever)
           case 0 => Some(GraftTable.RetainForever)
-          case v => Some(v).filter(_ > 0)
+          case v if v > 0 => Some(v)
+          case v => throw new IllegalArgumentException(
+            s"max_ref_age_ms must be positive, 0 (RETAIN FOREVER) or " +
+              s"-1 (inherit table default); got $v")
         }
         val refType = if (name == "create_branch") "branch" else "tag"
         val r = t.createRef(refName, refType, snapId, refAge)

@@ -421,8 +421,12 @@ object DedupQueries extends QueryCatalog {
       |JOIN sz sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin
   ) { (s, dir) =>
+    // materialized once (the shingleSetsMaterialized idiom): three
+    // consumers (both join sides + the sizes agg) would otherwise
+    // recompute the scan+explode+distinct per branch — ReuseExchange
+    // does not hold across their different partitionings
     val g = wordGrams(Tables.documents(s, dir), 3, Seq("source"))
-      .distinct()
+      .distinct().localCheckpoint()
     val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
     g.as("a")
       .join(g.as("b"),
