@@ -178,8 +178,13 @@ object ClusterSpec {
       pick: ColStat => String): Option[String] = {
     def display(f: ClusterField): String = {
       val field = sch.fields.find(_.name.equalsIgnoreCase(f.column))
-      val phys = field.map(ff => mapping.getOrElse(ff.name, ff.name))
-        .getOrElse(f.column)
+      // fall back through the MAPPING even when the clustered column
+      // left the schema: a dropped-but-clustered column's stats still
+      // live under its physical name
+      val phys = {
+        val logical = field.map(_.name).getOrElse(f.column)
+        mapping.getOrElse(logical, logical)
+      }
       def raw: Option[String] = e.stats.get(phys).map(pick)
       f match {
         case b: BucketField =>

@@ -556,7 +556,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     ManifestSegmentRef(rel, id, entries.size,
       entries.count(_.content == 0), entries.count(_.content != 0),
       entries.filter(_.content == 0).map(_.recordCount).sum,
-      Files.size(target))
+      Files.size(target),
+      minPath = if (entries.isEmpty) None else Some(entries.map(_.path).min),
+      maxPath = if (entries.isEmpty) None else Some(entries.map(_.path).max))
   }
 
   /** Compose the new snapshot's manifest as segment references against
@@ -703,6 +705,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * just the segments it bins). */
   private def commitAddOnlyFast(base: Base, id: Long,
       branch: Option[String], op: String, added: Seq[ManifestEntry],
+      summary: Map[String, String]): Option[SnapshotMeta] =
+    commitDeltaFast(base, id, branch, op, Set.empty, added, summary)
+
+  /** O(touched) fast commit for REMOVE+ADD operations (COW rewrites,
+    * MERGE): drops every data entry whose absolute path is in
+    * `removedAbs` and appends `added`, reading ONLY the parent
+    * segments whose carried path bounds can contain a removed path —
+    * a 1-file COW on a many-segment table parses one segment. Self-
+    * vetting two ways: a parent ref without bounds is always read
+    * (conservative), and if any removed path is NOT found among the
+    * read segments the whole plan is abandoned (returns None → caller
+    * falls back to the checked [[composeSegments]] path) — a bounds
+    * bug degrades to the slow path, never to a wrong manifest. Entry
+    * order is preserved (survivors keep segment order, additions land
+    * last), matching the checked path's `filter(parent) ++ additions`
+    * shape. Delete entries (content != 0) always survive, mirroring
+    * [[cowTransaction]]'s keep filter. */
+  private def commitDeltaFast(base: Base, id: Long,
+      branch: Option[String], op: String, removedAbs: Set[String],
+      added: Seq[ManifestEntry],
       summary: Map[String, String]): Option[SnapshotMeta] = {
     val m = base.meta
     val parent = branch match {
@@ -718,12 +740,49 @@ class GraftTable(val spark: SparkSession, val root: Path,
       }
     }
     val written = Seq.newBuilder[String]
+    // every raw spelling a removed absolute path can have as an
+    // entry.path: the absolute string itself (adopted/foreign files)
+    // or root-relative (ordinary writes)
+    val rootPrefix = root.toAbsolutePath.toString + "/"
+    val removedRaw: Seq[String] = removedAbs.toSeq.flatMap(a =>
+      if (a.startsWith(rootPrefix))
+        Seq(a, a.stripPrefix(rootPrefix)) else Seq(a))
+    def mayContainRemoved(r: ManifestSegmentRef): Boolean =
+      (r.minPath, r.maxPath) match {
+        case (Some(lo), Some(hi)) =>
+          removedRaw.exists(p => lo <= p && p <= hi)
+        case _ => true // legacy ref without bounds: must read
+      }
+    val found = Set.newBuilder[String]
+    val survivedRefs: Seq[ManifestSegmentRef] =
+      if (removedAbs.isEmpty) parentRefs
+      else parentRefs.flatMap { r =>
+        if (!mayContainRemoved(r)) Some(r)
+        else {
+          val es = segmentEntries(r.path)
+          val (removed, survivors) = es.partition(e =>
+            e.content == 0 && removedAbs.contains(abs(e)))
+          found ++= removed.map(abs)
+          if (removed.isEmpty) Some(r)
+          else if (survivors.isEmpty) None
+          else {
+            val w = writeSegment(id, survivors); written += w.path
+            Some(w)
+          }
+        }
+      }
+    if (removedAbs.nonEmpty && found.result() != removedAbs) {
+      // a removed path was not found in any read segment: either it
+      // never existed or a bound is wrong — abandon, checked path
+      dropUnreferenced(written.result(), Nil)
+      return None
+    }
     val addedRefs =
       if (added.isEmpty) Nil
       else {
         val r = writeSegment(id, added); written += r.path; Seq(r)
       }
-    val refs = mergeSmallSegments(id, parentRefs ++ addedRefs, written)
+    val refs = mergeSmallSegments(id, survivedRefs ++ addedRefs, written)
     // a merge bin may have folded the just-written added segment —
     // drop this-attempt files the final list does not reference
     dropUnreferenced(written.result(), refs)
@@ -1316,7 +1375,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * this path feeds reads only (file sets), never commits. */
   private def prunedDistributed(refs: Seq[ManifestSegmentRef],
       bind: DataFrame => Column): Seq[ManifestEntry] = {
-    val conjuncts = analyzeConjuncts(bind)
+    // only the comparison shapes mayMatch can prune on cross the wire:
+    // anything else returns true there anyway, and a non-serializable
+    // conjunct (a surviving subquery fragment) would otherwise fail
+    // Task-not-serializable only past the distributed threshold —
+    // i.e. only on large tables, where the driver path is conservative
+    val conjuncts = analyzeConjuncts(bind).filter(GraftTable.prunable)
+    if (conjuncts.isEmpty)
+      return entriesDataset(refs.map(_.path))
+        .collect().toSeq.sortBy(e => (e.content, e.path))
     val m = meta
     val sch = StructType.fromDDL(m.schemaDdl)
     val mapping = m.physicalNames
@@ -2127,30 +2194,49 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * the same optimistic-concurrency base pinning. */
   private[lake] def cowTransaction(operation: String,
       explicitBranch: Option[String] = None)(
-      f: (Seq[ManifestEntry], Seq[ManifestEntry] => DataFrame) =>
+      f: CowSnapshot =>
         Option[(Set[String], DataFrame, Map[String, String])])
       : Option[SnapshotMeta] = {
     val branch = resolveBranch(explicitBranch)
     val b = captureBase()
-    val entries = branch match {
-      case None => b.entries
-      case Some(br) => manifestOf(branchHead(b, br))
-    }
-    f(entries, es => readWithLineage(es)) match {
+    val head = headSnapshot(b, branch)
+    f(new CowSnapshot(head)) match {
       case None => None
       case Some((affected, outRows, summary)) =>
-        val keep = entries.filter(e =>
-          e.content != 0 || !affected.contains(abs(e)))
         val snapId = nextSnapshotHint
         val moved = writeDataFiles(outRows)
         val newEntries = statEntries(moved, content = 0, snapId)
-        branch match {
-          case None => Some(commitSnapshot(b, snapId, operation,
-            keep ++ newEntries, summary))
-          case Some(br) => Some(commitSnapshotOnBranch(b, snapId,
-            operation, br, keep ++ newEntries, summary))
-        }
+        // segment-narrowed commit: only parent segments whose path
+        // bounds can hold an affected file are read; commit driver
+        // work is O(touched segments + new files), not O(table)
+        Some(commitDeltaFast(b, snapId, branch, operation, affected,
+          newEntries, summary).getOrElse {
+          val entries = head.map(manifestOf).getOrElse(Nil)
+          val keep = entries.filter(e =>
+            e.content != 0 || !affected.contains(abs(e)))
+          branch match {
+            case None => commitSnapshot(b, snapId, operation,
+              keep ++ newEntries, summary)
+            case Some(br) => commitSnapshotOnBranch(b, snapId,
+              operation, br, keep ++ newEntries, summary)
+          }
+        })
     }
+  }
+
+  /** The snapshot view a COW transaction plans against: `entries`
+    * materializes the FULL head manifest (MERGE's discovery join
+    * reads the whole target anyway); `pruned` plans through
+    * [[prunedEntriesOf]] — stats-narrowed, executor-side past the
+    * distributed threshold — so predicate DML never materializes the
+    * table's entry list on the driver. */
+  private[lake] final class CowSnapshot(head: Option[SnapshotMeta]) {
+    lazy val entries: Seq[ManifestEntry] =
+      head.map(manifestOf).getOrElse(Nil)
+    def pruned(bind: DataFrame => Column): Seq[ManifestEntry] =
+      head.map(prunedEntriesOf(_, bind)).getOrElse(Nil)
+    def readLineage(es: Seq[ManifestEntry]): DataFrame =
+      readWithLineage(es)
   }
 
   /** Resolve a branch's head snapshot from a captured base, rejecting
@@ -2248,15 +2334,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
       bind: DataFrame => Column, transform: DataFrame => DataFrame,
       operation: String,
       claimKey: Option[String] = None): Option[SnapshotMeta] =
-    cowTransaction(operation, branch) { (entries, readLin) =>
-      val tgt = claimedOr(pruneByPredicate(entries, bind), claimKey,
-        readLin)
+    cowTransaction(operation, branch) { snap =>
+      // discovery over stats-pruned candidates only — planned through
+      // prunedEntriesOf, so a big table's entry list never
+      // materializes on the driver (executor-side past the threshold)
+      val pruned = snap.pruned(bind)
+      val tgt = claimedOr(pruned, claimKey, snap.readLineage)
       val affected = tgt.filter(bind(tgt)).select(FileCol).distinct()
         .collect().map(r => Io.normalize(r.getString(0))).toSet
       if (affected.isEmpty) None
       else Some((affected,
-        transform(claimedOr(victimEntries(entries, affected), claimKey,
-          readLin).drop(FileCol, PosCol)),
+        // victims ⊆ pruned candidates (affected files came from the
+        // pruned read), plus every delete file so MOR masks apply —
+        // both already in `pruned` (it keeps all content != 0)
+        transform(claimedOr(victimEntries(pruned, affected), claimKey,
+          snap.readLineage).drop(FileCol, PosCol)),
         Map("rewritten-files" -> affected.size.toString,
           "mode" -> "copy-on-write")))
     }
@@ -2454,20 +2546,56 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // files for remove_orphan_files — never published metadata that
     // points at deleted manifests, which would wedge every whole-log
     // operation (allEntries, orphan scans, file summaries).
-    val removedManifests = removed.map(s =>
-      (manifestFilesOf(s), manifestOf(s)))
-    val reachable = entriesAcross(retained).map(abs).toSet
+    commitMeta(b, m.copy(snapshots = retained, refs = liveRefs))
+    sweepExpired(retained, removed)
+    removed.map(_.snapshotId)
+  }
+
+  /** Physically delete everything `removed` reaches that `retained`
+    * does not — shared by both expire forms. Metadata files (manifest
+    * lists + segments) are decided from the refs alone. DATA-file
+    * reachability past the distributed threshold runs as an
+    * executor-side anti-join over the segment scan — candidates come
+    * only from removed-EXCLUSIVE segments (a segment shared with a
+    * retained snapshot is reachable by definition), checked against
+    * the full retained segment scan — so expiring history on a
+    * million-file table costs the driver O(actually-deleted files),
+    * never an O(table files) reachable-set. Below the threshold (or
+    * with legacy inline manifests) the original driver walk runs. */
+  private def sweepExpired(retained: Seq[SnapshotMeta],
+      removed: Seq[SnapshotMeta]): Unit = {
     // segments are SHARED across snapshots: only metadata files no
     // retained snapshot's manifest list still reaches may be deleted
     val retainedMeta = retained.flatMap(manifestFilesOf).toSet
-    commitMeta(b, m.copy(snapshots = retained, refs = liveRefs))
-    for ((metaFiles, entries) <- removedManifests) {
-      for (e <- entries if !reachable(abs(e)))
-        Files.deleteIfExists(Path.of(abs(e)))
-      for (rel <- metaFiles if !retainedMeta(rel))
+    if (serveDistributed(retained ++ removed)) {
+      val retainedSegs = retained.flatMap(s => segmentsOf(s).map(_.path))
+        .distinct
+      val retainedSegSet = retainedSegs.toSet
+      val removedExcl = removed.flatMap(s => segmentsOf(s).map(_.path))
+        .distinct.filterNot(retainedSegSet)
+      if (removedExcl.nonEmpty) {
+        val cand = segmentEntriesDf(removedExcl)
+          .select(absCol(col("path")).as("p")).distinct()
+        val doomed =
+          if (retainedSegs.isEmpty) cand
+          else cand.join(segmentEntriesDf(retainedSegs)
+            .select(absCol(col("path")).as("p")), Seq("p"), "left_anti")
+        doomed.collect().foreach(r =>
+          Files.deleteIfExists(Path.of(r.getString(0))))
+      }
+      for (s <- removed; rel <- manifestFilesOf(s) if !retainedMeta(rel))
         Files.deleteIfExists(root.resolve(rel))
+    } else {
+      val removedManifests = removed.map(s =>
+        (manifestFilesOf(s), manifestOf(s)))
+      val reachable = entriesAcross(retained).map(abs).toSet
+      for ((metaFiles, entries) <- removedManifests) {
+        for (e <- entries if !reachable(abs(e)))
+          Files.deleteIfExists(Path.of(abs(e)))
+        for (rel <- metaFiles if !retainedMeta(rel))
+          Files.deleteIfExists(root.resolve(rel))
+      }
     }
-    removed.map(_.snapshotId)
   }
 
   /** Targeted expiry — Iceberg's `expire_snapshots(snapshot_ids =>
@@ -2499,17 +2627,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val drop = ids.toSet
     val (removed, retained) = m.snapshots.partition(s =>
       drop(s.snapshotId))
-    val removedManifests = removed.map(s =>
-      (manifestFilesOf(s), manifestOf(s)))
-    val reachable = entriesAcross(retained).map(abs).toSet
-    val retainedMeta = retained.flatMap(manifestFilesOf).toSet
     commitMeta(b, m.copy(snapshots = retained))
-    for ((metaFiles, entries) <- removedManifests) {
-      for (e <- entries if !reachable(abs(e)))
-        Files.deleteIfExists(Path.of(abs(e)))
-      for (rel <- metaFiles if !retainedMeta(rel))
-        Files.deleteIfExists(root.resolve(rel))
-    }
+    sweepExpired(retained, removed)
     removed.map(_.snapshotId)
   }
 
@@ -2737,18 +2856,37 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "Cannot remove orphan files with an interval less than 3 days " +
         "(pass force=true to override, matching the reference's " +
         "Action-API bypass)")
-    val referenced = entriesAcross(meta.snapshots).map(abs).toSet
+    val m = meta
     val dir = location.getOrElse(dataDir)
-    val orphans = Io.listRecursive(dir).filter { p =>
-      val a = p.toAbsolutePath.toString
-      !referenced(a) && Files.getLastModifiedTime(p).toMillis < olderThanMs
-    }
+    val aged = Io.listRecursive(dir).filter(p =>
+      Files.getLastModifiedTime(p).toMillis < olderThanMs)
+    // reference check: past the distributed threshold the aged listing
+    // anti-joins the executor-side segment scan — the driver holds the
+    // (age-bounded) listing and the surviving orphans, never an
+    // O(table files) referenced-path set
+    val orphans: Seq[Path] =
+      if (aged.isEmpty) Nil
+      else if (serveDistributed(m.snapshots)) {
+        val segs = m.snapshots.flatMap(s => segmentsOf(s).map(_.path))
+          .distinct
+        val listDf = spark.createDataset(
+          aged.map(_.toAbsolutePath.toString))(
+          org.apache.spark.sql.Encoders.STRING).toDF("p")
+        val survivors =
+          if (segs.isEmpty) listDf
+          else listDf.join(segmentEntriesDf(segs)
+            .select(absCol(col("path")).as("p")), Seq("p"), "left_anti")
+        survivors.collect().map(r => Path.of(r.getString(0))).toSeq
+          .sortBy(_.toString)
+      } else {
+        val referenced = entriesAcross(m.snapshots).map(abs).toSet
+        aged.filterNot(p => referenced(p.toAbsolutePath.toString))
+      }
     // Losing commit attempts leave unreferenced snap-*.json manifest
     // lists AND seg-*.json segments (names are per-attempt unique, so
     // they can never alias a live one). They are metadata orphans
     // under the same age rule — the cutoff also protects a concurrent
     // writer's manifest written but not yet published.
-    val m = meta
     val liveManifests = m.snapshots
       .flatMap(manifestFilesOf)
       .map(rel => root.resolve(rel).toAbsolutePath.toString)
@@ -3124,7 +3262,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   private def metadataDistributedThreshold: Long =
     spark.conf.getOption("spark.graft.metadata.distributedThreshold")
-      .map(_.toLong).getOrElse(100000L)
+      // defensive like splitFactor/maxBucketBytes: a typo'd session
+      // conf degrades to the default, never crashes a read or DML
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(100000L)
 
   /** Total entries across these snapshots' manifests from segment refs
     * only; None when a legacy inline manifest hides the count. */
@@ -3736,6 +3877,23 @@ object GraftTable {
   private[lake] def isNumericStat(dt: DataType): Boolean = dt match {
     case StringType => false
     case _ => true
+  }
+
+  /** The conjunct shapes [[mayMatch]] actually prunes on. Everything
+    * else returns true there, so callers that SHIP conjuncts to
+    * executors drop the rest driver-side — they never prune, and only
+    * these literal-vs-attribute comparison trees are trivially
+    * serializable. */
+  private[lake] def prunable(c: Expression): Boolean = c match {
+    case EqualTo(_: AttributeReference, _: Literal) => true
+    case EqualTo(_: Literal, _: AttributeReference) => true
+    case LessThan(_: AttributeReference, _: Literal) => true
+    case LessThanOrEqual(_: AttributeReference, _: Literal) => true
+    case GreaterThan(_: AttributeReference, _: Literal) => true
+    case GreaterThanOrEqual(_: AttributeReference, _: Literal) => true
+    case In(_: AttributeReference, vs) =>
+      vs.forall(_.isInstanceOf[Literal])
+    case _ => false
   }
 
   /** Conservative overlap test: only prunes when the conjunct is a

@@ -1670,17 +1670,28 @@ object LakeQueries extends QueryCatalog {
     * re-applied last. WEAK keys: a stopped/discarded caller session
     * must not be pinned (nor its twin) by this cache; all access is
     * under the map's monitor. */
-  private val tunedSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]
+  private val tunedSessions = new java.util.WeakHashMap[
+    SparkSession, (SparkSession, scala.collection.mutable.Set[String])]
   private def tunedSession(outer: SparkSession): SparkSession =
     tunedSessions.synchronized {
-      val s = Option(tunedSessions.get(outer)).getOrElse {
-        val fresh = outer.newSession()
+      val (s, synced) = Option(tunedSessions.get(outer)).getOrElse {
+        val fresh =
+          (outer.newSession(), scala.collection.mutable.Set.empty[String])
         tunedSessions.put(outer, fresh)
         fresh
       }
-      outer.conf.getAll.foreach { case (k, v) =>
-        try s.conf.set(k, v)
+      // fidelity both ways: a conf the caller UNSET since the last
+      // sync must not linger on the twin — unset every key THIS sync
+      // set that the caller no longer carries (only our own keys:
+      // unsetting arbitrary twin keys would clobber its defaults)
+      val outerAll = outer.conf.getAll
+      for (k <- synced.toSeq if !outerAll.contains(k)) {
+        try s.conf.unset(k)
+        catch { case scala.util.control.NonFatal(_) => () }
+        synced -= k
+      }
+      outerAll.foreach { case (k, v) =>
+        try { s.conf.set(k, v); synced += k }
         catch { case scala.util.control.NonFatal(_) => () } // static conf
       }
       s.conf.set("spark.sql.adaptive.enabled", "false")

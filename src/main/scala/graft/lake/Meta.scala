@@ -56,7 +56,16 @@ final case class ManifestSegmentRef(
     dataFileCount: Int,
     deleteFileCount: Int,
     recordCount: Long, // data (content=0) record sum
-    sizeBytes: Long) // segment file length on disk
+    sizeBytes: Long, // segment file length on disk
+    // bounds over the segment's RAW entry.path strings (Iceberg keeps
+    // the analogous partition-bound summaries on manifest-list
+    // entries): an entry-removing commit reads ONLY segments whose
+    // range can contain a removed path — a 1-file COW on a 1000-
+    // segment table parses one segment, not all of them. None on
+    // refs written before this field existed → those segments are
+    // always read (conservative, never wrong).
+    minPath: Option[String] = None,
+    maxPath: Option[String] = None)
 
 /** The manifest-list document a `snap-*.json` holds. (Pre-segment
   * metadata stored a bare entry ARRAY in the same file; readers sniff

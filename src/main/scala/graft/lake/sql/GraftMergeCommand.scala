@@ -201,7 +201,11 @@ case class GraftMergeCommand(
     // collect, insert frame, and change probe — persist it so the
     // full-table join runs ONCE per MERGE, not once per consumer
     var joinedCached: DataFrame = null
-    try g.cowTransaction("merge") { (entries, readLin) =>
+    try g.cowTransaction("merge") { snap =>
+      // MERGE's discovery is a full-outer join against the whole
+      // target — the full entry list is genuinely needed here
+      val entries = snap.entries
+      val readLin = snap.readLineage _
       val src = sourceFrame(session)
       val tgt1 = targetFrame(g, entries, readLin)
         .withColumn(TgtMark, lit(true))

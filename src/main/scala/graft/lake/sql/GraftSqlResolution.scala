@@ -137,10 +137,74 @@ case class GraftSqlResolution(session: SparkSession)
       val assigned = local ++ runtimePruneAssignments(other, local.keySet)
       other.transformUp {
         case GraftRel(r, t) =>
-          substitute(r, assigned.getOrElse(r, t.read()))
-        case GraftMetaRel(r, t) => substitute(r, t.df)
+          substitute(r, optionsRead(r, t)
+            .orElse(assigned.get(r)).getOrElse(t.read()))
+        case GraftMetaRel(r, t) =>
+          rejectUnknownOptions(r, t.name(), Set.empty)
+          substitute(r, t.df)
       }
     case other => other
+  }
+
+  /** Iceberg's read-option names on a graft relation (the reference's
+    * exact time-travel form, demo.py:261,303,531:
+    * `spark.read.option("snapshot-id", id).table(...)`):
+    * `snapshot-id` / `as-of-timestamp` (ms since epoch) / `branch` /
+    * `tag` pin the read to that state, and an EXPIRED snapshot id
+    * throws exactly like the Scala `readAt` (the demo's post-expiry
+    * failure path, demo.py:300-306). Anything unrecognized REFUSES
+    * loudly: a silently-ignored read option would answer a time-travel
+    * read with CURRENT data — a wrong answer, the worst failure mode. */
+  private val readOptionNames =
+    Seq("snapshot-id", "as-of-timestamp", "branch", "tag")
+
+  private def rejectUnknownOptions(r: DataSourceV2Relation, name: String,
+      known: Set[String]): Unit = {
+    val unknown = r.options.keySet().asScala
+      .filterNot(k => known.contains(k.toLowerCase))
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unsupported read option(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"on graft relation $name" +
+        (if (known.nonEmpty)
+          s" (supported: ${known.toSeq.sorted.mkString(", ")})" else ""))
+  }
+
+  private def optionsRead(r: DataSourceV2Relation, t: GraftSqlTable)
+      : Option[DataFrame] = {
+    if (r.options.isEmpty) return None
+    rejectUnknownOptions(r, t.name(), readOptionNames.toSet)
+    val set = readOptionNames.filter(k => r.options.containsKey(k))
+    if (set.size > 1) throw new IllegalArgumentException(
+      s"conflicting read options on graft relation ${t.name()}: " +
+        set.mkString(", ") + " (set exactly one)")
+    if (t.pinnedSnapshot.nonEmpty) throw new IllegalArgumentException(
+      s"cannot combine read option ${set.head} with VERSION/TIMESTAMP " +
+        s"AS OF on graft relation ${t.name()}")
+    def longOpt(k: String): Long = {
+      val raw = r.options.get(k)
+      try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"read option $k on graft relation ${t.name()} must be a " +
+            s"long, got '$raw'")
+      }
+    }
+    Some(set.head match {
+      case "snapshot-id" => t.graft.readAt(longOpt("snapshot-id"))
+      case "as-of-timestamp" =>
+        val ms = longOpt("as-of-timestamp")
+        val snap = t.graft.meta.snapshots.filter(_.timestampMs <= ms)
+          .sortBy(_.timestampMs).lastOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"no snapshot of ${t.name()} at or before $ms"))
+        t.graft.readAt(snap.snapshotId)
+      case ref => // branch | tag
+        val refName = r.options.get(ref)
+        // "main" is the implicit current-snapshot pointer (Iceberg's
+        // branch=main), a named ref only after an explicit create
+        if (refName == "main" && !t.graft.meta.refs.contains("main"))
+          t.graft.read()
+        else t.graft.readRef(refName)
+    })
   }
 
   /** SQL-path storage-partitioned joins, behind the opt-in session
@@ -170,7 +234,10 @@ case class GraftSqlResolution(session: SparkSession)
           case _ => None // computed key: no storage column behind it
         }
       case GraftRel(r, t)
-          if t.pinnedSnapshot.isEmpty && r.outputSet.contains(attr) =>
+          // options-pinned relations (snapshot-id/branch/... reads)
+          // must never route to a current-snapshot fast path
+          if t.pinnedSnapshot.isEmpty && r.options.isEmpty &&
+            r.outputSet.contains(attr) =>
         Some((r, t, attr.name))
       case _ => None
     }

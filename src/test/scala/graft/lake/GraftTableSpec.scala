@@ -1450,6 +1450,135 @@ class GraftTableSpec extends SparkSuite {
     assert(t.read().filter(col("case_id") === "case-3").count() === 0)
   }
 
+  test("COW DML is segment-narrowed DRIVER WORK: past the distributed " +
+      "threshold a fresh handle plans AND commits a 1-file COW delete " +
+      "parsing EXACTLY the owning segment — the refs' carried path " +
+      "bounds skip every other parent segment") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("d")
+    val t = cat.createTable("d", "t", piiSchema,
+      Map("write.delete.mode" -> "copy-on-write"))
+    // 6 single-file appends → 6 one-entry segments with tight bounds
+    (1 to 6).foreach { i =>
+      val rows = Seq(Row(s"case-n$i", s"N$i", s"n$i@example.com",
+        s"k$i", s"s$i", s"sk$i", java.sql.Date.valueOf("2024-01-01")))
+      t.append(spark.createDataFrame(rows.asJava, piiSchema))
+    }
+    val key = "spark.graft.metadata.distributedThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val t2 = GraftTable.load(spark, t.root) // empty parse caches
+      val parentRefs = t2.segmentsOf(t2.currentSnapshot.get)
+      assert(parentRefs.size === 6)
+      assert(parentRefs.forall(r => r.minPath.isDefined &&
+        r.maxPath.isDefined), "segment refs must carry path bounds")
+      t2.delete(col("case_id") === "case-n4")
+      assert(t2.segmentLoads.get() === 1,
+        "a 1-file COW on a 6-segment table must parse exactly the " +
+          s"owning segment, got ${t2.segmentLoads.get()}")
+      val after = t2.segmentsOf(t2.currentSnapshot.get)
+      // 5 untouched parent segments shared VERBATIM; the victim's
+      // one-entry segment vanished with its only entry (no rewrite);
+      // no replacement data files (the delete emptied the file)
+      assert(after.toSet.intersect(parentRefs.toSet).size === 5,
+        "untouched parent segments must be reused verbatim")
+      assert(!after.contains(parentRefs(3)))
+    } finally spark.conf.unset(key)
+    assert(t.read().count() === 5)
+    assert(t.read().filter(col("case_id") === "case-n4").count() === 0)
+  }
+
+  test("COW update past the threshold reads only touched segments and " +
+      "appends its rewritten file last — survivors keep segment order") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("d")
+    val t = cat.createTable("d", "t", piiSchema,
+      Map("write.update.mode" -> "copy-on-write"))
+    // one multi-file append (one segment with several entries) plus
+    // single-file appends around it
+    val wide = (1 to 32).map(i => Row(f"case-w$i%02d", s"N$i",
+      s"n$i@example.com", s"k$i", s"s$i", s"sk$i",
+      java.sql.Date.valueOf("2024-02-01")))
+    t.appendClustered(spark.createDataFrame(wide.asJava, piiSchema),
+      Seq("case_id"), nFiles = 4)
+    t.append(seedDf)
+    val key = "spark.graft.metadata.distributedThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val t2 = GraftTable.load(spark, t.root)
+      val parentRefs = t2.segmentsOf(t2.currentSnapshot.get)
+      assert(parentRefs.size === 2)
+      // update one row inside the 4-file clustered segment: that
+      // segment is read (and rewritten with 3 survivors), the seedDf
+      // segment is skipped by bounds
+      t2.update(col("case_id") === "case-w07",
+        Map("secure_txt" -> lit("REDACTED")))
+      assert(t2.segmentLoads.get() === 1,
+        "only the touched segment may be parsed, got " +
+          t2.segmentLoads.get())
+      val after = t2.segmentsOf(t2.currentSnapshot.get)
+      assert(after.contains(parentRefs(1)),
+        "the untouched segment must stay shared verbatim")
+      assert(after.last.entryCount === 1 && after.last.dataFileCount === 1,
+        "the rewritten data file must land in a fresh trailing segment")
+    } finally spark.conf.unset(key)
+    assert(t.read().filter(col("secure_txt") === "REDACTED").count() === 1)
+    assert(t.read().count() === 35)
+  }
+
+  test("whole-log sweeps are distributed past the threshold: a fresh " +
+      "handle expires history and removes orphans with ZERO driver " +
+      "segment parses, deleting exactly what the driver walk would") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("d")
+    val t = cat.createTable("d", "t", piiSchema,
+      Map("write.delete.mode" -> "copy-on-write"))
+    (1 to 5).foreach { i =>
+      val rows = Seq(Row(s"case-n$i", s"N$i", s"n$i@example.com",
+        s"k$i", s"s$i", s"sk$i", java.sql.Date.valueOf("2024-01-01")))
+      t.append(spark.createDataFrame(rows.asJava, piiSchema))
+    }
+    t.delete(col("case_id") === "case-n2") // history-only file after this
+    val dataDir = t.root.resolve("data")
+    val preFiles = Io.listRecursive(dataDir)
+      .map(_.toAbsolutePath.toString).toSet
+    // what the driver walk would keep: the current snapshot's files
+    val liveFiles = t.files.select("file_path").collect()
+      .map(_.getString(0)).toSet
+    assert((preFiles -- liveFiles).nonEmpty,
+      "the COW-replaced file must exist pre-expiry")
+    val key = "spark.graft.metadata.distributedThreshold"
+    spark.conf.set(key, "2")
+    try {
+      val t2 = GraftTable.load(spark, t.root) // empty parse caches
+      val removedIds = t2.expireSnapshots(retainLast = 1)
+      assert(removedIds.size === 5)
+      assert(t2.segmentLoads.get() === 0,
+        "distributed expiry must not parse segments on the driver, " +
+          s"got ${t2.segmentLoads.get()}")
+      val postFiles = Io.listRecursive(dataDir)
+        .map(_.toAbsolutePath.toString).toSet
+      assert(postFiles === liveFiles,
+        "expiry must delete exactly the history-only files")
+      // orphan sweep: plant a file no snapshot references
+      val orphan = dataDir.resolve("stray-import.parquet")
+      Files.writeString(orphan, "not really parquet")
+      val t3 = GraftTable.load(spark, t.root)
+      val sweptAll = t3.removeOrphanFiles(
+        olderThanMs = System.currentTimeMillis() + 1000, force = true)
+      assert(t3.segmentLoads.get() === 0,
+        "distributed orphan sweep must not parse segments on the " +
+          s"driver, got ${t3.segmentLoads.get()}")
+      val sweptData = sweptAll.filter(_.contains("/data/"))
+      assert(sweptData ===
+        Seq(orphan.toAbsolutePath.toString),
+        "exactly the planted orphan must be swept from data/")
+      assert(!Files.exists(orphan))
+    } finally spark.conf.unset(key)
+    assert(t.read().count() === 4)
+    assert(t.read().filter(col("case_id") === "case-n2").count() === 0)
+  }
+
   test("a COW delete rewrites ONLY the segment that lost entries; " +
       "untouched segments stay shared by path") {
     val cat = new GraftCatalog(spark, freshWarehouse())

@@ -1398,6 +1398,75 @@ class GraftSqlSpec extends SparkSuite {
     assert(e.getMessage.contains("Cannot find snapshot"))
   }
 
+  test("spark.read.option time travel: snapshot-id/as-of-timestamp/" +
+    "branch/tag are honored, expired ids throw, unknown options refuse " +
+    "(the reference's read form, demo.py:261,303,531)") {
+    val ns = freshNs()
+    val tbl = createPii(ns)
+    val preDelete = snapshotIds(tbl).last
+    spark.sql(s"DELETE FROM $tbl WHERE case_id = 'case-2'")
+
+    // option-read ≡ VERSION AS OF, row for row
+    val viaOption = spark.read.option("snapshot-id", preDelete.toString)
+      .table(tbl).collect().map(_.getString(0)).sorted.toSeq
+    val viaVersionAsOf = spark.sql(
+      s"SELECT * FROM $tbl VERSION AS OF $preDelete")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(viaOption === viaVersionAsOf)
+    assert(viaOption === Seq("case-1", "case-2", "case-3"))
+    // and the current read still sees the delete
+    assert(spark.read.table(tbl).count() === 2)
+
+    // as-of-timestamp (ms since epoch, Iceberg's option name)
+    val preTs = spark.sql(s"SELECT committed_at FROM $tbl.snapshots " +
+      "ORDER BY committed_at").collect()
+      .map(_.getTimestamp(0).getTime).head
+    assert(spark.read.option("as-of-timestamp", preTs.toString)
+      .table(tbl).count() === 3)
+    intercept[IllegalArgumentException](spark.read
+      .option("as-of-timestamp", (preTs - 100000L).toString)
+      .table(tbl).collect())
+
+    // branch/tag option reads ("main" = the implicit current pointer)
+    spark.sql(s"CALL graft.system.create_tag(table => '$ns.pii_data', " +
+      s"ref => 'pre_del', snapshot_id => $preDelete)")
+    assert(spark.read.option("tag", "pre_del").table(tbl).count() === 3)
+    assert(spark.read.option("branch", "main").table(tbl).count() === 2)
+    spark.sql(s"CALL graft.system.create_branch(" +
+      s"table => '$ns.pii_data', ref => 'audit', " +
+      s"snapshot_id => $preDelete)")
+    assert(spark.read.option("branch", "audit").table(tbl).count() === 3)
+
+    // UNKNOWN read options refuse loudly — never a silent current-read
+    val unknown = intercept[Exception](spark.read
+      .option("snapshots-id", preDelete.toString).table(tbl).collect())
+    assert(unknown.getMessage.contains("unsupported read option"),
+      s"unknown option must refuse, got: ${unknown.getMessage}")
+    // conflicting known options refuse too
+    val both = intercept[Exception](spark.read
+      .option("snapshot-id", preDelete.toString)
+      .option("tag", "pre_del").table(tbl).collect())
+    assert(both.getMessage.contains("conflicting read options"))
+    // non-numeric snapshot-id refuses with the option name
+    val bad = intercept[Exception](spark.read
+      .option("snapshot-id", "not_a_long").table(tbl).collect())
+    assert(bad.getMessage.contains("snapshot-id"))
+
+    // the demo's post-expiry FAILURE path (demo.py:300-306): an
+    // option-read of an expired snapshot must THROW, not silently
+    // answer with current data (refs dropped first — they pin it)
+    spark.sql(s"CALL graft.system.drop_ref(table => '$ns.pii_data', " +
+      "ref => 'pre_del')")
+    spark.sql(s"CALL graft.system.drop_ref(table => '$ns.pii_data', " +
+      "ref => 'audit')")
+    spark.sql("CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.pii_data', " +
+      "older_than => TIMESTAMP'2035-01-01 00:00:00', retain_last => 1)")
+    val expired = intercept[Exception](spark.read
+      .option("snapshot-id", preDelete.toString).table(tbl).collect())
+    assert(expired.getMessage.contains("Cannot find snapshot"))
+  }
+
   test("CALL maintain runs the table's policy-tripped actions and " +
     "no-ops when healthy") {
     val ns = freshNs()
