@@ -72,15 +72,23 @@ object DedupQueries extends QueryCatalog {
     * the one shuffle does NOT hold across those branches (their exchange
     * partitionings differ), so the round-6 "no cache" version recomputed
     * the explode+scan per branch and ran 3–5× slower. localCheckpoint
-    * materializes the small distinct (doc_id, shingle) table to block
+    * materializes the distinct (doc_id, shingle) table to block
     * storage without registering with the shared cache manager (LlmSpec
-    * pins that, as a guard against reintroducing .cache()). The blocks
-    * themselves live in the BlockManager until the ContextCleaner
-    * collects the dropped RDD (GC-driven) or a caller unpersists them
-    * explicitly — Bench releases them per query via
-    * getPersistentRDDs. */
+    * pins that, as a guard against reintroducing .cache()).
+    *
+    * DISK_ONLY storage, explicitly: the shingle table is corpus-sized
+    * (one row per distinct doc trigram — larger than the input text),
+    * so at 100 TB the localCheckpoint default (MEMORY_AND_DISK) would
+    * fill executor memory with checkpoint blocks and evict the shuffle
+    * and operator working set. Disk blocks bound executor memory to
+    * the working set; at bench scale the table rides the OS page cache
+    * so the cost is noise. The blocks live in the BlockManager until
+    * the ContextCleaner collects the dropped RDD (GC-driven) or a
+    * caller unpersists them explicitly — Bench releases them per query
+    * via getPersistentRDDs. */
   private[graft] def shingleSetsMaterialized(docs: DataFrame): DataFrame =
-    shingleSets(docs).localCheckpoint()
+    shingleSets(docs).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
   /** Jaccard over any (doc_id, item) set table: equi-join on the item,
     * count intersections, divide by union size. Integer counts + one
@@ -94,9 +102,14 @@ object DedupQueries extends QueryCatalog {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("i"))
+    // NO broadcast hint on `sizes`: it has one row per DOCUMENT, so a
+    // forced broadcast would ship the whole corpus's size table to
+    // every executor at 100 TB. Plain equi-joins let AQE broadcast
+    // when (and only when) the runtime size actually permits; the
+    // candidate side is LSH/shingle-bounded either way.
     inter
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") /
           (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
@@ -228,9 +241,10 @@ object DedupQueries extends QueryCatalog {
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("i"))
+    // plain joins on the per-document size table (see jaccardPairs)
     inter
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") / col("sa.n")).as("ca"),
         (col("i").cast("double") / col("sb.n")).as("cb"))
@@ -283,8 +297,9 @@ object DedupQueries extends QueryCatalog {
       .join(sets.as("sb"),
         col("id_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-      .join(broadcast(sizes).as("za"), col("id_a") === col("za.doc_id"))
-      .join(broadcast(sizes).as("zb"), col("id_b") === col("zb.doc_id"))
+      // plain joins on the per-document size table (see jaccardPairs)
+      .join(sizes.as("za"), col("id_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") /
           (col("za.n") + col("zb.n") - col("i"))).as("jac"))
@@ -424,9 +439,11 @@ object DedupQueries extends QueryCatalog {
     // materialized once (the shingleSetsMaterialized idiom): three
     // consumers (both join sides + the sizes agg) would otherwise
     // recompute the scan+explode+distinct per branch — ReuseExchange
-    // does not hold across their different partitionings
+    // does not hold across their different partitionings. DISK_ONLY
+    // for the same corpus-sized reason as shingleSetsMaterialized.
     val g = wordGrams(Tables.documents(s, dir), 3, Seq("source"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
     g.as("a")
       .join(g.as("b"),

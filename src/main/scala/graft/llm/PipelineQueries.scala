@@ -674,9 +674,11 @@ object PipelineQueries extends QueryCatalog {
         col("y.sh") === col("x.sh"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("i"))
+    // no broadcast hint: `sizes` is one row per DOCUMENT (see
+    // DedupQueries.jaccardPairs) — plain equi-joins, AQE decides
     inter
-      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(col("i").cast("double") /
         (col("sa.n") + col("sb.n") - col("i")) >= 0.5)
       .select(col("id_a"), col("id_b"),
