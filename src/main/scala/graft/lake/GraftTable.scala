@@ -167,22 +167,50 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def physName(m: Map[String, String])(n: String): String =
     m.getOrElse(n, n)
 
+  /** Physical leaf name of a STRUCT column's subfield. Nested mapping
+    * keys are `"parentLogical.subLogical"` → physical leaf name (the
+    * path extension of [[physName]]); identity when unmapped. */
+  private def physSub(m: Map[String, String])(parent: String,
+      sub: String): String = m.getOrElse(s"$parent.$sub", sub)
+
+  /** Whether `f` (a top-level field) carries any nested renames —
+    * i.e. its file-side struct spells a subfield differently. */
+  private def hasNestedMapping(m: Map[String, String],
+      f: StructField): Boolean = f.dataType match {
+    case st: StructType =>
+      st.fields.exists(sf => m.contains(s"${f.name}.${sf.name}"))
+    case _ => false
+  }
+
   /** The schema as the data files spell it: logical types, physical
-    * column names. */
+    * column names — including physical SUBFIELD names for struct
+    * columns with nested renames. */
   private def physSchema(logical: StructType,
       m: Map[String, String]): StructType =
-    StructType(logical.fields.map(f => f.copy(name = physName(m)(f.name))))
+    StructType(logical.fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType if hasNestedMapping(m, f) =>
+          StructType(st.fields.map(sf =>
+            sf.copy(name = physSub(m)(f.name, sf.name))))
+        case other => other
+      }
+      f.copy(name = physName(m)(f.name), dataType = dt)
+    })
 
   /** Scan parquet files written under physical column names, surfacing
     * the logical schema (with optional (file, position) lineage). Type
     * widening (int→long, float→double) is the parquet reader's own
     * widening promotion — old narrow files read as the current wide
-    * type with no rewrite. */
+    * type with no rewrite. A struct column with nested renames comes
+    * back via a POSITIONAL struct cast (same layout, logical subfield
+    * names) — metadata-only, no per-row kernel beyond the rename. */
   private def scanParquet(paths: Seq[String], logical: StructType,
       m: Map[String, String], lineage: Boolean = false): DataFrame = {
     val raw = spark.read.schema(physSchema(logical, m)).parquet(paths: _*)
-    val aliases = logical.fields.toSeq.map(f =>
-      col(quoted(physName(m)(f.name))).as(f.name))
+    val aliases = logical.fields.toSeq.map { f =>
+      val c = col(quoted(physName(m)(f.name)))
+      (if (hasNestedMapping(m, f)) c.cast(f.dataType) else c).as(f.name)
+    }
     if (lineage)
       raw.select(aliases ++ Seq(
         col("_metadata.file_path").as(FileCol),
@@ -274,7 +302,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
         s"column in $name")
     val next = StructType(cur.fields.map(f =>
       if (f.name == field.name) f.copy(name = to) else f))
-    val mapping = (b.meta.physicalNames - field.name + (to -> phys))
+    // nested mapping keys are LOGICAL paths — a parent rename re-keys
+    // its subfield entries so "old.sub" → "new.sub" keeps resolving
+    val rekeyed = b.meta.physicalNames.map {
+      case (l, p) if l.startsWith(field.name + ".") =>
+        (to + l.stripPrefix(field.name), p)
+      case kv => kv
+    }
+    val mapping = (rekeyed - field.name + (to -> phys))
       .filter { case (l, p) => l != p } // renamed back: drop identity
     // renamed clustering columns must follow in the SAME commit, or
     // every later append fails range-clustering on a stale name
@@ -383,6 +418,146 @@ class GraftTable(val spark: SparkSession, val root: Path,
       physicalNames = mapping, properties = props,
       retiredPhysicalNames =
         (b.meta.retiredPhysicalNames ++ newlyRetired).distinct))
+  }
+
+  /** Resolve a top-level STRUCT column for nested ALTERs — refuses
+    * loudly for non-struct parents and deeper nesting (one level is
+    * the supported surface; Iceberg's `data_file` struct precedent). */
+  private def structParent(cur: StructType,
+      parent: String): (StructField, StructType) = {
+    val f = cur.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column $parent in $name"))
+    f.dataType match {
+      case st: StructType => (f, st)
+      case other => throw new UnsupportedOperationException(
+        s"nested ALTER requires a STRUCT column; $parent is " +
+          other.simpleString)
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMNS (parent.sub TYPE) — metadata-only nested
+    * evolution: the subfield joins the struct's read schema; files
+    * written before the change read it as NULL (explicit-read-schema
+    * missing-subfield semantics, the same deal as top-level ADD). The
+    * resurrect guard is per-struct: a re-added subfield whose name
+    * matches bytes still present in old files (a DROPPED subfield's
+    * physical leaf, or another subfield's file-side name) takes a
+    * fresh physical leaf name via the nested mapping. */
+  def addNestedColumn(parent: String, field: StructField): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val (pf, st) = structParent(cur, parent)
+    require(!st.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+      s"column ${pf.name}.${field.name} already exists in $name")
+    val m = b.meta.physicalNames
+    val physParent = physName(m)(pf.name)
+    val taken = st.fieldNames.flatMap(n0 => Seq(n0.toLowerCase,
+        physSub(m)(pf.name, n0).toLowerCase)).toSet ++
+      b.meta.retiredPhysicalNames
+        .filter(_.startsWith(physParent + "."))
+        .map(_.stripPrefix(physParent + ".").toLowerCase)
+    val mapping =
+      if (taken(field.name.toLowerCase)) {
+        val fresh = Iterator.from(2).map(k => s"${field.name}_$k")
+          .find(c => !taken(c.toLowerCase)).get
+        m + (s"${pf.name}.${field.name}" -> fresh)
+      } else m
+    val nextSt = StructType(st.fields :+ field.copy(nullable = true))
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      physicalNames = mapping))
+  }
+
+  /** ALTER TABLE RENAME COLUMN parent.sub TO newName — metadata-only:
+    * the physical leaf name stays on the files, the nested mapping
+    * records the new logical path, and reads come back through a
+    * positional struct cast. Time travel across the rename resolves
+    * through the mapping recorded on each snapshot, like top-level
+    * renames. */
+  def renameNestedColumn(parent: String, from: String, to: String): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val (pf, st) = structParent(cur, parent)
+    val sf = st.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column ${pf.name}.$from in $name"))
+    require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column ${pf.name}.$to already exists in $name")
+    val m = b.meta.physicalNames
+    val phys = physSub(m)(pf.name, sf.name)
+    val othersPhys = st.fieldNames.filterNot(_ == sf.name)
+      .map(n0 => physSub(m)(pf.name, n0).toLowerCase).toSet
+    require(!othersPhys(to.toLowerCase),
+      s"column name $to collides with the physical name of another " +
+        s"subfield of ${pf.name} in $name")
+    val nextSt = StructType(st.fields.map(f0 =>
+      if (f0.name == sf.name) f0.copy(name = to) else f0))
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
+    val dropped = m - s"${pf.name}.${sf.name}"
+    val mapping = // renamed back to its physical leaf: drop identity
+      if (to == phys) dropped
+      else dropped + (s"${pf.name}.$to" -> phys)
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      physicalNames = mapping))
+  }
+
+  /** ALTER TABLE DROP COLUMN parent.sub — metadata-only: the subfield
+    * leaves the read schema, its bytes linger in old files, and its
+    * physical leaf retires under the parent's physical path so a
+    * same-named re-ADD can never resurrect them. */
+  def dropNestedColumn(parent: String, sub: String): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val (pf, st) = structParent(cur, parent)
+    val sf = st.fields.find(_.name.equalsIgnoreCase(sub)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column ${pf.name}.$sub in $name"))
+    require(st.fields.length > 1,
+      s"cannot drop the only subfield of ${pf.name} " +
+        s"(drop the column itself)")
+    val m = b.meta.physicalNames
+    val physParent = physName(m)(pf.name)
+    val phys = physSub(m)(pf.name, sf.name)
+    val nextSt = StructType(st.fields.filterNot(_.name == sf.name))
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      physicalNames = m - s"${pf.name}.${sf.name}",
+      retiredPhysicalNames = (b.meta.retiredPhysicalNames :+
+        s"$physParent.$phys").distinct))
+  }
+
+  /** ALTER TABLE ALTER COLUMN parent.sub TYPE — the same
+    * metadata-only widening matrix as [[widenColumn]], applied to a
+    * struct subfield: narrow leaves in old files read wide through
+    * the parquet reader's promotion. */
+  def widenNestedColumn(parent: String, sub: String, to: DataType): Unit = {
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val (pf, st) = structParent(cur, parent)
+    val sf = st.fields.find(_.name.equalsIgnoreCase(sub)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such column ${pf.name}.$sub in $name"))
+    val ok = (sf.dataType, to) match {
+      case (a, b2) if a == b2 => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"unsupported type change for ${pf.name}.$sub: " +
+      s"${sf.dataType.simpleString} -> ${to.simpleString} " +
+      "(only widening promotions are metadata-safe)")
+    val nextSt = StructType(st.fields.map(f0 =>
+      if (f0.name == sf.name) f0.copy(dataType = to) else f0))
+    val next = StructType(cur.fields.map(f =>
+      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
+    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
   }
 
   /** Iceberg's write-audit-publish session conf: while
@@ -3490,12 +3665,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def writeDataFiles(df: DataFrame): Seq[String] = {
     val staged = stageDir()
     // files always spell columns by PHYSICAL name, so data written
-    // before and after a RENAME COLUMN reads under one schema
+    // before and after a RENAME COLUMN reads under one schema; nested
+    // renames cast the struct to its physical subfield names
+    // (positional — same layout)
     val m = meta.physicalNames
+    val sch = schema
     val physical =
       if (m.isEmpty) df
-      else df.select(df.columns.toSeq.map(c =>
-        col(quoted(c)).as(physName(m)(c))): _*)
+      else df.select(df.columns.toSeq.map { c =>
+        val cast = sch.fields.find(_.name.equalsIgnoreCase(c)) match {
+          case Some(f) if hasNestedMapping(m, f) =>
+            col(quoted(c)).cast(f.dataType match {
+              case st: StructType => StructType(st.fields.map(sf =>
+                sf.copy(name = physSub(m)(f.name, sf.name))))
+              case other => other
+            })
+          case _ => col(quoted(c))
+        }
+        cast.as(physName(m)(c))
+      }: _*)
     // `write.bloom-columns`: parquet bloom filters on the named
     // columns (logical names; stored under physical). Point lookups on
     // high-cardinality keys then skip row groups that min/max ranges

@@ -255,29 +255,48 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val removes = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }
-    val adds = changes.collect { case a: TableChange.AddColumn =>
-      if (a.fieldNames.length != 1)
-        throw new UnsupportedOperationException(
-          "ADD COLUMNS supports top-level columns only")
-      StructField(a.fieldNames.head, a.dataType, nullable = true)
+    // one level of nesting (top-level struct subfields) is supported
+    // for ADD/DROP/RENAME/TYPE — deeper paths refuse loudly
+    def depth(names: Array[String], what: String): Unit =
+      if (names.length > 2) throw new UnsupportedOperationException(
+        s"$what supports top-level columns and struct subfields " +
+          s"(one nesting level); got ${names.mkString(".")}")
+    val adds = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
     }
-    val drops = changes.collect { case d: TableChange.DeleteColumn =>
-      if (d.fieldNames.length != 1)
-        throw new UnsupportedOperationException(
-          "DROP COLUMN supports top-level columns only")
-      d.fieldNames.head
+    val nestedAdds = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames.length != 1 =>
+        depth(a.fieldNames, "ADD COLUMNS")
+        a.fieldNames.head ->
+          StructField(a.fieldNames()(1), a.dataType, nullable = true)
     }
-    val renames = changes.collect { case r: TableChange.RenameColumn =>
-      if (r.fieldNames.length != 1)
-        throw new UnsupportedOperationException(
-          "RENAME COLUMN supports top-level columns only")
-      r.fieldNames.head -> r.newName
+    val drops = changes.collect {
+      case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
+        d.fieldNames.head
     }
-    val retypes = changes.collect { case u: TableChange.UpdateColumnType =>
-      if (u.fieldNames.length != 1)
-        throw new UnsupportedOperationException(
-          "ALTER COLUMN TYPE supports top-level columns only")
-      u.fieldNames.head -> u.newDataType
+    val nestedDrops = changes.collect {
+      case d: TableChange.DeleteColumn if d.fieldNames.length != 1 =>
+        depth(d.fieldNames, "DROP COLUMN")
+        d.fieldNames.head -> d.fieldNames()(1)
+    }
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
+        r.fieldNames.head -> r.newName
+    }
+    val nestedRenames = changes.collect {
+      case r: TableChange.RenameColumn if r.fieldNames.length != 1 =>
+        depth(r.fieldNames, "RENAME COLUMN")
+        (r.fieldNames.head, r.fieldNames()(1), r.newName)
+    }
+    val retypes = changes.collect {
+      case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
+        u.fieldNames.head -> u.newDataType
+    }
+    val nestedRetypes = changes.collect {
+      case u: TableChange.UpdateColumnType if u.fieldNames.length != 1 =>
+        depth(u.fieldNames, "ALTER COLUMN TYPE")
+        (u.fieldNames.head, u.fieldNames()(1), u.newDataType)
     }
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |
@@ -289,9 +308,15 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       s"unsupported ALTER TABLE changes: ${unsupported.mkString(", ")}")
     if (adds.nonEmpty) t.addColumns(adds)
+    nestedAdds.foreach { case (p, f) => t.addNestedColumn(p, f) }
     if (drops.nonEmpty) t.dropColumns(drops)
+    nestedDrops.foreach { case (p, s) => t.dropNestedColumn(p, s) }
     renames.foreach { case (from, to) => t.renameColumn(from, to) }
+    nestedRenames.foreach { case (p, f, to) =>
+      t.renameNestedColumn(p, f, to) }
     retypes.foreach { case (c, to) => t.widenColumn(c, to) }
+    nestedRetypes.foreach { case (p, s, to) =>
+      t.widenNestedColumn(p, s, to) }
     if (removes.nonEmpty) t.updateProperties(removes, sets)
     else if (sets.nonEmpty) t.setProperties(sets)
     new GraftSqlTable(fullName(ident), t)
