@@ -31,6 +31,44 @@ class ConcurrencyPropSpec extends SparkSuite {
 
   private val schema = StructType.fromDDL("k STRING, v BIGINT")
 
+  /** In-process object-store stand-in for the commit boundary
+    * (exercising the seam the reference delegates to its REST catalog,
+    * docker-compose.yml:26-37): `publishNew` is a CONDITIONAL PUT —
+    * the atomic compare-and-set a store serves via S3
+    * `If-None-Match: *` / GCS generation-match, stood in for by the
+    * hard-link primitive — wrapped in request latency on both sides,
+    * and the mutable-pointer overwrite is a separate, slower request.
+    * That makes the window where a new version EXISTS but the hint
+    * still points at the old one wide (milliseconds, like a real
+    * store), instead of POSIX-nanoseconds — exactly the window the
+    * commit protocol's re-read/retry logic must survive. Counters
+    * expose how often the conditional put actually conflicted. */
+  private final class FakeObjectStore(latencyMs: Long)
+      extends CommitProvider {
+    val puts = new java.util.concurrent.atomic.AtomicLong
+    val conflicts = new java.util.concurrent.atomic.AtomicLong
+    private def lag(): Unit = {
+      val ms = java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(latencyMs + 1)
+      if (ms > 0) Thread.sleep(ms)
+    }
+    override def publishNew(target: java.nio.file.Path,
+        content: String): Boolean = {
+      lag()
+      val won = Io.atomicPublishNew(target, content)
+      puts.incrementAndGet()
+      if (!won) conflicts.incrementAndGet()
+      lag()
+      won
+    }
+    override def overwrite(target: java.nio.file.Path,
+        content: String): Unit = {
+      lag()
+      Io.atomicWrite(target, content)
+      lag()
+    }
+  }
+
   private sealed trait WOp
   private case class WAppend(rows: Int) extends WOp
   private case class WDeleteOwn(pick: Int) extends WOp
@@ -46,18 +84,20 @@ class ConcurrencyPropSpec extends SparkSuite {
   private val genScript: Gen[List[WOp]] =
     Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, genOp))
 
-  private def runRace(s1: List[WOp], s2: List[WOp]): Boolean = {
+  private def runRace(s1: List[WOp], s2: List[WOp],
+      provider: CommitProvider = LocalCommitProvider,
+      sweepAfter: Boolean = false): Boolean = {
     val root = graft.ScratchDirs.create("graft-race-")
       .resolve("default").resolve("race")
     GraftTable.create(spark, root, "default.race", schema,
-      Map("write.delete.mode" -> "merge-on-read"))
+      Map("write.delete.mode" -> "merge-on-read"), commit = provider)
     val appended = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val deleted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val barrier = new CyclicBarrier(2)
     def writer(tid: Int, script: List[WOp]): Thread = new Thread(() => {
       try {
-        val t = GraftTable.load(spark, root)
+        val t = GraftTable.load(spark, root, commit = provider)
         val own = scala.collection.mutable.ArrayBuffer.empty[String]
         barrier.await()
         script.zipWithIndex.foreach { case (op, j) =>
@@ -109,12 +149,25 @@ class ConcurrencyPropSpec extends SparkSuite {
         s"forked history at ${s.snapshotId}: parent ${s.parentId}, " +
           s"expected $expectedParent")
     }
+    if (sweepAfter) {
+      // losers' unpublished manifests/segments/data are debris the
+      // orphan sweep must clear WITHOUT touching anything reachable
+      val t2 = GraftTable.load(spark, root, commit = provider)
+      t2.removeOrphanFiles(
+        olderThanMs = System.currentTimeMillis() + 1000, force = true)
+      val after = t2.read().select("k").collect()
+        .map(_.getString(0)).toSet
+      assert(after == want,
+        s"orphan sweep changed visible data: missing " +
+          s"${(want -- after).take(5)} spurious ${(after -- want).take(5)}")
+    }
     true
   }
 
   test("∀ two-writer races of append/delete/compact under retry: final " +
     "state equals the serial-order result and history stays linear") {
-    val prop = Prop.forAll(genScript, genScript)(runRace)
+    val prop = Prop.forAll(genScript, genScript)(
+      (s1, s2) => runRace(s1, s2))
     // 100 races ≈ 45 s on local[4]; override with -Dgraft.race.runs
     val runs = sys.props.get("graft.race.runs").map(_.toInt).getOrElse(100)
     val params = SCTest.Parameters.default
@@ -123,5 +176,32 @@ class ConcurrencyPropSpec extends SparkSuite {
       .withWorkers(1)
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("∀ two-writer races over the OBJECT-STORE commit provider " +
+    "(conditional put + request latency, wide publish→pointer window): " +
+    "same serializability invariants hold, and the orphan sweep clears " +
+    "loser debris without touching live data") {
+    var sawConflict = false
+    val prop = Prop.forAll(genScript, genScript) { (s1, s2) =>
+      val store = new FakeObjectStore(latencyMs = 2)
+      val ok = runRace(s1, s2, provider = store, sweepAfter = true)
+      if (store.conflicts.get() > 0) sawConflict = true
+      ok
+    }
+    val runs = sys.props.get("graft.race.store.runs")
+      .map(_.toInt).getOrElse(25)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(runs)
+      .withInitialSeed(Seed(1717L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+    // the latency window must have actually exercised the conditional
+    // put's conflict path at least once across the runs — otherwise
+    // this suite proved nothing about the store semantics
+    assert(sawConflict,
+      "no conditional-put conflict occurred across all races; widen " +
+        "the latency or scripts")
   }
 }
