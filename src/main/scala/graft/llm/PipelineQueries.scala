@@ -349,6 +349,67 @@ object PipelineQueries extends QueryCatalog {
         .orderBy("lang")
   }
 
+  /** The fully-ORACLED twin of [[quantilesApprox]] (the md5-twin
+    * pattern): approximate per-lang percentiles from a DETERMINISTIC
+    * bottom-k hash sample — the k=256 rows with the smallest
+    * md5(doc_id) per lang are a uniform sample (the KMV/bottom-k
+    * sampling law), and exact rank selection over the sample gives
+    * the estimate. Everything is integer/string ops both engines
+    * compute identically. Scale shape: bottom-k by hash is MERGEABLE
+    * (per-partition k-smallest merge associatively — the same
+    * kSmallest machinery as the quantile sketch), so at 100 TB this
+    * is one map-side-combinable pass, never a global sort; groups
+    * smaller than k degrade to exact percentiles. */
+  private val quantilesSample = Q(
+    "q_pipe_quantiles_sample",
+    """WITH h AS (
+      |  SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hk,
+      |    doc_id
+      |  FROM documents
+      |), s AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+      |      AS rn
+      |  FROM h
+      |), r AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS c
+      |  FROM s WHERE rn <= 256
+      |)
+      |SELECT lang,
+      |  CAST(max(CASE WHEN r = 1 + ((c-1)*25)//100 THEN n_chars END)
+      |    AS BIGINT) AS p25,
+      |  CAST(max(CASE WHEN r = 1 + ((c-1)*50)//100 THEN n_chars END)
+      |    AS BIGINT) AS p50,
+      |  CAST(max(CASE WHEN r = 1 + ((c-1)*75)//100 THEN n_chars END)
+      |    AS BIGINT) AS p75,
+      |  CAST(max(CASE WHEN r = 1 + ((c-1)*95)//100 THEN n_chars END)
+      |    AS BIGINT) AS p95
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    Tables.documents(s, dir)
+      .selectExpr("lang", "n_chars",
+        "md5(cast(cast(doc_id as string) as binary)) as hk", "doc_id")
+      .selectExpr("lang", "n_chars",
+        "row_number() over (partition by lang order by hk, doc_id) as rn")
+      .filter(col("rn") <= 256)
+      .selectExpr("lang", "n_chars",
+        "row_number() over (partition by lang order by n_chars) as r",
+        "count(*) over (partition by lang) as c")
+      .groupBy("lang")
+      .agg(
+        expr("cast(max(case when r = 1 + ((c-1)*25) div 100 " +
+          "then n_chars end) as bigint)").as("p25"),
+        expr("cast(max(case when r = 1 + ((c-1)*50) div 100 " +
+          "then n_chars end) as bigint)").as("p50"),
+        expr("cast(max(case when r = 1 + ((c-1)*75) div 100 " +
+          "then n_chars end) as bigint)").as("p75"),
+        expr("cast(max(case when r = 1 + ((c-1)*95) div 100 " +
+          "then n_chars end) as bigint)").as("p95"))
+      .orderBy("lang")
+  }
+
   /** Int8 scalar quantization of embeddings: symmetric per-vector
     * scale (max |x| -> 127), plus the reconstruction RMSE — the
     * compression step before shipping vectors to an ANN index. All
@@ -1227,7 +1288,8 @@ object PipelineQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
-    vocab, quantiles, quantilesApprox, quantize, piiRedact, logprob,
+    vocab, quantiles, quantilesApprox, quantilesSample, quantize,
+    piiRedact, logprob,
     logprobBigram, decontaminate, minhashMd5, upsample, chunk,
     mixture, interleave, mixInterleave, stratified, datasetCard,
     tokenBudget, curationFunnel, lengthBuckets)

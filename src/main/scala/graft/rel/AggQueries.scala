@@ -117,6 +117,69 @@ object AggQueries extends QueryCatalog {
       .orderBy("l_returnflag")
   }
 
+  /** The fully-ORACLED twin of [[approxDistinct]] (the md5-twin
+    * pattern: minhash/simhash/fingerprint precedent): a hand-rolled
+    * HyperLogLog over md5-derived 60-bit hashes, exact integer
+    * arithmetic end to end. p=8 (256 registers): bucket = low 8 hash
+    * bits, rho = leading-zero rank of the remaining 52-bit window
+    * (computed via length(bin(w)) — pure string/int ops, no float
+    * log), register = max rho per bucket. The harmonic sum is kept in
+    * INTEGER space by scaling 2^-reg to 2^(53-reg) (≤ 2^61 total, no
+    * overflow, order-independent BIGINT sum), and the single float
+    * step — the raw HLL estimate alpha·m²·2^53 / S — is one IEEE
+    * multiply/divide chain over exact inputs with e0 double literals,
+    * bit-identical across engines. Same map-side-combinable shuffle
+    * shape as approx_count_distinct; registers merge by max, so this
+    * is the 100 TB rollup form too. */
+  private val approxDistinctMd5 = Q(
+    "q_agg_approx_distinct_md5",
+    """WITH d AS (
+      |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem
+      |), h AS (
+      |  SELECT l_returnflag,
+      |    (CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+      |      AS UBIGINT))::BIGINT AS h
+      |  FROM d
+      |), r AS (
+      |  SELECT l_returnflag, h & 255 AS bucket,
+      |    max(CASE WHEN (h >> 8) = 0 THEN 53
+      |        ELSE 53 - length(bin(h >> 8)) END) AS reg
+      |  FROM h GROUP BY 1, 2
+      |), s AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+      |      + (256 - count(*)) * CAST(9007199254740992 AS BIGINT)
+      |      AS hll_sum,
+      |    count(*) AS n_buckets
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT l_returnflag, n_buckets, hll_sum,
+      |  0.7213e0 / (1.0e0 + 1.079e0/256.0e0) * 65536.0e0
+      |    * 9007199254740992.0e0 / hll_sum AS approx_parts
+      |FROM s ORDER BY l_returnflag""".stripMargin
+  ) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .selectExpr("l_returnflag",
+        "cast(conv(substring(md5(cast(cast(l_partkey as string) " +
+          "as binary)), 1, 15), 16, 10) as bigint) as h")
+      .selectExpr("l_returnflag", "h & 255 as bucket",
+        "case when shiftright(h, 8) = 0 then 53 " +
+          "else 53 - length(bin(shiftright(h, 8))) end as rho")
+      .groupBy("l_returnflag", "bucket").agg(max("rho").as("reg"))
+      .groupBy("l_returnflag")
+      .agg(
+        expr("cast(sum(shiftleft(cast(1 as bigint), " +
+          "cast(53 - reg as int))) as bigint) + " +
+          "(256 - count(*)) * cast(9007199254740992 as bigint)")
+          .as("hll_sum"),
+        count(lit(1)).as("n_buckets"))
+      .selectExpr("l_returnflag", "n_buckets", "hll_sum",
+        "0.7213e0 / (1.0e0 + 1.079e0/256.0e0) * 65536.0e0 " +
+          "* 9007199254740992.0e0 / hll_sum as approx_parts")
+      .orderBy("l_returnflag")
+  }
+
   /** A5 companion: MERGEABLE distinct-count sketches (DataSketches HLL
     * via hll_sketch_agg / hll_union_agg) — the 100 TB rollup pattern
     * approx_count_distinct cannot express: per-slice sketch BINARIES
@@ -341,6 +404,6 @@ object AggQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
-    approxDistinct, hllSketch, rollupQ, cubeQ, groupingSetsQ, histogram,
-    pivotQ, unpivotQ, corrMoments)
+    approxDistinct, approxDistinctMd5, hllSketch, rollupQ, cubeQ,
+    groupingSetsQ, histogram, pivotQ, unpivotQ, corrMoments)
 }
