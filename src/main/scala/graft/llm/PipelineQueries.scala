@@ -213,6 +213,93 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("lang", "split")
   }
 
+  /** Leakage-safe train/test split — [[trainSplit]] hardened with the
+    * near-dup guard every serious LM data pipeline needs: after the
+    * deterministic 90/10 md5 split, any TRAIN document whose trigram-
+    * shingle Jaccard with some TEST document is ≥ 0.5 is flagged as
+    * LEAKY (a near-copy of held-out data would otherwise inflate every
+    * eval). Output is the per-lang contingency: split sizes, leaky
+    * train docs, and the clean train count a release would keep.
+    * Scale shape: the split is map-side; cross-split candidates
+    * materialize only on exact shingle collisions (the sparse
+    * ngram-jaccard join, never all-pairs); the leak set is a tiny
+    * distinct id list joined back for the rollup. */
+  private val splitDecontaminated = Q(
+    "q_pipe_split_decontaminated",
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN CAST(CAST(concat('0x',
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |        AS UBIGINT) % 100 AS BIGINT) < 90
+      |      THEN 'train' ELSE 'test' END AS split
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_tr, x.doc_id AS id_te, count(*) AS i
+      |  FROM dt a
+      |  JOIN b ba ON ba.doc_id = a.doc_id AND ba.split = 'train'
+      |  JOIN dt x ON x.sh = a.sh
+      |  JOIN b bx ON bx.doc_id = x.doc_id AND bx.split = 'test'
+      |  GROUP BY 1, 2
+      |), leak AS (
+      |  SELECT DISTINCT id_tr FROM inter
+      |  JOIN sz sa ON sa.doc_id = id_tr
+      |  JOIN sz sb ON sb.doc_id = id_te
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |)
+      |SELECT b.lang,
+      |  CAST(sum(CASE WHEN b.split = 'train' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_train,
+      |  CAST(sum(CASE WHEN b.split = 'test' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN l.id_tr IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_leaky_train,
+      |  CAST(sum(CASE WHEN b.split = 'train' AND l.id_tr IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_train
+      |FROM b LEFT JOIN leak l ON l.id_tr = b.doc_id
+      |GROUP BY b.lang ORDER BY b.lang""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val b = docs.select(col("doc_id"), col("lang"),
+      when(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("bigint") % 100 < 90, "train")
+        .otherwise("test").as("split"))
+    val sets = DedupQueries.shingleSetsMaterialized(docs)
+    val tagged = sets.join(b.select("doc_id", "split"), "doc_id")
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tagged.filter(col("split") === "train").as("a")
+      .join(tagged.filter(col("split") === "test").as("x"),
+        col("a.sh") === col("x.sh"))
+      .groupBy(col("a.doc_id").as("id_tr"), col("x.doc_id").as("id_te"))
+      .agg(count(lit(1)).as("i"))
+    val leak = inter
+      .join(sizes.as("sa"), col("id_tr") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_te") === col("sb.doc_id"))
+      .filter(col("i").cast("double") /
+        (col("sa.n") + col("sb.n") - col("i")) >= 0.5)
+      .select("id_tr").distinct()
+    b.join(leak, b("doc_id") === leak("id_tr"), "left")
+      .groupBy("lang")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L))
+          .cast("long").as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L))
+          .cast("long").as("n_test"),
+        sum(when(col("id_tr").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_leaky_train"),
+        sum(when(col("split") === "train" && col("id_tr").isNull, 1L)
+          .otherwise(0L)).cast("long").as("n_clean_train"))
+      .orderBy("lang")
+  }
+
   /** Stratified deterministic sample: the first 20 docs per language in
     * md5 order — a reproducible "random" sample with exact per-stratum
     * size control (what rand()-based sampling can't guarantee).
@@ -1287,7 +1374,8 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("bucket")
   }
 
-  override def all: Seq[Q] = Seq(dedupClusters, trainSplit, sample, pack,
+  override def all: Seq[Q] = Seq(dedupClusters, trainSplit,
+    splitDecontaminated, sample, pack,
     vocab, quantiles, quantilesApprox, quantilesSample, quantize,
     piiRedact, logprob,
     logprobBigram, decontaminate, minhashMd5, upsample, chunk,

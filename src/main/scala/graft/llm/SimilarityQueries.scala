@@ -2021,11 +2021,105 @@ object SimilarityQueries extends QueryCatalog {
     out.toDF("sel_order", "vec_id", "dist").orderBy("sel_order")
   }
 
+  /** Maximal Marginal Relevance (MMR) retrieval — the query-relative
+    * complement of [[kcenter]] (corpus diversity): greedily select m
+    * results balancing RELEVANCE to the query vector against
+    * REDUNDANCY with already-selected results, the standard diverse
+    * top-k re-rank for retrieval-augmented training data. Similarity
+    * is negative squared distance on the kmeans integer grid, so the
+    * MMR objective λ·sim(q,v) − (1−λ)·max_s sim(v,s) with λ=0.7
+    * becomes the all-integer score 3·min_s d²(v,s) − 7·d²(q,v)
+    * (scaled ×10) — exact BIGINT in both engines. Scale shape: m
+    * rounds, each ONE map pass over the candidates (query and chosen
+    * vectors are plan literals, argmax is TakeOrdered(1)); zero
+    * shuffles, like kcenter. The oracle replays the greedy chain as
+    * m−1 chained CTEs. */
+  private val MmrM = 5
+  private val mmr = Q(
+    "q_sim_mmr", {
+      val rounds = (2 to MmrM).map { k =>
+        val notIn = (1 until k).map(j => s"SELECT vec_id FROM p$j")
+          .mkString(" UNION ALL ")
+        val msDef =
+          if (k == 2)
+            s"ms2 AS (SELECT vec_id, nd AS ms FROM d2)"
+          else
+            s"""ms$k AS (
+               |  SELECT m.vec_id, least(m.ms, d.nd) AS ms
+               |  FROM ms${k - 1} m JOIN d$k d USING (vec_id)
+               |)""".stripMargin
+        s"""d$k AS (
+           |  SELECT v.vec_id,
+           |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS nd
+           |  FROM dims v JOIN dims c ON c.d = v.d
+           |    AND c.vec_id = (SELECT vec_id FROM p${k - 1})
+           |  WHERE v.vec_id <> 0
+           |  GROUP BY 1
+           |), $msDef, p$k AS (
+           |  SELECT r.vec_id,
+           |    CAST(3 * m.ms - 7 * r.rd AS BIGINT) AS score
+           |  FROM rel r JOIN ms$k m USING (vec_id)
+           |  WHERE r.vec_id NOT IN ($notIn)
+           |  ORDER BY score DESC, r.vec_id LIMIT 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val picks = (1 to MmrM).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS sel_order, vec_id, score FROM p$k")
+        .mkString("\n      |  UNION ALL ")
+      s"""WITH dims AS (
+         |  SELECT vec_id, i - 1 AS d,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |      + 5000 AS q
+         |  FROM embeddings,
+         |    unnest(generate_series(1, len(embedding))) AS u(i)
+         |), rel AS (
+         |  SELECT v.vec_id,
+         |    CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS rd
+         |  FROM dims v JOIN dims c ON c.d = v.d AND c.vec_id = 0
+         |  WHERE v.vec_id <> 0
+         |  GROUP BY 1
+         |), p1 AS (
+         |  SELECT vec_id, CAST(-7 * rd AS BIGINT) AS score FROM rel
+         |  ORDER BY rd ASC, vec_id LIMIT 1
+         |), $rounds
+         |SELECT * FROM ($picks) ORDER BY sel_order""".stripMargin
+    }
+  ) { (s, dir) =>
+    import s.implicits._
+    val all0 = kmeansShiftedBase(Tables.embeddings(s, dir))
+    def d2To(c: Seq[Long]): org.apache.spark.sql.Column =
+      aggregate(
+        zip_with(col("q"), typedlit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val q0 = all0.filter(col("vec_id") === 0L)
+      .select("q").head.getSeq[Long](0).toSeq
+    val cands = all0.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("q"), d2To(q0).as("rd"))
+    var selected = Vector.empty[(Long, Seq[Long])]
+    var out = Vector.empty[(Long, Long, Long)]
+    for (k <- 1 to MmrM) {
+      val score =
+        if (selected.isEmpty) lit(-7L) * col("rd")
+        else lit(3L) *
+          array_min(array(selected.map(s0 => d2To(s0._2)): _*)) -
+          lit(7L) * col("rd")
+      val chosenIds = selected.map(_._1)
+      val row = cands
+        .filter(if (chosenIds.isEmpty) lit(true)
+          else !col("vec_id").isInCollection(chosenIds))
+        .select(col("vec_id"), col("q"), score.as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1).head
+      selected :+= ((row.getLong(0), row.getSeq[Long](1).toSeq))
+      out :+= ((k.toLong, row.getLong(0), row.getLong(2)))
+    }
+    out.toDF("sel_order", "vec_id", "score").orderBy("sel_order")
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
-      coreset, kcenter, topicMix, recall, randomProjection, topkJl,
+      coreset, kcenter, mmr, topicMix, recall, randomProjection, topkJl,
       semanticDecon, hybridRrf)
 }
 
