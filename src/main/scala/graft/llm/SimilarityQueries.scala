@@ -2021,6 +2021,67 @@ object SimilarityQueries extends QueryCatalog {
     out.toDF("sel_order", "vec_id", "dist").orderBy("sel_order")
   }
 
+  /** Contrastive hard-negative mining — the triplet-construction op of
+    * embedding-model training data: for each query vector (a small
+    * batch, here vec_id < 3), the single most-similar SAME-label
+    * vector is the positive and the 3 most-similar DIFFERENT-label
+    * vectors are the hard negatives (random negatives are easy; the
+    * near-miss ones carry the gradient). One broadcast of the query
+    * batch, one map-side cosine pass over the corpus, then a rank
+    * window per (query, same-label?) side. At 100 TB the window
+    * partitions are few and large — pre-reduce per input partition
+    * (each keeps its own top-k) before the window, the
+    * TakeOrderedAndProject trick per group (q_pipe_sample note). */
+  private val hardNegatives = Q(
+    "q_sim_hard_negatives",
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      AS nrm
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS qid, label AS qlab, v AS qv, nrm AS qn
+      |  FROM e WHERE vec_id < 3
+      |), p AS (
+      |  SELECT q.qid, q.qlab, e.vec_id, e.label,
+      |    list_dot_product(e.v, q.qv) / (e.nrm * q.qn) AS cosd
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid
+      |), r AS (
+      |  SELECT qid, vec_id,
+      |    CASE WHEN label = qlab THEN 'positive' ELSE 'negative' END
+      |      AS role,
+      |    cosd,
+      |    row_number() OVER (PARTITION BY qid, label = qlab
+      |      ORDER BY cosd DESC, vec_id) AS rk
+      |  FROM p
+      |)
+      |SELECT qid, role, rk, vec_id, round(cosd, 4) AS cos_sim
+      |FROM r
+      |WHERE (role = 'positive' AND rk = 1)
+      |   OR (role = 'negative' AND rk <= 3)
+      |ORDER BY qid, role DESC, rk""".stripMargin
+  ) { (s, dir) =>
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val p = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlab"), col("vec_id"), col("label"),
+        cosCol(s).as("cosd"))
+    val w = Window.partitionBy(col("qid"), col("label") === col("qlab"))
+      .orderBy(desc("cosd"), col("vec_id"))
+    p.select(col("qid"), col("vec_id"),
+        when(col("label") === col("qlab"), "positive")
+          .otherwise("negative").as("role"),
+        col("cosd"), row_number().over(w).as("rk"))
+      .filter((col("role") === "positive" && col("rk") === 1) ||
+        (col("role") === "negative" && col("rk") <= 3))
+      .select(col("qid"), col("role"), col("rk"), col("vec_id"),
+        round(col("cosd"), 4).as("cos_sim"))
+      .orderBy(col("qid"), desc("role"), col("rk"))
+  }
+
   /** Maximal Marginal Relevance (MMR) retrieval — the query-relative
     * complement of [[kcenter]] (corpus diversity): greedily select m
     * results balancing RELEVANCE to the query vector against
@@ -2119,8 +2180,8 @@ object SimilarityQueries extends QueryCatalog {
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
-      coreset, kcenter, mmr, topicMix, recall, randomProjection, topkJl,
-      semanticDecon, hybridRrf)
+      coreset, kcenter, mmr, hardNegatives, topicMix, recall,
+      randomProjection, topkJl, semanticDecon, hybridRrf)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the
