@@ -167,6 +167,102 @@ object DedupQueries extends QueryCatalog {
       .orderBy("id_a", "id_b")
   }
 
+  /** Prefix-filtered set-similarity join (the PPJoin/AllPairs family):
+    * the third candidate-generation strategy after blocking
+    * ([[unigramJaccard]]) and LSH banding (minhash) — and unlike LSH it
+    * is EXACT, no recall loss. Tokens get a global rank by ascending
+    * document frequency (rare first); a pair with Jaccard ≥ t must
+    * share a token among each side's first |d| − ⌈t·|d|⌉ + 1 tokens in
+    * that order, so the candidate join runs over PREFIXES only — the
+    * rarest slice of each document — instead of every token. Exact
+    * verification then computes true Jaccard on candidates. Same
+    * blocked corpus, threshold, and output shape as
+    * q_dedup_unigram_jaccard, so the oracle doubles as an
+    * equivalence proof of the algorithm. Scale: the df table is
+    * Zipf-bounded vocabulary (one corpus pass, map-side combine); the
+    * prefix join's fanout concentrates on RARE tokens by
+    * construction — the frequent-token hot keys that skew a full
+    * token join never enter the candidate stage. */
+  private val prefixFilter = Q(
+    "q_dedup_prefix_filter",
+    """WITH docs AS (
+      |  SELECT doc_id, text FROM documents WHERE source IN ('src0','src1')
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM docs
+      |), dfreq AS (
+      |  SELECT tok, count(*) AS df FROM dt GROUP BY tok
+      |), rnk AS (
+      |  SELECT tok, row_number() OVER (ORDER BY df ASC, tok ASC) AS trank
+      |  FROM dfreq
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), pos AS (
+      |  SELECT d.doc_id, d.tok,
+      |    row_number() OVER (PARTITION BY d.doc_id ORDER BY r.trank)
+      |      AS p
+      |  FROM dt d JOIN rnk r ON r.tok = d.tok
+      |), pre AS (
+      |  SELECT p.doc_id, p.tok
+      |  FROM pos p JOIN sz s ON s.doc_id = p.doc_id
+      |  WHERE p.p <= s.n - (9 * s.n + 9) // 10 + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pre a JOIN pre b
+      |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |), inter AS (
+      |  SELECT c.id_a, c.id_b, count(*) AS i
+      |  FROM cand c
+      |  JOIN dt x ON x.doc_id = c.id_a
+      |  JOIN dt y ON y.doc_id = c.id_b AND y.tok = x.tok
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+    val dt = tokenSets(docs)
+    val rnk = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").asc, col("tok").asc)).as("trank"))
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pre = dt.join(rnk, "tok")
+      .select(col("doc_id"), col("tok"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("trank")).as("p"))
+      .join(sizes, "doc_id")
+      .filter(col("p") <=
+        col("n") - expr("(9 * n + 9) div 10") + 1)
+      .select("doc_id", "tok")
+    val cand = pre.as("a")
+      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(dt.as("x"), col("x.doc_id") === col("id_a"))
+      .join(dt.as("y"), col("y.doc_id") === col("id_b") &&
+        col("y.tok") === col("x.tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
+      .filter(col("jac") >= 0.9)
+      .select(col("id_a"), col("id_b"),
+        round(col("jac"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Word-trigram shingle Jaccard >= 0.5 over the FULL table — no
     * blocking needed because the shingle join is sparse (only docs
     * sharing an exact 3-token sequence pair up).
@@ -947,7 +1043,8 @@ object DedupQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] = Seq(
-    exact, unigramJaccard, ngramJaccard, containment, minhashLsh, simhash,
+    exact, unigramJaccard, prefixFilter, ngramJaccard, containment,
+    minhashLsh, simhash,
     simhashMd5, sourceOverlap, embeddingNearDup, substringCoverage,
     substringRewrite, boilerplate, incremental, fuzzy)
 }
