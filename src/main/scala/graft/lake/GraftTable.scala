@@ -395,8 +395,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "(rewrite data files first)"))
     val next = StructType(cur.fields.filterNot(f =>
       lower(f.name.toLowerCase)))
+    // purge the dropped columns' keys INCLUDING their nested
+    // "parent.sub" entries — a stale nested key would rebind to a
+    // later same-named struct and read the wrong physical leaf
     val mapping = b.meta.physicalNames.filter { case (l, _) =>
-      !lower(l.toLowerCase) }
+      !lower(l.split('.').head.toLowerCase) }
     // retire the dropped columns' physical names: their bytes linger
     // in old files, so a same-named ADD COLUMN must not rebind to them
     val newlyRetired = cur.fields.toSeq
@@ -553,6 +556,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     require(ok, s"unsupported type change for ${pf.name}.$sub: " +
       s"${sf.dataType.simpleString} -> ${to.simpleString} " +
       "(only widening promotions are metadata-safe)")
+    // same type-sensitive bucket-hash guard as widenColumn: a spec may
+    // name the nested path, and stale bucket stats would mis-prune
+    if (sf.dataType != to)
+      clusterFields.getOrElse(Nil).collect {
+        case bf: BucketField
+          if bf.column.equalsIgnoreCase(s"${pf.name}.${sf.name}") => bf
+      }.foreach(bf => throw new IllegalArgumentException(
+        s"cannot widen ${pf.name}.$sub while it is clustered " +
+          s"${bf.spec}: bucket hashing is type-sensitive and existing " +
+          "files' bucket stats would become wrong; drop the bucket " +
+          "clustering first"))
     val nextSt = StructType(st.fields.map(f0 =>
       if (f0.name == sf.name) f0.copy(dataType = to) else f0))
     val next = StructType(cur.fields.map(f =>
@@ -3013,6 +3027,23 @@ class GraftTable(val spark: SparkSession, val root: Path,
 
   /** Read at a named ref — `SELECT ... VERSION AS OF 'ref-name'`. */
   def readRef(name: String): DataFrame = readAt(refSnapshotId(name))
+
+  /** The PUBLISHED main-branch state, ignoring `spark.wap.branch` —
+    * what an explicit `branch=main` read must serve: re-routing it to
+    * staged data would be the silent-wrong-answer the option exists
+    * to rule out. */
+  def readMainBranch(): DataFrame =
+    meta.currentSnapshotId.map(readAt).getOrElse(emptyDf)
+
+  /** Latest MAIN-ancestry snapshot committed at or before `ms` — the
+    * Iceberg snapshot-log semantics behind `TIMESTAMP AS OF` and the
+    * `as-of-timestamp` read option. Branch/WAP-staged snapshots share
+    * the snapshot LIST but are not ancestors of the published head, so
+    * a timestamp read can never surface unpublished data; rollbacks
+    * re-root the walk at the rolled-back head, like Iceberg. */
+  def snapshotAsOfMs(ms: Long): Option[SnapshotMeta] =
+    ancestorsOf(None).filter(_.timestampMs <= ms)
+      .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
 
   def refSnapshotId(name: String): Long =
     meta.refs.getOrElse(name, throw new IllegalArgumentException(

@@ -173,16 +173,18 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch; resolve to
-    * the latest snapshot at or before that instant. */
+    * the latest MAIN-ancestry snapshot at or before that instant
+    * ([[GraftTable.snapshotAsOfMs]] — branch/WAP-staged snapshots
+    * share the snapshot list but were never published, so a timestamp
+    * read must not see them). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val base = loadTable(ident)
     base match {
       case g: GraftSqlTable =>
         val ms = timestamp / 1000L
-        val snap = g.graft.meta.snapshots.filter(_.timestampMs <= ms)
-          .sortBy(_.timestampMs).lastOption.getOrElse(
-            throw new IllegalArgumentException(
-              s"no snapshot of ${fullName(ident)} at or before $ms"))
+        val snap = g.graft.snapshotAsOfMs(ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot of ${fullName(ident)} at or before $ms"))
         new GraftSqlTable(fullName(ident), g.graft, Some(snap.snapshotId))
       case other => other
     }

@@ -155,57 +155,12 @@ case class GraftSqlResolution(session: SparkSession)
     * failure path, demo.py:300-306). Anything unrecognized REFUSES
     * loudly: a silently-ignored read option would answer a time-travel
     * read with CURRENT data — a wrong answer, the worst failure mode. */
-  private val readOptionNames =
-    Seq("snapshot-id", "as-of-timestamp", "branch", "tag")
-
   private def rejectUnknownOptions(r: DataSourceV2Relation, name: String,
-      known: Set[String]): Unit = {
-    val unknown = r.options.keySet().asScala
-      .filterNot(k => known.contains(k.toLowerCase))
-    if (unknown.nonEmpty) throw new IllegalArgumentException(
-      s"unsupported read option(s) ${unknown.toSeq.sorted.mkString(", ")} " +
-        s"on graft relation $name" +
-        (if (known.nonEmpty)
-          s" (supported: ${known.toSeq.sorted.mkString(", ")})" else ""))
-  }
+      known: Set[String]): Unit =
+    GraftRelSubstitution.rejectUnknownOptions(r, name, known)
 
   private def optionsRead(r: DataSourceV2Relation, t: GraftSqlTable)
-      : Option[DataFrame] = {
-    if (r.options.isEmpty) return None
-    rejectUnknownOptions(r, t.name(), readOptionNames.toSet)
-    val set = readOptionNames.filter(k => r.options.containsKey(k))
-    if (set.size > 1) throw new IllegalArgumentException(
-      s"conflicting read options on graft relation ${t.name()}: " +
-        set.mkString(", ") + " (set exactly one)")
-    if (t.pinnedSnapshot.nonEmpty) throw new IllegalArgumentException(
-      s"cannot combine read option ${set.head} with VERSION/TIMESTAMP " +
-        s"AS OF on graft relation ${t.name()}")
-    def longOpt(k: String): Long = {
-      val raw = r.options.get(k)
-      try raw.trim.toLong catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"read option $k on graft relation ${t.name()} must be a " +
-            s"long, got '$raw'")
-      }
-    }
-    Some(set.head match {
-      case "snapshot-id" => t.graft.readAt(longOpt("snapshot-id"))
-      case "as-of-timestamp" =>
-        val ms = longOpt("as-of-timestamp")
-        val snap = t.graft.meta.snapshots.filter(_.timestampMs <= ms)
-          .sortBy(_.timestampMs).lastOption.getOrElse(
-            throw new IllegalArgumentException(
-              s"no snapshot of ${t.name()} at or before $ms"))
-        t.graft.readAt(snap.snapshotId)
-      case ref => // branch | tag
-        val refName = r.options.get(ref)
-        // "main" is the implicit current-snapshot pointer (Iceberg's
-        // branch=main), a named ref only after an explicit create
-        if (refName == "main" && !t.graft.meta.refs.contains("main"))
-          t.graft.read()
-        else t.graft.readRef(refName)
-    })
-  }
+      : Option[DataFrame] = GraftRelSubstitution.optionsRead(r, t)
 
   /** SQL-path storage-partitioned joins, behind the opt-in session
     * conf `spark.graft.bucketLocalJoin=true`: when a Join's two sides
@@ -412,12 +367,96 @@ private[sql] object GraftRelSubstitution {
     }, src)
   }
 
+  /** Every consumer of a graft relation's plan — the analyzer rule,
+    * runtime-prune dim sides, row-level subquery binding — resolves
+    * options HERE, so an options-pinned relation can never leak a
+    * current-snapshot read into some side channel. */
   def substituteAll(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case r: DataSourceV2Relation => r.table match {
-      case t: GraftSqlTable => substitute(r, t.read())
-      case t: GraftMetadataSqlTable => substitute(r, t.df)
+      case t: GraftSqlTable =>
+        substitute(r, optionsRead(r, t).getOrElse(t.read()))
+      case t: GraftMetadataSqlTable =>
+        rejectUnknownOptions(r, t.name(), Set.empty)
+        substitute(r, t.df)
       case _ => r
     }
+  }
+
+  /** Iceberg's read-option names on a graft relation (the reference's
+    * exact time-travel form, demo.py:261,303,531:
+    * `spark.read.option("snapshot-id", id).table(...)`):
+    * `snapshot-id` / `as-of-timestamp` (ms since epoch) / `branch` /
+    * `tag` pin the read to that state, and an EXPIRED snapshot id
+    * throws exactly like the Scala `readAt` (the demo's post-expiry
+    * failure path, demo.py:300-306). Anything unrecognized REFUSES
+    * loudly: a silently-ignored read option would answer a time-travel
+    * read with CURRENT data — a wrong answer, the worst failure mode. */
+  private val readOptionNames =
+    Seq("snapshot-id", "as-of-timestamp", "branch", "tag")
+
+  def rejectUnknownOptions(r: DataSourceV2Relation, name: String,
+      known: Set[String]): Unit = {
+    val unknown = r.options.keySet().asScala
+      .filterNot(k => known.contains(k.toLowerCase))
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unsupported read option(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"on graft relation $name" +
+        (if (known.nonEmpty)
+          s" (supported: ${known.toSeq.sorted.mkString(", ")})" else ""))
+  }
+
+  def optionsRead(r: DataSourceV2Relation, t: GraftSqlTable)
+      : Option[DataFrame] = {
+    if (r.options.isEmpty) return None
+    rejectUnknownOptions(r, t.name(), readOptionNames.toSet)
+    val set = readOptionNames.filter(k => r.options.containsKey(k))
+    if (set.size > 1) throw new IllegalArgumentException(
+      s"conflicting read options on graft relation ${t.name()}: " +
+        set.mkString(", ") + " (set exactly one)")
+    if (t.pinnedSnapshot.nonEmpty) throw new IllegalArgumentException(
+      s"cannot combine read option ${set.head} with VERSION/TIMESTAMP " +
+        s"AS OF on graft relation ${t.name()}")
+    def longOpt(k: String): Long = {
+      val raw = r.options.get(k)
+      try raw.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"read option $k on graft relation ${t.name()} must be a " +
+            s"long, got '$raw'")
+      }
+    }
+    def refOf(kind: String): DataFrame = {
+      val refName = r.options.get(kind)
+      // "main" is the implicit published pointer (Iceberg's
+      // branch=main), a named ref only after an explicit create —
+      // and an EXPLICIT main read must never be re-routed by
+      // spark.wap.branch to staged data
+      if (kind == "branch" && refName == "main" &&
+          !t.graft.meta.refs.contains("main"))
+        return t.graft.readMainBranch()
+      val ref = t.graft.meta.refs.getOrElse(refName,
+        throw new IllegalArgumentException(
+          s"unknown $kind $refName on graft relation ${t.name()}"))
+      // Iceberg refuses a branch option naming a tag (and vice
+      // versa): a job following a "branch" that is really an
+      // immutable tag would silently pin itself to stale data
+      if (ref.refType != kind) throw new IllegalArgumentException(
+        s"read option $kind=$refName on graft relation ${t.name()} " +
+          s"names a ${ref.refType} (use the ${ref.refType} option)")
+      t.graft.readAt(ref.snapshotId)
+    }
+    Some(set.head match {
+      case "snapshot-id" => t.graft.readAt(longOpt("snapshot-id"))
+      case "as-of-timestamp" =>
+        // MAIN-ancestry only (the snapshot-log semantics): branch or
+        // WAP-staged snapshots share the table's snapshot list but
+        // were never published — a timestamp read must not see them
+        val ms = longOpt("as-of-timestamp")
+        val snap = t.graft.snapshotAsOfMs(ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot of ${t.name()} at or before $ms"))
+        t.graft.readAt(snap.snapshotId)
+      case kind => refOf(kind) // branch | tag
+    })
   }
 }
 

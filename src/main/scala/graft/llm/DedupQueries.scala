@@ -227,12 +227,18 @@ object DedupQueries extends QueryCatalog {
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
       .filter(col("source").isin("src0", "src1"))
-    val dt = tokenSets(docs)
+    // six consumers of the token-set table (rank, sizes, both prefix
+    // sides, both verify sides) — materialize once, DISK_ONLY, the
+    // shingleSetsMaterialized idiom and rationale
+    val dt = tokenSets(docs).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val rnk = dt.groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("df").asc, col("tok").asc)).as("trank"))
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // the prefix slice self-joins: materialize so the two rank
+    // windows run once, not once per join side
     val pre = dt.join(rnk, "tok")
       .select(col("doc_id"), col("tok"), row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -241,6 +247,8 @@ object DedupQueries extends QueryCatalog {
       .filter(col("p") <=
         col("n") - expr("(9 * n + 9) div 10") + 1)
       .select("doc_id", "tok")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cand = pre.as("a")
       .join(pre.as("b"), col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -1437,6 +1437,35 @@ class GraftSqlSpec extends SparkSuite {
       s"snapshot_id => $preDelete)")
     assert(spark.read.option("branch", "audit").table(tbl).count() === 3)
 
+    // branch option naming a TAG refuses (and vice versa) — a job
+    // following a "branch" that is really an immutable tag would
+    // silently pin itself to stale data
+    val wrongKind = intercept[Exception](spark.read
+      .option("branch", "pre_del").table(tbl).collect())
+    assert(wrongKind.getMessage.contains("names a tag"))
+    val wrongKind2 = intercept[Exception](spark.read
+      .option("tag", "audit").table(tbl).collect())
+    assert(wrongKind2.getMessage.contains("names a branch"))
+
+    // an EXPLICIT branch=main read ignores spark.wap.branch (staged
+    // data must never answer a main read), and as-of-timestamp
+    // resolves over MAIN ancestry only — a WAP-staged commit with a
+    // newer timestamp is invisible to it
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      spark.sql(s"INSERT INTO $tbl VALUES ('case-9', 'Staged', " +
+        "'st@example.com', 'k9', 's9', 'sk9', DATE'2023-01-09')")
+      assert(spark.read.table(tbl).count() === 4,
+        "plain reads follow the WAP branch")
+      assert(spark.read.option("branch", "main").table(tbl)
+        .count() === 2,
+        "branch=main must serve the published state under wap.branch")
+      assert(spark.read
+        .option("as-of-timestamp", System.currentTimeMillis().toString)
+        .table(tbl).count() === 2,
+        "as-of-timestamp must not see WAP/branch-staged snapshots")
+    } finally spark.conf.unset("spark.wap.branch")
+
     // UNKNOWN read options refuse loudly — never a silent current-read
     val unknown = intercept[Exception](spark.read
       .option("snapshots-id", preDelete.toString).table(tbl).collect())
