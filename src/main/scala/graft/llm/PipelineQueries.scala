@@ -1374,11 +1374,91 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("bucket")
   }
 
+  /** Curriculum ordering — the easy→hard training schedule of an LM
+    * data pipeline: documents are staged by a difficulty signal (mean
+    * token length, the [[q_text_quality]] expression) and shuffled
+    * deterministically WITHIN each stage, so training consumes simple
+    * text first without ever reading in a data-dependent order twice.
+    * Stage boundaries are the sample quartiles from the deterministic
+    * bottom-k md5 sample ([[quantilesSample]]'s KMV law) — ONE tiny
+    * broadcast, so stage assignment is map-side: no global sort ever
+    * touches the corpus (ntile would shuffle-sort 100 TB; a 256-row
+    * sample + broadcast boundaries costs one mergeable pass). The
+    * within-stage order is md5('cur42:'||doc_id) — reproducible and
+    * seed-switchable. Output: the first 25 schedule slots per stage.
+    */
+  private val curriculum = Q(
+    "q_pipe_curriculum",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS diff
+      |  FROM documents
+      |), s AS (
+      |  SELECT diff,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+      |      doc_id) AS rn
+      |  FROM t
+      |), r AS (
+      |  SELECT diff, row_number() OVER (ORDER BY diff, rn) AS r
+      |  FROM s WHERE rn <= 256
+      |), bounds AS (
+      |  SELECT max(CASE WHEN r = 64 THEN diff END) AS b1,
+      |    max(CASE WHEN r = 128 THEN diff END) AS b2,
+      |    max(CASE WHEN r = 192 THEN diff END) AS b3
+      |  FROM r
+      |), staged AS (
+      |  SELECT t.doc_id, t.diff,
+      |    1 + CASE WHEN t.diff > b.b1 THEN 1 ELSE 0 END
+      |      + CASE WHEN t.diff > b.b2 THEN 1 ELSE 0 END
+      |      + CASE WHEN t.diff > b.b3 THEN 1 ELSE 0 END AS stage
+      |  FROM t CROSS JOIN bounds b
+      |), sched AS (
+      |  SELECT stage, doc_id, diff,
+      |    row_number() OVER (PARTITION BY stage
+      |      ORDER BY md5('cur42:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS seq
+      |  FROM staged
+      |)
+      |SELECT stage, seq, doc_id, round(diff, 4) AS difficulty
+      |FROM sched WHERE seq <= 25 ORDER BY stage, seq""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        ((col("n_chars") - (size(split(col("text"), " ")) - 1))
+          .cast("double") / size(split(col("text"), " "))).as("diff"))
+    // sample quartile boundaries: bottom-256 by md5(doc_id), exact
+    // ranks 64/128/192 over the sample ordered by (diff, sample rank)
+    val bounds = t
+      .selectExpr("diff",
+        "row_number() over (order by " +
+          "md5(cast(cast(doc_id as string) as binary)), doc_id) as rn")
+      .filter(col("rn") <= 256)
+      .selectExpr("diff", "row_number() over (order by diff, rn) as r")
+      .agg(
+        expr("max(case when r = 64 then diff end)").as("b1"),
+        expr("max(case when r = 128 then diff end)").as("b2"),
+        expr("max(case when r = 192 then diff end)").as("b3"))
+    val staged = t.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("diff"),
+        (lit(1) + when(col("diff") > col("b1"), 1).otherwise(0)
+          + when(col("diff") > col("b2"), 1).otherwise(0)
+          + when(col("diff") > col("b3"), 1).otherwise(0)).as("stage"))
+    val w = Window.partitionBy("stage").orderBy(
+      md5(concat(lit("cur42:"), col("doc_id").cast("string"))
+        .cast("binary")), col("doc_id"))
+    staged.withColumn("seq", row_number().over(w))
+      .filter(col("seq") <= 25)
+      .select(col("stage"), col("seq"), col("doc_id"),
+        round(col("diff"), 4).as("difficulty"))
+      .orderBy("stage", "seq")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit,
     splitDecontaminated, sample, pack,
     vocab, quantiles, quantilesApprox, quantilesSample, quantize,
     piiRedact, logprob,
     logprobBigram, decontaminate, minhashMd5, upsample, chunk,
     mixture, interleave, mixInterleave, stratified, datasetCard,
-    tokenBudget, curationFunnel, lengthBuckets)
+    tokenBudget, curationFunnel, lengthBuckets, curriculum)
 }

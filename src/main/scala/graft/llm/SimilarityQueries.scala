@@ -2176,12 +2176,188 @@ object SimilarityQueries extends QueryCatalog {
     out.toDF("sel_order", "vec_id", "score").orderBy("sel_order")
   }
 
+  /** Scalar-quantized (SQ8) top-k — the FAISS-style per-DIMENSION
+    * affine uint8 quantizer, the third compression lane next to PQ
+    * (subspace codebooks, [[pqCodes]]) and per-vector int8
+    * ([[q_pipe_quantize]] keeps a per-row scale; SQ8 shares ONE
+    * 64-value min/max model corpus-wide, so codes compare across rows
+    * without rescaling). Serving is asymmetric: the query stays full
+    * precision, each stored vector is reconstructed from its codes
+    * (mn + c·span/255) and scored by cosine — 4× less vector memory
+    * for a near-exact ranking. Scale shape: the model is a 64-group
+    * partial-aggregated min/max pass; encode+score is ONE map pass
+    * with the model broadcast, top-k is TakeOrderedAndProject — no
+    * shuffle ever sees a vector. Codes stay DOUBLE-valued integers in
+    * both engines so the whole pipeline is bit-deterministic.
+    */
+  private val topkSq8 = Q(
+    "q_sim_topk_sq8",
+    """WITH t AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), dm AS (
+      |  SELECT i AS d, min(v[i]) AS mn, max(v[i]) AS mx
+      |  FROM t, unnest(range(1, len(v) + 1)) AS u(i)
+      |  GROUP BY i
+      |), m AS (
+      |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+      |  FROM dm
+      |), q AS (
+      |  SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn
+      |  FROM t WHERE vec_id = 0
+      |), rv AS (
+      |  SELECT t.vec_id, list_transform(range(1, len(t.v) + 1), i ->
+      |    CASE WHEN m.mxs[i] = m.mns[i] THEN m.mns[i]
+      |    ELSE m.mns[i]
+      |      + least(255.0, greatest(0.0,
+      |          floor((t.v[i] - m.mns[i]) / (m.mxs[i] - m.mns[i])
+      |            * 255.0 + 0.5)))
+      |        * (m.mxs[i] - m.mns[i]) / 255.0 END) AS r
+      |  FROM t CROSS JOIN m WHERE t.vec_id <> 0
+      |), p AS (
+      |  SELECT rv.vec_id,
+      |    list_dot_product(rv.r, q.qv)
+      |      / (sqrt(list_dot_product(rv.r, rv.r)) * q.qn) AS cosd
+      |  FROM rv CROSS JOIN q
+      |)
+      |SELECT vec_id, round(cosd, 4) AS cos_sim
+      |FROM p ORDER BY cosd DESC, vec_id LIMIT 10""".stripMargin
+  ) { (s, dir) =>
+    val t = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // the SQ8 model: per-dimension min/max (64 groups, partial-agg)
+    val m = t.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, mn))), " +
+          "e -> e.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(d, mx))), " +
+          "e -> e.mx)").as("mxs"))
+    val q = t.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"),
+        expr("sqrt(aggregate(transform(v, x -> x * x), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x))").as("qn"))
+    t.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(m))
+      // Spark lambdas index 0-based where DuckDB's range form is
+      // 1-based; both spell the identical double arithmetic
+      .select(col("vec_id"), expr(
+        """transform(v, (x, i) ->
+          |  CASE WHEN mxs[i] = mns[i] THEN mns[i]
+          |  ELSE mns[i]
+          |    + least(CAST(255.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
+          |        floor((x - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5)))
+          |      * (mxs[i] - mns[i]) / 255.0 END)""".stripMargin).as("r"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        "aggregate(zip_with(r, qv, (x, y) -> x * y), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x) " +
+          "/ (sqrt(aggregate(transform(r, x -> x * x), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> a + x)) * qn)").as("cosd"))
+      .orderBy(desc("cosd"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cosd"), 4).as("cos_sim"))
+  }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk's ratio margin) —
+    * how parallel training pairs are mined from two embedding spaces:
+    * a raw cosine threshold over-collects hubs (vectors close to
+    * everything), so each candidate pair is scored by its cosine
+    * RELATIVE to both endpoints' average top-k neighborhoods, and only
+    * MUTUAL best matches are kept. Sides here are the even/odd vec_id
+    * halves; the query batch is the 32 even ids < 64 (batched mining —
+    * the production loop walks batches). One broadcast of the batch,
+    * one map-side cosine pass over the other side, rank windows per
+    * endpoint; the per-query windows are few-and-large at 100 TB, so
+    * the [[hardNegatives]] pre-reduce note applies (each input
+    * partition keeps its own top-k before the global window). Margin
+    * denominators sum the top-4 cosines in FIXED rank order, so the
+    * double math is bit-identical across engines.
+    */
+  private val bitextMargin = Q(
+    "q_sim_bitext_margin",
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+      |      AS nrm
+      |  FROM embeddings
+      |), a AS (
+      |  SELECT vec_id AS a_id, v AS qv, nrm AS qn
+      |  FROM e WHERE vec_id % 2 = 0 AND vec_id < 64
+      |), p AS (
+      |  SELECT a.a_id, e.vec_id AS b_id,
+      |    list_dot_product(e.v, a.qv) / (e.nrm * a.qn) AS cosd
+      |  FROM e CROSS JOIN a WHERE e.vec_id % 2 = 1
+      |), r AS (
+      |  SELECT a_id, b_id, cosd,
+      |    row_number() OVER (PARTITION BY a_id
+      |      ORDER BY cosd DESC, b_id) AS rf,
+      |    row_number() OVER (PARTITION BY b_id
+      |      ORDER BY cosd DESC, a_id) AS rb
+      |  FROM p
+      |), f AS (
+      |  SELECT a_id,
+      |    ((max(CASE WHEN rf = 1 THEN cosd END)
+      |      + max(CASE WHEN rf = 2 THEN cosd END))
+      |      + max(CASE WHEN rf = 3 THEN cosd END))
+      |      + max(CASE WHEN rf = 4 THEN cosd END) AS fs
+      |  FROM r WHERE rf <= 4 GROUP BY a_id
+      |), b AS (
+      |  SELECT b_id,
+      |    ((max(CASE WHEN rb = 1 THEN cosd END)
+      |      + max(CASE WHEN rb = 2 THEN cosd END))
+      |      + max(CASE WHEN rb = 3 THEN cosd END))
+      |      + max(CASE WHEN rb = 4 THEN cosd END) AS bs
+      |  FROM r WHERE rb <= 4 GROUP BY b_id
+      |), m AS (
+      |  SELECT r.a_id, r.b_id, r.cosd,
+      |    r.cosd / ((f.fs / 4 + b.bs / 4) / 2) AS margin
+      |  FROM r JOIN f USING (a_id) JOIN b USING (b_id)
+      |  WHERE r.rf = 1 AND r.rb = 1
+      |)
+      |SELECT a_id, b_id, round(cosd, 4) AS cos_sim,
+      |  round(margin, 4) AS margin,
+      |  CASE WHEN margin >= 1.0 THEN 'mine' ELSE 'skip' END AS verdict
+      |FROM m ORDER BY a_id""".stripMargin
+  ) { (s, dir) =>
+    val e = emb(s, dir).drop("label")
+    val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 64)
+      .select(col("vec_id").as("a_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val p = e.filter(col("vec_id") % 2 === 1)
+      .crossJoin(broadcast(a))
+      .select(col("a_id"), col("vec_id").as("b_id"), cosCol(s).as("cosd"))
+    val wf = Window.partitionBy("a_id").orderBy(desc("cosd"), col("b_id"))
+    val wb = Window.partitionBy("b_id").orderBy(desc("cosd"), col("a_id"))
+    val r = p.withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    def top4(rank: String, key: String, out: String) =
+      r.filter(col(rank) <= 4).groupBy(key).agg(
+        expr(s"((max(case when $rank = 1 then cosd end)" +
+          s" + max(case when $rank = 2 then cosd end))" +
+          s" + max(case when $rank = 3 then cosd end))" +
+          s" + max(case when $rank = 4 then cosd end)").as(out))
+    r.filter(col("rf") === 1 && col("rb") === 1)
+      .join(top4("rf", "a_id", "fs"), "a_id")
+      .join(top4("rb", "b_id", "bs"), "b_id")
+      .select(col("a_id"), col("b_id"), col("cosd"),
+        (col("cosd") / ((col("fs") / 4 + col("bs") / 4) / 2)).as("margin"))
+      .select(col("a_id"), col("b_id"),
+        round(col("cosd"), 4).as("cos_sim"),
+        round(col("margin"), 4).as("margin"),
+        when(col("margin") >= 1.0, "mine").otherwise("skip").as("verdict"))
+      .orderBy("a_id")
+  }
+
   override def all: Seq[Q] =
     Seq(topkBrute, topkIvf, topkIvfProbeAll, topkLsh, knnJoin,
       centroidByLabel, centroidUdaf, topkHamming, outliers, pqCodes,
       topkAdc, topkIvfPq, topkIvfPqTrained, pqTrained, kmeans,
       coreset, kcenter, mmr, hardNegatives, topicMix, recall,
-      randomProjection, topkJl, semanticDecon, hybridRrf)
+      randomProjection, topkJl, semanticDecon, hybridRrf,
+      topkSq8, bitextMargin)
 }
 
 /** Typed Aggregator: element-wise sum + count buffer -> L2 norm of the

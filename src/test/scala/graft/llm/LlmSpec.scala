@@ -566,4 +566,66 @@ class LlmSpec extends SparkSuite {
     // third trigrams differ. sim_bp = (10000*(26-2) + 13) div 26.
     assert(got.toSeq == Seq((1L, 2L, 2L, 2L, 9231L)))
   }
+
+  private def embMap: Map[Long, Array[Double]] =
+    graft.rel.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) *
+      math.sqrt(b.map(x => x * x).sum))
+  }
+
+  test("SQ8 top-k: quantized cosines within 0.01 of exact, and >= 8/10" +
+    " of the exact top-10 survive quantization") {
+    val got = run("q_sim_topk_sq8").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    val e = embMap
+    val q = e(0L)
+    // quantization perturbs each stored vector by <= span/510 per dim:
+    // the reconstructed cosine must sit on top of the exact one
+    got.foreach { case (id, c) =>
+      assert(math.abs(c - cosine(e(id), q)) < 0.01,
+        s"SQ8 cosine drifted for vec $id: $c vs ${cosine(e(id), q)}")
+    }
+    val exact = e.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosine(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = exact.intersect(got.map(_._1).toSet).size
+    assert(recall >= 8, s"SQ8 recall@10 vs exact = $recall/10")
+  }
+
+  test("bitext margin mining: every pair is a MUTUAL best match under" +
+    " exact cosines and the margin/verdict recompute from the top-4" +
+    " neighborhoods") {
+    val got = run("q_sim_bitext_margin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4)))
+    assert(got.nonEmpty)
+    val e = embMap
+    val aIds = e.keys.filter(id => id % 2 == 0 && id < 64).toSeq.sorted
+    val bIds = e.keys.filter(_ % 2 == 1).toSeq.sorted
+    def top(ids: Seq[Long], v: Array[Double]) =
+      ids.map(i => (i, cosine(e(i), v))).sortBy { case (i, c) => (-c, i) }
+    got.foreach { case (a, b, cs, mg, verdict) =>
+      val fwd = top(bIds, e(a))
+      val bwd = top(aIds, e(b))
+      assert(fwd.head._1 == b && bwd.head._1 == a,
+        s"($a,$b) is not a mutual best match")
+      assert(math.abs(cs - cosine(e(a), e(b))) < 1e-3,
+        s"($a,$b) cosine off: $cs")
+      val denom = (fwd.take(4).map(_._2).sum / 4 +
+        bwd.take(4).map(_._2).sum / 4) / 2
+      val margin = cosine(e(a), e(b)) / denom
+      assert(math.abs(mg - margin) < 1e-3, s"($a,$b) margin off: $mg")
+      assert(verdict == (if (margin >= 1.0) "mine" else "skip"),
+        s"($a,$b) verdict $verdict at margin $margin")
+    }
+    // the batch is 32 queries; mutual-best can only shrink it
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.length <= 32)
+  }
 }
