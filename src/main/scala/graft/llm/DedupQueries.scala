@@ -82,7 +82,10 @@ object DedupQueries extends QueryCatalog {
     * fill executor memory with checkpoint blocks and evict the shuffle
     * and operator working set. Disk blocks bound executor memory to
     * the working set; at bench scale the table rides the OS page cache
-    * so the cost is noise. The blocks live in the BlockManager until
+    * and the measured cost is ~0.5 s on the largest consumer
+    * (q_dedup_fuzzy 2.7 → 3.3 s fresh-JVM at sf0.1, idle box) —
+    * accepted for the bounded-memory contract, every other consumer is
+    * tree-equal. The blocks live in the BlockManager until
     * the ContextCleaner collects the dropped RDD (GC-driven) or a
     * caller unpersists them explicitly — Bench releases them per query
     * via getPersistentRDDs. */
