@@ -173,6 +173,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def physSub(m: Map[String, String])(parent: String,
       sub: String): String = m.getOrElse(s"$parent.$sub", sub)
 
+  /** Nested mapping keys are '.'-joined logical paths, so a name that
+    * itself contains '.' would be indistinguishable from a nested path
+    * (top-level "a.b" vs subfield "b" of struct "a"). Such columns can
+    * EXIST (identity-mapped, never keyed) but cannot take part in the
+    * operations that mint mapping keys. */
+  private def requireUndotted(n: String, what: String): Unit =
+    require(!n.contains('.'),
+      s"$what '$n' contains '.': dotted names cannot participate in " +
+        "renames or nested evolution (mapping keys are '.'-joined paths)")
+
   /** Whether `f` (a top-level field) carries any nested renames —
     * i.e. its file-side struct spells a subfield differently. */
   private def hasNestedMapping(m: Map[String, String],
@@ -292,6 +302,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val cur = StructType.fromDDL(b.meta.schemaDdl)
     val field = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(s"no such column $from in $name"))
+    requireUndotted(field.name, "column")
+    requireUndotted(to, "column")
     require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column $to already exists in $name")
     val phys = physName(b.meta.physicalNames)(field.name)
@@ -397,9 +409,22 @@ class GraftTable(val spark: SparkSession, val root: Path,
       lower(f.name.toLowerCase)))
     // purge the dropped columns' keys INCLUDING their nested
     // "parent.sub" entries — a stale nested key would rebind to a
-    // later same-named struct and read the wrong physical leaf
+    // later same-named struct and read the wrong physical leaf.
+    // The purge set is built from the SCHEMA (the dropped struct's
+    // actual subfields), never by splitting keys on '.': a top-level
+    // column legally named "a.b" shares the keyspace with nested
+    // "a"."b" and must not be purged when "a" is dropped.
+    val purged: Set[String] = names.flatMap { n =>
+      val f = cur.fields.find(_.name.equalsIgnoreCase(n)).get
+      val subs = f.dataType match {
+        case st: StructType =>
+          st.fields.toSeq.map(sf => s"${f.name}.${sf.name}".toLowerCase)
+        case _ => Nil
+      }
+      f.name.toLowerCase +: subs
+    }.toSet
     val mapping = b.meta.physicalNames.filter { case (l, _) =>
-      !lower(l.split('.').head.toLowerCase) }
+      !purged(l.toLowerCase) }
     // retire the dropped columns' physical names: their bytes linger
     // in old files, so a same-named ADD COLUMN must not rebind to them
     val newlyRetired = cur.fields.toSeq
@@ -451,6 +476,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
     val (pf, st) = structParent(cur, parent)
+    requireUndotted(pf.name, "struct column")
+    requireUndotted(field.name, "subfield")
     require(!st.fieldNames.exists(_.equalsIgnoreCase(field.name)),
       s"column ${pf.name}.${field.name} already exists in $name")
     val m = b.meta.physicalNames
@@ -486,6 +513,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val sf = st.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(
         s"no such column ${pf.name}.$from in $name"))
+    requireUndotted(pf.name, "struct column")
+    requireUndotted(sf.name, "subfield")
+    requireUndotted(to, "subfield")
     require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column ${pf.name}.$to already exists in $name")
     val m = b.meta.physicalNames
@@ -584,6 +614,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def wapBranch: Option[String] =
     Option(spark.conf.get("spark.wap.branch", null))
       .map(_.trim).filter(_.nonEmpty)
+      // "main" IS the published head (Iceberg's default branch): wap
+      // routing to it is a plain publish, never a staged ref — without
+      // this, resolveBranch would auto-create a ref named "main" that
+      // SHADOWS the head for every later branch=main read
+      .filter(_ != "main")
 
   /** Effective DML target: an explicit branch wins over the session
     * conf; a conf-routed branch is created on first use. Two racing
@@ -2953,6 +2988,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
       maxRefAgeMs: Option[Long] = None): RefMeta = {
     require(refType == "branch" || refType == "tag",
       s"ref type must be branch or tag, got $refType")
+    // reserved: "main" is the table head itself (currentSnapshotId),
+    // resolved specially by fastForward/refSnapshotId/branch reads. A
+    // ref NAMED main would shadow the head and serve stale data to
+    // every later branch=main read — refuse it at the source.
+    require(name != "main",
+      "main is the table head — it always exists and cannot be " +
+        "created as a ref")
     val b = captureBase()
     require(!b.meta.refs.contains(name), s"ref $name already exists")
     val id = snapshotId.orElse(b.meta.currentSnapshotId).getOrElse(
@@ -3045,9 +3087,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     ancestorsOf(None).filter(_.timestampMs <= ms)
       .sortBy(s => (s.timestampMs, s.snapshotId)).lastOption
 
-  def refSnapshotId(name: String): Long =
+  def refSnapshotId(name: String): Long = {
+    // "main" resolves to the published head (it is never a stored
+    // ref — createRef reserves the name), so VERSION AS OF 'main'
+    // and branch plumbing treat it exactly like fastForward does
+    if (name == "main")
+      return meta.currentSnapshotId.getOrElse(
+        throw new IllegalArgumentException(
+          "branch main has no snapshots yet"))
     meta.refs.getOrElse(name, throw new IllegalArgumentException(
       s"unknown ref $name")).snapshotId
+  }
 
   /** D11/D12 remove_orphan_files: delete files under data/ that no
     * snapshot references and that are older than the cutoff. Mirrors

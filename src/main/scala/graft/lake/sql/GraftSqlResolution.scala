@@ -146,15 +146,8 @@ case class GraftSqlResolution(session: SparkSession)
     case other => other
   }
 
-  /** Iceberg's read-option names on a graft relation (the reference's
-    * exact time-travel form, demo.py:261,303,531:
-    * `spark.read.option("snapshot-id", id).table(...)`):
-    * `snapshot-id` / `as-of-timestamp` (ms since epoch) / `branch` /
-    * `tag` pin the read to that state, and an EXPIRED snapshot id
-    * throws exactly like the Scala `readAt` (the demo's post-expiry
-    * failure path, demo.py:300-306). Anything unrecognized REFUSES
-    * loudly: a silently-ignored read option would answer a time-travel
-    * read with CURRENT data — a wrong answer, the worst failure mode. */
+  // read-option handling lives in GraftRelSubstitution (one
+  // authoritative doc + implementation; this rule only forwards)
   private def rejectUnknownOptions(r: DataSourceV2Relation, name: String,
       known: Set[String]): Unit =
     GraftRelSubstitution.rejectUnknownOptions(r, name, known)
@@ -426,12 +419,12 @@ private[sql] object GraftRelSubstitution {
     }
     def refOf(kind: String): DataFrame = {
       val refName = r.options.get(kind)
-      // "main" is the implicit published pointer (Iceberg's
-      // branch=main), a named ref only after an explicit create —
-      // and an EXPLICIT main read must never be re-routed by
-      // spark.wap.branch to staged data
-      if (kind == "branch" && refName == "main" &&
-          !t.graft.meta.refs.contains("main"))
+      // "main" is ALWAYS the published pointer (Iceberg's default
+      // branch): createRef reserves the name, and even a legacy
+      // metadata file carrying a ref named main must not shadow the
+      // head — an EXPLICIT main read is never re-routed to staged or
+      // stale data
+      if (kind == "branch" && refName == "main")
         return t.graft.readMainBranch()
       val ref = t.graft.meta.refs.getOrElse(refName,
         throw new IllegalArgumentException(

@@ -105,18 +105,27 @@ object DedupQueries extends QueryCatalog {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("i"))
-    // NO broadcast hint on `sizes`: it has one row per DOCUMENT, so a
-    // forced broadcast would ship the whole corpus's size table to
-    // every executor at 100 TB. Plain equi-joins let AQE broadcast
-    // when (and only when) the runtime size actually permits; the
-    // candidate side is LSH/shingle-bounded either way.
+    jaccardFromInter(inter, sizes)
+  }
+
+  /** Jaccard lift of an (id_a, id_b, i) intersection-count table given
+    * per-doc set sizes — the shared verify tail of [[jaccardPairs]]
+    * and the prefix-filter join (one place to keep the two forms'
+    * claimed equivalence true).
+    *
+    * NO broadcast hint on `sizes`: it has one row per DOCUMENT, so a
+    * forced broadcast would ship the whole corpus's size table to
+    * every executor at 100 TB. Plain equi-joins let AQE broadcast
+    * when (and only when) the runtime size actually permits; the
+    * candidate side is LSH/shingle-bounded either way. */
+  private def jaccardFromInter(inter: DataFrame,
+      sizes: DataFrame): DataFrame =
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"),
         (col("i").cast("double") /
           (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
-  }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id.
     * At 100 TB the group key would be xxhash64(text) (fixed-width
@@ -237,15 +246,13 @@ object DedupQueries extends QueryCatalog {
       org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val rnk = dt.groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").asc, col("tok").asc)).as("trank"))
+        Window.orderBy(col("df").asc, col("tok").asc)).as("trank"))
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // the prefix slice self-joins: materialize so the two rank
     // windows run once, not once per join side
     val pre = dt.join(rnk, "tok")
       .select(col("doc_id"), col("tok"), row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("trank")).as("p"))
+        Window.partitionBy("doc_id").orderBy("trank")).as("p"))
       .join(sizes, "doc_id")
       .filter(col("p") <=
         col("n") - expr("(9 * n + 9) div 10") + 1)
@@ -262,12 +269,7 @@ object DedupQueries extends QueryCatalog {
       .join(dt.as("y"), col("y.doc_id") === col("id_b") &&
         col("y.tok") === col("x.tok"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") /
-          (col("sa.n") + col("sb.n") - col("i"))).as("jac"))
+    jaccardFromInter(inter, sizes)
       .filter(col("jac") >= 0.9)
       .select(col("id_a"), col("id_b"),
         round(col("jac"), 4).as("jaccard"))

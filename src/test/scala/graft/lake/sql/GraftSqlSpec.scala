@@ -1466,6 +1466,33 @@ class GraftSqlSpec extends SparkSuite {
         "as-of-timestamp must not see WAP/branch-staged snapshots")
     } finally spark.conf.unset("spark.wap.branch")
 
+    // "main" is a RESERVED ref name: a ref named main would shadow the
+    // published head for every later branch=main read
+    val reserved = intercept[Exception](spark.sql(
+      s"CALL graft.system.create_branch(table => '$ns.pii_data', " +
+        s"ref => 'main', snapshot_id => $preDelete)"))
+    assert(reserved.getMessage.contains("main is the table head"),
+      s"creating a ref named main must refuse: ${reserved.getMessage}")
+    // wap.branch=main is a plain publish (main IS the default branch):
+    // no ref auto-created, the write lands on the head
+    spark.conf.set("spark.wap.branch", "main")
+    try {
+      spark.sql(s"INSERT INTO $tbl VALUES ('case-10', 'Pub', " +
+        "'pub@example.com', 'k10', 's10', 'sk10', DATE'2023-01-10')")
+      assert(spark.read.table(tbl).count() === 3,
+        "wap.branch=main must publish to the head")
+      assert(spark.read.option("branch", "main").table(tbl)
+        .count() === 3)
+      // the refs relation synthesizes the implicit main row at the
+      // head; a stored ref named main would surface as a SECOND row
+      assert(spark.sql(s"SELECT name FROM $tbl.refs").collect()
+        .map(_.getString(0)).count(_ == "main") === 1,
+        "wap.branch=main must not auto-create a ref named main")
+      // VERSION AS OF 'main' resolves to the head like fast_forward
+      assert(spark.sql(
+        s"SELECT * FROM $tbl VERSION AS OF 'main'").count() === 3)
+    } finally spark.conf.unset("spark.wap.branch")
+
     // UNKNOWN read options refuse loudly — never a silent current-read
     val unknown = intercept[Exception](spark.read
       .option("snapshots-id", preDelete.toString).table(tbl).collect())
