@@ -724,21 +724,71 @@ object TextQueries extends QueryCatalog {
        |FROM agg ORDER BY source""".stripMargin
   ) { (s, dir) => bpeApplyOver(Tables.documents(s, dir)) }
 
-  private[graft] def bpeApplyOver(docs: DataFrame): DataFrame = {
+  private[graft] def bpeApplyOver(docs: DataFrame): DataFrame =
+    bpeVolumes(docs, "source")
+      .withColumn("saved_bp",
+        expr("(10000 * (chars - symbols) + chars div 2) div chars"))
+      .orderBy("source")
+
+  /** Per-`group` whitespace-token / char / post-merge-symbol volumes
+    * under the trained merges — the shared measurement pass of
+    * [[bpeApply]] (per-source compression) and [[bpeFertility]]
+    * (per-lang fertility). Per-word symbol counts are computed once
+    * on the \|V\|-row vocabulary and broadcast back, never per
+    * occurrence. */
+  private def bpeVolumes(docs: DataFrame, group: String): DataFrame = {
     val vocab = bpeFold(docs)._2
       .select(col("w"), length(col("w")).cast("long").as("chars"),
         expr("size(filter(split(rep, '\\\\|\\\\|'), x -> x != ''))")
           .cast("long").as("symbols"))
-    val docsw = docs.select(col("source"),
-      explode(split(col("text"), " ")).as("w"))
-    docsw.join(broadcast(vocab), "w")
-      .groupBy("source")
+    docs.select(col(group), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy(group)
       .agg(count(lit(1)).as("ws_tokens"),
         sum("chars").cast("long").as("chars"),
         sum("symbols").cast("long").as("symbols"))
-      .withColumn("saved_bp",
-        expr("(10000 * (chars - symbols) + chars div 2) div chars"))
-      .orderBy("source")
+  }
+
+  /** Tokenizer FERTILITY per language — the multilingual-equity metric
+    * of a tokenizer build (how many subword symbols a word costs, per
+    * lang): a vocabulary trained mostly on one language fragments the
+    * others, inflating their effective sequence length and training
+    * cost. Reports symbols-per-word and chars-per-symbol in half-up
+    * basis points, all-integer off the same trained merges and
+    * measurement pass as q_text_bpe_apply (which reports per-SOURCE
+    * compression; fertility is the per-LANG cost view). Scale shape:
+    * identical to bpe_apply — one corpus (lang, word) pass, vocab
+    * broadcast back. */
+  private val bpeFertility = Q(
+    "q_text_bpe_fertility",
+    s"""WITH $bpeOracleCtes,
+       |vocab AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS chars,
+       |    CAST(len(list_filter(string_split(rep, '||'),
+       |      x -> x <> '')) AS BIGINT) AS symbols
+       |  FROM r$bpeRounds
+       |), docsw AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w
+       |  FROM documents
+       |), agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS ws_tokens,
+       |    CAST(sum(v.chars) AS BIGINT) AS chars,
+       |    CAST(sum(v.symbols) AS BIGINT) AS symbols
+       |  FROM docsw d JOIN vocab v ON d.w = v.w
+       |  GROUP BY lang
+       |)
+       |SELECT lang, ws_tokens, symbols,
+       |  (10000 * symbols + ws_tokens // 2) // ws_tokens AS fertility_bp,
+       |  (10000 * chars + symbols // 2) // symbols AS chars_per_sym_bp
+       |FROM agg ORDER BY lang""".stripMargin
+  ) { (s, dir) =>
+    bpeVolumes(Tables.documents(s, dir), "lang")
+      .select(col("lang"), col("ws_tokens"), col("symbols"),
+        expr("(10000 * symbols + ws_tokens div 2) div ws_tokens")
+          .as("fertility_bp"),
+        expr("(10000 * chars + symbols div 2) div symbols")
+          .as("chars_per_sym_bp"))
+      .orderBy("lang")
   }
 
   /** The train fold shared by q_text_bpe_train (the merges) and
@@ -964,5 +1014,6 @@ object TextQueries extends QueryCatalog {
     Seq(stats, quality, tokenCounts, langId, langIdChargram,
       langIdSampled, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
-      bpeTrain, bpeApply, langMismatch, vocabCoverage, bm25, keywords)
+      bpeTrain, bpeApply, bpeFertility, langMismatch, vocabCoverage,
+      bm25, keywords)
 }
