@@ -173,15 +173,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def physSub(m: Map[String, String])(parent: String,
       sub: String): String = m.getOrElse(s"$parent.$sub", sub)
 
-  /** Nested mapping keys are '.'-joined logical paths, so a name that
-    * itself contains '.' would be indistinguishable from a nested path
-    * (top-level "a.b" vs subfield "b" of struct "a"). Such columns can
-    * EXIST (identity-mapped, never keyed) but cannot take part in the
-    * operations that mint mapping keys. */
+  /** Nested mapping keys are '.'-joined logical paths, so a TOP-LEVEL
+    * name that itself contains '.' would be indistinguishable from a
+    * nested path (top-level "a.b" vs subfield "b" of struct "a") in
+    * the mapping, the retire list, and the prefix re-key on struct
+    * renames. Dotted top-level names are refused at every point they
+    * could enter the schema (create/addColumns) or mint keys
+    * (renames, nested evolution) — the keyspace stays unambiguous. */
   private def requireUndotted(n: String, what: String): Unit =
-    require(!n.contains('.'),
-      s"$what '$n' contains '.': dotted names cannot participate in " +
-        "renames or nested evolution (mapping keys are '.'-joined paths)")
+    GraftTable.requireUndotted(n, what)
 
   /** Whether `f` (a top-level field) carries any nested renames —
     * i.e. its file-side struct spells a subfield differently. */
@@ -264,8 +264,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
     val existing = cur.fieldNames.map(_.toLowerCase).toSet
-    cols.foreach(f => require(!existing(f.name.toLowerCase),
-      s"column ${f.name} already exists in $name"))
+    cols.foreach { f =>
+      requireUndotted(f.name, "column")
+      require(!existing(f.name.toLowerCase),
+        s"column ${f.name} already exists in $name")
+    }
     // A new column whose name collides with a physical name still
     // present in data files — either a renamed column's file-side name
     // or a DROPPED column's lingering bytes — takes a fresh physical
@@ -411,9 +414,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // "parent.sub" entries — a stale nested key would rebind to a
     // later same-named struct and read the wrong physical leaf.
     // The purge set is built from the SCHEMA (the dropped struct's
-    // actual subfields), never by splitting keys on '.': a top-level
-    // column legally named "a.b" shares the keyspace with nested
-    // "a"."b" and must not be purged when "a" is dropped.
+    // actual subfields), never by splitting keys on '.' — precise
+    // ownership even though dotted top-level names are refused at
+    // create/addColumns (belt and braces with requireUndotted).
     val purged: Set[String] = names.flatMap { n =>
       val f = cur.fields.find(_.name.equalsIgnoreCase(n)).get
       val subs = f.dataType match {
@@ -4297,12 +4300,19 @@ object GraftTable {
     throw new IllegalStateException("unreachable")
   }
 
+  private[lake] def requireUndotted(n: String, what: String): Unit =
+    require(!n.contains('.'),
+      s"$what '$n' contains '.': dotted top-level column names are " +
+        "not supported (the nested-evolution mapping keys logical " +
+        "paths by '.')")
+
   /** Create a new table directory with v0 metadata (no snapshot). */
   def create(spark: SparkSession, root: Path, name: String,
       schema: StructType, properties: Map[String, String] = Map.empty,
       commit: CommitProvider = LocalCommitProvider): GraftTable = {
     require(!Files.exists(root.resolve("metadata/version-hint.text")),
       s"table already exists at $root")
+    schema.fieldNames.foreach(requireUndotted(_, "column"))
     val meta = TableMeta(name, schema.toDDL, properties, Nil, None)
     Io.atomicWrite(root.resolve("metadata/v0.metadata.json"), Json.write(meta))
     Io.atomicWrite(root.resolve("metadata/version-hint.text"), "0")

@@ -161,7 +161,12 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         val snapId = try version.toLong catch {
           case _: NumberFormatException =>
             try g.graft.refSnapshotId(version) catch {
-              case _: IllegalArgumentException =>
+              // "unknown ref" becomes the clearer neither-id-nor-ref
+              // message; anything else (e.g. main on an empty table:
+              // "branch main has no snapshots yet") names the real
+              // cause and must pass through
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("unknown ref") =>
                 throw new IllegalArgumentException(
                   s"'$version' is neither a snapshot id nor a " +
                     s"branch/tag of ${fullName(ident)}")

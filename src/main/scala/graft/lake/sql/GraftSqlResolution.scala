@@ -423,9 +423,14 @@ private[sql] object GraftRelSubstitution {
       // branch): createRef reserves the name, and even a legacy
       // metadata file carrying a ref named main must not shadow the
       // head — an EXPLICIT main read is never re-routed to staged or
-      // stale data
-      if (kind == "branch" && refName == "main")
-        return t.graft.readMainBranch()
+      // stale data, and tag=main refuses rather than consult a
+      // legacy stored ref (main is a branch, never a tag)
+      if (refName == "main") {
+        if (kind == "branch") return t.graft.readMainBranch()
+        throw new IllegalArgumentException(
+          s"main is the table head branch of ${t.name()} — read it " +
+            "with the branch option (or plainly), not as a tag")
+      }
       val ref = t.graft.meta.refs.getOrElse(refName,
         throw new IllegalArgumentException(
           s"unknown $kind $refName on graft relation ${t.name()}"))

@@ -195,7 +195,7 @@ class ConcurrencyPropSpec extends SparkSuite {
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)
     // the conditional-put CONFLICT path is proven deterministically
-    // (whether the racing writers' publishes actually collide is a
+    // (whether the randomized races' publishes collide is a
     // thread-timing accident — asserting on it made the suite flaky):
     // the second put of the same object must lose and be counted
     val store = new FakeObjectStore(latencyMs = 0)
@@ -206,5 +206,21 @@ class ConcurrencyPropSpec extends SparkSuite {
     assert(!store.publishNew(tgt, "loser"),
       "second conditional put of the same object must lose")
     assert(store.conflicts.get() === 1 && store.puts.get() === 2)
+    // ...and the COMMIT PATH must still be able to produce contention
+    // at all — a regression that accidentally serializes commits would
+    // pass every randomized race vacuously. Barrier-started writers
+    // under WIDE latency windows make overlap near-certain; a bounded
+    // retry absorbs the thread-timing tail without reintroducing the
+    // single-shot flake.
+    val contended = (1 to 8).exists { _ =>
+      val st = new FakeObjectStore(latencyMs = 25)
+      assert(runRace(List(WAppend(2), WAppend(1), WAppend(2)),
+        List(WAppend(1), WAppend(2), WAppend(1)), provider = st))
+      st.conflicts.get() > 0
+    }
+    assert(contended,
+      "no conditional-put conflict in 8 barrier-started two-writer " +
+        "races under 25ms latency windows — has the commit path " +
+        "accidentally serialized?")
   }
 }

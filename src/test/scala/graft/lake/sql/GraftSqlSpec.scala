@@ -1473,6 +1473,12 @@ class GraftSqlSpec extends SparkSuite {
         s"ref => 'main', snapshot_id => $preDelete)"))
     assert(reserved.getMessage.contains("main is the table head"),
       s"creating a ref named main must refuse: ${reserved.getMessage}")
+    // main is a BRANCH, never a tag — tag=main refuses instead of
+    // consulting any (legacy) stored ref by that name
+    val tagMain = intercept[Exception](spark.read
+      .option("tag", "main").table(tbl).collect())
+    assert(tagMain.getMessage.contains("not as a tag"),
+      s"tag=main must refuse: ${tagMain.getMessage}")
     // wap.branch=main is a plain publish (main IS the default branch):
     // no ref auto-created, the write lands on the head
     spark.conf.set("spark.wap.branch", "main")
@@ -1584,6 +1590,13 @@ class GraftSqlSpec extends SparkSuite {
       s"ALTER TABLE $tbl ADD COLUMNS (prof.inner.leaf INT)"))
     assert(deep.getMessage.contains("one nesting level") ||
       deep.getMessage.contains("UNRESOLVED_COLUMN"))
+    // dotted TOP-LEVEL names are refused at entry — they would be
+    // indistinguishable from nested paths in the mapping keyspace
+    val dotted = intercept[Exception](spark.sql(
+      s"ALTER TABLE $tbl ADD COLUMNS (`x.y` INT)"))
+    assert(dotted.getMessage.contains("dotted top-level column") ||
+      dotted.getMessage.contains("contains '.'"),
+      s"dotted top-level ADD must refuse: ${dotted.getMessage}")
     // MOR delete still works against the evolved struct
     spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
       "('write.delete.mode'='merge-on-read')")
