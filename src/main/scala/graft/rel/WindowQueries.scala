@@ -330,7 +330,72 @@ object WindowQueries extends QueryCatalog {
         |ORDER BY s.d""".stripMargin)
   }
 
+  /** Exponentially weighted moving average per user — the WEIGHTED
+    * complement of [[slidingAvg]]'s uniform window: recent events
+    * dominate with half-life decay, the standard smoothed-rate signal
+    * of monitoring/feature pipelines. Exact cross-engine determinism
+    * by construction: values integer-scale first (floor(v·10⁴+0.5) —
+    * half-up, valid since values are nonnegative), the 8-term window
+    * uses power-of-two weights 2⁷..2⁰ via explicit lag() terms (a
+    * partition's short head simply drops missing terms from BOTH the
+    * numerator and the weight sum), and the final normalization is a
+    * truncating integer division — no float ever sums across rows.
+    * Scale shape: one window shuffle keyed by user, 8 lags computed in
+    * a single WindowExec pass (same frame), output is map-side math.
+    */
+  private val EwmaK = 8
+  private val ewma = Q(
+    "q_window_ewma", {
+      val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+      val lags = (1 until EwmaK).map(i =>
+        s"lag(vi, $i) $over AS v$i").mkString(",\n      |    ")
+      val num = (1 until EwmaK).map(i =>
+        s"coalesce(v$i, 0) * ${1L << (EwmaK - 1 - i)}")
+        .mkString(" + ")
+      val den = (1 until EwmaK).map(i =>
+        s"CASE WHEN v$i IS NULL THEN 0 ELSE ${1L << (EwmaK - 1 - i)} END")
+        .mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT event_id, user_id, ts,
+         |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi
+         |  FROM events
+         |), l AS (
+         |  SELECT event_id, vi,
+         |    $lags
+         |  FROM v
+         |), s AS (
+         |  SELECT event_id,
+         |    vi * ${1L << (EwmaK - 1)} + $num AS num,
+         |    ${1L << (EwmaK - 1)} + $den AS den
+         |  FROM l
+         |)
+         |SELECT event_id, den AS weight_sum,
+         |  (num + den // 2) // den AS ewma_x10000
+         |FROM s ORDER BY event_id""".stripMargin
+    }
+  ) { (s, dir) =>
+    val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)").as("vi"))
+    val withLags = base.select(Seq(col("event_id"), col("vi")) ++
+      (1 until EwmaK).map(i =>
+        expr(s"lag(vi, $i) $over").as(s"v$i")): _*)
+    val num = (1 until EwmaK).map(i =>
+      s"coalesce(v$i, 0L) * ${1L << (EwmaK - 1 - i)}L").mkString(" + ")
+    val den = (1 until EwmaK).map(i =>
+      s"CASE WHEN v$i IS NULL THEN 0L ELSE ${1L << (EwmaK - 1 - i)}L END")
+      .mkString(" + ")
+    withLags
+      .select(col("event_id"),
+        expr(s"vi * ${1L << (EwmaK - 1)}L + $num").as("num"),
+        expr(s"${1L << (EwmaK - 1)}L + $den").as("den"))
+      .select(col("event_id"), col("den").as("weight_sum"),
+        expr("(num + den div 2) div den").as("ewma_x10000"))
+      .orderBy("event_id")
+  }
+
   override def all: Seq[Q] = Seq(
     ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast,
-    sessionizeSql, timeRange, gapFill, recursiveSpine)
+    sessionizeSql, timeRange, gapFill, recursiveSpine, ewma)
 }
