@@ -385,8 +385,43 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("n_name")
   }
 
+  /** Batch twin of the ValueState EWMA smoother
+    * ([[Streams.ewmaSmoothed]]): the integer-exact recursion
+    * y_1 = v_1, y_n = v_n + y_{n-1}/2 per user in (ts, event_id)
+    * order. The Spark side replays it as a secondary-sort fold (one
+    * shuffle keyed by user, sorted within partitions, O(1)-memory
+    * pass — [[Streams.ewmaBatch]]); the oracle replays it as a
+    * RECURSIVE CTE stepping row_number n → n+1 across all users at
+    * once (depth = max events per user, ≤ 99 at sf0.1). Everything
+    * is truncating BIGINT arithmetic on half-up-scaled values, so
+    * streaming state, batch fold, and the SQL recursion are
+    * bit-equal. Unlike [[q_window_ewma]]'s fixed 8-term window, this
+    * is the UNBOUNDED recursion — the state-machine form. */
+  private val ewmaQ = Q(
+    "q_stream_ewma",
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_id, rn, vi AS y FROM v WHERE rn = 1
+      |  UNION ALL
+      |  SELECT v.user_id, v.event_id, v.rn, v.vi + r.y // 2 AS y
+      |  FROM v JOIN r ON v.user_id = r.user_id AND v.rn = r.rn + 1
+      |)
+      |SELECT user_id, event_id, y AS ewma_x10000
+      |FROM r ORDER BY event_id""".stripMargin
+  ) { (s, dir) =>
+    Streams.ewmaBatch(Tables.events(s, dir))
+      .toDF()
+      .select(col("user_id"), col("event_id"), col("ewma_x10000"))
+      .orderBy("event_id")
+  }
+
   override def all: Seq[Q] =
     Seq(tumbling, sliding, session, streamJoin, streamJoinOuter,
       streamJoinFull, milestonesQ, firstSeenQ,
-      kmvDistinctQ, quantileQ, staticJoinQ)
+      kmvDistinctQ, quantileQ, staticJoinQ, ewmaQ)
 }

@@ -167,6 +167,88 @@ object Streams {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class EwmaOut(user_id: Long, event_id: Long,
+      ewma_x10000: Long)
+
+  /** The integer-exact EWMA recursion shared by the streaming
+    * processor and the batch twin: y_1 = v_1, y_n = v_n + y_{n-1}/2
+    * (truncating halving decay). Values integer-scale first
+    * (floor(v·10⁴ + 0.5), half-up — values are nonnegative), so the
+    * whole state machine is exact BIGINT: streaming vs batch vs the
+    * DuckDB recursive-CTE oracle cannot drift by a ulp. */
+  def ewmaStep(prev: Option[Long], vi: Long): Long =
+    prev.map(p => vi + p / 2).getOrElse(vi)
+
+  def eventMicros(e: Ev): Long =
+    e.ts.getTime * 1000L + (e.ts.getNanos / 1000 % 1000)
+
+  def viOf(e: Ev): Long = math.floor(e.value * 10000 + 0.5).toLong
+
+  /** Per-user EWMA smoother (ValueState[Long] — O(users), never
+    * O(events)): each event emits the user's updated smoothed value.
+    * Within a micro-batch rows sort by (ts, event_id) like
+    * [[MilestoneProcessor]], so chronological batches reproduce the
+    * batch recursion exactly — the streaming form IS the 100 TB
+    * shape (state one long per user; the batch twin's per-user fold
+    * replays history). */
+  class EwmaProcessor extends StatefulProcessor[Long, Ev, EwmaOut] {
+    @transient private var yState: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      yState = getHandle.getValueState[Long](
+        "y", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[EwmaOut] = {
+      val sorted = rows.toArray.sortBy(e => (eventMicros(e), e.event_id))
+      var y = if (yState.exists()) Option(yState.get()) else None
+      val out = sorted.map { e =>
+        val ny = ewmaStep(y, viOf(e))
+        y = Some(ny)
+        EwmaOut(userId, e.event_id, ny)
+      }
+      y.foreach(yState.update)
+      out.iterator
+    }
+  }
+
+  /** EWMA stream over user events; see [[EwmaProcessor]]. */
+  def ewmaSmoothed(events: DataFrame): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch replay of the same recursion — the secondary-sort fold:
+    * repartition by user, sort WITHIN partitions by (user, ts,
+    * event_id), one O(1)-memory pass resetting state at each user
+    * boundary. One shuffle, no per-user materialization — unlike a
+    * groupByKey+toArray this holds one ROW at a time, so the twin
+    * itself survives a user with unbounded history. */
+  def ewmaBatch(events: DataFrame): Dataset[EwmaOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var user = Long.MinValue
+        var y: Option[Long] = None
+        it.map { e =>
+          if (e.user_id != user) { user = e.user_id; y = None }
+          val ny = ewmaStep(y, viOf(e))
+          y = Some(ny)
+          EwmaOut(e.user_id, e.event_id, ny)
+        }
+      }
+  }
+
   /** Event-time-timer sessionizer (the timer surface of the V2 state
     * API): per-user event times buffer in ListState; a session is
     * EMITTED the moment the watermark proves it closed (last event +

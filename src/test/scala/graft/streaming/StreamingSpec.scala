@@ -494,6 +494,38 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState EWMA smoother carries exact integer state " +
+    "across micro-batches and equals the batch secondary-sort fold") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.ewmaSmoothed(stream),
+        "ewma", OutputMode.Append)
+      val got = spark.table("ewma").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the recursion's state must carry across the chronological
+      // micro-batches: any reset or reorder changes EVERY later y
+      val want = Streams.ewmaBatch(batchEvents
+          .select(col("event_id"),
+            expr("timestamp_micros(ts_us)").as("ts"),
+            col("user_id"), col("event_type"), col("value")))
+        .collect().map(o => (o.user_id, o.event_id, o.ewma_x10000)).toSet
+      assert(got == want, s"spurious=${(got -- want).take(5)}\n" +
+        s"missing=${(want -- got).take(5)}")
+      assert(got.size == spark.table("ewma").count(),
+        "an event was emitted more than once")
+      assert(got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("GraftLake CDC stream: append, MOR delete, and COW rewrite " +
     "events equal the batch changelog; compaction stays silent") {
     import org.apache.spark.sql.types.StructType
