@@ -33,13 +33,25 @@ def main():
     # side only would bias every comparison across that boundary.
     old_floor = old_doc.get("floor_s", new_doc.get("floor_s", 0.0))
     new_floor = new_doc.get("floor_s", old_doc.get("floor_s", 0.0))
+    # Box-speed normalization (since r14): each dump carries canary_s,
+    # a fixed single-thread CPU loop timed on the same box/run. If both
+    # dumps have it, scale the NEW side's engine times by
+    # old_canary/new_canary so a uniformly slow box doesn't read as a
+    # fleet-wide tree regression (and a fast box doesn't hide one).
+    box = 1.0
+    if "canary_s" in old_doc and "canary_s" in new_doc \
+            and new_doc["canary_s"] > 0:
+        box = old_doc["canary_s"] / new_doc["canary_s"]
+        print(f"box canary: old {old_doc['canary_s']:.3f}s, "
+              f"new {new_doc['canary_s']:.3f}s -> normalizing new times "
+              f"by x{box:.3f}")
     regressed, added, removed = [], [], []
     for q, t in sorted(new.items()):
         if q not in old:
             added.append((q, t))
         else:
             o = max(0.001, old[q] - old_floor)
-            n = max(0.001, t - new_floor)
+            n = max(0.001, (t - new_floor) * box)
             if n > o * thr and n - o > 0.2:
                 regressed.append((q, old[q], t))
     removed = sorted(set(old) - set(new))

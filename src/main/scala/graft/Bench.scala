@@ -46,6 +46,31 @@ object Bench {
     // regressions round-over-round; bench_compare.py subtracts it.
     val floor = (1 to 3)
       .map(_ => run((s, _) => s.range(1).toDF())).min
+    // Box-speed canary: a FIXED workload timed every round so cross-
+    // round comparisons can separate box speed from tree changes (this
+    // VM runs 1.15-2x slower under background load; rounds 12/13 both
+    // burned adjudication effort proving bench deltas were box, not
+    // tree). canary_s = single-threaded FNV-mix loop (pure CPU);
+    // canary_mt_s = fixed 32-slice spark.range sum + small shuffle
+    // (scheduler + parallel throughput). bench_compare.py normalizes
+    // per-query times by the canary ratio.
+    def canaryCpu(): Double = {
+      val t0 = System.nanoTime()
+      var h = 1469598103934665603L
+      var i = 0L
+      while (i < 400000000L) { h = (h ^ i) * 1099511628211L; i += 1 }
+      if (h == 42L) print("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    def canaryMt(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 100000000L, 1, 32)
+        .selectExpr("id % 997 as k", "id")
+        .groupBy("k").sum("id").selectExpr("sum(`sum(id)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = (1 to 3).map(_ => canaryCpu()).min
+    val canaryM = (1 to 3).map(_ => canaryMt()).min
     // Untimed post-query hygiene. Two pressure sources accumulate over
     // a 166-query shared-JVM run and inflate later queries' times
     // (r6/r7 "regressions" were this, not plan changes — judge-verified
@@ -75,7 +100,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfNum = raw"sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","floor_s":${r3(floor)},"runs_detail":$runsDetail}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","floor_s":${r3(floor)},"canary_s":${r3(canary)},"canary_mt_s":${r3(canaryM)},"runs_detail":$runsDetail}"""
     // The driver captures only the LAST ~2000 chars of stdout (plus sbt's
     // trailing "[success] Total time" line) and json-parses the final JSON
     // line it finds. The full per-query map for ~100 queries is ~3000
@@ -88,7 +113,7 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"), full)
     catch { case _: Throwable => () }
     println(full)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","floor_s":${r3(floor)},"detail":"bench_detail.json","queries":"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":$sfNum,"n_queries":${results.size},"runs":2,"agg":"min","exec":"noop-write","floor_s":${r3(floor)},"canary_s":${r3(canary)},"canary_mt_s":${r3(canaryM)},"detail":"bench_detail.json","queries":"""
     val budget = 1500 - head.length - 2
     val slowest = results.toSeq.sortBy(-_._2)
     val sb = new StringBuilder

@@ -168,10 +168,45 @@ class GraftTable(val spark: SparkSession, val root: Path,
     m.getOrElse(n, n)
 
   /** Physical leaf name of a STRUCT column's subfield. Nested mapping
-    * keys are `"parentLogical.subLogical"` → physical leaf name (the
-    * path extension of [[physName]]); identity when unmapped. */
+    * keys are '.'-joined LOGICAL paths (any depth: `"a.b.c"`) →
+    * physical LEAF name at that level (the path extension of
+    * [[physName]]); identity when unmapped. `parent` may itself be a
+    * dotted path. */
   private def physSub(m: Map[String, String])(parent: String,
       sub: String): String = m.getOrElse(s"$parent.$sub", sub)
+
+  /** Full '.'-joined PHYSICAL path of a logical path: each segment
+    * resolves under the logical path up to and including it. */
+  private def physPath(m: Map[String, String])(
+      segs: Seq[String]): String =
+    segs.indices.map { i =>
+      m.getOrElse(segs.take(i + 1).mkString("."), segs(i))
+    }.mkString(".")
+
+  /** Physical spelling of a (possibly nested) struct type: every
+    * subfield at every depth renames through its logical-path key.
+    * `prefix` is the logical path of the value holding `dt`. */
+  private def physType(m: Map[String, String], prefix: String,
+      dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { sf =>
+      val key = s"$prefix.${sf.name}"
+      sf.copy(name = m.getOrElse(key, sf.name),
+        dataType = physType(m, key, sf.dataType))
+    })
+    case other => other
+  }
+
+  /** All '.'-joined logical paths UNDER `prefix` (every subfield at
+    * every depth) — the schema-driven purge/re-key universe for drops
+    * and renames of struct-typed columns. */
+  private def descendantKeys(prefix: String, dt: DataType): Seq[String] =
+    dt match {
+      case st: StructType => st.fields.toSeq.flatMap { sf =>
+        val key = s"$prefix.${sf.name}"
+        key +: descendantKeys(key, sf.dataType)
+      }
+      case _ => Nil
+    }
 
   /** Nested mapping keys are '.'-joined logical paths, so a TOP-LEVEL
     * name that itself contains '.' would be indistinguishable from a
@@ -183,28 +218,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def requireUndotted(n: String, what: String): Unit =
     GraftTable.requireUndotted(n, what)
 
-  /** Whether `f` (a top-level field) carries any nested renames —
-    * i.e. its file-side struct spells a subfield differently. */
+  /** Whether `f` (a top-level field) carries any nested renames at
+    * ANY depth — i.e. its file-side struct spells some subfield
+    * differently. */
   private def hasNestedMapping(m: Map[String, String],
-      f: StructField): Boolean = f.dataType match {
-    case st: StructType =>
-      st.fields.exists(sf => m.contains(s"${f.name}.${sf.name}"))
-    case _ => false
-  }
+      f: StructField): Boolean =
+    descendantKeys(f.name, f.dataType).exists(m.contains)
 
   /** The schema as the data files spell it: logical types, physical
-    * column names — including physical SUBFIELD names for struct
-    * columns with nested renames. */
+    * column names — including physical SUBFIELD names at every depth
+    * for struct columns with nested renames. */
   private def physSchema(logical: StructType,
       m: Map[String, String]): StructType =
     StructType(logical.fields.map { f =>
-      val dt = f.dataType match {
-        case st: StructType if hasNestedMapping(m, f) =>
-          StructType(st.fields.map(sf =>
-            sf.copy(name = physSub(m)(f.name, sf.name))))
-        case other => other
-      }
-      f.copy(name = physName(m)(f.name), dataType = dt)
+      f.copy(name = physName(m)(f.name),
+        dataType = physType(m, f.name, f.dataType))
     })
 
   /** Scan parquet files written under physical column names, surfacing
@@ -419,12 +447,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // create/addColumns (belt and braces with requireUndotted).
     val purged: Set[String] = names.flatMap { n =>
       val f = cur.fields.find(_.name.equalsIgnoreCase(n)).get
-      val subs = f.dataType match {
-        case st: StructType =>
-          st.fields.toSeq.map(sf => s"${f.name}.${sf.name}".toLowerCase)
-        case _ => Nil
-      }
-      f.name.toLowerCase +: subs
+      f.name.toLowerCase +:
+        descendantKeys(f.name, f.dataType).map(_.toLowerCase)
     }.toSet
     val mapping = b.meta.physicalNames.filter { case (l, _) =>
       !purged(l.toLowerCase) }
@@ -451,20 +475,44 @@ class GraftTable(val spark: SparkSession, val root: Path,
         (b.meta.retiredPhysicalNames ++ newlyRetired).distinct))
   }
 
-  /** Resolve a top-level STRUCT column for nested ALTERs — refuses
-    * loudly for non-struct parents and deeper nesting (one level is
-    * the supported surface; Iceberg's `data_file` struct precedent). */
-  private def structParent(cur: StructType,
-      parent: String): (StructField, StructType) = {
-    val f = cur.fields.find(_.name.equalsIgnoreCase(parent)).getOrElse(
-      throw new IllegalArgumentException(
-        s"no such column $parent in $name"))
-    f.dataType match {
-      case st: StructType => (f, st)
-      case other => throw new UnsupportedOperationException(
-        s"nested ALTER requires a STRUCT column; $parent is " +
-          other.simpleString)
+  /** Resolve a STRUCT path ("a", "a.b", "a.b.c", … — any depth) for
+    * nested ALTERs: returns the path's CANONICAL segments (schema
+    * spelling, for minting mapping keys) and the struct type at the
+    * path. Refuses loudly when any segment is missing or non-struct
+    * (Iceberg evolves nested structs at arbitrary depth; so do we
+    * since r14 — r13 stopped at one level). */
+  private def structPath(cur: StructType,
+      parent: String): (Seq[String], StructType) = {
+    var canonical = Vector.empty[String]
+    var st: StructType = cur
+    parent.split('.').foreach { seg =>
+      val f = st.fields.find(_.name.equalsIgnoreCase(seg)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such column ${(canonical :+ seg).mkString(".")} in $name"))
+      f.dataType match {
+        case s2: StructType => st = s2; canonical :+= f.name
+        case other => throw new UnsupportedOperationException(
+          "nested ALTER requires a STRUCT column; " +
+            s"${(canonical :+ f.name).mkString(".")} is " +
+            other.simpleString)
+      }
     }
+    (canonical, st)
+  }
+
+  /** Rebuild the table schema with `nextSt` substituted at struct
+    * path `segs` (canonical spellings from [[structPath]]). */
+  private def withStructAt(cur: StructType, segs: Seq[String],
+      nextSt: StructType): StructType = segs match {
+    case head +: rest =>
+      StructType(cur.fields.map { f =>
+        if (f.name == head) {
+          if (rest.isEmpty) f.copy(dataType = nextSt)
+          else f.copy(dataType = withStructAt(
+            f.dataType.asInstanceOf[StructType], rest, nextSt))
+        } else f
+      })
+    case _ => nextSt
   }
 
   /** ALTER TABLE ADD COLUMNS (parent.sub TYPE) — metadata-only nested
@@ -478,15 +526,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def addNestedColumn(parent: String, field: StructField): Unit = {
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
-    val (pf, st) = structParent(cur, parent)
-    requireUndotted(pf.name, "struct column")
+    val (segs, st) = structPath(cur, parent)
+    segs.foreach(requireUndotted(_, "struct column"))
     requireUndotted(field.name, "subfield")
+    val path = segs.mkString(".")
     require(!st.fieldNames.exists(_.equalsIgnoreCase(field.name)),
-      s"column ${pf.name}.${field.name} already exists in $name")
+      s"column $path.${field.name} already exists in $name")
     val m = b.meta.physicalNames
-    val physParent = physName(m)(pf.name)
+    val physParent = physPath(m)(segs)
     val taken = st.fieldNames.flatMap(n0 => Seq(n0.toLowerCase,
-        physSub(m)(pf.name, n0).toLowerCase)).toSet ++
+        physSub(m)(path, n0).toLowerCase)).toSet ++
       b.meta.retiredPhysicalNames
         .filter(_.startsWith(physParent + "."))
         .map(_.stripPrefix(physParent + ".").toLowerCase)
@@ -494,12 +543,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
       if (taken(field.name.toLowerCase)) {
         val fresh = Iterator.from(2).map(k => s"${field.name}_$k")
           .find(c => !taken(c.toLowerCase)).get
-        m + (s"${pf.name}.${field.name}" -> fresh)
+        m + (s"$path.${field.name}" -> fresh)
       } else m
     val nextSt = StructType(st.fields :+ field.copy(nullable = true))
-    val next = StructType(cur.fields.map(f =>
-      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
-    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+    commitMeta(b, b.meta.copy(
+      schemaDdl = withStructAt(cur, segs, nextSt).toDDL,
       physicalNames = mapping))
   }
 
@@ -512,31 +560,40 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def renameNestedColumn(parent: String, from: String, to: String): Unit = {
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
-    val (pf, st) = structParent(cur, parent)
+    val (segs, st) = structPath(cur, parent)
+    val path = segs.mkString(".")
     val sf = st.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(
-        s"no such column ${pf.name}.$from in $name"))
-    requireUndotted(pf.name, "struct column")
+        s"no such column $path.$from in $name"))
+    segs.foreach(requireUndotted(_, "struct column"))
     requireUndotted(sf.name, "subfield")
     requireUndotted(to, "subfield")
     require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
-      s"column ${pf.name}.$to already exists in $name")
+      s"column $path.$to already exists in $name")
     val m = b.meta.physicalNames
-    val phys = physSub(m)(pf.name, sf.name)
+    val phys = physSub(m)(path, sf.name)
     val othersPhys = st.fieldNames.filterNot(_ == sf.name)
-      .map(n0 => physSub(m)(pf.name, n0).toLowerCase).toSet
+      .map(n0 => physSub(m)(path, n0).toLowerCase).toSet
     require(!othersPhys(to.toLowerCase),
       s"column name $to collides with the physical name of another " +
-        s"subfield of ${pf.name} in $name")
+        s"subfield of $path in $name")
     val nextSt = StructType(st.fields.map(f0 =>
       if (f0.name == sf.name) f0.copy(name = to) else f0))
-    val next = StructType(cur.fields.map(f =>
-      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
-    val dropped = m - s"${pf.name}.${sf.name}"
+    // a renamed STRUCT subfield re-keys its descendant entries so
+    // "path.from.x" → "path.to.x" keeps resolving (same contract as
+    // top-level renameColumn's prefix re-key)
+    val oldKey = s"$path.${sf.name}"
+    val rekeyed = m.map {
+      case (l, p) if l.startsWith(oldKey + ".") =>
+        (s"$path.$to" + l.stripPrefix(oldKey), p)
+      case kv => kv
+    }
+    val dropped = rekeyed - oldKey
     val mapping = // renamed back to its physical leaf: drop identity
       if (to == phys) dropped
-      else dropped + (s"${pf.name}.$to" -> phys)
-    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
+      else dropped + (s"$path.$to" -> phys)
+    commitMeta(b, b.meta.copy(
+      schemaDdl = withStructAt(cur, segs, nextSt).toDDL,
       physicalNames = mapping))
   }
 
@@ -547,21 +604,26 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def dropNestedColumn(parent: String, sub: String): Unit = {
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
-    val (pf, st) = structParent(cur, parent)
+    val (segs, st) = structPath(cur, parent)
+    val path = segs.mkString(".")
     val sf = st.fields.find(_.name.equalsIgnoreCase(sub)).getOrElse(
       throw new IllegalArgumentException(
-        s"no such column ${pf.name}.$sub in $name"))
+        s"no such column $path.$sub in $name"))
     require(st.fields.length > 1,
-      s"cannot drop the only subfield of ${pf.name} " +
-        s"(drop the column itself)")
+      s"cannot drop the only subfield of $path " +
+        "(drop the column itself)")
     val m = b.meta.physicalNames
-    val physParent = physName(m)(pf.name)
-    val phys = physSub(m)(pf.name, sf.name)
+    val physParent = physPath(m)(segs)
+    val phys = physSub(m)(path, sf.name)
     val nextSt = StructType(st.fields.filterNot(_.name == sf.name))
-    val next = StructType(cur.fields.map(f =>
-      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
-    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL,
-      physicalNames = m - s"${pf.name}.${sf.name}",
+    // purge the dropped subfield's key AND its descendants (a dropped
+    // nested STRUCT's stale keys would rebind to a later same-named
+    // struct) — schema-driven, same contract as dropColumns
+    val purged = (s"$path.${sf.name}" +:
+      descendantKeys(s"$path.${sf.name}", sf.dataType)).toSet
+    commitMeta(b, b.meta.copy(
+      schemaDdl = withStructAt(cur, segs, nextSt).toDDL,
+      physicalNames = m.filter { case (l, _) => !purged(l) },
       retiredPhysicalNames = (b.meta.retiredPhysicalNames :+
         s"$physParent.$phys").distinct))
   }
@@ -573,10 +635,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def widenNestedColumn(parent: String, sub: String, to: DataType): Unit = {
     val b = captureBase()
     val cur = StructType.fromDDL(b.meta.schemaDdl)
-    val (pf, st) = structParent(cur, parent)
+    val (segs, st) = structPath(cur, parent)
+    val path = segs.mkString(".")
     val sf = st.fields.find(_.name.equalsIgnoreCase(sub)).getOrElse(
       throw new IllegalArgumentException(
-        s"no such column ${pf.name}.$sub in $name"))
+        s"no such column $path.$sub in $name"))
     val ok = (sf.dataType, to) match {
       case (a, b2) if a == b2 => true
       case (ByteType, ShortType | IntegerType | LongType) => true
@@ -586,7 +649,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case (ByteType | ShortType | IntegerType, DoubleType) => true
       case _ => false
     }
-    require(ok, s"unsupported type change for ${pf.name}.$sub: " +
+    require(ok, s"unsupported type change for $path.$sub: " +
       s"${sf.dataType.simpleString} -> ${to.simpleString} " +
       "(only widening promotions are metadata-safe)")
     // same type-sensitive bucket-hash guard as widenColumn: a spec may
@@ -594,17 +657,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
     if (sf.dataType != to)
       clusterFields.getOrElse(Nil).collect {
         case bf: BucketField
-          if bf.column.equalsIgnoreCase(s"${pf.name}.${sf.name}") => bf
+          if bf.column.equalsIgnoreCase(s"$path.${sf.name}") => bf
       }.foreach(bf => throw new IllegalArgumentException(
-        s"cannot widen ${pf.name}.$sub while it is clustered " +
+        s"cannot widen $path.$sub while it is clustered " +
           s"${bf.spec}: bucket hashing is type-sensitive and existing " +
           "files' bucket stats would become wrong; drop the bucket " +
           "clustering first"))
     val nextSt = StructType(st.fields.map(f0 =>
       if (f0.name == sf.name) f0.copy(dataType = to) else f0))
-    val next = StructType(cur.fields.map(f =>
-      if (f.name == pf.name) f.copy(dataType = nextSt) else f))
-    commitMeta(b, b.meta.copy(schemaDdl = next.toDDL))
+    commitMeta(b, b.meta.copy(
+      schemaDdl = withStructAt(cur, segs, nextSt).toDDL))
   }
 
   /** Iceberg's write-audit-publish session conf: while
@@ -628,9 +690,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * writers can both observe the branch missing — the auto-create
     * loser (version conflict or "already exists") proceeds as long as
     * the ref now exists as a branch, since either winner created the
-    * same thing. */
+    * same thing. An explicit "main" is the published head itself
+    * (never a stored ref — createRef reserves it), so writes naming
+    * it commit to the head exactly like Iceberg's writable default
+    * branch, instead of falling into branchHead's "unknown branch". */
   private def resolveBranch(explicit: Option[String]): Option[String] =
-    explicit.orElse(wapBranch.map { br =>
+    // explicit Some("main") must NOT fall through to wap routing: it
+    // pins the head even while spark.wap.branch is set
+    if (explicit.contains("main")) None
+    else explicit.orElse(wapBranch.map { br =>
       if (!meta.refs.contains(br)) {
         try createBranch(br)
         catch {
@@ -3038,7 +3106,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       return RefMeta(toSnapshotId, "branch")
     }
     val ref = b.meta.refs.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown ref $name"))
+      throw new UnknownRefException(name))
     require(ref.refType == "branch", s"cannot fast-forward tag $name")
     val updated = ref.copy(snapshotId = toSnapshotId)
     commitMeta(b, b.meta.copy(refs = b.meta.refs + (name -> updated)))
@@ -3052,6 +3120,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * Stats/clustering behave exactly like a main append. */
   def appendToBranch(branch: String, df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
+    // "main" IS the head (writable default branch, Iceberg semantics)
+    if (branch == "main") return append(df, extraSummary)
     val aligned = alignToSchema(df)
     val b = captureBase()
     branchHead(b, branch) // validate the ref before writing data files
@@ -3098,8 +3168,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
       return meta.currentSnapshotId.getOrElse(
         throw new IllegalArgumentException(
           "branch main has no snapshots yet"))
-    meta.refs.getOrElse(name, throw new IllegalArgumentException(
-      s"unknown ref $name")).snapshotId
+    meta.refs.getOrElse(name, throw new UnknownRefException(name))
+      .snapshotId
   }
 
   /** D11/D12 remove_orphan_files: delete files under data/ that no
@@ -3759,11 +3829,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       else df.select(df.columns.toSeq.map { c =>
         val cast = sch.fields.find(_.name.equalsIgnoreCase(c)) match {
           case Some(f) if hasNestedMapping(m, f) =>
-            col(quoted(c)).cast(f.dataType match {
-              case st: StructType => StructType(st.fields.map(sf =>
-                sf.copy(name = physSub(m)(f.name, sf.name))))
-              case other => other
-            })
+            col(quoted(c)).cast(physType(m, f.name, f.dataType))
           case _ => col(quoted(c))
         }
         cast.as(physName(m)(c))
@@ -3946,6 +4012,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
           case FloatType | DoubleType => Some("double")
           case StringType => Some("string")
           case TimestampType | TimestampNTZType => Some("micros")
+          // decimal stats render as plain scaled strings ("123.40");
+          // mayMatch compares them through BigDecimal, so DECIMAL
+          // predicates prune files like any numeric column
+          case d: DecimalType => Some(s"dec${d.scale}")
           case _ => None
         }
         val tableFields: Seq[StructField] =
@@ -3987,6 +4057,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
                   case ("string", BINARY) => Some(v.asInstanceOf[
                     org.apache.parquet.io.api.Binary].toStringUsingUTF8)
                   case ("micros", INT64) => Some(v.toString)
+                  // parquet spells DECIMAL(p,s) as an unscaled INT32
+                  // (p≤9), INT64 (p≤18), or big-endian FLBA (p>18);
+                  // all three render to the same plain scaled string
+                  // the scan-path's decimal-min/max cast produces
+                  case (sp, INT32 | INT64) if sp.startsWith("dec") =>
+                    Some(java.math.BigDecimal.valueOf(
+                      v.toString.toLong, sp.drop(3).toInt).toPlainString)
+                  case (sp, FIXED_LEN_BYTE_ARRAY | BINARY)
+                      if sp.startsWith("dec") =>
+                    Some(new java.math.BigDecimal(
+                      new java.math.BigInteger(v.asInstanceOf[
+                        org.apache.parquet.io.api.Binary].getBytes),
+                      sp.drop(3).toInt).toPlainString)
                   case _ => None // INT96 timestamps etc: no stats
                 }
                 if (usable.isEmpty) None // all-null column: no bounds
@@ -4089,6 +4172,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     case TimestampType => Some(unix_micros(col(quoted(f.name))))
     case TimestampNTZType =>
       Some(unix_micros(col(quoted(f.name)).cast("timestamp")))
+    // decimal min/max aggregate in decimal space; the enclosing
+    // .cast("string") renders the scaled plain form ("123.40") that
+    // the footer path's unscaled-int decode also produces
+    case _: DecimalType => Some(col(quoted(f.name)))
     case _ => None
   }
 
@@ -4119,6 +4206,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
   }
 
 }
+
+/** A branch/tag name that resolves to no stored ref. A dedicated type
+  * so callers (e.g. VERSION AS OF resolution in GraftSqlCatalog) can
+  * branch on it without coupling to the message text. */
+final class UnknownRefException(val refName: String)
+  extends IllegalArgumentException(s"unknown ref $refName")
 
 object GraftTable {
   /** Position-delete sets at or below this many rows (by exact

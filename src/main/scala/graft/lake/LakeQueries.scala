@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DecimalType, StructType}
 
 import graft.{Q, QueryCatalog}
 
@@ -1648,7 +1648,74 @@ object LakeQueries extends QueryCatalog {
     out.toSeq.toDF("phase", "key", "value").orderBy("phase", "key")
   }
 
+  /** DECIMAL(12,2) end-to-end THROUGH THE LAKE (round 14, the one
+    * previously-untested mainstream SQL type): create a graft table
+    * with DECIMAL columns, insert lineitem money cast to exact
+    * decimals, MOR-delete through a DECIMAL predicate (exercising the
+    * new decimal file stats/pruning), COW-update DECIMAL arithmetic,
+    * and aggregate in DECIMAL space. The one ORACLED lake query: the
+    * lake roundtrip is value-exact, so DuckDB recomputes the identical
+    * result straight from the source parquet. Outputs render decimals
+    * as STRINGS — the driver hash is type-repr-sensitive and the gate
+    * refuses DECIMAL oracle columns; the string digits carry the
+    * exactness evidence (scale-preserving plain form, both engines).
+    * Scale shape: one scan, one MOR delete, one COW rewrite of the
+    * matching files only, one partial-agg'd groupBy — nothing
+    * corpus-sized on the driver. */
+  private val decimalLake = Q(
+    "q_lake_decimal",
+    """WITH li AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+      |    CAST(l_discount AS DECIMAL(4,2)) AS disc
+      |  FROM lineitem WHERE l_orderkey % 7 = 0
+      |), kept AS (
+      |  SELECT flag,
+      |    CASE WHEN flag = 'R'
+      |      THEN CAST(price + CAST(10.00 AS DECIMAL(4,2))
+      |        AS DECIMAL(12,2))
+      |      ELSE price END AS price,
+      |    disc
+      |  FROM li WHERE NOT disc > CAST(0.08 AS DECIMAL(4,2))
+      |)
+      |SELECT flag, count(*) AS n,
+      |  CAST(sum(price) AS VARCHAR) AS gross,
+      |  CAST(CAST(sum(price * (CAST(1.00 AS DECIMAL(3,2)) - disc))
+      |    AS DECIMAL(24,4)) AS VARCHAR) AS net,
+      |  CAST(min(price) AS VARCHAR) AS min_price,
+      |  CAST(max(price) AS VARCHAR) AS max_price
+      |FROM kept GROUP BY flag ORDER BY flag""".stripMargin
+  ) { (s, dir) =>
+    val li = graft.rel.Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(DecimalType(12, 2)).as("price"),
+        col("l_discount").cast(DecimalType(4, 2)).as("disc"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-dec-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "money", StructType.fromDDL(
+      "flag STRING, price DECIMAL(12,2), disc DECIMAL(4,2)"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(li)
+    t.delete(col("disc") >
+      lit(BigDecimal("0.08")).cast(DecimalType(4, 2)))
+    t.update(col("flag") === "R", Map("price" ->
+      (col("price") + lit(BigDecimal("10.00")).cast(DecimalType(4, 2)))
+        .cast(DecimalType(12, 2))))
+    t.read().groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum("price").cast("string").as("gross"),
+        sum(col("price") *
+            (lit(BigDecimal("1.00")).cast(DecimalType(3, 2))
+              - col("disc")))
+          .cast(DecimalType(24, 4)).cast("string").as("net"),
+        min("price").cast("string").as("min_price"),
+        max("price").cast("string").as("max_price"))
+      .orderBy("flag")
+  }
+
   override def all: Seq[Q] = Seq(
+    decimalLake,
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,

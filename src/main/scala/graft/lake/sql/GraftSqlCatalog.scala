@@ -161,12 +161,11 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
         val snapId = try version.toLong catch {
           case _: NumberFormatException =>
             try g.graft.refSnapshotId(version) catch {
-              // "unknown ref" becomes the clearer neither-id-nor-ref
+              // an unknown ref becomes the clearer neither-id-nor-ref
               // message; anything else (e.g. main on an empty table:
               // "branch main has no snapshots yet") names the real
               // cause and must pass through
-              case e: IllegalArgumentException
-                  if e.getMessage.contains("unknown ref") =>
+              case _: graft.lake.UnknownRefException =>
                 throw new IllegalArgumentException(
                   s"'$version' is neither a snapshot id nor a " +
                     s"branch/tag of ${fullName(ident)}")
@@ -262,21 +261,19 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     val removes = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }
-    // one level of nesting (top-level struct subfields) is supported
-    // for ADD/DROP/RENAME/TYPE — deeper paths refuse loudly
-    def depth(names: Array[String], what: String): Unit =
-      if (names.length > 2) throw new UnsupportedOperationException(
-        s"$what supports top-level columns and struct subfields " +
-          s"(one nesting level); got ${names.mkString(".")}")
+    // nested paths (struct subfields at ANY depth, "a.b.c…") route to
+    // the *NestedColumn ops with the dotted parent path — GraftTable
+    // resolves and refuses non-struct segments loudly
+    def parentPath(names: Array[String]): String =
+      names.init.mkString(".")
     val adds = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 =>
         StructField(a.fieldNames.head, a.dataType, nullable = true)
     }
     val nestedAdds = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length != 1 =>
-        depth(a.fieldNames, "ADD COLUMNS")
-        a.fieldNames.head ->
-          StructField(a.fieldNames()(1), a.dataType, nullable = true)
+        parentPath(a.fieldNames) ->
+          StructField(a.fieldNames.last, a.dataType, nullable = true)
     }
     val drops = changes.collect {
       case d: TableChange.DeleteColumn if d.fieldNames.length == 1 =>
@@ -284,8 +281,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     }
     val nestedDrops = changes.collect {
       case d: TableChange.DeleteColumn if d.fieldNames.length != 1 =>
-        depth(d.fieldNames, "DROP COLUMN")
-        d.fieldNames.head -> d.fieldNames()(1)
+        parentPath(d.fieldNames) -> d.fieldNames.last
     }
     val renames = changes.collect {
       case r: TableChange.RenameColumn if r.fieldNames.length == 1 =>
@@ -293,8 +289,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     }
     val nestedRenames = changes.collect {
       case r: TableChange.RenameColumn if r.fieldNames.length != 1 =>
-        depth(r.fieldNames, "RENAME COLUMN")
-        (r.fieldNames.head, r.fieldNames()(1), r.newName)
+        (parentPath(r.fieldNames), r.fieldNames.last, r.newName)
     }
     val retypes = changes.collect {
       case u: TableChange.UpdateColumnType if u.fieldNames.length == 1 =>
@@ -302,8 +297,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     }
     val nestedRetypes = changes.collect {
       case u: TableChange.UpdateColumnType if u.fieldNames.length != 1 =>
-        depth(u.fieldNames, "ALTER COLUMN TYPE")
-        (u.fieldNames.head, u.fieldNames()(1), u.newDataType)
+        (parentPath(u.fieldNames), u.fieldNames.last, u.newDataType)
     }
     val unsupported = changes.filter {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty |

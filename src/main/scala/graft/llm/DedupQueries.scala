@@ -76,22 +76,36 @@ object DedupQueries extends QueryCatalog {
     * storage without registering with the shared cache manager (LlmSpec
     * pins that, as a guard against reintroducing .cache()).
     *
-    * DISK_ONLY storage, explicitly: the shingle table is corpus-sized
-    * (one row per distinct doc trigram — larger than the input text),
-    * so at 100 TB the localCheckpoint default (MEMORY_AND_DISK) would
-    * fill executor memory with checkpoint blocks and evict the shuffle
-    * and operator working set. Disk blocks bound executor memory to
-    * the working set; at bench scale the table rides the OS page cache
-    * and the measured cost is ~0.5 s on the largest consumer
-    * (q_dedup_fuzzy 2.7 → 3.3 s fresh-JVM at sf0.1, idle box) —
-    * accepted for the bounded-memory contract, every other consumer is
-    * tree-equal. The blocks live in the BlockManager until
-    * the ContextCleaner collects the dropped RDD (GC-driven) or a
-    * caller unpersists them explicitly — Bench releases them per query
-    * via getPersistentRDDs. */
+    * Storage level is SIZE-ADAPTIVE (r14, after an r13→r12 tree A/B
+    * priced flat DISK_ONLY at ~0.8 s on q_dedup_clusters and ~0.5 s on
+    * q_dedup_fuzzy): the shingle table is corpus-sized (one row per
+    * distinct doc trigram — larger than the input text), so at 100 TB
+    * the localCheckpoint default (MEMORY_AND_DISK) would fill executor
+    * memory with checkpoint blocks and evict the shuffle and operator
+    * working set — any frame whose optimizer size estimate exceeds
+    * `spark.graft.dedup.memCheckpointMaxBytes` (default 2 GiB) goes
+    * DISK_ONLY. Small frames (every bench/test scale) keep
+    * MEMORY_AND_DISK and pay no block-write cost. A wrong estimate
+    * degrades speed, never the memory-bound direction at scale:
+    * estimates grow with input file bytes. The blocks live in the
+    * BlockManager until the ContextCleaner collects the dropped RDD
+    * (GC-driven) or a caller unpersists them explicitly — Bench
+    * releases them per query via getPersistentRDDs. */
+  private[graft] def boundedCheckpoint(df: DataFrame): DataFrame = {
+    val limit = try df.sparkSession.conf.get(
+        "spark.graft.dedup.memCheckpointMaxBytes",
+        (2L << 30).toString).toLong
+      catch { case _: NumberFormatException => 2L << 30 }
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val lvl =
+      if (est <= BigInt(limit))
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      else org.apache.spark.storage.StorageLevel.DISK_ONLY
+    df.localCheckpoint(true, lvl)
+  }
+
   private[graft] def shingleSetsMaterialized(docs: DataFrame): DataFrame =
-    shingleSets(docs).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    boundedCheckpoint(shingleSets(docs))
 
   /** Jaccard over any (doc_id, item) set table: equi-join on the item,
     * count intersections, divide by union size. Integer counts + one
@@ -240,10 +254,9 @@ object DedupQueries extends QueryCatalog {
     val docs = Tables.documents(s, dir)
       .filter(col("source").isin("src0", "src1"))
     // six consumers of the token-set table (rank, sizes, both prefix
-    // sides, both verify sides) — materialize once, DISK_ONLY, the
-    // shingleSetsMaterialized idiom and rationale
-    val dt = tokenSets(docs).localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // sides, both verify sides) — materialize once, size-adaptive
+    // level, the shingleSetsMaterialized idiom and rationale
+    val dt = boundedCheckpoint(tokenSets(docs))
     val rnk = dt.groupBy("tok").agg(count(lit(1)).as("df"))
       .select(col("tok"), row_number().over(
         Window.orderBy(col("df").asc, col("tok").asc)).as("trank"))
@@ -257,8 +270,7 @@ object DedupQueries extends QueryCatalog {
       .filter(col("p") <=
         col("n") - expr("(9 * n + 9) div 10") + 1)
       .select("doc_id", "tok")
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      .transform(boundedCheckpoint)
     val cand = pre.as("a")
       .join(pre.as("b"), col("a.tok") === col("b.tok") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -548,11 +560,11 @@ object DedupQueries extends QueryCatalog {
     // materialized once (the shingleSetsMaterialized idiom): three
     // consumers (both join sides + the sizes agg) would otherwise
     // recompute the scan+explode+distinct per branch — ReuseExchange
-    // does not hold across their different partitionings. DISK_ONLY
-    // for the same corpus-sized reason as shingleSetsMaterialized.
-    val g = wordGrams(Tables.documents(s, dir), 3, Seq("source"))
-      .distinct().localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // does not hold across their different partitionings. Size-
+    // adaptive level for the same corpus-sized reason as
+    // shingleSetsMaterialized.
+    val g = boundedCheckpoint(
+      wordGrams(Tables.documents(s, dir), 3, Seq("source")).distinct())
     val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
     g.as("a")
       .join(g.as("b"),

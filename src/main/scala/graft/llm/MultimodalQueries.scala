@@ -39,13 +39,63 @@ object MultimodalQueries extends QueryCatalog {
     */
   private val mmDecode = Q.noOracle("q_mm_decode") { (s, dir) =>
     val feats = Media.decodeFeatures(Media.attach(Tables.documents(s, dir)))
+    // decode_status is part of the output contract (round 14): stub
+    // features are labeled 'stub' — a downstream consumer can never
+    // mistake placeholder dims/stats for a real decode
     feats.toDF()
-      .groupBy("source")
+      .groupBy("source", "decode_status")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
         max(col("max_byte")).as("max_byte"))
-      .orderBy("source")
+      .orderBy("source", "decode_status")
+  }
+
+  /** REAL video path, end to end with zero external codecs (round 14):
+    * per sampled doc, render three 8x8 gray rasters from the doc's
+    * bytes, JPEG-encode them with the JDK codec, mux into an MJPEG
+    * AVI (RIFF container), then run the production demux+decode:
+    * [[Media.decodeFeatures]] must label every row 'video-mjpeg' and
+    * [[Media.videoFrames]] yields per-frame features. Everything is
+    * a narrow map — payloads never shuffle; only numeric features do.
+    * No oracle (byte-level container math has no DuckDB analog);
+    * the in-query require pins the no-stub contract and LlmSpec pins
+    * exact frame values on an authored AVI. */
+  private val mmVideo = Q.noOracle("q_mm_video") { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, src, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val frames = (0 until 3).map { f =>
+          val gray = Array.tabulate[Byte](64) { i =>
+            if (bytes.isEmpty) 0
+            else bytes((f * 64 + i) % bytes.length)
+          }
+          Media.encodeJpegGray(gray, 8, 8)
+        }
+        Media.MediaRecord(id, src, "video/x-mjpeg-avi",
+          Media.muxMjpegAvi(frames, 8, 8))
+      })
+    val feats = Media.decodeFeatures(media).toDF()
+    val perFrame = Media.videoFrames(media, stride = 1).toDF()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("max_gray")).as("frame_max_gray"))
+    val out = feats
+      .join(perFrame, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("decode_status"),
+        col("width"), col("height"), col("n_frames"),
+        col("max_byte"), col("frame_max_gray"))
+      .orderBy("doc_id")
+    // the no-stub contract: every synthetic AVI must decode for real
+    val statuses = out.select("decode_status").distinct().collect()
+      .map(_.getString(0)).toSeq
+    require(statuses == Seq("video-mjpeg"),
+      s"q_mm_video expected all 'video-mjpeg', got $statuses")
+    out
   }
 
   /** Frame sampling through the real binary path (16-byte frames,
@@ -117,5 +167,5 @@ object MultimodalQueries extends QueryCatalog {
   }
 
   override def all: Seq[Q] =
-    Seq(mmJoin, mmDecode, mmFrames, mmResize, mmAudio)
+    Seq(mmJoin, mmDecode, mmFrames, mmResize, mmAudio, mmVideo)
 }

@@ -1380,13 +1380,17 @@ object PipelineQueries extends QueryCatalog {
     * deterministically WITHIN each stage, so training consumes simple
     * text first without ever reading in a data-dependent order twice.
     * Stage boundaries are the sample quartiles from the deterministic
-    * bottom-k md5 sample ([[quantilesSample]]'s KMV law) — ONE tiny
-    * broadcast, so stage assignment is map-side: no global sort ever
-    * touches the corpus (ntile would shuffle-sort 100 TB; a 256-row
-    * sample + broadcast boundaries costs one mergeable pass). The
+    * bottom-k md5 sample ([[quantilesSample]]'s KMV law) — picked via
+    * sort+limit, which Spark plans as TakeOrderedAndProject (per-
+    * partition partial top-k, tiny merge on one reducer: never a
+    * global sort of the corpus; ntile would shuffle-sort 100 TB) —
+    * then ONE tiny broadcast, so stage assignment is map-side. The
     * within-stage order is md5('cur42:'||doc_id) — reproducible and
-    * seed-switchable. Output: the first 25 schedule slots per stage.
-    */
+    * seed-switchable. Output: the first 25 schedule slots per stage;
+    * the `row_number ≤ 25` filter lets Spark's WindowGroupLimit rule
+    * pre-reduce each map partition to 25 rows per stage BEFORE the
+    * stage shuffle, so the schedule windows are per-stage top-k, not
+    * corpus-wide sorts. */
   private val curriculum = Q(
     "q_pipe_curriculum",
     """WITH t AS (
@@ -1427,13 +1431,15 @@ object PipelineQueries extends QueryCatalog {
       .select(col("doc_id"),
         ((col("n_chars") - (size(split(col("text"), " ")) - 1))
           .cast("double") / size(split(col("text"), " "))).as("diff"))
-    // sample quartile boundaries: bottom-256 by md5(doc_id), exact
-    // ranks 64/128/192 over the sample ordered by (diff, sample rank)
+    // sample quartile boundaries: bottom-256 by md5(doc_id) via
+    // sort+limit (TakeOrderedAndProject — distributed partial top-k,
+    // no corpus-wide window), exact ranks 64/128/192 over the sample
+    // ordered by (diff, sample rank)
     val bounds = t
-      .selectExpr("diff",
-        "row_number() over (order by " +
-          "md5(cast(cast(doc_id as string) as binary)), doc_id) as rn")
-      .filter(col("rn") <= 256)
+      .withColumn("h",
+        expr("md5(cast(cast(doc_id as string) as binary))"))
+      .orderBy(col("h"), col("doc_id")).limit(256)
+      .selectExpr("diff", "row_number() over (order by h, doc_id) as rn")
       .selectExpr("diff", "row_number() over (order by diff, rn) as r")
       .agg(
         expr("max(case when r = 64 then diff end)").as("b1"),

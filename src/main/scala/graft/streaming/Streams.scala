@@ -182,7 +182,15 @@ object Streams {
   def eventMicros(e: Ev): Long =
     e.ts.getTime * 1000L + (e.ts.getNanos / 1000 % 1000)
 
-  def viOf(e: Ev): Long = math.floor(e.value * 10000 + 0.5).toLong
+  def viOf(e: Ev): Long = {
+    val vi = math.floor(e.value * 10000 + 0.5).toLong
+    // the exactness argument (Spark floor ≡ DuckDB // ≡ Long./) holds
+    // only for nonnegative values — floor vs truncate-toward-zero
+    // diverge below 0; fail loudly if datagen ever goes negative
+    // instead of silently drifting from the recursive-CTE oracle
+    require(vi >= 0, s"ewma requires nonnegative values, got ${e.value}")
+    vi
+  }
 
   /** Per-user EWMA smoother (ValueState[Long] — O(users), never
     * O(events)): each event emits the user's updated smoothed value.

@@ -73,6 +73,8 @@ class ConcurrencyPropSpec extends SparkSuite {
   private case class WAppend(rows: Int) extends WOp
   private case class WDeleteOwn(pick: Int) extends WOp
   private case class WEqDeleteOwn(pick: Int) extends WOp
+  private case class WUpdateOwn(pick: Int) extends WOp
+  private case object WExpire extends WOp
   private case object WCompact extends WOp
 
   private val genOp: Gen[WOp] = Gen.frequency(
@@ -81,10 +83,31 @@ class ConcurrencyPropSpec extends SparkSuite {
     1 -> Gen.choose(0, 7).map(WEqDeleteOwn),
     1 -> Gen.const(WCompact))
 
+  // the N-writer mix adds COW updates (value-only: the key-set check
+  // stays exact) and snapshot expiry (data-neutral; retainLast keeps
+  // a deep buffer so a concurrent writer's captured base never loses
+  // its files mid-operation — see WExpire below)
+  private val genOpN: Gen[WOp] = Gen.frequency(
+    5 -> Gen.choose(1, 3).map(WAppend),
+    2 -> Gen.choose(0, 7).map(WDeleteOwn),
+    1 -> Gen.choose(0, 7).map(WEqDeleteOwn),
+    2 -> Gen.choose(0, 7).map(WUpdateOwn),
+    1 -> Gen.const(WExpire),
+    1 -> Gen.const(WCompact))
+
   private val genScript: Gen[List[WOp]] =
     Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, genOp))
 
+  private val genScriptsN: Gen[List[List[WOp]]] =
+    Gen.choose(4, 8).flatMap(w => Gen.listOfN(w,
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, genOpN))))
+
   private def runRace(s1: List[WOp], s2: List[WOp],
+      provider: CommitProvider = LocalCommitProvider,
+      sweepAfter: Boolean = false): Boolean =
+    runRaceN(List(s1, s2), provider, sweepAfter)
+
+  private def runRaceN(scripts: List[List[WOp]],
       provider: CommitProvider = LocalCommitProvider,
       sweepAfter: Boolean = false): Boolean = {
     val root = graft.ScratchDirs.create("graft-race-")
@@ -94,7 +117,7 @@ class ConcurrencyPropSpec extends SparkSuite {
     val appended = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val deleted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val barrier = new CyclicBarrier(2)
+    val barrier = new CyclicBarrier(scripts.size)
     def writer(tid: Int, script: List[WOp]): Thread = new Thread(() => {
       try {
         val t = GraftTable.load(spark, root, commit = provider)
@@ -122,6 +145,23 @@ class ConcurrencyPropSpec extends SparkSuite {
                 if (t.equalityDelete(Seq(k).toDF("k")).nonEmpty)
                   deleted.add(k)
               case WEqDeleteOwn(_) => ()
+              case WUpdateOwn(pick) if own.nonEmpty =>
+                // COW update (update.mode unset => copy-on-write) of
+                // an OWN key's value: key set untouched, so every
+                // serial order still converges; exercises the rewrite
+                // path racing appends/deletes/compaction
+                val k = own(pick % own.size)
+                t.update(col("k") === k, Map("v" -> lit(999L)))
+              case WUpdateOwn(_) => ()
+              case WExpire =>
+                // retainLast=10 keeps a deep suffix: a concurrent
+                // writer's captured base is at most a few commits
+                // stale (capture happens per attempt), so its files
+                // stay reachable from the retained set — the same
+                // buffer discipline a production expiry policy needs
+                t.expireSnapshots(
+                  olderThanMs = System.currentTimeMillis() + 1000,
+                  retainLast = 10)
               case WCompact =>
                 t.rewriteDataFiles()
             }
@@ -129,9 +169,10 @@ class ConcurrencyPropSpec extends SparkSuite {
         }
       } catch { case e: Throwable => errors.add(e) }
     })
-    val t1 = writer(1, s1)
-    val t2 = writer(2, s2)
-    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    val threads = scripts.zipWithIndex.map { case (s0, i) =>
+      writer(i + 1, s0)
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(180000))
     assert(errors.isEmpty,
       s"writer failed despite retry: ${errors.asScala.headOption}")
     val t = GraftTable.load(spark, root)
@@ -141,13 +182,18 @@ class ConcurrencyPropSpec extends SparkSuite {
     assert(got == want,
       s"missing: ${(want -- got).take(5)} spurious: ${(got -- want).take(5)}")
     // commits form ONE linear chain: every snapshot's parent is the
-    // snapshot committed immediately before it
+    // snapshot committed immediately before it (after an expiry the
+    // list is a SUFFIX of the chain, so the first retained snapshot
+    // may point at an expired predecessor — every later link stays
+    // strict)
     val snaps = t.meta.snapshots
+    val everExpired = scripts.exists(_.contains(WExpire))
     snaps.zipWithIndex.foreach { case (s, i) =>
       val expectedParent = if (i == 0) None else Some(snaps(i - 1).snapshotId)
-      assert(s.parentId == expectedParent,
-        s"forked history at ${s.snapshotId}: parent ${s.parentId}, " +
-          s"expected $expectedParent")
+      if (i > 0 || !everExpired)
+        assert(s.parentId == expectedParent,
+          s"forked history at ${s.snapshotId}: parent ${s.parentId}, " +
+            s"expected $expectedParent")
     }
     if (sweepAfter) {
       // losers' unpublished manifests/segments/data are debris the
@@ -173,6 +219,19 @@ class ConcurrencyPropSpec extends SparkSuite {
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(runs)
       .withInitialSeed(Seed(4242L))
+      .withWorkers(1)
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("∀ N-writer (4-8) races of append/MOR-delete/COW-update/" +
+    "compact/expire under retry: final state equals the serial-order " +
+    "result, history stays linear, expiry never strands a racer") {
+    val prop = Prop.forAll(genScriptsN)(ss => runRaceN(ss))
+    val runs = sys.props.get("graft.race.n.runs").map(_.toInt).getOrElse(20)
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(runs)
+      .withInitialSeed(Seed(2828L))
       .withWorkers(1)
     val res = SCTest.check(params, prop)
     assert(res.passed, res.status.toString)

@@ -1223,18 +1223,26 @@ class GraftTableSpec extends SparkSuite {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")
     val sch = StructType.fromDDL("s STRING, i INT, l BIGINT, d DOUBLE, " +
-      "f FLOAT, b BOOLEAN, dt DATE, ts TIMESTAMP_NTZ")
+      "f FLOAT, b BOOLEAN, dt DATE, ts TIMESTAMP_NTZ, " +
+      // three decimal physical spellings: INT32 (p≤9), INT64 (p≤18),
+      // FIXED_LEN_BYTE_ARRAY (p>18) — footer decode must match the
+      // scan path's decimal min/max rendering for all three
+      "m9 DECIMAL(9,2), m18 DECIMAL(12,2), m38 DECIMAL(24,6)")
     val t = cat.createTable("default", "typed", sch)
+    def dec(s0: String) = new java.math.BigDecimal(s0)
     val rows = Seq(
       Row("alpha", Int.box(-3), Long.box(7L), Double.box(1.5),
         Float.box(2.25f), Boolean.box(false),
         java.sql.Date.valueOf("2023-01-05"),
-        java.time.LocalDateTime.parse("2023-01-05T10:30:00")),
+        java.time.LocalDateTime.parse("2023-01-05T10:30:00"),
+        dec("12.40"), dec("-33078.94"), dec("98765432109876.543210")),
       Row("Ωmega", Int.box(41), Long.box(-9L), Double.box(-0.25),
         Float.box(3.5f), Boolean.box(true),
         java.sql.Date.valueOf("2024-06-01"),
-        java.time.LocalDateTime.parse("2024-06-01T00:00:01")),
-      Row(null, null, null, null, null, null, null, null))
+        java.time.LocalDateTime.parse("2024-06-01T00:00:01"),
+        dec("-0.05"), dec("100.00"), dec("-1.000001")),
+      Row(null, null, null, null, null, null, null, null,
+        null, null, null))
     t.append(spark.createDataFrame(rows.asJava, sch))
     val entries = t.manifestOf(t.currentSnapshot.get)
       .filter(_.content == 0)
@@ -1253,6 +1261,57 @@ class GraftTableSpec extends SparkSuite {
     // the committed manifest actually used the footer path (stats
     // present without any stats scan having produced different values)
     assert(entries.flatMap(_.stats.get("dt")).nonEmpty)
+    // decimal stats landed in scale-preserving plain form
+    val allStats = viaFooters.flatMap(_.stats.get("m18")).map(_.min)
+    assert(allStats.contains("-33078.94"), s"m18 mins: $allStats")
+  }
+
+  test("DECIMAL lifecycle: append/read exact, COW update arithmetic, " +
+    "MOR delete on a DECIMAL predicate, stats-pruned point read, " +
+    "precision>18 roundtrip") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val sch = StructType.fromDDL(
+      "k BIGINT, price DECIMAL(12,2), micro DECIMAL(24,6)")
+    val t = cat.createTable("default", "money", sch,
+      Map("write.delete.mode" -> "merge-on-read"))
+    def dec(s0: String) = new java.math.BigDecimal(s0)
+    // several appends -> several files, so pruning has files to skip
+    for (base <- Seq(0L, 100L, 200L)) {
+      val rows = (0 until 4).map { j =>
+        Row(Long.box(base + j), dec(f"${base + j}%d.25"),
+          dec(s"12345678901234567.00000${j + 1}"))
+      }
+      t.append(spark.createDataFrame(rows.asJava, sch))
+    }
+    assert(t.read().count() === 12)
+    // exact roundtrip at both precisions
+    val r0 = t.read().filter(col("k") === 201L).collect().head
+    assert(r0.getDecimal(1).toPlainString === "201.25")
+    assert(r0.getDecimal(2).toPlainString === "12345678901234567.000002")
+    // stats-pruned point read on the DECIMAL column: only the file
+    // whose [min,max] can contain 201.25 is read
+    val hits = t.readWhere(col("price") === dec("201.25")).collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(201L))
+    val pruned = t.currentSnapshot.map(s0 =>
+      t.manifestOf(s0).filter(_.content == 0)).get
+    assert(pruned.forall(_.stats.contains("price")),
+      "decimal stats must land in the manifest")
+    // MOR delete through a DECIMAL comparison
+    t.delete(col("price") > dec("199.00"))
+    assert(t.read().count() === 8)
+    // COW update with DECIMAL arithmetic stays exact
+    t.setProperties(Map("write.update.mode" -> "copy-on-write"))
+    t.update(col("k") === 3L, Map("price" ->
+      (col("price") + lit(dec("0.10"))).cast(
+        org.apache.spark.sql.types.DecimalType(12, 2))))
+    val upd = t.read().filter(col("k") === 3L).collect().head
+    assert(upd.getDecimal(1).toPlainString === "3.35")
+    // schema evolution: widen is refused (decimal widening would need
+    // a parquet rewrite of unscaled ints — metadata-only is unsafe)
+    val w = intercept[IllegalArgumentException](
+      t.widenColumn("price", org.apache.spark.sql.types.DecimalType(14, 2)))
+    assert(w.getMessage.contains("unsupported type change"))
   }
 
   test("D2-D5 catalog DDL: create/load/props/drop") {

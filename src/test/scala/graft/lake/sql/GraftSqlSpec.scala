@@ -1583,13 +1583,15 @@ class GraftSqlSpec extends SparkSuite {
       .forall(_.isNullAt(0)),
       "a re-added subfield must read NULL, never dropped bytes")
 
-    // deeper nesting refuses loudly (Spark's resolver rejects the
-    // unresolvable parent path before our catalog depth guard — either
-    // way the statement fails instead of silently no-opping)
+    // a MISSING parent path refuses loudly (never a silent no-op) —
+    // depth itself is supported since r14, see the struct-in-struct
+    // walk below
     val deep = intercept[Exception](spark.sql(
       s"ALTER TABLE $tbl ADD COLUMNS (prof.inner.leaf INT)"))
-    assert(deep.getMessage.contains("one nesting level") ||
-      deep.getMessage.contains("UNRESOLVED_COLUMN"))
+    assert(deep.getMessage.contains("no such column") ||
+      deep.getMessage.contains("UNRESOLVED") ||
+      deep.getMessage.contains("FIELD_NOT_FOUND"),
+      s"missing parent must refuse: ${deep.getMessage}")
     // dotted TOP-LEVEL names are refused at entry — they would be
     // indistinguishable from nested paths in the mapping keyspace
     val dotted = intercept[Exception](spark.sql(
@@ -1603,6 +1605,89 @@ class GraftSqlSpec extends SparkSuite {
     spark.sql(s"DELETE FROM $tbl WHERE prof.mail = 'b@y.org'")
     assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()
       .head.getLong(0) === 3)
+  }
+
+  test("depth-2+ nested schema evolution (struct-in-struct): " +
+    "ADD/RENAME/TYPE/DROP at depth 3, inner-struct rename re-keys " +
+    "descendants, time travel replays historical paths, re-ADD never " +
+    "resurrects dropped bytes") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val tbl = s"graft.$ns.ev2"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, event STRUCT<" +
+      "payload: STRUCT<geo: STRUCT<lat: DOUBLE, lon: DOUBLE>, " +
+      "kind: STRING>, ts: BIGINT>) USING graft")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, named_struct(" +
+      "'payload', named_struct('geo', named_struct(" +
+      "'lat', 1.5D, 'lon', 2.5D), 'kind', 'click'), 'ts', 100L))")
+
+    // ADD at depth 3: pre-evolution files read NULL
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (event.payload.geo.alt INT)")
+    assert(spark.sql(s"SELECT event.payload.geo.alt FROM $tbl")
+      .collect().forall(_.isNullAt(0)))
+    spark.sql(s"INSERT INTO $tbl VALUES (2, named_struct(" +
+      "'payload', named_struct('geo', named_struct(" +
+      "'lat', 3.5D, 'lon', 4.5D, 'alt', 7), 'kind', 'view'), " +
+      "'ts', 200L))")
+
+    // RENAME at depth 3: old files keep the physical leaf
+    val preRename = snapshotIds(tbl).last
+    spark.sql(
+      s"ALTER TABLE $tbl RENAME COLUMN event.payload.geo.lat TO latitude")
+    assert(spark.sql(
+      s"SELECT event.payload.geo.latitude FROM $tbl ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq === Seq(1.5, 3.5),
+      "old files must read through the depth-3 rename")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, named_struct(" +
+      "'payload', named_struct('geo', named_struct(" +
+      "'latitude', 5.5D, 'lon', 6.5D, 'alt', 9), 'kind', 'buy'), " +
+      "'ts', 300L))")
+    assert(spark.sql(s"SELECT event.payload.geo.latitude FROM $tbl " +
+      "ORDER BY id").collect().map(_.getDouble(0)).toSeq
+      === Seq(1.5, 3.5, 5.5))
+
+    // RENAME the INNER STRUCT itself: descendant mapping keys re-key
+    // ("event.payload.geo.latitude" -> "event.body.geo.latitude")
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN event.payload TO body")
+    assert(spark.sql(s"SELECT event.body.geo.latitude FROM $tbl " +
+      "ORDER BY id").collect().map(_.getDouble(0)).toSeq
+      === Seq(1.5, 3.5, 5.5),
+      "inner-struct rename must re-key descendant nested renames")
+    assert(spark.sql(s"SELECT event.body.kind FROM $tbl WHERE id = 2")
+      .collect().head.getString(0) === "view")
+
+    // TYPE widen at depth 3: narrow leaves read wide
+    spark.sql(
+      s"ALTER TABLE $tbl ALTER COLUMN event.body.geo.alt TYPE BIGINT")
+    assert(spark.sql(s"SELECT sum(event.body.geo.alt) FROM $tbl")
+      .collect().head.getLong(0) === 16L)
+
+    // time travel BEFORE the renames replays the historical paths
+    assert(spark.sql(s"SELECT event.payload.geo.lat FROM $tbl " +
+      s"VERSION AS OF $preRename ORDER BY id").collect()
+      .map(_.getDouble(0)).toSeq === Seq(1.5, 3.5))
+
+    // DROP at depth 3 + re-ADD: dropped bytes (7/9) must not resurrect
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN event.body.geo.alt")
+    assert(!spark.sql(s"SELECT event.body.geo.* FROM $tbl").columns
+      .map(_.toLowerCase).contains("alt"))
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (event.body.geo.alt BIGINT)")
+    assert(spark.sql(s"SELECT event.body.geo.alt FROM $tbl").collect()
+      .forall(_.isNullAt(0)),
+      "re-added depth-3 subfield must read NULL, never dropped bytes")
+
+    // a non-struct segment mid-path refuses loudly
+    val nonStruct = intercept[Exception](spark.sql(
+      s"ALTER TABLE $tbl ADD COLUMNS (event.ts.x INT)"))
+    assert(nonStruct.getMessage.contains("not a struct") ||
+      nonStruct.getMessage.contains("STRUCT column") ||
+      nonStruct.getMessage.contains("UNRESOLVED"),
+      s"non-struct parent must refuse: ${nonStruct.getMessage}")
+
+    // DML still works against the twice-evolved schema
+    spark.sql(s"DELETE FROM $tbl WHERE event.body.geo.latitude = 3.5D")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()
+      .head.getLong(0) === 2)
   }
 
   test("CALL maintain runs the table's policy-tripped actions and " +

@@ -389,6 +389,56 @@ class LlmSpec extends SparkSuite {
       Media.decodeStub("abcd".getBytes("UTF-8")))
   }
 
+  test("media decode: an authored MJPEG-AVI demuxes and decodes for " +
+    "real (encode→mux→demux→decode round-trip, status video-mjpeg); " +
+    "non-AVI payloads emit NO video frames and stubs stay labeled") {
+    import spark.implicits._
+    // three 8x8 gray rasters with distinct, known max levels; JPEG is
+    // lossy but a CONSTANT raster survives exactly (one DC term)
+    val levels = Seq(40, 120, 200)
+    val frames = levels.map(l =>
+      Media.encodeJpegGray(Array.fill[Byte](64)(l.toByte), 8, 8))
+    val avi = Media.muxMjpegAvi(frames, 8, 8)
+    // demux returns the exact JPEG payloads that went in
+    val demuxed = Media.demuxMjpegAvi(avi).get
+    assert(demuxed.size == 3)
+    assert(demuxed.zip(frames).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+    // decode: dims from frame 0; mean/max must equal what the image
+    // decoder says per frame (JPEG DC quantization may shift constant
+    // levels a little, so the contract is video ≡ per-frame image
+    // decode, not exact input levels)
+    val perImg = frames.map(f => Media.decodeImage(f).get)
+    assert(perImg.map(_._4) == perImg.map(_._4).sorted &&
+      perImg.map(_._4).distinct.size == 3,
+      "authored frames must stay distinct and ordered through JPEG")
+    val (w, h, mean, max, status) = Media.decodeWithStatus(avi)
+    assert(status == "video-mjpeg")
+    assert(w == 8 && h == 8)
+    assert(max == perImg.map(_._4).max &&
+      math.abs(mean - perImg.map(_._3).sum / 3) < 1e-9)
+    // distributed per-frame features agree, stride honored
+    val ds = spark.createDataset(Seq(
+      Media.MediaRecord(9L, "avi-src", "video/x-mjpeg-avi", avi)))
+    val perFrame = Media.videoFrames(ds, stride = 1).collect()
+      .sortBy(_.frame_idx)
+    assert(perFrame.map(_.max_gray).toSeq == perImg.map(_._4))
+    assert(Media.videoFrames(ds, stride = 2).collect()
+      .map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    // the features row is labeled video, never stub
+    val feat = Media.decodeFeatures(ds).collect().head
+    assert(feat.decode_status == "video-mjpeg" && feat.width == 8)
+    // text payloads: no video frames, stub stays labeled 'stub'
+    val txt = spark.createDataset(Seq(Media.MediaRecord(10L, "t", "x",
+      "just text".getBytes("UTF-8"))))
+    assert(Media.videoFrames(txt, 1).collect().isEmpty)
+    assert(Media.decodeFeatures(txt).collect().head.decode_status
+      == "stub")
+    // a WAV (also RIFF) must still route to audio, not video
+    assert(Media.demuxMjpegAvi(
+      "RIFFxxxxWAVEdata".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("media decode: a real PCM WAV goes through javax.sound.sampled " +
     "with true rate/channels and sample stats; text still stubs") {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
