@@ -1460,11 +1460,106 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("stage", "seq")
   }
 
+  /** Water-filling token-budget allocation across domains (round 14)
+    * — the max-min-fair mixture solver of an LM data pipeline: given
+    * a token budget B (total÷3 here), every domain gets
+    * min(its size, cap) where the common water level `cap` exhausts
+    * B; small domains keep everything, big domains are clipped to the
+    * same level (the fairness property upsampling/downsampling
+    * schedules start from). Exact integer algorithm: sort domains by
+    * size, count how many are fully satisfiable
+    * (prefix + size·(remaining) ≤ B — a monotone prefix property),
+    * cap = floor((B − P_j)/(n − j)), and the ≤(n−j−1)-token remainder
+    * goes one token each to the first unsatisfied domains in size
+    * order — fully deterministic, no floats anywhere. Scale shape:
+    * the corpus pass is ONE partial-agg'd groupBy(source); every
+    * window after that runs over the DOMAIN table (bounded — tens,
+    * not corpus-sized), so the unpartitioned windows are safe at any
+    * corpus scale. */
+  private val waterfill = Q(
+    "q_pipe_waterfill",
+    """WITH tok AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS size
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(sum(size) AS BIGINT) // 3 AS b FROM tok
+      |), ord AS (
+      |  SELECT source, size,
+      |    row_number() OVER (ORDER BY size, source) AS k,
+      |    CAST(sum(size) OVER (ORDER BY size, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS pfx,
+      |    count(*) OVER () AS n
+      |  FROM tok
+      |), sat AS (
+      |  SELECT o.*, t.b,
+      |    CASE WHEN (o.pfx - o.size) + o.size * (o.n - o.k + 1) <= t.b
+      |      THEN 1 ELSE 0 END AS is_sat
+      |  FROM ord o CROSS JOIN tot t
+      |), lvl AS (
+      |  SELECT CAST(sum(is_sat) AS BIGINT) AS j,
+      |    CAST(coalesce(sum(CASE WHEN is_sat = 1 THEN size END), 0)
+      |      AS BIGINT) AS pj,
+      |    max(b) AS b, max(n) AS n
+      |  FROM sat
+      |), cap AS (
+      |  SELECT j, pj, b, n,
+      |    CASE WHEN j < n THEN (b - pj) // (n - j) ELSE NULL END AS cap,
+      |    CASE WHEN j < n
+      |      THEN b - pj - ((b - pj) // (n - j)) * (n - j)
+      |      ELSE CAST(0 AS BIGINT) END AS rem
+      |  FROM lvl
+      |)
+      |SELECT s.source, s.size AS size_tokens,
+      |  CASE WHEN s.is_sat = 1 THEN s.size
+      |    ELSE c.cap + (CASE WHEN s.k - c.j <= c.rem THEN 1 ELSE 0 END)
+      |    END AS alloc_tokens,
+      |  s.is_sat AS fully_satisfied
+      |FROM sat s CROSS JOIN cap c
+      |ORDER BY s.source""".stripMargin
+  ) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))
+        .cast("bigint").as("size"))
+    val tot = tok.agg(expr("sum(size) div 3").cast("bigint").as("b"))
+    val w = Window.orderBy("size", "source")
+    val ord = tok.crossJoin(broadcast(tot))
+      .select(col("source"), col("size"), col("b"),
+        row_number().over(w).cast("long").as("k"),
+        sum("size").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint").as("pfx"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+    val sat = ord.withColumn("is_sat",
+      when((col("pfx") - col("size"))
+        + col("size") * (col("n") - col("k") + 1) <= col("b"), 1)
+        .otherwise(0))
+    val lvl = sat.agg(
+      sum("is_sat").cast("bigint").as("j"),
+      coalesce(sum(when(col("is_sat") === 1, col("size"))), lit(0L))
+        .cast("bigint").as("pj"),
+      max("b").as("b"), max("n").as("n"))
+      .withColumn("cap", expr(
+        "CASE WHEN j < n THEN (b - pj) div (n - j) ELSE NULL END"))
+      .withColumn("rem", expr(
+        "CASE WHEN j < n THEN b - pj - ((b - pj) div (n - j)) * (n - j)" +
+          " ELSE CAST(0 AS BIGINT) END"))
+    sat.crossJoin(broadcast(lvl))
+      .select(col("source"), col("size").as("size_tokens"),
+        expr("CASE WHEN is_sat = 1 THEN size" +
+          " ELSE cap + (CASE WHEN k - j <= rem THEN 1 ELSE 0 END) END")
+          .as("alloc_tokens"),
+        col("is_sat").as("fully_satisfied"))
+      .orderBy("source")
+  }
+
   override def all: Seq[Q] = Seq(dedupClusters, trainSplit,
     splitDecontaminated, sample, pack,
     vocab, quantiles, quantilesApprox, quantilesSample, quantize,
     piiRedact, logprob,
     logprobBigram, decontaminate, minhashMd5, upsample, chunk,
     mixture, interleave, mixInterleave, stratified, datasetCard,
-    tokenBudget, curationFunnel, lengthBuckets, curriculum)
+    tokenBudget, curationFunnel, lengthBuckets, curriculum, waterfill)
 }

@@ -1010,10 +1010,55 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus novelty profile (round 14) — the "how much NEW text does
+    * each document contribute" curve a dataset curator reads before
+    * deciding ingestion order: for every doc, the share (half-up
+    * basis points) of its distinct word trigrams whose FIRST corpus
+    * occurrence (min doc_id) is this doc. Monotone corpora (dumps
+    * ingested in crawl order) use it to cut off the diminishing tail.
+    * Scale shape: one shingle explode, one groupBy(gram) for the
+    * first-occurrence map, one join back on the gram key (same
+    * partitioning as the groupBy — no extra exchange), one per-doc
+    * aggregate. No all-pairs anything; integer math end to end. Docs
+    * under 3 tokens emit no shingles and are absent in both engines. */
+  private val novelty = Q(
+    "q_text_novelty",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), f AS (
+      |  SELECT sh, min(doc_id) AS first_doc FROM g GROUP BY sh
+      |), pd AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_novel
+      |  FROM g JOIN f ON g.sh = f.sh
+      |  GROUP BY g.doc_id
+      |)
+      |SELECT doc_id, n_grams, n_novel,
+      |  (10000 * n_novel + n_grams // 2) // n_grams AS novelty_bp
+      |FROM pd ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val g = DedupQueries.shingleSets(Tables.documents(s, dir))
+    val f = g.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    g.join(f, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .cast("bigint").as("n_novel"))
+      .withColumn("novelty_bp",
+        expr("(10000 * n_novel + n_grams div 2) div n_grams"))
+      .orderBy("doc_id")
+  }
+
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram,
       langIdSampled, fingerprint,
       fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
       bpeTrain, bpeApply, bpeFertility, langMismatch, vocabCoverage,
-      bm25, keywords)
+      bm25, keywords, novelty)
 }

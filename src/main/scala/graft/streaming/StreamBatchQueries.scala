@@ -420,8 +420,52 @@ object StreamBatchQueries extends QueryCatalog {
       .orderBy("event_id")
   }
 
+  /** Batch twin of [[Streams.ThrottleProcessor]] — TTL throttle /
+    * notification-dedup ("at most one emission per (user, type) per
+    * 48 h; suppressed events don't advance the clock"). The emission
+    * decision recurses on the key's EMISSION history, so no plain
+    * window expresses it (lag() sees the previous event, not the
+    * previous emission); the oracle is a DuckDB RECURSIVE CTE over
+    * exact integer microseconds, the batch form is the secondary-sort
+    * fold, and StreamingSpec pins the live ValueState machine equal
+    * across micro-batch boundaries. One shuffle on the key, O(1)
+    * state per row — the 100 TB shape. */
+  private val throttleQ = Q(
+    "q_stream_throttle",
+    """WITH RECURSIVE v AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(ts) AS tus,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), r AS (
+      |  SELECT user_id, event_type, event_id, rn,
+      |    TRUE AS emitted, tus AS last_emit,
+      |    CAST(1 AS BIGINT) AS n_emitted
+      |  FROM v WHERE rn = 1
+      |  UNION ALL
+      |  SELECT v.user_id, v.event_type, v.event_id, v.rn,
+      |    v.tus >= r.last_emit + 172800000000 AS emitted,
+      |    CASE WHEN v.tus >= r.last_emit + 172800000000
+      |      THEN v.tus ELSE r.last_emit END,
+      |    r.n_emitted + CASE WHEN v.tus >= r.last_emit + 172800000000
+      |      THEN 1 ELSE 0 END
+      |  FROM v JOIN r ON v.user_id = r.user_id
+      |    AND v.event_type = r.event_type AND v.rn = r.rn + 1
+      |)
+      |SELECT user_id, event_type, event_id, n_emitted
+      |FROM r WHERE emitted
+      |ORDER BY user_id, event_type, n_emitted""".stripMargin
+  ) { (s, dir) =>
+    Streams.throttleBatch(Tables.events(s, dir))
+      .toDF()
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("n_emitted"))
+      .orderBy("user_id", "event_type", "n_emitted")
+  }
+
   override def all: Seq[Q] =
     Seq(tumbling, sliding, session, streamJoin, streamJoinOuter,
-      streamJoinFull, milestonesQ, firstSeenQ,
+      streamJoinFull, milestonesQ, firstSeenQ, throttleQ,
       kmvDistinctQ, quantileQ, staticJoinQ, ewmaQ)
 }

@@ -257,6 +257,96 @@ object Streams {
       }
   }
 
+  final case class ThrottleOut(user_id: Long, event_type: String,
+      event_id: Long, n_emitted: Long)
+
+  /** TTL throttle (rate-limit dedup) contract: per (user, event_type)
+    * key, an event is EMITTED iff it is the key's first or its event
+    * time is ≥ the last EMITTED event's time + TTL; suppressed events
+    * never advance the clock (the alerting/notification-dedup
+    * semantics — "at most one page per key per 48 h"). The emission
+    * decision is a recursion on the key's history: not expressible as
+    * a plain window (lag() sees the previous EVENT, not the previous
+    * EMISSION), so like EWMA it lives three ways — streaming
+    * ValueState machine, batch secondary-sort fold, and a DuckDB
+    * RECURSIVE CTE oracle — all bit-equal in integer microseconds. */
+  val ThrottleTtlMicros: Long = 172800L * 1000000L // 48 h
+
+  def throttleEmits(lastEmit: Option[Long], tus: Long): Boolean =
+    lastEmit.forall(le => tus >= le + ThrottleTtlMicros)
+
+  /** Per-(user,type) throttle (ValueState[(lastEmitMicros, nEmitted)]
+    * — O(keys), never O(events)): emits only the surviving events,
+    * each with its running emission ordinal. Micro-batch rows sort by
+    * (ts, event_id) like [[EwmaProcessor]], so chronological batches
+    * reproduce the batch recursion exactly. */
+  class ThrottleProcessor
+      extends StatefulProcessor[(Long, String), Ev, ThrottleOut] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("emit",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(
+        key: (Long, String), rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[ThrottleOut] = {
+      val sorted = rows.toArray.sortBy(e => (eventMicros(e), e.event_id))
+      var cur = if (st.exists()) Option(st.get()) else None
+      val out = sorted.flatMap { e =>
+        val tus = eventMicros(e)
+        if (throttleEmits(cur.map(_._1), tus)) {
+          val n = cur.map(_._2).getOrElse(0L) + 1
+          cur = Some((tus, n))
+          Some(ThrottleOut(key._1, key._2, e.event_id, n))
+        } else None
+      }
+      cur.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  def throttled(events: DataFrame): Dataset[ThrottleOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new ThrottleProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Batch replay of the throttle recursion — the same secondary-sort
+    * fold shape as [[ewmaBatch]]: one shuffle on the key, O(1) state
+    * per row, survives unbounded per-key history. */
+  def throttleBatch(events: DataFrame): Dataset[ThrottleOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")).as[Ev]
+      .repartition(col("user_id"), col("event_type"))
+      .sortWithinPartitions(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var user = Long.MinValue
+        var typ = ""
+        var cur: Option[(Long, Long)] = None
+        it.flatMap { e =>
+          if (e.user_id != user || e.event_type != typ) {
+            user = e.user_id; typ = e.event_type; cur = None
+          }
+          val tus = eventMicros(e)
+          if (throttleEmits(cur.map(_._1), tus)) {
+            val n = cur.map(_._2).getOrElse(0L) + 1
+            cur = Some((tus, n))
+            Some(ThrottleOut(e.user_id, e.event_type, e.event_id, n))
+          } else None
+        }
+      }
+  }
+
   /** Event-time-timer sessionizer (the timer surface of the V2 state
     * API): per-user event times buffer in ListState; a session is
     * EMITTED the moment the watermark proves it closed (last event +

@@ -188,6 +188,29 @@ class LlmSpec extends SparkSuite {
     lsh.foreach { case (k, j) => assert(j == exact(k), s"jaccard mismatch $k") }
   }
 
+  test("boundedCheckpoint picks the storage level by the optimizer " +
+    "size estimate: small frames stay MEMORY_AND_DISK, past the conf " +
+    "threshold they go DISK_ONLY (the 100 TB bounded-memory contract)") {
+    import org.apache.spark.storage.StorageLevel
+    val key = "spark.graft.dedup.memCheckpointMaxBytes"
+    def levelOf(df: org.apache.spark.sql.DataFrame): StorageLevel = {
+      val ck = DedupQueries.boundedCheckpoint(df)
+      val lvl = ck.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getStorageLevel
+      }.get
+      ck.unpersist(true)
+      lvl
+    }
+    val small = spark.range(100).toDF("doc_id")
+    assert(levelOf(small) == StorageLevel.MEMORY_AND_DISK,
+      "a tiny frame must keep the fast level")
+    spark.conf.set(key, "0")
+    try assert(levelOf(small) == StorageLevel.DISK_ONLY,
+      "past the threshold the level must bound executor memory")
+    finally spark.conf.unset(key)
+  }
+
   test("shingle materialization never registers with the shared cache " +
     "manager (no-.cache() guard) and its localCheckpoint blocks are " +
     "releasable through getPersistentRDDs") {

@@ -494,6 +494,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState TTL throttle carries (lastEmit, count) " +
+    "state across micro-batches and equals the batch fold — " +
+    "suppressed events never advance the clock") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val stream = Streams.readEvents(spark, stageDir.toString)
+      Streams.runToMemory(Streams.throttled(stream),
+        "throttle", OutputMode.Append)
+      val got = spark.table("throttle").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = Streams.throttleBatch(batchEvents
+          .select(col("event_id"),
+            expr("timestamp_micros(ts_us)").as("ts"),
+            col("user_id"), col("event_type"), col("value")))
+        .collect()
+        .map(o => (o.user_id, o.event_type, o.event_id, o.n_emitted))
+        .toSet
+      assert(got == want, s"spurious=${(got -- want).take(5)}\n" +
+        s"missing=${(want -- got).take(5)}")
+      assert(got.nonEmpty)
+      // the throttle must actually suppress something, or the TTL is
+      // vacuous on this corpus
+      assert(got.size < batchEvents.count(),
+        "TTL suppressed nothing — corpus/TTL mismatch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState EWMA smoother carries exact integer state " +
     "across micro-batches and equals the batch secondary-sort fold") {
     val key = "spark.sql.streaming.stateStore.providerClass"
