@@ -2029,9 +2029,10 @@ object SimilarityQueries extends QueryCatalog {
     * near-miss ones carry the gradient). One broadcast of the query
     * batch, one map-side cosine pass over the corpus, then a rank
     * window per (query, same-label?) side. At 100 TB the window
-    * partitions are few and large — pre-reduce per input partition
-    * (each keeps its own top-k) before the window, the
-    * TakeOrderedAndProject trick per group (q_pipe_sample note). */
+    * partitions are few and large — the standalone `rk ≤ 3` filter on
+    * the window triggers Spark's InferWindowGroupLimit, so every
+    * input partition pre-reduces to its own top-3 per side BEFORE the
+    * shuffle (WindowGroupLimit(Partial) in the plan). */
   private val hardNegatives = Q(
     "q_sim_hard_negatives",
     """WITH e AS (
@@ -2075,6 +2076,12 @@ object SimilarityQueries extends QueryCatalog {
         when(col("label") === col("qlab"), "positive")
           .otherwise("negative").as("role"),
         col("cosd"), row_number().over(w).as("rk"))
+      // rk <= 3 is implied by the role filter below, but spelled as a
+      // standalone rank filter directly on the window it lets
+      // InferWindowGroupLimit pre-reduce every input partition to 3
+      // rows per (query, side) BEFORE the shuffle — the pre-reduce the
+      // scaladoc promises (disjunctions don't trigger the rule)
+      .filter(col("rk") <= 3)
       .filter((col("role") === "positive" && col("rk") === 1) ||
         (col("role") === "negative" && col("rk") <= 3))
       .select(col("qid"), col("role"), col("rk"), col("vec_id"),
@@ -2271,8 +2278,9 @@ object SimilarityQueries extends QueryCatalog {
     * the production loop walks batches). One broadcast of the batch,
     * one map-side cosine pass over the other side, rank windows per
     * endpoint; the per-query windows are few-and-large at 100 TB, so
-    * the [[hardNegatives]] pre-reduce note applies (each input
-    * partition keeps its own top-k before the global window). Margin
+    * each rank filter sits directly on its own window and Spark's
+    * InferWindowGroupLimit pre-reduces every input partition to its
+    * own top-4 per endpoint BEFORE the exchange (see builder). Margin
     * denominators sum the top-4 cosines in FIXED rank order, so the
     * double math is bit-identical across engines.
     */
@@ -2326,22 +2334,36 @@ object SimilarityQueries extends QueryCatalog {
     val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 64)
       .select(col("vec_id").as("a_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val p = e.filter(col("vec_id") % 2 === 1)
+    def p = e.filter(col("vec_id") % 2 === 1)
       .crossJoin(broadcast(a))
       .select(col("a_id"), col("vec_id").as("b_id"), cosCol(s).as("cosd"))
     val wf = Window.partitionBy("a_id").orderBy(desc("cosd"), col("b_id"))
     val wb = Window.partitionBy("b_id").orderBy(desc("cosd"), col("a_id"))
-    val r = p.withColumn("rf", row_number().over(wf))
-      .withColumn("rb", row_number().over(wb))
-    def top4(rank: String, key: String, out: String) =
-      r.filter(col(rank) <= 4).groupBy(key).agg(
+    // each rank filter sits DIRECTLY on its own window, so Spark's
+    // InferWindowGroupLimit inserts a per-partition PARTIAL top-4
+    // before each exchange — map output is ≤4 rows per endpoint per
+    // input partition instead of the whole candidate matrix (the
+    // pre-reduce the scaladoc promises, now in the plan: the physical
+    // plan carries WindowGroupLimit(Partial) under both shuffles).
+    // Each branch re-derives the narrow candidate pass: at scale,
+    // recomputing map-side dot products beats exchanging |candidates|
+    // twice, which is what the previous stacked-windows form did.
+    val rfTop = p.withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= 4)
+    val rbTop = p.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= 4)
+    def top4(src: org.apache.spark.sql.DataFrame, rank: String,
+        key: String, out: String) =
+      src.groupBy(key).agg(
         expr(s"((max(case when $rank = 1 then cosd end)" +
           s" + max(case when $rank = 2 then cosd end))" +
           s" + max(case when $rank = 3 then cosd end))" +
           s" + max(case when $rank = 4 then cosd end)").as(out))
-    r.filter(col("rf") === 1 && col("rb") === 1)
-      .join(top4("rf", "a_id", "fs"), "a_id")
-      .join(top4("rb", "b_id", "bs"), "b_id")
+    rfTop.filter(col("rf") === 1).select("a_id", "b_id", "cosd")
+      .join(rbTop.filter(col("rb") === 1).select("a_id", "b_id"),
+        Seq("a_id", "b_id")) // mutual best matches only
+      .join(top4(rfTop, "rf", "a_id", "fs"), "a_id")
+      .join(top4(rbTop, "rb", "b_id", "bs"), "b_id")
       .select(col("a_id"), col("b_id"), col("cosd"),
         (col("cosd") / ((col("fs") / 4 + col("bs") / 4) / 2)).as("margin"))
       .select(col("a_id"), col("b_id"),
