@@ -180,6 +180,90 @@ object AggQueries extends QueryCatalog {
       .orderBy("l_returnflag")
   }
 
+  /** A5 companion (round 14): the MERGEABILITY law of the hand-rolled
+    * md5-HLL, fully ORACLED — the property the binary-sketch query
+    * (q_agg_hll_sketch) can only spec-check. Per-source 256-register
+    * sketches over distinct document tokens, then an 'ALL' row whose
+    * registers are the per-BUCKET max over the per-source registers —
+    * never a re-scan of the corpus: max(max per source) ≡ max over
+    * the union, so slice sketches stored per source/day answer any
+    * union query. Exact distincts ride along. Same integer register
+    * discipline as [[approxDistinctMd5]] (max-register is order-
+    * independent → deterministic at any parallelism); the one float
+    * is the final estimate division. Scale shape: one explode +
+    * distinct, two bounded groupBys (sources×256, then 256). */
+  private val hllUnionMd5 = Q(
+    "q_agg_hll_union_md5",
+    """WITH d AS (
+      |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), h AS (
+      |  SELECT source,
+      |    (CAST(concat('0x', substr(md5(tok), 1, 15))
+      |      AS UBIGINT))::BIGINT AS h
+      |  FROM d
+      |), r AS (
+      |  SELECT source, h & 255 AS bucket,
+      |    max(CASE WHEN (h >> 8) = 0 THEN 53
+      |        ELSE 53 - length(bin(h >> 8)) END) AS reg
+      |  FROM h GROUP BY 1, 2
+      |), ru AS (
+      |  SELECT source, bucket, reg FROM r
+      |  UNION ALL
+      |  SELECT 'ALL' AS source, bucket, max(reg) AS reg
+      |  FROM r GROUP BY bucket
+      |), s AS (
+      |  SELECT source,
+      |    CAST(sum(CAST(1 AS BIGINT) << (53 - reg)) AS BIGINT)
+      |      + (256 - count(*)) * CAST(9007199254740992 AS BIGINT)
+      |      AS hll_sum,
+      |    count(*) AS n_buckets
+      |  FROM ru GROUP BY 1
+      |), x AS (
+      |  SELECT source, count(DISTINCT tok) AS exact_toks FROM d GROUP BY 1
+      |  UNION ALL
+      |  SELECT 'ALL', count(DISTINCT tok) FROM d
+      |)
+      |SELECT s.source, s.n_buckets, s.hll_sum,
+      |  0.7213e0 / (1.0e0 + 1.079e0/256.0e0) * 65536.0e0
+      |    * 9007199254740992.0e0 / s.hll_sum AS approx_toks,
+      |  x.exact_toks
+      |FROM s JOIN x ON s.source = x.source
+      |ORDER BY s.source""".stripMargin
+  ) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val r = d
+      .selectExpr("source",
+        "cast(conv(substring(md5(cast(tok as binary)), 1, 15), 16, 10)" +
+          " as bigint) as h")
+      .selectExpr("source", "h & 255 as bucket",
+        "case when shiftright(h, 8) = 0 then 53 " +
+          "else 53 - length(bin(shiftright(h, 8))) end as rho")
+      .groupBy("source", "bucket").agg(max("rho").as("reg"))
+    val ru = r.unionByName(
+      r.groupBy("bucket").agg(max("reg").as("reg"))
+        .select(lit("ALL").as("source"), col("bucket"), col("reg")))
+    val est = ru.groupBy("source")
+      .agg(
+        expr("cast(sum(shiftleft(cast(1 as bigint), " +
+          "cast(53 - reg as int))) as bigint) + " +
+          "(256 - count(*)) * cast(9007199254740992 as bigint)")
+          .as("hll_sum"),
+        count(lit(1)).as("n_buckets"))
+    val exact = d.groupBy("source")
+      .agg(countDistinct(col("tok")).as("exact_toks"))
+      .unionByName(d.agg(countDistinct(col("tok")).as("exact_toks"))
+        .select(lit("ALL").as("source"), col("exact_toks")))
+    est.join(exact, "source")
+      .selectExpr("source", "n_buckets", "hll_sum",
+        "0.7213e0 / (1.0e0 + 1.079e0/256.0e0) * 65536.0e0 " +
+          "* 9007199254740992.0e0 / hll_sum as approx_toks",
+        "exact_toks")
+      .orderBy("source")
+  }
+
   /** A5 companion: MERGEABLE distinct-count sketches (DataSketches HLL
     * via hll_sketch_agg / hll_union_agg) — the 100 TB rollup pattern
     * approx_count_distinct cannot express: per-slice sketch BINARIES
@@ -404,6 +488,7 @@ object AggQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     pricingSummary, minMax, scalarCount, groupSummary, countDistinctQ,
-    approxDistinct, approxDistinctMd5, hllSketch, rollupQ, cubeQ,
+    approxDistinct, approxDistinctMd5, hllUnionMd5, hllSketch,
+    rollupQ, cubeQ,
     groupingSetsQ, histogram, pivotQ, unpivotQ, corrMoments)
 }

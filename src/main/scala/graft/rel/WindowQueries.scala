@@ -395,7 +395,57 @@ object WindowQueries extends QueryCatalog {
       .orderBy("event_id")
   }
 
+  /** Rolling median-absolute-deviation anomaly detection (round 14)
+    * — the robust streaming-metrics alarm: per user, a 10-event
+    * trailing window's EXACT median and MAD (mean/stddev blow up on
+    * the very outliers being hunted), flagging events whose scaled
+    * value deviates from the window median by > 3×MAD. Exact integer
+    * math throughout: values scale ×10⁴ (the [[ewma]] discipline),
+    * medians are the sorted window array's element 5 of 10 (lower
+    * median — no float averaging), MAD is the lower median of the
+    * absolute deviations, both via list/array sort — deterministic at
+    * any parallelism, bit-equal across engines. Only full windows
+    * (rn ≥ 10) score. Scale shape: one user-partitioned window (hash
+    * shuffle + sort), the 10-element arrays live per row inside the
+    * projection — nothing corpus-sized materializes. */
+  private val madAnomaly = Q(
+    "q_window_mad",
+    """WITH v AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vi,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn,
+      |    list_sort(list(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)) AS win
+      |  FROM events
+      |), m AS (
+      |  SELECT user_id, event_id, vi, win[5] AS med,
+      |    list_sort(list_transform(win, x -> abs(x - win[5])))[5] AS mad
+      |  FROM v WHERE rn >= 10
+      |)
+      |SELECT user_id, event_id, vi, med, mad,
+      |  CASE WHEN abs(vi - med) > 3 * mad THEN 1 ELSE 0 END AS anomaly
+      |FROM m WHERE abs(vi - med) > 3 * mad
+      |ORDER BY user_id, event_id""".stripMargin
+  ) { (s, dir) =>
+    val wf = w.rowsBetween(-9, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("vi",
+        expr("cast(floor(value * 10000 + 0.5) as bigint)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("win", array_sort(collect_list(col("vi")).over(wf)))
+      .filter(col("rn") >= 10)
+      .withColumn("med", expr("win[4]")) // Spark [] is 0-based
+      .withColumn("mad", expr(
+        "array_sort(transform(win, x -> abs(x - win[4])))[4]"))
+      .filter(expr("abs(vi - med) > 3 * mad"))
+      .select(col("user_id"), col("event_id"), col("vi"), col("med"),
+        col("mad"), lit(1).as("anomaly"))
+      .orderBy("user_id", "event_id")
+  }
+
   override def all: Seq[Q] = Seq(
     ranks, lagLead, runningSum, slidingAvg, topKPerGroup, firstLast,
-    sessionizeSql, timeRange, gapFill, recursiveSpine, ewma)
+    sessionizeSql, timeRange, gapFill, recursiveSpine, ewma, madAnomaly)
 }
