@@ -25,6 +25,12 @@ def main():
                         else sys.argv[sys.argv.index(a) + 1])
     old_doc = json.load(open(args[0]))
     new_doc = json.load(open(args[1]))
+    # comparing dumps from different scale factors flags everything
+    # (or hides everything) — refuse instead of printing nonsense
+    if old_doc.get("sf") != new_doc.get("sf"):
+        print(f"ABORT: scale factors differ (old sf={old_doc.get('sf')}"
+              f", new sf={new_doc.get('sf')}) — not comparable")
+        sys.exit(2)
     old, new = old_doc["queries"], new_doc["queries"]
     # subtract each side's fixed harness floor (plan + noop-write of a
     # one-row frame, recorded since r6) so tiny queries compare on

@@ -1886,11 +1886,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * read back. */
   def append(df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta =
+    append(df, extraSummary, explicitBranch = None)
+
+  private def append(df: DataFrame, extraSummary: Map[String, String],
+      explicitBranch: Option[String]): SnapshotMeta =
     clusterFields match {
       case Some(fields) => appendRaw(
         clustered(alignToSchema(df), fields, clusterFileCount),
-        extraSummary)
-      case None => appendRaw(df, extraSummary)
+        extraSummary, explicitBranch)
+      case None => appendRaw(df, extraSummary, explicitBranch)
     }
 
   /** Declared clustering (`write.clustered-by`, set by the Scala API or
@@ -1937,9 +1941,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
   }
 
   private def appendRaw(df: DataFrame,
-      extraSummary: Map[String, String]): SnapshotMeta = {
+      extraSummary: Map[String, String],
+      explicitBranch: Option[String] = None): SnapshotMeta = {
     val aligned = alignToSchema(df)
-    val branch = resolveBranch(None) // spark.wap.branch session routing
+    // spark.wap.branch session routing; an explicit Some("main") PINS
+    // the head (resolveBranch's contract) so appendToBranch("main")
+    // cannot be re-routed to a staged branch by the session conf
+    val branch = resolveBranch(explicitBranch)
     val b = captureBase()
     branch.foreach(branchHead(b, _)) // validate before writing files
     val snapId = nextSnapshotHint
@@ -3120,8 +3128,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * Stats/clustering behave exactly like a main append. */
   def appendToBranch(branch: String, df: DataFrame,
       extraSummary: Map[String, String] = Map.empty): SnapshotMeta = {
-    // "main" IS the head (writable default branch, Iceberg semantics)
-    if (branch == "main") return append(df, extraSummary)
+    // "main" IS the head (writable default branch, Iceberg semantics);
+    // the explicit branch pins the head even while spark.wap.branch is
+    // set — routing through plain append() would let the session conf
+    // re-route the write to the staged branch
+    if (branch == "main")
+      return append(df, extraSummary, explicitBranch = Some("main"))
     val aligned = alignToSchema(df)
     val b = captureBase()
     branchHead(b, branch) // validate the ref before writing data files
@@ -4012,9 +4024,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
           case FloatType | DoubleType => Some("double")
           case StringType => Some("string")
           case TimestampType | TimestampNTZType => Some("micros")
-          // decimal stats render as plain scaled strings ("123.40");
-          // mayMatch compares them through BigDecimal, so DECIMAL
-          // predicates prune files like any numeric column
+          // decimal stats render as plain scaled strings ("123.40",
+          // "0.00000001" — the same form Spark's decimal→string cast
+          // produces); mayMatch compares them through BigDecimal, so
+          // DECIMAL predicates prune files like any numeric column
           case d: DecimalType => Some(s"dec${d.scale}")
           case _ => None
         }
@@ -4059,8 +4072,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
                   case ("micros", INT64) => Some(v.toString)
                   // parquet spells DECIMAL(p,s) as an unscaled INT32
                   // (p≤9), INT64 (p≤18), or big-endian FLBA (p>18);
-                  // all three render to the same plain scaled string
-                  // the scan-path's decimal-min/max cast produces
+                  // all three render via toPlainString — the SAME
+                  // form Spark's decimal→string cast produces on the
+                  // scan path (plain '0.00000001', never scientific;
+                  // pinned by the footer≡scan spec's scale-8 column)
                   case (sp, INT32 | INT64) if sp.startsWith("dec") =>
                     Some(java.math.BigDecimal.valueOf(
                       v.toString.toLong, sp.drop(3).toInt).toPlainString)
@@ -4173,8 +4188,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     case TimestampNTZType =>
       Some(unix_micros(col(quoted(f.name)).cast("timestamp")))
     // decimal min/max aggregate in decimal space; the enclosing
-    // .cast("string") renders the scaled plain form ("123.40") that
-    // the footer path's unscaled-int decode also produces
+    // .cast("string") renders the scaled PLAIN form ("0.00000001",
+    // never scientific) that the footer path's unscaled-int
+    // toPlainString decode also produces (spec-pinned incl. scale 8)
     case _: DecimalType => Some(col(quoted(f.name)))
     case _ => None
   }

@@ -85,9 +85,13 @@ object DedupQueries extends QueryCatalog {
     * working set — any frame whose optimizer size estimate exceeds
     * `spark.graft.dedup.memCheckpointMaxBytes` (default 2 GiB) goes
     * DISK_ONLY. Small frames (every bench/test scale) keep
-    * MEMORY_AND_DISK and pay no block-write cost. A wrong estimate
-    * degrades speed, never the memory-bound direction at scale:
-    * estimates grow with input file bytes. The blocks live in the
+    * MEMORY_AND_DISK and pay no block-write cost. Catalyst's estimate
+    * for an explode plan tracks INPUT bytes, not the exploded output
+    * — the shingle table materializes larger than its input text —
+    * so any plan containing a Generate compares at a conservative
+    * 16× expansion: the underestimate band (estimate ≤ limit <
+    * actual) that would put a >2 GiB block set in executor memory is
+    * closed well before real corpus sizes. The blocks live in the
     * BlockManager until the ContextCleaner collects the dropped RDD
     * (GC-driven) or a caller unpersists them explicitly — Bench
     * releases them per query via getPersistentRDDs. */
@@ -96,7 +100,13 @@ object DedupQueries extends QueryCatalog {
         "spark.graft.dedup.memCheckpointMaxBytes",
         (2L << 30).toString).toLong
       catch { case _: NumberFormatException => 2L << 30 }
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    val expansion =
+      if (plan.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical
+            .Generate])) 16
+      else 1
+    val est = plan.stats.sizeInBytes * expansion
     val lvl =
       if (est <= BigInt(limit))
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

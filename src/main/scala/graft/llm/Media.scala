@@ -149,27 +149,31 @@ object Media {
     val frames = Vector.newBuilder[Array[Byte]]
     def isFrame(id: String) = id(0).isDigit && id(1).isDigit &&
       (id.endsWith("dc") || id.endsWith("db"))
-    def walk(from: Int, until: Int): Unit = {
-      var off = from
-      var ok = true
-      while (ok && off + 8 <= until) {
+    // iterative depth-first walk with an explicit range stack — same
+    // traversal (and frame) order as recursion, but a crafted payload
+    // of deeply nested LIST headers degrades (partial frames) instead
+    // of blowing the task's call stack
+    var stack = List((12, b.length))
+    while (stack.nonEmpty) {
+      val (off, until) = stack.head
+      stack = stack.tail
+      if (off + 8 <= until) {
         val id = fcc(off)
         val sz = le32(off + 4)
         val dataStart = off + 8
-        if (sz < 0 || sz > Int.MaxValue || dataStart + sz > until)
-          ok = false
-        else {
+        if (sz >= 0 && sz <= Int.MaxValue && dataStart + sz <= until) {
           val size = sz.toInt
+          // continue this range after the chunk (pushed first so the
+          // LIST's contents, pushed second, pop before it — DFS order)
+          stack ::= (dataStart + size + (size & 1), until)
           if (id == "LIST" && size >= 4)
-            walk(dataStart + 4, dataStart + size)
+            stack ::= (dataStart + 4, dataStart + size)
           else if (isFrame(id) && size > 0)
             frames += java.util.Arrays.copyOfRange(
               b, dataStart, dataStart + size)
-          off = dataStart + size + (size & 1) // chunks pad to even
-        }
+        } // truncated/garbage size: stop this range, keep the rest
       }
     }
-    walk(12, b.length)
     Some(frames.result())
   }
 

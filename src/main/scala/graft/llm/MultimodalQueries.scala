@@ -63,6 +63,10 @@ object MultimodalQueries extends QueryCatalog {
     * exact frame values on an authored AVI. */
   private val mmVideo = Q.noOracle("q_mm_video") { (s, dir) =>
     import s.implicits._
+    // materialized ONCE: two consumers (decodeFeatures + videoFrames)
+    // would otherwise re-run the JPEG encode + mux per branch; the
+    // sampled payload set is small (1/20 of docs), so the default
+    // localCheckpoint level is fine
     val media = Tables.documents(s, dir)
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("source"), col("text"))
@@ -79,23 +83,21 @@ object MultimodalQueries extends QueryCatalog {
         Media.MediaRecord(id, src, "video/x-mjpeg-avi",
           Media.muxMjpegAvi(frames, 8, 8))
       })
+      .localCheckpoint(true)
     val feats = Media.decodeFeatures(media).toDF()
     val perFrame = Media.videoFrames(media, stride = 1).toDF()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"),
         max(col("max_gray")).as("frame_max_gray"))
-    val out = feats
+    // decode_status rides in the OUTPUT (all rows must read
+    // 'video-mjpeg'; LlmSpec pins the no-stub contract on an authored
+    // AVI — an in-query require would re-execute the whole pipeline)
+    feats
       .join(perFrame, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("decode_status"),
         col("width"), col("height"), col("n_frames"),
         col("max_byte"), col("frame_max_gray"))
       .orderBy("doc_id")
-    // the no-stub contract: every synthetic AVI must decode for real
-    val statuses = out.select("decode_status").distinct().collect()
-      .map(_.getString(0)).toSeq
-    require(statuses == Seq("video-mjpeg"),
-      s"q_mm_video expected all 'video-mjpeg', got $statuses")
-    out
   }
 
   /** Frame sampling through the real binary path (16-byte frames,

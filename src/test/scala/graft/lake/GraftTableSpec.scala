@@ -1020,6 +1020,22 @@ class GraftTableSpec extends SparkSuite {
     // tags reject writes
     t.createTag("frozen")
     intercept[IllegalArgumentException](t.appendToBranch("frozen", extra))
+    // explicit main writes PIN THE HEAD even while spark.wap.branch is
+    // set: the session conf must not re-route them to the staged
+    // branch (Iceberg: an explicit branch wins over wap.branch)
+    spark.conf.set("spark.wap.branch", "staging")
+    try {
+      val headBefore = t.read().count()
+      val stagedBefore = t.readRef("staging").count()
+      t.appendToBranch("main", spark.createDataFrame(Seq(
+        Row("case-7", "Max", "m@example.com", "k7", "s7", "sk7",
+          java.sql.Date.valueOf("2024-02-02"))).asJava, piiSchema))
+      t.deleteOnBranch("main", col("case_id") === "case-7")
+      assert(t.readMainBranch().count() === headBefore,
+        "main append+delete must land on the HEAD under wap.branch")
+      assert(t.readRef("staging").count() === stagedBefore,
+        "wap.branch must not receive an explicit branch=main write")
+    } finally spark.conf.unset("spark.wap.branch")
     // branch DML: COW delete + update staged on the branch, invisible
     // on main until the next publish
     val mainBefore = t.read().count()
@@ -1224,10 +1240,13 @@ class GraftTableSpec extends SparkSuite {
     cat.createNamespace("default")
     val sch = StructType.fromDDL("s STRING, i INT, l BIGINT, d DOUBLE, " +
       "f FLOAT, b BOOLEAN, dt DATE, ts TIMESTAMP_NTZ, " +
-      // three decimal physical spellings: INT32 (p≤9), INT64 (p≤18),
-      // FIXED_LEN_BYTE_ARRAY (p>18) — footer decode must match the
-      // scan path's decimal min/max rendering for all three
-      "m9 DECIMAL(9,2), m18 DECIMAL(12,2), m38 DECIMAL(24,6)")
+      // four decimal shapes: INT32 (p≤9), INT64 (p≤18),
+      // FIXED_LEN_BYTE_ARRAY (p>18), and a scale-8 column whose tiny
+      // values would render SCIENTIFIC under BigDecimal.toString
+      // ('1E-8') — Spark's cast and the footer decode must BOTH use
+      // the plain form, and this pins it
+      "m9 DECIMAL(9,2), m18 DECIMAL(12,2), m38 DECIMAL(24,6), " +
+      "m8s DECIMAL(20,8)")
     val t = cat.createTable("default", "typed", sch)
     def dec(s0: String) = new java.math.BigDecimal(s0)
     val rows = Seq(
@@ -1235,14 +1254,16 @@ class GraftTableSpec extends SparkSuite {
         Float.box(2.25f), Boolean.box(false),
         java.sql.Date.valueOf("2023-01-05"),
         java.time.LocalDateTime.parse("2023-01-05T10:30:00"),
-        dec("12.40"), dec("-33078.94"), dec("98765432109876.543210")),
+        dec("12.40"), dec("-33078.94"), dec("98765432109876.543210"),
+        dec("0.00000001")),
       Row("Ωmega", Int.box(41), Long.box(-9L), Double.box(-0.25),
         Float.box(3.5f), Boolean.box(true),
         java.sql.Date.valueOf("2024-06-01"),
         java.time.LocalDateTime.parse("2024-06-01T00:00:01"),
-        dec("-0.05"), dec("100.00"), dec("-1.000001")),
+        dec("-0.05"), dec("100.00"), dec("-1.000001"),
+        dec("0.00000002")),
       Row(null, null, null, null, null, null, null, null,
-        null, null, null))
+        null, null, null, null))
     t.append(spark.createDataFrame(rows.asJava, sch))
     val entries = t.manifestOf(t.currentSnapshot.get)
       .filter(_.content == 0)

@@ -460,6 +460,28 @@ class LlmSpec extends SparkSuite {
     // a WAV (also RIFF) must still route to audio, not video
     assert(Media.demuxMjpegAvi(
       "RIFFxxxxWAVEdata".getBytes("US-ASCII")).isEmpty)
+    // deeply nested LIST headers (crafted/corrupt) degrade instead of
+    // overflowing the stack: ~1MB of 12-byte nested LIST shells
+    val depth = 80000
+    val crafted = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    crafted.write("RIFF".getBytes("US-ASCII"))
+    crafted.write(le32(4 + depth * 12))
+    crafted.write("AVI ".getBytes("US-ASCII"))
+    for (i <- depth to 1 by -1) {
+      crafted.write("LIST".getBytes("US-ASCII"))
+      crafted.write(le32(4 + (i - 1) * 12))
+      crafted.write("rec ".getBytes("US-ASCII"))
+    }
+    assert(Media.demuxMjpegAvi(crafted.toByteArray).get.isEmpty,
+      "nested-LIST bomb must demux to zero frames, not throw")
+    // the q_mm_video pipeline labels every synthetic AVI row as a
+    // real video decode (the no-stub output contract)
+    val vidStatuses = run("q_mm_video").select("decode_status")
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(vidStatuses == Seq("video-mjpeg"),
+      s"q_mm_video must be all real decodes, got $vidStatuses")
   }
 
   test("media decode: a real PCM WAV goes through javax.sound.sampled " +
