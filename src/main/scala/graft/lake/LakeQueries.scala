@@ -1714,8 +1714,64 @@ object LakeQueries extends QueryCatalog {
       .orderBy("flag")
   }
 
+  /** TPC-H Q1's pricing summary THROUGH THE LAKE (round 14, the
+    * second oracled lake query): insert an integer-cents lineitem
+    * slice into a graft table, MOR-delete through an integer
+    * predicate (delete files mask at read, stats prune the probe),
+    * and aggregate the masked read — DuckDB recomputes the identical
+    * result from the source parquet with the delete mirrored as a
+    * NOT filter. All-integer math (cents columns as BIGINT), so the
+    * lake write→MOR-mask→read→aggregate path is hash-checked with
+    * zero float tolerance. Scale shape: one slice write, one MOR
+    * delete (anti-join masking is the 100 TB path), one partial-agg'd
+    * groupBy over 6 groups. */
+  private val lakePricing = Q(
+    "q_lake_pricing_summary",
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+      |  FROM lineitem WHERE l_orderkey % 5 = 0
+      |), kept AS (
+      |  SELECT * FROM li WHERE NOT disc_c >= 8
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+      |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c2,
+      |  count(*) AS n
+      |FROM kept GROUP BY 1, 2
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    val li = graft.rel.Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_returnflag").as("flag"),
+        col("l_linestatus").as("status"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_c"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("price_c"),
+        expr("cast(round(l_discount * 100) as bigint)").as("disc_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-q1-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "li_cents", StructType.fromDDL(
+      "flag STRING, status STRING, qty_c BIGINT, price_c BIGINT, " +
+        "disc_c BIGINT"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(li)
+    t.delete(col("disc_c") >= 8L)
+    t.read()
+      .groupBy(col("flag").as("l_returnflag"),
+        col("status").as("l_linestatus"))
+      .agg(sum("qty_c").cast("bigint").as("sum_qty_c"),
+        sum("price_c").cast("bigint").as("sum_base_c"),
+        sum(col("price_c") * (lit(100L) - col("disc_c")))
+          .cast("bigint").as("sum_disc_c2"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   override def all: Seq[Q] = Seq(
-    decimalLake,
+    decimalLake, lakePricing,
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,

@@ -85,6 +85,82 @@ object PipelineQueries extends QueryCatalog {
       .select(col("id_a"), col("id_b")))
   }
 
+  /** Survivorship resolution (round 14) — the step AFTER clustering
+    * that production dedup actually ships: within each near-dup
+    * cluster, the canonical SURVIVOR is the highest-quality member
+    * (longest by n_chars; ties break to the smallest doc_id), not the
+    * arbitrary min-id — dedup keeps the best copy, and every victim
+    * row carries its survivor for provenance/redirect maps. Composes
+    * [[clusterPairs]] with a per-cluster argmax: the rank filter sits
+    * directly on the window (WindowGroupLimit pre-reduces per
+    * partition; clusters are small, the key space is the cluster
+    * set). The oracle replays the same recursive label propagation
+    * and picks the survivor with an identical rank window. */
+  private val survivorship = Q(
+    "q_dedup_survivorship",
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), reach(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+      |), mem AS (
+      |  SELECT id AS doc_id, min(lbl) AS cluster_id
+      |  FROM reach GROUP BY id
+      |), q AS (
+      |  SELECT m.doc_id, m.cluster_id, d.n_chars
+      |  FROM mem m JOIN documents d ON d.doc_id = m.doc_id
+      |), surv AS (
+      |  SELECT cluster_id, doc_id AS survivor_id FROM (
+      |    SELECT cluster_id, doc_id,
+      |      row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY n_chars DESC, doc_id) AS r
+      |    FROM q) WHERE r = 1
+      |)
+      |SELECT q.doc_id, q.cluster_id, s.survivor_id,
+      |  q.doc_id = s.survivor_id AS is_survivor, q.n_chars
+      |FROM q JOIN surv s ON s.cluster_id = q.cluster_id
+      |ORDER BY q.cluster_id, q.doc_id""".stripMargin
+  ) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val mem = clusterPairs(s, DedupQueries
+        .jaccardPairs(DedupQueries.shingleSets(docs), "sh")
+        .filter(col("jac") >= 0.5)
+        .select(col("id_a"), col("id_b")))
+      .select("doc_id", "cluster_id")
+    val q = mem.join(docs.select("doc_id", "n_chars"), "doc_id")
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("n_chars"), col("doc_id"))
+    val surv = q.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    q.join(surv, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("survivor_id"),
+        (col("doc_id") === col("survivor_id")).as("is_survivor"),
+        col("n_chars"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** Resolve the transitive closure of (id_a, id_b) dup pairs into
     * canonical min-id clusters: (doc_id, cluster_id, keep) sorted by
     * doc_id. Adaptive, like a broadcast-join decision: when the edge
@@ -1555,7 +1631,7 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("source")
   }
 
-  override def all: Seq[Q] = Seq(dedupClusters, trainSplit,
+  override def all: Seq[Q] = Seq(dedupClusters, survivorship, trainSplit,
     splitDecontaminated, sample, pack,
     vocab, quantiles, quantilesApprox, quantilesSample, quantize,
     piiRedact, logprob,
