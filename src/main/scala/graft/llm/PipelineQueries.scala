@@ -168,9 +168,18 @@ object PipelineQueries extends QueryCatalog {
     * the corpus — only docs sharing a shingle pair up), union-find
     * locally with zero scheduled rounds; otherwise run distributed
     * min-label propagation to a fixpoint. Both paths produce
-    * identical output (spec-asserted). */
+    * identical output (spec-asserted). The threshold is tunable via
+    * `spark.graft.dedup.clusterLocalThreshold` (default 1M edges) —
+    * set it to 0 to force the distributed branch, the declared
+    * 100 TB path, on any corpus (how the sf1 scaling smoke exercises
+    * it); an explicit `localThreshold >= 0` argument overrides the
+    * conf. */
   private[llm] def clusterPairs(s: SparkSession, pairs: DataFrame,
-      localThreshold: Long = 1000000L): DataFrame = {
+      localThreshold: Long = -1L): DataFrame = {
+    val threshold =
+      if (localThreshold >= 0) localThreshold
+      else s.conf.getOption("spark.graft.dedup.clusterLocalThreshold")
+        .map(_.toLong).getOrElse(1000000L)
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -183,7 +192,7 @@ object PipelineQueries extends QueryCatalog {
     // this, round 1's plan references the unmaterialized cache from two
     // independent stages and Spark computes the join once per stage.
     val nEdges = edges.count()
-    if (nEdges == 0 || nEdges <= localThreshold) {
+    if (nEdges == 0 || nEdges <= threshold) {
       // collect, union-find (union by min root, path compression),
       // emit sorted by doc_id — identical output to the loop below
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -136,6 +136,19 @@ class LlmSpec extends SparkSuite {
     assert(local.nonEmpty, "corpus must contain dup pairs")
     assert(local === dist,
       "adaptive local path must equal the distributed fixpoint")
+    // conf-forced routing: spark.graft.dedup.clusterLocalThreshold=0
+    // must push the DEFAULT call (no explicit threshold) onto the
+    // distributed branch and produce the same clusters — the knob the
+    // sf1 scaling smoke turns to exercise the 100 TB path
+    spark.conf.set("spark.graft.dedup.clusterLocalThreshold", "0")
+    try {
+      val confForced = PipelineQueries.clusterPairs(spark, pairs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      assert(confForced === local,
+        "conf-forced distributed branch must equal the local path")
+    } finally
+      spark.conf.unset("spark.graft.dedup.clusterLocalThreshold")
     // cluster invariants: labels are component minima, reps are members
     val byCluster = local.groupBy(_._2)
     for ((cid, members) <- byCluster) {
