@@ -117,6 +117,90 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     t
   }
 
+  /** The Iceberg `migrate` procedure — the third member of the import
+    * trio (add_files = zero-rewrite file import, snapshot = zero-copy
+    * fork, migrate = in-place takeover): convert a plain parquet
+    * directory sitting at `ns.name` (a non-graft "source table", the
+    * analog of Iceberg migrating a Hive/parquet table) into a graft
+    * table under the SAME name. Sequence, mirroring Iceberg's
+    * snapshot-then-take-over-the-name contract:
+    *
+    *  1. the source dir is atomically renamed to `<name>_backup_`
+    *     (Iceberg's backup-table semantics — still readable as raw
+    *     parquet afterwards);
+    *  2. a graft table is created at `ns.name` with the files'
+    *     inferred schema;
+    *  3. the backup's files are adopted IN PLACE via absolute-path
+    *     entries — no bytes move or copy, so a 100 TB migrate is
+    *     metadata-only — and the table gets `gc.enabled=false`
+    *     because its data files are shared with the backup (exactly
+    *     the snapshot-fork discipline);
+    *  4. with `dropBackup=true` the files are instead RENAMED into
+    *     the table's own data dir (same-filesystem rename: still
+    *     metadata-only) and the emptied backup dir is removed — the
+    *     table owns its bytes, gc stays enabled, no backup remains.
+    *
+    * Any failure after step 1 tears the half-created table down and
+    * moves the backup (including any files a partial step 4 already
+    * renamed out) back to the source name — the source survives
+    * byte-identical (file NAMES inside it may change; a raw parquet
+    * dir reads by glob, not by name). */
+  def migrateTable(ns: String, name: String,
+      dropBackup: Boolean = false): GraftTable = {
+    require(namespaceExists(ns), s"namespace $ns does not exist")
+    val dir = tableDir(ns, name)
+    require(Files.isDirectory(dir), s"$ns.$name does not exist")
+    require(!tableExists(ns, name),
+      s"$ns.$name is already a graft table; migrate converts plain " +
+        "parquet directories")
+    require(!Files.exists(dir.resolve("location.text")),
+      s"$ns.$name is a registration pointer, not a migratable source")
+    val srcFiles = Io.listRecursive(dir)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    require(srcFiles.nonEmpty, s"no parquet files under $dir to migrate")
+    // schema inference must succeed BEFORE the source is touched —
+    // unreadable/conflicting files refuse with the source intact
+    val schema = spark.read.parquet(srcFiles.map(_.toString): _*).schema
+    val backup = nsDir(ns).resolve(s"${name}_backup_")
+    require(!Files.exists(backup),
+      s"backup target $backup already exists; remove or rename it first")
+    Files.move(dir, backup)
+    try {
+      val files = Io.listRecursive(backup)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.toString)
+      val props = if (dropBackup) Map.empty[String, String]
+        else Map("gc.enabled" -> "false")
+      val t = GraftTable.create(spark, dir, s"$ns.$name", schema, props)
+      t.importParquetFiles(files,
+        placement = if (dropBackup) "move" else "in-place",
+        origin = "migrate")
+      if (dropBackup) {
+        val leftovers = Files.walk(backup)
+        try leftovers.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally leftovers.close()
+      }
+      t
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try {
+          // files a partial move-placement already renamed into the
+          // half-created table go back into the backup first
+          val data = dir.resolve("data")
+          if (Files.isDirectory(data))
+            Io.listRecursive(data)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .foreach(p => Files.move(p, backup.resolve(p.getFileName)))
+          dropTable(ns, name)
+          Files.move(backup, dir)
+        } catch {
+          case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+        }
+        throw e
+    }
+  }
+
   /** D3: DROP TABLE IF EXISTS (demo.py:70) — recursive delete, like the
     * demo's REST purge (demo.py:67). */
   def dropTable(ns: String, name: String): Boolean = {

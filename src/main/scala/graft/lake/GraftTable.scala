@@ -1000,8 +1000,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * just the segments it bins). */
   private def commitAddOnlyFast(base: Base, id: Long,
       branch: Option[String], op: String, added: Seq[ManifestEntry],
-      summary: Map[String, String]): Option[SnapshotMeta] =
-    commitDeltaFast(base, id, branch, op, Set.empty, added, summary)
+      summary: Map[String, String],
+      metaTweak: TableMeta => TableMeta = identity)
+      : Option[SnapshotMeta] =
+    commitDeltaFast(base, id, branch, op, Set.empty, added, summary,
+      metaTweak)
 
   /** O(touched) fast commit for REMOVE+ADD operations (COW rewrites,
     * MERGE): drops every data entry whose absolute path is in
@@ -1020,7 +1023,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private def commitDeltaFast(base: Base, id: Long,
       branch: Option[String], op: String, removedAbs: Set[String],
       added: Seq[ManifestEntry],
-      summary: Map[String, String]): Option[SnapshotMeta] = {
+      summary: Map[String, String],
+      metaTweak: TableMeta => TableMeta = identity)
+      : Option[SnapshotMeta] = {
     val m = base.meta
     val parent = branch match {
       case None => m.currentSnapshotId
@@ -1093,18 +1098,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
       schemaDdl = Some(m.schemaDdl),
       physicalNames =
         if (m.physicalNames.isEmpty) None else Some(m.physicalNames))
-    commitMeta(base, branch match {
+    commitMeta(base, metaTweak(branch match {
       case None => m.copy(snapshots = m.snapshots :+ snap,
         currentSnapshotId = Some(id))
       case Some(br) => m.copy(snapshots = m.snapshots :+ snap,
         refs = m.refs + (br -> m.refs(br).copy(snapshotId = id)))
-    })
+    }))
     Some(snap)
   }
 
   private def commitSnapshot(base: Base, id: Long, operation: String,
       entries: Seq[ManifestEntry], summary: Map[String, String],
-      compactSegments: Boolean = false): SnapshotMeta = {
+      compactSegments: Boolean = false,
+      metaTweak: TableMeta => TableMeta = identity): SnapshotMeta = {
     val m = base.meta
     val parent = m.currentSnapshotId
       .flatMap(pid => m.snapshots.find(_.snapshotId == pid))
@@ -1123,8 +1129,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
       schemaDdl = Some(m.schemaDdl),
       physicalNames =
         if (m.physicalNames.isEmpty) None else Some(m.physicalNames))
-    commitMeta(base, m.copy(snapshots = m.snapshots :+ snap,
-      currentSnapshotId = Some(id)))
+    commitMeta(base, metaTweak(m.copy(snapshots = m.snapshots :+ snap,
+      currentSnapshotId = Some(id))))
     snap
   }
 
@@ -1377,6 +1383,152 @@ class GraftTable(val spark: SparkSession, val root: Path,
       if (keys.isEmpty) read().where(lit(false))
       else readWhere(col(quoted(keyCol)).isin(keys.toSeq: _*))
     }
+  }
+
+  // ---- column NDV statistics (Iceberg compute_table_stats analog) --
+
+  /** ANALYZE: build per-column KMV NDV sketches over the CURRENT live
+    * rows and store them in table metadata (the Puffin-NDV analog).
+    * `columns` empty = every NDV-eligible column (atomic types;
+    * complex/binary types have no NDV space, mirroring their
+    * skip-not-prune file stats). Returns logical column → NDV.
+    *
+    * One distributed pass: every column's 60-bit [[graft.rel.Kmv]]
+    * hash explodes into (column, hash) rows, and the shared two-level
+    * salted kSmallest bounds every reducer at salt·k rows — the same
+    * machinery the oracled KMV queries pin, so the estimator
+    * ((k-1)·2^60 div theta) is integer-exact and mergeable. After the
+    * ANALYZE, every APPEND folds its new files' hashes in (O(change):
+    * one bounded scan of just-written bytes); row-removing commits
+    * leave sketches alone, so stored NDV is an UPPER BOUND until
+    * re-analyzed — `.stats` surfaces that via `stale`. Consumers:
+    * [[columnNdv]] and the SQL runtime-prune route, which refuses a
+    * dim side whose stored NDV already exceeds maxKeys without
+    * scanning it. */
+  def computeTableStats(columns: Seq[String] = Nil,
+      k: Int = 256): Map[String, Long] = {
+    require(k >= 2, s"sketch k must be >= 2, got $k")
+    val b = captureBase()
+    val cur = StructType.fromDDL(b.meta.schemaDdl)
+    val chosen =
+      if (columns.isEmpty)
+        cur.fields.toSeq.filter(f => ndvEligible(f.dataType)).map(_.name)
+      else columns.map { c =>
+        val f = cur.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(s"unknown column: $c"))
+        require(ndvEligible(f.dataType),
+          s"column ${f.name} (${f.dataType.simpleString}) has no NDV " +
+            "space: complex/binary columns are skip-not-prune")
+        f.name
+      }
+    require(chosen.nonEmpty, "no NDV-eligible columns to analyze")
+    val snapId = b.meta.currentSnapshotId.getOrElse(-1L)
+    val hashes =
+      if (snapId < 0) Map.empty[String, Seq[Long]]
+      else ndvHashJob(readAt(snapId), chosen, k)
+    val pn = b.meta.physicalNames
+    val sketches = chosen.map(c => physName(pn)(c) ->
+      NdvSketch(k, hashes.getOrElse(c, Nil), snapId)).toMap
+    commitMeta(b, b.meta.copy(columnNdv = b.meta.columnNdv ++ sketches))
+    chosen.map(c => c -> GraftTable.ndvEstimate(
+      sketches(physName(pn)(c)))).toMap
+  }
+
+  /** Stored NDV estimate for a logical column, if analyzed. An upper
+    * bound whenever `.stats` would report the sketch stale. */
+  def columnNdv(column: String): Option[Long] = {
+    val m = meta
+    StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name.equalsIgnoreCase(column))
+      .flatMap(f => m.columnNdv.get(physName(m.physicalNames)(f.name)))
+      .map(GraftTable.ndvEstimate)
+  }
+
+  /** The `<table>.stats` metadata relation: one row per analyzed
+    * column — NDV estimate, sketch shape, the snapshot whose data the
+    * sketch last folded, and `stale` (true when a row-removing commit
+    * landed since, making the estimate an upper bound). */
+  def statsTable: DataFrame = {
+    val m = meta
+    val pn = m.physicalNames
+    val rows = StructType.fromDDL(m.schemaDdl).fields.toSeq.flatMap { f =>
+      m.columnNdv.get(physName(pn)(f.name)).map { s =>
+        Row(f.name, GraftTable.ndvEstimate(s), s.k, s.hashes.size,
+          s.analyzedSnapshotId, ndvStale(s.analyzedSnapshotId))
+      }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false),
+      StructField("sketch_k", IntegerType, nullable = false),
+      StructField("retained", IntegerType, nullable = false),
+      StructField("analyzed_snapshot_id", LongType, nullable = false),
+      StructField("stale", BooleanType, nullable = false))))
+  }
+
+  /** NDV-eligible = the atomic types file stats also cover; complex
+    * and binary columns have no hashable scalar domain worth a
+    * sketch (and their file stats already skip-not-prune). */
+  private def ndvEligible(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+    case _ => true
+  }
+
+  /** A sketch is stale when any main-lineage commit since the last
+    * fold could have REMOVED rows (operation other than append /
+    * data-neutral replace), or when the fold point expired out of the
+    * lineage — conservative in both directions: stale never means
+    * wrong, only "upper bound". */
+  private def ndvStale(analyzedId: Long): Boolean = {
+    if (analyzedId < 0) return true
+    try lineageAfter(Some(analyzedId)).exists { id =>
+      meta.snapshots.find(_.snapshotId == id)
+        .forall(s => s.operation != "append" && s.operation != "replace")
+    } catch { case scala.util.control.NonFatal(_) => true }
+  }
+
+  /** One distributed (column, hash60) pass over `df`, k smallest
+    * DISTINCT hashes per column via the shared salted ladder. */
+  private def ndvHashJob(df: DataFrame, logicalCols: Seq[String],
+      k: Int): Map[String, Seq[Long]] = {
+    import graft.rel.Kmv
+    val entries = logicalCols.map(c =>
+      struct(lit(c).as("c"), Kmv.hash60(col(quoted(c))).as("h")))
+    val hashed = df.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.c").as("c"), col("e.h").as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+    Kmv.kSmallest(hashed, k, Seq("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (c, rs) => c -> rs.map(_.getLong(1)).sorted.toSeq }
+  }
+
+  /** Meta tweak folding `newFiles`' hashes into every stored sketch
+    * (KMV merge law: k smallest of a distinct union). Branch appends
+    * fold hashes but keep the old fold point — their rows reach main
+    * lineage only via fast_forward, whose append ops are then already
+    * covered. Identity when the table was never analyzed. */
+  private def ndvFoldTweak(m: TableMeta, newFiles: Seq[String],
+      snapId: Long, onMain: Boolean = true): TableMeta => TableMeta = {
+    if (m.columnNdv.isEmpty || newFiles.isEmpty) return identity
+    val cur = StructType.fromDDL(m.schemaDdl)
+    val pn = m.physicalNames
+    val tracked = cur.fields.toSeq.filter(f =>
+      m.columnNdv.contains(physName(pn)(f.name)))
+    if (tracked.isEmpty) return identity
+    val kMax = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
+    val fresh = ndvHashJob(scanParquet(newFiles, cur, pn),
+      tracked.map(_.name), kMax)
+    val folded = tracked.map { f =>
+      val phys = physName(pn)(f.name)
+      val old = m.columnNdv(phys)
+      val merged = (old.hashes ++ fresh.getOrElse(f.name, Nil))
+        .distinct.sorted.take(old.k)
+      phys -> NdvSketch(old.k, merged,
+        if (onMain) snapId else old.analyzedSnapshotId)
+    }.toMap
+    mm => mm.copy(columnNdv = mm.columnNdv ++ folded)
   }
 
   /** Incremental changelog (CDC) read — the Iceberg
@@ -1956,13 +2108,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val summary = extraSummary ++
       Map("added-data-files" -> newEntries.size.toString,
         "added-records" -> newEntries.map(_.recordCount).sum.toString)
+    // incremental NDV maintenance: fold the new files' hashes into
+    // any stored column sketches (O(change) — one bounded scan of
+    // just-written bytes, only for analyzed columns)
+    val ndv = ndvFoldTweak(b.meta, moved, snapId,
+      onMain = branch.isEmpty)
     // O(delta) fast path: a pure append never reads parent segments
-    commitAddOnlyFast(b, snapId, branch, "append", newEntries, summary).getOrElse {
+    commitAddOnlyFast(b, snapId, branch, "append", newEntries, summary,
+      ndv).getOrElse {
       branch match { // legacy inline-manifest parent: checked path
         case None => commitSnapshot(b, snapId, "append",
-          b.entries ++ newEntries, summary)
+          b.entries ++ newEntries, summary, metaTweak = ndv)
         case Some(br) => commitSnapshotOnBranch(b, snapId, "append", br,
-          manifestOf(branchHead(b, br)) ++ newEntries, summary)
+          manifestOf(branchHead(b, br)) ++ newEntries, summary, ndv)
       }
     }
   }
@@ -2073,6 +2231,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .sortBy(_.toString)
     require(files.nonEmpty, s"no parquet files under $sourceDir")
+    importParquetFiles(files, placement = "copy", origin = "add_files")
+  }
+
+  /** Shared zero-rewrite import commit behind [[addFiles]] and the
+    * catalog's `migrate` procedure: validate the files' schema
+    * against the table's physical layout, place the bytes, stat from
+    * the footers, commit one append snapshot. Placement:
+    *  - "copy": independent byte copies into the table's data dir
+    *    (add_files — the source files stay someone else's);
+    *  - "move": same-filesystem RENAMES into the data dir (migrate's
+    *    drop-backup form — metadata-only even at 100 TB, the table
+    *    owns its bytes afterwards);
+    *  - "in-place": entries reference the files where they sit via
+    *    absolute paths, exactly like a snapshot fork's borrowed
+    *    bytes (migrate's keep-backup form; the caller must disable
+    *    gc, since expiry on borrowed bytes would delete data the
+    *    backup still owns). */
+  private[lake] def importParquetFiles(files: Seq[Path],
+      placement: String, origin: String): SnapshotMeta = {
     val inferred = spark.read.parquet(files.map(_.toString): _*).schema
     // imported bytes join the table as-is, so their column names must
     // match the PHYSICAL layout (= logical unless renamed)
@@ -2093,20 +2270,45 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val b = captureBase()
     val snapId = nextSnapshotHint
     Files.createDirectories(dataDir)
-    // independent byte copies — parallel so a thousand-file import
-    // doesn't serialize on the driver
-    val moved = files.asJava.parallelStream().map[String] { p =>
-      val target = dataDir.resolve(s"import-${UUID.randomUUID()}.parquet")
-      Files.copy(p, target)
-      target.toAbsolutePath.toString
-    }.collect(java.util.stream.Collectors.toList[String]).asScala.toSeq
-    val newEntries = statEntries(moved, content = 0, snapId)
-    val summary = Map("operation-origin" -> "add_files",
+    val moved = placement match {
+      case "copy" =>
+        // independent byte copies — parallel so a thousand-file import
+        // doesn't serialize on the driver
+        files.asJava.parallelStream().map[String] { p =>
+          val target =
+            dataDir.resolve(s"import-${UUID.randomUUID()}.parquet")
+          Files.copy(p, target)
+          target.toAbsolutePath.toString
+        }.collect(java.util.stream.Collectors.toList[String])
+          .asScala.toSeq
+      case "move" =>
+        files.map { p =>
+          val target =
+            dataDir.resolve(s"import-${UUID.randomUUID()}.parquet")
+          Files.move(p, target)
+          target.toAbsolutePath.toString
+        }
+      case "in-place" =>
+        files.map(_.toAbsolutePath.toString)
+      case other =>
+        throw new IllegalArgumentException(s"unknown placement $other")
+    }
+    val statted = statEntries(moved, content = 0, snapId)
+    // in-place entries must carry ABSOLUTE paths (the adoptForeign
+    // contract) — statEntries relativizes against the table root,
+    // which for foreign files yields a ../-form; normalize back
+    val newEntries =
+      if (placement == "in-place") statted.map(e => e.copy(
+        path = root.resolve(e.path).normalize().toAbsolutePath.toString))
+      else statted
+    val summary = Map("operation-origin" -> origin,
       "added-data-files" -> newEntries.size.toString,
       "added-records" -> newEntries.map(_.recordCount).sum.toString)
-    commitAddOnlyFast(b, snapId, None, "append", newEntries, summary).getOrElse(
+    val ndv = ndvFoldTweak(b.meta, moved, snapId)
+    commitAddOnlyFast(b, snapId, None, "append", newEntries, summary,
+      ndv).getOrElse(
       commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
-        summary))
+        summary, metaTweak = ndv))
   }
 
   /** INSERT OVERWRITE (truncate + insert) as ONE atomic snapshot: the
@@ -2557,7 +2759,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * the branch pointer advances — main readers are untouched. */
   private def commitSnapshotOnBranch(base: Base, id: Long,
       operation: String, branch: String, entries: Seq[ManifestEntry],
-      summary: Map[String, String]): SnapshotMeta = {
+      summary: Map[String, String],
+      metaTweak: TableMeta => TableMeta = identity): SnapshotMeta = {
     val head = branchHead(base, branch)
     // segment composition diffs against the BRANCH head (this commit's
     // parent); unique names per attempt — see commitSnapshot
@@ -2569,10 +2772,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
       schemaDdl = Some(base.meta.schemaDdl),
       physicalNames = if (base.meta.physicalNames.isEmpty) None
         else Some(base.meta.physicalNames))
-    commitMeta(base, base.meta.copy(
+    commitMeta(base, metaTweak(base.meta.copy(
       snapshots = base.meta.snapshots :+ snap,
       refs = base.meta.refs +
-        (branch -> base.meta.refs(branch).copy(snapshotId = id))))
+        (branch -> base.meta.refs(branch).copy(snapshotId = id)))))
     snap
   }
 
@@ -4235,6 +4438,16 @@ object GraftTable {
     * an anti-join — see readWithLineage. Bounds driver memory AND plan
     * size; bigger MOR backlogs keep the distributed anti-join. */
   private[lake] val MaxInlineDeleteRows = 4096L
+
+  /** The KMV estimator over a stored sketch: exact passthrough below
+    * k, else (k-1)·2^60 div theta — the same integer form
+    * [[graft.rel.Kmv.estimate]] pins against the DuckDB oracle.
+    * STATIC like mayMatch: pure metadata math, no table state. */
+  private[lake] def ndvEstimate(s: NdvSketch): Long =
+    if (s.hashes.isEmpty) 0L
+    else if (s.hashes.size < s.k) s.hashes.size.toLong
+    else ((BigInt(s.k - 1) * BigInt(graft.rel.Kmv.Dom)) /
+      BigInt(s.hashes.max)).toLong
 
   val FileCol = "__graft_file"
   val PosCol = "__graft_pos"

@@ -104,6 +104,26 @@ final case class RefMeta(snapshotId: Long, refType: String,
       contentAs = classOf[java.lang.Long])
     maxRefAgeMs: Option[Long] = None)
 
+/** Per-column KMV NDV sketch (the `compute_table_stats` / Puffin-NDV
+  * analog): the k smallest DISTINCT 60-bit md5 hashes of the column's
+  * non-null values, sorted ascending, plus the snapshot whose data the
+  * sketch last folded. Hashing is [[graft.rel.Kmv.hash60]] — the one
+  * hash source every sketch surface shares — so the estimator is the
+  * same integer-exact (k-1)·2^60 div theta form the oracled KMV
+  * queries pin. KMV sketches merge by distinct-union-then-take-k,
+  * which is exactly how append commits fold new files in (O(change));
+  * row-removing commits leave the sketch alone, so the estimate is an
+  * UPPER BOUND until re-analyzed (the `.stats` relation surfaces
+  * staleness by walking the lineage for non-append operations). */
+final case class NdvSketch(k: Int,
+    // contentAs: like RefMeta.maxRefAgeMs — erasure would otherwise
+    // hand small JSON numbers back as Integers inside the Seq and the
+    // unbox would CCE at use
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    hashes: Seq[Long],
+    analyzedSnapshotId: Long)
+
 final case class TableMeta(
     name: String,
     schemaDdl: String,
@@ -122,7 +142,12 @@ final case class TableMeta(
     // physical names of DROPPED columns: their bytes linger in old
     // files, so a later ADD COLUMN with the same name must take a
     // fresh physical name or it would resurrect the dropped values.
-    retiredPhysicalNames: Seq[String] = Nil)
+    retiredPhysicalNames: Seq[String] = Nil,
+    // per-column NDV sketches keyed by PHYSICAL column name (stable
+    // across renames, never resurrected by re-added names — the same
+    // reasons file stats key physically). Present only after
+    // computeTableStats ran; appends fold new files in incrementally.
+    columnNdv: Map[String, NdvSketch] = Map.empty)
 
 object Json {
   private val mapper: ObjectMapper = {

@@ -123,7 +123,7 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     "all_entries", "all_manifests", "metadata_log_entries", "refs",
     "position_deletes", "entries", "manifests", "data_files",
     "delete_files", "all_files", "all_data_files", "all_delete_files",
-    "partitions")
+    "partitions", "stats")
 
   override def tableExists(ident: Identifier): Boolean =
     cat.tableExists(nsPath(ident.namespace), ident.name) ||
@@ -372,6 +372,16 @@ class GraftSqlCatalog extends TableCatalog with SupportsNamespaces
     cat.snapshotTable(ns, t, resolveTableArg(sourceTable))
   }
 
+  private[sql] def migrateTableArg(tableName: String,
+      dropBackup: Boolean): (GraftTable, Option[String]) = {
+    val (ns, t) = splitTableArg(tableName)
+    val table = cat.migrateTable(ns, t, dropBackup)
+    val backup = if (dropBackup) None
+      else Some(warehouse.resolve(ns).resolve(s"${t}_backup_")
+        .toAbsolutePath.toString)
+    (table, backup)
+  }
+
   private def splitTableArg(tableName: String): (String, String) = {
     val parts = tableName.split("\\.").toSeq
     val cleaned = if (parts.headOption.contains(catalogName))
@@ -394,7 +404,8 @@ private object GraftProcedures {
     "set_current_snapshot", "cherrypick_snapshot",
     "create_changelog_view", "create_branch", "create_tag",
     "drop_ref", "fast_forward", "add_files", "ancestors_of",
-    "maintain", "register_table", "snapshot")
+    "maintain", "register_table", "snapshot", "migrate",
+    "compute_table_stats")
 
   private def param(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -536,6 +547,45 @@ private object GraftProcedures {
           args.getUTF8String(0).toString, tbl)
         Seq(outRow(tbl,
           t.currentSnapshot.map(_.snapshotId).getOrElse(-1L)))
+      }))
+    // Iceberg compute_table_stats parity (the Puffin-NDV procedure):
+    // ANALYZE per-column KMV NDV sketches into table metadata;
+    // readable back via <table>.stats, folded forward by appends,
+    // consumed by the runtime-prune route's refuse decision.
+    case "compute_table_stats" => Some(procedure(name,
+      Seq(param("table", StringType),
+        paramD("columns", ArrayType(StringType), "NULL")),
+      StructType.fromDDL("column STRING, ndv BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val cols = if (args.isNullAt(1)) Nil
+          else args.getArray(1).toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq
+        t.computeTableStats(cols).toSeq.sortBy(_._1)
+          .map { case (c, n) => outRow(c, n) }
+      }))
+    // Iceberg migrate parity — the import trio's third member (with
+    // add_files and snapshot/register_table): convert the plain
+    // parquet directory at the table's name into a graft table that
+    // takes over the name in place; the source survives as
+    // <name>_backup_ (readable raw parquet, bytes shared with the new
+    // table, gc disabled) unless drop_backup renames the files into
+    // the table and removes the backup. Failure leaves the source
+    // intact under its original name (GraftCatalog.migrateTable).
+    case "migrate" => Some(procedure(name,
+      Seq(param("table", StringType),
+        paramD("drop_backup", BooleanType, "false")),
+      StructType.fromDDL(
+        "table STRING, migrated_files_count BIGINT, " +
+          "backup_location STRING"),
+      (args: InternalRow) => {
+        val tbl = args.getUTF8String(0).toString
+        val dropB = !args.isNullAt(1) && args.getBoolean(1)
+        val (t, backup) = catalog.migrateTableArg(tbl, dropB)
+        val n = t.currentSnapshot
+          .flatMap(_.summary.get("added-data-files"))
+          .map(_.toLong).getOrElse(0L)
+        Seq(outRow(tbl, n, backup.orNull))
       }))
     case "maintain" => Some(procedure(name,
       Seq(param("table", StringType)),

@@ -323,11 +323,25 @@ case class GraftSqlResolution(session: SparkSession)
             (r, t, key, dimAttr, dimSide)
         }
         routes.headOption.foreach { case (r, t, key, dimAttr, dimSide) =>
+          // stored-NDV refuse (compute_table_stats consumer): an
+          // UNFILTERED dim relation whose analyzed key NDV already
+          // exceeds maxKeys cannot yield a useful key set — skip the
+          // route without running the dim subplan at all, which is
+          // the point of stored stats (the static conf alone would
+          // pay a bounded dim scan just to discover the overflow).
+          // Sound both ways: stored NDV only ever over-counts (folds
+          // add, removals never subtract), so a refuse is at worst
+          // conservative, and a stale-low route still self-vets in
+          // readForJoin's bounded collect. A FILTERED dim side never
+          // refuses here — the filter may cut the key set under the
+          // bound.
+          val ndvRefuse =
+            unfilteredDimNdv(dimSide, dimAttr).exists(_ > maxKeys)
           // a self-join side must not prune by its own relation's
           // keys; a dim subplan this rule can't execute pre-plan
           // (e.g. carrying its own subqueries) skips the route — a
           // fast path must never fail a query that planned fine
-          if (!dimSide.exists(_ eq r)) try {
+          if (!ndvRefuse && !dimSide.exists(_ eq r)) try {
             out(r) = t.graft.readForJoin(key,
               dimKeys(dimSide, dimAttr), dimAttr.name, maxKeys)
           } catch { case scala.util.control.NonFatal(_) => () }
@@ -335,6 +349,26 @@ case class GraftSqlResolution(session: SparkSession)
       case _ => ()
     }
     out.toMap
+  }
+
+  /** Stored NDV of `attr` when `side` is the bare (projection-only)
+    * graft relation — Filters make the walk fail on purpose: a
+    * filtered dim may have far fewer distinct keys than the table's
+    * NDV, so only an UNFILTERED side can refuse on stored stats. */
+  private def unfilteredDimNdv(side: LogicalPlan,
+      attr: AttributeReference): Option[Long] = side match {
+    case SubqueryAlias(_, c) => unfilteredDimNdv(c, attr)
+    case Project(list, c) =>
+      list.find(_.exprId == attr.exprId).flatMap {
+        case a: AttributeReference => unfilteredDimNdv(c, a)
+        case Alias(a: AttributeReference, _) => unfilteredDimNdv(c, a)
+        case _ => None
+      }
+    case GraftRel(r, t)
+        if t.pinnedSnapshot.isEmpty && r.options.isEmpty &&
+          r.outputSet.contains(attr) =>
+      t.graft.columnNdv(attr.name)
+    case _ => None
   }
 
   private def substitute(r: DataSourceV2Relation,
@@ -582,6 +616,7 @@ class GraftMetadataSqlTable(identName: String, val graft: GraftTable,
     case "all_data_files" => graft.allDataFiles
     case "all_delete_files" => graft.allDeleteFiles
     case "partitions" => graft.partitionsTable
+    case "stats" => graft.statsTable
     case other => throw new IllegalArgumentException(
       s"unknown metadata table $other")
   }

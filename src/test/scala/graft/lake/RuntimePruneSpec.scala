@@ -104,6 +104,66 @@ class RuntimePruneSpec extends SparkSuite {
       t.readForJoin("nope", dimOf(Seq(Long.box(1L))), "dk"))
   }
 
+  test("computeTableStats: KMV NDV within 15% of exact on sf0.1 " +
+    "lineitem columns; appends fold in-place; .stats staleness " +
+    "tracks row-removing commits; re-analyze refreshes") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .selectExpr("CAST(l_orderkey AS BIGINT) AS l_orderkey",
+        "CAST(l_partkey AS BIGINT) AS l_partkey",
+        "CAST(l_suppkey AS BIGINT) AS l_suppkey",
+        "CAST(l_returnflag AS STRING) AS l_returnflag")
+    val wh = graft.ScratchDirs.create("graft-ndv-")
+    val t = GraftTable.create(spark, wh.resolve("li"), "d.li",
+      StructType.fromDDL("l_orderkey BIGINT, l_partkey BIGINT, " +
+        "l_suppkey BIGINT, l_returnflag STRING"), Map.empty)
+    t.append(li)
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag")
+    val ndv = t.computeTableStats(cols)
+    val exact = cols.map(c =>
+      c -> li.agg(countDistinct(col(c))).head.getLong(0)).toMap
+    for (c <- cols) {
+      val (e, got) = (exact(c), ndv(c))
+      assert(math.abs(got - e) <= 0.15 * e,
+        s"$c: estimate $got vs exact $e exceeds 15%")
+    }
+    // a tiny domain sits below k: the sketch is exact there
+    assert(ndv("l_returnflag") === exact("l_returnflag"))
+    // the .stats relation: fresh right after the analyze
+    def stats() = t.statsTable.collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(cols.forall(c => !stats()(c).getBoolean(5)),
+      "sketches must be fresh right after ANALYZE")
+    // appends FOLD without re-analyzing: new disjoint keys show up
+    val shift = 10000000L
+    t.append(spark.range(5000).selectExpr(
+      s"id + $shift AS l_orderkey", s"id + $shift AS l_partkey",
+      s"id + $shift AS l_suppkey", "'Z' AS l_returnflag"))
+    val after = t.columnNdv("l_orderkey").get
+    val exactAfter = exact("l_orderkey") + 5000
+    assert(math.abs(after - exactAfter) <= 0.15 * exactAfter,
+      s"folded estimate $after vs exact $exactAfter exceeds 15%")
+    assert(t.columnNdv("l_returnflag").contains(
+      exact("l_returnflag") + 1), "below-k fold stays exact")
+    assert(!stats()("l_orderkey").getBoolean(5),
+      "append folds keep the sketch fresh")
+    // a row-removing commit flips stale (estimate = upper bound)...
+    t.delete(col("l_returnflag") === "Z")
+    assert(stats()("l_returnflag").getBoolean(5),
+      "a delete must mark sketches stale")
+    assert(t.columnNdv("l_returnflag").contains(
+      exact("l_returnflag") + 1),
+      "stale sketch keeps the pre-delete upper bound")
+    // ...and a re-analyze refreshes to the live domain
+    val re = t.computeTableStats(Seq("l_returnflag"))
+    assert(re("l_returnflag") === exact("l_returnflag"))
+    assert(!stats()("l_returnflag").getBoolean(5))
+    // complex/binary columns refuse (no NDV space — skip-not-prune)
+    intercept[IllegalArgumentException](
+      t.computeTableStats(Seq("no_such_column")))
+  }
+
   test("∀ layout x random key set (incl. nulls, misses, duplicates, " +
     "over-budget): readForJoin.join ≡ read.join — the pruned frame is " +
     "always join-equivalent") {

@@ -529,6 +529,179 @@ class GraftSqlSpec extends SparkSuite {
     assert(e2.getMessage.contains("rewrite_data_files"), e2.getMessage)
   }
 
+  test("stored NDV (compute_table_stats) drives the runtime-prune " +
+    "decision: an over-maxKeys unfiltered dim REFUSES with zero dim " +
+    "jobs, a small-NDV dim routes, a filtered dim ignores the stored " +
+    "refuse, and <t>.stats reads back through SQL") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val fact = s"graft.$ns.fact"
+    spark.sql(s"CREATE TABLE $fact (k BIGINT, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('write.clustered-by'='k'," +
+      "'write.clustered-by.files'='8')")
+    spark.sql(s"INSERT INTO $fact SELECT id, id * 3 FROM range(8000)")
+    val big = s"graft.$ns.dimbig"
+    spark.sql(s"CREATE TABLE $big (dk BIGINT, tag STRING) USING graft")
+    spark.sql(s"INSERT INTO $big SELECT id, concat('t', id) " +
+      "FROM range(500)")
+    val small = s"graft.$ns.dimsmall"
+    spark.sql(s"CREATE TABLE $small (dk BIGINT, tag STRING) USING graft")
+    spark.sql(s"INSERT INTO $small SELECT id, concat('t', id) " +
+      "FROM range(100, 140)")
+    // ANALYZE both dims through the CALL surface
+    val analyzed = spark.sql("CALL graft.system.compute_table_stats(" +
+      s"table => '$ns.dimbig')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(analyzed("dk") - 500L) <= 75,
+      s"dk NDV ${analyzed("dk")} off by >15%")
+    spark.sql("CALL graft.system.compute_table_stats(" +
+      s"table => '$ns.dimsmall', columns => array('dk'))").collect()
+    // the .stats metadata relation resolves as a fourth identifier part
+    val st = spark.sql(s"SELECT column, ndv, stale FROM $big.stats " +
+      "ORDER BY column").collect()
+    assert(st.map(_.getString(0)).toSeq === Seq("dk", "tag"))
+    assert(!st.head.getBoolean(2), "fresh right after ANALYZE")
+    val allFiles = spark.sql(s"SELECT * FROM $fact").inputFiles.length
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.conf.set("spark.graft.runtimeJoinPrune", "true")
+    spark.conf.set("spark.graft.runtimeJoinPrune.maxKeys", "100")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // over-maxKeys UNFILTERED dim: stored NDV (≈500 > 100) refuses
+      // the route before the dim subplan ever runs — ANALYSIS of the
+      // join launches zero Spark jobs (without stats it would pay a
+      // bounded dim collect just to discover the overflow)
+      org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+      jobs.set(0)
+      val refused = spark.sql(
+        s"SELECT k, v, tag FROM $fact JOIN $big ON k = dk")
+      refused.queryExecution.assertAnalyzed()
+      org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+      assert(jobs.get() === 0,
+        "stored-NDV refuse must not run any pre-plan job")
+      assert(refused.inputFiles.count(_.contains("/fact/")) === allFiles,
+        "refused route keeps the scan-all fact read")
+      assert(refused.count() === 500L, "rows stay correct either way")
+      // the same shape WITHOUT stored stats pays the bounded collect
+      val noStats = s"graft.$ns.dimnostats"
+      spark.sql(s"CREATE TABLE $noStats (dk BIGINT, tag STRING) " +
+        "USING graft")
+      spark.sql(s"INSERT INTO $noStats SELECT id, concat('t', id) " +
+        "FROM range(500)")
+      org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+      jobs.set(0)
+      spark.sql(s"SELECT k, v, tag FROM $fact JOIN $noStats ON k = dk")
+        .queryExecution.assertAnalyzed()
+      org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+      assert(jobs.get() > 0,
+        "without stored NDV the route must probe the dim (collect)")
+      // a small analyzed NDV still routes: fact scans fewer files
+      val routed = spark.sql(
+        s"SELECT k, v, tag FROM $fact JOIN $small ON k = dk")
+      assert(routed.inputFiles.count(_.contains("/fact/")) < allFiles,
+        "small stored NDV must keep the route")
+      assert(routed.count() === 40L)
+      // a FILTERED over-NDV dim routes despite the stored refuse: the
+      // filter may cut the key set under the bound (and does here)
+      val filtered = spark.sql(s"SELECT k, v, tag FROM $fact " +
+        s"JOIN (SELECT * FROM $big WHERE dk < 20) ON k = dk")
+      assert(filtered.inputFiles.count(_.contains("/fact/")) < allFiles,
+        "a filtered dim side must ignore the whole-table NDV")
+      assert(filtered.count() === 20L)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.graft.runtimeJoinPrune")
+      spark.conf.unset("spark.graft.runtimeJoinPrune.maxKeys")
+    }
+  }
+
+  test("CALL migrate converts a plain parquet directory in place: the " +
+    "old name serves the new graft table, the backup stays readable, " +
+    "drop_backup renames bytes in, and failure leaves the source " +
+    "intact") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val wh = Path.of(spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    // a "legacy" non-graft table: a directory of raw parquet files
+    val src = wh.resolve(ns).resolve("legacy")
+    spark.range(100).selectExpr("id", "id % 7 AS grp")
+      .repartition(3).write.parquet(src.toString)
+    val out = spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.legacy')").collect()
+    assert(out.head.getString(0) === s"$ns.legacy")
+    assert(out.head.getLong(1) === 3L, "3 repartitioned files migrate")
+    val backupLoc = out.head.getString(2)
+    assert(backupLoc.endsWith("legacy_backup_"))
+    // the OLD NAME serves the new graft table: reads, metadata
+    // relations, and DML all work; bytes were adopted in place
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.legacy")
+      .head.getLong(0) === 100L)
+    assert(spark.sql(s"SELECT * FROM graft.$ns.legacy").inputFiles
+      .forall(_.contains("legacy_backup_")),
+      "keep-backup migrate must adopt bytes in place, not copy")
+    assert(spark.sql(
+      s"SELECT operation FROM graft.$ns.legacy.snapshots")
+      .collect().map(_.getString(0)).toSeq === Seq("append"))
+    spark.sql(s"DELETE FROM graft.$ns.legacy WHERE grp = 0")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.legacy")
+      .head.getLong(0) === 85L, "ids 0,7,…,98 deleted")
+    // the backup remains byte-complete raw parquet, unaffected by DML
+    assert(spark.read.parquet(backupLoc).count() === 100L)
+    // shared bytes: gc is disabled on the migrated table
+    val eGc = intercept[Exception](spark.sql(
+      s"CALL graft.system.expire_snapshots(table => '$ns.legacy')")
+      .collect())
+    assert(eGc.getMessage.contains("gc.enabled"), eGc.getMessage)
+    // drop_backup => true: files RENAME into the table (no copy), the
+    // backup disappears, the table owns its bytes (gc works)
+    val src2 = wh.resolve(ns).resolve("legacy2")
+    spark.range(50).selectExpr("id", "id % 3 AS grp")
+      .repartition(2).write.parquet(src2.toString)
+    val out2 = spark.sql(s"CALL graft.system.migrate(" +
+      s"table => '$ns.legacy2', drop_backup => true)").collect()
+    assert(out2.head.getLong(1) === 2L)
+    assert(out2.head.isNullAt(2), "no backup location when dropped")
+    assert(!Files.exists(wh.resolve(ns).resolve("legacy2_backup_")))
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.legacy2")
+      .head.getLong(0) === 50L)
+    assert(spark.sql(s"SELECT * FROM graft.$ns.legacy2").inputFiles
+      .forall(_.contains("legacy2/data")),
+      "drop_backup bytes must live under the table's own data dir")
+    spark.sql(s"INSERT INTO graft.$ns.legacy2 VALUES (999, 0)")
+    spark.sql(s"CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.legacy2', retain_last => 1)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.legacy2")
+      .head.getLong(0) === 51L)
+    // refusals leave the source intact under its original name:
+    // (a) no parquet files in the directory
+    val src3 = wh.resolve(ns).resolve("legacy3")
+    Files.createDirectories(src3)
+    Files.write(src3.resolve("notes.txt"), "not a table".getBytes)
+    val e3 = intercept[Exception](spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.legacy3')").collect())
+    assert(e3.getMessage.contains("no parquet files"), e3.getMessage)
+    assert(Files.exists(src3.resolve("notes.txt")),
+      "failed migrate must leave the source untouched")
+    // (b) an already-graft table refuses
+    val e4 = intercept[Exception](spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.legacy')").collect())
+    assert(e4.getMessage.contains("already a graft table"), e4.getMessage)
+    // (c) a stale backup target refuses before touching the source
+    val src4 = wh.resolve(ns).resolve("legacy4")
+    spark.range(5).write.parquet(src4.toString)
+    Files.createDirectories(wh.resolve(ns).resolve("legacy4_backup_"))
+    val e5 = intercept[Exception](spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.legacy4')").collect())
+    assert(e5.getMessage.contains("backup target"), e5.getMessage)
+    assert(spark.read.parquet(src4.toString).count() === 5L,
+      "refused migrate must leave the source readable in place")
+  }
+
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
     "tables through SQL") {
     val ns = freshNs()
