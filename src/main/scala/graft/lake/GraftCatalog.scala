@@ -158,6 +158,31 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     val srcFiles = Io.listRecursive(dir)
       .filter(_.getFileName.toString.endsWith(".parquet"))
     require(srcFiles.nonEmpty, s"no parquet files under $dir to migrate")
+    // Hive-partitioned layouts encode column VALUES in directory
+    // names; inferring over an explicit leaf-file list would silently
+    // drop those columns' data — refuse loudly (rewrite flat first)
+    val partitionDirs = srcFiles.flatMap { p =>
+      dir.relativize(p).iterator().asScala.toSeq.init
+        .map(_.toString).filter(_.contains("="))
+    }.distinct
+    require(partitionDirs.isEmpty,
+      s"$ns.$name looks hive-partitioned (${partitionDirs.take(3)
+        .mkString(", ")}): directory-encoded partition values would " +
+        "be lost; rewrite to flat parquet before migrating")
+    // with drop_backup the source directory is deleted afterwards —
+    // refuse if it holds anything beyond parquet + write artifacts
+    // (_SUCCESS, .crc, hidden metadata), or user bytes would vanish
+    if (dropBackup) {
+      val strays = Io.listRecursive(dir).filter { p =>
+        val n = p.getFileName.toString
+        !n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+      require(strays.isEmpty,
+        s"$ns.$name holds non-parquet content (${strays.take(3)
+          .mkString(", ")}); migrate without drop_backup, or move " +
+          "those files out first")
+    }
     // schema inference must succeed BEFORE the source is touched —
     // unreadable/conflicting files refuse with the source intact
     val schema = spark.read.parquet(srcFiles.map(_.toString): _*).schema

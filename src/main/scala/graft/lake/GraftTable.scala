@@ -1398,10 +1398,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * salted kSmallest bounds every reducer at salt·k rows — the same
     * machinery the oracled KMV queries pin, so the estimator
     * ((k-1)·2^60 div theta) is integer-exact and mergeable. After the
-    * ANALYZE, every APPEND folds its new files' hashes in (O(change):
-    * one bounded scan of just-written bytes); row-removing commits
-    * leave sketches alone, so stored NDV is an UPPER BOUND until
-    * re-analyzed — `.stats` surfaces that via `stale`. Consumers:
+    * ANALYZE, every plain MAIN append folds its new files' hashes in
+    * (O(change): one bounded scan of just-written bytes); any other
+    * row-changing commit (deletes, overwrites, branch appends landing
+    * via fast_forward, cherry-picks) flips the `stale` flag `.stats`
+    * surfaces. While fresh the estimate is the exact-merge value (an
+    * upper bound once rows were masked); while stale it may be off in
+    * either direction until re-analyzed. Consumers:
     * [[columnNdv]] and the SQL runtime-prune route, which refuses a
     * dim side whose stored NDV already exceeds maxKeys without
     * scanning it. */
@@ -1454,7 +1457,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     val rows = StructType.fromDDL(m.schemaDdl).fields.toSeq.flatMap { f =>
       m.columnNdv.get(physName(pn)(f.name)).map { s =>
         Row(f.name, GraftTable.ndvEstimate(s), s.k, s.hashes.size,
-          s.analyzedSnapshotId, ndvStale(s.analyzedSnapshotId))
+          s.analyzedSnapshotId, ndvStaleIn(m, s.analyzedSnapshotId))
       }
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
@@ -1474,17 +1477,36 @@ class GraftTable(val spark: SparkSession, val root: Path,
     case _ => true
   }
 
-  /** A sketch is stale when any main-lineage commit since the last
-    * fold could have REMOVED rows (operation other than append /
-    * data-neutral replace), or when the fold point expired out of the
-    * lineage — conservative in both directions: stale never means
-    * wrong, only "upper bound". */
-  private def ndvStale(analyzedId: Long): Boolean = {
+  /** A sketch is stale in `m` when any main-lineage commit since its
+    * fold point carried rows the fold discipline did not cover:
+    * row-REMOVING ops (anything but append / data-neutral replace),
+    * appends made ON A BRANCH (summary `branch` — branch appends are
+    * never folded; they enter main lineage via fast_forward), and
+    * cherry-picks (replayed entries were never folded) all flip it,
+    * as does a fold point that expired out of the walk. While FRESH
+    * the estimate is the exact-merge value (an upper bound once rows
+    * were masked); while STALE it may be off in EITHER direction —
+    * consumers must keep their own self-vet (readForJoin does).
+    * Takes the meta EXPLICITLY so one statsTable row reads one
+    * consistent version (and no per-row metadata re-parse). */
+  private def ndvStaleIn(m: TableMeta, analyzedId: Long): Boolean = {
     if (analyzedId < 0) return true
-    try lineageAfter(Some(analyzedId)).exists { id =>
-      meta.snapshots.find(_.snapshotId == id)
-        .forall(s => s.operation != "append" && s.operation != "replace")
-    } catch { case scala.util.control.NonFatal(_) => true }
+    var cursor = m.currentSnapshotId
+    while (true) cursor match {
+      case None => return true // fold point not an ancestor
+      case Some(id) if id == analyzedId => return false
+      case Some(id) =>
+        m.snapshots.find(_.snapshotId == id) match {
+          case None => return true // expired mid-walk
+          case Some(s) =>
+            if ((s.operation != "append" && s.operation != "replace") ||
+                s.summary.contains("branch") ||
+                s.summary.contains("cherry-picked-snapshot-id"))
+              return true
+            cursor = s.parentId
+        }
+    }
+    true // unreachable
   }
 
   /** One distributed (column, hash60) pass over `df`, k smallest
@@ -1505,12 +1527,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
   }
 
   /** Meta tweak folding `newFiles`' hashes into every stored sketch
-    * (KMV merge law: k smallest of a distinct union). Branch appends
-    * fold hashes but keep the old fold point — their rows reach main
-    * lineage only via fast_forward, whose append ops are then already
-    * covered. Identity when the table was never analyzed. */
+    * (KMV merge law: k smallest of a distinct union). Callers invoke
+    * it only for PLAIN MAIN appends (appendRaw main path, file
+    * imports, rowDelta's insert-only form) — branch appends never
+    * fold (ndvStaleIn flips on their branch-summary snapshots when
+    * fast_forward brings them to main). The fold point advances to
+    * this commit ONLY when the sketch is still fresh under the base
+    * meta: folding hashes is always sound (adds only), but advancing
+    * past an un-subtracted delete would silently clear the stale
+    * flag the delete earned. Identity when never analyzed. */
   private def ndvFoldTweak(m: TableMeta, newFiles: Seq[String],
-      snapId: Long, onMain: Boolean = true): TableMeta => TableMeta = {
+      snapId: Long): TableMeta => TableMeta = {
     if (m.columnNdv.isEmpty || newFiles.isEmpty) return identity
     val cur = StructType.fromDDL(m.schemaDdl)
     val pn = m.physicalNames
@@ -1526,7 +1553,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
       val merged = (old.hashes ++ fresh.getOrElse(f.name, Nil))
         .distinct.sorted.take(old.k)
       phys -> NdvSketch(old.k, merged,
-        if (onMain) snapId else old.analyzedSnapshotId)
+        if (ndvStaleIn(m, old.analyzedSnapshotId))
+          old.analyzedSnapshotId
+        else snapId)
     }.toMap
     mm => mm.copy(columnNdv = mm.columnNdv ++ folded)
   }
@@ -2110,9 +2139,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
         "added-records" -> newEntries.map(_.recordCount).sum.toString)
     // incremental NDV maintenance: fold the new files' hashes into
     // any stored column sketches (O(change) — one bounded scan of
-    // just-written bytes, only for analyzed columns)
-    val ndv = ndvFoldTweak(b.meta, moved, snapId,
-      onMain = branch.isEmpty)
+    // just-written bytes, only for analyzed columns). MAIN appends
+    // only: branch rows stay out of the sketch until fast_forward,
+    // whose branch-summary snapshots ndvStaleIn flags.
+    val ndv: TableMeta => TableMeta =
+      if (branch.isEmpty) ndvFoldTweak(b.meta, moved, snapId)
+      else identity
     // O(delta) fast path: a pure append never reads parent segments
     commitAddOnlyFast(b, snapId, branch, "append", newEntries, summary,
       ndv).getOrElse {
@@ -2678,14 +2710,23 @@ class GraftTable(val spark: SparkSession, val root: Path,
          "equality-columns" -> cols.mkString(",")))
     val op = if (delEntries.isEmpty) "append" else "overwrite"
     val added = delEntries ++ dataEntries
+    // the degenerate insert-only form IS a main append for the NDV
+    // discipline: fold its data files, or the op-"append" snapshot
+    // would add rows the stale walk considers covered. The masking
+    // form commits op "overwrite", which flips stale by itself.
+    val ndv: TableMeta => TableMeta =
+      if (op == "append" && branch.isEmpty)
+        ndvFoldTweak(b.meta, movedData, snapId)
+      else identity
     // add-only (delete file + new data files): O(delta) fast commit
-    commitAddOnlyFast(b, snapId, branch, op, added, summary).getOrElse {
+    commitAddOnlyFast(b, snapId, branch, op, added, summary, ndv)
+      .getOrElse {
       val base = headSnapshot(b, branch).map(manifestOf).getOrElse(Nil)
       branch match {
         case None => commitSnapshot(b, snapId, op, base ++ added,
-          summary)
+          summary, metaTweak = ndv)
         case Some(br) => commitSnapshotOnBranch(b, snapId, op, br,
-          base ++ added, summary)
+          base ++ added, summary, ndv)
       }
     }
   }

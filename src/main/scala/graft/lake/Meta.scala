@@ -111,10 +111,13 @@ final case class RefMeta(snapshotId: Long, refType: String,
   * hash source every sketch surface shares — so the estimator is the
   * same integer-exact (k-1)·2^60 div theta form the oracled KMV
   * queries pin. KMV sketches merge by distinct-union-then-take-k,
-  * which is exactly how append commits fold new files in (O(change));
-  * row-removing commits leave the sketch alone, so the estimate is an
-  * UPPER BOUND until re-analyzed (the `.stats` relation surfaces
-  * staleness by walking the lineage for non-append operations). */
+  * which is exactly how plain MAIN appends fold new files in
+  * (O(change)); any other row-changing commit (delete, overwrite,
+  * branch append arriving via fast_forward, cherry-pick) flips the
+  * `stale` flag the `.stats` relation derives from a lineage walk.
+  * Fresh ⇒ exact-merge estimate (an upper bound once rows were
+  * masked); stale ⇒ unmaintained, off in either direction until
+  * re-analyzed. */
 final case class NdvSketch(k: Int,
     // contentAs: like RefMeta.maxRefAgeMs — erasure would otherwise
     // hand small JSON numbers back as Integers inside the Seq and the

@@ -329,9 +329,10 @@ case class GraftSqlResolution(session: SparkSession)
           // route without running the dim subplan at all, which is
           // the point of stored stats (the static conf alone would
           // pay a bounded dim scan just to discover the overflow).
-          // Sound both ways: stored NDV only ever over-counts (folds
-          // add, removals never subtract), so a refuse is at worst
-          // conservative, and a stale-low route still self-vets in
+          // Sound both ways: a FRESH sketch only ever over-counts
+          // (folds add; anything that could lower or miss rows flips
+          // stale), so a refuse is at worst conservative, and a
+          // stale-low estimate that routes anyway still self-vets in
           // readForJoin's bounded collect. A FILTERED dim side never
           // refuses here — the filter may cut the key set under the
           // bound.

@@ -155,13 +155,46 @@ class RuntimePruneSpec extends SparkSuite {
     assert(t.columnNdv("l_returnflag").contains(
       exact("l_returnflag") + 1),
       "stale sketch keeps the pre-delete upper bound")
+    // a LATER append must not clear the stale flag the delete earned
+    // (hashes still fold — the estimate keeps covering the new rows)
+    val beforeLateFold = t.columnNdv("l_orderkey").get
+    t.append(spark.range(1000).selectExpr(
+      s"id + ${2 * shift} AS l_orderkey",
+      s"id + ${2 * shift} AS l_partkey",
+      s"id + ${2 * shift} AS l_suppkey", "'Y' AS l_returnflag"))
+    assert(stats()("l_orderkey").getBoolean(5),
+      "an append after a delete must NOT clear staleness")
+    assert(t.columnNdv("l_orderkey").get > beforeLateFold,
+      "hashes still fold while stale")
     // ...and a re-analyze refreshes to the live domain
     val re = t.computeTableStats(Seq("l_returnflag"))
-    assert(re("l_returnflag") === exact("l_returnflag"))
+    assert(re("l_returnflag") === exact("l_returnflag") + 1,
+      "live flags after the Z-delete and Y-append: A,N,R,Y")
     assert(!stats()("l_returnflag").getBoolean(5))
-    // complex/binary columns refuse (no NDV space — skip-not-prune)
+    // a BRANCH append never folds and flips stale once fast-forwarded
+    // (its rows entered main lineage without ever entering the sketch)
+    t.computeTableStats(Seq("l_orderkey"))
+    assert(!stats()("l_orderkey").getBoolean(5))
+    t.createRef("staged", "branch")
+    t.appendToBranch("staged", spark.range(10).selectExpr(
+      s"id + ${3 * shift} AS l_orderkey",
+      s"id + ${3 * shift} AS l_partkey",
+      s"id + ${3 * shift} AS l_suppkey", "'B' AS l_returnflag"))
+    assert(!stats()("l_orderkey").getBoolean(5),
+      "a branch append alone leaves main-lineage sketches fresh")
+    t.fastForward("main", t.refSnapshotId("staged"))
+    assert(stats()("l_orderkey").getBoolean(5),
+      "fast-forwarded branch rows were never folded: stale must flip")
+    // unknown and complex columns both refuse
     intercept[IllegalArgumentException](
       t.computeTableStats(Seq("no_such_column")))
+    val tc = GraftTable.create(spark, wh.resolve("cx"), "d.cx",
+      StructType.fromDDL("id BIGINT, xs ARRAY<BIGINT>"), Map.empty)
+    val eCx = intercept[IllegalArgumentException](
+      tc.computeTableStats(Seq("xs")))
+    assert(eCx.getMessage.contains("no NDV space"), eCx.getMessage)
+    // the default column set silently SKIPS ineligible types
+    assert(tc.computeTableStats().keySet === Set("id"))
   }
 
   test("∀ layout x random key set (incl. nulls, misses, duplicates, " +

@@ -700,6 +700,34 @@ class GraftSqlSpec extends SparkSuite {
     assert(e5.getMessage.contains("backup target"), e5.getMessage)
     assert(spark.read.parquet(src4.toString).count() === 5L,
       "refused migrate must leave the source readable in place")
+    // (d) a hive-partitioned layout refuses: directory-encoded
+    // partition values would be silently dropped by file-list
+    // inference — the prime migrate use case must not corrupt
+    val src5 = wh.resolve(ns).resolve("legacy5")
+    spark.range(20).selectExpr("id", "id % 2 AS grp")
+      .write.partitionBy("grp").parquet(src5.toString)
+    val e6 = intercept[Exception](spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.legacy5')").collect())
+    assert(e6.getMessage.contains("hive-partitioned"), e6.getMessage)
+    assert(spark.read.parquet(src5.toString).count() === 20L,
+      "refused migrate must leave the partitioned source readable")
+    // (e) drop_backup refuses when the dir holds non-parquet user
+    // content (the sweep would destroy it); keep-backup still works
+    val src6 = wh.resolve(ns).resolve("legacy6")
+    spark.range(7).write.parquet(src6.toString)
+    Files.write(src6.resolve("export.csv"), "a,b\n1,2\n".getBytes)
+    val e7 = intercept[Exception](spark.sql(s"CALL graft.system." +
+      s"migrate(table => '$ns.legacy6', drop_backup => true)")
+      .collect())
+    assert(e7.getMessage.contains("non-parquet content"), e7.getMessage)
+    assert(Files.exists(src6.resolve("export.csv")))
+    spark.sql(s"CALL graft.system.migrate(table => '$ns.legacy6')")
+      .collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.legacy6")
+      .head.getLong(0) === 7L)
+    assert(Files.exists(wh.resolve(ns).resolve("legacy6_backup_")
+      .resolve("export.csv")),
+      "keep-backup migrate must carry stray files into the backup")
   }
 
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +
