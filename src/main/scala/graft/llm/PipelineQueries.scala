@@ -161,6 +161,161 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** PageRank centrality over the near-dup graph (round 15 — the
+    * second graph-analytics operator after connected components):
+    * within a duplication neighborhood, the most-linked document is
+    * the canonical/authoritative copy, so curation pipelines rank by
+    * centrality where survivorship's single argmax is too blunt.
+    * Four fixed power iterations in EXACT INTEGER micro-units
+    * (pr0 = 1e6; pr' = 0.15e6 + 0.85e6·Σ pr(u) div deg(u), all BIGINT
+    * with truncating division — identical on both engines, so the
+    * result hash-checks with zero float tolerance; symmetric edges
+    * mean no dangling nodes). Scale shape: per iteration ONE
+    * equi-join of the edge list against the score table plus a
+    * partial-agg'd sum — rounds are fixed (4), never data-dependent,
+    * and the score table is one row per node sharing a dup pair
+    * (orders of magnitude smaller than the corpus). The oracle
+    * unrolls the four rounds as chained CTEs (aggregates are illegal
+    * in a RECURSIVE term). */
+  private val pagerank = Q(
+    "q_graph_pagerank",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), dt AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM dt a JOIN dt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sz sa ON sa.doc_id = id_a
+      |  JOIN sz sb ON sb.doc_id = id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM pairs
+      |), deg AS (
+      |  SELECT src, count(*) AS d FROM edges GROUP BY src
+      |), n AS (
+      |  SELECT DISTINCT src AS id FROM edges
+      |), r0 AS (
+      |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM n
+      |), c1 AS (
+      |  SELECT e.dst AS id, CAST(sum(r.pr // g.d) AS BIGINT) AS c
+      |  FROM edges e JOIN r0 r ON r.id = e.src
+      |  JOIN deg g ON g.src = e.src GROUP BY 1
+      |), r1 AS (
+      |  SELECT n.id, CAST(150000 +
+      |    (850000 * COALESCE(c.c, 0)) // 1000000 AS BIGINT) AS pr
+      |  FROM n LEFT JOIN c1 c ON c.id = n.id
+      |), c2 AS (
+      |  SELECT e.dst AS id, CAST(sum(r.pr // g.d) AS BIGINT) AS c
+      |  FROM edges e JOIN r1 r ON r.id = e.src
+      |  JOIN deg g ON g.src = e.src GROUP BY 1
+      |), r2 AS (
+      |  SELECT n.id, CAST(150000 +
+      |    (850000 * COALESCE(c.c, 0)) // 1000000 AS BIGINT) AS pr
+      |  FROM n LEFT JOIN c2 c ON c.id = n.id
+      |), c3 AS (
+      |  SELECT e.dst AS id, CAST(sum(r.pr // g.d) AS BIGINT) AS c
+      |  FROM edges e JOIN r2 r ON r.id = e.src
+      |  JOIN deg g ON g.src = e.src GROUP BY 1
+      |), r3 AS (
+      |  SELECT n.id, CAST(150000 +
+      |    (850000 * COALESCE(c.c, 0)) // 1000000 AS BIGINT) AS pr
+      |  FROM n LEFT JOIN c3 c ON c.id = n.id
+      |), c4 AS (
+      |  SELECT e.dst AS id, CAST(sum(r.pr // g.d) AS BIGINT) AS c
+      |  FROM edges e JOIN r3 r ON r.id = e.src
+      |  JOIN deg g ON g.src = e.src GROUP BY 1
+      |), r4 AS (
+      |  SELECT n.id, CAST(150000 +
+      |    (850000 * COALESCE(c.c, 0)) // 1000000 AS BIGINT) AS pr
+      |  FROM n LEFT JOIN c4 c ON c.id = n.id
+      |)
+      |SELECT id AS doc_id, pr FROM r4 ORDER BY doc_id""".stripMargin
+  ) { (s, dir) =>
+    val pairs = DedupQueries
+      .jaccardPairs(DedupQueries.shingleSets(Tables.documents(s, dir)),
+        "sh")
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .persist()
+    edges.count() // one materialization; 4 iterations reuse the cache
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val withDeg = edges.join(deg, "src")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var score = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 4) {
+      val contrib = withDeg
+        .join(score.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("pr div d")).cast("bigint").as("c"))
+      score = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("850000 * coalesce(c, 0) div 1000000"))
+            .cast("bigint").as("pr"))
+    }
+    val out = score.select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id")
+      // sever lineage before unpersisting the edge cache (4 rounds of
+      // self-referencing plans would otherwise recompute the shingle
+      // join once per round); node set is dup-pair-bounded, tiny
+      .localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  /** Deterministic weighted sampling (priority sampling / bottom-k
+    * with weights): keep the k docs per source whose priority
+    * h(doc_id) div n_chars is smallest — longer documents get
+    * proportionally smaller priorities, so inclusion probability
+    * grows with weight while staying a PURE FUNCTION of (doc_id,
+    * n_chars): reproducible across runs, engines, and input order,
+    * the same reason the split family keys on md5. One map-side
+    * projection plus a per-source WindowGroupLimit top-k — no global
+    * sort, no rand(). The md5-based h is [[graft.rel.Kmv.hash60]],
+    * the engine's one hash source. */
+  private val weightedSample = Q(
+    "q_pipe_weighted_sample",
+    """WITH pri AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) // n_chars AS priority
+      |  FROM documents WHERE n_chars > 0
+      |), rk AS (
+      |  SELECT source, doc_id, n_chars, priority,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY priority, doc_id) AS rk
+      |  FROM pri
+      |)
+      |SELECT source, doc_id, n_chars, priority, rk
+      |FROM rk WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+  ) { (s, dir) =>
+    import graft.rel.Kmv
+    val pri = Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("h", Kmv.hash60(col("doc_id")))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("h div n_chars").as("priority"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority"), col("doc_id"))
+    pri.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("source", "rk")
+  }
+
   /** Resolve the transitive closure of (id_a, id_b) dup pairs into
     * canonical min-id clusters: (doc_id, cluster_id, keep) sorted by
     * doc_id. Adaptive, like a broadcast-join decision: when the edge
@@ -1640,7 +1795,8 @@ object PipelineQueries extends QueryCatalog {
       .orderBy("source")
   }
 
-  override def all: Seq[Q] = Seq(dedupClusters, survivorship, trainSplit,
+  override def all: Seq[Q] = Seq(dedupClusters, survivorship, pagerank,
+    weightedSample, trainSplit,
     splitDecontaminated, sample, pack,
     vocab, quantiles, quantilesApprox, quantilesSample, quantize,
     piiRedact, logprob,
