@@ -4462,7 +4462,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
           (c.child.dataType == TimestampType && c.dataType == TimestampNTZType) =>
         c.child
     }
-    conds.flatMap(split).map(stripTsCasts)
+    // constant-fold cast-wrapped literals (lit("2024-02-05").cast(ntz),
+    // lit(5).cast(dec)) into plain Literals: this runs on the ANALYZED
+    // plan, before Catalyst's own ConstantFolding, and mayMatch prunes
+    // only bare attribute-vs-Literal shapes. Evaluation failures (e.g.
+    // an invalid constant cast under ANSI) leave the node unfolded —
+    // pruning degrades to "may match" and the error still surfaces at
+    // execution, exactly as without pruning.
+    def foldConstants(e: Expression): Expression = e.transformUp {
+      case f if f.foldable && f.deterministic &&
+          !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        try org.apache.spark.sql.catalyst.expressions.Literal
+          .create(f.eval(null), f.dataType)
+        catch { case scala.util.control.NonFatal(_) => f }
+    }
+    conds.flatMap(split).map(stripTsCasts).map(foldConstants)
   }
 
 }

@@ -1287,6 +1287,32 @@ class GraftTableSpec extends SparkSuite {
     assert(allStats.contains("-33078.94"), s"m18 mins: $allStats")
   }
 
+  test("TIMESTAMP_NTZ predicates prune files through the shared " +
+    "micros stat space (mayMatch compares the literal's micros " +
+    "against footer bounds numerically)") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val sch = StructType.fromDDL("id BIGINT, ts TIMESTAMP_NTZ")
+    val t = cat.createTable("default", "tsp", sch)
+    def dayRows(day: Int, n: Int) = (0 until n).map(i => Row(
+      Long.box(day * 100L + i),
+      java.time.LocalDateTime.of(2024, 2, day, 0, 0, 0)
+        .plusMinutes(i.toLong)))
+    t.append(spark.createDataFrame(dayRows(1, 50).asJava, sch))
+    t.append(spark.createDataFrame(dayRows(5, 50).asJava, sch))
+    val all = t.read().inputFiles.length
+    assert(all >= 2, s"expected two files, got $all")
+    val lateOnly = t.readWhere(col("ts") >=
+      lit("2024-02-05 00:00:00").cast(TimestampNTZType))
+    assert(lateOnly.inputFiles.length < all,
+      "a day-5 point read must prune the day-1 file")
+    assert(lateOnly.count() === 50L)
+    val none = t.readWhere(col("ts") <
+      lit("2024-01-01 00:00:00").cast(TimestampNTZType))
+    assert(none.inputFiles.isEmpty && none.count() === 0L,
+      "an out-of-range predicate must prune every file")
+  }
+
   test("DECIMAL lifecycle: append/read exact, COW update arithmetic, " +
     "MOR delete on a DECIMAL predicate, stats-pruned point read, " +
     "precision>18 roundtrip") {
