@@ -1973,6 +1973,51 @@ object LakeQueries extends QueryCatalog {
       .orderBy("day")
   }
 
+  /** The `migrate` procedure as a driver-visible scenario (round 15;
+    * no SQL oracle — runtime temp warehouse — semantics hash-pinned
+    * by GraftSqlSpec's walk): a plain parquet directory becomes a
+    * graft table under its own name, in place. Observations emit the
+    * contract as deterministic values: rows identical through the
+    * table and through the backup, bytes adopted where they sit
+    * (zero copies), DML working on the migrated table while the
+    * backup stays frozen, and gc disabled on the shared bytes. */
+  private val migrateScenario = Q.noOracle("q_lake_migrate") { (s, dir) =>
+    import s.implicits._
+    val wh = graft.ScratchDirs.create("graft-mig-")
+    val cat = new GraftCatalog(s, wh)
+    cat.createNamespace("default")
+    val legacy = wh.resolve("default").resolve("li_legacy")
+    graft.rel.Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 11 === 0)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        expr("cast(round(l_extendedprice * 100) as bigint)")
+          .as("price_c"))
+      .repartition(4).write.parquet(legacy.toString)
+    val t = cat.migrateTable("default", "li_legacy")
+    val backup = wh.resolve("default").resolve("li_legacy_backup_")
+    val viaTable = t.read().count()
+    val viaBackup = s.read.parquet(backup.toString).count()
+    val inPlace = t.read().inputFiles.forall(_.contains("_backup_"))
+    val migratedFiles = t.currentSnapshot.get
+      .summary("added-data-files").toLong
+    t.delete(col("okey") % 2 === 0) // COW: rewrites, dereferences
+    val afterDelete = t.read().count()
+    val backupFrozen = s.read.parquet(backup.toString).count()
+    val gcRefused =
+      try { t.expireSnapshots(retainLast = 1); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("gc.enabled") }
+    Seq(
+      ("1_rows_via_table", viaTable),
+      ("2_rows_via_backup", viaBackup),
+      ("3_migrated_files", migratedFiles),
+      ("4_adopted_in_place", if (inPlace) 1L else 0L),
+      ("5_rows_after_delete", afterDelete),
+      ("6_backup_frozen_rows", backupFrozen),
+      ("7_gc_refused", if (gcRefused) 1L else 0L))
+      .toDF("observation", "value").orderBy("observation")
+  }
+
   /** The SQL-entry twin of [[lakePricing]] (round 15, closing the
     * last trust gap the r14 verdict named): the ENTIRE lifecycle —
     * DDL, load, MOR DELETE, COW UPDATE, final aggregate — runs as
@@ -2045,7 +2090,7 @@ object LakeQueries extends QueryCatalog {
 
   override def all: Seq[Q] = Seq(
     decimalLake, lakePricing, sqlPricing, complexTypes,
-    ndvStats, timestampNtz,
+    ndvStats, timestampNtz, migrateScenario,
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,
     prunedRead, equalityDelete, sqlLifecycle, mergeUpsert,
