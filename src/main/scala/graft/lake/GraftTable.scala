@@ -3031,6 +3031,50 @@ class GraftTable(val spark: SparkSession, val root: Path,
       if (removed.nonEmpty)
         report += ("remove-orphans" -> s"removed ${removed.size} file(s)")
     }
+    // stored-NDV refresh (closes the D50 staleness loop without a
+    // human re-running compute_table_stats): once a sketch went STALE
+    // (a row-removing / branch-landing commit) AND at least
+    // `maintenance.analyze.stale-commits` main-lineage commits sit
+    // between its fold point and the head, re-ANALYZE every tracked
+    // column. Deciding "nothing to do" reads only metadata (one
+    // lineage walk); the data scan runs only when tripped.
+    props.get("maintenance.analyze.stale-commits").foreach { nStr =>
+      val minCommits = math.max(1, nStr.toInt)
+      val m = meta
+      if (m.columnNdv.nonEmpty) {
+        val cur = StructType.fromDDL(m.schemaDdl)
+        val pn = m.physicalNames
+        val tracked = cur.fields.toSeq
+          .filter(f => m.columnNdv.contains(physName(pn)(f.name)))
+        // commits between the fold point and the head, capped at the
+        // threshold (the walk never needs to go further); a fold
+        // point that expired out of the lineage counts as over-cap
+        def commitsSince(analyzedId: Long): Int = {
+          var cursor = m.currentSnapshotId
+          var cnt = 0
+          while (cnt < minCommits && cursor.isDefined &&
+              !cursor.contains(analyzedId)) {
+            cnt += 1
+            cursor = m.snapshots.find(_.snapshotId == cursor.get)
+              .flatMap(_.parentId)
+          }
+          if (cursor.isEmpty && analyzedId >= 0) minCommits else cnt
+        }
+        val tripped = tracked.filter { f =>
+          val s = m.columnNdv(physName(pn)(f.name))
+          ndvStaleIn(m, s.analyzedSnapshotId) &&
+            commitsSince(s.analyzedSnapshotId) >= minCommits
+        }
+        if (tripped.nonEmpty && tracked.nonEmpty) {
+          val k = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
+          GraftTable.retryOnConflict()(
+            computeTableStats(tracked.map(_.name), k))
+          report += ("analyze" ->
+            (s"${tripped.size} stale sketch(es); re-analyzed " +
+              s"${tracked.map(_.name).mkString(",")} (k=$k)"))
+        }
+      }
+    }
     report.toSeq
   }
 

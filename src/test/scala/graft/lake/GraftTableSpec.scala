@@ -1796,6 +1796,40 @@ class GraftTableSpec extends SparkSuite {
     assert(t.read().count() === 5)
   }
 
+  test("maintenance.analyze.stale-commits policy re-ANALYZEs stale " +
+      "NDV sketches through maintain(); fresh sketches and not-enough-" +
+      "commits are no-ops") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val sch = StructType.fromDDL("k BIGINT, tag STRING")
+    val t = cat.createTable("default", "ndvm", sch,
+      Map("maintenance.analyze.stale-commits" -> "2",
+        "maintenance.compact.min-small-files" -> "1000",
+        "maintenance.compact.min-delete-files" -> "1000"))
+    t.append(spark.range(100).selectExpr("id AS k",
+      "concat('t', id) AS tag"))
+    // never analyzed: the policy has nothing to refresh
+    assert(t.maintain().isEmpty, "no sketches -> no-op")
+    t.computeTableStats(Seq("k"))
+    assert(t.maintain().isEmpty, "fresh sketch -> no-op")
+    // stale (delete) but only ONE commit since the fold point
+    t.delete(col("k") < 10L)
+    def stale() = t.statsTable.collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap.apply("k")
+    assert(stale())
+    assert(t.maintain().isEmpty,
+      "stale but under the commit threshold -> no-op")
+    // a second commit trips the policy: maintain re-analyzes
+    t.append(spark.range(200, 220).selectExpr("id AS k",
+      "concat('t', id) AS tag"))
+    val report = t.maintain()
+    assert(report.map(_._1) === Seq("analyze"), report.toString)
+    assert(!stale(), "re-analyze must leave the sketch fresh")
+    assert(t.columnNdv("k").contains(110L),
+      "refreshed NDV reflects the live domain (90 survivors + 20 new)")
+    assert(t.maintain().isEmpty, "refreshed table is a no-op again")
+  }
+
   test("orphan removal sweeps unreferenced SEGMENT files (losing " +
       "commit attempts) but never segments shared by live manifests") {
     val t = newTable()
