@@ -376,18 +376,36 @@ object PipelineQueries extends QueryCatalog {
           StructField("cluster_id", LongType),
           StructField("keep", BooleanType))))
     } else {
-      // one hop of min-label propagation: each node folds the min
-      // label among its neighbors into its own
+      // One round folds TWO signals into each node's label: the min
+      // label among its neighbors (classic propagation — advances the
+      // component min one hop per round) and its own label's label
+      // (POINTER JUMPING / path halving — the distance to the min
+      // shrinks geometrically, so a diameter-d chain converges in
+      // O(log d) rounds, not d). Without the jump, a >cap-diameter
+      // dup CHAIN — exactly the adversarial spam shape a 100 TB
+      // corpus contains — would exhaust the round cap; with it, 64
+      // rounds cover any component that fits in storage. The jump
+      // preserves the invariant (lbl(v) is always a node of v's
+      // component: initially self, neighbor-min picks a neighbor's
+      // component node, the jump picks that node's component node),
+      // and the fixpoint is unchanged (component min everywhere), so
+      // output stays identical to the local union-find — the branch
+      // equality spec and ClusterAb keep proving it.
       def hop(ls: DataFrame): DataFrame = {
         val viaNeighbor = edges
           .join(ls.withColumnRenamed("id", "src_id"),
             col("src") === col("src_id"))
           .groupBy(col("dst").as("id"))
           .agg(min("lbl").as("nlbl"))
-        ls.as("l")
-          .join(viaNeighbor.as("n"), Seq("id"), "left")
+        val viaParent = ls.as("l")
+          .join(ls.as("p"), col("l.lbl") === col("p.id"), "left")
+          .select(col("l.id").as("id"), col("l.lbl").as("lbl"),
+            col("p.lbl").as("plbl"))
+        viaParent.join(viaNeighbor.as("n"), Seq("id"), "left")
           .select(col("id"),
-            least(col("l.lbl"), coalesce(col("n.nlbl"), col("l.lbl")))
+            least(col("lbl"),
+              coalesce(col("plbl"), col("lbl")),
+              coalesce(col("n.nlbl"), col("lbl")))
               .as("lbl"))
       }
       // Labels only decrease, so sum(lbl) strictly decreases until the
@@ -395,8 +413,14 @@ object PipelineQueries extends QueryCatalog {
       var converged = false
       var rounds = 0
       var curSum = labels.agg(sum("lbl")).head.getLong(0)
-      while (!converged && rounds < 50) {
-        val next = hop(labels).persist()
+      while (!converged && rounds < 64) {
+        // eager localCheckpoint, not persist: hop references the label
+        // table THREE times (neighbor-min, the jump's two sides), so a
+        // persist-only loop would grow the LOGICAL plan 3^rounds —
+        // checkpointing materializes each round on the executors'
+        // block managers and truncates lineage to O(1) per round (the
+        // sum below forces a materialization either way)
+        val next = hop(labels).localCheckpoint(true)
         val nextSum = next.agg(sum("lbl")).head.getLong(0)
         labels.unpersist()
         labels = next
@@ -404,6 +428,12 @@ object PipelineQueries extends QueryCatalog {
         curSum = nextSum
         rounds += 1
       }
+      // a silent cap-out would emit WRONG clusters; with pointer
+      // jumping 64 rounds cover ~2^64 diameters, so hitting this is a
+      // logic bug, never data — fail loudly either way
+      if (!converged) throw new IllegalStateException(
+        s"connected components did not converge after $rounds rounds " +
+          "— refusing to emit incomplete cluster labels")
       val out = labels
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("id") === col("lbl")).as("keep"))

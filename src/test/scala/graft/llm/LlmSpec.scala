@@ -149,6 +149,20 @@ class LlmSpec extends SparkSuite {
         "conf-forced distributed branch must equal the local path")
     } finally
       spark.conf.unset("spark.graft.dedup.clusterLocalThreshold")
+    // adversarial DIAMETER: a 200-link dup CHAIN (the spam shape a
+    // 100 TB corpus contains) must resolve to ONE cluster on the
+    // distributed branch — pointer jumping converges in O(log d)
+    // rounds where plain one-hop propagation would exhaust the round
+    // cap and (before round 15) silently emit wrong labels
+    val chain = spark.range(200)
+      .selectExpr("id AS id_a", "id + 1 AS id_b")
+    val chained = PipelineQueries
+      .clusterPairs(spark, chain, localThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(chained.length === 201)
+    assert(chained.forall(_._2 === 0L),
+      "every chain node must resolve to the component min (0)")
+    assert(chained.count(_._3) === 1, "exactly one keeper")
     // cluster invariants: labels are component minima, reps are members
     val byCluster = local.groupBy(_._2)
     for ((cid, members) <- byCluster) {
