@@ -185,6 +185,14 @@ class RuntimePruneSpec extends SparkSuite {
     t.fastForward("main", t.refSnapshotId("staged"))
     assert(stats()("l_orderkey").getBoolean(5),
       "fast-forwarded branch rows were never folded: stale must flip")
+    // sketches key by PHYSICAL name: a logical RENAME keeps them
+    // (same reason file stats survive renames)
+    val preRename = t.columnNdv("l_suppkey")
+    t.renameColumn("l_suppkey", "supp")
+    assert(t.columnNdv("supp") === preRename,
+      "a renamed column must keep its sketch")
+    assert(t.columnNdv("l_suppkey").isEmpty,
+      "the old logical name no longer resolves")
     // unknown and complex columns both refuse
     intercept[IllegalArgumentException](
       t.computeTableStats(Seq("no_such_column")))
