@@ -144,7 +144,11 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     * moves the backup (including any files a partial step 4 already
     * renamed out) back to the source name — the source survives
     * byte-identical (file NAMES inside it may change; a raw parquet
-    * dir reads by glob, not by name). */
+    * dir reads by glob, not by name).
+    *
+    * Hive-partitioned sources (directory-encoded column values) are
+    * handled by the drop_backup form via [[migratePartitioned]]'s
+    * one-time rewrite; the keep-backup form refuses them. */
   def migrateTable(ns: String, name: String,
       dropBackup: Boolean = false): GraftTable = {
     require(namespaceExists(ns), s"namespace $ns does not exist")
@@ -159,30 +163,39 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
       .filter(_.getFileName.toString.endsWith(".parquet"))
     require(srcFiles.nonEmpty, s"no parquet files under $dir to migrate")
     // Hive-partitioned layouts encode column VALUES in directory
-    // names; inferring over an explicit leaf-file list would silently
-    // drop those columns' data — refuse loudly (rewrite flat first)
+    // names, so adopting leaf files in place would silently drop
+    // those columns' data. The drop_backup form handles them with a
+    // ONE-TIME rewrite (values injected as real columns, clustered on
+    // the former partition columns); the keep-backup form refuses —
+    // rewrite-free adoption cannot conjure bytes that exist only in
+    // directory names.
     val partitionDirs = srcFiles.flatMap { p =>
       dir.relativize(p).iterator().asScala.toSeq.init
         .map(_.toString).filter(_.contains("="))
     }.distinct
-    require(partitionDirs.isEmpty,
+    require(partitionDirs.isEmpty || dropBackup,
       s"$ns.$name looks hive-partitioned (${partitionDirs.take(3)
-        .mkString(", ")}): directory-encoded partition values would " +
-        "be lost; rewrite to flat parquet before migrating")
+        .mkString(", ")}): in-place adoption cannot inject " +
+        "directory-encoded partition values as columns; migrate with " +
+        "drop_backup=true for a one-time rewrite, or rewrite to flat " +
+        "parquet first")
     // with drop_backup the source directory is deleted afterwards —
-    // refuse if it holds anything beyond parquet + write artifacts
-    // (_SUCCESS, .crc, hidden metadata), or user bytes would vanish
+    // refuse if it holds anything beyond parquet + KNOWN write
+    // artifacts, or user bytes would vanish. The whitelist names the
+    // actual artifact shapes writers leave (not "any leading _ or ."
+    // — a user's '.env' or '_notes.md' must refuse, not get swept).
     if (dropBackup) {
       val strays = Io.listRecursive(dir).filter { p =>
         val n = p.getFileName.toString
-        !n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith(".")
+        !n.endsWith(".parquet") && !GraftCatalog.isWriteArtifact(n)
       }
       require(strays.isEmpty,
         s"$ns.$name holds non-parquet content (${strays.take(3)
           .mkString(", ")}); migrate without drop_backup, or move " +
           "those files out first")
     }
+    if (partitionDirs.nonEmpty)
+      return migratePartitioned(ns, name, dir, srcFiles)
     // schema inference must succeed BEFORE the source is touched —
     // unreadable/conflicting files refuse with the source intact
     val schema = spark.read.parquet(srcFiles.map(_.toString): _*).schema
@@ -217,6 +230,59 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
             Io.listRecursive(data)
               .filter(_.getFileName.toString.endsWith(".parquet"))
               .foreach(p => Files.move(p, backup.resolve(p.getFileName)))
+          dropTable(ns, name)
+          Files.move(backup, dir)
+        } catch {
+          case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+        }
+        throw e
+    }
+  }
+
+  /** Hive-partitioned migrate (r16, drop_backup form only):
+    * directory-encoded partition VALUES become real columns via a
+    * ONE-TIME rewrite — unlike the flat path this is NOT
+    * metadata-only (the values exist nowhere in the parquet bytes),
+    * which is why only drop_backup offers it. The rewritten table
+    * CLUSTERS on the former partition columns (`write.clustered-by`
+    * identity fields, nesting order preserved), so the day/key
+    * predicates that pruned directories before the migrate keep
+    * pruning via file stats after it. Partition column TYPES come
+    * from Spark's partition inference (date/int/string), same as a
+    * raw partitioned read. Failure before the rewrite commits tears
+    * the half-created table down and restores the source dir —
+    * byte-identical, since the rewrite never renames source files. */
+  private def migratePartitioned(ns: String, name: String, dir: Path,
+      srcFiles: Seq[Path]): GraftTable = {
+    // partition column order = directory nesting order of the leafs
+    val partCols = dir.relativize(srcFiles.head).iterator().asScala
+      .toSeq.init.map(_.toString).filter(_.contains("="))
+      .map(_.split("=", 2)(0))
+    require(partCols.nonEmpty, s"$ns.$name: no partition columns found")
+    // schema inference (partition discovery included) must succeed
+    // BEFORE the source is touched
+    val schema = spark.read.parquet(dir.toString).schema
+    partCols.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"partition column $c missing from inferred schema " +
+        s"(${schema.fieldNames.mkString(",")})"))
+    val backup = nsDir(ns).resolve(s"${name}_backup_")
+    require(!Files.exists(backup),
+      s"backup target $backup already exists; remove or rename it first")
+    Files.move(dir, backup)
+    try {
+      val df = spark.read.parquet(backup.toString)
+      val t = GraftTable.create(spark, dir, s"$ns.$name", schema,
+        Map(GraftTable.ClusterProp -> partCols.mkString(",")))
+      t.append(df)
+      val leftovers = Files.walk(backup)
+      try leftovers.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally leftovers.close()
+      t
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try {
           dropTable(ns, name)
           Files.move(backup, dir)
         } catch {
@@ -290,4 +356,16 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
       }
     (cols ++ detail).toDF("col_name", "data_type", "comment")
   }
+}
+
+object GraftCatalog {
+  /** The write-artifact names a parquet writer (Spark, Hadoop
+    * committers) leaves next to data files — the ONLY non-parquet
+    * content `migrate(drop_backup)` may silently destroy. Anything
+    * else in the source dir refuses the drop_backup form. */
+  private[lake] def isWriteArtifact(name: String): Boolean =
+    name == "_SUCCESS" || name == "_metadata" ||
+      name == "_common_metadata" || name.endsWith(".crc") ||
+      name.startsWith("_committed_") || name.startsWith("_started_") ||
+      name.startsWith("_temporary")
 }

@@ -1447,17 +1447,39 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .map(GraftTable.ndvEstimate)
   }
 
+  /** Stored NDV estimate, but only while the sketch is FRESH (the
+    * exact-merge value). A STALE sketch may be off in EITHER
+    * direction, so consumers acting on the estimate WITHOUT a
+    * self-vet — the SQL runtime-prune REFUSE direction, which skips
+    * the dim probe entirely — must use this form and fall back to
+    * their no-stats path on None. (A dim analyzed at 10k keys then
+    * mass-deleted to 50 rows would otherwise refuse the prune route
+    * forever; the ROUTE direction keeps using [[columnNdv]] because
+    * readForJoin's bounded collect self-vets a stale-low estimate.) */
+  def columnNdvIfFresh(column: String): Option[Long] = {
+    val m = meta
+    StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name.equalsIgnoreCase(column))
+      .flatMap(f => m.columnNdv.get(physName(m.physicalNames)(f.name)))
+      .filter(s => !ndvStaleIn(m, s.analyzedSnapshotId))
+      .map(GraftTable.ndvEstimate)
+  }
+
   /** The `<table>.stats` metadata relation: one row per analyzed
     * column — NDV estimate, sketch shape, the snapshot whose data the
-    * sketch last folded, and `stale` (true when a row-removing commit
-    * landed since, making the estimate an upper bound). */
+    * sketch last folded, `stale` (true when a row-removing commit
+    * landed since, making the estimate an upper bound), and
+    * `commits_since_fold` — the staleness AGE in main-lineage
+    * commits, so a fleet cron can rank which tables (and columns) to
+    * re-ANALYZE first without walking lineage itself. */
   def statsTable: DataFrame = {
     val m = meta
     val pn = m.physicalNames
     val rows = StructType.fromDDL(m.schemaDdl).fields.toSeq.flatMap { f =>
       m.columnNdv.get(physName(pn)(f.name)).map { s =>
         Row(f.name, GraftTable.ndvEstimate(s), s.k, s.hashes.size,
-          s.analyzedSnapshotId, ndvStaleIn(m, s.analyzedSnapshotId))
+          s.analyzedSnapshotId, ndvStaleIn(m, s.analyzedSnapshotId),
+          commitsSinceFold(m, s.analyzedSnapshotId))
       }
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
@@ -1466,7 +1488,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
       StructField("sketch_k", IntegerType, nullable = false),
       StructField("retained", IntegerType, nullable = false),
       StructField("analyzed_snapshot_id", LongType, nullable = false),
-      StructField("stale", BooleanType, nullable = false))))
+      StructField("stale", BooleanType, nullable = false),
+      StructField("commits_since_fold", LongType, nullable = false))))
+  }
+
+  /** Main-lineage commits between a sketch's fold point and the head
+    * — the staleness age `.stats` surfaces and the analyze policy
+    * thresholds compare against. Walks at most the retained lineage;
+    * a fold point that expired out of the walk (or a pre-first-commit
+    * fold point once commits exist) reports the full retained depth,
+    * which is the honest "at least this old" answer. */
+  private def commitsSinceFold(m: TableMeta, analyzedId: Long): Long = {
+    var cursor = m.currentSnapshotId
+    var cnt = 0L
+    while (cursor.isDefined && !cursor.contains(analyzedId)) {
+      cnt += 1
+      cursor = m.snapshots.find(_.snapshotId == cursor.get)
+        .flatMap(_.parentId)
+    }
+    cnt
   }
 
   /** NDV-eligible = the atomic types file stats also cover; complex
@@ -1490,7 +1530,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * Takes the meta EXPLICITLY so one statsTable row reads one
     * consistent version (and no per-row metadata re-parse). */
   private def ndvStaleIn(m: TableMeta, analyzedId: Long): Boolean = {
-    if (analyzedId < 0) return true
+    // analyzedId = -1 records an ANALYZE of the EMPTY table (no
+    // current snapshot existed). That sketch — zero hashes — is
+    // exactly right as long as the table still has no row-changing
+    // commit; the first plain append's fold then adopts its snapshot
+    // as the fold point (ndvFoldTweak). Reporting it stale here would
+    // flag an analyze-empty-then-append-only table stale FOREVER and
+    // make maintain() re-ANALYZE it on every trip.
+    if (analyzedId < 0) return m.currentSnapshotId.isDefined
     var cursor = m.currentSnapshotId
     while (true) cursor match {
       case None => return true // fold point not an ancestor
@@ -2939,6 +2986,13 @@ class GraftTable(val spark: SparkSession, val root: Path,
     *  - `maintenance.orphans.older-than-ms` (unset = never): remove
     *    orphan files older than the horizon (safety refusal below 3
     *    days still applies — a misconfigured horizon fails loudly).
+    *  - `maintenance.analyze.stale-commits` (unset = never):
+    *    re-ANALYZE stored NDV sketches once stale for at least this
+    *    many main-lineage commits. Override per column with
+    *    `maintenance.analyze.stale-commits.<col>`; scope the
+    *    refreshed set with `maintenance.analyze.columns` (comma
+    *    list). `.stats`'s `commits_since_fold` surfaces the age these
+    *    thresholds compare against.
     *
     * Returns one (action, detail) row per action RUN; empty = healthy.
     * Idempotent on a quiet table: an immediate second call does
@@ -2949,9 +3003,24 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def maintain(): Seq[(String, String)] = {
     val report = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val props = properties
-    def intProp(k: String, d: Int): Int = props.get(k).map(_.toInt).getOrElse(d)
-    val target = props.get("maintenance.compact.target-file-size-bytes")
-      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+    // Every numeric `maintenance.*` policy is validated UP FRONT, so
+    // a malformed value fails the sweep BEFORE any action committed —
+    // never halfway through (actions already ran) and never silently
+    // (a skipped policy reads as a healthy table). The one
+    // non-numeric policy key is `maintenance.analyze.columns`.
+    val nums: Map[String, Long] = props.collect {
+      case (k, v) if k.startsWith("maintenance.") &&
+          k != "maintenance.analyze.columns" =>
+        k -> (try v.trim.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"table property $k must be an integer, got '$v'")
+        })
+    }
+    def intProp(k: String, d: Int): Int =
+      nums.get(k).map(_.toInt).getOrElse(d)
+    val target = nums.getOrElse(
+      "maintenance.compact.target-file-size-bytes", 128L * 1024 * 1024)
     val entries = currentEntries
     val delFiles = entries.count(_.content != 0)
     val small = entries.filter(e =>
@@ -2991,8 +3060,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     clusterFields.getOrElse(Nil).collectFirst {
       case b: BucketField => b
     }.foreach { b =>
-      val cap = props.get("maintenance.bucket.max-bytes-per-bucket")
-        .map(_.toLong).getOrElse(GraftTable.BucketBytesWarn)
+      val cap = nums.getOrElse("maintenance.bucket.max-bytes-per-bucket",
+        GraftTable.BucketBytesWarn)
       val perBucket = entries.filter(_.content == 0)
         .map(_.fileSizeBytes).sum / math.max(1, b.n)
       if (perBucket > cap)
@@ -3004,7 +3073,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // segment sprawl: many O(delta) commits each left a small manifest
     // segment; compact the current snapshot's list when it references
     // at least min-count segments (metadata-only — data untouched)
-    props.get("maintenance.manifests.min-count").foreach { n =>
+    nums.get("maintenance.manifests.min-count").foreach { n =>
       GraftTable.retryOnConflict()(
         rewriteManifests(math.max(1, n.toInt))).foreach { s =>
         report += ("rewrite-manifests" ->
@@ -3015,63 +3084,87 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // a snapshot fork inherits the source's policies but owns none of
     // its bytes (gc.enabled=false): the scheduler SKIPS expiry there
     // instead of crashing the whole fleet sweep on the gc refusal
-    props.get("maintenance.expire.max-age-ms")
+    nums.get("maintenance.expire.max-age-ms")
       .filter(_ => props.getOrElse("gc.enabled", "true").toBoolean)
       .foreach { age =>
         val retain = intProp("maintenance.expire.retain-last", 1)
         val expired = GraftTable.retryOnConflict()(
-          expireSnapshots(now() - age.toLong, retain))
+          expireSnapshots(now() - age, retain))
         if (expired.nonEmpty)
           report += ("expire-snapshots" ->
             s"expired ${expired.size} snapshot(s): ${expired.mkString(",")}")
       }
-    props.get("maintenance.orphans.older-than-ms").foreach { h =>
+    nums.get("maintenance.orphans.older-than-ms").foreach { h =>
       // orphan removal is FS-side only (no table commit) — no CAS race
-      val removed = removeOrphanFiles(now() - h.toLong)
+      val removed = removeOrphanFiles(now() - h)
       if (removed.nonEmpty)
         report += ("remove-orphans" -> s"removed ${removed.size} file(s)")
     }
     // stored-NDV refresh (closes the D50 staleness loop without a
     // human re-running compute_table_stats): once a sketch went STALE
-    // (a row-removing / branch-landing commit) AND at least
-    // `maintenance.analyze.stale-commits` main-lineage commits sit
-    // between its fold point and the head, re-ANALYZE every tracked
-    // column. Deciding "nothing to do" reads only metadata (one
-    // lineage walk); the data scan runs only when tripped.
-    props.get("maintenance.analyze.stale-commits").foreach { nStr =>
-      val minCommits = math.max(1, nStr.toInt)
+    // (a row-removing / branch-landing commit) AND enough
+    // main-lineage commits sit between its fold point and the head,
+    // re-ANALYZE. Per-column policies (r16): the table-level
+    // `maintenance.analyze.stale-commits` threshold can be overridden
+    // per column via `maintenance.analyze.stale-commits.<col>`, and
+    // `maintenance.analyze.columns` (comma list) scopes which tracked
+    // columns the auto-refresh covers at all — a hot join key can
+    // refresh on every stale commit while a wide text column never
+    // burns a scan. Deciding "nothing to do" reads only metadata (one
+    // lineage walk); the ONE data scan (covering the whole scoped
+    // set — an extra column in a running scan is ~free) runs only
+    // when at least one scoped column tripped its own threshold.
+    if (nums.contains("maintenance.analyze.stale-commits") ||
+        props.contains("maintenance.analyze.columns")) {
+      val defaultMin =
+        nums.get("maintenance.analyze.stale-commits").map(_.toInt)
       val m = meta
       if (m.columnNdv.nonEmpty) {
         val cur = StructType.fromDDL(m.schemaDdl)
         val pn = m.physicalNames
         val tracked = cur.fields.toSeq
           .filter(f => m.columnNdv.contains(physName(pn)(f.name)))
-        // commits between the fold point and the head, capped at the
-        // threshold (the walk never needs to go further); a fold
-        // point that expired out of the lineage counts as over-cap
-        def commitsSince(analyzedId: Long): Int = {
+        val scoped = props.get("maintenance.analyze.columns") match {
+          case Some(list) =>
+            val names = list.split(",").map(_.trim).filter(_.nonEmpty)
+            names.foreach(n => require(
+              cur.fields.exists(_.name.equalsIgnoreCase(n)),
+              s"maintenance.analyze.columns names unknown column: $n"))
+            tracked.filter(f => names.exists(_.equalsIgnoreCase(f.name)))
+          case None => tracked
+        }
+        // a column with neither its own threshold nor a table default
+        // never auto-refreshes (columns-only scoping still needs SOME
+        // threshold to mean anything)
+        def thresholdFor(col: String): Option[Int] =
+          nums.get(s"maintenance.analyze.stale-commits.$col").map(_.toInt)
+            .orElse(defaultMin).map(math.max(1, _))
+        // staleness age; a fold point that expired out of the lineage
+        // is "at least retained-depth old" — counts as over any cap
+        def ageOf(analyzedId: Long): Long = {
           var cursor = m.currentSnapshotId
-          var cnt = 0
-          while (cnt < minCommits && cursor.isDefined &&
-              !cursor.contains(analyzedId)) {
+          var cnt = 0L
+          while (cursor.isDefined && !cursor.contains(analyzedId)) {
             cnt += 1
             cursor = m.snapshots.find(_.snapshotId == cursor.get)
               .flatMap(_.parentId)
           }
-          if (cursor.isEmpty && analyzedId >= 0) minCommits else cnt
+          if (cursor.isEmpty && analyzedId >= 0) Long.MaxValue else cnt
         }
-        val tripped = tracked.filter { f =>
+        val tripped = scoped.filter { f =>
           val s = m.columnNdv(physName(pn)(f.name))
-          ndvStaleIn(m, s.analyzedSnapshotId) &&
-            commitsSince(s.analyzedSnapshotId) >= minCommits
+          thresholdFor(f.name).exists { min =>
+            ndvStaleIn(m, s.analyzedSnapshotId) &&
+              ageOf(s.analyzedSnapshotId) >= min
+          }
         }
-        if (tripped.nonEmpty && tracked.nonEmpty) {
-          val k = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
+        if (tripped.nonEmpty) {
+          val k = scoped.map(f => m.columnNdv(physName(pn)(f.name)).k).max
           GraftTable.retryOnConflict()(
-            computeTableStats(tracked.map(_.name), k))
+            computeTableStats(scoped.map(_.name), k))
           report += ("analyze" ->
             (s"${tripped.size} stale sketch(es); re-analyzed " +
-              s"${tracked.map(_.name).mkString(",")} (k=$k)"))
+              s"${scoped.map(_.name).mkString(",")} (k=$k)"))
         }
       }
     }

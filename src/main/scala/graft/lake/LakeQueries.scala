@@ -379,20 +379,58 @@ object LakeQueries extends QueryCatalog {
     dst.read().orderBy("k")
   }
 
-  /** CDC: the demo walk's full changelog — append 3 rows, MOR-delete
-    * one, COW-nullify another — read back as insert/delete row events
-    * (Iceberg create_changelog_view semantics). Values deterministic;
-    * snapshot ids are projected away. */
-  private val changelog = Q.noOracle("q_lake_changelog") { (s, _) =>
-    val t = newTable(s)
-    t.delete(col("case_id") === "case-2")
-    t.update(col("case_id") === "case-1",
-      Map("first_name" -> lit(null), "email_address" -> lit(null),
-        "secure_txt" -> lit(null)))
+  /** CDC ORACLED (r16 — upgraded from the demo-walk spec to a DuckDB
+    * hash check, per the r15 verdict's "shrink the no-oracle set"
+    * item): three staged deterministic commits over lineitem slices —
+    * insert slice A, MOR-delete a predicate subset, insert slice B —
+    * read back as insert/delete row events (Iceberg
+    * create_changelog_view semantics). DuckDB replays the windows as
+    * plain set logic: window 0 inserts = A, window 1 deletes = the
+    * predicate subset of A, window 2 inserts = B. The demo-walk CDC
+    * shapes (COW update pairs, update images, carryover cancellation)
+    * stay pinned by q_lake_changelog_updates and
+    * q_lake_stream_changes. */
+  private val changelog = Q(
+    "q_lake_changelog",
+    """WITH a AS (
+      |  SELECT l_orderkey AS okey, l_linenumber AS lnum,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 6 = 1
+      |), b AS (
+      |  SELECT l_orderkey AS okey, l_linenumber AS lnum,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 6 = 2
+      |), ev AS (
+      |  SELECT okey, lnum, qty_c, 'insert' AS _change_type,
+      |    0 AS _change_ordinal FROM a
+      |  UNION ALL
+      |  SELECT okey, lnum, qty_c, 'delete', 1 FROM a WHERE qty_c < 1000
+      |  UNION ALL
+      |  SELECT okey, lnum, qty_c, 'insert', 2 FROM b
+      |)
+      |SELECT CAST(okey AS BIGINT) AS okey, CAST(lnum AS BIGINT) AS lnum,
+      |  qty_c, _change_type,
+      |  CAST(_change_ordinal AS INT) AS _change_ordinal
+      |FROM ev ORDER BY _change_ordinal, okey, lnum, qty_c""".stripMargin
+  ) { (s, dir) =>
+    val li = graft.rel.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        col("l_linenumber").cast("long").as("lnum"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-cdc-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "cdc_li", StructType.fromDDL(
+      "okey BIGINT, lnum BIGINT, qty_c BIGINT"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(li.filter(col("okey") % 6 === 1))
+    t.delete(col("qty_c") < 1000L)
+    t.append(li.filter(col("okey") % 6 === 2))
     t.changes()
-      .select(col("case_id"), col("first_name"), col("_change_type"),
-        col("_change_ordinal"))
-      .orderBy("_change_ordinal", "_change_type", "case_id")
+      .select(col("okey"), col("lnum"), col("qty_c"),
+        col("_change_type"), col("_change_ordinal"))
+      // (okey, lnum) is NOT unique in the synthetic corpus — qty_c
+      // completes the total order the hash compare needs
+      .orderBy("_change_ordinal", "okey", "lnum", "qty_c")
   }
 
   /** CDC with UPDATE IMAGES — the same demo walk read through
@@ -2007,6 +2045,30 @@ object LakeQueries extends QueryCatalog {
       try { t.expireSnapshots(retainLast = 1); false }
       catch { case e: IllegalArgumentException =>
         e.getMessage.contains("gc.enabled") }
+    // r16: hive-partitioned source — keep-backup refuses (adoption
+    // cannot conjure directory-encoded values), drop_backup rewrites
+    // them into a REAL column clustered for pruning
+    val legacyP = wh.resolve("default").resolve("li_part")
+    graft.rel.Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 13 === 0)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        expr("cast(round(l_quantity * 100) as bigint)").as("qty_c"),
+        col("l_returnflag").as("flag"))
+      .write.partitionBy("flag").parquet(legacyP.toString)
+    val expect = s.read.parquet(legacyP.toString)
+    val (expRows, expA) =
+      (expect.count(), expect.filter(col("flag") === "A").count())
+    val keepRefused =
+      try { cat.migrateTable("default", "li_part"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("hive-partitioned") }
+    val tp = cat.migrateTable("default", "li_part", dropBackup = true)
+    val pRows = tp.read().count()
+    val pA = tp.readWhere(col("flag") === "A").count()
+    val prunes = tp.readWhere(col("flag") === "A").inputFiles.length <
+      tp.read().inputFiles.length
+    val backupGone = !Files.exists(
+      wh.resolve("default").resolve("li_part_backup_"))
     Seq(
       ("1_rows_via_table", viaTable),
       ("2_rows_via_backup", viaBackup),
@@ -2014,7 +2076,12 @@ object LakeQueries extends QueryCatalog {
       ("4_adopted_in_place", if (inPlace) 1L else 0L),
       ("5_rows_after_delete", afterDelete),
       ("6_backup_frozen_rows", backupFrozen),
-      ("7_gc_refused", if (gcRefused) 1L else 0L))
+      ("7_gc_refused", if (gcRefused) 1L else 0L),
+      ("8_part_keep_refused", if (keepRefused) 1L else 0L),
+      ("9_part_rows_match", if (pRows == expRows) 1L else 0L),
+      ("a_part_flag_rows_match", if (pA == expA) 1L else 0L),
+      ("b_part_flag_prunes", if (prunes) 1L else 0L),
+      ("c_part_backup_dropped", if (backupGone) 1L else 0L))
       .toDF("observation", "value").orderBy("observation")
   }
 
@@ -2088,8 +2155,128 @@ object LakeQueries extends QueryCatalog {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** Time travel ORACLED (r16 — the reference's signature read,
+    * demo.py:261/303/531, upgraded from spec-only to a DuckDB hash
+    * check the way r15's q_lake_sql_pricing upgraded DML): slice A of
+    * lineitem lands as snapshot 1, slice B as snapshot 2, and the
+    * aggregate reads `VERSION AS OF` snapshot 1 through the SQL
+    * catalog — DuckDB recomputes on slice A ALONE, so a historical
+    * read that leaked any slice-B row, or masked a slice-A row, hash-
+    * mismatches. All-integer cents; the snapshot id itself comes from
+    * the `.history` metadata relation through SQL, so the whole walk
+    * is spark.sql strings. An in-builder require proves the HEAD read
+    * actually differs (the time travel isn't vacuously reading the
+    * current table). */
+  private val timeTravelSql = Q(
+    "q_lake_time_travel_sql",
+    """WITH a AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem WHERE l_orderkey % 7 = 1
+      |)
+      |SELECT flag, CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+      |  count(*) AS n
+      |FROM a GROUP BY flag ORDER BY flag""".stripMargin
+  ) { (s, dir) =>
+    ensureSqlCatalog(s)
+    val ns = s"sqlns_${System.nanoTime()}"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.tt_li"
+    s.sql(s"CREATE TABLE $tbl (flag STRING, price_c BIGINT) USING graft")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT l_returnflag,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT)
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_orderkey % 7 = 1""".stripMargin)
+    // exactly one snapshot exists here, so max() pins it without
+    // depending on timestamp ordering
+    val snap1 = s.sql(s"SELECT max(snapshot_id) FROM $tbl.history")
+      .head().getLong(0)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT l_returnflag,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT)
+         |FROM parquet.`$dir/lineitem.parquet`
+         |WHERE l_orderkey % 7 = 2""".stripMargin)
+    val headRows = s.sql(s"SELECT count(*) FROM $tbl").head().getLong(0)
+    val asOfRows = s.sql(
+      s"SELECT count(*) FROM $tbl VERSION AS OF $snap1").head().getLong(0)
+    require(headRows > asOfRows,
+      s"time travel must see FEWER rows than head ($asOfRows vs " +
+        s"$headRows) — otherwise this query proves nothing")
+    s.sql(
+      s"""SELECT flag, CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+         |  count(*) AS n
+         |FROM $tbl VERSION AS OF $snap1
+         |GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+
+  /** MERGE INTO ORACLED (r16 — the highest-traffic DML form left
+    * spec-only after r15): a three-verb merge over an orders slice —
+    * conditional matched UPDATE, matched DELETE, not-matched INSERT —
+    * executed entirely as spark.sql strings, replayed by DuckDB as
+    * plain CTE set logic (kept-matched rows take the source value,
+    * over-threshold matched rows vanish, unmatched source rows
+    * append). Integer cents; the final aggregate buckets by k % 10 so
+    * the dump stays small while covering every merged row. */
+  private val sqlMerge = Q(
+    "q_lake_sql_merge",
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+      |  FROM orders WHERE o_orderkey % 4 IN (1, 2)
+      |), src AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS val
+      |  FROM orders WHERE o_orderkey % 4 IN (1, 3)
+      |), merged AS (
+      |  SELECT t0.k,
+      |    CASE WHEN src.k IS NOT NULL THEN src.val ELSE t0.total_c END
+      |      AS total_c
+      |  FROM t0 LEFT JOIN src ON t0.k = src.k
+      |  WHERE src.k IS NULL OR t0.total_c % 10 < 5
+      |  UNION ALL
+      |  SELECT src.k, src.val FROM src LEFT JOIN t0 ON src.k = t0.k
+      |  WHERE t0.k IS NULL
+      |)
+      |SELECT CAST(k % 10 AS BIGINT) AS bucket,
+      |  CAST(sum(total_c) AS BIGINT) AS sum_c, count(*) AS n
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    ensureSqlCatalog(s)
+    val ns = s"sqlns_${System.nanoTime()}"
+    s.sql(s"CREATE NAMESPACE graft.$ns")
+    val tbl = s"graft.$ns.ord_merge"
+    s.sql(s"CREATE TABLE $tbl (k BIGINT, total_c BIGINT) USING graft")
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT CAST(o_orderkey AS BIGINT),
+         |  CAST(round(o_totalprice * 100) AS BIGINT)
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 4 IN (1, 2)""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS val
+         |  FROM parquet.`$dir/orders.parquet`
+         |  WHERE o_orderkey % 4 IN (1, 3)) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND t.total_c % 10 < 5 THEN
+         |  UPDATE SET total_c = s.val
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (k, total_c) VALUES (s.k, s.val)
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT CAST(k % 10 AS BIGINT) AS bucket,
+         |  CAST(sum(total_c) AS BIGINT) AS sum_c, count(*) AS n
+         |FROM $tbl GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
   override def all: Seq[Q] = Seq(
-    decimalLake, lakePricing, sqlPricing, complexTypes,
+    decimalLake, lakePricing, sqlPricing, timeTravelSql, sqlMerge,
+    complexTypes,
     ndvStats, timestampNtz, migrateScenario,
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
     subjectAccess, summaryDiff,

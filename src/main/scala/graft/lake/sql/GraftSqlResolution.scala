@@ -329,13 +329,18 @@ case class GraftSqlResolution(session: SparkSession)
           // route without running the dim subplan at all, which is
           // the point of stored stats (the static conf alone would
           // pay a bounded dim scan just to discover the overflow).
-          // Sound both ways: a FRESH sketch only ever over-counts
-          // (folds add; anything that could lower or miss rows flips
-          // stale), so a refuse is at worst conservative, and a
-          // stale-low estimate that routes anyway still self-vets in
-          // readForJoin's bounded collect. A FILTERED dim side never
-          // refuses here — the filter may cut the key set under the
-          // bound.
+          // FRESH sketches only: a fresh sketch is the exact-merge
+          // value (folds add; anything that could lower or miss rows
+          // flips stale), so refusing on it is at worst conservative.
+          // A STALE sketch may be off in EITHER direction and the
+          // refuse path has no self-vet (its whole point is skipping
+          // the dim probe) — a stale-HIGH reading (dim mass-deleted
+          // since ANALYZE) would silently disable the prune route
+          // until someone re-ANALYZEs. Stale therefore falls back to
+          // the bounded dim probe the no-stats path already pays,
+          // where readForJoin's bounded collect self-vets. A FILTERED
+          // dim side never refuses here — the filter may cut the key
+          // set under the bound.
           val ndvRefuse =
             unfilteredDimNdv(dimSide, dimAttr).exists(_ > maxKeys)
           // a self-join side must not prune by its own relation's
@@ -352,10 +357,11 @@ case class GraftSqlResolution(session: SparkSession)
     out.toMap
   }
 
-  /** Stored NDV of `attr` when `side` is the bare (projection-only)
-    * graft relation — Filters make the walk fail on purpose: a
-    * filtered dim may have far fewer distinct keys than the table's
-    * NDV, so only an UNFILTERED side can refuse on stored stats. */
+  /** Stored FRESH NDV of `attr` when `side` is the bare
+    * (projection-only) graft relation — Filters make the walk fail on
+    * purpose: a filtered dim may have far fewer distinct keys than
+    * the table's NDV, so only an UNFILTERED side can refuse on stored
+    * stats. Stale sketches return None (see the refuse comment). */
   private def unfilteredDimNdv(side: LogicalPlan,
       attr: AttributeReference): Option[Long] = side match {
     case SubqueryAlias(_, c) => unfilteredDimNdv(c, attr)
@@ -368,7 +374,7 @@ case class GraftSqlResolution(session: SparkSession)
     case GraftRel(r, t)
         if t.pinnedSnapshot.isEmpty && r.options.isEmpty &&
           r.outputSet.contains(attr) =>
-      t.graft.columnNdv(attr.name)
+      t.graft.columnNdvIfFresh(attr.name)
     case _ => None
   }
 

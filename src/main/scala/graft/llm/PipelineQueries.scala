@@ -266,12 +266,12 @@ object PipelineQueries extends QueryCatalog {
           (lit(150000L) + expr("850000 * coalesce(c, 0) div 1000000"))
             .cast("bigint").as("pr"))
     }
-    val out = score.select(col("id").as("doc_id"), col("pr"))
-      .orderBy("doc_id")
-      // sever lineage before unpersisting the edge cache (4 rounds of
-      // self-referencing plans would otherwise recompute the shingle
-      // join once per round); node set is dup-pair-bounded, tiny
-      .localCheckpoint(true)
+    // sever lineage before unpersisting the edge cache (4 rounds of
+    // self-referencing plans would otherwise recompute the shingle
+    // join once per round); node set is dup-pair-bounded, tiny
+    val out = severLineage(s, score
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id"))
     edges.unpersist()
     out
   }
@@ -333,8 +333,8 @@ object PipelineQueries extends QueryCatalog {
       localThreshold: Long = -1L): DataFrame = {
     val threshold =
       if (localThreshold >= 0) localThreshold
-      else s.conf.getOption("spark.graft.dedup.clusterLocalThreshold")
-        .map(_.toLong).getOrElse(1000000L)
+      else confLong(s, "spark.graft.dedup.clusterLocalThreshold", 1000000L)
+    def truncate(df: DataFrame): DataFrame = severLineage(s, df)
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -413,14 +413,20 @@ object PipelineQueries extends QueryCatalog {
       var converged = false
       var rounds = 0
       var curSum = labels.agg(sum("lbl")).head.getLong(0)
+      // Checkpoint CADENCE: truncating every round pays a full
+      // materialize-to-storage per hop; every `checkpointInterval`-th
+      // round (default 2) halves that constant while capping plan
+      // growth at 3^interval references to the last checkpoint.
+      // Off-rounds persist + materialize (the sum action below), so
+      // per-round work is unchanged — only the truncation cost moves.
+      // Convergence detection and the fixpoint are cadence-blind;
+      // ClusterAb asserts output equality across both settings.
+      val interval = math.max(1, confLong(s,
+        "spark.graft.dedup.checkpointInterval", 2L).toInt)
       while (!converged && rounds < 64) {
-        // eager localCheckpoint, not persist: hop references the label
-        // table THREE times (neighbor-min, the jump's two sides), so a
-        // persist-only loop would grow the LOGICAL plan 3^rounds —
-        // checkpointing materializes each round on the executors'
-        // block managers and truncates lineage to O(1) per round (the
-        // sum below forces a materialization either way)
-        val next = hop(labels).localCheckpoint(true)
+        val hopped = hop(labels)
+        val next = if ((rounds + 1) % interval == 0) truncate(hopped)
+          else hopped.persist()
         val nextSum = next.agg(sum("lbl")).head.getLong(0)
         labels.unpersist()
         labels = next
@@ -434,22 +440,52 @@ object PipelineQueries extends QueryCatalog {
       if (!converged) throw new IllegalStateException(
         s"connected components did not converge after $rounds rounds " +
           "— refusing to emit incomplete cluster labels")
-      val out = labels
+      // Eager truncation materializes the result (executor block
+      // managers, or the reliable checkpoint dir when configured) and
+      // severs lineage, so the cached edge/label frames can be
+      // unpersisted without recompute and — crucially — the label set
+      // (billions of rows at 100 TB dup rates) never funnels through
+      // the driver. ScaleSpec proves this branch completes under
+      // driver.maxResultSize=32m.
+      val out = truncate(labels
         .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
           (col("id") === col("lbl")).as("keep"))
-        .orderBy("doc_id")
-        // Eager localCheckpoint materializes the result on the
-        // executors' block managers and severs lineage, so the cached
-        // edge/label frames can be unpersisted without recompute and —
-        // crucially — the label set (billions of rows at 100 TB dup
-        // rates) never funnels through the driver. ScaleSpec proves
-        // this branch completes under driver.maxResultSize=32m.
-        .localCheckpoint(true)
+        .orderBy("doc_id"))
       edges.unpersist()
       labels.unpersist()
       out
     }
   }
+
+  /** Eagerly materialize `df` and sever its lineage.
+    * `spark.graft.checkpoint.dir`, when set, routes through a
+    * RELIABLE checkpoint (HDFS/object store): on a real cluster an
+    * executor loss after the sever then recomputes from replicated
+    * storage instead of failing the job — the 100 TB setting for the
+    * iterative dedup/graph paths, whose severed plans cannot
+    * recompute from source once upstream caches are unpersisted.
+    * Unset (local/test) uses eager localCheckpoint, whose
+    * executor-local blocks a single-JVM run cannot lose. */
+  private def severLineage(s: SparkSession, df: DataFrame): DataFrame =
+    s.conf.getOption("spark.graft.checkpoint.dir") match {
+      case Some(dir) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
+  /** Integer conf with a descriptive failure — a malformed value must
+    * name the conf it came from, not surface as a bare
+    * NumberFormatException mid-query. */
+  private def confLong(s: SparkSession, key: String, default: Long): Long =
+    s.conf.getOption(key).map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"conf $key must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
 
   /** Deterministic train/val/test split: bucket on the first 8 hex
     * digits of md5(doc_id) — reproducible, order-independent, and

@@ -1830,6 +1830,85 @@ class GraftTableSpec extends SparkSuite {
     assert(t.maintain().isEmpty, "refreshed table is a no-op again")
   }
 
+  test("per-column analyze policies: maintenance.analyze.columns " +
+      "scopes the refresh, a per-column stale-commits threshold " +
+      "overrides the table default, and .stats surfaces " +
+      "commits_since_fold") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val sch = StructType.fromDDL("k BIGINT, tag STRING")
+    val t = cat.createTable("default", "ndvp", sch, Map(
+      "maintenance.analyze.stale-commits" -> "10", // table default: slow
+      "maintenance.analyze.stale-commits.k" -> "2", // hot join key: fast
+      "maintenance.analyze.columns" -> "k", // never auto-scan tag
+      "maintenance.compact.min-small-files" -> "1000",
+      "maintenance.compact.min-delete-files" -> "1000"))
+    t.append(spark.range(100).selectExpr("id AS k",
+      "concat('t', id) AS tag"))
+    t.computeTableStats()
+    def statRow(c: String) = t.statsTable.collect()
+      .map(r => r.getString(0) -> r).toMap.apply(c)
+    assert(statRow("k").getLong(6) === 0L, "fresh sketch has age 0")
+    // stale via delete; ONE commit < k's threshold of 2 -> no-op
+    t.delete(col("k") < 10L)
+    assert(statRow("k").getLong(6) === 1L,
+      "one row-removing commit since the fold point")
+    assert(t.maintain().isEmpty,
+      "stale but under k's per-column threshold -> no-op")
+    // second commit: k trips its threshold; tag is scoped OUT and its
+    // table default (10) is far away — only k re-analyzes
+    t.append(spark.range(200, 220).selectExpr("id AS k",
+      "concat('t', id) AS tag"))
+    val report = t.maintain()
+    assert(report.map(_._1) === Seq("analyze"), report.toString)
+    assert(report.head._2.contains("re-analyzed k ("), report.toString)
+    assert(!statRow("k").getBoolean(5), "k refreshed")
+    assert(statRow("k").getLong(6) === 0L, "refresh resets the age")
+    assert(statRow("tag").getBoolean(5),
+      "tag stays stale: scoped out of the auto-refresh")
+    assert(t.columnNdv("k").contains(110L),
+      "refreshed NDV reflects the live domain (90 survivors + 20 new)")
+  }
+
+  test("ANALYZE of an empty table stays FRESH; the first append's " +
+      "fold adopts the commit as the fold point, so maintain() never " +
+      "pointlessly re-ANALYZEs an append-only table") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "ndve",
+      StructType.fromDDL("k BIGINT"),
+      Map("maintenance.analyze.stale-commits" -> "1",
+        "maintenance.compact.min-small-files" -> "1000",
+        "maintenance.compact.min-delete-files" -> "1000"))
+    t.computeTableStats(Seq("k"))
+    def row() = t.statsTable.collect().head
+    assert(!row().getBoolean(5),
+      "an empty-table sketch is exact (zero rows), not stale")
+    assert(t.maintain().isEmpty, "nothing to refresh on the empty table")
+    t.append(spark.range(50).selectExpr("id AS k"))
+    assert(!row().getBoolean(5),
+      "the first append folds and adopts the commit as the fold point")
+    assert(row().getLong(4) >= 0L, "fold point advanced off -1")
+    assert(t.columnNdv("k").contains(50L), "folded estimate is exact")
+    assert(t.maintain().isEmpty,
+      "append-only analyzed-from-empty table must stay quiet")
+  }
+
+  test("a malformed numeric maintenance property fails the sweep UP " +
+      "FRONT with the property name — never halfway through, never " +
+      "silently skipped") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "badprop",
+      StructType.fromDDL("k BIGINT"),
+      Map("maintenance.analyze.stale-commits" -> "often"))
+    t.append(spark.range(10).selectExpr("id AS k"))
+    val e = intercept[IllegalArgumentException](t.maintain())
+    assert(e.getMessage.contains("maintenance.analyze.stale-commits"),
+      e.getMessage)
+    assert(e.getMessage.contains("often"), e.getMessage)
+  }
+
   test("orphan removal sweeps unreferenced SEGMENT files (losing " +
       "commit attempts) but never segments shared by live manifests") {
     val t = newTable()

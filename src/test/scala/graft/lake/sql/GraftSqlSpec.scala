@@ -620,6 +620,46 @@ class GraftSqlSpec extends SparkSuite {
     }
   }
 
+  test("a STALE stored NDV never refuses the runtime-prune route: a " +
+    "dim mass-deleted under maxKeys after ANALYZE falls back to the " +
+    "bounded probe (which self-vets) instead of scanning-all forever") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE graft.$ns")
+    val fact = s"graft.$ns.fact"
+    spark.sql(s"CREATE TABLE $fact (k BIGINT, v BIGINT) USING graft " +
+      "TBLPROPERTIES ('write.clustered-by'='k'," +
+      "'write.clustered-by.files'='8')")
+    spark.sql(s"INSERT INTO $fact SELECT id, id * 3 FROM range(8000)")
+    val dim = s"graft.$ns.dim"
+    spark.sql(s"CREATE TABLE $dim (dk BIGINT, tag STRING) USING graft")
+    spark.sql(s"INSERT INTO $dim SELECT id, concat('t', id) " +
+      "FROM range(500)")
+    spark.sql("CALL graft.system.compute_table_stats(" +
+      s"table => '$ns.dim')").collect()
+    // mass delete: the live domain is 50 keys; the sketch still says
+    // ~500 — a stale-HIGH reading
+    spark.sql(s"DELETE FROM $dim WHERE dk >= 50")
+    val st = spark.sql("SELECT stale, ndv, commits_since_fold FROM " +
+      s"$dim.stats WHERE column = 'dk'").collect().head
+    assert(st.getBoolean(0), "the delete must flip stale")
+    assert(st.getLong(1) > 100L, "the stale estimate still reads high")
+    assert(st.getLong(2) === 1L, "one commit since the fold point")
+    spark.conf.set("spark.graft.runtimeJoinPrune", "true")
+    spark.conf.set("spark.graft.runtimeJoinPrune.maxKeys", "100")
+    try {
+      val allFiles = spark.sql(s"SELECT * FROM $fact").inputFiles.length
+      val joined = spark.sql(
+        s"SELECT k, v, tag FROM $fact JOIN $dim ON k = dk")
+      assert(joined.inputFiles.count(_.contains("/fact/")) < allFiles,
+        "a stale-HIGH sketch must fall back to the probe and ROUTE — " +
+          "refusing on it would disable the prune until a re-ANALYZE")
+      assert(joined.count() === 50L)
+    } finally {
+      spark.conf.unset("spark.graft.runtimeJoinPrune")
+      spark.conf.unset("spark.graft.runtimeJoinPrune.maxKeys")
+    }
+  }
+
   test("CALL migrate converts a plain parquet directory in place: the " +
     "old name serves the new graft table, the backup stays readable, " +
     "drop_backup renames bytes in, and failure leaves the source " +
@@ -728,6 +768,74 @@ class GraftSqlSpec extends SparkSuite {
     assert(Files.exists(wh.resolve(ns).resolve("legacy6_backup_")
       .resolve("export.csv")),
       "keep-backup migrate must carry stray files into the backup")
+  }
+
+  test("CALL migrate with drop_backup handles a hive-partitioned " +
+    "source: directory-encoded values become real columns (typed by " +
+    "partition inference), clustered so partition-column predicates " +
+    "keep pruning; keep-backup still refuses; user dotfiles refuse " +
+    "the sweep") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val wh = Path.of(spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val src = wh.resolve(ns).resolve("plegacy")
+    spark.range(300)
+      .selectExpr("id",
+        "date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) AS day",
+        "id % 5 AS grp")
+      .write.partitionBy("day").parquet(src.toString)
+    // keep-backup refuses: in-place adoption cannot inject values
+    // that exist only in directory names
+    val eKeep = intercept[Exception](spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.plegacy')").collect())
+    assert(eKeep.getMessage.contains("hive-partitioned"), eKeep.getMessage)
+    assert(spark.read.parquet(src.toString).count() === 300L,
+      "refused migrate must leave the partitioned source readable")
+    // drop_backup rewrites: values present as a REAL typed column
+    spark.sql(s"CALL graft.system.migrate(" +
+      s"table => '$ns.plegacy', drop_backup => true)").collect()
+    val perDay = spark.sql(s"SELECT day, count(*) AS n " +
+      s"FROM graft.$ns.plegacy GROUP BY day ORDER BY day").collect()
+    assert(perDay.length === 3 && perDay.forall(_.getLong(1) === 100L),
+      perDay.mkString("; "))
+    assert(spark.sql(s"SELECT * FROM graft.$ns.plegacy").schema("day")
+      .dataType === org.apache.spark.sql.types.DateType,
+      "partition inference must type day as DATE")
+    // the former partition column is the cluster spec, so a day
+    // predicate prunes files (manifest stats, not directories)
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.$ns.plegacy")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("write.clustered-by") === "day")
+    val t = new graft.lake.GraftCatalog(spark, wh)
+      .loadTable(ns, "plegacy")
+    val all = t.read().inputFiles.length
+    assert(t.readWhere(org.apache.spark.sql.functions.col("day") ===
+      java.sql.Date.valueOf("2024-01-01")).count() === 100L)
+    assert(t.readWhere(org.apache.spark.sql.functions.col("day") ===
+      java.sql.Date.valueOf("2024-01-01")).inputFiles.length < all,
+      s"day predicate must prune files (all=$all)")
+    // backup dropped; bytes owned (gc works)
+    assert(!Files.exists(wh.resolve(ns).resolve("plegacy_backup_")))
+    // partition inference appends the former partition column LAST
+    spark.sql(s"INSERT INTO graft.$ns.plegacy VALUES " +
+      "(999, 0, DATE'2024-01-01')")
+    spark.sql(s"CALL graft.system.expire_snapshots(" +
+      s"table => '$ns.plegacy', retain_last => 1)").collect()
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.plegacy")
+      .head.getLong(0) === 301L)
+    // a dotfile is USER content, not a write artifact: the sweep
+    // refuses rather than silently destroying it
+    val src2 = wh.resolve(ns).resolve("plegacy2")
+    spark.range(5).selectExpr("id", "id % 2 AS grp")
+      .write.partitionBy("grp").parquet(src2.toString)
+    Files.write(src2.resolve(".env"), "SECRET=1\n".getBytes)
+    val eStray = intercept[Exception](spark.sql(s"CALL graft.system." +
+      s"migrate(table => '$ns.plegacy2', drop_backup => true)")
+      .collect())
+    assert(eStray.getMessage.contains("non-parquet content"),
+      eStray.getMessage)
+    assert(Files.exists(src2.resolve(".env")),
+      "refused sweep must leave the user file in place")
   }
 
   test("CTAS and REPLACE TABLE AS SELECT create and refill graft " +

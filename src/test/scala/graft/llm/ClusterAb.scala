@@ -47,12 +47,21 @@ object ClusterAb {
       (rows, times.min)
     }
     val (localOut, tLocal) = run(Long.MaxValue)
-    val (distOut, tDist) = run(0L)
+    val (distOut, tDist) = run(0L) // default cadence (interval 2)
     require(localOut == distOut,
       s"branch outputs differ: ${localOut.size} vs ${distOut.size} rows")
+    // checkpoint cadence A/B (r15 verdict #8): truncate-every-round vs
+    // the every-2 default — the jump preserves correctness either
+    // way, so only the constant moves; assert output equality too
+    spark.conf.set("spark.graft.dedup.checkpointInterval", "1")
+    val (everyOut, tEvery) = run(0L)
+    spark.conf.unset("spark.graft.dedup.checkpointInterval")
+    require(everyOut == distOut,
+      "checkpoint cadence must not change cluster output")
     println(f"docs_clustered=${localOut.size} " +
       f"local_s=$tLocal%.2f distributed_s=$tDist%.2f " +
-      f"ratio=${tDist / tLocal}%.2f identical=true")
+      f"ratio=${tDist / tLocal}%.2f dist_ckpt_every_round_s=$tEvery%.2f " +
+      f"identical=true")
     spark.stop()
   }
 }
