@@ -270,16 +270,17 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     require(!Files.exists(backup),
       s"backup target $backup already exists; remove or rename it first")
     Files.move(dir, backup)
-    try {
+    // rollback scope ends at the rewrite COMMIT: once append() landed
+    // the table owns the only complete copy of the rows, so a failure
+    // during the backup sweep below must KEEP the table — rolling
+    // back there would drop the committed table and restore a backup
+    // the sweep already partially deleted (permanent data loss)
+    val t = try {
       val df = spark.read.parquet(backup.toString)
-      val t = GraftTable.create(spark, dir, s"$ns.$name", schema,
+      val tt = GraftTable.create(spark, dir, s"$ns.$name", schema,
         Map(GraftTable.ClusterProp -> partCols.mkString(",")))
-      t.append(df)
-      val leftovers = Files.walk(backup)
-      try leftovers.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally leftovers.close()
-      t
+      tt.append(df)
+      tt
     } catch {
       case scala.util.control.NonFatal(e) =>
         try {
@@ -290,6 +291,19 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
         }
         throw e
     }
+    try {
+      val leftovers = Files.walk(backup)
+      try leftovers.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally leftovers.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"migrate committed $ns.$name (the table is complete and " +
+            s"usable) but could not remove the backup at $backup — " +
+            "remove it manually", e)
+    }
+    t
   }
 
   /** D3: DROP TABLE IF EXISTS (demo.py:70) — recursive delete, like the

@@ -1437,15 +1437,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
       sketches(physName(pn)(c)))).toMap
   }
 
-  /** Stored NDV estimate for a logical column, if analyzed. An upper
-    * bound whenever `.stats` would report the sketch stale. */
-  def columnNdv(column: String): Option[Long] = {
+  /** One consistent (meta, sketch) read for a logical column — the
+    * shared lookup under [[columnNdv]]/[[columnNdvIfFresh]], so the
+    * rename-aware resolution lives in exactly one place. */
+  private def sketchWithMeta(column: String): Option[(TableMeta, NdvSketch)] = {
     val m = meta
     StructType.fromDDL(m.schemaDdl).fields
       .find(_.name.equalsIgnoreCase(column))
       .flatMap(f => m.columnNdv.get(physName(m.physicalNames)(f.name)))
-      .map(GraftTable.ndvEstimate)
+      .map(s => (m, s))
   }
+
+  /** Stored NDV estimate for a logical column, if analyzed. An upper
+    * bound whenever `.stats` would report the sketch stale. */
+  def columnNdv(column: String): Option[Long] =
+    sketchWithMeta(column).map { case (_, s) => GraftTable.ndvEstimate(s) }
 
   /** Stored NDV estimate, but only while the sketch is FRESH (the
     * exact-merge value). A STALE sketch may be off in EITHER
@@ -1456,14 +1462,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * mass-deleted to 50 rows would otherwise refuse the prune route
     * forever; the ROUTE direction keeps using [[columnNdv]] because
     * readForJoin's bounded collect self-vets a stale-low estimate.) */
-  def columnNdvIfFresh(column: String): Option[Long] = {
-    val m = meta
-    StructType.fromDDL(m.schemaDdl).fields
-      .find(_.name.equalsIgnoreCase(column))
-      .flatMap(f => m.columnNdv.get(physName(m.physicalNames)(f.name)))
-      .filter(s => !ndvStaleIn(m, s.analyzedSnapshotId))
-      .map(GraftTable.ndvEstimate)
-  }
+  def columnNdvIfFresh(column: String): Option[Long] =
+    sketchWithMeta(column)
+      .filter { case (m, s) => !ndvStaleIn(m, s.analyzedSnapshotId) }
+      .map { case (_, s) => GraftTable.ndvEstimate(s) }
 
   /** The `<table>.stats` metadata relation: one row per analyzed
     * column — NDV estimate, sketch shape, the snapshot whose data the
@@ -1479,7 +1481,7 @@ class GraftTable(val spark: SparkSession, val root: Path,
       m.columnNdv.get(physName(pn)(f.name)).map { s =>
         Row(f.name, GraftTable.ndvEstimate(s), s.k, s.hashes.size,
           s.analyzedSnapshotId, ndvStaleIn(m, s.analyzedSnapshotId),
-          commitsSinceFold(m, s.analyzedSnapshotId))
+          foldAge(m, s.analyzedSnapshotId)._1)
       }
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
@@ -1492,13 +1494,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
       StructField("commits_since_fold", LongType, nullable = false))))
   }
 
-  /** Main-lineage commits between a sketch's fold point and the head
-    * — the staleness age `.stats` surfaces and the analyze policy
-    * thresholds compare against. Walks at most the retained lineage;
-    * a fold point that expired out of the walk (or a pre-first-commit
-    * fold point once commits exist) reports the full retained depth,
-    * which is the honest "at least this old" answer. */
-  private def commitsSinceFold(m: TableMeta, analyzedId: Long): Long = {
+  /** Staleness age of a sketch's fold point: (main-lineage commits
+    * between the fold point and the head, whether the fold point was
+    * actually FOUND in the retained walk). `.stats` surfaces the age;
+    * the analyze policy compares it against thresholds, treating a
+    * not-found fold point (expired out of the lineage, or the empty-
+    * table -1 once commits exist) as "at least retained-depth old" —
+    * over any threshold. One walk serves both consumers. */
+  private def foldAge(m: TableMeta, analyzedId: Long): (Long, Boolean) = {
     var cursor = m.currentSnapshotId
     var cnt = 0L
     while (cursor.isDefined && !cursor.contains(analyzedId)) {
@@ -1506,7 +1509,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
       cursor = m.snapshots.find(_.snapshotId == cursor.get)
         .flatMap(_.parentId)
     }
-    cnt
+    (cnt, cursor.isDefined ||
+      (analyzedId < 0 && m.currentSnapshotId.isEmpty))
   }
 
   /** NDV-eligible = the atomic types file stats also cover; complex
@@ -3017,8 +3021,16 @@ class GraftTable(val spark: SparkSession, val root: Path,
               s"table property $k must be an integer, got '$v'")
         })
     }
+    // Int-consumed policies refuse out-of-range values instead of
+    // silently wrapping (4294967297.toInt == 1 would re-ANALYZE every
+    // sweep where the user meant "practically never")
+    def checkedInt(k: String, v: Long): Int = {
+      require(v >= Int.MinValue && v <= Int.MaxValue,
+        s"table property $k out of int range: $v")
+      v.toInt
+    }
     def intProp(k: String, d: Int): Int =
-      nums.get(k).map(_.toInt).getOrElse(d)
+      nums.get(k).map(checkedInt(k, _)).getOrElse(d)
     val target = nums.getOrElse(
       "maintenance.compact.target-file-size-bytes", 128L * 1024 * 1024)
     val entries = currentEntries
@@ -3074,8 +3086,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // segment; compact the current snapshot's list when it references
     // at least min-count segments (metadata-only — data untouched)
     nums.get("maintenance.manifests.min-count").foreach { n =>
-      GraftTable.retryOnConflict()(
-        rewriteManifests(math.max(1, n.toInt))).foreach { s =>
+      GraftTable.retryOnConflict()(rewriteManifests(math.max(1,
+        checkedInt("maintenance.manifests.min-count", n)))).foreach { s =>
         report += ("rewrite-manifests" ->
           (s"compacted ${s.summary.getOrElse("manifests-replaced", "?")} " +
             s"manifest segment(s) into 1 in snapshot ${s.snapshotId}"))
@@ -3114,13 +3126,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // lineage walk); the ONE data scan (covering the whole scoped
     // set — an extra column in a running scan is ~free) runs only
     // when at least one scoped column tripped its own threshold.
+    val PerColPrefix = "maintenance.analyze.stale-commits."
     if (nums.contains("maintenance.analyze.stale-commits") ||
+        nums.keys.exists(_.startsWith(PerColPrefix)) ||
         props.contains("maintenance.analyze.columns")) {
-      val defaultMin =
-        nums.get("maintenance.analyze.stale-commits").map(_.toInt)
+      val defaultMin = nums.get("maintenance.analyze.stale-commits")
       val m = meta
+      val cur = StructType.fromDDL(m.schemaDdl)
+      // a mistyped per-column key must refuse like analyze.columns
+      // does — an inert policy reads as a healthy table
+      nums.keys.filter(_.startsWith(PerColPrefix)).foreach { k =>
+        val c = k.stripPrefix(PerColPrefix)
+        require(cur.fields.exists(_.name.equalsIgnoreCase(c)),
+          s"table property $k names unknown column: $c")
+      }
       if (m.columnNdv.nonEmpty) {
-        val cur = StructType.fromDDL(m.schemaDdl)
         val pn = m.physicalNames
         val tracked = cur.fields.toSeq
           .filter(f => m.columnNdv.contains(physName(pn)(f.name)))
@@ -3135,27 +3155,22 @@ class GraftTable(val spark: SparkSession, val root: Path,
         }
         // a column with neither its own threshold nor a table default
         // never auto-refreshes (columns-only scoping still needs SOME
-        // threshold to mean anything)
-        def thresholdFor(col: String): Option[Int] =
-          nums.get(s"maintenance.analyze.stale-commits.$col").map(_.toInt)
-            .orElse(defaultMin).map(math.max(1, _))
-        // staleness age; a fold point that expired out of the lineage
-        // is "at least retained-depth old" — counts as over any cap
-        def ageOf(analyzedId: Long): Long = {
-          var cursor = m.currentSnapshotId
-          var cnt = 0L
-          while (cursor.isDefined && !cursor.contains(analyzedId)) {
-            cnt += 1
-            cursor = m.snapshots.find(_.snapshotId == cursor.get)
-              .flatMap(_.parentId)
-          }
-          if (cursor.isEmpty && analyzedId >= 0) Long.MaxValue else cnt
-        }
+        // threshold to mean anything); the per-column key matches the
+        // logical name case-insensitively like every other column ref
+        def thresholdFor(col: String): Option[Long] =
+          nums.collectFirst {
+            case (k, v) if k.startsWith(PerColPrefix) &&
+              k.stripPrefix(PerColPrefix).equalsIgnoreCase(col) => v
+          }.orElse(defaultMin).map(math.max(1L, _))
         val tripped = scoped.filter { f =>
           val s = m.columnNdv(physName(pn)(f.name))
           thresholdFor(f.name).exists { min =>
+            val (age, foldInLineage) =
+              foldAge(m, s.analyzedSnapshotId)
+            // a fold point that expired out of the retained lineage
+            // is "at least retained-depth old" — over any threshold
             ndvStaleIn(m, s.analyzedSnapshotId) &&
-              ageOf(s.analyzedSnapshotId) >= min
+              (!foldInLineage || age >= min)
           }
         }
         if (tripped.nonEmpty) {

@@ -413,16 +413,26 @@ object PipelineQueries extends QueryCatalog {
       var converged = false
       var rounds = 0
       var curSum = labels.agg(sum("lbl")).head.getLong(0)
-      // Checkpoint CADENCE: truncating every round pays a full
-      // materialize-to-storage per hop; every `checkpointInterval`-th
-      // round (default 2) halves that constant while capping plan
-      // growth at 3^interval references to the last checkpoint.
-      // Off-rounds persist + materialize (the sum action below), so
-      // per-round work is unchanged — only the truncation cost moves.
-      // Convergence detection and the fixpoint are cadence-blind;
-      // ClusterAb asserts output equality across both settings.
-      val interval = math.max(1, confLong(s,
-        "spark.graft.dedup.checkpointInterval", 2L).toInt)
+      // Checkpoint CADENCE (`spark.graft.dedup.checkpointInterval`):
+      // off-rounds persist + materialize (the convergence sum below
+      // forces a full evaluation either way), truncation rounds also
+      // sever lineage. With eager localCheckpoint (local default) a
+      // truncation costs the same as the persist it replaces, so
+      // skipping it saves NOTHING and only grows the plan 3× per
+      // skipped round — measured in ClusterAb (sf1: every-round
+      // 1.99 s vs every-2nd 2.32 s), hence default 1. With a RELIABLE
+      // checkpoint dir each truncation is a real write to shared
+      // storage, so the default stretches to every 2nd round (the
+      // jump preserves correctness; plan growth caps at 3^2
+      // references to the last checkpoint). Convergence detection and
+      // the fixpoint are cadence-blind; ClusterAb asserts output
+      // equality across settings.
+      // clamp into [1, 64] BEFORE narrowing — the loop caps at 64
+      // rounds, and a bare .toInt would wrap huge values
+      val interval = math.max(1L, math.min(64L, confLong(s,
+        "spark.graft.dedup.checkpointInterval",
+        if (s.conf.getOption("spark.graft.checkpoint.dir").isDefined) 2L
+        else 1L))).toInt
       while (!converged && rounds < 64) {
         val hopped = hop(labels)
         val next = if ((rounds + 1) % interval == 0) truncate(hopped)
@@ -471,7 +481,16 @@ object PipelineQueries extends QueryCatalog {
       case Some(dir) =>
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(true)
+        // persist first: reliable checkpoint materializes the RDD in
+        // a SECOND job after the eager action — without the cache
+        // every truncation would compute the plan twice. Deployments
+        // should set spark.cleaner.referenceTracking.cleanCheckpoints
+        // =true (checkpoint files otherwise outlive the loop for the
+        // app's lifetime).
+        val cached = df.persist()
+        val out = df.checkpoint(true)
+        cached.unpersist()
+        out
       case None => df.localCheckpoint(true)
     }
 

@@ -1896,7 +1896,8 @@ class GraftTableSpec extends SparkSuite {
 
   test("a malformed numeric maintenance property fails the sweep UP " +
       "FRONT with the property name — never halfway through, never " +
-      "silently skipped") {
+      "silently skipped; out-of-Int-range and unknown-column keys " +
+      "refuse too") {
     val cat = new GraftCatalog(spark, freshWarehouse())
     cat.createNamespace("default")
     val t = cat.createTable("default", "badprop",
@@ -1907,6 +1908,40 @@ class GraftTableSpec extends SparkSuite {
     assert(e.getMessage.contains("maintenance.analyze.stale-commits"),
       e.getMessage)
     assert(e.getMessage.contains("often"), e.getMessage)
+    // an Int-consumed policy above Int.MaxValue refuses instead of
+    // wrapping (4294967296.toInt == 0 would expire-retain nothing)
+    val t2 = cat.createTable("default", "badprop2",
+      StructType.fromDDL("k BIGINT"),
+      Map("maintenance.expire.retain-last" -> "4294967296",
+        "maintenance.expire.max-age-ms" -> "1"))
+    t2.append(spark.range(5).selectExpr("id AS k"))
+    val e2 = intercept[IllegalArgumentException](t2.maintain())
+    assert(e2.getMessage.contains("out of int range"), e2.getMessage)
+    // a mistyped per-column analyze key refuses like analyze.columns
+    val t3 = cat.createTable("default", "badprop3",
+      StructType.fromDDL("k BIGINT"),
+      Map("maintenance.analyze.stale-commits.nope" -> "1"))
+    t3.append(spark.range(5).selectExpr("id AS k"))
+    val e3 = intercept[IllegalArgumentException](t3.maintain())
+    assert(e3.getMessage.contains("unknown column"), e3.getMessage)
+  }
+
+  test("a per-column stale-commits override ALONE (no table default, " +
+      "no columns scope) activates the auto-refresh, matching its " +
+      "column case-insensitively") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "ndvsolo",
+      StructType.fromDDL("k BIGINT"),
+      Map("maintenance.analyze.stale-commits.K" -> "1", // case differs
+        "maintenance.compact.min-small-files" -> "1000",
+        "maintenance.compact.min-delete-files" -> "1000"))
+    t.append(spark.range(100).selectExpr("id AS k"))
+    t.computeTableStats(Seq("k"))
+    t.delete(col("k") < 10L)
+    val report = t.maintain()
+    assert(report.map(_._1) === Seq("analyze"), report.toString)
+    assert(t.columnNdv("k").contains(90L))
   }
 
   test("orphan removal sweeps unreferenced SEGMENT files (losing " +

@@ -47,20 +47,23 @@ object ClusterAb {
       (rows, times.min)
     }
     val (localOut, tLocal) = run(Long.MaxValue)
-    val (distOut, tDist) = run(0L) // default cadence (interval 2)
+    val (distOut, tDist) = run(0L) // default cadence (local: every round)
     require(localOut == distOut,
       s"branch outputs differ: ${localOut.size} vs ${distOut.size} rows")
-    // checkpoint cadence A/B (r15 verdict #8): truncate-every-round vs
-    // the every-2 default — the jump preserves correctness either
-    // way, so only the constant moves; assert output equality too
-    spark.conf.set("spark.graft.dedup.checkpointInterval", "1")
-    val (everyOut, tEvery) = run(0L)
+    // checkpoint cadence A/B (r15 verdict #8): the every-2nd-round
+    // setting a reliable-checkpoint deployment defaults to — the jump
+    // preserves correctness either way, so only the constant moves;
+    // assert output equality too. Measured r16: every-round 1.99 s vs
+    // every-2nd 2.32 s locally (localCheckpoint materializes like the
+    // persist it replaces, so skipping truncations only grows plans).
+    spark.conf.set("spark.graft.dedup.checkpointInterval", "2")
+    val (every2Out, tEvery2) = run(0L)
     spark.conf.unset("spark.graft.dedup.checkpointInterval")
-    require(everyOut == distOut,
+    require(every2Out == distOut,
       "checkpoint cadence must not change cluster output")
     println(f"docs_clustered=${localOut.size} " +
       f"local_s=$tLocal%.2f distributed_s=$tDist%.2f " +
-      f"ratio=${tDist / tLocal}%.2f dist_ckpt_every_round_s=$tEvery%.2f " +
+      f"ratio=${tDist / tLocal}%.2f dist_ckpt_every2_s=$tEvery2%.2f " +
       f"identical=true")
     spark.stop()
   }
