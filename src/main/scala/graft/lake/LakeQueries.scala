@@ -2274,8 +2274,94 @@ object LakeQueries extends QueryCatalog {
          |FROM $tbl GROUP BY 1 ORDER BY bucket""".stripMargin)
   }
 
+  /** WAP publish ORACLED (r16): the write-audit-publish content law
+    * as a hash check — slice A lands on main, slice B plus an audit
+    * delete stage on a `spark.wap.branch` session branch (main
+    * provably untouched mid-audit: an in-builder require pins its
+    * row count), fast_forward publishes, and the final aggregate must
+    * equal DuckDB computing ((A ∪ B) minus the deleted predicate)
+    * from the raw parquet. A branch write that leaked onto main, a
+    * publish that dropped staged rows, or a delete that missed the
+    * branch all hash-mismatch. */
+  private val wapPublish = Q(
+    "q_lake_wap_publish",
+    """WITH ab AS (
+      |  SELECT l_orderkey AS okey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 9 IN (1, 2)
+      |), pub AS (
+      |  SELECT * FROM ab WHERE NOT qty_c < 1000
+      |)
+      |SELECT CAST(okey % 10 AS BIGINT) AS bucket,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, count(*) AS n
+      |FROM pub GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val li = graft.rel.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wap-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "wap_li", StructType.fromDDL(
+      "okey BIGINT, qty_c BIGINT"), Map.empty)
+    t.append(li.filter(col("okey") % 9 === 1))
+    val mainRows = t.read().count()
+    s.conf.set("spark.wap.branch", "audit")
+    try {
+      t.append(li.filter(col("okey") % 9 === 2))
+      t.delete(col("qty_c") < 1000L)
+    } finally s.conf.unset("spark.wap.branch")
+    require(t.read().count() == mainRows,
+      "main must be untouched until the audit branch publishes")
+    t.fastForward("main", t.refSnapshotId("audit"))
+    t.read()
+      .groupBy((col("okey") % 10).as("bucket"))
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  /** Rollback ORACLED (r16): the undo law as a hash check — slice A
+    * commits, a predicate delete commits, `rollback_to_snapshot`
+    * walks the pointer back (an in-builder require pins that the
+    * delete was visible before), slice B appends on top, and the
+    * final aggregate must equal DuckDB computing A ∪ B with the
+    * delete UNDONE byte-for-byte. A rollback that lost rows, kept the
+    * delete, or resurrected the wrong snapshot hash-mismatches. */
+  private val rollbackOracle = Q(
+    "q_lake_rollback_restore",
+    """WITH ab AS (
+      |  SELECT l_orderkey AS okey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 9 IN (4, 5)
+      |)
+      |SELECT CAST(okey % 10 AS BIGINT) AS bucket,
+      |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, count(*) AS n
+      |FROM ab GROUP BY 1 ORDER BY bucket""".stripMargin
+  ) { (s, dir) =>
+    val li = graft.rel.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-rb-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "rb_li", StructType.fromDDL(
+      "okey BIGINT, qty_c BIGINT"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(li.filter(col("okey") % 9 === 4))
+    val snap1 = t.currentSnapshot.get.snapshotId
+    val full = t.read().count()
+    t.delete(col("qty_c") < 1000L)
+    require(t.read().count() < full,
+      "the delete must be visible before the rollback undoes it")
+    t.rollbackTo(snap1)
+    t.append(li.filter(col("okey") % 9 === 5))
+    t.read()
+      .groupBy((col("okey") % 10).as("bucket"))
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   override def all: Seq[Q] = Seq(
     decimalLake, lakePricing, sqlPricing, timeTravelSql, sqlMerge,
+    wapPublish, rollbackOracle,
     complexTypes,
     ndvStats, timestampNtz, migrateScenario,
     lifecycle, timeTravel, metadataFiles, rewrite, erase,
