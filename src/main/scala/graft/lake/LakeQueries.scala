@@ -74,23 +74,85 @@ object LakeQueries extends QueryCatalog {
 
   /** D13+D14: rewrite applies deletes; delete-file count drops to zero
     * (demo.py:419-466). Returns the post-compaction file inventory. */
-  private val rewrite = Q.noOracle("q_lake_rewrite") { (s, _) =>
-    val t = newTable(s)
-    t.delete(col("case_id") === "case-2")
+  /** D13/D14 rewrite ORACLED (r16 — converted from the demo-row file
+    * census, whose file-level shapes GraftTableSpec keeps pinning):
+    * compaction must be CONTENT-NEUTRAL. A lineitem slice lands
+    * across many small files, a MOR delete masks a predicate,
+    * rewrite_data_files + rewrite_position_delete_files compact;
+    * in-builder requires pin the file-level effects (delete files
+    * staged, then GONE), and DuckDB recomputes the content the
+    * compacted table must still serve byte-for-byte — a rewrite that
+    * dropped a row, resurrected a masked one, or double-applied a
+    * delete hash-mismatches. */
+  private val rewrite = Q(
+    "q_lake_rewrite",
+    """WITH c AS (
+      |  SELECT l_orderkey AS okey, l_linenumber AS lnum,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 8 = 3
+      |)
+      |SELECT okey, lnum, qty_c FROM c WHERE NOT qty_c < 1500
+      |ORDER BY okey, lnum, qty_c""".stripMargin
+  ) { (s, dir) =>
+    val li = graft.rel.Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 8 === 3)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        col("l_linenumber").cast("long").as("lnum"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-rw-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "rw_li", StructType.fromDDL(
+      "okey BIGINT, lnum BIGINT, qty_c BIGINT"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(li.repartition(8)) // many small files to compact
+    t.delete(col("qty_c") < 1500L)
+    def deleteFiles() =
+      t.files.filter(col("content") =!= 0).count()
+    require(deleteFiles() > 0, "the MOR delete must stage delete files")
     t.rewriteDataFiles(Map("rewrite-all" -> "true"))
     t.rewritePositionDeleteFiles()
-    t.files.groupBy("content").agg(count(lit(1)).as("n_files"),
-      sum("record_count").as("records")).orderBy("content")
+    require(deleteFiles() == 0, "compaction must drop the delete files")
+    t.read().orderBy("okey", "lnum", "qty_c")
   }
 
   /** D17: permanent PII erasure end-to-end (README.md:49-59). */
-  private val erase = Q.noOracle("q_lake_erase_pii") { (s, _) =>
-    val t = newTable(s)
-    ErasePii.run(t, "case_id", "case-2", ErasePii.DeleteRow)
-    ErasePii.run(t, "case_id", "case-1",
-      ErasePii.NullifyColumns(Seq("first_name", "email_address",
-        "secure_txt")))
-    t.read().orderBy("case_id")
+  /** D17 ErasePii ORACLED (r16 — the reference's headline purpose as
+    * a hash check; the demo-row walk stays pinned by
+    * q_lake_subject_access and the spec suites): subject 101 erased
+    * ROW-wise, subject 201 nullified COLUMN-wise, both PERMANENT
+    * (erase → rewrite → expire → orphan sweep), over a customer
+    * slice. DuckDB recomputes the final content, so the hash proves
+    * the erase removed exactly the subjects and nothing else changed;
+    * an in-builder require proves no retained snapshot reaches the
+    * deleted subject. */
+  private val erase = Q(
+    "q_lake_erase_pii",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 4 = 1
+      |)
+      |SELECT k,
+      |  CASE WHEN k = 201 THEN NULL ELSE nm END AS nm,
+      |  CASE WHEN k = 201 THEN NULL ELSE seg END AS seg
+      |FROM c WHERE k <> 101 ORDER BY k""".stripMargin
+  ) { (s, dir) =>
+    val cust = graft.rel.Tables.customer(s, dir)
+      .filter(col("c_custkey") % 4 === 1)
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_name").as("nm"), col("c_mktsegment").as("seg"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-er-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "cust_pii", StructType.fromDDL(
+      "k BIGINT, nm STRING, seg STRING"),
+      Map("write.delete.mode" -> "merge-on-read"))
+    t.append(cust)
+    ErasePii.run(t, "k", "101", ErasePii.DeleteRow)
+    ErasePii.run(t, "k", "201",
+      ErasePii.NullifyColumns(Seq("nm", "seg")))
+    require(t.meta.snapshots.forall(sn =>
+      t.readAt(sn.snapshotId).filter(col("k") === 101L).isEmpty),
+      "no retained snapshot may reach the erased subject")
+    t.read().orderBy("k")
   }
 
   /** D17 companion — GDPR SUBJECT-ACCESS AUDIT: for one data subject,
@@ -151,23 +213,77 @@ object LakeQueries extends QueryCatalog {
 
   /** Stats-based file pruning (SURVEY §4): two appends with disjoint key
     * ranges, predicate selects one file's range. */
-  private val prunedRead = Q.noOracle("q_lake_pruned_read") { (s, _) =>
-    val t = newTable(s)
-    val extra = Seq(Row("case-8", "Zed", "z@example.com", "key8", "s8",
-      "sk8", java.sql.Date.valueOf("2024-05-01")))
-    t.append(s.createDataFrame(extra.asJava, piiSchema))
-    t.readWhere(col("case_id") >= "case-8").orderBy("case_id")
+  /** Stats-pruned read ORACLED (r16 — converted from the 4-row demo
+    * walk; GraftTableSpec keeps pinning pruned-≡-plain): readWhere
+    * must return EXACTLY the filter's rows while planning FEWER files
+    * (in-builder require) — the hash check turns a pruning bug
+    * (dropped or leaked file) into a wrong answer, not a perf miss.
+    * Range-clustered on the predicate column so the band prunes. */
+  private val prunedRead = Q(
+    "q_lake_pruned_read",
+    """WITH c AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |)
+      |SELECT k, ck, total_c FROM c
+      |WHERE k >= 1000 AND k < 3000 ORDER BY k""".stripMargin
+  ) { (s, dir) =>
+    val o = graft.rel.Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey").cast("long").as("k"),
+        col("o_custkey").cast("long").as("ck"),
+        round(col("o_totalprice") * 100).cast("long").as("total_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-pr-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "ord_pr", StructType.fromDDL(
+      "k BIGINT, ck BIGINT, total_c BIGINT"),
+      Map("write.clustered-by" -> "k",
+        "write.clustered-by.files" -> "8"))
+    t.append(o)
+    val pred = col("k") >= 1000L && col("k") < 3000L
+    require(t.readWhere(pred).inputFiles.length <
+      t.read().inputFiles.length,
+      "the band predicate must prune files on a range-clustered table")
+    t.readWhere(pred).orderBy("k")
   }
 
   /** D8 equality-delete flavor (content=2): rows masked by key tuples,
     * no position capture needed — the write is O(|keys|), all masking
     * cost moves to the read-side anti-join. */
-  private val equalityDelete = Q.noOracle("q_lake_equality_delete") { (s, _) =>
-    val t = newTable(s)
-    t.equalityDelete(s.createDataFrame(
-      Seq(Row("case-2")).asJava,
-      StructType.fromDDL("case_id STRING")))
-    t.read().orderBy("case_id") // case-2 masked by key
+  /** Equality delete ORACLED (r16 — converted from the 3-row demo
+    * walk, whose shape GraftTableSpec keeps pinning): the production
+    * form — delete KEYS arrive as a DATASET (every custkey an orders
+    * slice references), masking rows by key equality without knowing
+    * positions. DuckDB replays the mask as an anti-join. */
+  private val equalityDelete = Q(
+    "q_lake_equality_delete",
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_name AS nm,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      |  FROM customer WHERE c_custkey % 4 = 1
+      |), gone AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderkey % 50 = 0
+      |)
+      |SELECT c.k, c.nm, c.bal_c
+      |FROM c LEFT JOIN gone ON c.k = gone.k
+      |WHERE gone.k IS NULL ORDER BY c.k""".stripMargin
+  ) { (s, dir) =>
+    val cust = graft.rel.Tables.customer(s, dir)
+      .filter(col("c_custkey") % 4 === 1)
+      .select(col("c_custkey").cast("long").as("k"),
+        col("c_name").as("nm"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-eq-"))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", "cust_eq", StructType.fromDDL(
+      "k BIGINT, nm STRING, bal_c BIGINT"), Map.empty)
+    t.append(cust)
+    t.equalityDelete(graft.rel.Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_custkey").cast("long").as("k")).distinct())
+    t.read().orderBy("k")
   }
 
   private def ensureSqlCatalog(s: SparkSession): Unit =
