@@ -18,8 +18,12 @@ object ErasePii {
   case object DeleteRow extends Mode
 
   /** Erase one record's PII and, if `permanent`, scrub history so no
-    * snapshot / data file / delete file still carries it. */
-  def run(table: GraftTable, keyColumn: String, keyValue: String,
+    * snapshot / data file / delete file still carries it. `keyValue`
+    * takes any literal-able value (String case ids, Long custkeys) so
+    * the predicate is TYPED — a string against a numeric key would
+    * ride implicit coercion and defeat stats pruning on the erase's
+    * discovery scan. */
+  def run(table: GraftTable, keyColumn: String, keyValue: Any,
       mode: Mode, permanent: Boolean = true): Unit = {
     val pred = col(keyColumn) === lit(keyValue)
     mode match {

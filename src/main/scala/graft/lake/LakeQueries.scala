@@ -99,12 +99,10 @@ object LakeQueries extends QueryCatalog {
       .select(col("l_orderkey").cast("long").as("okey"),
         col("l_linenumber").cast("long").as("lnum"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-rw-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "rw_li", StructType.fromDDL(
-      "okey BIGINT, lnum BIGINT, qty_c BIGINT"),
-      Map("write.delete.mode" -> "merge-on-read"))
-    t.append(li.repartition(8)) // many small files to compact
+    val t = sliceTable(s, "graft-rw-", "rw_li",
+      "okey BIGINT, lnum BIGINT, qty_c BIGINT",
+      Map("write.delete.mode" -> "merge-on-read"),
+      li.repartition(8)) // many small files to compact
     t.delete(col("qty_c") < 1500L)
     def deleteFiles() =
       t.files.filter(col("content") =!= 0).count()
@@ -140,14 +138,15 @@ object LakeQueries extends QueryCatalog {
       .filter(col("c_custkey") % 4 === 1)
       .select(col("c_custkey").cast("long").as("k"),
         col("c_name").as("nm"), col("c_mktsegment").as("seg"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-er-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "cust_pii", StructType.fromDDL(
-      "k BIGINT, nm STRING, seg STRING"),
-      Map("write.delete.mode" -> "merge-on-read"))
-    t.append(cust)
-    ErasePii.run(t, "k", "101", ErasePii.DeleteRow)
-    ErasePii.run(t, "k", "201",
+    val t = sliceTable(s, "graft-er-", "cust_pii",
+      "k BIGINT, nm STRING, seg STRING",
+      Map("write.delete.mode" -> "merge-on-read"), cust)
+    // both subjects must EXIST pre-erase, or the walk passes
+    // vacuously (custkey 201 only exists above the smallest SF)
+    require(t.read().filter(col("k").isin(101L, 201L)).count() == 2,
+      "erase subjects 101 and 201 must exist in the slice")
+    ErasePii.run(t, "k", 101L, ErasePii.DeleteRow)
+    ErasePii.run(t, "k", 201L,
       ErasePii.NullifyColumns(Seq("nm", "seg")))
     require(t.meta.snapshots.forall(sn =>
       t.readAt(sn.snapshotId).filter(col("k") === 101L).isEmpty),
@@ -234,18 +233,14 @@ object LakeQueries extends QueryCatalog {
       .select(col("o_orderkey").cast("long").as("k"),
         col("o_custkey").cast("long").as("ck"),
         round(col("o_totalprice") * 100).cast("long").as("total_c"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-pr-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "ord_pr", StructType.fromDDL(
-      "k BIGINT, ck BIGINT, total_c BIGINT"),
+    val t = sliceTable(s, "graft-pr-", "ord_pr",
+      "k BIGINT, ck BIGINT, total_c BIGINT",
       Map("write.clustered-by" -> "k",
-        "write.clustered-by.files" -> "8"))
-    t.append(o)
-    val pred = col("k") >= 1000L && col("k") < 3000L
-    require(t.readWhere(pred).inputFiles.length <
-      t.read().inputFiles.length,
+        "write.clustered-by.files" -> "8"), o)
+    val pruned = t.readWhere(col("k") >= 1000L && col("k") < 3000L)
+    require(pruned.inputFiles.length < t.read().inputFiles.length,
       "the band predicate must prune files on a range-clustered table")
-    t.readWhere(pred).orderBy("k")
+    pruned.orderBy("k")
   }
 
   /** D8 equality-delete flavor (content=2): rows masked by key tuples,
@@ -275,15 +270,28 @@ object LakeQueries extends QueryCatalog {
       .select(col("c_custkey").cast("long").as("k"),
         col("c_name").as("nm"),
         round(col("c_acctbal") * 100).cast("long").as("bal_c"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-eq-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "cust_eq", StructType.fromDDL(
-      "k BIGINT, nm STRING, bal_c BIGINT"), Map.empty)
-    t.append(cust)
+    val t = sliceTable(s, "graft-eq-", "cust_eq",
+      "k BIGINT, nm STRING, bal_c BIGINT", Map.empty, cust)
+    // no .distinct() here — equalityDelete distincts its keys itself
     t.equalityDelete(graft.rel.Tables.orders(s, dir)
       .filter(col("o_orderkey") % 50 === 0)
-      .select(col("o_custkey").cast("long").as("k")).distinct())
+      .select(col("o_custkey").cast("long").as("k")))
     t.read().orderBy("k")
+  }
+
+  /** Scratch graft table over a testdata slice — the shared setup of
+    * the oracled lifecycle walks (r16): fresh single-table warehouse,
+    * `default` namespace, schema from `ddl`, `df` appended as the
+    * first commit. */
+  private def sliceTable(s: SparkSession, prefix: String, name: String,
+      ddl: String, props: Map[String, String],
+      df: DataFrame): GraftTable = {
+    val cat = new GraftCatalog(s, graft.ScratchDirs.create(prefix))
+    cat.createNamespace("default")
+    val t = cat.createTable("default", name,
+      StructType.fromDDL(ddl), props)
+    t.append(df)
+    t
   }
 
   private def ensureSqlCatalog(s: SparkSession): Unit =
@@ -533,12 +541,10 @@ object LakeQueries extends QueryCatalog {
       .select(col("l_orderkey").cast("long").as("okey"),
         col("l_linenumber").cast("long").as("lnum"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-cdc-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "cdc_li", StructType.fromDDL(
-      "okey BIGINT, lnum BIGINT, qty_c BIGINT"),
-      Map("write.delete.mode" -> "merge-on-read"))
-    t.append(li.filter(col("okey") % 6 === 1))
+    val t = sliceTable(s, "graft-cdc-", "cdc_li",
+      "okey BIGINT, lnum BIGINT, qty_c BIGINT",
+      Map("write.delete.mode" -> "merge-on-read"),
+      li.filter(col("okey") % 6 === 1))
     t.delete(col("qty_c") < 1000L)
     t.append(li.filter(col("okey") % 6 === 2))
     t.changes()
@@ -2415,11 +2421,9 @@ object LakeQueries extends QueryCatalog {
     val li = graft.rel.Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("long").as("okey"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wap-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "wap_li", StructType.fromDDL(
-      "okey BIGINT, qty_c BIGINT"), Map.empty)
-    t.append(li.filter(col("okey") % 9 === 1))
+    val t = sliceTable(s, "graft-wap-", "wap_li",
+      "okey BIGINT, qty_c BIGINT", Map.empty,
+      li.filter(col("okey") % 9 === 1))
     val mainRows = t.read().count()
     s.conf.set("spark.wap.branch", "audit")
     try {
@@ -2456,12 +2460,10 @@ object LakeQueries extends QueryCatalog {
     val li = graft.rel.Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("long").as("okey"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"))
-    val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-rb-"))
-    cat.createNamespace("default")
-    val t = cat.createTable("default", "rb_li", StructType.fromDDL(
-      "okey BIGINT, qty_c BIGINT"),
-      Map("write.delete.mode" -> "merge-on-read"))
-    t.append(li.filter(col("okey") % 9 === 4))
+    val t = sliceTable(s, "graft-rb-", "rb_li",
+      "okey BIGINT, qty_c BIGINT",
+      Map("write.delete.mode" -> "merge-on-read"),
+      li.filter(col("okey") % 9 === 4))
     val snap1 = t.currentSnapshot.get.snapshotId
     val full = t.read().count()
     t.delete(col("qty_c") < 1000L)
