@@ -505,6 +505,59 @@ object TextQueries extends QueryCatalog {
       .orderBy("doc_id")
   }
 
+  /** Classifier CALIBRATION / reliability table (r16) — the audit a
+    * quality-filter deployment runs before trusting a threshold:
+    * bucket every doc by its classifier logit into fixed bands, and
+    * per band report the doc count, the summed logit, and the rate of
+    * an INDEPENDENT proxy label (here: long-doc, len >= 400 chars) in
+    * integer basis points. A well-calibrated filter shows the rate
+    * rising with the band; the deterministic stand-in model scores
+    * hash-random, so its table reads flat — which is exactly what the
+    * harness should say about it. Scale shape: one corpus pass,
+    * map-side banding, ~12-group partial aggregate — no shuffle wider
+    * than the band count. Banding shifts the logit NONNEGATIVE before
+    * the integer divide (DuckDB `//` truncates toward zero on
+    * negatives; Spark `div` matches it only for nonnegative values —
+    * the STATUS determinism rule). */
+  private val calibration = Q(
+    "q_text_calibration",
+    """WITH scored AS (
+      |  SELECT
+      |    CAST(list_sum(list_transform(string_split(text, ' '), t ->
+      |      ((CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT
+      |        % 4096) % 13) - 6)) AS BIGINT) AS logit_u,
+      |    CASE WHEN len(text) >= 400 THEN 1 ELSE 0 END AS actual
+      |  FROM documents
+      |)
+      |SELECT
+      |  CAST((least(greatest(logit_u, -60), 59) + 60) // 10 AS BIGINT)
+      |    AS band,
+      |  count(*) AS n,
+      |  CAST(sum(logit_u) AS BIGINT) AS sum_logit,
+      |  CAST(sum(actual) AS BIGINT) AS positives,
+      |  CAST((sum(actual) * 10000) // count(*) AS BIGINT) AS pos_bp
+      |FROM scored GROUP BY 1 ORDER BY band""".stripMargin
+  ) { (s, dir) =>
+    val scored = Tables.documents(s, dir)
+      .select(expr(
+        """aggregate(
+          |  transform(split(text, ' '), t ->
+          |    ((CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)
+          |      % 4096) % 13) - 6),
+          |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin)
+        .as("logit_u"),
+        when(length(col("text")) >= 400, 1L).otherwise(0L).as("actual"))
+    scored
+      .groupBy(expr("(least(greatest(logit_u, -60L), 59L) + 60L) div 10")
+        .as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum("logit_u").cast("long").as("sum_logit"),
+        sum("actual").cast("long").as("positives"),
+        expr("(sum(actual) * 10000) div count(*)").cast("long")
+          .as("pos_bp"))
+      .orderBy("band")
+  }
+
   /** One BPE merge round (Sennrich et al. 2016, the distributed core
     * of tokenizer training): count adjacent character pairs weighted
     * by word frequency; the argmax pair is the next merge. The pair
@@ -1058,7 +1111,8 @@ object TextQueries extends QueryCatalog {
   override def all: Seq[Q] =
     Seq(stats, quality, tokenCounts, langId, langIdChargram,
       langIdSampled, fingerprint,
-      fingerprintMd5, repetition, entropy, hashClassifier, bpePairs,
+      fingerprintMd5, repetition, entropy, hashClassifier, calibration,
+      bpePairs,
       bpeTrain, bpeApply, bpeFertility, langMismatch, vocabCoverage,
       bm25, keywords, novelty)
 }
