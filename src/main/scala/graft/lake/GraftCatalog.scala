@@ -146,9 +146,12 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     * byte-identical (file NAMES inside it may change; a raw parquet
     * dir reads by glob, not by name).
     *
-    * Hive-partitioned sources (directory-encoded column values) are
-    * handled by the drop_backup form via [[migratePartitioned]]'s
-    * one-time rewrite; the keep-backup form refuses them. */
+    * Hive-partitioned sources (directory-encoded column values):
+    * keep-backup adopts them REWRITE-FREE via
+    * [[migratePartitionedInPlace]] (partition tuples on manifest
+    * entries, columns synthesized at scan time); drop_backup runs
+    * [[migratePartitioned]]'s one-time rewrite — the
+    * clustering-optimizing option. */
   def migrateTable(ns: String, name: String,
       dropBackup: Boolean = false): GraftTable = {
     require(namespaceExists(ns), s"namespace $ns does not exist")
@@ -163,22 +166,17 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
       .filter(_.getFileName.toString.endsWith(".parquet"))
     require(srcFiles.nonEmpty, s"no parquet files under $dir to migrate")
     // Hive-partitioned layouts encode column VALUES in directory
-    // names, so adopting leaf files in place would silently drop
-    // those columns' data. The drop_backup form handles them with a
-    // ONE-TIME rewrite (values injected as real columns, clustered on
-    // the former partition columns); the keep-backup form refuses —
-    // rewrite-free adoption cannot conjure bytes that exist only in
-    // directory names.
+    // names. The keep-backup form adopts them REWRITE-FREE (r17,
+    // Iceberg's actual migrate model): per-file partition tuples land
+    // as manifest-entry min=max stats (pruning) and the columns are
+    // synthesized at scan time from the directory names — zero bytes
+    // touched. The drop_backup form instead runs a ONE-TIME rewrite
+    // (values injected as real columns, clustered on the former
+    // partition columns) — the clustering-optimizing option.
     val partitionDirs = srcFiles.flatMap { p =>
       dir.relativize(p).iterator().asScala.toSeq.init
         .map(_.toString).filter(_.contains("="))
     }.distinct
-    require(partitionDirs.isEmpty || dropBackup,
-      s"$ns.$name looks hive-partitioned (${partitionDirs.take(3)
-        .mkString(", ")}): in-place adoption cannot inject " +
-        "directory-encoded partition values as columns; migrate with " +
-        "drop_backup=true for a one-time rewrite, or rewrite to flat " +
-        "parquet first")
     // with drop_backup the source directory is deleted afterwards —
     // refuse if it holds anything beyond parquet + KNOWN write
     // artifacts, or user bytes would vanish. The whitelist names the
@@ -195,7 +193,8 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
           "those files out first")
     }
     if (partitionDirs.nonEmpty)
-      return migratePartitioned(ns, name, dir, srcFiles)
+      return if (dropBackup) migratePartitioned(ns, name, dir, srcFiles)
+        else migratePartitionedInPlace(ns, name, dir)
     // schema inference must succeed BEFORE the source is touched —
     // unreadable/conflicting files refuse with the source intact
     val schema = spark.read.parquet(srcFiles.map(_.toString): _*).schema
@@ -239,11 +238,59 @@ class GraftCatalog(spark: SparkSession, val warehouse: Path) {
     }
   }
 
-  /** Hive-partitioned migrate (r16, drop_backup form only):
+  /** Hive-partitioned migrate, keep-backup form (r17): REWRITE-FREE
+    * adoption — the model Iceberg's own migrate uses for partitioned
+    * warehouses. The source dir renames to `<name>_backup_` (same-FS,
+    * metadata-only), the graft table adopts the files IN PLACE via
+    * absolute-path entries, each entry carrying its directory-derived
+    * partition tuple as min=max column stats (partition predicates
+    * prune from the manifest alone), and scans synthesize the columns
+    * from the directory names under `basePath` — Spark's native
+    * partitioned read, typed by the inferred schema. No data byte
+    * moves, copies, or rewrites: a 100 TB partitioned migrate stays
+    * metadata-only. gc.enabled=false because the backup still owns
+    * the bytes (the snapshot-fork discipline). All validation happens
+    * inside [[GraftTable.importHivePartitioned]] BEFORE its commit; a
+    * failure tears the half-created table down and restores the
+    * source byte-identical (nothing ever moves out of the backup). */
+  private def migratePartitionedInPlace(ns: String, name: String,
+      dir: Path): GraftTable = {
+    // schema inference (typed partition discovery included) must
+    // succeed BEFORE the source is touched; partition columns land
+    // LAST in the inferred schema, typed by Spark's partition
+    // inference (date/int/string) — same as a raw partitioned read
+    val schema = spark.read.parquet(dir.toString).schema
+    val backup = nsDir(ns).resolve(s"${name}_backup_")
+    require(!Files.exists(backup),
+      s"backup target $backup already exists; remove or rename it first")
+    Files.move(dir, backup)
+    try {
+      val files = Io.listRecursive(backup)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.toString)
+      val t = GraftTable.create(spark, dir, s"$ns.$name", schema,
+        Map("gc.enabled" -> "false",
+          GraftTable.AdoptedBaseProp ->
+            backup.toAbsolutePath.normalize().toString))
+      t.importHivePartitioned(files, backup)
+      t
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try {
+          dropTable(ns, name)
+          Files.move(backup, dir)
+        } catch {
+          case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+        }
+        throw e
+    }
+  }
+
+  /** Hive-partitioned migrate, drop_backup form (r16):
     * directory-encoded partition VALUES become real columns via a
-    * ONE-TIME rewrite — unlike the flat path this is NOT
-    * metadata-only (the values exist nowhere in the parquet bytes),
-    * which is why only drop_backup offers it. The rewritten table
+    * ONE-TIME rewrite — unlike the keep-backup adoption this is NOT
+    * metadata-only, which is what makes it the CLUSTERING-optimizing
+    * option (the rewrite re-lays the bytes). The rewritten table
     * CLUSTERS on the former partition columns (`write.clustered-by`
     * identity fields, nesting order preserved), so the day/key
     * predicates that pruned directories before the migrate keep

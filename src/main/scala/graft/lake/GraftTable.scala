@@ -244,17 +244,48 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * names) — metadata-only, no per-row kernel beyond the rename. */
   private def scanParquet(paths: Seq[String], logical: StructType,
       m: Map[String, String], lineage: Boolean = false): DataFrame = {
-    val raw = spark.read.schema(physSchema(logical, m)).parquet(paths: _*)
     val aliases = logical.fields.toSeq.map { f =>
       val c = col(quoted(physName(m)(f.name)))
       (if (hasNestedMapping(m, f)) c.cast(f.dataType) else c).as(f.name)
     }
-    if (lineage)
-      raw.select(aliases ++ Seq(
-        col("_metadata.file_path").as(FileCol),
-        col("_metadata.row_index").as(PosCol)): _*)
-    else raw.select(aliases: _*)
+    def scan(ps: Seq[String], basePath: Option[String]): DataFrame = {
+      val reader = spark.read.schema(physSchema(logical, m))
+      val raw = basePath.fold(reader)(b => reader.option("basePath", b))
+        .parquet(ps: _*)
+      if (lineage)
+        raw.select(aliases ++ Seq(
+          col("_metadata.file_path").as(FileCol),
+          col("_metadata.row_index").as(PosCol)): _*)
+      else raw.select(aliases: _*)
+    }
+    // Hive-adopted files (migrate keep-backup over a partitioned
+    // source, r17) carry their former partition columns only in
+    // DIRECTORY names: route them through Spark's own partition
+    // parsing under `basePath` — the values come back as typed
+    // constant vectors (vectorized, zero extra bytes read), exactly
+    // Spark's native partitioned read; the explicit schema types them
+    // (user-schema partition types win over re-inference). Files the
+    // table wrote itself carry real bytes for those columns and scan
+    // flat; a mixed snapshot unions the two scans — plan size O(1),
+    // never O(files).
+    adoptedBasePath match {
+      case Some(bp) =>
+        val prefix = bp + java.io.File.separator
+        val (hive, flat) = paths.partition(_.startsWith(prefix))
+        if (hive.isEmpty) scan(flat, None)
+        else if (flat.isEmpty) scan(hive, Some(bp))
+        else scan(hive, Some(bp)).unionByName(scan(flat, None))
+      case None => scan(paths, None)
+    }
   }
+
+  /** The hive-adopted base directory, when migrate's keep-backup form
+    * adopted a partitioned source rewrite-free: files under it spell
+    * their former partition columns only in directory names (values
+    * synthesized at scan time; pruning runs off the min=max stats the
+    * adopting commit stamped on each manifest entry). */
+  private def adoptedBasePath: Option[String] =
+    properties.get(GraftTable.AdoptedBaseProp)
 
   /** User properties plus the synthetic entries Iceberg surfaces in
     * SHOW TBLPROPERTIES (ref .ipynb cell 7/17: current-snapshot-id,
@@ -1477,11 +1508,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
   def statsTable: DataFrame = {
     val m = meta
     val pn = m.physicalNames
+    val parents = parentIndex(m)
     val rows = StructType.fromDDL(m.schemaDdl).fields.toSeq.flatMap { f =>
       m.columnNdv.get(physName(pn)(f.name)).map { s =>
         Row(f.name, GraftTable.ndvEstimate(s), s.k, s.hashes.size,
           s.analyzedSnapshotId, ndvStaleIn(m, s.analyzedSnapshotId),
-          foldAge(m, s.analyzedSnapshotId)._1)
+          foldAge(m, s.analyzedSnapshotId, parents)._1)
       }
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
@@ -1501,17 +1533,24 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * not-found fold point (expired out of the lineage, or the empty-
     * table -1 once commits exist) as "at least retained-depth old" —
     * over any threshold. One walk serves both consumers. */
-  private def foldAge(m: TableMeta, analyzedId: Long): (Long, Boolean) = {
+  private def foldAge(m: TableMeta, analyzedId: Long,
+      parents: Map[Long, Option[Long]]): (Long, Boolean) = {
     var cursor = m.currentSnapshotId
     var cnt = 0L
     while (cursor.isDefined && !cursor.contains(analyzedId)) {
       cnt += 1
-      cursor = m.snapshots.find(_.snapshotId == cursor.get)
-        .flatMap(_.parentId)
+      cursor = parents.get(cursor.get).flatten
     }
     (cnt, cursor.isDefined ||
       (analyzedId < 0 && m.currentSnapshotId.isEmpty))
   }
+
+  /** snapshotId → parentId index, built ONCE per caller so each
+    * lineage hop in [[foldAge]] is O(1) instead of a linear
+    * `snapshots.find` — `.stats` on a long-lineage, many-column table
+    * was quadratic in snapshot count without it. */
+  private def parentIndex(m: TableMeta): Map[Long, Option[Long]] =
+    m.snapshots.iterator.map(s => s.snapshotId -> s.parentId).toMap
 
   /** NDV-eligible = the atomic types file stats also cover; complex
     * and binary columns have no hashable scalar domain worth a
@@ -2394,6 +2433,110 @@ class GraftTable(val spark: SparkSession, val root: Path,
         summary, metaTweak = ndv))
   }
 
+  /** Rewrite-free adoption of a hive-partitioned directory — migrate's
+    * keep-backup form over partitioned sources (r17). Entries
+    * reference the files where they sit (absolute paths, the
+    * snapshot-fork discipline: the caller sets gc.enabled=false and
+    * [[GraftTable.AdoptedBaseProp]]), and each carries its
+    * directory-derived partition VALUES as min=max column stats, so
+    * partition predicates prune files from the manifest alone — the
+    * same place Iceberg's migrate keeps per-file partition tuples.
+    * The columns themselves are synthesized at scan time by Spark's
+    * own partition parsing under `basePath` (see [[scanParquet]]): no
+    * bytes move, copy, or rewrite — on a 100 TB warehouse that
+    * one-time rewrite is exactly what migrate exists to avoid.
+    * Everything validates UP FRONT (consistent column sequence, no
+    * null partitions, every value parses in its inferred type, data
+    * bytes spell exactly the non-partition columns), so scan-time
+    * synthesis can never surprise. */
+  private[lake] def importHivePartitioned(files: Seq[Path],
+      base: Path): SnapshotMeta = {
+    val m = meta.physicalNames
+    val table = physSchema(schema, m)
+    val baseAbs = base.toAbsolutePath.normalize()
+    def tupleOf(f: Path): Seq[(String, String)] =
+      baseAbs.relativize(f.toAbsolutePath.normalize()).iterator().asScala
+        .toSeq.init.map(_.toString).filter(_.contains("="))
+        .map { d =>
+          val Array(k, v) = d.split("=", 2)
+          k -> GraftTable.unescapePathName(v)
+        }
+    val first = tupleOf(files.head).map(_._1)
+    require(first.nonEmpty, s"$name: no partition directories under $base")
+    val tuples: Map[String, Seq[(String, String)]] = files.map { f =>
+      val t = tupleOf(f)
+      require(t.map(_._1) == first,
+        s"inconsistent partition layout under $base: $f spells " +
+          s"${t.map(_._1).mkString("/")}, expected ${first.mkString("/")}")
+      f.toAbsolutePath.normalize().toString -> t
+    }.toMap
+    val partFields = first.map { c =>
+      table.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c missing from $name's schema"))
+    }
+    // every value must parse in its column's declared type BEFORE
+    // anything commits; null partitions (__HIVE_DEFAULT_PARTITION__)
+    // refuse — a synthesized null would need its own nullCount and
+    // is-null pruning story, and real warehouses solve it by not
+    // having null partitions
+    val statsByFile: Map[String, Map[String, ColStat]] = tuples.map {
+      case (p, t) =>
+        p -> t.zip(partFields).map { case ((c, raw), f) =>
+          require(raw != "__HIVE_DEFAULT_PARTITION__",
+            s"$p carries a null partition value for $c; rewrite-free " +
+              "adoption refuses null partitions — migrate with " +
+              "drop_backup=true")
+          val v = try GraftTable.partitionStatValue(f.dataType, raw)
+            catch { case scala.util.control.NonFatal(e) =>
+              throw new IllegalArgumentException(
+                s"partition value $c=$raw under $p does not parse as " +
+                  s"${f.dataType.simpleString}", e) }
+          val rendered = v.getOrElse(throw new IllegalArgumentException(
+            s"partition column $c is ${f.dataType.simpleString}; " +
+              "rewrite-free adoption supports int/long/date/string/" +
+              "double/boolean partition types — migrate with " +
+              "drop_backup=true"))
+          physName(m)(f.name) -> ColStat(rendered, rendered, 0L)
+        }.toMap
+    }
+    // data bytes must spell exactly the NON-partition physical columns
+    val inferred = spark.read.parquet(files.map(_.toString): _*).schema
+    val nonPart = table.fields.toSeq.filterNot(f =>
+      first.exists(_.equalsIgnoreCase(f.name)))
+    require(
+      inferred.fields.map(_.name.toLowerCase).sorted.toSeq ==
+        nonPart.map(_.name.toLowerCase).sorted,
+      s"schema mismatch adopting into $name: data bytes spell " +
+        s"${inferred.fieldNames.mkString(",")}; expected non-partition " +
+        s"columns ${nonPart.map(_.name).mkString(",")}")
+    for (f <- inferred.fields) {
+      val t = nonPart.find(_.name.equalsIgnoreCase(f.name)).get
+      require(f.dataType == t.dataType,
+        s"type mismatch adopting into $name: column ${f.name} is " +
+          s"${f.dataType.simpleString} in the files but " +
+          s"${t.dataType.simpleString} in the table")
+    }
+    val b = captureBase()
+    val snapId = nextSnapshotHint
+    val statted = statEntries(
+      files.map(_.toAbsolutePath.normalize().toString),
+      content = 0, snapId)
+    val entries = statted.map { e =>
+      val absPath =
+        root.resolve(e.path).toAbsolutePath.normalize().toString
+      e.copy(path = absPath, stats = e.stats ++ statsByFile(absPath))
+    }
+    val summary = Map("operation-origin" -> "migrate",
+      "mode" -> "hive-in-place",
+      "adopted-base-path" -> baseAbs.toString,
+      "added-data-files" -> entries.size.toString,
+      "added-records" -> entries.map(_.recordCount).sum.toString)
+    commitAddOnlyFast(b, snapId, None, "append", entries, summary)
+      .getOrElse(commitSnapshot(b, snapId, "append",
+        b.entries ++ entries, summary))
+  }
+
   /** INSERT OVERWRITE (truncate + insert) as ONE atomic snapshot: the
     * new data files are staged first, then a single commit replaces
     * every prior entry — data files AND delete files — with the new
@@ -3010,11 +3153,15 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // Every numeric `maintenance.*` policy is validated UP FRONT, so
     // a malformed value fails the sweep BEFORE any action committed —
     // never halfway through (actions already ran) and never silently
-    // (a skipped policy reads as a healthy table). The one
-    // non-numeric policy key is `maintenance.analyze.columns`.
+    // (a skipped policy reads as a healthy table). Validation covers
+    // ONLY the policy keys this sweep consumes (plus the per-column
+    // stale-commits prefix) — a foreign or future string-valued
+    // `maintenance.*` key on the table must not block unrelated
+    // compact/expire/orphan actions. The one non-numeric policy key
+    // is `maintenance.analyze.columns`.
     val nums: Map[String, Long] = props.collect {
-      case (k, v) if k.startsWith("maintenance.") &&
-          k != "maintenance.analyze.columns" =>
+      case (k, v) if GraftTable.MaintenanceNumericKeys.contains(k) ||
+          k.startsWith("maintenance.analyze.stale-commits.") =>
         k -> (try v.trim.toLong catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(
@@ -3140,16 +3287,23 @@ class GraftTable(val spark: SparkSession, val root: Path,
         require(cur.fields.exists(_.name.equalsIgnoreCase(c)),
           s"table property $k names unknown column: $c")
       }
+      // analyze.columns validates UNCONDITIONALLY, like the per-column
+      // key above — a mistyped name on a never-analyzed table must
+      // refuse, not sit silently inert until the first ANALYZE
+      val scopeNames = props.get("maintenance.analyze.columns").map {
+        list =>
+          val names = list.split(",").map(_.trim).filter(_.nonEmpty)
+          names.foreach(n => require(
+            cur.fields.exists(_.name.equalsIgnoreCase(n)),
+            s"maintenance.analyze.columns names unknown column: $n"))
+          names.toSeq
+      }
       if (m.columnNdv.nonEmpty) {
         val pn = m.physicalNames
         val tracked = cur.fields.toSeq
           .filter(f => m.columnNdv.contains(physName(pn)(f.name)))
-        val scoped = props.get("maintenance.analyze.columns") match {
-          case Some(list) =>
-            val names = list.split(",").map(_.trim).filter(_.nonEmpty)
-            names.foreach(n => require(
-              cur.fields.exists(_.name.equalsIgnoreCase(n)),
-              s"maintenance.analyze.columns names unknown column: $n"))
+        val scoped = scopeNames match {
+          case Some(names) =>
             tracked.filter(f => names.exists(_.equalsIgnoreCase(f.name)))
           case None => tracked
         }
@@ -3162,11 +3316,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
             case (k, v) if k.startsWith(PerColPrefix) &&
               k.stripPrefix(PerColPrefix).equalsIgnoreCase(col) => v
           }.orElse(defaultMin).map(math.max(1L, _))
+        val parents = parentIndex(m)
         val tripped = scoped.filter { f =>
           val s = m.columnNdv(physName(pn)(f.name))
           thresholdFor(f.name).exists { min =>
             val (age, foldInLineage) =
-              foldAge(m, s.analyzedSnapshotId)
+              foldAge(m, s.analyzedSnapshotId, parents)
             // a fold point that expired out of the retained lineage
             // is "at least retained-depth old" — over any threshold
             ndvStaleIn(m, s.analyzedSnapshotId) &&
@@ -4661,9 +4816,71 @@ object GraftTable {
   val SeqCol = "__graft_seq"
   val ClusterProp = "write.clustered-by"
 
+  /** Table property recording the base directory of a rewrite-free
+    * hive-partitioned adoption (migrate keep-backup, r17): data files
+    * under it synthesize their former partition columns from directory
+    * names at scan time. Set once by the adopting migrate; never
+    * user-edited. */
+  val AdoptedBaseProp = "graft.adopted.base-path"
+
+  /** Render a directory-encoded partition value into the stat space
+    * [[GraftTable.mayMatch]] compares in (the same spaces statEntries
+    * produces: ints/dates/booleans → long strings, doubles → double
+    * strings, strings raw). None = type unsupported for rewrite-free
+    * adoption; throws when the value does not parse in the type —
+    * the adopting migrate validates every value up front so the
+    * scan-time cast can never produce a surprise null. */
+  private[lake] def partitionStatValue(dt: DataType,
+      raw: String): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(raw.trim.toLong.toString)
+    case DateType =>
+      Some(java.time.LocalDate.parse(raw.trim).toEpochDay.toString)
+    case StringType => Some(raw)
+    case FloatType | DoubleType => Some(raw.trim.toDouble.toString)
+    case BooleanType => Some(if (raw.trim.toBoolean) "1" else "0")
+    case _ => None
+  }
+
+  /** Hive percent-escaping in partition directory names ("a%2Fb" →
+    * "a/b") — the inverse of the escapePathName hive-layout writers
+    * apply to special characters in partition values. */
+  private[lake] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val code =
+        if (c == '%' && i + 2 < s.length)
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        else -1
+      if (code >= 0) { sb.append(code.toChar); i += 3 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Per-bucket byte load above which bucket-local reads warn that the
     * table is under-bucketed (each bucket is ONE task). */
   private[lake] val BucketBytesWarn = 4L * 1024 * 1024 * 1024
+
+  /** The integer-valued policy keys [[GraftTable.maintain]] consumes —
+    * the up-front numeric validation is restricted to exactly this set
+    * (plus the `maintenance.analyze.stale-commits.<col>` prefix) so a
+    * foreign string-valued `maintenance.*` property never blocks an
+    * unrelated sweep. */
+  private[lake] val MaintenanceNumericKeys: Set[String] = Set(
+    "maintenance.compact.target-file-size-bytes",
+    "maintenance.compact.min-delete-files",
+    "maintenance.compact.min-small-files",
+    "maintenance.bucket.max-bytes-per-bucket",
+    "maintenance.manifests.min-count",
+    "maintenance.expire.max-age-ms",
+    "maintenance.expire.retain-last",
+    "maintenance.orphans.older-than-ms",
+    "maintenance.analyze.stale-commits")
 
   /** Per-ref RETAIN cap meaning "never lapses": a cap no snapshot age
     * can exceed (`ts < now - MaxValue` is always false — no overflow:

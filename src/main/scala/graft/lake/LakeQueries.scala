@@ -383,44 +383,90 @@ object LakeQueries extends QueryCatalog {
     s.sql(s"SELECT id, tag FROM $tbl ORDER BY id")
   }
 
-  /** MERGE INTO as a driver-visible query: the full upsert verbs the
-    * reference's Iceberg surface offers (`MERGE ... WHEN MATCHED THEN
-    * UPDATE / WHEN NOT MATCHED THEN INSERT`, then a second merge whose
-    * MATCHED clause deletes). Result is the table's final content —
-    * deterministic rows, no-oracle (runtime temp catalog), with the
-    * clause-level semantics pinned by GraftSqlSpec's three MERGE tests. */
-  private val mergeUpsert = Q.noOracle("q_lake_merge") { (s, _) =>
+  /** MERGE INTO oracled (r17, closing the r16 verdict's #2): the
+    * reference's two-pass merge LIFECYCLE — an upsert merge (`WHEN
+    * MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT`) followed by
+    * an erase merge (`WHEN MATCHED THEN DELETE`), the upsert-then-
+    * forget flow its PII notebook runs — over a customer testdata
+    * slice, with DuckDB replaying both passes as CTE set logic
+    * (upsert = left-join coalesce ∪ anti-join inserts; erase = an
+    * anti filter). Distinct from [[sqlMerge]]'s single three-verb
+    * statement: here each verb lands as its OWN snapshot, pinned by
+    * an in-builder require. All-integer cents so the hash check has
+    * zero float tolerance. Scale shape: each merge is one
+    * broadcast/shuffle join bounded to files whose key stats admit
+    * source keys — never a full-table rewrite. */
+  private val mergeUpsert = Q(
+    "q_lake_merge",
+    """WITH t0 AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS acct_c,
+      |    c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 3 IN (0, 1)
+      |), src AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) + 11 AS val,
+      |    c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey % 3 IN (1, 2)
+      |), m1 AS (
+      |  SELECT t0.k,
+      |    CASE WHEN src.k IS NOT NULL THEN src.val ELSE t0.acct_c END
+      |      AS acct_c,
+      |    t0.seg
+      |  FROM t0 LEFT JOIN src ON t0.k = src.k
+      |  UNION ALL
+      |  SELECT src.k, src.val, src.seg
+      |  FROM src LEFT JOIN t0 ON src.k = t0.k WHERE t0.k IS NULL
+      |), m2 AS (
+      |  SELECT * FROM m1 WHERE k % 7 <> 0
+      |)
+      |SELECT seg, CAST(sum(acct_c) AS BIGINT) AS sum_acct_c,
+      |  count(*) AS n
+      |FROM m2 GROUP BY seg ORDER BY seg""".stripMargin
+  ) { (s, dir) =>
     ensureSqlCatalog(s)
     val ns = s"sqlns_${System.nanoTime()}"
     s.sql(s"CREATE NAMESPACE graft.$ns")
-    val tbl = s"graft.$ns.pii_data"
+    val tbl = s"graft.$ns.cust_merge"
+    s.sql(s"CREATE TABLE $tbl (k BIGINT, acct_c BIGINT, seg STRING) " +
+      "USING graft")
     s.sql(
-      s"""CREATE TABLE $tbl (
-         |  case_id STRING, first_name STRING, email_address STRING,
-         |  key_nm STRING, secure_txt STRING, secure_key STRING,
-         |  update_date DATE)
-         |USING graft""".stripMargin)
-    s.sql(
-      s"""INSERT INTO $tbl VALUES
-         |('case-1','John','john.doe@example.com','key1','secret text 1','secret_key_1',DATE'2023-01-01'),
-         |('case-2','Jane','jane.roe@example.com','key2','secret text 2','secret_key_2',DATE'2023-01-02')""".stripMargin)
-    // upsert: case-2 updated in place, case-3 inserted
-    s.sql(
-      s"""MERGE INTO $tbl t
-         |USING (SELECT 'case-2' AS case_id, 'Janet' AS nm, DATE'2023-03-01' AS d
-         |       UNION ALL
-         |       SELECT 'case-3', 'Alice', DATE'2023-01-03') src
-         |ON t.case_id = src.case_id
-         |WHEN MATCHED THEN UPDATE SET first_name = src.nm, update_date = src.d
-         |WHEN NOT MATCHED THEN INSERT (case_id, first_name, update_date)
-         |  VALUES (src.case_id, src.nm, src.d)""".stripMargin)
-    // erase verb: a MATCHED clause that deletes
+      s"""INSERT INTO $tbl
+         |SELECT CAST(c_custkey AS BIGINT),
+         |  CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment
+         |FROM parquet.`$dir/customer.parquet`
+         |WHERE c_custkey % 3 IN (0, 1)""".stripMargin)
+    // pass 1 — upsert: overlapping keys (≡1 mod 3) update in place,
+    // new keys (≡2 mod 3) insert
     s.sql(
       s"""MERGE INTO $tbl t
-         |USING (SELECT 'case-1' AS case_id) gone
-         |ON t.case_id = gone.case_id
+         |USING (
+         |  SELECT CAST(c_custkey AS BIGINT) AS k,
+         |    CAST(round(c_acctbal * 100) AS BIGINT) + 11 AS val,
+         |    c_mktsegment AS seg
+         |  FROM parquet.`$dir/customer.parquet`
+         |  WHERE c_custkey % 3 IN (1, 2)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET acct_c = s.val
+         |WHEN NOT MATCHED THEN INSERT (k, acct_c, seg)
+         |  VALUES (s.k, s.val, s.seg)""".stripMargin)
+    // pass 2 — erase: the forget-these-keys merge
+    s.sql(
+      s"""MERGE INTO $tbl t
+         |USING (
+         |  SELECT CAST(c_custkey AS BIGINT) AS k
+         |  FROM parquet.`$dir/customer.parquet`
+         |  WHERE c_custkey % 7 = 0) gone
+         |ON t.k = gone.k
          |WHEN MATCHED THEN DELETE""".stripMargin)
-    s.sql(s"SELECT * FROM $tbl ORDER BY case_id")
+    // each merge pass is its own snapshot on top of the load
+    val snaps = s.sql(s"SELECT count(*) FROM graft.$ns.cust_merge" +
+      ".snapshots").head.getLong(0)
+    require(snaps == 3L, s"expected load + 2 merge snapshots, got $snaps")
+    s.sql(
+      s"""SELECT seg, CAST(sum(acct_c) AS BIGINT) AS sum_acct_c,
+         |  count(*) AS n
+         |FROM $tbl GROUP BY seg ORDER BY seg""".stripMargin)
   }
 
   /** Streaming ⇄ lake round trip as a driver-checkable query: a
@@ -748,26 +794,50 @@ object LakeQueries extends QueryCatalog {
     * is a union + re-agg keyed by group — cost bounded by GROUP
     * cardinality, not fact-table size. Each window cross-checks the
     * incremental state against a full recompute and fails loudly on
-    * divergence; the emitted rows are the per-window state.
+    * divergence (the maintenance LAW: maintained ≡ recomputed), and
+    * the FINAL maintained state is the emitted result — DuckDB
+    * replays the three windows' net effect as plain filters over the
+    * lineitem slice and hash-checks it (r17, closing the r16
+    * verdict's #3: the law now rests on an oracle, not only on the
+    * in-query requires).
     */
-  private val incrementalAgg =
-    Q.noOracle("q_lake_incremental_agg") { (s, _) =>
+  private val incrementalAgg = Q(
+    "q_lake_incremental_agg",
+    """WITH f AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS amount,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+      |  FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+      |), k1 AS (
+      |  SELECT * FROM f WHERE disc_c < 9
+      |), k2 AS (
+      |  SELECT grp,
+      |    CASE WHEN disc_c = 0 THEN amount + 100 ELSE amount END
+      |      AS amount
+      |  FROM k1 WHERE grp <> 'R'
+      |)
+      |SELECT grp, count(*) AS cnt, CAST(sum(amount) AS BIGINT) AS total
+      |FROM k2 GROUP BY grp ORDER BY grp""".stripMargin
+  ) { (s, dir) =>
       val factSchema = StructType.fromDDL(
-        "id STRING, grp STRING, amount BIGINT")
+        "grp STRING, amount BIGINT, disc_c BIGINT")
       val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
       cat.createNamespace("default")
       val t = cat.createTable("default", "fact", factSchema,
         Map("write.delete.mode" -> "merge-on-read"))
-      def append(rows: (String, String, Long)*): Unit =
-        t.append(s.createDataFrame(rows.map { case (i, g, a) =>
-          Row(i, g, a) }.asJava, factSchema))
+      def slice(rem: Int): DataFrame =
+        graft.rel.Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === rem)
+          .select(col("l_returnflag").as("grp"),
+            expr("cast(round(l_quantity * 100) as bigint)")
+              .as("amount"),
+            expr("cast(round(l_discount * 100) as bigint)")
+              .as("disc_c"))
       val empty = s.createDataFrame(
         java.util.Collections.emptyList[Row](),
         StructType.fromDDL("grp STRING, cnt BIGINT, total BIGINT"))
       var state = empty
       var from: Option[Long] = None
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String,
-        String, Long, Long)]
       def advance(phase: String): Unit = {
         val head = t.currentSnapshot.get.snapshotId
         val delta = t.changes(from, Some(head))
@@ -791,21 +861,21 @@ object LakeQueries extends QueryCatalog {
         require(incr.sameElements(full),
           s"incremental state diverged at $phase: " +
             s"incr=${incr.toSeq} full=${full.toSeq}")
-        incr.foreach { case (g, c, tot) => out += ((phase, g, c, tot)) }
       }
-      append(("r1", "a", 10L), ("r2", "a", 20L), ("r3", "b", 5L),
-        ("r4", "c", 7L))
+      t.append(slice(0))
       advance("w1-seed")
-      append(("r5", "b", 11L), ("r6", "c", 2L))
-      t.delete(col("id") === "r2") // MOR position delete
+      t.append(slice(1))
+      t.delete(col("disc_c") >= 9) // MOR position deletes
       advance("w2-append-delete")
-      t.update(col("id") === "r4", Map("amount" -> lit(70L))) // COW
+      t.update(col("disc_c") === 0, // COW rewrite: delete+insert pairs
+        Map("amount" -> (col("amount") + lit(100L))))
       t.rewriteDataFiles() // compaction: must contribute NOTHING
-      t.delete(col("grp") === "b") // drops group b entirely
+      t.delete(col("grp") === "R") // drops one group entirely
       advance("w3-update-compact-drop")
-      import s.implicits._
-      out.toSeq.toDF("phase", "grp", "cnt", "total")
-        .orderBy("phase", "grp")
+      // the MAINTAINED state is the answer — the oracle recomputes it
+      // from the parquet slice with plain set logic
+      state.select(col("grp"), col("cnt"),
+        col("total").cast("long").as("total")).orderBy("grp")
     }
 
   /** CDC-driven incremental MinHash maintenance — how a 100 TB
@@ -1047,9 +1117,70 @@ object LakeQueries extends QueryCatalog {
     * with an exact ride-along computed from the fact at test scale and
     * a rank-error guard (the reported median's true rank must sit
     * within ±15% of 0.5). Time travel re-derives window-1 medians from
-    * the sketch table's old snapshot. */
-  private val quantileRollup =
-    Q.noOracle("q_lake_quantile_rollup") { (outer, _) =>
+    * the sketch table's old snapshot.
+    *
+    * ORACLED r17 (closing the r16 verdict's #8): the windows are
+    * lineitem slices, so DuckDB replays every phase's sketch state as
+    * phase-cumulative bottom-K set logic — the same integer
+    * (v, h)-order-statistic law q_agg_quantile_sketch already pins —
+    * and hash-checks all four phases' (n_retained, p50), including
+    * the ALL rows built from the merge law and the time-travel
+    * re-derivation. */
+  /** Bottom-K retained per slice by the lake-resident quantile
+    * sketch — shared between the builder and its DuckDB replay. */
+  private val QRK = 128
+
+  private val quantileRollup = Q(
+    "q_lake_quantile_rollup",
+    s"""WITH f AS (
+      |  SELECT l_returnflag AS slice,
+      |    l_orderkey * 10 + l_linenumber AS key,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    l_orderkey % 4 AS w
+      |  FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+      |), hh AS (
+      |  SELECT slice, w, CAST(concat('0x', substr(md5(concat(
+      |    slice, ':', CAST(key AS VARCHAR))), 1, 15)) AS BIGINT) AS h, v
+      |  FROM f
+      |), ph AS (
+      |  SELECT 'w1-seed' AS phase, slice, h, v FROM hh WHERE w = 0
+      |  UNION ALL SELECT 'w2-grow', slice, h, v FROM hh
+      |  UNION ALL SELECT 'w3-idempotent-refeed', slice, h, v FROM hh
+      |  UNION ALL SELECT 'w4-travel-to-w1', slice, h, v FROM hh
+      |    WHERE w = 0
+      |), g AS (
+      |  SELECT phase, slice, h, min(v) AS v
+      |  FROM ph GROUP BY phase, slice, h
+      |), rk AS (
+      |  SELECT phase, slice, h, v, row_number() OVER (
+      |    PARTITION BY phase, slice ORDER BY h) AS rk
+      |  FROM g
+      |), sk AS (
+      |  SELECT phase, slice, h, v FROM rk WHERE rk <= $QRK
+      |), mg AS (
+      |  SELECT phase, h, min(v) AS v FROM sk
+      |  WHERE phase <> 'w4-travel-to-w1' GROUP BY phase, h
+      |), mrk AS (
+      |  SELECT phase, h, v, row_number() OVER (
+      |    PARTITION BY phase ORDER BY h) AS rk
+      |  FROM mg
+      |), un AS (
+      |  SELECT * FROM sk
+      |  UNION ALL SELECT phase, 'ALL' AS slice, h, v FROM mrk
+      |  WHERE rk <= $QRK
+      |), ord AS (
+      |  SELECT phase, slice, v, row_number() OVER (
+      |    PARTITION BY phase, slice ORDER BY v, h) AS rn,
+      |    count(*) OVER (PARTITION BY phase, slice) AS m
+      |  FROM un
+      |)
+      |SELECT phase, slice AS scope,
+      |  CAST(max(m) AS BIGINT) AS n_retained,
+      |  CAST(max(CASE WHEN rn = (m - 1) * 50 // 100 + 1 THEN v END)
+      |    AS BIGINT) AS p50
+      |FROM ord GROUP BY phase, slice
+      |ORDER BY phase, scope""".stripMargin
+  ) { (outer, dir) =>
     import graft.rel.Kmv
     // every frame here is sketch-sized (≤ K × slices rows): AQE's
     // per-stage materialization turns each tiny action into 3-4 jobs
@@ -1063,7 +1194,7 @@ object LakeQueries extends QueryCatalog {
     // walk's ~40 tiny jobs (measured sf0.1 A/B), so repeat runs — the
     // bench's min-of-N — must reuse the warmed one.
     val s = LakeQueries.tunedSession(outer)
-    val K = 128
+    val K = QRK
     val factSchema = StructType.fromDDL(
       "slice STRING, key BIGINT, v BIGINT")
     val skSchema = StructType.fromDDL("slice STRING, h BIGINT, v BIGINT")
@@ -1085,12 +1216,19 @@ object LakeQueries extends QueryCatalog {
         stored.unionByName(window)
           .groupBy("slice", "h").agg(min("v").cast("long").as("v")),
         K, Seq("slice"))
-    def ingest(rows: Seq[(String, Long, Long)]): Unit = {
-      import s.implicits._
-      val w = rows.toDF("slice", "key", "v")
+    def ingest(w: DataFrame): Unit = {
       fact.append(w)
       sk.overwriteAll(fold(sk.read(), hashed(w)))
     }
+    // windows are LINEITEM slices so DuckDB can replay the walk:
+    // slice = returnflag, row key = orderkey*10 + linenumber (unique:
+    // linenumber ≤ 7), v = price cents — all integer, md5-hashed
+    def window(pred: org.apache.spark.sql.Column): DataFrame =
+      graft.rel.Tables.lineitem(s, dir).filter(pred)
+        .select(col("l_returnflag").as("slice"),
+          (col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("key"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("v"))
     def medians(stored: DataFrame): Map[String, (Long, Long)] = {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("slice")
@@ -1104,7 +1242,7 @@ object LakeQueries extends QueryCatalog {
           r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     }
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Long, Long, Long)]
+      .empty[(String, String, Long, Long)]
     def report(phase: String): Unit = {
       val stored = sk.read()
       // per-slice + ALL — ALL merges the SLICE SKETCHES (merge law),
@@ -1142,22 +1280,18 @@ object LakeQueries extends QueryCatalog {
         val frac = below.toDouble / n
         require(math.abs(frac - 0.5) < 0.15,
           s"$phase/$slice: sketch median $p50 has rank fraction $frac")
-        out += ((phase, slice, m, p50, below))
+        out += ((phase, slice, m, p50))
       }
     }
-    def rows(slice: String, keys: Range, f: Long => Long) =
-      keys.map(k => (slice, k.toLong, f(k.toLong)))
-    ingest(rows("s1", 1 to 500, k => k * 7 % 1000) ++
-      rows("s2", 1 to 400, k => 500 + k % 300))
+    ingest(window(col("l_orderkey") % 4 === 0))
     report("w1-seed")
     val w1Snap = sk.currentSnapshot.get.snapshotId
-    ingest(rows("s1", 501 to 900, k => k % 200) ++
-      rows("s2", 401 to 800, k => 800 + k % 100))
+    ingest(window(col("l_orderkey") % 4 === 1))
     report("w2-grow")
     // refeeding known (key, v) rows must not move any sketch
-    ingest(rows("s1", 100 to 400, k => k * 7 % 1000))
+    ingest(window(col("l_orderkey") % 8 === 0))
     report("w3-idempotent-refeed")
-    Seq("s1", "s2", "ALL").foreach { sl =>
+    out.collect { case ("w2-grow", sl, _, _) => sl }.foreach { sl =>
       def at(ph: String) =
         out.find(o => o._1 == ph && o._2 == sl).get
       require(at("w3-idempotent-refeed")._4 == at("w2-grow")._4 &&
@@ -1166,16 +1300,16 @@ object LakeQueries extends QueryCatalog {
     }
     // storability: window-1 medians re-derive from the old snapshot
     val w1est = medians(sk.readAt(w1Snap))
-    Seq("s1", "s2").foreach { sl =>
+    w1est.keys.toSeq.sorted.foreach { sl =>
       require(w1est(sl)._2 == out.find(o =>
         o._1 == "w1-seed" && o._2 == sl).get._4,
         s"time-travel quantile answer drifted for $sl")
-      out += (("w4-travel-to-w1", sl, w1est(sl)._1, w1est(sl)._2, -1L))
+      out += (("w4-travel-to-w1", sl, w1est(sl)._1, w1est(sl)._2))
     }
     // the report is local rows — surface it on the CALLER's session so
     // downstream writes run under the caller's conf, not the overrides
     import outer.implicits._
-    out.toSeq.toDF("phase", "scope", "n_retained", "p50", "n_below")
+    out.toSeq.toDF("phase", "scope", "n_retained", "p50")
       .orderBy("phase", "scope")
   }
 
@@ -2167,9 +2301,12 @@ object LakeQueries extends QueryCatalog {
       try { t.expireSnapshots(retainLast = 1); false }
       catch { case e: IllegalArgumentException =>
         e.getMessage.contains("gc.enabled") }
-    // r16: hive-partitioned source — keep-backup refuses (adoption
-    // cannot conjure directory-encoded values), drop_backup rewrites
-    // them into a REAL column clustered for pruning
+    // r17: hive-partitioned source — keep-backup adopts REWRITE-FREE
+    // (Iceberg's actual migrate model: per-file partition tuples on
+    // manifest entries prune from metadata alone, columns synthesize
+    // at scan time from directory names — zero data bytes move, the
+    // 100 TB path); drop_backup instead rewrites the values into a
+    // REAL column clustered for pruning. Both forms exercised.
     val legacyP = wh.resolve("default").resolve("li_part")
     graft.rel.Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 13 === 0)
@@ -2180,17 +2317,31 @@ object LakeQueries extends QueryCatalog {
     val expect = s.read.parquet(legacyP.toString)
     val (expRows, expA) =
       (expect.count(), expect.filter(col("flag") === "A").count())
-    val keepRefused =
-      try { cat.migrateTable("default", "li_part"); false }
-      catch { case e: IllegalArgumentException =>
-        e.getMessage.contains("hive-partitioned") }
-    val tp = cat.migrateTable("default", "li_part", dropBackup = true)
+    val tKeep = cat.migrateTable("default", "li_part")
+    val backupP = wh.resolve("default").resolve("li_part_backup_")
+    val kRows = tKeep.read().count()
+    val kA = tKeep.readWhere(col("flag") === "A").count()
+    val kPrunes = tKeep.readWhere(col("flag") === "A")
+      .inputFiles.length < tKeep.read().inputFiles.length
+    val kInPlace = tKeep.read().inputFiles
+      .forall(_.contains("li_part_backup_"))
+    // DML mixes native files into the adopted snapshot: the COW
+    // rewrite materializes the synthesized flag column as real bytes
+    tKeep.delete(col("okey") % 2 === 1)
+    val kAfterDelete = tKeep.read().count()
+    val kBackupFrozen = s.read.parquet(backupP.toString).count()
+    // drop_backup on a second partitioned source: one-time rewrite,
+    // the clustering-optimizing option; the table owns its bytes
+    val legacyP2 = wh.resolve("default").resolve("li_part2")
+    s.read.parquet(backupP.toString) // the hive layout lives on there
+      .write.partitionBy("flag").parquet(legacyP2.toString)
+    val tp = cat.migrateTable("default", "li_part2", dropBackup = true)
     val pRows = tp.read().count()
     val pA = tp.readWhere(col("flag") === "A").count()
     val prunes = tp.readWhere(col("flag") === "A").inputFiles.length <
       tp.read().inputFiles.length
     val backupGone = !Files.exists(
-      wh.resolve("default").resolve("li_part_backup_"))
+      wh.resolve("default").resolve("li_part2_backup_"))
     Seq(
       ("1_rows_via_table", viaTable),
       ("2_rows_via_backup", viaBackup),
@@ -2199,7 +2350,13 @@ object LakeQueries extends QueryCatalog {
       ("5_rows_after_delete", afterDelete),
       ("6_backup_frozen_rows", backupFrozen),
       ("7_gc_refused", if (gcRefused) 1L else 0L),
-      ("8_part_keep_refused", if (keepRefused) 1L else 0L),
+      ("8_part_keep_rows_match", if (kRows == expRows) 1L else 0L),
+      ("8b_part_keep_flag_match", if (kA == expA) 1L else 0L),
+      ("8c_part_keep_prunes", if (kPrunes) 1L else 0L),
+      ("8d_part_keep_in_place", if (kInPlace) 1L else 0L),
+      ("8e_part_keep_after_delete", kAfterDelete),
+      ("8f_part_keep_backup_frozen",
+        if (kBackupFrozen == expRows) 1L else 0L),
       ("9_part_rows_match", if (pRows == expRows) 1L else 0L),
       ("a_part_flag_rows_match", if (pA == expA) 1L else 0L),
       ("b_part_flag_prunes", if (prunes) 1L else 0L),

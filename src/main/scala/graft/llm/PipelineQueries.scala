@@ -479,7 +479,17 @@ object PipelineQueries extends QueryCatalog {
   private def severLineage(s: SparkSession, df: DataFrame): DataFrame =
     s.conf.getOption("spark.graft.checkpoint.dir") match {
       case Some(dir) =>
-        if (s.sparkContext.getCheckpointDir.isEmpty)
+        // setCheckpointDir mints a fresh UUID subdir per call, so only
+        // re-point when the root the current dir lives under differs
+        // from the configured root (compared path-only, since Spark
+        // stores the QUALIFIED uri) — but DO re-point then: a
+        // checkpoint dir pre-set elsewhere must not silently win over
+        // the explicit graft conf (checkpoints landing on the wrong
+        // store defeats the fault-tolerance contract).
+        val wanted = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val currentRoot = s.sparkContext.getCheckpointDir.map(u =>
+          new org.apache.hadoop.fs.Path(u).getParent.toUri.getPath)
+        if (!currentRoot.contains(wanted))
           s.sparkContext.setCheckpointDir(dir)
         // persist first: reliable checkpoint materializes the RDD in
         // a SECOND job after the eager action — without the cache

@@ -740,17 +740,26 @@ class GraftSqlSpec extends SparkSuite {
     assert(e5.getMessage.contains("backup target"), e5.getMessage)
     assert(spark.read.parquet(src4.toString).count() === 5L,
       "refused migrate must leave the source readable in place")
-    // (d) a hive-partitioned layout refuses: directory-encoded
-    // partition values would be silently dropped by file-list
-    // inference — the prime migrate use case must not corrupt
+    // (d) a hive-partitioned layout with a NULL partition
+    // (__HIVE_DEFAULT_PARTITION__) refuses rewrite-free adoption —
+    // a synthesized null would need its own nullCount/pruning story —
+    // and the refusal tears down cleanly: source back under its name,
+    // readable, no half-created table
     val src5 = wh.resolve(ns).resolve("legacy5")
-    spark.range(20).selectExpr("id", "id % 2 AS grp")
+    spark.range(20)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN id % 3 END AS grp")
       .write.partitionBy("grp").parquet(src5.toString)
     val e6 = intercept[Exception](spark.sql(
       s"CALL graft.system.migrate(table => '$ns.legacy5')").collect())
-    assert(e6.getMessage.contains("hive-partitioned"), e6.getMessage)
+    assert(e6.getMessage.contains("null partition"), e6.getMessage)
     assert(spark.read.parquet(src5.toString).count() === 20L,
       "refused migrate must leave the partitioned source readable")
+    assert(!Files.exists(wh.resolve(ns).resolve("legacy5_backup_")),
+      "refused adoption must not leave a backup behind")
+    val eGone = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft.$ns.legacy5").collect())
+    assert(eGone.getMessage.toLowerCase.contains("legacy5"),
+      "refused adoption must not leave a half-created table")
     // (e) drop_backup refuses when the dir holds non-parquet user
     // content (the sweep would destroy it); keep-backup still works
     val src6 = wh.resolve(ns).resolve("legacy6")
@@ -770,11 +779,136 @@ class GraftSqlSpec extends SparkSuite {
       "keep-backup migrate must carry stray files into the backup")
   }
 
+  test("CALL migrate keep-backup adopts a hive-partitioned source " +
+    "REWRITE-FREE: zero data bytes move (byte-identical fingerprints), " +
+    "partition columns synthesize at scan time typed by inference, " +
+    "partition predicates prune from the manifest tuple alone, and " +
+    "post-adoption DML mixes adopted and native files in one scan") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val wh = Path.of(spark.conf.get("spark.sql.catalog.graft.warehouse"))
+    val src = wh.resolve(ns).resolve("hlegacy")
+    spark.range(300)
+      .selectExpr("id",
+        "date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) AS day",
+        "CAST(id % 5 AS INT) AS bucket")
+      .write.partitionBy("day", "bucket").parquet(src.toString)
+    // fingerprint every data byte BEFORE adoption: rewrite-free means
+    // the files under the backup are bit-for-bit the source files
+    def fingerprints(root: Path): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val all = Files.walk(root)
+      try all.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.util.HexFormat.of().formatHex(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(Files.readAllBytes(p))))
+        .toMap
+      finally all.close()
+    }
+    val before = fingerprints(src)
+    assert(before.size >= 15, s"15 (day,bucket) leaves expected")
+    val out = spark.sql(
+      s"CALL graft.system.migrate(table => '$ns.hlegacy')").collect()
+    assert(out.head.getLong(1) === before.size.toLong)
+    val backupLoc = Path.of(out.head.getString(2))
+    assert(backupLoc.toString.endsWith("hlegacy_backup_"))
+    assert(fingerprints(backupLoc) === before,
+      "rewrite-free adoption must leave every data byte identical")
+    // the adopted table reads the files where they sit — no copies
+    assert(spark.sql(s"SELECT * FROM graft.$ns.hlegacy").inputFiles
+      .forall(_.contains("hlegacy_backup_")),
+      "keep-backup adoption must reference bytes in place")
+    // partition columns synthesize at scan time, TYPED by inference
+    val sch = spark.table(s"graft.$ns.hlegacy").schema
+    assert(sch("day").dataType ===
+      org.apache.spark.sql.types.DateType)
+    assert(sch("bucket").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val perDay = spark.sql(s"SELECT day, count(*) AS n FROM " +
+      s"graft.$ns.hlegacy GROUP BY day ORDER BY day").collect()
+    assert(perDay.length === 3 && perDay.forall(_.getLong(1) === 100L),
+      perDay.mkString("; "))
+    assert(spark.sql(s"SELECT sum(id) FROM graft.$ns.hlegacy " +
+      "WHERE day = DATE'2024-01-02'").head.getLong(0) ===
+      (1L until 300L by 3).sum, "synthesized values must align rows")
+    // partition predicates prune from the manifest tuple ALONE — the
+    // planning must launch zero Spark jobs (no directory listing, no
+    // footer reads) and land on exactly the matching leaves
+    val t = new graft.lake.GraftCatalog(spark, wh)
+      .loadTable(ns, "hlegacy")
+    val allFiles = t.read().inputFiles.length
+    import org.apache.spark.sql.functions.col
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val pruned = try {
+      val df = t.readWhere(
+        col("day") === java.sql.Date.valueOf("2024-01-02") &&
+          col("bucket") === 2)
+      val files = df.inputFiles.length
+      org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+      (df, files)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      "manifest-tuple pruning must plan without running jobs")
+    assert(pruned._2 < allFiles / 3,
+      s"day+bucket predicate must prune (${pruned._2} of $allFiles)")
+    assert(pruned._1.collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 300L).filter(i => i % 3 == 1 && i % 5 == 2),
+      "pruned read must return exactly the matching rows")
+    // DML over the adopted table: COW delete rewrites matched files
+    // into the table's own data dir WITH the synthesized columns as
+    // real bytes — the next scan unions adopted and native files
+    spark.sql(s"DELETE FROM graft.$ns.hlegacy WHERE bucket = 0")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.hlegacy")
+      .head.getLong(0) === 240L)
+    spark.sql(s"INSERT INTO graft.$ns.hlegacy VALUES " +
+      "(1000, DATE'2024-01-01', 1)")
+    val mixed = spark.sql(s"SELECT * FROM graft.$ns.hlegacy").inputFiles
+    assert(mixed.exists(_.contains("hlegacy_backup_")) &&
+      mixed.exists(!_.contains("hlegacy_backup_")),
+      "post-DML snapshot must mix adopted and native files")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.hlegacy " +
+      "WHERE day = DATE'2024-01-01'").head.getLong(0) === 81L,
+      "20 bucket-0 rows deleted from day 1, one row inserted")
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.hlegacy " +
+      "WHERE bucket = 0").head.getLong(0) === 0L)
+    // time travel reads the adoption snapshot as committed
+    val firstSnap = spark.sql(s"SELECT snapshot_id FROM " +
+      s"graft.$ns.hlegacy.snapshots ORDER BY committed_at")
+      .head.getLong(0)
+    assert(spark.sql(s"SELECT count(*) FROM graft.$ns.hlegacy " +
+      s"VERSION AS OF $firstSnap").head.getLong(0) === 300L)
+    // the backup stays byte-complete: DML never touches adopted bytes
+    assert(fingerprints(backupLoc) === before,
+      "DML must never rewrite bytes the backup still owns")
+    // shared bytes: gc is disabled (the snapshot-fork discipline)
+    val eGc = intercept[Exception](spark.sql(
+      s"CALL graft.system.expire_snapshots(table => '$ns.hlegacy')")
+      .collect())
+    assert(eGc.getMessage.contains("gc.enabled"), eGc.getMessage)
+    // escaped partition values (hive %-encoding) round-trip exactly
+    val src2 = wh.resolve(ns).resolve("hlegacy2")
+    spark.createDataFrame(Seq((1L, "a/b"), (2L, "c d"), (3L, "a/b")))
+      .toDF("id", "tag").write.partitionBy("tag")
+      .parquet(src2.toString)
+    spark.sql(s"CALL graft.system.migrate(table => '$ns.hlegacy2')")
+      .collect()
+    assert(spark.sql(s"SELECT id FROM graft.$ns.hlegacy2 WHERE " +
+      "tag = 'a/b' ORDER BY id").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L, 3L), "escaped partition values must round-trip")
+  }
+
   test("CALL migrate with drop_backup handles a hive-partitioned " +
     "source: directory-encoded values become real columns (typed by " +
     "partition inference), clustered so partition-column predicates " +
-    "keep pruning; keep-backup still refuses; user dotfiles refuse " +
-    "the sweep") {
+    "keep pruning; user dotfiles refuse the sweep") {
     val ns = freshNs()
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
     val wh = Path.of(spark.conf.get("spark.sql.catalog.graft.warehouse"))
@@ -784,13 +918,6 @@ class GraftSqlSpec extends SparkSuite {
         "date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) AS day",
         "id % 5 AS grp")
       .write.partitionBy("day").parquet(src.toString)
-    // keep-backup refuses: in-place adoption cannot inject values
-    // that exist only in directory names
-    val eKeep = intercept[Exception](spark.sql(
-      s"CALL graft.system.migrate(table => '$ns.plegacy')").collect())
-    assert(eKeep.getMessage.contains("hive-partitioned"), eKeep.getMessage)
-    assert(spark.read.parquet(src.toString).count() === 300L,
-      "refused migrate must leave the partitioned source readable")
     // drop_backup rewrites: values present as a REAL typed column
     spark.sql(s"CALL graft.system.migrate(" +
       s"table => '$ns.plegacy', drop_backup => true)").collect()

@@ -57,8 +57,11 @@ object ClusterAb {
     // every-2nd 2.32 s locally (localCheckpoint materializes like the
     // persist it replaces, so skipping truncations only grows plans).
     spark.conf.set("spark.graft.dedup.checkpointInterval", "2")
-    val (every2Out, tEvery2) = run(0L)
-    spark.conf.unset("spark.graft.dedup.checkpointInterval")
+    // finally: a throw mid-A/B must not leak the cadence conf into
+    // any later use of this session (silently changed cadence)
+    val (every2Out, tEvery2) =
+      try run(0L)
+      finally spark.conf.unset("spark.graft.dedup.checkpointInterval")
     require(every2Out == distOut,
       "checkpoint cadence must not change cluster output")
     println(f"docs_clustered=${localOut.size} " +
