@@ -1457,15 +1457,51 @@ class GraftTable(val spark: SparkSession, val root: Path,
       }
     require(chosen.nonEmpty, "no NDV-eligible columns to analyze")
     val snapId = b.meta.currentSnapshotId.getOrElse(-1L)
-    val hashes =
-      if (snapId < 0) Map.empty[String, Seq[Long]]
-      else ndvHashJob(readAt(snapId), chosen, k)
     val pn = b.meta.physicalNames
-    val sketches = chosen.map(c => physName(pn)(c) ->
-      NdvSketch(k, hashes.getOrElse(c, Nil), snapId)).toMap
-    commitMeta(b, b.meta.copy(columnNdv = b.meta.columnNdv ++ sketches))
-    chosen.map(c => c -> GraftTable.ndvEstimate(
-      sketches(physName(pn)(c)))).toMap
+    val entries = if (snapId < 0) Nil else b.entries
+    val noDeletes = entries.forall(_.content == 0)
+    if (snapId >= 0 && noDeletes && fileNdvEnabled(b.meta) &&
+        entries.nonEmpty) {
+      // per-file form (r17): ONE scan grouped by (file, column) —
+      // the table sketch is the k-smallest union of the per-file
+      // bottom-k sets (exact by closure, identical to the flat job)
+      // — and a data-neutral `replace` commit rewrites the manifests
+      // with each entry's own sketch stamped on, so a LATER
+      // file-dropping commit can refold from surviving entries
+      // without re-scanning the corpus ([[refoldColumnStats]]).
+      // Manifest bytes rewritten are O(file count) — the same cost
+      // class as the ANALYZE scan itself. Skipped when live delete
+      // files mask rows (per-file raw-byte sketches would overcount;
+      // the flat masked-scan form below still serves the table
+      // sketch) or when 'stats.file-ndv' opts out.
+      val perFile = ndvFileHashJob(b.meta,
+        entries.map(abs), chosen, k)
+      val newId = nextSnapshotHint
+      val sketches = chosen.map { c =>
+        val union = perFile.valuesIterator
+          .flatMap(_.getOrElse(c, Nil)).toSeq.distinct.sorted.take(k)
+        physName(pn)(c) -> NdvSketch(k, union, newId)
+      }.toMap
+      val stamped = entries.map(ndvStampOf(b.meta, perFile, k))
+      commitSnapshot(b, newId, "replace", stamped,
+        Map("operation-origin" -> "analyze",
+          "analyzed-columns" -> chosen.mkString(","),
+          "stamped-file-sketches" -> stamped.count(_.ndv.nonEmpty)
+            .toString),
+        metaTweak =
+          mm => mm.copy(columnNdv = mm.columnNdv ++ sketches))
+      chosen.map(c => c -> GraftTable.ndvEstimate(
+        sketches(physName(pn)(c)))).toMap
+    } else {
+      val hashes =
+        if (snapId < 0) Map.empty[String, Seq[Long]]
+        else ndvHashJob(readAt(snapId), chosen, k)
+      val sketches = chosen.map(c => physName(pn)(c) ->
+        NdvSketch(k, hashes.getOrElse(c, Nil), snapId)).toMap
+      commitMeta(b, b.meta.copy(columnNdv = b.meta.columnNdv ++ sketches))
+      chosen.map(c => c -> GraftTable.ndvEstimate(
+        sketches(physName(pn)(c)))).toMap
+    }
   }
 
   /** One consistent (meta, sketch) read for a logical column — the
@@ -1616,9 +1652,67 @@ class GraftTable(val spark: SparkSession, val root: Path,
       .map { case (c, rs) => c -> rs.map(_.getLong(1)).sorted.toSeq }
   }
 
-  /** Meta tweak folding `newFiles`' hashes into every stored sketch
-    * (KMV merge law: k smallest of a distinct union). Callers invoke
-    * it only for PLAIN MAIN appends (appendRaw main path, file
+  /** One distributed (file, column, hash60) pass over `files`' RAW
+    * bytes (unmasked — a per-file sketch describes the FILE), k
+    * smallest DISTINCT hashes per (file, column) via the shared
+    * salted ladder. Keys are normalized absolute file paths; inner
+    * keys are LOGICAL column names. One job regardless of file or
+    * column count — the per-file grouping rides the same shuffle. */
+  private def ndvFileHashJob(m: TableMeta, files: Seq[String],
+      logicalCols: Seq[String], k: Int)
+      : Map[String, Map[String, Seq[Long]]] = {
+    import graft.rel.Kmv
+    val cur = StructType.fromDDL(m.schemaDdl)
+    val df = scanParquet(files, cur, m.physicalNames, lineage = true)
+    val entries = logicalCols.map(c =>
+      struct(lit(c).as("c"), Kmv.hash60(col(quoted(c))).as("h")))
+    val hashed = df
+      .select(col(FileCol).as("f"), explode(array(entries: _*)).as("e"))
+      .select(col("f"), col("e.c").as("c"), col("e.h").as("h"))
+      .where(col("h").isNotNull)
+      .distinct()
+    Kmv.kSmallest(hashed, k, Seq("f", "c"))
+      .collect()
+      .groupBy(r => Io.normalize(r.getString(0)))
+      .map { case (f, rs) => f ->
+        rs.groupBy(_.getString(1)).map { case (c, xs) =>
+          c -> xs.map(_.getLong(2)).sorted.toSeq } }
+  }
+
+  /** Per-file sketch stamping is on unless the table opts out ('a
+    * million-file table may prefer lean manifests over refold'). */
+  private def fileNdvEnabled(m: TableMeta): Boolean =
+    m.properties.getOrElse("stats.file-ndv", "true") != "false"
+
+  /** The two halves of an append-side NDV maintenance pass: the meta
+    * tweak folding new files into the TABLE sketches, and the entry
+    * stamp attaching each new file's OWN sketch to its manifest entry
+    * (fuel for [[refoldColumnStats]]). */
+  private final case class NdvFold(
+      metaTweak: TableMeta => TableMeta,
+      stamp: ManifestEntry => ManifestEntry)
+  private val ndvFoldIdentity = NdvFold(identity, identity)
+
+  /** Entry stamp attaching per-file sketches for `perFile` (from
+    * [[ndvFileHashJob]]) to data entries, keyed physically. */
+  private def ndvStampOf(m: TableMeta,
+      perFile: Map[String, Map[String, Seq[Long]]], k: Int)
+      : ManifestEntry => ManifestEntry = {
+    val pn = m.physicalNames
+    e =>
+      if (e.content != 0) e
+      else perFile.get(Io.normalize(abs(e))) match {
+        case Some(byCol) => e.copy(ndv = e.ndv ++ byCol.map {
+          case (c, hs) => physName(pn)(c) -> FileNdv(k, hs) })
+        case None => e
+      }
+  }
+
+  /** NDV maintenance for `newFiles`' hashes: fold every stored sketch
+    * (KMV merge law: k smallest of a distinct union — the table fold
+    * is the union of the per-file bottom-k sets, exact by closure)
+    * and stamp each new entry with its own file's sketch. Callers
+    * invoke it only for PLAIN MAIN appends (appendRaw main path, file
     * imports, rowDelta's insert-only form) — branch appends never
     * fold (ndvStaleIn flips on their branch-summary snapshots when
     * fast_forward brings them to main). The fold point advances to
@@ -1627,27 +1721,100 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * past an un-subtracted delete would silently clear the stale
     * flag the delete earned. Identity when never analyzed. */
   private def ndvFoldTweak(m: TableMeta, newFiles: Seq[String],
-      snapId: Long): TableMeta => TableMeta = {
-    if (m.columnNdv.isEmpty || newFiles.isEmpty) return identity
+      snapId: Long): NdvFold = {
+    if (m.columnNdv.isEmpty || newFiles.isEmpty) return ndvFoldIdentity
     val cur = StructType.fromDDL(m.schemaDdl)
     val pn = m.physicalNames
     val tracked = cur.fields.toSeq.filter(f =>
       m.columnNdv.contains(physName(pn)(f.name)))
-    if (tracked.isEmpty) return identity
+    if (tracked.isEmpty) return ndvFoldIdentity
     val kMax = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
-    val fresh = ndvHashJob(scanParquet(newFiles, cur, pn),
-      tracked.map(_.name), kMax)
+    val perFile = ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax)
     val folded = tracked.map { f =>
       val phys = physName(pn)(f.name)
       val old = m.columnNdv(phys)
-      val merged = (old.hashes ++ fresh.getOrElse(f.name, Nil))
+      val fresh = perFile.valuesIterator
+        .flatMap(_.getOrElse(f.name, Nil)).toSeq
+      val merged = (old.hashes ++ fresh)
         .distinct.sorted.take(old.k)
       phys -> NdvSketch(old.k, merged,
         if (ndvStaleIn(m, old.analyzedSnapshotId))
           old.analyzedSnapshotId
         else snapId)
     }.toMap
-    mm => mm.copy(columnNdv = mm.columnNdv ++ folded)
+    NdvFold(
+      mm => mm.copy(columnNdv = mm.columnNdv ++ folded),
+      if (fileNdvEnabled(m)) ndvStampOf(m, perFile, kMax) else identity)
+  }
+
+  /** Stamp-ONLY variant for row-removing writers (COW rewrites,
+    * compaction, overwrites): the table sketch cannot subtract, so no
+    * meta fold — but the NEW files' own sketches land on their
+    * entries (one bounded scan of just-written bytes), keeping the
+    * table refold-eligible after the commit. Identity when the table
+    * has no sketches or opted out. */
+  private def ndvStampTweak(m: TableMeta, newFiles: Seq[String])
+      : ManifestEntry => ManifestEntry = {
+    if (m.columnNdv.isEmpty || newFiles.isEmpty || !fileNdvEnabled(m))
+      return identity
+    val cur = StructType.fromDDL(m.schemaDdl)
+    val pn = m.physicalNames
+    val tracked = cur.fields.toSeq.filter(f =>
+      m.columnNdv.contains(physName(pn)(f.name)))
+    if (tracked.isEmpty) return identity
+    val kMax = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
+    ndvStampOf(m,
+      ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax), kMax)
+  }
+
+  /** Re-derive the TABLE NDV sketches from the per-file sketches on
+    * the current snapshot's live entries — file-count-bounded
+    * DRIVER-side metadata work, ZERO Spark jobs, no data scan. This
+    * closes KMV's subtract-on-delete gap: after a mass COW delete the
+    * stored sketch is a stale upper bound, but the k-smallest union
+    * of the SURVIVING files' sketches is exactly what a fresh ANALYZE
+    * would compute (bottom-k closure), so the estimate comes back
+    * fresh without touching data. Eligible iff the snapshot has no
+    * live delete files (masked rows would make per-file sketches
+    * overcount) and every live data entry carries a usable sketch for
+    * every requested column — usable means stamped at k ≥ the table
+    * sketch's k, or COMPLETE (the file held fewer than its stamp-k
+    * distinct values). Returns Some(column → NDV) committed fresh at
+    * the current head; None when ineligible (callers — maintain()'s
+    * analyze policy first among them — fall back to
+    * [[computeTableStats]]'s corpus scan). */
+  def refoldColumnStats(columns: Seq[String] = Nil)
+      : Option[Map[String, Long]] = {
+    val b = captureBase()
+    val m = b.meta
+    if (m.columnNdv.isEmpty) return None
+    val cur = StructType.fromDDL(m.schemaDdl)
+    val pn = m.physicalNames
+    val tracked = cur.fields.toSeq
+      .filter(f => m.columnNdv.contains(physName(pn)(f.name)))
+      .filter(f => columns.isEmpty ||
+        columns.exists(_.equalsIgnoreCase(f.name)))
+    if (tracked.isEmpty) return None
+    val entries = b.entries
+    if (entries.exists(_.content != 0)) return None
+    val data = entries.filter(_.content == 0)
+    val refolded = tracked.map { f =>
+      val phys = physName(pn)(f.name)
+      val old = m.columnNdv(phys)
+      val perFile = data.map { e =>
+        e.ndv.get(phys) match {
+          case Some(fn) if fn.k >= old.k || fn.hashes.size < fn.k =>
+            fn.hashes
+          case _ => return None // uncovered or under-k entry
+        }
+      }
+      val merged = perFile.flatten.distinct.sorted.take(old.k)
+      phys -> NdvSketch(old.k, merged,
+        m.currentSnapshotId.getOrElse(-1L))
+    }.toMap
+    commitMeta(b, m.copy(columnNdv = m.columnNdv ++ refolded))
+    Some(tracked.map(f => f.name -> GraftTable.ndvEstimate(
+      refolded(physName(pn)(f.name)))).toMap)
   }
 
   /** Incremental changelog (CDC) read — the Iceberg
@@ -2232,17 +2399,19 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // just-written bytes, only for analyzed columns). MAIN appends
     // only: branch rows stay out of the sketch until fast_forward,
     // whose branch-summary snapshots ndvStaleIn flags.
-    val ndv: TableMeta => TableMeta =
+    val ndv: NdvFold =
       if (branch.isEmpty) ndvFoldTweak(b.meta, moved, snapId)
-      else identity
+      else ndvFoldIdentity
+    val stamped = newEntries.map(ndv.stamp)
     // O(delta) fast path: a pure append never reads parent segments
-    commitAddOnlyFast(b, snapId, branch, "append", newEntries, summary,
-      ndv).getOrElse {
+    commitAddOnlyFast(b, snapId, branch, "append", stamped, summary,
+      ndv.metaTweak).getOrElse {
       branch match { // legacy inline-manifest parent: checked path
         case None => commitSnapshot(b, snapId, "append",
-          b.entries ++ newEntries, summary, metaTweak = ndv)
+          b.entries ++ stamped, summary, metaTweak = ndv.metaTweak)
         case Some(br) => commitSnapshotOnBranch(b, snapId, "append", br,
-          manifestOf(branchHead(b, br)) ++ newEntries, summary, ndv)
+          manifestOf(branchHead(b, br)) ++ stamped, summary,
+          ndv.metaTweak)
       }
     }
   }
@@ -2427,10 +2596,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
       "added-data-files" -> newEntries.size.toString,
       "added-records" -> newEntries.map(_.recordCount).sum.toString)
     val ndv = ndvFoldTweak(b.meta, moved, snapId)
-    commitAddOnlyFast(b, snapId, None, "append", newEntries, summary,
-      ndv).getOrElse(
-      commitSnapshot(b, snapId, "append", b.entries ++ newEntries,
-        summary, metaTweak = ndv))
+    val stamped = newEntries.map(ndv.stamp)
+    commitAddOnlyFast(b, snapId, None, "append", stamped, summary,
+      ndv.metaTweak).getOrElse(
+      commitSnapshot(b, snapId, "append", b.entries ++ stamped,
+        summary, metaTweak = ndv.metaTweak))
   }
 
   /** Rewrite-free adoption of a hive-partitioned directory — migrate's
@@ -2908,19 +3078,20 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // discipline: fold its data files, or the op-"append" snapshot
     // would add rows the stale walk considers covered. The masking
     // form commits op "overwrite", which flips stale by itself.
-    val ndv: TableMeta => TableMeta =
+    val ndv: NdvFold =
       if (op == "append" && branch.isEmpty)
         ndvFoldTweak(b.meta, movedData, snapId)
-      else identity
+      else ndvFoldIdentity
+    val addedStamped = added.map(ndv.stamp)
     // add-only (delete file + new data files): O(delta) fast commit
-    commitAddOnlyFast(b, snapId, branch, op, added, summary, ndv)
-      .getOrElse {
+    commitAddOnlyFast(b, snapId, branch, op, addedStamped, summary,
+      ndv.metaTweak).getOrElse {
       val base = headSnapshot(b, branch).map(manifestOf).getOrElse(Nil)
       branch match {
-        case None => commitSnapshot(b, snapId, op, base ++ added,
-          summary, metaTweak = ndv)
+        case None => commitSnapshot(b, snapId, op, base ++ addedStamped,
+          summary, metaTweak = ndv.metaTweak)
         case Some(br) => commitSnapshotOnBranch(b, snapId, op, br,
-          base ++ added, summary, ndv)
+          base ++ addedStamped, summary, ndv.metaTweak)
       }
     }
   }
@@ -2945,7 +3116,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
       case Some((affected, outRows, summary)) =>
         val snapId = nextSnapshotHint
         val moved = writeDataFiles(outRows)
+        // row-removing rewrite: the table sketch cannot subtract (the
+        // op flips stale), but stamping the NEW files' own sketches
+        // keeps the table refold-eligible — refoldColumnStats then
+        // restores freshness from metadata alone
         val newEntries = statEntries(moved, content = 0, snapId)
+          .map(ndvStampTweak(b.meta, moved))
         // segment-narrowed commit: only parent segments whose path
         // bounds can hold an affected file are read; commit driver
         // work is O(touched segments + new files), not O(table)
@@ -3330,11 +3506,25 @@ class GraftTable(val spark: SparkSession, val root: Path,
         }
         if (tripped.nonEmpty) {
           val k = scoped.map(f => m.columnNdv(physName(pn)(f.name)).k).max
-          GraftTable.retryOnConflict()(
-            computeTableStats(scoped.map(_.name), k))
-          report += ("analyze" ->
-            (s"${tripped.size} stale sketch(es); re-analyzed " +
-              s"${scoped.map(_.name).mkString(",")} (k=$k)"))
+          // cheapest repair first: when every surviving entry carries
+          // its own file sketch (and no delete files mask rows), the
+          // table sketch refolds from metadata alone — zero Spark
+          // jobs, no corpus re-scan. Ineligible tables fall back to
+          // the full ANALYZE.
+          val refolded = GraftTable.retryOnConflict()(
+            refoldColumnStats(scoped.map(_.name)))
+          if (refolded.isDefined)
+            report += ("analyze" ->
+              (s"${tripped.size} stale sketch(es); re-folded " +
+                s"${scoped.map(_.name).mkString(",")} from file " +
+                "sketches (no data scan)"))
+          else {
+            GraftTable.retryOnConflict()(
+              computeTableStats(scoped.map(_.name), k))
+            report += ("analyze" ->
+              (s"${tripped.size} stale sketch(es); re-analyzed " +
+                s"${scoped.map(_.name).mkString(",")} (k=$k)"))
+          }
         }
       }
     }
@@ -3874,7 +4064,11 @@ class GraftTable(val spark: SparkSession, val root: Path,
     // all deletes were applied while reading the candidates
     val dropDeletes = rewriteAll || hasDeletes
     val keptDeletes = if (dropDeletes) Nil else entries.filter(_.content != 0)
+    // compaction is the path that UNMASKS rows (deletes applied into
+    // the rewrite): stamping the compacted files' sketches is what
+    // makes a MOR-deleted table refold-eligible again
     val newEntries = statEntries(moved, content = 0, snapId)
+      .map(ndvStampTweak(b.meta, moved))
     Some(commitSnapshot(b, snapId, "replace",
       keep ++ keptDeletes ++ newEntries,
       Map("rewritten-data-files" -> candidates.size.toString,
@@ -4118,7 +4312,17 @@ class GraftTable(val spark: SparkSession, val root: Path,
     StructField("stats", MapType(StringType, StructType(Seq(
       StructField("min", StringType), StructField("max", StringType),
       StructField("nullCount", LongType))))),
-    StructField("equalityColumns", ArrayType(StringType))))
+    StructField("equalityColumns", ArrayType(StringType)),
+    StructField("ndv", MapType(StringType, StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("hashes", ArrayType(LongType))))))))
+
+  /** The `ndv` field's Spark type, for null-coalescing segments
+    * written before per-file sketches existed (their JSON has no
+    * `ndv` key → the read yields null, but [[ManifestEntry.ndv]] is
+    * a non-null Map with an empty default). */
+  private val entryNdvType =
+    entryJsonSchema("ndv").dataType
 
   /** Executor-side scan of manifest segments: one row per entry,
     * tagged with the segment FILE NAME (globally unique by
@@ -4142,6 +4346,10 @@ class GraftTable(val spark: SparkSession, val root: Path,
     import spark.implicits._
     spark.read.schema(entryJsonSchema).option("multiLine", "true")
       .json(segRels.map(r => root.resolve(r).toString): _*)
+      // pre-r17 segments carry no `ndv` key: decode those as the
+      // empty map the case-class default promises, never null
+      .withColumn("ndv", coalesce(col("ndv"),
+        from_json(lit("{}"), entryNdvType)))
       .as[ManifestEntry]
   }
 

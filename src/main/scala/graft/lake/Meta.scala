@@ -30,6 +30,22 @@ import scala.jdk.CollectionConverters._
   */
 final case class ColStat(min: String, max: String, nullCount: Long)
 
+/** Per-FILE KMV NDV sketch riding on a manifest entry (the
+  * Iceberg-Puffin-per-file analog, r17): the k smallest DISTINCT
+  * 60-bit hashes of the column's non-null values IN THIS FILE's raw
+  * bytes (unmasked — the sketch describes the file, not the
+  * snapshot). Because bottom-k sketches merge exactly by
+  * distinct-union-then-take-k, a file-dropping commit can re-derive
+  * the TABLE sketch from surviving entries' sketches alone —
+  * file-count-bounded metadata work, no corpus re-scan — closing
+  * KMV's subtract-on-delete gap ([[GraftTable.refoldColumnStats]]).
+  * `hashes.size < k` means the file held fewer than k distinct
+  * values: the sketch is COMPLETE and folds exactly at any target k. */
+final case class FileNdv(k: Int,
+    @com.fasterxml.jackson.databind.annotation.JsonDeserialize(
+      contentAs = classOf[java.lang.Long])
+    hashes: Seq[Long])
+
 /** content: 0=data, 1=position delete, 2=equality delete (matches the
   * domain queried at /root/reference/notebooks/iceberg_pii_deletion_demo.py:204-216). */
 final case class ManifestEntry(
@@ -40,7 +56,12 @@ final case class ManifestEntry(
     addedSnapshotId: Long,
     stats: Map[String, ColStat] = Map.empty,
     // equality deletes: the identity columns the delete file matches on
-    equalityColumns: Seq[String] = Nil)
+    equalityColumns: Seq[String] = Nil,
+    // per-file NDV sketches keyed by PHYSICAL column name, stamped at
+    // write/ANALYZE time on data files of NDV-tracked tables (absent
+    // on delete files, pre-sketch entries, and when 'stats.file-ndv'
+    // is disabled). See [[FileNdv]].
+    ndv: Map[String, FileNdv] = Map.empty)
 
 /** One immutable manifest segment (the Iceberg manifest-file analog):
   * a `metadata/seg-*.json` array of [[ManifestEntry]], referenced —

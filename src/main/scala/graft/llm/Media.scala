@@ -32,6 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object Media {
 
+  // ImageIO.read(InputStream) defaults to a FILE-backed stream cache
+  // (getUseCache=true): every decode creates, writes, and deletes a
+  // temp file under java.io.tmpdir — pure disk traffic that's useless
+  // for in-memory ByteArrayInputStream sources and made the decode
+  // stage uniquely sensitive to box IO contention (q_mm_resize flagged
+  // as variance-prone in three rounds' bench artifacts; r16 verdict
+  // suspected exactly this). Memory-cached streams decode the same
+  // bytes with zero filesystem involvement. JVM-global, set once when
+  // the executor classloads this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(
       doc_id: Long, source: String, fmt: String, media: Array[Byte])
 

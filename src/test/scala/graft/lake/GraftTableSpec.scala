@@ -1861,13 +1861,94 @@ class GraftTableSpec extends SparkSuite {
       "concat('t', id) AS tag"))
     val report = t.maintain()
     assert(report.map(_._1) === Seq("analyze"), report.toString)
-    assert(report.head._2.contains("re-analyzed k ("), report.toString)
+    // every entry carries a per-file sketch (ANALYZE stamped the load,
+    // the COW delete stamped its rewrites, the append stamped its new
+    // files), so the refresh is the metadata-only refold
+    assert(report.head._2.contains("re-folded k from file sketches"),
+      report.toString)
     assert(!statRow("k").getBoolean(5), "k refreshed")
     assert(statRow("k").getLong(6) === 0L, "refresh resets the age")
     assert(statRow("tag").getBoolean(5),
       "tag stays stale: scoped out of the auto-refresh")
     assert(t.columnNdv("k").contains(110L),
       "refreshed NDV reflects the live domain (90 survivors + 20 new)")
+  }
+
+  test("per-file NDV sketches close the subtract-on-delete gap: a " +
+      "mass COW delete refolds the table sketch from SURVIVING " +
+      "entries' sketches — zero Spark jobs, no corpus re-scan, " +
+      "estimate identical to a fresh ANALYZE — and .stats reads " +
+      "fresh; MOR-masked tables refuse the refold until compaction " +
+      "unmasks them") {
+    val cat = new GraftCatalog(spark, freshWarehouse())
+    cat.createNamespace("default")
+    val sch = StructType.fromDDL("k BIGINT, grp BIGINT")
+    val t = cat.createTable("default", "ndvf", sch)
+    // spark.range partitions are k-RANGES, so files carry disjoint k
+    // windows and the delete below prunes: some files survive with
+    // their ANALYZE-time stamps, some are rewritten (stamped by the
+    // COW commit), some drop entirely
+    t.append(spark.range(1000).selectExpr("id AS k", "id % 10 AS grp"))
+    t.computeTableStats(Seq("k")) // stamps every entry (replace commit)
+    t.append( // post-ANALYZE append: folded AND stamped
+      spark.range(1000, 1200).selectExpr("id AS k", "id % 10 AS grp"))
+    assert(t.columnNdv("k").isDefined)
+    val preDelete = t.columnNdv("k").get
+    // mass delete: everything above 600 goes (half the table)
+    t.delete(col("k") >= 600L)
+    def statRow() = t.statsTable.collect()
+      .map(r => r.getString(0) -> r).toMap.apply("k")
+    assert(statRow().getBoolean(5), "the delete must flip stale")
+    assert(t.columnNdv("k").get === preDelete,
+      "the stale sketch is the un-subtracted upper bound")
+    // refold: file-count-bounded metadata work — assert ZERO jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val refolded = try {
+      val r = t.refoldColumnStats()
+      org.apache.spark.TestListenerBus.flush(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      "refold must run from manifest metadata alone — no Spark jobs")
+    assert(refolded.isDefined, "all entries stamped -> refold eligible")
+    assert(!statRow().getBoolean(5), ".stats must read fresh again")
+    assert(statRow().getLong(6) === 0L, "refold resets the fold age")
+    // 600 live distinct values exceed k=256, so the estimate is the
+    // KMV estimator — and must EQUAL what a fresh corpus-scan ANALYZE
+    // computes (bottom-k closure), within the sketch's error of truth
+    val refoldEst = refolded.get("k")
+    val rescanEst = t.computeTableStats(Seq("k"))("k")
+    assert(refoldEst === rescanEst,
+      s"refold ($refoldEst) must equal the corpus re-scan ($rescanEst)")
+    assert(math.abs(refoldEst - 600L) * 5 <= 600L,
+      s"estimate $refoldEst strays from the live domain 600")
+    // MOR-masked rows: per-file sketches overcount, refold REFUSES —
+    // compaction applies the deletes, stamps the compacted files, and
+    // the table becomes refold-eligible again
+    val tm = cat.createTable("default", "ndvfm", sch,
+      Map("write.delete.mode" -> "merge-on-read"))
+    tm.append(spark.range(100).selectExpr("id AS k", "id % 10 AS grp"))
+    tm.computeTableStats(Seq("k"))
+    tm.delete(col("k") < 10L) // position-delete file, data unmasked
+    assert(tm.refoldColumnStats().isEmpty,
+      "live delete files must refuse the refold")
+    tm.rewriteDataFiles()
+    assert(tm.refoldColumnStats().map(_("k")) === Some(90L),
+      "compaction unmasks and stamps; refold is exact below k")
+    // opt-out: a table with stats.file-ndv=false never stamps
+    val to = cat.createTable("default", "ndvfo", sch,
+      Map("stats.file-ndv" -> "false"))
+    to.append(spark.range(50).selectExpr("id AS k", "id % 10 AS grp"))
+    to.computeTableStats(Seq("k"))
+    to.delete(col("k") < 10L)
+    assert(to.refoldColumnStats().isEmpty,
+      "opted-out tables have no file sketches to refold from")
   }
 
   test("ANALYZE of an empty table stays FRESH; the first append's " +
