@@ -1136,8 +1136,8 @@ object LakeQueries extends QueryCatalog {
       |  SELECT l_returnflag AS slice,
       |    l_orderkey * 10 + l_linenumber AS key,
       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
-      |    l_orderkey % 4 AS w
-      |  FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+      |    l_orderkey % 16 AS w
+      |  FROM lineitem WHERE l_orderkey % 16 IN (0, 1)
       |), hh AS (
       |  SELECT slice, w, CAST(concat('0x', substr(md5(concat(
       |    slice, ':', CAST(key AS VARCHAR))), 1, 15)) AS BIGINT) AS h, v
@@ -1243,7 +1243,7 @@ object LakeQueries extends QueryCatalog {
     }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Long, Long)]
-    def report(phase: String): Unit = {
+    def report(phase: String, guard: Boolean = false): Unit = {
       val stored = sk.read()
       // per-slice + ALL — ALL merges the SLICE SKETCHES (merge law),
       // never the fact table
@@ -1254,43 +1254,51 @@ object LakeQueries extends QueryCatalog {
           .withColumn("slice", lit("ALL"))
           .select("slice", "h", "v"),
         K, Seq("slice"))))
-      // ONE aggregation job answers every rank guard (per-slice AND
-      // ALL): each row compares v against its slice's sketch median
-      // (tiny map literal) and against the global one (per-slice
-      // count() loops cost 8 jobs per report — 3x the scenario time)
-      val sliceP50 = typedlit(est.collect {
-        case (sl, (_, p)) if sl != "ALL" => sl -> p
-      })
-      val allP50 = est("ALL")._2
-      val stats = fact.read().groupBy("slice", "key")
-        .agg(min("v").as("v"))
-        .groupBy("slice")
-        .agg(count(lit(1)).as("n"),
-          count(when(col("v") <= element_at(sliceP50, col("slice")), 1))
-            .as("below_own"),
-          count(when(col("v") <= lit(allP50), 1)).as("below_all"))
-        .collect().map(r => r.getString(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-      val allN = stats.values.map(_._1).sum
-      val allBelow = stats.values.map(_._3).sum
+      // Rank-error guard — ONE aggregation job for every scope
+      // (per-slice AND ALL): each row compares v against its slice's
+      // sketch median (tiny map literal) and against the global one.
+      // r17: the guard's fact scan runs on the FINAL window only —
+      // every phase's (n_retained, p50) is now DuckDB-hash-checked,
+      // so the in-builder scan is the test-scale ride-along for the
+      // deepest state, not a per-window re-proof (which tripled the
+      // walk's fact scans for numbers the oracle already pins).
+      if (guard) {
+        val sliceP50 = typedlit(est.collect {
+          case (sl, (_, p)) if sl != "ALL" => sl -> p
+        })
+        val allP50 = est("ALL")._2
+        val stats = fact.read().groupBy("slice", "key")
+          .agg(min("v").as("v"))
+          .groupBy("slice")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("v") <= element_at(sliceP50, col("slice")),
+              1)).as("below_own"),
+            count(when(col("v") <= lit(allP50), 1)).as("below_all"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+        val allN = stats.values.map(_._1).sum
+        val allBelow = stats.values.map(_._3).sum
+        est.toSeq.sortBy(_._1).foreach { case (slice, (m, p50)) =>
+          val (n, below) =
+            if (slice == "ALL") (allN, allBelow)
+            else (stats(slice)._1, stats(slice)._2)
+          val frac = below.toDouble / n
+          require(math.abs(frac - 0.5) < 0.15,
+            s"$phase/$slice: sketch median $p50 has rank fraction $frac")
+        }
+      }
       est.toSeq.sortBy(_._1).foreach { case (slice, (m, p50)) =>
-        val (n, below) =
-          if (slice == "ALL") (allN, allBelow)
-          else (stats(slice)._1, stats(slice)._2)
-        val frac = below.toDouble / n
-        require(math.abs(frac - 0.5) < 0.15,
-          s"$phase/$slice: sketch median $p50 has rank fraction $frac")
         out += ((phase, slice, m, p50))
       }
     }
-    ingest(window(col("l_orderkey") % 4 === 0))
+    ingest(window(col("l_orderkey") % 16 === 0))
     report("w1-seed")
     val w1Snap = sk.currentSnapshot.get.snapshotId
-    ingest(window(col("l_orderkey") % 4 === 1))
+    ingest(window(col("l_orderkey") % 16 === 1))
     report("w2-grow")
     // refeeding known (key, v) rows must not move any sketch
-    ingest(window(col("l_orderkey") % 8 === 0))
-    report("w3-idempotent-refeed")
+    ingest(window(col("l_orderkey") % 32 === 0))
+    report("w3-idempotent-refeed", guard = true)
     out.collect { case ("w2-grow", sl, _, _) => sl }.foreach { sl =>
       def at(ph: String) =
         out.find(o => o._1 == ph && o._2 == sl).get
