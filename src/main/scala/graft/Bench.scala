@@ -80,9 +80,16 @@ object Bench {
     // clears); if it still deviates, the artifact is stamped
     // "contended": true so no one compares it against a clean round
     // without normalizing. The reference rides along as canary_mt_ref.
+    // the COMMITTED artifact is the reference — the working file is
+    // overwritten by every run (including contended ones), so reading
+    // it would let a contended sf0.01 smoke become the baseline for
+    // the sf0.1 closing run minutes later and stamp sustained
+    // contention contended:false
     val canaryRef: Option[Double] = try {
-      val prev = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_detail.json"))
+      val p = new ProcessBuilder("git", "show", "HEAD:bench_detail.json")
+        .redirectErrorStream(false).start()
+      val prev = new String(p.getInputStream.readAllBytes, "UTF-8")
+      p.waitFor()
       raw""""canary_mt_s"\s*:\s*([0-9.]+)""".r
         .findFirstMatchIn(prev).map(_.group(1).toDouble)
     } catch { case _: Throwable => None }

@@ -1708,6 +1708,21 @@ class GraftTable(val spark: SparkSession, val root: Path,
       }
   }
 
+  /** The NDV-tracked columns of `m` and the max stored sketch k —
+    * None when the table has no sketches (or none map to current
+    * columns). One resolution shared by the fold and stamp paths so
+    * they can never diverge on tracked-column or k selection. */
+  private def ndvTracked(m: TableMeta)
+      : Option[(Seq[StructField], Int)] = {
+    if (m.columnNdv.isEmpty) return None
+    val pn = m.physicalNames
+    val tracked = StructType.fromDDL(m.schemaDdl).fields.toSeq
+      .filter(f => m.columnNdv.contains(physName(pn)(f.name)))
+    if (tracked.isEmpty) None
+    else Some((tracked,
+      tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max))
+  }
+
   /** NDV maintenance for `newFiles`' hashes: fold every stored sketch
     * (KMV merge law: k smallest of a distinct union — the table fold
     * is the union of the per-file bottom-k sets, exact by closure)
@@ -1722,13 +1737,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * flag the delete earned. Identity when never analyzed. */
   private def ndvFoldTweak(m: TableMeta, newFiles: Seq[String],
       snapId: Long): NdvFold = {
-    if (m.columnNdv.isEmpty || newFiles.isEmpty) return ndvFoldIdentity
-    val cur = StructType.fromDDL(m.schemaDdl)
+    if (newFiles.isEmpty) return ndvFoldIdentity
+    val (tracked, kMax) = ndvTracked(m) match {
+      case None => return ndvFoldIdentity
+      case Some(tk) => tk
+    }
     val pn = m.physicalNames
-    val tracked = cur.fields.toSeq.filter(f =>
-      m.columnNdv.contains(physName(pn)(f.name)))
-    if (tracked.isEmpty) return ndvFoldIdentity
-    val kMax = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
     val perFile = ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax)
     val folded = tracked.map { f =>
       val phys = physName(pn)(f.name)
@@ -1755,16 +1769,12 @@ class GraftTable(val spark: SparkSession, val root: Path,
     * has no sketches or opted out. */
   private def ndvStampTweak(m: TableMeta, newFiles: Seq[String])
       : ManifestEntry => ManifestEntry = {
-    if (m.columnNdv.isEmpty || newFiles.isEmpty || !fileNdvEnabled(m))
-      return identity
-    val cur = StructType.fromDDL(m.schemaDdl)
-    val pn = m.physicalNames
-    val tracked = cur.fields.toSeq.filter(f =>
-      m.columnNdv.contains(physName(pn)(f.name)))
-    if (tracked.isEmpty) return identity
-    val kMax = tracked.map(f => m.columnNdv(physName(pn)(f.name)).k).max
-    ndvStampOf(m,
-      ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax), kMax)
+    if (newFiles.isEmpty || !fileNdvEnabled(m)) return identity
+    ndvTracked(m) match {
+      case None => identity
+      case Some((tracked, kMax)) => ndvStampOf(m,
+        ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax), kMax)
+    }
   }
 
   /** Re-derive the TABLE NDV sketches from the per-file sketches on
@@ -2670,8 +2680,14 @@ class GraftTable(val spark: SparkSession, val root: Path,
           physName(m)(f.name) -> ColStat(rendered, rendered, 0L)
         }.toMap
     }
-    // data bytes must spell exactly the NON-partition physical columns
-    val inferred = spark.read.parquet(files.map(_.toString): _*).schema
+    // data bytes must spell exactly the NON-partition physical
+    // columns. ONE footer suffices: hive leaves are homogeneous by
+    // construction (the caller's partition-aware inference already
+    // proved a consistent layout), every later scan reads under the
+    // EXPLICIT table schema (a heterogeneous stray file fails loudly
+    // there), and a million-file adoption must not re-list or
+    // re-footer the corpus for a check (review r17)
+    val inferred = spark.read.parquet(files.head.toString).schema
     val nonPart = table.fields.toSeq.filterNot(f =>
       first.exists(_.equalsIgnoreCase(f.name)))
     require(

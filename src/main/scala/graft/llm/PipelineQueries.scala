@@ -486,7 +486,13 @@ object PipelineQueries extends QueryCatalog {
         // checkpoint dir pre-set elsewhere must not silently win over
         // the explicit graft conf (checkpoints landing on the wrong
         // store defeats the fault-tolerance contract).
-        val wanted = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        val wantedRaw = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+        // a RELATIVE configured dir must absolutize before comparing,
+        // or it never matches the qualified root Spark stores and
+        // every call re-points (a fresh UUID subdir per checkpoint)
+        val wanted =
+          if (wantedRaw.startsWith("/")) wantedRaw
+          else new java.io.File(wantedRaw).getAbsolutePath
         val currentRoot = s.sparkContext.getCheckpointDir.map(u =>
           new org.apache.hadoop.fs.Path(u).getParent.toUri.getPath)
         if (!currentRoot.contains(wanted))
