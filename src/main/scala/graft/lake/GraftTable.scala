@@ -1482,7 +1482,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
           .flatMap(_.getOrElse(c, Nil)).toSeq.distinct.sorted.take(k)
         physName(pn)(c) -> NdvSketch(k, union, newId)
       }.toMap
-      val stamped = entries.map(ndvStampOf(b.meta, perFile, k))
+      val stamped = entries.map(
+        ndvStampOf(b.meta, entries.map(abs), chosen, perFile, k))
       commitSnapshot(b, newId, "replace", stamped,
         Map("operation-origin" -> "analyze",
           "analyzed-columns" -> chosen.mkString(","),
@@ -1694,18 +1695,27 @@ class GraftTable(val spark: SparkSession, val root: Path,
   private val ndvFoldIdentity = NdvFold(identity, identity)
 
   /** Entry stamp attaching per-file sketches for `perFile` (from
-    * [[ndvFileHashJob]]) to data entries, keyed physically. */
-  private def ndvStampOf(m: TableMeta,
+    * [[ndvFileHashJob]] over `files`) to data entries, keyed
+    * physically. Every data entry among `files` gets a sketch for
+    * EVERY tracked column — an EMPTY one when the job yielded no
+    * hashes for it (zero-row rewrite output, or an all-null column in
+    * that file): empty is that file's correct bottom-k, and skipping
+    * the stamp would make one empty file veto a later refold. */
+  private def ndvStampOf(m: TableMeta, files: Seq[String],
+      tracked: Seq[String],
       perFile: Map[String, Map[String, Seq[Long]]], k: Int)
       : ManifestEntry => ManifestEntry = {
     val pn = m.physicalNames
-    e =>
-      if (e.content != 0) e
-      else perFile.get(Io.normalize(abs(e))) match {
-        case Some(byCol) => e.copy(ndv = e.ndv ++ byCol.map {
-          case (c, hs) => physName(pn)(c) -> FileNdv(k, hs) })
-        case None => e
+    val fileSet = files.map(Io.normalize).toSet
+    e => {
+      val key = Io.normalize(abs(e))
+      if (e.content != 0 || !fileSet.contains(key)) e
+      else {
+        val byCol = perFile.getOrElse(key, Map.empty)
+        e.copy(ndv = e.ndv ++ tracked.map(c =>
+          physName(pn)(c) -> FileNdv(k, byCol.getOrElse(c, Nil))))
       }
+    }
   }
 
   /** The NDV-tracked columns of `m` and the max stored sketch k —
@@ -1758,7 +1768,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     }.toMap
     NdvFold(
       mm => mm.copy(columnNdv = mm.columnNdv ++ folded),
-      if (fileNdvEnabled(m)) ndvStampOf(m, perFile, kMax) else identity)
+      if (fileNdvEnabled(m))
+        ndvStampOf(m, newFiles, tracked.map(_.name), perFile, kMax)
+      else identity)
   }
 
   /** Stamp-ONLY variant for row-removing writers (COW rewrites,
@@ -1772,8 +1784,9 @@ class GraftTable(val spark: SparkSession, val root: Path,
     if (newFiles.isEmpty || !fileNdvEnabled(m)) return identity
     ndvTracked(m) match {
       case None => identity
-      case Some((tracked, kMax)) => ndvStampOf(m,
-        ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax), kMax)
+      case Some((tracked, kMax)) =>
+        ndvStampOf(m, newFiles, tracked.map(_.name),
+          ndvFileHashJob(m, newFiles, tracked.map(_.name), kMax), kMax)
     }
   }
 
@@ -1807,7 +1820,8 @@ class GraftTable(val spark: SparkSession, val root: Path,
     if (tracked.isEmpty) return None
     val entries = b.entries
     if (entries.exists(_.content != 0)) return None
-    val data = entries.filter(_.content == 0)
+    // zero-row files are trivially covered: they contribute no hashes
+    val data = entries.filter(e => e.content == 0 && e.recordCount > 0)
     val refolded = tracked.map { f =>
       val phys = physName(pn)(f.name)
       val old = m.columnNdv(phys)

@@ -564,6 +564,26 @@ private object GraftProcedures {
         t.computeTableStats(cols).toSeq.sortBy(_._1)
           .map { case (c, n) => outRow(c, n) }
       }))
+    // Metadata-only NDV repair (r17, no Iceberg analog — Puffin
+    // can't subtract either): re-derive the table sketches from the
+    // per-file sketches on surviving entries after a mass delete —
+    // zero Spark jobs, no corpus re-scan. Returns the refreshed
+    // (column, ndv) rows, or zero rows when the table is ineligible
+    // (live delete files, uncovered entries, no sketches) — callers
+    // then fall back to compute_table_stats; maintain() already runs
+    // this refold-first ordering automatically.
+    case "refold_column_stats" => Some(procedure(name,
+      Seq(param("table", StringType),
+        paramD("columns", ArrayType(StringType), "NULL")),
+      StructType.fromDDL("column STRING, ndv BIGINT"),
+      (args: InternalRow) => {
+        val t = catalog.resolveTableArg(args.getUTF8String(0).toString)
+        val cols = if (args.isNullAt(1)) Nil
+          else args.getArray(1).toObjectArray(StringType)
+            .map(_.asInstanceOf[UTF8String].toString).toSeq
+        t.refoldColumnStats(cols).map(_.toSeq.sortBy(_._1)
+          .map { case (c, n) => outRow(c, n) }).getOrElse(Nil)
+      }))
     // Iceberg migrate parity — the import trio's third member (with
     // add_files and snapshot/register_table): convert the plain
     // parquet directory at the table's name into a graft table that

@@ -660,6 +660,44 @@ class GraftSqlSpec extends SparkSuite {
     }
   }
 
+  test("CALL refold_column_stats repairs NDV after a mass delete from " +
+    "per-file sketches — rows returned, .stats fresh; an ineligible " +
+    "(MOR-masked) table returns zero rows and compute_table_stats " +
+    "remains the fallback") {
+    val ns = freshNs()
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    val t = s"graft.$ns.rf"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, grp BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $t SELECT id, id % 10 FROM range(200)")
+    spark.sql("CALL graft.system.compute_table_stats(" +
+      s"table => '$ns.rf', columns => array('k'))").collect()
+    spark.sql(s"DELETE FROM $t WHERE k >= 100")
+    assert(spark.sql(s"SELECT stale FROM $t.stats WHERE column = 'k'")
+      .head.getBoolean(0), "the delete must flip stale")
+    val refolded = spark.sql("CALL graft.system.refold_column_stats(" +
+      s"table => '$ns.rf')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(refolded === Map("k" -> 100L),
+      s"refold must be exact below k, got $refolded")
+    assert(!spark.sql(s"SELECT stale FROM $t.stats WHERE column = 'k'")
+      .head.getBoolean(0), ".stats must read fresh after the refold")
+    // MOR-masked: live delete files refuse — zero rows, stats stale
+    val tm = s"graft.$ns.rfm"
+    spark.sql(s"CREATE TABLE $tm (k BIGINT) USING graft " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $tm SELECT id FROM range(50)")
+    spark.sql("CALL graft.system.compute_table_stats(" +
+      s"table => '$ns.rfm')").collect()
+    spark.sql(s"DELETE FROM $tm WHERE k < 10")
+    assert(spark.sql("CALL graft.system.refold_column_stats(" +
+      s"table => '$ns.rfm')").collect().isEmpty,
+      "masked rows must refuse the refold through SQL too")
+    val re = spark.sql("CALL graft.system.compute_table_stats(" +
+      s"table => '$ns.rfm')").collect()
+    assert(re.map(r => r.getString(0) -> r.getLong(1)).toMap
+      .apply("k") === 40L, "the corpus re-scan stays the fallback")
+  }
+
   test("CALL migrate converts a plain parquet directory in place: the " +
     "old name serves the new graft table, the backup stays readable, " +
     "drop_backup renames bytes in, and failure leaves the source " +
