@@ -182,16 +182,50 @@ case class GraftMergeCommand(
     withAct.select(cols: _*)
   }
 
-  private def checkCardinality(joined: DataFrame,
-      isMatched: Column): Unit =
-    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
-      val dups = joined.filter(isMatched)
-        .groupBy(col(FileCol), col(PosCol))
-        .count().filter(col("count") > 1).limit(1).count()
-      if (dups > 0) throw new UnsupportedOperationException(
-        "MERGE cardinality violation: a target row matched more " +
-          "than one source row")
-    }
+  /** Existence condition for WHEN NOT MATCHED inserts — true on a
+    * discovery-join row iff [[insertFrame]] would emit it (some insert
+    * clause's condition holds). */
+  private def insertExistsCond(tgt: DataFrame, src: DataFrame,
+      isIns: Column): Column =
+    if (notMatched.isEmpty) lit(false)
+    else isIns && notMatched
+      .map(s => s.cond.map(reb(tgt, src)).getOrElse(lit(true)))
+      .reduce(_ || _)
+
+  /** ONE probe pass over the cached discovery join (r17, guide §1.2 —
+    * it previously took three jobs re-scanning the cache: a
+    * cardinality-violation count, an affected-file distinct+collect,
+    * and an insert-existence limit(1)): per-(file, pos)
+    * matched-cardinality and touch/insert flags, re-aggregated per
+    * file and FILTERED so the driver only ever collects touched /
+    * violating files plus the null insert group — the same
+    * affected-file bound as before, never the full file list.
+    * Returns (cardinality violation?, affected file set, inserts?). */
+  private def probeJoin(joined: DataFrame, touchCond: Column,
+      isMatched: Column, insExists: Column)
+      : (Boolean, Set[String], Boolean) = {
+    val perRow = joined.groupBy(col(FileCol), col(PosCol)).agg(
+      count(when(isMatched, 1)).as("__nm"),
+      max(when(touchCond, 1).otherwise(0)).as("__touch"),
+      max(when(insExists, 1).otherwise(0)).as("__ins"))
+    val rows = perRow.groupBy(col(FileCol)).agg(
+        max(when(col("__nm") > 1, 1).otherwise(0)).as("__dup"),
+        max(col("__touch")).as("__touch"),
+        max(col("__ins")).as("__ins"))
+      .filter(col("__dup") === 1 || col("__touch") === 1 ||
+        col("__ins") === 1)
+      .collect()
+    val dup = rows.exists(_.getInt(1) == 1)
+    val affected = rows.filter(r => r.getInt(2) == 1 && !r.isNullAt(0))
+      .map(r => Io.normalize(r.getString(0))).toSet
+    val anyIns = rows.exists(_.getInt(3) == 1)
+    (dup, affected, anyIns)
+  }
+
+  private def cardinalityViolation(): Nothing =
+    throw new UnsupportedOperationException(
+      "MERGE cardinality violation: a target row matched more " +
+        "than one source row")
 
   // ---- copy-on-write ----
 
@@ -216,20 +250,17 @@ case class GraftMergeCommand(
       val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
       val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
 
-      checkCardinality(joined, isMatched)
-
       val matchedTouches = if (matched.isEmpty) lit(false) else isMatched
       val nmbsTouches =
         if (notMatchedBySource.isEmpty) lit(false)
         else isNmbs &&
           notMatchedBySource.map(whenCond(tgt1, src)).reduce(_ || _)
-      val affected = joined.filter(matchedTouches || nmbsTouches)
-        .select(col(FileCol)).distinct()
-        .collect().map(r => Io.normalize(r.getString(0))).toSet
-
+      val (dup, affected, anyInserts) = probeJoin(joined,
+        matchedTouches || nmbsTouches, isMatched,
+        insertExistsCond(tgt1, src, isIns))
+      if (dup && (matched.nonEmpty || notMatchedBySource.nonEmpty))
+        cardinalityViolation()
       val insertRows = insertFrame(joined, tgt1, src, isIns)
-      val anyInserts =
-        insertRows != null && insertRows.limit(1).count() > 0
       if (affected.isEmpty && !anyInserts) None
       else {
         // rewrite ONLY the affected files, re-joined for disposition
@@ -275,10 +306,14 @@ case class GraftMergeCommand(
         val isNmbs = col(TgtMark).isNotNull && col(SrcMark).isNull
         val isIns = col(TgtMark).isNull && col(SrcMark).isNotNull
 
-        checkCardinality(joined, isMatched)
-
         // every row whose clause fired gets position-deleted; updates
         // additionally re-append their transformed row
+        val actedCond = col(TgtMark).isNotNull &&
+          disposition(tgt, src, isMatched, isNmbs) =!= KEEP
+        val (dup, actedFiles, anyInserts) = probeJoin(joined, actedCond,
+          isMatched, insertExistsCond(tgt, src, isIns))
+        if (dup && (matched.nonEmpty || notMatchedBySource.nonEmpty))
+          cardinalityViolation()
         val acted = joined.filter(col(TgtMark).isNotNull)
           .withColumn(ActCol, disposition(tgt, src, isMatched, isNmbs))
           .filter(col(ActCol) =!= KEEP)
@@ -290,8 +325,9 @@ case class GraftMergeCommand(
         val appendRows = if (insertRows == null) updatedRows
           else updatedRows.unionByName(insertRows)
 
-        val anyChange = acted.limit(1).count() > 0 ||
-          (insertRows != null && insertRows.limit(1).count() > 0)
+        // the probe above already materialized the cache and answered
+        // both existence questions in its single pass
+        val anyChange = actedFiles.nonEmpty || anyInserts
         if (!anyChange) None
         else Some((hits, appendRows,
           Map("mode" -> "merge-on-read")))

@@ -242,6 +242,36 @@ object PipelineQueries extends QueryCatalog {
       |)
       |SELECT id AS doc_id, pr FROM r4 ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
+    val (score, cache) = pagerankScore(s, dir)
+    // sever lineage before unpersisting the edge cache (4 rounds of
+    // self-referencing plans would otherwise recompute the shingle
+    // join once per round); node set is dup-pair-bounded, tiny
+    val out = severLineage(s, score
+      .select(col("id").as("doc_id"), col("pr"))
+      .orderBy("doc_id"))
+    cache.unpersist()
+    out
+  }
+
+  /** The pagerank iteration pipeline, pre-sever: returns the 4-round
+    * score frame plus the cached frame backing it (caller unpersists
+    * after severing). Factored so the plan tool can explain the
+    * iteration plan — after severLineage the bench-visible plan is
+    * only a Scan ExistingRDD.
+    *
+    * r17 optimization (guide §2.4, measured hash-identical at sf0.1):
+    *  - the iteration cache is (src, dst, d) — out-degree folded in —
+    *    instead of raw edges, so the per-iteration deg aggregation +
+    *    join (4 recomputes of a groupBy over the cache) leaves the
+    *    plan; the cache grows by one BIGINT per edge, same order.
+    *  - edges are SYMMETRIC (both directions of every pair), so every
+    *    node has >= 1 in-edge and the contribution aggregate already
+    *    covers the full node set: the old per-iteration
+    *    `nodes LEFT JOIN contrib` + coalesce(c, 0) dressed 4 joins
+    *    around a provably-never-firing default and is dropped.
+    * Iteration phase 5.3 s -> 1.3 s warm at sf0.1/local[32]. */
+  private[graft] def pagerankScore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val pairs = DedupQueries
       .jaccardPairs(DedupQueries.shingleSets(Tables.documents(s, dir)),
         "sh")
@@ -250,30 +280,22 @@ object PipelineQueries extends QueryCatalog {
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
+    val withDeg = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("d")), "src")
       .persist()
-    edges.count() // one materialization; 4 iterations reuse the cache
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val withDeg = edges.join(deg, "src")
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var score = nodes.withColumn("pr", lit(1000000L))
+    withDeg.count() // one materialization; 4 iterations reuse the cache
+    var score = withDeg.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(1000000L))
     for (_ <- 1 to 4) {
-      val contrib = withDeg
+      score = withDeg
         .join(score.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(expr("pr div d")).cast("bigint").as("c"))
-      score = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
-          (lit(150000L) + expr("850000 * coalesce(c, 0) div 1000000"))
+          (lit(150000L) + expr("850000 * c div 1000000"))
             .cast("bigint").as("pr"))
     }
-    // sever lineage before unpersisting the edge cache (4 rounds of
-    // self-referencing plans would otherwise recompute the shingle
-    // join once per round); node set is dup-pair-bounded, tiny
-    val out = severLineage(s, score
-      .select(col("id").as("doc_id"), col("pr"))
-      .orderBy("doc_id"))
-    edges.unpersist()
-    out
+    (score, withDeg)
   }
 
   /** Deterministic weighted sampling (priority sampling / bottom-k

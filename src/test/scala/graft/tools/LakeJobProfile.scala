@@ -10,6 +10,7 @@ import org.apache.spark.sql.SparkSession
 object LakeJobProfile {
   def main(args: Array[String]): Unit = {
     val qname = args.headOption.getOrElse("q_lake_incremental_agg")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +20,7 @@ object LakeJobProfile {
     spark.sparkContext.setLogLevel("ERROR")
     val q = graft.SparkEntry.queries(qname)
     // warm
-    q(spark, "/root/testdata/sf0.001").write.format("noop")
+    q(spark, dir).write.format("noop")
       .mode("overwrite").save()
     val jobs = new ConcurrentLinkedQueue[(Long, Long)]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -32,7 +33,7 @@ object LakeJobProfile {
       }
     })
     val t0 = System.nanoTime()
-    q(spark, "/root/testdata/sf0.001").write.format("noop")
+    q(spark, dir).write.format("noop")
       .mode("overwrite").save()
     val wallMs = (System.nanoTime() - t0) / 1e6
     Thread.sleep(500)
