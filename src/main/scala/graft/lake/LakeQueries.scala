@@ -818,7 +818,18 @@ object LakeQueries extends QueryCatalog {
       |)
       |SELECT grp, count(*) AS cnt, CAST(sum(amount) AS BIGINT) AS total
       |FROM k2 GROUP BY grp ORDER BY grp""".stripMargin
-  ) { (s, dir) =>
+  ) { (s, dir) => incrementalAggWalk(s, dir, crossCheck = false) }
+
+  /** The q_lake_incremental_agg scenario. `crossCheck = true` (the
+    * spec run) additionally recomputes the aggregate directly over the
+    * table after EVERY window and requires equality with the
+    * maintained state — kept out of the bench path (r17, the
+    * invertedIndexScenario precedent): the final state is now
+    * DuckDB-hash-checked, so the per-window full recompute tripled the
+    * walk's fact scans + collects for a law the spec pins on every
+    * `sbt test`. */
+  private[graft] def incrementalAggWalk(s: SparkSession, dir: String,
+      crossCheck: Boolean): DataFrame = {
       val factSchema = StructType.fromDDL(
         "grp STRING, amount BIGINT, disc_c BIGINT")
       val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
@@ -852,15 +863,19 @@ object LakeQueries extends QueryCatalog {
           .filter(col("cnt") > 0)
           .localCheckpoint() // pin: later windows fold onto THIS state
         from = Some(head)
-        val incr = state.collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
-        val full = t.read().groupBy("grp")
-          .agg(count(lit(1)).as("cnt"), sum("amount").as("total"))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
-        require(incr.sameElements(full),
-          s"incremental state diverged at $phase: " +
-            s"incr=${incr.toSeq} full=${full.toSeq}")
+        if (crossCheck) {
+          val incr = state.collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .sorted
+          val full = t.read().groupBy("grp")
+            .agg(count(lit(1)).as("cnt"), sum("amount").as("total"))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .sorted
+          require(incr.sameElements(full),
+            s"incremental state diverged at $phase: " +
+              s"incr=${incr.toSeq} full=${full.toSeq}")
+        }
       }
       t.append(slice(0))
       advance("w1-seed")
@@ -923,6 +938,19 @@ object LakeQueries extends QueryCatalog {
 
   private val incrementalMinhash =
     Q.noOracle("q_lake_incremental_minhash") { (s, _) =>
+      incrementalMinhashWalk(s, crossCheck = false)
+    }
+
+  /** The q_lake_incremental_minhash scenario. `crossCheck = true` (the
+    * spec run) recomputes every window's signatures from the full
+    * table and requires equality with the incrementally maintained
+    * state — kept out of the bench path (r17, invertedIndexScenario
+    * precedent): the full recompute re-ran the corpus-shingle
+    * aggregation once per window for a law the spec pins on every
+    * `sbt test`; the bench path exercises only the incremental
+    * maintenance a 100 TB pipeline actually runs. */
+  private[graft] def incrementalMinhashWalk(s: SparkSession,
+      crossCheck: Boolean): DataFrame = {
       val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
       def sigsOf(docs: DataFrame): DataFrame = minhashSigs(docs)
       val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
@@ -945,12 +973,14 @@ object LakeQueries extends QueryCatalog {
         val incr = state.collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
             r.getLong(3), r.getLong(4))).sortBy(_._1)
-        val full = sigsOf(t.read()).collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getLong(3), r.getLong(4))).sortBy(_._1)
-        require(incr.sameElements(full),
-          s"incremental signatures diverged at $phase: " +
-            s"incr=${incr.toSeq} full=${full.toSeq}")
+        if (crossCheck) {
+          val full = sigsOf(t.read()).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).sortBy(_._1)
+          require(incr.sameElements(full),
+            s"incremental signatures diverged at $phase: " +
+              s"incr=${incr.toSeq} full=${full.toSeq}")
+        }
         incr.foreach { case (id, h0, h1, h2, h3) =>
           out += ((phase, id, s"$h0-$h1-$h2-$h3")) }
       }
@@ -1059,14 +1089,22 @@ object LakeQueries extends QueryCatalog {
     def report(phase: String): Unit = {
       val stored = sk.read()
       // per-slice + ALL (k-smallest of the union of slice sketches =
-      // the global sketch — the KMV merge law) from STORED rows only
-      val est = estOf(stored) ++ estOf(
+      // the global sketch — the KMV merge law) from STORED rows only.
+      // ONE estimate job over slices ∪ the merged-ALL sketch and ONE
+      // exact job (per-slice counts ∪ the global distinct) — r17, the
+      // quantile-rollup single-pass pattern; it was 4 driver actions
+      // per report before (two estimate collects, two exact actions)
+      val est = estOf(stored.unionByName(
         kSmallest(stored.select("h").distinct()
-          .withColumn("slice", lit("ALL")), Seq("slice")))
-      val exact = fact.read().select("slice", "key").distinct()
+          .withColumn("slice", lit("ALL")).select("slice", "h"),
+          Seq("slice"))))
+      val dk = fact.read().select("slice", "key").distinct()
+      val exact = dk
         .groupBy("slice").agg(count(lit(1)).as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++
-        Map("ALL" -> fact.read().select("key").distinct().count())
+        .unionByName(dk.select("key").distinct()
+          .agg(count(lit(1)).as("n"))
+          .withColumn("slice", lit("ALL")).select("slice", "n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       est.toSeq.sortBy(_._1).foreach { case (slice, e) =>
         val x = exact(slice)
         require(math.abs(e - x) * 4 <= x,

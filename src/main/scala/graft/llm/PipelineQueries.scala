@@ -80,7 +80,7 @@ object PipelineQueries extends QueryCatalog {
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   ) { (s, dir) =>
     clusterPairs(s, DedupQueries
-      .jaccardPairs(DedupQueries.shingleSets(Tables.documents(s, dir)), "sh")
+      .jaccardPairs(DedupQueries.shingleSetsMaterialized(Tables.documents(s, dir)), "sh")
       .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b")))
   }
@@ -144,7 +144,7 @@ object PipelineQueries extends QueryCatalog {
   ) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val mem = clusterPairs(s, DedupQueries
-        .jaccardPairs(DedupQueries.shingleSets(docs), "sh")
+        .jaccardPairs(DedupQueries.shingleSetsMaterialized(docs), "sh")
         .filter(col("jac") >= 0.5)
         .select(col("id_a"), col("id_b")))
       .select("doc_id", "cluster_id")
@@ -273,7 +273,7 @@ object PipelineQueries extends QueryCatalog {
   private[graft] def pagerankScore(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val pairs = DedupQueries
-      .jaccardPairs(DedupQueries.shingleSets(Tables.documents(s, dir)),
+      .jaccardPairs(DedupQueries.shingleSetsMaterialized(Tables.documents(s, dir)),
         "sh")
       .filter(col("jac") >= 0.5)
       .select(col("id_a"), col("id_b"))

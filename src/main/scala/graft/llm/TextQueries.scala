@@ -114,8 +114,16 @@ object TextQueries extends QueryCatalog {
     */
   private def profileArgmax(
       docs: org.apache.spark.sql.DataFrame,
-      items: org.apache.spark.sql.DataFrame,
+      itemsRaw: org.apache.spark.sql.DataFrame,
       topK: Int): org.apache.spark.sql.DataFrame = {
+    // the exploded item table feeds BOTH the profile training agg and
+    // the per-doc distinct — their exchange partitionings differ
+    // ((lang, item) vs (doc_id, item)), so ReuseExchange cannot share
+    // the explode; materialize it once (r17, the
+    // shingleSetsMaterialized idiom — the chargram explode is
+    // ~doc-length rows per doc and was the query's dominant cost paid
+    // twice)
+    val items = DedupQueries.boundedCheckpoint(itemsRaw)
     val top = items.groupBy("lang", "item").agg(count(lit(1)).as("c"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(desc("c"), asc("item"))))

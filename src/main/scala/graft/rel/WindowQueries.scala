@@ -430,18 +430,34 @@ object WindowQueries extends QueryCatalog {
       |ORDER BY user_id, event_id""".stripMargin
   ) { (s, dir) =>
     val wf = w.rowsBetween(-9, Window.currentRow)
+    // r17 (guide §1.2 per-task work): filter pushdown inlines any
+    // med/mad projection into the filter condition, so the naive
+    // withColumn(med)/withColumn(mad)/filter shape evaluated the
+    // interpreted array_sort lambda up to 4x per input row (plan
+    // verified: the Filter node carried three copies of the window
+    // sort plus the deviation sort). Two fixes, result bit-identical:
+    //  - sort_array (native ordering) instead of array_sort with an
+    //    explicit comparator lambda — the comparator is interpreted
+    //    per COMPARISON;
+    //  - the filter condition binds the sorted window ONCE via a
+    //    let-expression (transform over a 1-element array, s = sorted
+    //    window) — 2 sorts per input row instead of 4; med/mad
+    //    re-derive only for the few surviving anomaly rows.
     Tables.events(s, dir)
       .withColumn("vi",
         expr("cast(floor(value * 10000 + 0.5) as bigint)"))
       .withColumn("rn", row_number().over(w))
-      .withColumn("win", array_sort(collect_list(col("vi")).over(wf)))
-      .filter(col("rn") >= 10)
-      .withColumn("med", expr("win[4]")) // Spark [] is 0-based
-      .withColumn("mad", expr(
-        "array_sort(transform(win, x -> abs(x - win[4])))[4]"))
-      .filter(expr("abs(vi - med) > 3 * mad"))
-      .select(col("user_id"), col("event_id"), col("vi"), col("med"),
-        col("mad"), lit(1).as("anomaly"))
+      .withColumn("winr", collect_list(col("vi")).over(wf))
+      .filter(col("rn") >= 10 && expr(
+        "transform(array(sort_array(winr)), s -> " +
+          "abs(vi - s[4]) > " +
+          "3 * sort_array(transform(s, x -> abs(x - s[4])))[4])[0]"))
+      .select(col("user_id"), col("event_id"), col("vi"),
+        expr("sort_array(winr)[4]").as("med"), // Spark [] is 0-based
+        expr("transform(array(sort_array(winr)), s -> " +
+          "sort_array(transform(s, x -> abs(x - s[4])))[4])[0]")
+          .as("mad"),
+        lit(1).as("anomaly"))
       .orderBy("user_id", "event_id")
   }
 

@@ -27,13 +27,21 @@ object TimeOne {
     }
     try graft.SparkEntry.queries("q_agg_pricing_summary")(spark, dir).count()
     catch { case _: Throwable => () }
+    // Bench's per-run hygiene: drop pinned RDD blocks after every run
+    // and settle between queries — without this, lake-walk numbers
+    // inflate 30-50% from accumulated localCheckpoint blocks.
+    def release(): Unit = spark.sparkContext.getPersistentRDDs
+      .valuesIterator.foreach(_.unpersist(blocking = true))
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        release()
+        t
       }
+      System.gc(); Thread.sleep(200)
       println(f"$name: runs=${times.map(t => f"$t%.2f").mkString(",")} " +
         f"min=${times.min}%.2f")
     }
