@@ -937,8 +937,11 @@ object LakeQueries extends QueryCatalog {
   }
 
   private val incrementalMinhash =
-    Q.noOracle("q_lake_incremental_minhash") { (s, _) =>
-      incrementalMinhashWalk(s, crossCheck = false)
+    Q.noOracle("q_lake_incremental_minhash") { (outer, _) =>
+      // fixed 6-doc corpus: every frame is metadata-sized, so the
+      // AQE-off 2-partition private session applies (r17)
+      incrementalMinhashWalk(LakeQueries.tunedSession(outer),
+        crossCheck = false)
     }
 
   /** The q_lake_incremental_minhash scenario. `crossCheck = true` (the
@@ -1057,7 +1060,13 @@ object LakeQueries extends QueryCatalog {
     * cross-checks the sketch-table answers against a full recompute
     * bound (exact ride-along) and fails loudly if the estimate leaves
     * ±25%; emitted rows are the per-window report. */
-  private val sketchRollup = Q.noOracle("q_lake_sketch_rollup") { (s, _) =>
+  private val sketchRollup = Q.noOracle("q_lake_sketch_rollup") { (outer, _) =>
+    // every frame here is sketch-sized (≤ K × slices rows; the fact
+    // windows are a few hundred rows) — run on the AQE-off
+    // 2-partition private session (r17; the quantile-rollup idiom:
+    // LakeJobProfile read 46 jobs / 2.0 s compute / 2.5 s driver gap,
+    // nearly all per-tiny-job AQE planning overhead)
+    val s = LakeQueries.tunedSession(outer)
     import graft.rel.Kmv
     val K = 128
     val factSchema = StructType.fromDDL("slice STRING, key BIGINT")
@@ -1382,8 +1391,12 @@ object LakeQueries extends QueryCatalog {
     * bench path because the recompute doubles the query's job count
     * for an invariant the spec pins on every `sbt test`. */
   private[lake] def invertedIndexScenario(
-      s: org.apache.spark.sql.SparkSession, dir: String,
+      outer: org.apache.spark.sql.SparkSession, dir: String,
       crossCheck: Boolean): DataFrame = {
+    // bounded 500-doc corpus slice: postings/index frames are small
+    // and the walk is many tiny actions — AQE-off 2-partition private
+    // session (r17, the quantile-rollup idiom)
+    val s = LakeQueries.tunedSession(outer)
     import graft.llm.TextQueries
     val docSchema = StructType.fromDDL("doc_id BIGINT, text STRING")
     val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
@@ -2321,7 +2334,10 @@ object LakeQueries extends QueryCatalog {
     * table and through the backup, bytes adopted where they sit
     * (zero copies), DML working on the migrated table while the
     * backup stays frozen, and gc disabled on the shared bytes. */
-  private val migrateScenario = Q.noOracle("q_lake_migrate") { (s, dir) =>
+  private val migrateScenario = Q.noOracle("q_lake_migrate") { (outer, dir) =>
+    // many tiny actions over bounded lineitem slices (1/11, 1/13) —
+    // AQE-off 2-partition private session (r17, quantile-rollup idiom)
+    val s = LakeQueries.tunedSession(outer)
     import s.implicits._
     val wh = graft.ScratchDirs.create("graft-mig-")
     val cat = new GraftCatalog(s, wh)
