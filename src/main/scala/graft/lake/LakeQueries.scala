@@ -612,7 +612,10 @@ object LakeQueries extends QueryCatalog {
     * cancellation is real), that the update images carry the right
     * before/after values, and that no carryover survives. */
   private val changelogUpdates =
-    Q.noOracle("q_lake_changelog_updates") { (s, _) =>
+    Q.noOracle("q_lake_changelog_updates") { (outer, _) =>
+      // driver-gap-dominated fixed walk (r17 LakeJobProfile: 21 jobs,
+      // 1.3 s compute, 1.9 s gap) — AQE-off 2-partition private session
+      val s = LakeQueries.tunedSession(outer)
       val t = newTable(s)
       t.delete(col("case_id") === "case-2")
       t.update(col("case_id") === "case-1",
@@ -701,7 +704,10 @@ object LakeQueries extends QueryCatalog {
     * on a branch (main untouched), audit via the branch read, publish
     * with fastForward. Returns (phase, case_id) rows proving main
     * only moved at publish time. */
-  private val wap = Q.noOracle("q_lake_wap") { (s, _) =>
+  private val wap = Q.noOracle("q_lake_wap") { (outer, _) =>
+    // driver-gap-dominated fixed walk (r17: 15 jobs, 0.5 s compute,
+    // 1.4 s gap) — AQE-off 2-partition private session
+    val s = LakeQueries.tunedSession(outer)
     import s.implicits._
     val t = newTable(s)
     t.createBranch("staging")
@@ -818,7 +824,15 @@ object LakeQueries extends QueryCatalog {
       |)
       |SELECT grp, count(*) AS cnt, CAST(sum(amount) AS BIGINT) AS total
       |FROM k2 GROUP BY grp ORDER BY grp""".stripMargin
-  ) { (s, dir) => incrementalAggWalk(s, dir, crossCheck = false) }
+  ) { (outer, dir) =>
+    // the walk's shuffle BYTES are group-bounded (state is one row
+    // per grp after map-side partial agg; DML hit discovery is
+    // file-bounded) even though the ingest windows are corpus slices
+    // — AQE has nothing to adapt, and its per-stage re-planning cost
+    // 2.7 s of driver gap across 32 tiny jobs (LakeJobProfile, r17)
+    incrementalAggWalk(LakeQueries.tunedSession(outer), dir,
+      crossCheck = false)
+  }
 
   /** The q_lake_incremental_agg scenario. `crossCheck = true` (the
     * spec run) additionally recomputes the aggregate directly over the
@@ -1483,7 +1497,10 @@ object LakeQueries extends QueryCatalog {
       .orderBy("phase", "rank")
   }
 
-  private val vectorIndex = Q.noOracle("q_lake_vector_index") { (s, dir) =>
+  private val vectorIndex = Q.noOracle("q_lake_vector_index") { (outer, dir) =>
+    // driver-gap-dominated bounded-index walk (r17: 23 jobs, 0.9 s
+    // compute, 1.5 s gap) — AQE-off 2-partition private session
+    val s = LakeQueries.tunedSession(outer)
     vectorIndexScenario(s, dir, crossCheck = false)
   }
 
@@ -1657,7 +1674,11 @@ object LakeQueries extends QueryCatalog {
     * (zero Exchange under the join) and bit-equality of the aggregate
     * against the ordinary shuffled plan; BucketLocalJoinSpec holds the
     * fallback gates (deletes / no clustering / rename / widen). */
-  private val bucketJoin = Q.noOracle("q_lake_bucket_join") { (s, dir) =>
+  private val bucketJoin = Q.noOracle("q_lake_bucket_join") { (outer, dir) =>
+    // driver-gap-dominated walk (r17: 25 jobs, 1.0 s compute, 1.0 s
+    // gap); the private session also keeps its broadcast-threshold
+    // override off the caller's session
+    val s = LakeQueries.tunedSession(outer)
     import graft.rel.Tables
     val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
     cat.createNamespace("default")
@@ -1723,7 +1744,10 @@ object LakeQueries extends QueryCatalog {
     * sizes / delete-file counts) — deciding "nothing to do" on a
     * 100 TB table costs zero data IO; the actions themselves are the
     * already-bounded maintenance ops. */
-  private val maintenance = Q.noOracle("q_lake_maintenance") { (s, _) =>
+  private val maintenance = Q.noOracle("q_lake_maintenance") { (outer, _) =>
+    // driver-gap-dominated fixed walk (r17: 34 jobs, 1.0 s compute,
+    // 1.7 s gap) — AQE-off 2-partition private session
+    val s = LakeQueries.tunedSession(outer)
     import s.implicits._
     import java.nio.file.attribute.FileTime
     val schema = StructType.fromDDL("k BIGINT, v STRING")
@@ -1818,7 +1842,10 @@ object LakeQueries extends QueryCatalog {
     * strictly fewer files scanned, join results identical to the
     * scan-all plan, the over-`maxKeys` fallback scans everything, and
     * an empty dim joins to nothing. */
-  private val runtimePrune = Q.noOracle("q_lake_runtime_prune") { (s, dir) =>
+  private val runtimePrune = Q.noOracle("q_lake_runtime_prune") { (outer, dir) =>
+    // driver-gap-dominated walk (r17: 27 jobs, 0.7 s compute, 1.1 s
+    // gap) — AQE-off 2-partition private session
+    val s = LakeQueries.tunedSession(outer)
     import s.implicits._
     import graft.rel.Tables
     val cat = new GraftCatalog(s, graft.ScratchDirs.create("graft-wh-"))
