@@ -43,7 +43,10 @@ object LakeQueries extends QueryCatalog {
 
   /** D6+D8+D7: the demo's core walk — insert, MOR delete case-2, COW
     * nullify case-1 — returning the final visible table. */
-  private val lifecycle = Q.noOracle("q_lake_lifecycle") { (s, _) =>
+  private val lifecycle = Q.noOracle("q_lake_lifecycle") { (outer, _) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val t = newTable(s)
     t.delete(col("case_id") === "case-2")
     t.update(col("case_id") === "case-1",
@@ -133,7 +136,10 @@ object LakeQueries extends QueryCatalog {
       |  CASE WHEN k = 201 THEN NULL ELSE nm END AS nm,
       |  CASE WHEN k = 201 THEN NULL ELSE seg END AS seg
       |FROM c WHERE k <> 101 ORDER BY k""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val cust = graft.rel.Tables.customer(s, dir)
       .filter(col("c_custkey") % 4 === 1)
       .select(col("c_custkey").cast("long").as("k"),
@@ -582,7 +588,10 @@ object LakeQueries extends QueryCatalog {
       |  qty_c, _change_type,
       |  CAST(_change_ordinal AS INT) AS _change_ordinal
       |FROM ev ORDER BY _change_ordinal, okey, lnum, qty_c""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val li = graft.rel.Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("long").as("okey"),
         col("l_linenumber").cast("long").as("lnum"),
@@ -655,7 +664,10 @@ object LakeQueries extends QueryCatalog {
     * (deterministic columns; snapshot ids and the range-relative
     * ordinal projected away), which StreamingSpec proves equal the
     * batch changelog event-for-event. */
-  private val streamChanges = Q.noOracle("q_lake_stream_changes") { (s, _) =>
+  private val streamChanges = Q.noOracle("q_lake_stream_changes") { (outer, _) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     import graft.streaming.GraftTableStreaming
     val t = newTable(s)
     val mem = s"cdc_${java.util.UUID.randomUUID.toString.replace("-", "")}"
@@ -2123,7 +2135,10 @@ object LakeQueries extends QueryCatalog {
       |  count(*) AS n
       |FROM kept GROUP BY 1, 2
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val li = graft.rel.Tables.lineitem(s, dir)
       .filter(col("l_orderkey") % 5 === 0)
       .select(col("l_returnflag").as("flag"),
@@ -2195,7 +2210,10 @@ object LakeQueries extends QueryCatalog {
       |  min(array_to_string(lines, ',')) AS min_lines_repr,
       |  max(array_to_string(lines, ',')) AS max_lines_repr
       |FROM upd GROUP BY 1 ORDER BY bucket""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     // (orderkey, linenumber) is NOT unique in the synthetic corpus,
     // so map keys aggregate per line first (the oracle's qty1 is the
     // same per-line SUM); the lines array keeps duplicates
@@ -2325,7 +2343,10 @@ object LakeQueries extends QueryCatalog {
       |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
       |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
       |FROM upd GROUP BY 1 ORDER BY day""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val ev = graft.rel.Tables.events(s, dir)
       .select(col("event_id").cast("long").as("event_id"),
         col("ts"), col("user_id").cast("long").as("user_id"),
@@ -2663,7 +2684,10 @@ object LakeQueries extends QueryCatalog {
       |SELECT CAST(okey % 10 AS BIGINT) AS bucket,
       |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, count(*) AS n
       |FROM pub GROUP BY 1 ORDER BY bucket""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val li = graft.rel.Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("long").as("okey"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"))
@@ -2702,7 +2726,10 @@ object LakeQueries extends QueryCatalog {
       |SELECT CAST(okey % 10 AS BIGINT) AS bucket,
       |  CAST(sum(qty_c) AS BIGINT) AS sum_qty_c, count(*) AS n
       |FROM ab GROUP BY 1 ORDER BY bucket""".stripMargin
-  ) { (s, dir) =>
+  ) { (outer, dir) =>
+    // driver-gap-dominated bounded walk (r17 LakeJobProfile) —
+    // AQE-off 2-partition private session; result oracle-unchanged
+    val s = LakeQueries.tunedSession(outer)
     val li = graft.rel.Tables.lineitem(s, dir)
       .select(col("l_orderkey").cast("long").as("okey"),
         round(col("l_quantity") * 100).cast("long").as("qty_c"))
