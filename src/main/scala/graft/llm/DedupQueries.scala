@@ -38,12 +38,22 @@ object DedupQueries extends QueryCatalog {
     * an ANSI runtime error; DuckDB's range() likewise emits nothing).
     */
   private[graft] def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    // r17: route through the native NGrams GENERATOR when the graft
+    // extensions are registered (always true in Bench/Verify) — the
+    // HOF form materializes the full gram array per document before
+    // the explode copies it out again; the generator streams one
+    // UTF8String per gram out of GenerateExec (guide §1.2 per-task
+    // work; NGramsSpec pins bit-equality of the two forms incl.
+    // NULL/short-document edges, so the distinct sees identical rows)
+    (if (docs.sparkSession.catalog.functionExists("ngrams"))
+      docs.select(col("doc_id"),
+        call_function("ngrams", col("text"), lit(3)).as("sh"))
+    else docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh")))
       .distinct()
 
   /** Exploded word n-grams of `df` (the generalized [[shingleSets]]
@@ -57,6 +67,11 @@ object DedupQueries extends QueryCatalog {
     * count DOWN for short docs). */
   private[graft] def wordGrams(df: DataFrame, n: Int,
       keep: Seq[String], as: String = "g"): DataFrame = {
+    // r17: native NGrams generator when registered (see shingleSets —
+    // same bit-equality contract, same fallback)
+    if (df.sparkSession.catalog.functionExists("ngrams"))
+      return df.select(keep.map(col) :+
+        call_function("ngrams", col("text"), lit(n)).as(as): _*)
     val parts = (0 until n).map(j => s"__toks[i + $j]").mkString(", ")
     df.select(keep.map(col) :+ split(col("text"), " ").as("__toks"): _*)
       .filter(size(col("__toks")) >= n)
